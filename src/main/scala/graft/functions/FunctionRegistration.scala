@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers all graft SQL functions (ST_* and LLM-pipeline helpers).
+  *
+  * Spark-native replacement for the reference's Hive
+  * `CREATE OR REPLACE FUNCTION ... as 'com.azavea.hiveless...'` flow
+  * (reference: spatial/sql/createUDFs.sql:1).
+  */
+object FunctionRegistration {
+
+  /** (name, builder) for every graft SQL function; populated as operator
+    * groups land. Names are case-insensitive in Spark's registry.
+    */
+  def builders: Seq[(String, FunctionBuilder)] = Seq.empty
+
+  def registerAll(ext: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name),
+        builder
+      ))
+    }
+
+  /** Direct registration for an existing session (tests, Verify). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

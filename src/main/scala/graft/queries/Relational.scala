@@ -1,0 +1,244 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core query set (SURVEY.md §2.1).
+  *
+  * Demonstrates the engine's scan/filter/agg/join/window/rollup surface on
+  * the TPC-H-ish corpus. Scale notes per query:
+  *  - dimension tables (region/nation/customer at these SFs, brand-avg
+  *    aggregates) are explicitly `broadcast()` — at 100 TB the fact side
+  *    never shuffles for those joins;
+  *  - aggregates are partial-agg friendly (plain sum/count/avg over
+  *    groupBy) so map-side combine bounds shuffle volume;
+  *  - all floating outputs are rounded so the DuckDB oracle hash-compares.
+  */
+object Relational {
+
+  private def q(name: String)(f: (SparkSession, String) => DataFrame) = name -> f
+
+  /** TPC-H Q1-style pricing summary: one scan, one shuffle on the 6-group key. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: broadcast the filtered customer dim, shuffle join o⋈l. */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: all dims broadcast; single fact shuffle for the agg. */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+    val l = Tables.lineitem(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c),
+        col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-3 orders per customer by price: single shuffle on o_custkey. */
+  def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Semi + anti join: per segment, customers with at least one order
+    * (semi) and customers with no large order (anti vs a filtered build
+    * side). Both sides broadcastable at dim scale.
+    */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val big = o.filter(col("o_totalprice") > 300000.0)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val anti = c.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_no_big_order"))
+    semi.join(anti, Seq("c_mktsegment"), "full_outer")
+      .select(
+        col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_no_big_order"), lit(0L)).as("n_no_big_order"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Parts priced above their brand average (agg + broadcast self-join).
+    * 0.005 margin keeps the predicate off the FP boundary so Spark and the
+    * oracle agree bit-for-bit.
+    */
+  def qAvgFilter(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val brandAvg = p.groupBy("p_brand").agg(avg("p_retailprice").as("brand_avg"))
+    p.join(broadcast(brandAvg), "p_brand")
+      .filter(col("p_retailprice") > col("brand_avg") + 0.005)
+      .select("p_partkey")
+      .orderBy("p_partkey")
+  }
+
+  /** Monthly order buckets (epoch seconds keep the oracle timestamp-precision-proof). */
+  def qDateBuckets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("month_start")
+
+  /** Rollup over returnflag/linestatus with NULL-safe labels. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"))
+      .orderBy("rf", "ls")
+
+  /** Hourly tumbling-window event aggregate (batch twin of the streaming op). */
+  def evWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("n"), col("avg_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sessionization (30-min inactivity gap) via window lag — batch twin of
+    * the flatMapGroupsWithState streaming sessionizer. One shuffle on user_id.
+    */
+  def evSessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    q("q1_agg")(q1Agg),
+    q("q3_shipping")(q3Shipping),
+    q("q5_local_supplier")(q5LocalSupplier),
+    q("q_window_topn")(qWindowTopN),
+    q("q_semi_anti")(qSemiAnti),
+    q("q_avg_filter")(qAvgFilter),
+    q("q_date_buckets")(qDateBuckets),
+    q("q_rollup")(qRollup),
+    q("ev_window")(evWindow),
+    q("ev_sessions")(evSessions)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_mktsegment,
+        | count(*) FILTER (c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
+        | count(*) FILTER (c_custkey NOT IN
+        |   (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)) AS n_no_big_order
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_avg_filter" ->
+      """SELECT p_partkey FROM part
+        |JOIN (SELECT p_brand, avg(p_retailprice) AS brand_avg
+        |      FROM part GROUP BY 1) USING (p_brand)
+        |WHERE p_retailprice > brand_avg + 0.005
+        |ORDER BY p_partkey""".stripMargin,
+    "q_date_buckets" ->
+      """SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_start,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf,
+        | coalesce(l_linestatus,'ALL') AS ls, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "ev_window" ->
+      """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+        | event_type, count(*) AS n, round(avg(value),4) AS avg_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_sessions" ->
+      """SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch(ts) - epoch(prev_ts) > 1800.0 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT user_id, ts,
+        |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |        FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

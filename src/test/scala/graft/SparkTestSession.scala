@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.{BeforeAndAfterAll, Suite}
+
+/** Shared local session for specs. sf0.001 keeps suites fast. */
+trait SparkTestSession extends BeforeAndAfterAll { self: Suite =>
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkTestSession.session
+
+  override def afterAll(): Unit = super.afterAll()
+}
+
+object SparkTestSession {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftSparkExtensions")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
