@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** Registers all graft SQL functions (ST_* and LLM-pipeline helpers).
   *
@@ -13,12 +13,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object FunctionRegistration {
 
-  /** (name, builder) for every graft SQL function; populated as operator
-    * groups land. Names are case-insensitive in Spark's registry.
+  /** (name, builder) for every graft SQL function. Names are
+    * case-insensitive in Spark's registry.
     */
-  def builders: Seq[(String, FunctionBuilder)] = Seq.empty
+  def builders: Seq[(String, FunctionBuilder)] =
+    FunctionDefs.defs.map { case (name, specs) =>
+      name -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GeomFn(name, specs, children))
+    }
 
-  def registerAll(ext: SparkSessionExtensions): Unit =
+  def registerAll(ext: SparkSessionExtensions): Unit = {
+    graft.geom.GeometryUDT.init()
     builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
@@ -26,10 +31,13 @@ object FunctionRegistration {
         builder
       ))
     }
+  }
 
-  /** Direct registration for an existing session (tests, Verify). */
-  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Direct registration for an existing session (tests, Verify, Bench). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    graft.geom.GeometryUDT.init()
     builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 }

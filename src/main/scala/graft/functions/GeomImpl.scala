@@ -1,0 +1,382 @@
+package graft.functions
+
+import graft.geom._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.util.AffineTransformation
+import org.locationtech.jts.operation.distance.DistanceOp
+
+/** Static implementations of every graft SQL function, with JVM
+  * signatures that match Catalyst's internal representations (geometry =
+  * WKB `byte[]`, strings = UTF8String, structs = InternalRow, arrays =
+  * ArrayData) so generated code calls them directly — each method is both
+  * the interpreted-eval body and the codegen target of a [[GeomFn]].
+  *
+  * Semantics follow the reference surface
+  * (spatial/sql/createUDFs.sql:1 and one file per function under
+  * spatial/src/main/scala/com/azavea/hiveless/spatial/), re-expressed
+  * over JTS 1.20 directly.
+  */
+object GeomImpl {
+
+  // Small per-thread identity memo so repeated byte[] instances (literal
+  // children evaluate to the same object every row) parse once, not per row.
+  private final val MemoSlots = 4
+  private val memoKeys = ThreadLocal.withInitial[Array[AnyRef]](() => new Array[AnyRef](MemoSlots))
+  private val memoVals = ThreadLocal.withInitial[Array[Geometry]](() => new Array[Geometry](MemoSlots))
+  private val memoIdx  = ThreadLocal.withInitial[Array[Int]](() => new Array[Int](1))
+
+  def parse(b: Array[Byte]): Geometry = {
+    val keys = memoKeys.get()
+    var i = 0
+    while (i < MemoSlots) {
+      if (keys(i) eq b) return memoVals.get()(i)
+      i += 1
+    }
+    val g = GeomIO.fromWKB(b)
+    val idx = memoIdx.get()
+    val slot = idx(0)
+    keys(slot) = b
+    memoVals.get()(slot) = g
+    idx(0) = (slot + 1) % MemoSlots
+    g
+  }
+
+  private def out(g: Geometry): Array[Byte] = GeomIO.toWKB(g)
+  private def str(s: String): UTF8String = UTF8String.fromString(s)
+
+  // ---------------------------------------------------------------- parse
+
+  def geomFromWKT(s: UTF8String): Array[Byte] = out(GeomIO.fromWKT(s.toString))
+
+  private def typedFromText(s: UTF8String, cls: Class[_ <: Geometry]): Array[Byte] = {
+    val g = GeomIO.fromWKT(s.toString)
+    if (cls.isInstance(g)) out(g) else null
+  }
+  def pointFromText(s: UTF8String): Array[Byte]   = typedFromText(s, classOf[Point])
+  def lineFromText(s: UTF8String): Array[Byte]    = typedFromText(s, classOf[LineString])
+  def polygonFromText(s: UTF8String): Array[Byte] = typedFromText(s, classOf[Polygon])
+  def mPointFromText(s: UTF8String): Array[Byte]  = typedFromText(s, classOf[MultiPoint])
+  def mLineFromText(s: UTF8String): Array[Byte]   = typedFromText(s, classOf[MultiLineString])
+  def mPolyFromText(s: UTF8String): Array[Byte]   = typedFromText(s, classOf[MultiPolygon])
+
+  def geomFromWKB(b: Array[Byte]): Array[Byte] = out(GeomIO.fromWKB(b))
+  def pointFromWKB(b: Array[Byte]): Array[Byte] = {
+    val g = GeomIO.fromWKB(b)
+    if (g.isInstanceOf[Point]) out(g) else null
+  }
+
+  def geomFromGeoJson(s: UTF8String): Array[Byte] = out(GeoJson.read(s.toString))
+  def asGeoJson(b: Array[Byte]): UTF8String = str(GeoJson.write(parse(b)))
+
+  def geomFromGeoHash(s: UTF8String): Array[Byte] =
+    out(GeoHash.decodeGeometry(s.toString))
+  def geomFromGeoHashPrec(s: UTF8String, prec: Int): Array[Byte] =
+    out(GeoHash.decodeGeometry(s.toString, prec))
+  def pointFromGeoHash(s: UTF8String): Array[Byte] =
+    out(GeoHash.decodePoint(s.toString))
+  def pointFromGeoHashPrec(s: UTF8String, prec: Int): Array[Byte] =
+    out(GeoHash.decodePoint(s.toString, prec))
+  def geoHash(b: Array[Byte], precBits: Int): UTF8String =
+    str(GeoHash.encode(parse(b), precBits))
+
+  private def castTo(b: Array[Byte], cls: Class[_ <: Geometry]): Array[Byte] = {
+    val g = parse(b)
+    if (cls.isInstance(g)) b else null
+  }
+  def castToPoint(b: Array[Byte]): Array[Byte]      = castTo(b, classOf[Point])
+  def castToLineString(b: Array[Byte]): Array[Byte] = castTo(b, classOf[LineString])
+  def castToPolygon(b: Array[Byte]): Array[Byte]    = castTo(b, classOf[Polygon])
+  def castToGeometry(b: Array[Byte]): Array[Byte]   = b
+
+  def byteArray(s: UTF8String): Array[Byte] = s.getBytes
+
+  // ---------------------------------------------------------------- output
+
+  def asText(b: Array[Byte]): UTF8String = str(GeomIO.toWKT(parse(b)))
+  def asBinary(b: Array[Byte]): Array[Byte] = b
+  def asTWKB(b: Array[Byte]): Array[Byte] = TWKB.write(parse(b))
+  def asTWKBPrec(b: Array[Byte], prec: Int): Array[Byte] = TWKB.write(parse(b), prec)
+  def geomFromTWKB(b: Array[Byte]): Array[Byte] = out(TWKB.read(b))
+
+  /** Point → "35°21'07.128"N 97°40'12.000"W"-style DMS text (lat lon). */
+  def asLatLonText(b: Array[Byte]): UTF8String = parse(b) match {
+    case p: Point =>
+      def dms(v: Double, pos: String, neg: String): String = {
+        val hemi = if (v < 0) neg else pos
+        val a = math.abs(v)
+        val d = a.toInt
+        val mFull = (a - d) * 60.0
+        val m = mFull.toInt
+        val s = (mFull - m) * 60.0
+        f"""$d%d°$m%02d'$s%06.3f"$hemi"""
+      }
+      str(dms(p.getY, "N", "S") + " " + dms(p.getX, "E", "W"))
+    case _ => null
+  }
+
+  // ---------------------------------------------------------- constructors
+
+  def makePoint(x: Double, y: Double): Array[Byte] = out(GeomIO.point(x, y))
+  def makePointM(x: Double, y: Double, m: Double): Array[Byte] = out(GeomIO.pointM(x, y, m))
+
+  def makeLine(points: ArrayData): Array[Byte] = {
+    val n = points.numElements()
+    val cs = new Array[Coordinate](n)
+    var i = 0
+    while (i < n) {
+      cs(i) = GeomIO.fromWKB(points.getBinary(i)).getCoordinate
+      i += 1
+    }
+    out(GeomIO.factory.createLineString(cs))
+  }
+
+  def makePolygon(shell: Array[Byte]): Array[Byte] = {
+    val ring = parse(shell) match {
+      case l: LineString => GeomIO.factory.createLinearRing(l.getCoordinateSequence)
+      case other => throw new IllegalArgumentException(
+        s"st_makePolygon expects a closed LineString, got ${other.getGeometryType}")
+    }
+    out(GeomIO.factory.createPolygon(ring))
+  }
+
+  def makeBBOX(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] =
+    out(GeomIO.bbox(xmin, ymin, xmax, ymax))
+
+  def makeBox2D(ll: Array[Byte], ur: Array[Byte]): Array[Byte] = {
+    val p1 = parse(ll).asInstanceOf[Point]
+    val p2 = parse(ur).asInstanceOf[Point]
+    out(GeomIO.bbox(p1.getX, p1.getY, p2.getX, p2.getY))
+  }
+
+  // ------------------------------------------------------------- accessors
+
+  def x(b: Array[Byte]): java.lang.Double = parse(b) match {
+    case p: Point => p.getX
+    case _        => null
+  }
+  def y(b: Array[Byte]): java.lang.Double = parse(b) match {
+    case p: Point => p.getY
+    case _        => null
+  }
+
+  def area(b: Array[Byte]): Double   = parse(b).getArea
+  def length(b: Array[Byte]): Double = parse(b).getLength
+
+  def distance(a: Array[Byte], b: Array[Byte]): Double = parse(a).distance(parse(b))
+  def distanceSphere(a: Array[Byte], b: Array[Byte]): Double = Sphere.distance(parse(a), parse(b))
+  def lengthSphere(b: Array[Byte]): Double = Sphere.length(parse(b))
+
+  def centroid(b: Array[Byte]): Array[Byte] = out(parse(b).getCentroid)
+  def envelope(b: Array[Byte]): Array[Byte] = out(parse(b).getEnvelope)
+  def boundary(b: Array[Byte]): Array[Byte] = out(parse(b).getBoundary)
+
+  def dimension(b: Array[Byte]): Int = parse(b).getDimension
+  def coordDim(b: Array[Byte]): Int = {
+    val g = parse(b)
+    if (g.isEmpty) 2 else GeomIO.outputDimension(g)
+  }
+  def numPoints(b: Array[Byte]): Int = parse(b).getNumPoints
+  def numGeometries(b: Array[Byte]): Int = parse(b).getNumGeometries
+
+  /** 1-based, like PostGIS; null out of range or wrong type. */
+  def pointN(b: Array[Byte], n: Int): Array[Byte] = parse(b) match {
+    case l: LineString if n >= 1 && n <= l.getNumPoints => out(l.getPointN(n - 1))
+    case _ => null
+  }
+
+  /** 1-based, like PostGIS; null out of range. */
+  def geometryN(b: Array[Byte], n: Int): Array[Byte] = {
+    val g = parse(b)
+    if (n >= 1 && n <= g.getNumGeometries) out(g.getGeometryN(n - 1)) else null
+  }
+
+  def exteriorRing(b: Array[Byte]): Array[Byte] = parse(b) match {
+    case p: Polygon => out(p.getExteriorRing)
+    case _          => null
+  }
+
+  /** 1-based, like PostGIS; null out of range or wrong type. */
+  def interiorRingN(b: Array[Byte], n: Int): Array[Byte] = parse(b) match {
+    case p: Polygon if n >= 1 && n <= p.getNumInteriorRing => out(p.getInteriorRingN(n - 1))
+    case _ => null
+  }
+
+  def isValid(b: Array[Byte]): Boolean  = parse(b).isValid
+  def isSimple(b: Array[Byte]): Boolean = parse(b).isSimple
+  def isEmptyGeom(b: Array[Byte]): Boolean = parse(b).isEmpty
+  def isClosed(b: Array[Byte]): Boolean = parse(b) match {
+    case l: LineString      => l.isClosed
+    case m: MultiLineString => m.isClosed
+    case _                  => true
+  }
+  def isRing(b: Array[Byte]): Boolean = parse(b) match {
+    case l: LineString => l.isRing
+    case _             => false
+  }
+  def isCollection(b: Array[Byte]): Boolean = parse(b).isInstanceOf[GeometryCollection]
+
+  /** True when the value parses as a geometry (WKB bytes here; the WKT
+    * variant is exposed for string columns).
+    */
+  def isGeomFieldText(s: UTF8String): Boolean =
+    try { GeomIO.fromWKT(s.toString); true } catch { case _: Exception => false }
+
+  def isGeomFieldBin(b: Array[Byte]): Boolean =
+    try { GeomIO.fromWKB(b); true } catch { case _: Exception => false }
+
+  // ------------------------------------------------------------ predicates
+
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = parse(a).intersects(parse(b))
+  def contains(a: Array[Byte], b: Array[Byte]): Boolean   = parse(a).contains(parse(b))
+  def within(a: Array[Byte], b: Array[Byte]): Boolean     = parse(a).within(parse(b))
+  def covers(a: Array[Byte], b: Array[Byte]): Boolean     = parse(a).covers(parse(b))
+  def crosses(a: Array[Byte], b: Array[Byte]): Boolean    = parse(a).crosses(parse(b))
+  def disjoint(a: Array[Byte], b: Array[Byte]): Boolean   = parse(a).disjoint(parse(b))
+  def equalsGeom(a: Array[Byte], b: Array[Byte]): Boolean = parse(a).equals(parse(b))
+  def overlaps(a: Array[Byte], b: Array[Byte]): Boolean   = parse(a).overlaps(parse(b))
+  def touches(a: Array[Byte], b: Array[Byte]): Boolean    = parse(a).touches(parse(b))
+
+  def relate(a: Array[Byte], b: Array[Byte]): UTF8String =
+    str(parse(a).relate(parse(b)).toString)
+  def relateBool(a: Array[Byte], b: Array[Byte], pattern: UTF8String): Boolean =
+    parse(a).relate(parse(b), pattern.toString)
+
+  // ------------------------------------------------------------ processing
+
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] = out(parse(a).intersection(parse(b)))
+  def difference(a: Array[Byte], b: Array[Byte]): Array[Byte]   = out(parse(a).difference(parse(b)))
+  def convexHull(b: Array[Byte]): Array[Byte] = out(parse(b).convexHull())
+
+  def simplify(b: Array[Byte], tol: Double): Array[Byte] =
+    out(org.locationtech.jts.simplify.DouglasPeuckerSimplifier.simplify(parse(b), tol))
+  def simplifyPreserveTopology(b: Array[Byte], tol: Double): Array[Byte] =
+    out(org.locationtech.jts.simplify.TopologyPreservingSimplifier.simplify(parse(b), tol))
+
+  def bufferPoint(b: Array[Byte], meters: Double): Array[Byte] = parse(b) match {
+    case p: Point => out(Sphere.bufferPoint(p, meters))
+    case other => throw new IllegalArgumentException(
+      s"st_bufferPoint expects a Point, got ${other.getGeometryType}")
+  }
+
+  /** Point on geometry `a` closest to geometry `b`. */
+  def closestPoint(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val pts = DistanceOp.nearestPoints(parse(a), parse(b))
+    out(GeomIO.factory.createPoint(pts(0)))
+  }
+
+  def translate(b: Array[Byte], dx: Double, dy: Double): Array[Byte] =
+    out(AffineTransformation.translationInstance(dx, dy).transform(parse(b)))
+
+  /** Split a geometry whose coordinates run past ±180° into parts wrapped
+    * into [-180, 180] (the reference's st_antimeridianSafeGeom /
+    * st_idlSafeGeom behavior: geometries spanning the IDL come back as
+    * multi-part geometries that query correctly on either side).
+    */
+  def antimeridianSafeGeom(b: Array[Byte]): Array[Byte] = {
+    val g = parse(b)
+    val env = g.getEnvelopeInternal
+    if (env.getMinX >= -180.0 && env.getMaxX <= 180.0) return b
+    val f = GeomIO.factory
+    val world = GeomIO.bbox(-180, -90, 180, 90)
+    val eastOut = GeomIO.bbox(180, -90, env.getMaxX + 1, 90)
+    val westOut = GeomIO.bbox(env.getMinX - 1, -90, -180, 90)
+    val inWorld = g.intersection(world)
+    val shiftW = AffineTransformation.translationInstance(-360, 0).transform(g.intersection(eastOut))
+    val shiftE = AffineTransformation.translationInstance(360, 0).transform(g.intersection(westOut))
+    val parts = Seq(inWorld, shiftW, shiftE).filter(!_.isEmpty)
+    val result =
+      if (parts.isEmpty) f.createGeometryCollection()
+      else parts.reduce(_.union(_))
+    out(result)
+  }
+
+  // ----------------------------------------------------- extent & indexing
+
+  def makeExtent(xmin: Double, ymin: Double, xmax: Double, ymax: Double): InternalRow =
+    new GenericInternalRow(Array[Any](xmin, ymin, xmax, ymax))
+
+  def extentFromGeom(b: Array[Byte]): InternalRow = {
+    val env = parse(b).getEnvelopeInternal
+    new GenericInternalRow(Array[Any](env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+  }
+
+  def extentToGeom(r: InternalRow): Array[Byte] =
+    out(GeomIO.bbox(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+
+  def intersectsExtentExtent(a: InternalRow, b: InternalRow): Boolean =
+    a.getDouble(0) <= b.getDouble(2) && a.getDouble(2) >= b.getDouble(0) &&
+      a.getDouble(1) <= b.getDouble(3) && a.getDouble(3) >= b.getDouble(1)
+
+  def intersectsExtentGeom(a: InternalRow, b: Array[Byte]): Boolean =
+    GeomIO.bbox(a.getDouble(0), a.getDouble(1), a.getDouble(2), a.getDouble(3))
+      .intersects(parse(b))
+
+  def intersectsGeomExtent(a: Array[Byte], b: InternalRow): Boolean =
+    intersectsExtentGeom(b, a)
+
+  def containsExtentExtent(a: InternalRow, b: InternalRow): Boolean =
+    a.getDouble(0) <= b.getDouble(0) && a.getDouble(2) >= b.getDouble(2) &&
+      a.getDouble(1) <= b.getDouble(1) && a.getDouble(3) >= b.getDouble(3)
+
+  def containsExtentGeom(a: InternalRow, b: Array[Byte]): Boolean =
+    GeomIO.bbox(a.getDouble(0), a.getDouble(1), a.getDouble(2), a.getDouble(3))
+      .contains(parse(b))
+
+  def containsGeomExtent(a: Array[Byte], b: InternalRow): Boolean =
+    parse(a).contains(GeomIO.bbox(b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3)))
+
+  /** Z2 Morton keys of the envelope's (min, max) corners — the same
+    * struct shape as the reference's Z2Index
+    * (spatial-index/.../spark/geotrellis/Z2Index.scala:18).
+    */
+  def z2LatLon(b: Array[Byte]): InternalRow = {
+    val (lo, hi) = Z2.indexRange(parse(b))
+    new GenericInternalRow(Array[Any](lo, hi))
+  }
+
+  /** Morton cell key of the centroid at a grid `level` (bits/dimension). */
+  def z2Cell(b: Array[Byte], level: Int): Long = {
+    val c = parse(b).getCentroid
+    Z2.cell(c.getX, c.getY, level)
+  }
+
+  /** All Z2 cell keys at `level` covering the geometry's envelope. */
+  def z2CellCover(b: Array[Byte], level: Int): ArrayData = {
+    val env = parse(b).getEnvelopeInternal
+    new GenericArrayData(
+      Z2.coverEnvelope(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, level))
+  }
+
+  /** Grid partition key of the centroid: slippy-map web-mercator tile
+    * (x, y) at `zoom`, Morton-interleaved, shifted right by `bits`
+    * (default 8) — same key semantics as the reference's
+    * st_partitionCentroid
+    * (spatial-index/.../spatial/index/ST_PartitionCentroid.scala:33),
+    * re-derived from the public slippy tiling formulas instead of a
+    * GeoTrellis layout (key values may differ; partitioning behavior —
+    * deterministic, spatially-local buckets — is the same).
+    */
+  def partitionCentroid(b: Array[Byte], zoom: Int): Long =
+    partitionCentroidBits(b, zoom, 8)
+
+  def partitionCentroidBits(b: Array[Byte], zoom: Int, bits: Int): Long = {
+    val c = parse(b).getCentroid
+    val n = 1 << zoom
+    val lat = math.max(-Projections.MaxLat, math.min(Projections.MaxLat, c.getY))
+    val xt0 = ((c.getX + 180.0) / 360.0 * n).toInt
+    val phi = math.toRadians(lat)
+    val yt0 = ((1.0 - math.log(math.tan(phi) + 1.0 / math.cos(phi)) / math.Pi) / 2.0 * n).toInt
+    val xt = math.max(0, math.min(n - 1, xt0))
+    val yt = math.max(0, math.min(n - 1, yt0))
+    Z2.index(xt, yt) >> bits
+  }
+
+  def crsFromText(s: UTF8String): UTF8String = str(Projections.normalize(s.toString))
+
+  def geomReproject(b: Array[Byte], from: UTF8String, to: UTF8String): Array[Byte] =
+    out(Projections.reproject(parse(b), from.toString, to.toString))
+}

@@ -27,9 +27,16 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects. Read it as raw nanos (legacy conf) and convert to a proper
     * TimestampType column (µs precision) at scan time.
+    *
+    * The conf is normally set once at session build time (see
+    * [[graft.GraftSession.configure]]); the guard below only covers
+    * sessions built elsewhere, and never flips an explicitly-set value
+    * back (write-once, same value — no restore, so no race with
+    * concurrent plan building).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(key).contains("true")) s.conf.set(key, "true")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

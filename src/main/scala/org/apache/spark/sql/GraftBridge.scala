@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType}
+
+/** Narrow bridge to `private[sql]` Spark internals graft needs:
+  * Column⇄Expression conversion (for the typed DSL) and
+  * AbstractDataType.acceptsType (for expression type checks).
+  */
+object GraftBridge {
+  def column(e: Expression): Column   = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def accepts(expected: AbstractDataType, actual: DataType): Boolean =
+    expected.acceptsType(actual)
+}
