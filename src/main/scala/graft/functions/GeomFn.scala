@@ -47,6 +47,9 @@ case class GeomFn(name: String, variants: Seq[FnSpec], children: Seq[Expression]
   private def specOrHead: FnSpec = resolvedSpec.getOrElse(variants.head)
 
   override def prettyName: String = name
+  // Print as st_fn(child, ...) — without this, TreeNode dumps the whole
+  // variant table into every explain string.
+  override def stringArgs: Iterator[Any] = children.iterator
   override def dataType: DataType = specOrHead.dataType
   override def nullable: Boolean = true
 

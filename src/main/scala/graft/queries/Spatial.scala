@@ -1,0 +1,297 @@
+package graft.queries
+
+import graft.functions.st
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spatial query set (SURVEY.md §2.2–2.7) with DuckDB-checkable oracles.
+  *
+  * DuckDB has no spatial extension, so geometry correctness is asserted
+  * through numerics the oracle can recompute arithmetically: coordinates
+  * are synthesized deterministically from TPC-H keys with integer-exact
+  * formulas (identical double ops on both sides), geometry ops reduce to
+  * coordinate arithmetic (distances, areas, box algebra), and every
+  * serde roundtrip re-extracts coordinates after the roundtrip. Floating
+  * outputs rounded ≤6 dp (the driver compares at 6 dp).
+  *
+  * Scale notes: every query is a single scan over the fact side with
+  * literal/broadcast build sides, all ST_* expressions are codegen'd
+  * scalar calls, and the extent-filter query goes through the
+  * SpatialFilterPushdown rewrite (range predicates on struct fields).
+  */
+object Spatial {
+
+  // Deterministic synthetic coordinates: integer modular arithmetic then
+  // exact int→double conversion; the oracle SQL spells the same formula.
+  //   lon ∈ [-179.95, 179.95], lat ∈ [-84.95, 84.95]
+  private def lonOf(key: Column): Column = (key * 7 % 3600) / lit(10.0) - lit(180.0) + lit(0.05)
+  private def latOf(key: Column): Column = (key * 11 % 1700) / lit(10.0) - lit(85.0) + lit(0.05)
+  private val lonSql = "((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05"
+  private val latSql = "((c_custkey * 11) % 1700) / 10.0 - 85.0 + 0.05"
+
+  /** customer → (c_custkey, lon, lat, geom point). */
+  def customerPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      lonOf(col("c_custkey")).as("lon"),
+      latOf(col("c_custkey")).as("lat"))
+      .withColumn("geom", st.makePoint(col("lon"), col("lat")))
+
+  /** customer → degenerate-to-small boxes (w,h from key mod). */
+  def customerBoxes(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("w", (col("c_custkey") % 10 + 1) / lit(10.0))
+      .withColumn("h", (col("c_custkey") % 7 + 1) / lit(10.0))
+      .withColumn("box", st.makeBBOX(col("lon"), col("lat"), col("lon") + col("w"), col("lat") + col("h")))
+  private val wSql = "(c_custkey % 10 + 1) / 10.0"
+  private val hSql = "(c_custkey % 7 + 1) / 10.0"
+
+  /** Constructors + accessors: point build, translate, 3-point line. */
+  def spConstruct(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      round(st.x(col("geom")), 6).as("x"),
+      round(st.y(col("geom")), 6).as("y"),
+      round(st.x(st.translate(col("geom"), lit(1.5), lit(-0.5))), 6).as("tx"),
+      st.numPoints(st.makeLine(array(
+        col("geom"),
+        st.makePoint(col("lon") + 1.0, col("lat")),
+        st.makePoint(col("lon"), col("lat") + 1.0)))).as("np"),
+      st.numGeometries(col("geom")).as("ng"))
+      .orderBy("c_custkey")
+
+  /** Measures on synthesized boxes: area, perimeter, centroid, envelope. */
+  def spMeasure(s: SparkSession, dir: String): DataFrame =
+    customerBoxes(s, dir).select(
+      col("c_custkey"),
+      round(st.area(col("box")), 6).as("area"),
+      round(st.length(col("box")), 6).as("perim"),
+      round(st.x(st.centroid(col("box"))), 6).as("cx"),
+      round(st.area(st.envelope(col("box"))), 6).as("env_area"))
+      .orderBy("c_custkey")
+
+  /** Literal-bbox point filter through st_intersects. */
+  def spBboxFilter(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(st.intersects(st.makeBBOX(-50.0, -40.0, 50.0, 40.0), col("geom")))
+      .select("c_custkey").orderBy("c_custkey")
+
+  /** kNN by euclidean distance: 50 nearest customers to a query point. */
+  def spDistanceKnn(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      round(st.distance(col("geom"), st.makePoint(lit(10.0), lit(20.0))), 6).as("dist"))
+      .orderBy(col("dist"), col("c_custkey"))
+      .limit(50)
+
+  /** Haversine distance to a fixed point (meters, whole-meter rounding). */
+  def spDistanceSphere(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("c_custkey") <= 300)
+      .select(
+        col("c_custkey"),
+        round(st.distanceSphere(col("geom"), st.makePoint(lit(0.05), lit(0.05))), 1).as("dist_m"))
+      .orderBy("c_custkey")
+
+  /** WKT print→parse roundtrip preserves coordinates. */
+  def spWktRoundtrip(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      round(st.x(st.geomFromWKT(st.asText(col("geom")))), 6).as("x"),
+      round(st.y(st.geomFromWKT(st.asText(col("geom")))), 6).as("y"))
+      .orderBy("c_custkey")
+
+  /** WKB encode→decode roundtrip preserves coordinates. */
+  def spWkbRoundtrip(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      round(st.x(st.geomFromWKB(st.asBinary(col("geom")))), 6).as("x"),
+      round(st.y(st.pointFromWKB(st.asBinary(col("geom")))), 6).as("y"))
+      .orderBy("c_custkey")
+
+  /** GeoJSON write→read roundtrip preserves coordinates. */
+  def spGeojsonRoundtrip(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      round(st.x(st.geomFromGeoJson(st.asGeoJson(col("geom")))), 6).as("x"),
+      round(st.y(st.geomFromGeoJson(st.asGeoJson(col("geom")))), 6).as("y"))
+      .orderBy("c_custkey")
+
+  /** GeoHash encode→decode: the decoded cell must contain the point and
+    * the hash length must match the requested precision (40 bits → 8
+    * chars). Reduced to oracle-checkable constants.
+    */
+  def spGeohash(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      when(st.intersects(
+        st.geomFromGeoHash(st.geoHash(col("geom"), lit(40)), lit(40)),
+        col("geom")), 1).otherwise(0).as("cell_contains"),
+      org.apache.spark.sql.functions.length(st.geoHash(col("geom"), lit(40))).as("hash_len"))
+      .orderBy("c_custkey")
+
+  /** Contains/within with JTS boundary semantics (corner point is on the
+    * boundary → not contained; interior point is).
+    */
+  def spContains(s: SparkSession, dir: String): DataFrame =
+    customerBoxes(s, dir)
+      .withColumn("inner_pt", st.makePoint(col("lon") + col("w") / 2, col("lat") + col("h") / 2))
+      .withColumn("corner_pt", st.makePoint(col("lon"), col("lat")))
+      .select(
+        col("c_custkey"),
+        when(st.contains(col("box"), col("inner_pt")), 1).otherwise(0).as("has_inner"),
+        when(st.contains(col("box"), col("corner_pt")), 1).otherwise(0).as("has_corner"),
+        when(st.within(col("inner_pt"), col("box")), 1).otherwise(0).as("inner_within"))
+      .orderBy("c_custkey")
+
+  /** Overlay: intersection/difference of each box with a fixed window,
+    * reduced to areas (pure box algebra for the oracle).
+    */
+  def spOverlay(s: SparkSession, dir: String): DataFrame = {
+    val window = st.makeBBOX(-50.0, -40.0, 50.0, 40.0)
+    customerBoxes(s, dir).select(
+      col("c_custkey"),
+      round(st.area(st.intersection(col("box"), window)), 6).as("inter_area"),
+      round(st.area(st.difference(col("box"), window)), 6).as("diff_area"))
+      .orderBy("c_custkey")
+  }
+
+  /** Extent-struct filter — goes through the SpatialFilterPushdown rule
+    * (range predicates on extent fields; see PushdownSpec for the
+    * PushedFilters assertion on parquet).
+    */
+  def spExtentPrune(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("extent", st.extentFromGeom(col("geom")))
+      .filter(st.intersects(col("extent"), st.makeBBOX(-50.0, -40.0, 50.0, 40.0)))
+      .select("c_custkey").orderBy("c_custkey")
+
+  /** EPSG:4326 → EPSG:3857 reprojection (web-mercator formulas). */
+  def spReproject(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("m", st.geomReproject(col("geom"), lit("EPSG:4326"), lit("EPSG:3857")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("m")), 2).as("mx"),
+        round(st.y(col("m")), 2).as("my"))
+      .orderBy("c_custkey")
+
+  /** Z2/partition keys (Morton math not SQL-expressible → rows-only;
+    * Z2Spec asserts known vectors and locality).
+    */
+  def spZ2Partition(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      st.z2Cell(col("geom"), lit(8)).as("cell8"),
+      st.partitionCentroid(col("geom"), lit(8)).as("pkey"),
+      col("geom"))
+      .withColumn("z2", st.z2LatLon(col("geom")))
+      .select("c_custkey", "cell8", "pkey", "z2.min", "z2.max")
+      .orderBy("c_custkey")
+
+  /** Geodesic buffer membership (no closed-form oracle → rows-only;
+    * STFunctionsSpec asserts buffer geometry properties).
+    */
+  def spBufferCount(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(st.intersects(
+        st.bufferPoint(st.makePoint(lit(0.05), lit(0.05)), lit(2000000.0)), col("geom")))
+      .select("c_custkey").orderBy("c_custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sp_construct" -> spConstruct _,
+    "sp_measure" -> spMeasure _,
+    "sp_bbox_filter" -> spBboxFilter _,
+    "sp_distance_knn" -> spDistanceKnn _,
+    "sp_distance_sphere" -> spDistanceSphere _,
+    "sp_wkt_roundtrip" -> spWktRoundtrip _,
+    "sp_wkb_roundtrip" -> spWkbRoundtrip _,
+    "sp_geojson_roundtrip" -> spGeojsonRoundtrip _,
+    "sp_geohash" -> spGeohash _,
+    "sp_contains" -> spContains _,
+    "sp_overlay" -> spOverlay _,
+    "sp_extent_prune" -> spExtentPrune _,
+    "sp_reproject" -> spReproject _,
+    "sp_z2_partition" -> spZ2Partition _,
+    "sp_buffer_count" -> spBufferCount _
+  )
+
+  private val xyRoundtripOracle =
+    s"""SELECT c_custkey,
+       | round($lonSql, 6) AS x,
+       | round($latSql, 6) AS y
+       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sp_construct" ->
+      s"""SELECT c_custkey,
+         | round($lonSql, 6) AS x,
+         | round($latSql, 6) AS y,
+         | round($lonSql + 1.5, 6) AS tx,
+         | 3 AS np, 1 AS ng
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sp_measure" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat, $wSql AS w, $hSql AS h
+         |  FROM customer)
+         |SELECT c_custkey,
+         | round(((lon + w) - lon) * ((lat + h) - lat), 6) AS area,
+         | round(2 * ((lon + w) - lon) + 2 * ((lat + h) - lat), 6) AS perim,
+         | round(lon + w / 2, 6) AS cx,
+         | round(((lon + w) - lon) * ((lat + h) - lat), 6) AS env_area
+         |FROM b ORDER BY c_custkey""".stripMargin,
+    "sp_bbox_filter" ->
+      s"""SELECT c_custkey FROM customer
+         |WHERE ($lonSql) BETWEEN -50 AND 50 AND ($latSql) BETWEEN -40 AND 40
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_distance_knn" ->
+      s"""SELECT c_custkey,
+         | round(sqrt(($lonSql - 10.0) * ($lonSql - 10.0) +
+         |            ($latSql - 20.0) * ($latSql - 20.0)), 6) AS dist
+         |FROM customer ORDER BY dist, c_custkey LIMIT 50""".stripMargin,
+    "sp_distance_sphere" ->
+      s"""WITH p AS (
+         |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+         |  WHERE c_custkey <= 300)
+         |SELECT c_custkey,
+         | round(2.0 * 6371008.8 * asin(least(1.0, sqrt(
+         |   sin(radians(0.05 - lat) / 2) * sin(radians(0.05 - lat) / 2) +
+         |   cos(radians(lat)) * cos(radians(0.05)) *
+         |   sin(radians(0.05 - lon) / 2) * sin(radians(0.05 - lon) / 2)))), 1) AS dist_m
+         |FROM p ORDER BY c_custkey""".stripMargin,
+    "sp_wkt_roundtrip" -> xyRoundtripOracle,
+    "sp_wkb_roundtrip" -> xyRoundtripOracle,
+    "sp_geojson_roundtrip" -> xyRoundtripOracle,
+    "sp_geohash" ->
+      """SELECT c_custkey, 1 AS cell_contains, 8 AS hash_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sp_contains" ->
+      """SELECT c_custkey, 1 AS has_inner, 0 AS has_corner, 1 AS inner_within
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sp_overlay" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat, $wSql AS w, $hSql AS h
+         |  FROM customer)
+         |SELECT c_custkey,
+         | round(greatest(0, least(lon + w, 50.0) - greatest(lon, -50.0)) *
+         |       greatest(0, least(lat + h, 40.0) - greatest(lat, -40.0)), 6) AS inter_area,
+         | round(((lon + w) - lon) * ((lat + h) - lat) -
+         |       greatest(0, least(lon + w, 50.0) - greatest(lon, -50.0)) *
+         |       greatest(0, least(lat + h, 40.0) - greatest(lat, -40.0)), 6) AS diff_area
+         |FROM b ORDER BY c_custkey""".stripMargin,
+    "sp_extent_prune" ->
+      s"""SELECT c_custkey FROM customer
+         |WHERE ($lonSql) BETWEEN -50 AND 50 AND ($latSql) BETWEEN -40 AND 40
+         |ORDER BY c_custkey""".stripMargin,
+    "sp_reproject" ->
+      s"""WITH p AS (
+         |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer)
+         |SELECT c_custkey,
+         | round(6378137.0 * radians(lon), 2) AS mx,
+         | round(6378137.0 * ln(tan(pi() / 4.0 + radians(least(greatest(lat, -85.05112877980659),
+         |       85.05112877980659)) / 2.0)), 2) AS my
+         |FROM p ORDER BY c_custkey""".stripMargin
+    // sp_z2_partition, sp_buffer_count: rows-only (driver) + specs
+  )
+}

@@ -1,0 +1,251 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.geom.{GeomIO, Sphere, TWKB}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Per-function behavior for the ST_* surface not expressible as a
+  * DuckDB-oracle query (casts, DE-9IM predicates, processing ops,
+  * geohash/TWKB codecs, geodesy, CRS).
+  */
+class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  private def sql1(q: String): Row = spark.sql(q).head()
+
+  test("makePointM: M ordinate survives WKB (Z/M-aware writers)") {
+    val r = sql1("SELECT st_asText(st_makePointM(1.5, 2.5, 99.0)) AS t, st_coordDim(st_makePointM(1, 2, 3)) AS d")
+    r.getString(0) should include("1.5 2.5")
+    r.getInt(1) shouldBe 4 // XYZM storage (NaN Z), per GeomIO docs
+    // direct codec roundtrip
+    val p = GeomIO.pointM(1.5, 2.5, 99.0)
+    val back = GeomIO.fromWKB(GeomIO.toWKB(p))
+    back.getCoordinate.getM shouldBe 99.0
+  }
+
+  test("3D points keep Z through WKB and WKT") {
+    val r = sql1("SELECT st_asText(st_geomFromWKT('POINT Z (1 2 3)')) AS t")
+    r.getString(0) shouldBe "POINT Z(1 2 3)"
+  }
+
+  test("typed casts: matching type passes through, mismatch → null") {
+    val r = sql1(
+      """SELECT st_castToPoint(st_makePoint(1, 2)) AS p,
+        |       st_castToPoint(st_makeBBOX(0, 0, 1, 1)) AS notp,
+        |       st_castToPolygon(st_makeBBOX(0, 0, 1, 1)) AS poly,
+        |       st_castToLineString(st_geomFromWKT('LINESTRING (0 0, 1 1)')) AS l
+        |""".stripMargin)
+    r.isNullAt(0) shouldBe false
+    r.isNullAt(1) shouldBe true
+    r.isNullAt(2) shouldBe false
+    r.isNullAt(3) shouldBe false
+  }
+
+  test("typed FromText parsers: wrong geometry type → null") {
+    sql1("SELECT st_pointFromText('LINESTRING (0 0, 1 1)') AS p").isNullAt(0) shouldBe true
+    sql1("SELECT st_mPolyFromText('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))') AS p").isNullAt(0) shouldBe false
+  }
+
+  test("accessors: boundary, dimension, pointN, geometryN, rings") {
+    val r = sql1(
+      """SELECT st_dimension(st_makePoint(1,2)) AS d0,
+        |       st_dimension(st_geomFromWKT('LINESTRING (0 0, 1 1)')) AS d1,
+        |       st_dimension(st_makeBBOX(0,0,1,1)) AS d2,
+        |       st_asText(st_pointN(st_geomFromWKT('LINESTRING (0 0, 5 5, 9 9)'), 2)) AS p2,
+        |       st_pointN(st_geomFromWKT('LINESTRING (0 0, 5 5)'), 7) AS oob,
+        |       st_asText(st_geometryN(st_geomFromWKT('MULTIPOINT ((1 1), (2 2))'), 2)) AS g2,
+        |       st_asText(st_exteriorRing(st_makeBBOX(0,0,1,1))) AS ring,
+        |       st_interiorRingN(st_makeBBOX(0,0,1,1), 1) AS nohole,
+        |       st_asText(st_boundary(st_geomFromWKT('LINESTRING (0 0, 5 5)'))) AS bnd
+        |""".stripMargin)
+    r.getInt(0) shouldBe 0
+    r.getInt(1) shouldBe 1
+    r.getInt(2) shouldBe 2
+    r.getString(3) shouldBe "POINT (5 5)"
+    r.isNullAt(4) shouldBe true
+    r.getString(5) shouldBe "POINT (2 2)"
+    // WKB has no LinearRing type, so the ring reads back as a LineString
+    r.getString(6) should startWith("LINESTRING")
+    r.isNullAt(7) shouldBe true
+    r.getString(8) shouldBe "MULTIPOINT ((0 0), (5 5))"
+  }
+
+  test("is-predicates") {
+    val r = sql1(
+      """SELECT st_isValid(st_makeBBOX(0,0,1,1)) AS v,
+        |       st_isValid(st_geomFromWKT('POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))')) AS bowtie,
+        |       st_isSimple(st_geomFromWKT('LINESTRING (0 0, 1 1, 1 0, 0 1)')) AS selfx,
+        |       st_isEmpty(st_geomFromWKT('POINT EMPTY')) AS emp,
+        |       st_isClosed(st_geomFromWKT('LINESTRING (0 0, 1 0, 1 1, 0 0)')) AS closed,
+        |       st_isClosed(st_geomFromWKT('LINESTRING (0 0, 1 0)')) AS open,
+        |       st_isRing(st_geomFromWKT('LINESTRING (0 0, 1 0, 1 1, 0 0)')) AS ring,
+        |       st_isCollection(st_geomFromWKT('MULTIPOINT ((1 1))')) AS coll,
+        |       st_isCollection(st_makePoint(1, 1)) AS notcoll,
+        |       st_isGeomField('POINT (1 2)') AS gf,
+        |       st_isGeomField('not a geometry') AS notgf
+        |""".stripMargin)
+    r.getBoolean(0) shouldBe true
+    r.getBoolean(1) shouldBe false
+    r.getBoolean(2) shouldBe false
+    r.getBoolean(3) shouldBe true
+    r.getBoolean(4) shouldBe true
+    r.getBoolean(5) shouldBe false
+    r.getBoolean(6) shouldBe true
+    r.getBoolean(7) shouldBe true
+    r.getBoolean(8) shouldBe false
+    r.getBoolean(9) shouldBe true
+    r.getBoolean(10) shouldBe false
+  }
+
+  test("DE-9IM predicates: covers/crosses/disjoint/equals/overlaps/touches/relate") {
+    val r = sql1(
+      """SELECT st_covers(st_makeBBOX(0,0,2,2), st_makeBBOX(0,0,1,1)) AS covers,
+        |       st_crosses(st_geomFromWKT('LINESTRING (0 0, 2 2)'),
+        |                  st_geomFromWKT('LINESTRING (0 2, 2 0)')) AS crosses,
+        |       st_disjoint(st_makePoint(9, 9), st_makeBBOX(0,0,1,1)) AS disj,
+        |       st_equals(st_makeBBOX(0,0,1,1),
+        |                 st_geomFromWKT('POLYGON ((1 0, 1 1, 0 1, 0 0, 1 0))')) AS eq,
+        |       st_overlaps(st_makeBBOX(0,0,2,2), st_makeBBOX(1,1,3,3)) AS ovl,
+        |       st_touches(st_makeBBOX(0,0,1,1), st_makeBBOX(1,0,2,1)) AS tch,
+        |       st_relate(st_makeBBOX(0,0,1,1), st_makeBBOX(1,0,2,1)) AS dim,
+        |       st_relateBool(st_makeBBOX(0,0,1,1), st_makeBBOX(1,0,2,1), 'FF2F11212') AS relb
+        |""".stripMargin)
+    r.getBoolean(0) shouldBe true
+    r.getBoolean(1) shouldBe true
+    r.getBoolean(2) shouldBe true
+    r.getBoolean(3) shouldBe true // same box, different vertex order
+    r.getBoolean(4) shouldBe true
+    r.getBoolean(5) shouldBe true
+    r.getString(6) shouldBe "FF2F11212"
+    r.getBoolean(7) shouldBe true
+  }
+
+  test("processing: convexHull, simplify, closestPoint") {
+    val r = sql1(
+      """SELECT st_asText(st_convexHull(st_geomFromWKT('MULTIPOINT ((0 0), (1 0), (0 1), (0.2 0.2))'))) AS hull,
+        |       st_numPoints(st_simplify(st_geomFromWKT('LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)'), 0.5)) AS simp,
+        |       st_numPoints(st_simplifyPreserveTopology(
+        |         st_geomFromWKT('LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)'), 0.5)) AS simpt,
+        |       st_asText(st_closestPoint(st_geomFromWKT('LINESTRING (0 0, 10 0)'), st_makePoint(3, 5))) AS cp
+        |""".stripMargin)
+    r.getString(0) shouldBe "POLYGON ((0 0, 0 1, 1 0, 0 0))"
+    r.getInt(1) shouldBe 2
+    r.getInt(2) shouldBe 2
+    r.getString(3) shouldBe "POINT (3 0)"
+  }
+
+  test("bufferPoint: geodesic polygon around the point at radius meters") {
+    import org.apache.spark.sql.functions._
+    val df = spark.sql(
+      """SELECT st_bufferPoint(st_makePoint(10.0, 45.0), 50000.0) AS buf,
+        |       st_makePoint(10.0, 45.0) AS ctr""".stripMargin)
+    val row = df.select(
+      st.contains(col("buf"), col("ctr")).as("c"),
+      st.numPoints(col("buf")).as("n"),
+      st.isValid(col("buf")).as("v")).head()
+    row.getBoolean(0) shouldBe true
+    row.getInt(1) shouldBe 65 // 64-gon + closing point
+    row.getBoolean(2) shouldBe true
+    // vertices sit ~50km from the center (haversine), within 1%
+    val buf = GeomIO.fromWKB(
+      df.select(st.asBinary(col("buf"))).head().getAs[Array[Byte]](0))
+    buf.getCoordinates.dropRight(1).foreach { c =>
+      Sphere.haversine(10.0, 45.0, c.x, c.y) shouldBe 50000.0 +- 500.0
+    }
+  }
+
+  test("antimeridianSafeGeom splits IDL-crossing polygons") {
+    val r = sql1(
+      """SELECT st_numGeometries(st_antimeridianSafeGeom(st_makeBBOX(170, 10, 190, 20))) AS n,
+        |       round(st_area(st_antimeridianSafeGeom(st_makeBBOX(170, 10, 190, 20))), 6) AS a,
+        |       st_numGeometries(st_idlSafeGeom(st_makeBBOX(0, 0, 10, 10))) AS unchanged
+        |""".stripMargin)
+    r.getInt(0) shouldBe 2 // [170,180] and [-180,-170]
+    r.getDouble(1) shouldBe 200.0 // area preserved
+    r.getInt(2) shouldBe 1
+  }
+
+  test("asLatLonText formats DMS with hemispheres") {
+    sql1("SELECT st_asLatLonText(st_makePoint(-97.5, 35.25))").getString(0) shouldBe
+      """35°15'00.000"N 97°30'00.000"W"""
+    sql1("SELECT st_asLatLonText(st_makePoint(10.0, -45.5))").getString(0) shouldBe
+      """45°30'00.000"S 10°00'00.000"E"""
+  }
+
+  test("TWKB: SQL roundtrip and precision quantization") {
+    val r = sql1(
+      """SELECT st_asText(st_geomFromTWKB(st_asTWKB(st_geomFromWKT('LINESTRING (1.25 2.5, 3.75 4.125)')))) AS rt,
+        |       st_asText(st_geomFromTWKB(st_asTWKB(st_makePoint(1.23456789, 2.3456789), 2))) AS quant,
+        |       length(st_asTWKB(st_makePoint(1.5, 2.5))) < length(st_asBinary(st_makePoint(1.5, 2.5))) AS smaller
+        |""".stripMargin)
+    r.getString(0) shouldBe "LINESTRING (1.25 2.5, 3.75 4.125)"
+    r.getString(1) shouldBe "POINT (1.23 2.35)"
+    r.getBoolean(2) shouldBe true
+  }
+
+  test("TWKB codec: all geometry types roundtrip (direct)") {
+    val wkts = Seq(
+      "POINT (1.5 -2.5)",
+      "LINESTRING (0 0, 1.25 1.25, -3 4)",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+      "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))",
+      "POINT EMPTY",
+      "POLYGON EMPTY")
+    wkts.foreach { wkt =>
+      val g = GeomIO.fromWKT(wkt)
+      val back = TWKB.read(TWKB.write(g, 7))
+      withClue(wkt) { back.equalsExact(g, 1e-7) shouldBe true }
+    }
+  }
+
+  test("geohash: non-multiple-of-5 precisions roundtrip (cell contains point)") {
+    import graft.geom.GeoHash
+    for (bits <- Seq(7, 12, 23, 40, 63); (lon, lat) <- Seq((-122.42, 37.77), (151.21, -33.87))) {
+      val h = GeoHash.encode(lon, lat, bits)
+      h.length shouldBe (bits + 4) / 5
+      val cell = GeoHash.decodeEnvelope(h, bits)
+      withClue(s"bits=$bits") {
+        cell.contains(lon, lat) shouldBe true
+        // cell dims halve alternately: lon span = 360/2^ceil(bits/2), lat span = 180/2^floor(bits/2)
+        cell.getWidth shouldBe (360.0 / math.pow(2, (bits + 1) / 2)) +- 1e-9
+        cell.getHeight shouldBe (180.0 / math.pow(2, bits / 2)) +- 1e-9
+      }
+    }
+    // known vector (public geohash test value)
+    GeoHash.encode(-5.6, 42.6, 25) shouldBe "ezs42"
+  }
+
+  test("geohash polygon input uses centroid (documented semantics)") {
+    import graft.geom.GeoHash
+    val poly = GeomIO.bbox(10, 20, 11, 21)
+    GeoHash.encode(poly, 40) shouldBe GeoHash.encode(10.5, 20.5, 40)
+  }
+
+  test("CRS: crsFromText normalizes, rejects unsupported; reproject roundtrips") {
+    sql1("SELECT st_crsFromText('epsg:4326')").getString(0) shouldBe "EPSG:4326"
+    sql1("SELECT st_crsFromText('WebMercator')").getString(0) shouldBe "EPSG:3857"
+    an[Exception] should be thrownBy sql1("SELECT st_crsFromText('EPSG:2154')")
+    val r = sql1(
+      """SELECT round(st_x(st_geomReproject(st_geomReproject(st_makePoint(12.5, 41.9),
+        |  'EPSG:4326', 'EPSG:3857'), 'EPSG:3857', 'EPSG:4326')), 9) AS x""".stripMargin)
+    r.getDouble(0) shouldBe 12.5 +- 1e-9
+  }
+
+  test("lengthSphere sums haversine segment lengths") {
+    val df = spark.sql("SELECT st_lengthSphere(st_geomFromWKT('LINESTRING (0 0, 1 0, 1 1)')) AS l")
+    val expected = Sphere.haversine(0, 0, 1, 0) + Sphere.haversine(1, 0, 1, 1)
+    df.head().getDouble(0) shouldBe expected +- 1e-6
+  }
+
+  test("byteArray and makeBox2D") {
+    val r = sql1(
+      """SELECT st_byteArray('ab') AS b,
+        |       st_asText(st_makeBox2D(st_makePoint(0, 0), st_makePoint(2, 3))) AS box""".stripMargin)
+    r.getAs[Array[Byte]](0) shouldBe Array[Byte](97, 98)
+    r.getString(1) shouldBe "POLYGON ((0 0, 0 3, 2 3, 2 0, 0 0))"
+  }
+}
