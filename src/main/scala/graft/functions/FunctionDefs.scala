@@ -132,6 +132,7 @@ object FunctionDefs {
     "st_extentToGeom"   -> f("extentToGeom", G, E),
     "st_z2LatLon"       -> f("z2LatLon", Z, G),
     "st_z2Cell"         -> f("z2Cell", L, G, I),          // graft extension
+    "st_z2CellXY"       -> f("z2CellXY", L, D, D, I),     // graft extension
     "st_z2CellCover"    -> f("z2CellCover", ArrayType(L), G, I), // graft extension
     "st_partitionCentroid" -> (f("partitionCentroid", L, G, I) ++ f("partitionCentroidBits", L, G, I, I)),
     "st_crsFromText"    -> f("crsFromText", S, S),

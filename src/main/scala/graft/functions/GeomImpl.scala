@@ -351,6 +351,9 @@ object GeomImpl {
       Z2.coverEnvelope(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, level))
   }
 
+  /** Morton cell key of a raw lon/lat pair at `level` (join helper). */
+  def z2CellXY(lon: Double, lat: Double, level: Int): Long = Z2.cell(lon, lat, level)
+
   /** Grid partition key of the centroid: slippy-map web-mercator tile
     * (x, y) at `zoom`, Morton-interleaved, shifted right by `bits`
     * (default 8) — same key semantics as the reference's

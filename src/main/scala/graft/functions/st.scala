@@ -115,6 +115,7 @@ object st {
   def extentToGeom(e: Column): Column = fn("st_extentToGeom", e)
   def z2LatLon(g: Column): Column = fn("st_z2LatLon", g)
   def z2Cell(g: Column, level: Column): Column = fn("st_z2Cell", g, level)
+  def z2CellXY(lon: Column, lat: Column, level: Column): Column = fn("st_z2CellXY", lon, lat, level)
   def z2CellCover(g: Column, level: Column): Column = fn("st_z2CellCover", g, level)
   def partitionCentroid(g: Column, zoom: Column): Column = fn("st_partitionCentroid", g, zoom)
   def partitionCentroid(g: Column, zoom: Column, bits: Column): Column =

@@ -190,6 +190,24 @@ object Spatial {
       .select("c_custkey", "cell8", "pkey", "z2.min", "z2.max")
       .orderBy("c_custkey")
 
+  /** Spatial join via the Z2 grid-cell cover join (no cross product):
+    * customers-per-supplier-region counts. Supplier regions are 12.5°×8.0°
+    * boxes from supplier keys; oracle recomputes the containment join as
+    * interval arithmetic.
+    */
+  def spSpatialJoin(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).select(
+      col("s_suppkey"),
+      ((col("s_suppkey") * 13 % 3400) / lit(10.0) - lit(170.0)).as("slon"),
+      ((col("s_suppkey") * 17 % 1600) / lit(10.0) - lit(80.0)).as("slat"))
+      .withColumn("sbox", st.makeBBOX(col("slon"), col("slat"),
+        col("slon") + lit(12.5), col("slat") + lit(8.0)))
+    val cust = customerPoints(s, dir).select(col("c_custkey"), col("geom").as("cpt"))
+    graft.ops.SpatialJoin.intersects(sup, "sbox", cust, "cpt", level = 5)
+      .groupBy("s_suppkey").agg(count(lit(1)).as("n_customers"))
+      .orderBy("s_suppkey")
+  }
+
   /** Geodesic buffer membership (no closed-form oracle → rows-only;
     * STFunctionsSpec asserts buffer geometry properties).
     */
@@ -214,7 +232,8 @@ object Spatial {
     "sp_extent_prune" -> spExtentPrune _,
     "sp_reproject" -> spReproject _,
     "sp_z2_partition" -> spZ2Partition _,
-    "sp_buffer_count" -> spBufferCount _
+    "sp_buffer_count" -> spBufferCount _,
+    "sp_spatial_join" -> spSpatialJoin _
   )
 
   private val xyRoundtripOracle =
@@ -291,7 +310,15 @@ object Spatial {
          | round(6378137.0 * radians(lon), 2) AS mx,
          | round(6378137.0 * ln(tan(pi() / 4.0 + radians(least(greatest(lat, -85.05112877980659),
          |       85.05112877980659)) / 2.0)), 2) AS my
-         |FROM p ORDER BY c_custkey""".stripMargin
+         |FROM p ORDER BY c_custkey""".stripMargin,
+    "sp_spatial_join" ->
+      s"""SELECT s_suppkey, count(*) AS n_customers
+         |FROM supplier JOIN customer
+         |  ON ($lonSql) BETWEEN ((s_suppkey * 13) % 3400) / 10.0 - 170.0
+         |                   AND ((s_suppkey * 13) % 3400) / 10.0 - 170.0 + 12.5
+         | AND ($latSql) BETWEEN ((s_suppkey * 17) % 1600) / 10.0 - 80.0
+         |                   AND ((s_suppkey * 17) % 1600) / 10.0 - 80.0 + 8.0
+         |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
     // sp_z2_partition, sp_buffer_count: rows-only (driver) + specs
   )
 }
