@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.functions.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY.md §2.9).
+  *
+  * Two paths: brute-force cosine top-k (exact baseline — broadcast the
+  * query set, score with codegen'd vector folds, per-query top-k via
+  * window) and random-hyperplane LSH (the scale path — signatures are
+  * computed scan-side in one pass, candidates come from a bucket
+  * equi-join instead of a cross product, multiprobe flips single
+  * signature bits to recover boundary losses).
+  *
+  * At 100 TB: brute-force cost is queries×corpus and only works for
+  * small query sets; LSH shuffles (bucket, id, vector) once and bounds
+  * per-bucket work, with AQE splitting hot buckets.
+  */
+object Ann {
+
+  /** Exact top-k by cosine for each query row. `queries` is expected to
+    * be small (it is broadcast). Output: (qid, id, rank, cos).
+    */
+  def bruteForce(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
+    val q = queries.select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank", "cos")
+  }
+
+  /** Random-hyperplane signature: bit i is the sign of v·h_i where h_i is
+    * a deterministic Rademacher (±1) vector derived from xxhash64(i*dim+d)
+    * — computed scan-side with one pass per bit, no shuffle, no stored
+    * hyperplane matrix.
+    */
+  def lshBucket(vecCol: String, nBits: Int, dim: Int, seed: Long = 7): org.apache.spark.sql.Column =
+    expr(
+      s"""aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint), (acc, i) ->
+         |  acc * 2 + IF(
+         |    aggregate(zip_with($vecCol, sequence(0, ${dim - 1}), (x, d) ->
+         |      IF((xxhash64(i * $dim + d + $seed) & 1) = 1, cast(x as double), -cast(x as double))),
+         |      cast(0.0 as double), (a, x) -> a + x) > 0.0,
+         |    cast(1 as bigint), cast(0 as bigint)))""".stripMargin)
+
+  /** (id, bucket) for every corpus row. */
+  def lshBuckets(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, dim: Int, seed: Long = 7): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol),
+      lshBucket(vecCol, nBits, dim, seed).as("bucket"))
+
+  /** Multi-table LSH top-k: `tables` independent signature tables (the
+    * standard recall amplifier — candidate recall is 1-(1-p)^tables),
+    * each probed at the query's bucket and every 1-bit flip (multiprobe).
+    * Candidates are deduped across tables, then scored exactly.
+    * Output: (qid, id, rank, cos) — ranks are per-query over candidates.
+    */
+  def lshTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nBits: Int, dim: Int, tables: Int = 8, seed: Long = 7): DataFrame = {
+    def tabled(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id).as("__id"), Vectors.toDouble(col(vec)).as("__vec"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(vec, nBits, dim, seed + t * 7919)): _*)).as(Seq("__tbl", "__bucket")))
+    val c = tabled(corpus, idCol, vecCol)
+      .select(col("__id").as("id"), col("__vec").as("__v"), col("__tbl"), col("__bucket"))
+    val q = tabled(queries, qidCol, qvecCol)
+      .select(col("__id").as("qid"), col("__vec").as("__qv"), col("__tbl"), col("__bucket"))
+      // multiprobe: the bucket itself plus every 1-bit flip
+      .withColumn("__probe", explode(expr(
+        s"array_union(array(__bucket), transform(sequence(0, ${nBits - 1}), i -> cast(__bucket as bigint) ^ shiftleft(cast(1 as bigint), i)))")))
+    val candidates = c.join(broadcast(q),
+        c("__tbl") === q("__tbl") && c("__bucket") === q("__probe"))
+      .filter(col("id") =!= col("qid"))
+      .select("qid", "__qv", "id", "__v").distinct()
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    candidates
+      .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank", "cos")
+  }
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora (SURVEY.md §2.8).
+  *
+  * Everything is expressed with codegen'd built-ins (split / transform /
+  * aggregate / xxhash64) so signature computation is a narrow map with no
+  * UDFs; the only shuffles are the ones the algorithms require (hash
+  * groupBy for exact, band-key equi-join + pair distinct for LSH). At
+  * 100 TB: exact dedup shuffles 16-byte digests, MinHash-LSH shuffles
+  * (band, bandHash, id) tuples — never document text — and hot LSH
+  * buckets split under AQE skew handling.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Content-hash groups: one row per distinct content with the keeper
+    * (min id) and the copy count. Grouping key is the md5 digest, not the
+    * text, so the shuffle carries 16 bytes per row.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** The deduplicated frame: keep the min-id row per content hash. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------- minhash LSH
+
+  /** Distinct word k-shingles as an array column. */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(text, " ")
+    if (k == 1) array_distinct(words)
+    else array_distinct(
+      transform(sequence(lit(0), greatest(size(words) - k, lit(0))), i =>
+        concat_ws(" ", slice(words, i + 1, lit(k)))))
+  }
+
+  /** Deterministic per-permutation salts (seeded; fixed across runs). */
+  private def salts(numPerm: Int, seed: Long): Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPerm)(rnd.nextLong())
+  }
+
+  /** MinHash signature: element i is min over shingles of
+    * xxhash64(shingleHash XOR salt_i). One pass over the shingle array
+    * per row (nested transform), no shuffle.
+    */
+  def minhashSig(shingleCol: Column, numPerm: Int, seed: Long = 42): Column = {
+    val saltLit = array(salts(numPerm, seed).map(lit): _*)
+    val hashes = transform(shingleCol, s => xxhash64(s))
+    transform(sequence(lit(0), lit(numPerm - 1)), i =>
+      array_min(transform(hashes, h => xxhash64(h.bitwiseXOR(element_at(saltLit, i + 1))))))
+  }
+
+  /** Exact Jaccard over two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash + LSH near-duplicate pairs: shingle → signature → band
+    * buckets → bucket equi-join → exact-Jaccard verify.
+    *
+    * Returns (id_a, id_b, jaccard) for candidate pairs with
+    * jaccard >= threshold. Candidate recall follows the standard LSH
+    * S-curve for `bands` bands of `numPerm/bands` rows.
+    */
+  def minhashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, seed: Long = 42): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+    val withSig = df.select(col(idCol), col(textCol))
+      .withColumn("__sh", shingles(col(textCol), k))
+      .withColumn("__sig", minhashSig(col("__sh"), numPerm, seed))
+    val bandKeys = withSig.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
+        hash(slice(col("__sig"), j * r + 1, lit(r))))).as(Seq("__band", "__bkey")))
+    val a = bandKeys.select(col(idCol).as("id_a"), col("__band"), col("__bkey"))
+    val b = bandKeys.select(col(idCol).as("id_b"), col("__band"), col("__bkey"))
+    val candidates = a.join(b, Seq("__band", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = withSig.select(col(idCol), col("__sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------ simhash
+
+  /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each
+    * token's xxhash64, sign-packed into a long. Pure higher-order-function
+    * expression (SQL lambda syntax for the variable-amount bit shifts).
+    */
+  def simhash64(textCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 63), b ->
+       |    aggregate(transform(split($textCol, ' '), t -> xxhash64(t)), 0,
+       |              (acc, h) -> acc + IF(((h >> b) & 1) = 1, 1, -1))),
+       |  cast(0 as bigint),
+       |  (packed, v) -> (packed << 1) | IF(v > 0, cast(1 as bigint), cast(0 as bigint)))
+       |""".stripMargin)
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, using the
+    * pigeonhole banding trick: split the 64-bit hash into `pieces` chunks
+    * — any pair within maxDist < pieces must share at least one exact
+    * chunk — equi-join on (chunk index, chunk value), then verify the
+    * true distance. Returns (id_a, id_b, dist).
+    */
+  def simhashNearDup(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, pieces: Int = 4): DataFrame = {
+    require(maxDist < pieces, "pigeonhole banding needs maxDist < pieces")
+    val bitsPer = 64 / pieces
+    val withHash = df.select(col(idCol), simhash64(textCol).as("__simhash"))
+    val chunks = withHash.select(
+      col(idCol), col("__simhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${pieces - 1}), j -> (__simhash >> (j * $bitsPer)) & ${(1L << bitsPer) - 1})"))
+        .as(Seq("__piece", "__chunk")))
+    val a = chunks.select(col(idCol).as("id_a"), col("__simhash").as("__ha"), col("__piece"), col("__chunk"))
+    val b = chunks.select(col(idCol).as("id_b"), col("__simhash").as("__hb"), col("__piece"), col("__chunk"))
+    a.join(b, Seq("__piece", "__chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", hamming(col("__ha"), col("__hb")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist").distinct()
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Exact embedding near-duplicates: all pairs with cosine >= threshold.
+    * O(n²) verification baseline — at scale use [[Ann.lshBuckets]] to
+    * block candidates first and verify only within buckets.
+    */
+  def embeddingNearDup(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val e = df.select(
+      col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
+    val a = e.select(col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = e.select(col(idCol).as("id_b"), col("__v").as("__vb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Vectors.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

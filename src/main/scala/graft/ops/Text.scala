@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for corpus pipelines (SURVEY.md §2.10): token
+  * counting, quality scoring, language ID, winnowing fingerprints. All
+  * pure column expressions (split / regexp / higher-order functions) —
+  * one narrow map over the corpus, no shuffle, no UDFs.
+  */
+object Text {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation —
+    * the standard pre-tokenizer shape.
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  // ------------------------------------------------------------ quality
+
+  private val stopwords = Seq(
+    "the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a", "on")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(split(text, " "), w => array_contains(array(stopwords.map(lit): _*), w)))
+
+  /** Heuristic quality facets + a composite score in [0,1]; the formulas
+    * are plain arithmetic so an external oracle can recompute them.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nWords = size(split(t, " "))
+    val nChars = length(t)
+    val stopR = stopwordCount(t) * lit(1.0) / nWords
+    val alnumR = length(regexp_replace(t, "[^A-Za-z0-9 ]", "")) * lit(1.0) / nChars
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      round((nChars - nWords + 1) * lit(1.0) / nWords, 4).as("avg_word_len"),
+      round(stopR, 4).as("stop_ratio"),
+      round(alnumR, 4).as("alnum_ratio"),
+      round(least(nWords * lit(1.0) / 50.0, lit(1.0)) * alnumR, 4).as("quality"))
+  }
+
+  // ---------------------------------------------------------- language
+
+  /** Stopword profiles for the language-ID heuristic (top function words
+    * per language — public linguistic common knowledge).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den", "von"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "pour", "qui", "pas"))
+
+  /** Argmax language by stopword hit count over lowercase tokens; ties
+    * resolve in profile order; zero hits → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val words = split(lower(text), "[^a-záéíóúüñäöß]+")
+    val scores = langProfiles.map { case (lang, stops) =>
+      lang -> size(filter(words, w => array_contains(array(stops.map(lit): _*), w)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, score), elseCol) =>
+      when(score === best && best > 0, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  // ------------------------------------------------------- fingerprint
+
+  /** Winnowing document fingerprints: xxhash64 of word k-shingles, then
+    * the minimum of each sliding window of `window` hashes, distinct.
+    * Standard public winnowing scheme (Schleimer et al.'s approach):
+    * shared substrings of length >= k+window-1 words always share a
+    * fingerprint.
+    */
+  def fingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
+    val hashes = transform(Dedup.shingles(text, k), s => xxhash64(s))
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(hashes) - window, lit(0))), j =>
+        array_min(slice(hashes, j + 1, lit(window)))))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.ops.{Ann, Dedup, Multimodal, Text}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline query set (SURVEY.md §2.8–2.11) over `documents`
+  * and `embeddings`, with DuckDB oracles wherever the semantics are
+  * SQL-expressible (exact dedup groups, pairwise Jaccard, exact cosine
+  * pairs/top-k, token counts, quality facets, media byte lengths).
+  * Probabilistic candidate generation (MinHash bands, SimHash pieces,
+  * hyperplane buckets) is rows-only here and exactly verified in specs.
+  */
+object Pipeline {
+
+  def ddExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .select("survivor_id", "n_copies").orderBy("survivor_id")
+
+  /** Word-set Jaccard of consecutive doc pairs (exact verify stage). */
+  def ddJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val a = d.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+    val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("toks").as("tb"))
+    a.join(b, "id_a")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("ta"), col("tb"))) * lit(1.0) /
+          size(array_union(col("ta"), col("tb"))), 4).as("jac"))
+      .orderBy("id_a")
+  }
+
+  def ddMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  def ddSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
+        maxDist = 3, pieces = 4)
+      .orderBy("id_a", "id_b")
+
+  def ddEmbed(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.bruteForce(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.lshTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nBits = 8, dim = 64)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  def txTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      Text.wsTokenCount(col("text")).as("ws_tokens"),
+      Text.bpeishTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  def txQuality(s: SparkSession, dir: String): DataFrame =
+    Text.quality(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  def txLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), Text.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  def txFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(Text.fingerprints(col("text"))).as("n_fp"),
+      element_at(array_sort(Text.fingerprints(col("text"))), 1).as("min_fp"))
+      .orderBy("doc_id")
+
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.features(s, media, "doc_id")
+      .select(col("doc_id"), col("n_bytes"), size(col("features")).as("feat_dim"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact" -> ddExact _,
+    "dd_jaccard" -> ddJaccard _,
+    "dd_minhash" -> ddMinhash _,
+    "dd_simhash" -> ddSimhash _,
+    "dd_embed" -> ddEmbed _,
+    "ann_brute" -> annBrute _,
+    "ann_lsh" -> annLsh _,
+    "tx_tokens" -> txTokens _,
+    "tx_quality" -> txQuality _,
+    "tx_langid" -> txLangid _,
+    "tx_fingerprint" -> txFingerprint _,
+    "mm_features" -> mmFeatures _
+  )
+
+  private val cosSql =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT min(doc_id) AS survivor_id, count(*)::BIGINT AS n_copies
+        |FROM documents GROUP BY text ORDER BY survivor_id""".stripMargin,
+    "dd_jaccard" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |       len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY id_a""".stripMargin,
+    "dd_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosSql, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE $cosSql >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+    "ann_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS c
+         |  FROM (SELECT vec_id, v FROM q) a
+         |  JOIN e b ON b.vec_id != a.vec_id),
+         |ranked AS (
+         |  SELECT qid, id, c,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+         |  FROM scored)
+         |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "tx_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '), w -> list_contains(
+        |      ['the','and','of','to','in','is','that','it','was','for','a','on'], w))) AS n_stop,
+        |    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alnum
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words,
+        | round((n_chars - n_words + 1) * 1.0 / n_words, 4) AS avg_word_len,
+        | round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
+        | round(n_alnum * 1.0 / n_chars, 4) AS alnum_ratio,
+        | round(least(n_words * 1.0 / 50.0, 1.0) * (n_alnum * 1.0 / n_chars), 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 16 AS feat_dim
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // dd_minhash / dd_simhash / ann_lsh / tx_langid / tx_fingerprint:
+    // probabilistic or non-SQL-expressible → rows-only + specs
+  )
+}

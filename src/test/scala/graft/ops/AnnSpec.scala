@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkTestSession
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  private lazy val corpus = Tables.embeddings(SparkTestSession.session, sfDir).cache()
+
+  private lazy val localVecs: Map[Long, Array[Double]] =
+    corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def localTopK(qid: Long, k: Int): Seq[Long] =
+    localVecs.toSeq.filter(_._1 != qid)
+      .map { case (id, v) => (id, cos(localVecs(qid), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+
+  test("bruteForce matches an independent local top-k for every query") {
+    val got = Ann.bruteForce(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .collect().groupBy(_.getLong(0))
+    (0L until 5L).foreach { q =>
+      val ids = got(q).sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+      ids shouldBe localTopK(q, 10)
+    }
+  }
+
+  test("bruteForce cosines are exact") {
+    Ann.bruteForce(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5)
+      .collect().foreach { r =>
+        r.getDouble(3) shouldBe cos(localVecs(0L), localVecs(r.getLong(1))) +- 1e-12
+      }
+  }
+
+  test("lshBuckets is deterministic and spreads the corpus") {
+    val b1 = Ann.lshBuckets(corpus, "vec_id", "embedding", nBits = 8, dim = 64)
+      .select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b2 = Ann.lshBuckets(corpus, "vec_id", "embedding", nBits = 8, dim = 64)
+      .select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    b1 shouldBe b2
+    b1.values.toSet.size should be > 16 // 256 possible buckets, 500 vecs
+  }
+
+  test("lshTopK returns true cosines and achieves useful recall vs brute force") {
+    val brute = Ann.bruteForce(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Ann.lshTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nBits = 8, dim = 64)
+      .collect()
+    // correctness: reported cosines are the exact cosines
+    approx.foreach { r =>
+      r.getDouble(3) shouldBe cos(localVecs(r.getLong(0)), localVecs(r.getLong(1))) +- 1e-12
+    }
+    val byQ = approx.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = (0L until 5L).map { q =>
+      val got = byQ.getOrElse(q, Set.empty)
+      brute(q).intersect(got).size.toDouble / brute(q).size
+    }
+    withClue(s"recalls=$recalls") { recalls.sum / recalls.size should be >= 0.2 }
+  }
+}

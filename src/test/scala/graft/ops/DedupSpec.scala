@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  import scala.jdk.CollectionConverters._
+
+  private def docs(rows: (Long, String)*) = {
+    val s = SparkTestSession.session
+    s.createDataFrame(
+      rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+  }
+
+  test("exact dedup: min-id keeper per content, groups counted") {
+    val df = docs(1L -> "a b c", 2L -> "x y z", 3L -> "a b c", 4L -> "a b c")
+    val groups = Dedup.exactGroups(df, "id", "text")
+      .select("survivor_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    groups shouldBe Set((1L, 3L), (2L, 1L))
+    Dedup.exact(df, "id", "text").select("id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+  }
+
+  test("shingles: distinct word k-grams") {
+    val r = docs(1L -> "a b c d c d")
+      .select(Dedup.shingles(col("text"), 3).as("sh")).head().getSeq[String](0)
+    r.toSet shouldBe Set("a b c", "b c d", "c d c", "d c d")
+  }
+
+  test("minhashLsh: identical docs always pair; all pairs meet the threshold exactly") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = docs(
+      1L -> base,
+      2L -> base, // identical → jaccard 1.0, must be found
+      3L -> base.replace("today", "tomorrow"), // near dup
+      4L -> "completely different words nothing shared at all here truly")
+    val pairs = Dedup.minhashLsh(df, "id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    pairs.keySet should contain((1L, 2L))
+    pairs((1L, 2L)) shouldBe 1.0
+    // precision: recompute true jaccard for every reported pair
+    val sh = df.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.foreach { case ((a, b), j) =>
+      val truth = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      j shouldBe truth +- 1e-12
+      j should be >= 0.5
+    }
+    // doc 4 shares nothing — must not appear
+    pairs.keys.flatMap(p => Seq(p._1, p._2)) should not contain 4L
+  }
+
+  test("minhashLsh finds the planted near-dups in the test corpus") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val found = Dedup.minhashLsh(d, "doc_id", "text", k = 3, threshold = 0.8).count()
+    found should be > 0L
+  }
+
+  test("simhash: identical → 0 distance; near-dup found; distinct text far") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = docs(
+      1L -> base,
+      2L -> base,
+      3L -> base.replace("kappa", "lambda"),
+      4L -> "one two three four five six seven eight nine ten")
+    val h = df.select(col("id"), Dedup.simhash64("text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    h(1L) shouldBe h(2L)
+    java.lang.Long.bitCount(h(1L) ^ h(3L)) should be < 20
+    java.lang.Long.bitCount(h(1L) ^ h(4L)) should be > 15
+    val pairs = Dedup.simhashNearDup(df, "id", "text", maxDist = 3, pieces = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 4L))
+  }
+
+  test("embeddingNearDup matches a locally computed cosine filter") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sfDir).limit(80).cache()
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = (for {
+      (i, vi) <- vecs.toSeq; (j, vj) <- vecs.toSeq if i < j
+      if cos(vi, vj) >= 0.3
+    } yield (i, j)).toSet
+    val got = Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe expected
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  private def one(text: String) = {
+    import scala.jdk.CollectionConverters._
+    SparkTestSession.session.createDataFrame(
+      Seq(org.apache.spark.sql.Row(1L, text)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+  }
+
+  test("token counts: whitespace runs collapse, BPE-ish splits punctuation and digits") {
+    val df = one("Hello,  world!  I have 42 apples.")
+    val r = df.select(
+      Text.wsTokenCount(col("text")),
+      Text.bpeishTokenCount(col("text"))).head()
+    r.getInt(0) shouldBe 6
+    // Hello , world ! I have 42 apples . → 9
+    r.getInt(1) shouldBe 9
+  }
+
+  test("quality facets on a known string") {
+    val r = Text.quality(one("the cat sat on a mat"), "id", "text").head()
+    r.getAs[Int]("n_chars") shouldBe 20
+    r.getAs[Int]("n_words") shouldBe 6
+    r.getAs[Double]("avg_word_len") shouldBe 2.5 // 15 letters / 6 words
+    r.getAs[Double]("stop_ratio") shouldBe 0.5 // the, on, a
+    r.getAs[Double]("alnum_ratio") shouldBe 1.0
+  }
+
+  test("language ID picks the profile language; gibberish → und") {
+    val cases = Seq(
+      "the cat is in the house and it was warm" -> "en",
+      "el perro y la casa de un amigo con los gatos" -> "es",
+      "der hund und die katze ist ein tier mit den anderen" -> "de",
+      "le chat et les chiens dans une maison pour qui" -> "fr",
+      "zzz qqq xxx www" -> "und")
+    cases.foreach { case (text, expected) =>
+      withClue(text) {
+        one(text).select(Text.langId(col("text"))).head().getString(0) shouldBe expected
+      }
+    }
+  }
+
+  test("winnowing fingerprints: deterministic, shared substrings share prints") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    def fps(t: String): Set[Long] =
+      one(t).select(Text.fingerprints(col("text")).as("f")).head().getSeq[Long](0).toSet
+    fps(base) shouldBe fps(base) // deterministic
+    val shifted = "prefix words here " + base
+    fps(base).intersect(fps(shifted)) should not be empty // shared long substring
+    val unrelated = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    fps(base).intersect(fps(unrelated)) shouldBe empty
+  }
+
+  test("fingerprints tolerate short documents") {
+    one("two words").select(org.apache.spark.sql.functions.size(Text.fingerprints(col("text")))).head().getInt(0) should be >= 1
+  }
+}
