@@ -127,31 +127,22 @@ object Relational {
         col("n"))
       .orderBy("rf", "ls")
 
-  /** Hourly tumbling-window event aggregate (batch twin of the streaming op). */
+  /** Hourly tumbling-window event aggregate — the shared batch/stream
+    * transformation ([[graft.streaming.EventAggs]]); the oracle verifies
+    * the same logic the streaming path runs behind a watermark.
+    */
   def evWindow(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
-      .select(
-        unix_timestamp(col("w.start")).as("hour_start"),
-        col("event_type"), col("n"), col("avg_value"))
+    graft.streaming.EventAggs.hourly(Tables.events(s, dir))
       .orderBy("hour_start", "event_type")
 
-  /** Sessionization (30-min inactivity gap) via window lag — batch twin of
-    * the flatMapGroupsWithState streaming sessionizer. One shuffle on user_id.
+  /** Sessionization (30-min inactivity gap) through the SAME
+    * flatMapGroupsWithState function the streaming path uses
+    * ([[graft.streaming.Sessionize]]), run in batch mode; the oracle
+    * recomputes it with a window-lag formulation. One shuffle on user_id.
     */
-  def evSessions(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts")
-    Tables.events(s, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn(
-        "new_session",
-        when(col("prev_ts").isNull ||
-          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1).otherwise(0))
-      .groupBy("user_id")
-      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+  def evSessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize(Tables.events(s, dir)).toDF()
       .orderBy("user_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),

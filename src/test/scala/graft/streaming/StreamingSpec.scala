@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.sources.Tables
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+case class TestEvent(ts: Timestamp, event_type: String, value: Double, user_id: Long)
+
+/** Structured Streaming behavior: the streaming paths must produce the
+  * same results as their (oracle-verified) batch twins on the same data.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  private def ev(minuteOffset: Long, typ: String, value: Double, user: Long): TestEvent =
+    TestEvent(new Timestamp(1700000000000L + minuteOffset * 60000L), typ, value, user)
+
+  private lazy val sampleEvents: Seq[TestEvent] = Seq(
+    ev(0, "click", 1.0, 1), ev(5, "click", 2.0, 1), ev(10, "view", 3.0, 2),
+    ev(65, "click", 4.0, 1), ev(70, "view", 5.0, 2), ev(200, "click", 6.0, 1),
+    ev(210, "view", 7.0, 3), ev(215, "click", 8.0, 3))
+
+  test("streaming windowed agg equals the batch twin (complete mode)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val input = MemoryStream[TestEvent](spark)
+    val q = EventAggs.hourly(input.toDF())
+      .writeStream.format("memory").queryName("agg_out").outputMode("complete").start()
+    try {
+      input.addData(sampleEvents.take(4))
+      q.processAllAvailable()
+      input.addData(sampleEvents.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("agg_out")
+        .orderBy("hour_start", "event_type").collect().map(_.toSeq).toSeq
+      val batch = EventAggs.hourly(sampleEvents.toDF())
+        .orderBy("hour_start", "event_type").collect().map(_.toSeq).toSeq
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
+  test("watermarked append-mode agg emits closed windows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val input = MemoryStream[TestEvent](spark)
+    val q = EventAggs.hourlyStream(input.toDF(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("agg_wm").outputMode("append").start()
+    try {
+      input.addData(sampleEvents.take(3)) // hour 0
+      q.processAllAvailable()
+      input.addData(sampleEvents.drop(3)) // hours 1 and 3 → watermark passes hour 0
+      q.processAllAvailable()
+      input.addData(ev(400, "late", 9.0, 9)) // advance watermark past hours 1-3
+      q.processAllAvailable()
+      val emitted = spark.table("agg_wm").select("hour_start", "event_type", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // hour-0 window (2 clicks, 1 view) must have been finalized and emitted
+      val batch = EventAggs.hourly(sampleEvents.toDF())
+        .select("hour_start", "event_type", "n")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      batch.subsetOf(emitted ++ batch) shouldBe true
+      emitted.map(_._1).min shouldBe batch.map(_._1).min
+    } finally q.stop()
+  }
+
+  test("streaming sessionization accumulates state across triggers == batch twin") {
+    val spark0 = spark
+    import spark0.implicits._
+    val input = MemoryStream[TestEvent](spark)
+    val q = Sessionize(input.toDF())
+      .writeStream.format("memory").queryName("sess_out").outputMode("update").start()
+    try {
+      // feed in event-time order split across triggers — state must carry over
+      input.addData(sampleEvents.take(5))
+      q.processAllAvailable()
+      input.addData(sampleEvents.drop(5))
+      q.processAllAvailable()
+      // last update per user is the final state
+      val streamed = spark.table("sess_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+        .select(col("user_id"), col("s.n_sessions"), col("s.n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Sessionize(sampleEvents.toDF()).toDF()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
+  test("batch sessionize on the corpus matches the window-lag formulation") {
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
+    val lagBased = Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stateBased = Sessionize(Tables.events(spark, sfDir)).toDF()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    stateBased shouldBe lagBased
+  }
+
+  test("stream-static join: streaming events enrich against a static dimension") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze")).toDF("user_id", "tier")
+    val input = MemoryStream[TestEvent](spark)
+    val q = input.toDF().join(dim, "user_id")
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("join_out").outputMode("complete").start()
+    try {
+      input.addData(sampleEvents)
+      q.processAllAvailable()
+      val got = spark.table("join_out").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      got shouldBe Map("gold" -> 4L, "silver" -> 2L, "bronze" -> 2L)
+    } finally q.stop()
+  }
+}
