@@ -136,8 +136,25 @@ object FunctionDefs {
     "st_z2CellCover"    -> f("z2CellCover", ArrayType(L), G, I), // graft extension
     "st_partitionCentroid" -> (f("partitionCentroid", L, G, I) ++ f("partitionCentroidBits", L, G, I, I)),
     "st_crsFromText"    -> f("crsFromText", S, S),
-    "st_geomReproject"  -> f("geomReproject", G, G, S, S)
+    "st_geomReproject"  -> f("geomReproject", G, G, S, S),
+    // ---- vector & signature math (graft pipeline builtins; native
+    //      codegen'd loops — see GeomImpl vector section)
+    "vec_dot"           -> f("vecDot", D, ArrayType(D), ArrayType(D)),
+    "vec_norm"          -> f("vecNorm", D, ArrayType(D)),
+    "vec_cosine"        -> f("vecCosine", D, ArrayType(D), ArrayType(D)),
+    "vec_l2"            -> f("vecL2", D, ArrayType(D), ArrayType(D)),
+    "minhash_sig"       -> f("minhashSig", ArrayType(L), ArrayType(S), I, L),
+    "simhash64"         -> f("simhashNative", L, ArrayType(S)),
+    "winnow_fingerprints" -> f("winnowFingerprints", ArrayType(L), ArrayType(S), I),
+    "lsh_bucket"        -> f("lshBucketNative", L, ArrayType(D), I, L)
   )
 
   val byName: Map[String, Seq[FnSpec]] = defs.toMap
+
+  /** Build a callable Column for any catalog function (shared by the
+    * [[st]] DSL and the pipeline operators).
+    */
+  def call(name: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      GeomFn(name, byName(name), cols.map(org.apache.spark.sql.GraftBridge.expression)))
 }

@@ -382,4 +382,147 @@ object GeomImpl {
 
   def geomReproject(b: Array[Byte], from: UTF8String, to: UTF8String): Array[Byte] =
     out(Projections.reproject(parse(b), from.toString, to.toString))
+
+  // ----------------------------------------------- vector & signature math
+  //
+  // Native (codegen-called) twins of the pipeline hot paths. Spark's
+  // higher-order functions are CodegenFallback — interpreted lambdas with
+  // per-element boxing — which made the O(n²)/O(n·perm) pipeline stages
+  // (pairwise cosine, minhash signatures, winnowing) the benchmark
+  // bottleneck. These loops keep identical semantics (same fold order for
+  // bitwise-stable doubles, same xxhash64 values as the built-in) at
+  // primitive-loop speed.
+
+  private val XxSeed = 42L // the builtin xxhash64's fixed seed
+
+  private def xx(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, XxSeed)
+  private def xx(l: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(l, XxSeed)
+
+  /** In-order dot product (left fold — matches aggregate/zip_with and the
+    * DuckDB oracle's list_dot_product bit for bit).
+    */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  def vecNorm(a: ArrayData): Double = math.sqrt(vecDot(a, a))
+
+  def vecCosine(a: ArrayData, b: ArrayData): Double =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
+
+  def vecL2(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }
+    math.sqrt(acc)
+  }
+
+  private val saltCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), Array[Long]]()
+  private def saltsFor(numPerm: Int, seed: Long): Array[Long] =
+    saltCache.computeIfAbsent((numPerm, seed), { case (n, s) =>
+      val rnd = new scala.util.Random(s)
+      Array.fill(n)(rnd.nextLong())
+    })
+
+  /** MinHash signature: sig(i) = min over shingles of
+    * xxhash64(xxhash64(shingle) XOR salt_i) — same values the
+    * higher-order-function formulation produces, one primitive loop.
+    */
+  def minhashSig(shingles: ArrayData, numPerm: Int, seed: Long): ArrayData = {
+    val salts = saltsFor(numPerm, seed)
+    val n = shingles.numElements()
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = xx(shingles.getUTF8String(j))
+      var i = 0
+      while (i < numPerm) {
+        val v = xx(h ^ salts(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash: per-bit ±1 votes from each token's xxhash64, packed
+    * MSB-first (bit 0's vote ends in the top bit — same packing as the
+    * (packed << 1) | vote fold).
+    */
+  def simhashNative(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      val h = xx(tokens.getUTF8String(j))
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      j += 1
+    }
+    var packed = 0L
+    var b = 0
+    while (b < 64) { packed = (packed << 1) | (if (votes(b) > 0) 1L else 0L); b += 1 }
+    packed
+  }
+
+  /** Winnowing fingerprints: sliding-window minima of shingle hashes,
+    * distinct in first-seen order.
+    */
+  def winnowFingerprints(shingles: ArrayData, window: Int): ArrayData = {
+    val n = shingles.numElements()
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { hashes(i) = xx(shingles.getUTF8String(i)); i += 1 }
+    val nWin = math.max(n - window, 0) + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < nWin) {
+      var m = Long.MaxValue
+      var k = j
+      val end = math.min(j + window, n)
+      while (k < end) { if (hashes(k) < m) m = hashes(k); k += 1 }
+      if (n > 0) seen.add(m)
+      j += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane LSH bucket: bit i = sign of Σ_d ±v(d), with the
+    * Rademacher sign from xxhash64(i*dim + d + seed) — identical values
+    * to the higher-order-function formulation.
+    */
+  def lshBucketNative(v: ArrayData, nBits: Int, seed: Long): Long = {
+    val dim = v.numElements()
+    var bucket = 0L
+    var i = 0
+    while (i < nBits) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = v.getDouble(d)
+        acc += (if ((xx(i.toLong * dim + d + seed) & 1L) == 1L) x else -x)
+        d += 1
+      }
+      bucket = bucket * 2 + (if (acc > 0.0) 1L else 0L)
+      i += 1
+    }
+    bucket
+  }
 }

@@ -10,9 +10,7 @@ import org.apache.spark.sql.functions.lit
   */
 object st {
 
-  private def fn(name: String, cols: Column*): Column =
-    GraftBridge.column(
-      GeomFn(name, FunctionDefs.byName(name), cols.map(GraftBridge.expression)))
+  private def fn(name: String, cols: Column*): Column = FunctionDefs.call(name, cols: _*)
 
   // ---- constructors
   def makePoint(x: Column, y: Column): Column = fn("st_makePoint", x, y)

@@ -41,17 +41,12 @@ object Ann {
 
   /** Random-hyperplane signature: bit i is the sign of v·h_i where h_i is
     * a deterministic Rademacher (±1) vector derived from xxhash64(i*dim+d)
-    * — computed scan-side with one pass per bit, no shuffle, no stored
-    * hyperplane matrix.
+    * — computed scan-side by the native codegen'd lsh_bucket expression,
+    * no shuffle, no stored hyperplane matrix.
     */
   def lshBucket(vecCol: String, nBits: Int, dim: Int, seed: Long = 7): org.apache.spark.sql.Column =
-    expr(
-      s"""aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint), (acc, i) ->
-         |  acc * 2 + IF(
-         |    aggregate(zip_with($vecCol, sequence(0, ${dim - 1}), (x, d) ->
-         |      IF((xxhash64(i * $dim + d + $seed) & 1) = 1, cast(x as double), -cast(x as double))),
-         |      cast(0.0 as double), (a, x) -> a + x) > 0.0,
-         |    cast(1 as bigint), cast(0 as bigint)))""".stripMargin)
+    graft.functions.FunctionDefs.call("lsh_bucket",
+      Vectors.toDouble(col(vecCol)), lit(nBits), lit(seed))
 
   /** (id, bucket) for every corpus row. */
   def lshBuckets(

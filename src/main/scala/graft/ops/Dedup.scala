@@ -44,22 +44,13 @@ object Dedup {
         concat_ws(" ", slice(words, i + 1, lit(k)))))
   }
 
-  /** Deterministic per-permutation salts (seeded; fixed across runs). */
-  private def salts(numPerm: Int, seed: Long): Array[Long] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(numPerm)(rnd.nextLong())
-  }
-
   /** MinHash signature: element i is min over shingles of
-    * xxhash64(shingleHash XOR salt_i). One pass over the shingle array
-    * per row (nested transform), no shuffle.
+    * xxhash64(shingleHash XOR salt_i). Native codegen'd loop
+    * (graft.functions.GeomImpl.minhashSig) — one pass per row, no
+    * shuffle, no boxed lambda evaluation.
     */
-  def minhashSig(shingleCol: Column, numPerm: Int, seed: Long = 42): Column = {
-    val saltLit = array(salts(numPerm, seed).map(lit): _*)
-    val hashes = transform(shingleCol, s => xxhash64(s))
-    transform(sequence(lit(0), lit(numPerm - 1)), i =>
-      array_min(transform(hashes, h => xxhash64(h.bitwiseXOR(element_at(saltLit, i + 1))))))
-  }
+  def minhashSig(shingleCol: Column, numPerm: Int, seed: Long = 42): Column =
+    graft.functions.FunctionDefs.call("minhash_sig", shingleCol, lit(numPerm), lit(seed))
 
   /** Exact Jaccard over two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column =
@@ -103,17 +94,11 @@ object Dedup {
   // ------------------------------------------------------------ simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each
-    * token's xxhash64, sign-packed into a long. Pure higher-order-function
-    * expression (SQL lambda syntax for the variable-amount bit shifts).
+    * token's xxhash64, sign-packed MSB-first. Native codegen'd loop
+    * (graft.functions.GeomImpl.simhashNative).
     */
-  def simhash64(textCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, 63), b ->
-       |    aggregate(transform(split($textCol, ' '), t -> xxhash64(t)), 0,
-       |              (acc, h) -> acc + IF(((h >> b) & 1) = 1, 1, -1))),
-       |  cast(0 as bigint),
-       |  (packed, v) -> (packed << 1) | IF(v > 0, cast(1 as bigint), cast(0 as bigint)))
-       |""".stripMargin)
+  def simhash64(textCol: String): Column =
+    graft.functions.FunctionDefs.call("simhash64", split(col(textCol), " "))
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -80,10 +80,7 @@ object Text {
     * shared substrings of length >= k+window-1 words always share a
     * fingerprint.
     */
-  def fingerprints(text: Column, k: Int = 5, window: Int = 4): Column = {
-    val hashes = transform(Dedup.shingles(text, k), s => xxhash64(s))
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(hashes) - window, lit(0))), j =>
-        array_min(slice(hashes, j + 1, lit(window)))))
-  }
+  def fingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
+    graft.functions.FunctionDefs.call(
+      "winnow_fingerprints", Dedup.shingles(text, k), lit(window))
 }
