@@ -143,6 +143,7 @@ object FunctionDefs {
     "vec_norm"          -> f("vecNorm", D, ArrayType(D)),
     "vec_cosine"        -> f("vecCosine", D, ArrayType(D), ArrayType(D)),
     "vec_l2"            -> f("vecL2", D, ArrayType(D), ArrayType(D)),
+    "word_shingles"     -> f("wordShingles", ArrayType(S), ArrayType(S), I),
     "minhash_sig"       -> f("minhashSig", ArrayType(L), ArrayType(S), I, L),
     "simhash64"         -> f("simhashNative", L, ArrayType(S)),
     "winnow_fingerprints" -> f("winnowFingerprints", ArrayType(L), ArrayType(S), I),

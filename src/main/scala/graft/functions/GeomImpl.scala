@@ -478,6 +478,41 @@ object GeomImpl {
     packed
   }
 
+  /** Distinct word k-shingles, first-seen order (native twin of the
+    * transform/slice/concat_ws formulation).
+    */
+  def wordShingles(words: ArrayData, k: Int): ArrayData = {
+    val n = words.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (k <= 1) {
+      var i = 0
+      while (i < n) { seen.add(words.getUTF8String(i)); i += 1 }
+    } else {
+      val nShingles = math.max(n - k, 0) + 1
+      var i = 0
+      while (i < nShingles) {
+        val end = math.min(i + k, n)
+        var len = 0
+        var j = i
+        while (j < end) { len += words.getUTF8String(j).numBytes + 1; j += 1 }
+        val sb = new java.lang.StringBuilder(len)
+        j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(words.getUTF8String(j).toString)
+          j += 1
+        }
+        seen.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing fingerprints: sliding-window minima of shingle hashes,
     * distinct in first-seen order.
     */

@@ -35,14 +35,11 @@ object Dedup {
 
   // ------------------------------------------------------- minhash LSH
 
-  /** Distinct word k-shingles as an array column. */
-  def shingles(text: Column, k: Int): Column = {
-    val words = split(text, " ")
-    if (k == 1) array_distinct(words)
-    else array_distinct(
-      transform(sequence(lit(0), greatest(size(words) - k, lit(0))), i =>
-        concat_ws(" ", slice(words, i + 1, lit(k)))))
-  }
+  /** Distinct word k-shingles as an array column (native codegen'd
+    * builder — graft.functions.GeomImpl.wordShingles).
+    */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.FunctionDefs.call("word_shingles", split(text, " "), lit(k))
 
   /** MinHash signature: element i is min over shingles of
     * xxhash64(shingleHash XOR salt_i). Native codegen'd loop

@@ -80,10 +80,11 @@ object Pipeline {
       .orderBy("doc_id")
 
   def txFingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
-      col("doc_id"),
-      size(Text.fingerprints(col("text"))).as("n_fp"),
-      element_at(array_sort(Text.fingerprints(col("text"))), 1).as("min_fp"))
+    Tables.documents(s, dir)
+      // single alias: CollapseProject keeps one evaluation of the
+      // non-cheap fingerprint expression for both derived columns
+      .select(col("doc_id"), Text.fingerprints(col("text")).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"), array_min(col("fps")).as("min_fp"))
       .orderBy("doc_id")
 
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
