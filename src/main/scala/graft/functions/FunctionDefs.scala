@@ -147,7 +147,9 @@ object FunctionDefs {
     "minhash_sig"       -> f("minhashSig", ArrayType(L), ArrayType(S), I, L),
     "simhash64"         -> f("simhashNative", L, ArrayType(S)),
     "winnow_fingerprints" -> f("winnowFingerprints", ArrayType(L), ArrayType(S), I),
-    "lsh_bucket"        -> f("lshBucketNative", L, ArrayType(D), I, L)
+    "lsh_bucket"        -> f("lshBucketNative", L, ArrayType(D), I, L),
+    "ivf_assign"        -> f("ivfAssign", I, ArrayType(D), ArrayType(ArrayType(D))),
+    "ivf_probes"        -> f("ivfProbes", ArrayType(I), ArrayType(D), ArrayType(ArrayType(D)), I)
   )
 
   val byName: Map[String, Seq[FnSpec]] = defs.toMap

@@ -560,4 +560,51 @@ object GeomImpl {
     }
     bucket
   }
+
+  /** Cosine-nearest centroid indices for v, best-first. `centroids` is a
+    * small broadcast/literal array<array<double>>; nc is tiny so repeated
+    * linear selection beats building a heap.
+    */
+  private def ivfNearest(v: ArrayData, centroids: ArrayData, nprobe: Int): Array[Int] = {
+    val dim = v.numElements()
+    val nc = centroids.numElements()
+    val sims = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cent = centroids.getArray(c)
+      val cd = math.min(dim, cent.numElements())
+      var dot = 0.0; var nv = 0.0; var ncn = 0.0
+      var d = 0
+      while (d < cd) {
+        val x = v.getDouble(d); val y = cent.getDouble(d)
+        dot += x * y; nv += x * x; ncn += y * y
+        d += 1
+      }
+      sims(c) = if (nv == 0.0 || ncn == 0.0) -2.0 else dot / math.sqrt(nv * ncn)
+      c += 1
+    }
+    val n = math.max(math.min(nprobe, nc), 0)
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](nc)
+    var i = 0
+    while (i < n) {
+      var best = -1; var bestSim = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < nc) {
+        if (!used(c2) && sims(c2) > bestSim) { best = c2; bestSim = sims(c2) }
+        c2 += 1
+      }
+      used(best) = true; out(i) = best
+      i += 1
+    }
+    out
+  }
+
+  /** IVF list assignment: index of the cosine-nearest centroid. */
+  def ivfAssign(v: ArrayData, centroids: ArrayData): Int =
+    ivfNearest(v, centroids, 1)(0)
+
+  /** The `nprobe` nearest centroid indices, best-first (query-side probe set). */
+  def ivfProbes(v: ArrayData, centroids: ArrayData, nprobe: Int): ArrayData =
+    new GenericArrayData(ivfNearest(v, centroids, nprobe))
 }

@@ -87,4 +87,58 @@ object Ann {
       .filter(col("rank") <= k)
       .select("qid", "id", "rank", "cos")
   }
+
+  /** IVF (inverted-file) ANN: cluster the corpus around `nlist` centroids
+    * (spherical k-means — deterministic hashed-id sample init plus `iters`
+    * distributed Lloyd rounds), then answer each query by probing only its
+    * `nprobe` cosine-nearest lists.
+    *
+    * At 100 TB: centroids are nlist×dim doubles (a literal in the plan, no
+    * broadcast join needed); assignment is one scan-side native expression;
+    * the clustered corpus is written once and reused across query batches;
+    * a query scans ~nprobe/nlist of the data. Lloyd's per-round driver
+    * state is only the centroid matrix — the mean-reduction runs
+    * distributed with map-side partial aggregation.
+    * Output: (qid, id, rank, cos) — exact cosines over probed candidates.
+    */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2, seed: Long = 7): DataFrame = {
+    import graft.functions.FunctionDefs.call
+    val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
+
+    var centroids: Array[Seq[Double]] =
+      c.orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(nlist)
+        .select("__v").collect().map(_.getSeq[Double](0))
+    var it = 0
+    while (it < iters) {
+      val cent = typedlit(centroids.toSeq)
+      val means = c.select(call("ivf_assign", col("__v"), cent).as("__c"),
+          posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__c", "__d").agg(avg("__x").as("__m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { ci =>
+        byCluster.get(ci) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None       => centroids(ci) // empty list keeps its centroid
+        }
+      }.toArray
+      it += 1
+    }
+
+    val cent = typedlit(centroids.toSeq)
+    val assigned = c.withColumn("__c", call("ivf_assign", col("__v"), cent))
+    val q = queries
+      .select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
+      .withColumn("__c", explode(call("ivf_probes", col("__qv"), cent, lit(nprobe))))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
+    assigned.join(broadcast(q), "__c")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank", "cos")
+  }
 }

@@ -64,6 +64,15 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   def txTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -102,6 +111,7 @@ object Pipeline {
     "dd_embed" -> ddEmbed _,
     "ann_brute" -> annBrute _,
     "ann_lsh" -> annLsh _,
+    "ann_ivf" -> annIvf _,
     "tx_tokens" -> txTokens _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
@@ -164,7 +174,7 @@ object Pipeline {
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 16 AS feat_dim
         |FROM documents ORDER BY doc_id""".stripMargin
-    // dd_minhash / dd_simhash / ann_lsh / tx_langid / tx_fingerprint:
-    // probabilistic or non-SQL-expressible → rows-only + specs
+    // dd_minhash / dd_simhash / ann_lsh / ann_ivf / tx_langid /
+    // tx_fingerprint: probabilistic or non-SQL-expressible → rows-only + specs
   )
 }

@@ -71,4 +71,36 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
     withClue(s"recalls=$recalls") { recalls.sum / recalls.size should be >= 0.2 }
   }
+
+  test("ivfTopK returns true cosines, is deterministic, and achieves useful recall") {
+    def run() = Ann.ivfTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+      .collect()
+    val approx = run()
+    approx.foreach { r =>
+      r.getDouble(3) shouldBe cos(localVecs(r.getLong(0)), localVecs(r.getLong(1))) +- 1e-12
+    }
+    run().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq shouldBe
+      approx.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val brute = Ann.bruteForce(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val byQ = approx.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = (0L until 5L).map { q =>
+      brute(q).intersect(byQ.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }
+    withClue(s"recalls=$recalls") { recalls.sum / recalls.size should be >= 0.4 }
+  }
+
+  test("ivfTopK probing more lists converges to brute force") {
+    val brute = Ann.bruteForce(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = Ann.ivfTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    all shouldBe brute // nprobe == nlist probes everything → exact
+  }
 }
