@@ -60,20 +60,33 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) for candidate pairs with
     * jaccard >= threshold. Candidate recall follows the standard LSH
     * S-curve for `bands` bands of `numPerm/bands` rows.
+    *
+    * `maxBucket` (0 = off) drops band buckets holding more rows than the
+    * cap before the self-join. A bucket of m rows yields m² candidate
+    * pairs — one boilerplate-heavy key at 100 TB would otherwise dominate
+    * the whole job, and AQE can only split a skewed partition, not shrink
+    * the quadratic pair count. Run [[exact]] first: a giant bucket is
+    * near-always identical content, which exact dedup removes for the
+    * cost of a hash.
     */
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, seed: Long = 42): DataFrame = {
+      threshold: Double = 0.8, seed: Long = 42, maxBucket: Int = 0): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
     val withSig = df.select(col(idCol), col(textCol))
       .withColumn("__sh", shingles(col(textCol), k))
       .withColumn("__sig", minhashSig(col("__sh"), numPerm, seed))
-    val bandKeys = withSig.select(
+    val allBandKeys = withSig.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
         hash(slice(col("__sig"), j * r + 1, lit(r))))).as(Seq("__band", "__bkey")))
+    val bandKeys =
+      if (maxBucket <= 0) allBandKeys
+      else allBandKeys
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__bkey")))
+        .filter(col("__n") <= maxBucket).drop("__n")
     val a = bandKeys.select(col(idCol).as("id_a"), col("__band"), col("__bkey"))
     val b = bandKeys.select(col(idCol).as("id_b"), col("__band"), col("__bkey"))
     val candidates = a.join(b, Seq("__band", "__bkey"))

@@ -56,6 +56,23 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     pairs.keys.flatMap(p => Seq(p._1, p._2)) should not contain 4L
   }
 
+  test("minhashLsh: maxBucket drops hot-bucket pairs but keeps normal ones") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val hot = (10L to 29L).map(_ -> "boiler plate boiler plate boiler plate boiler plate boiler plate")
+    val df = docs(Seq(
+      1L -> base,
+      2L -> base.replace("today", "tomorrow")) ++ hot: _*)
+    val capped = Dedup.minhashLsh(df, "id", "text", k = 3, threshold = 0.5, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped should contain((1L, 2L))
+    // 20 identical boilerplate docs would contribute 190 pairs; the cap
+    // removes their buckets entirely (they belong to exact dedup).
+    capped.filter(p => p._1 >= 10L) shouldBe empty
+    val uncapped = Dedup.minhashLsh(df, "id", "text", k = 3, threshold = 0.5)
+      .count()
+    uncapped.toInt shouldBe (190 + 1)
+  }
+
   test("minhashLsh finds the planted near-dups in the test corpus") {
     val d = graft.sources.Tables.documents(spark, sfDir)
     val found = Dedup.minhashLsh(d, "doc_id", "text", k = 3, threshold = 0.8).count()
