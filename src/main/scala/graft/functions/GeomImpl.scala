@@ -600,6 +600,42 @@ object GeomImpl {
     out
   }
 
+  /** Argmax language by stopword hits: one pass over `words`, counting
+    * membership in each profile (profiles are tiny literals — linear
+    * probing beats per-row set building). First max wins; zero hits →
+    * "und". Native twin of the filter/array_contains/when formulation.
+    */
+  def langIdNative(words: ArrayData, langs: ArrayData, profiles: ArrayData): UTF8String = {
+    val nl = langs.numElements()
+    val counts = new Array[Int](nl)
+    val nw = words.numElements()
+    var i = 0
+    while (i < nw) {
+      val w = words.getUTF8String(i)
+      var l = 0
+      while (l < nl) {
+        val prof = profiles.getArray(l)
+        val np = prof.numElements()
+        var p = 0
+        var found = false
+        while (p < np && !found) {
+          if (prof.getUTF8String(p) == w) found = true
+          p += 1
+        }
+        if (found) counts(l) += 1
+        l += 1
+      }
+      i += 1
+    }
+    var best = -1; var bestC = 0
+    var l = 0
+    while (l < nl) {
+      if (counts(l) > bestC) { best = l; bestC = counts(l) }
+      l += 1
+    }
+    if (best < 0) UTF8String.fromString("und") else langs.getUTF8String(best)
+  }
+
   /** IVF list assignment: index of the cosine-nearest centroid. */
   def ivfAssign(v: ArrayData, centroids: ArrayData): Int =
     ivfNearest(v, centroids, 1)(0)

@@ -60,17 +60,14 @@ object Text {
 
   /** Argmax language by stopword hit count over lowercase tokens; ties
     * resolve in profile order; zero hits → "und" (undetermined).
+    * Native single-pass expression (graft.functions.GeomImpl.langIdNative)
+    * — profiles travel as plan literals, the text is tokenized once.
     */
-  def langId(text: Column): Column = {
-    val words = split(lower(text), "[^a-záéíóúüñäöß]+")
-    val scores = langProfiles.map { case (lang, stops) =>
-      lang -> size(filter(words, w => array_contains(array(stops.map(lit): _*), w)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, score), elseCol) =>
-      when(score === best && best > 0, lit(lang)).otherwise(elseCol)
-    }
-  }
+  def langId(text: Column): Column =
+    graft.functions.FunctionDefs.call("lang_id",
+      split(lower(text), "[^a-záéíóúüñäöß]+"),
+      typedlit(langProfiles.map(_._1)),
+      typedlit(langProfiles.map(_._2)))
 
   // ------------------------------------------------------- fingerprint
 
