@@ -66,6 +66,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first arrival per content within the watermark") {
+    val spark0 = spark
+    import spark0.implicits._
+    case class Doc(ts: Timestamp, doc_id: Long, text: String)
+    val t0 = 1700000000000L
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val q = StreamDedup.exactStream(
+        input.toDF().toDF("ts", "doc_id", "text"), "text", "ts", delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((new Timestamp(t0), 1L, "alpha"), (new Timestamp(t0 + 1000), 2L, "beta"))
+      q.processAllAvailable()
+      // same content again, later trigger but inside the watermark → dropped
+      input.addData((new Timestamp(t0 + 60000), 3L, "alpha"), (new Timestamp(t0 + 61000), 4L, "gamma"))
+      q.processAllAvailable()
+      val survivors = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      survivors shouldBe Set(1L, 2L, 4L)
+    } finally q.stop()
+  }
+
   test("streaming sessionization accumulates state across triggers == batch twin") {
     val spark0 = spark
     import spark0.implicits._
