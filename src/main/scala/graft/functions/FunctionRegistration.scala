@@ -20,7 +20,20 @@ object FunctionRegistration {
     FunctionDefs.defs.map { case (name, specs) =>
       name -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GeomFn(name, specs, children))
-    }
+    } ++ aggBuilders
+
+  /** Aggregate functions (the analyzer wraps the returned
+    * AggregateFunction). The reference ships its grouped convex hull
+    * under the scalar's name via Hive's UDAF resolver; Spark resolves
+    * scalar vs aggregate from the expression class, so the aggregate
+    * gets its own name.
+    */
+  private def aggBuilders: Seq[(String, FunctionBuilder)] = Seq(
+    "st_convexHullAggr" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 1, "st_convexHullAggr takes exactly one geometry argument")
+      ConvexHullAgg(children.head)
+    })
+  )
 
   def registerAll(ext: SparkSessionExtensions): Unit = {
     graft.geom.GeometryUDT.init()

@@ -99,6 +99,9 @@ object st {
   def intersection(a: Column, b: Column): Column = fn("st_intersection", a, b)
   def difference(a: Column, b: Column): Column = fn("st_difference", a, b)
   def convexHull(g: Column): Column = fn("st_convexHull", g)
+  def convexHullAggr(g: Column): Column =
+    GraftBridge.column(ConvexHullAgg(GraftBridge.expression(g))
+      .toAggregateExpression(isDistinct = false))
   def simplify(g: Column, tol: Column): Column = fn("st_simplify", g, tol)
   def simplifyPreserveTopology(g: Column, tol: Column): Column = fn("st_simplifyPreserveTopology", g, tol)
   def bufferPoint(p: Column, meters: Column): Column = fn("st_bufferPoint", p, meters)

@@ -217,8 +217,23 @@ object Spatial {
         st.bufferPoint(st.makePoint(lit(0.05), lit(0.05)), lit(2000000.0)), col("geom")))
       .select("c_custkey").orderBy("c_custkey")
 
+  /** Grouped convex hull through the native aggregate; the hull's
+    * envelope must equal the group's coordinate min/max, which the
+    * oracle recomputes arithmetically — a value-level check that the
+    * aggregate visits every member through partial + final aggregation.
+    */
+  def spHullAggr(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .groupBy((col("c_custkey") % 10).as("grp"))
+      .agg(st.extentFromGeom(st.convexHullAggr(col("geom"))).as("e"))
+      .select(col("grp"),
+        round(col("e.xmin"), 6).as("xmin"), round(col("e.ymin"), 6).as("ymin"),
+        round(col("e.xmax"), 6).as("xmax"), round(col("e.ymax"), 6).as("ymax"))
+      .orderBy("grp")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sp_construct" -> spConstruct _,
+    "sp_hull_aggr" -> spHullAggr _,
     "sp_measure" -> spMeasure _,
     "sp_bbox_filter" -> spBboxFilter _,
     "sp_distance_knn" -> spDistanceKnn _,
@@ -243,6 +258,12 @@ object Spatial {
        |FROM customer ORDER BY c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sp_hull_aggr" ->
+      s"""SELECT c_custkey % 10 AS grp,
+         | round(min(lon), 6) AS xmin, round(min(lat), 6) AS ymin,
+         | round(max(lon), 6) AS xmax, round(max(lat), 6) AS ymax
+         |FROM (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer)
+         |GROUP BY 1 ORDER BY grp""".stripMargin,
     "sp_construct" ->
       s"""SELECT c_custkey,
          | round($lonSql, 6) AS x,

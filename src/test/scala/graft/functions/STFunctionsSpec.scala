@@ -248,4 +248,33 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     r.getAs[Array[Byte]](0) shouldBe Array[Byte](97, 98)
     r.getString(1) shouldBe "POLYGON ((0 0, 0 3, 2 3, 2 0, 0 0))"
   }
+
+  test("st_convexHullAggr: grouped hull equals JTS hull of all members (SQL + DSL)") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val pts = Seq((0, 0.0, 0.0), (0, 4.0, 0.0), (0, 0.0, 3.0), (0, 1.0, 1.0),
+                  (1, 10.0, 10.0), (1, 12.0, 10.0), (1, 10.0, 12.0))
+      .toDF("grp", "x", "y")
+      .withColumn("geom", graft.functions.st.makePoint(col("x"), col("y")))
+    pts.createOrReplaceTempView("hull_pts")
+    val bySql = spark.sql(
+      "SELECT grp, st_asText(st_convexHullAggr(geom)) AS h FROM hull_pts GROUP BY grp ORDER BY grp")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    // group 0: interior point (1,1) must be absorbed into the triangle
+    bySql(0) should startWith("POLYGON")
+    bySql(0).contains("1 1") shouldBe false
+    bySql(1) should startWith("POLYGON")
+    // DSL agrees with SQL
+    val byDsl = pts.groupBy("grp")
+      .agg(graft.functions.st.asText(graft.functions.st.convexHullAggr(col("geom"))).as("h"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    byDsl shouldBe bySql
+    // equals a local JTS hull over the same coordinates
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val local = gf.createMultiPointFromCoords(
+      Array((0.0,0.0),(4.0,0.0),(0.0,3.0),(1.0,1.0)).map { case (a,b) =>
+        new org.locationtech.jts.geom.Coordinate(a,b) }).convexHull()
+    GeomIO.fromWKT(bySql(0)).norm().equalsExact(local.norm(), 1e-9) shouldBe true
+  }
 }
