@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Physical-plan shape assertions for the scale-critical properties the
+  * DataFrame code promises: dimension joins broadcast, aggregates go
+  * partial→final, candidate-generation joins are equi-joins (never a
+  * cartesian/nested-loop product), and hot paths stay inside whole-stage
+  * codegen. Results at sf0.001 are checked elsewhere; THIS suite fails
+  * if a plan silently degrades into a shape that would not survive 100 TB.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // AQE finalizes the plan only on execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q3/q5: every dimension join is a broadcast join, fact side never broadcast-built") {
+    val q3 = planOf("q3_shipping")
+    q3 should include("BroadcastHashJoin")
+    val q5 = planOf("q5_local_supplier")
+    q5 should include("BroadcastHashJoin")
+    // supplier/customer/nation/region all broadcast → no shuffle on their joins
+    q5.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 3
+  }
+
+  test("q1: aggregation is partial then final (map-side combine before the shuffle)") {
+    val p = planOf("q1_agg")
+    p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+    p should include("*(") // WholeStageCodegen stage marker
+  }
+
+  test("candidate-generation joins are equi-joins, never cartesian") {
+    for (q <- Seq("dd_minhash", "dd_simhash", "ann_lsh", "ann_ivf", "sp_spatial_join")) {
+      val p = planOf(q)
+      withClue(s"$q plan:\n$p") {
+        p.contains("CartesianProduct") shouldBe false
+        p.contains("BroadcastNestedLoopJoin") shouldBe false
+      }
+    }
+  }
+
+  test("spatial scalar pipeline stays inside whole-stage codegen") {
+    val p = planOf("sp_measure")
+    p should include("*(") // WholeStageCodegen stage marker
+    p.contains("CartesianProduct") shouldBe false
+  }
+}
