@@ -69,4 +69,62 @@ object Multimodal {
       }
     }.toDF(idCol, "n_bytes", "features")
   }
+
+  /** STUBBED resize: a real implementation would decode, scale to
+    * `targetBytes`-worth of pixels and re-encode; the stand-in
+    * deterministically downsamples the byte stream by striding, so output
+    * size contracts are exercised (len = min(targetBytes, len)).
+    */
+  def resizeStub(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = bytes((i.toLong * bytes.length / targetBytes).toInt)
+        i += 1
+      }
+      out
+    }
+
+  /** Media resize through the same batched partition shape: (id, media)
+    * → (id, media ≤ targetBytes, orig_bytes). Narrow map, no shuffle —
+    * at 100 TB this runs scan-side and shrinks the data before any wide
+    * operator sees it.
+    */
+  def resize(spark: SparkSession, media: DataFrame, idCol: String,
+             targetBytes: Int): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          (id, resizeStub(bytes, targetBytes), bytes.length)
+        }
+      }
+    }.toDF(idCol, "media", "orig_bytes")
+  }
+
+  /** Frame sampling for "video" media: treat the blob as fixed-size
+    * frames and emit every `stride`-th frame as its own row
+    * (id, frame_idx, frame). One row explodes to n/stride rows —
+    * flatMap-shaped, still scan-side; a real codec would replace the
+    * fixed-size slicing with container parsing + keyframe selection.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, idCol: String,
+                   frameBytes: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          (id, f, java.util.Arrays.copyOfRange(bytes, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+    }.toDF(idCol, "frame_idx", "frame")
+  }
 }

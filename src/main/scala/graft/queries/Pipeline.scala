@@ -103,6 +103,14 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.sampleFrames(s, media, "doc_id", frameBytes = 32, stride = 4)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("int").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
@@ -116,7 +124,8 @@ object Pipeline {
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
-    "mm_features" -> mmFeatures _
+    "mm_features" -> mmFeatures _,
+    "mm_frames" -> mmFrames _
   )
 
   private val cosSql =
@@ -173,7 +182,12 @@ object Pipeline {
         |FROM t ORDER BY doc_id""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 16 AS feat_dim
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """SELECT doc_id,
+        | unnest(range(0, octet_length(encode(text)) // 32, 4))::INT AS frame_idx,
+        | 32 AS frame_len
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
     // dd_minhash / dd_simhash / ann_lsh / ann_ivf / tx_langid /
     // tx_fingerprint: probabilistic or non-SQL-expressible → rows-only + specs
   )

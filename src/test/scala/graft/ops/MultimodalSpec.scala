@@ -43,6 +43,38 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession with Matchers {
     Multimodal.decodeStub(Array.emptyByteArray).toSeq shouldBe Seq.fill(Multimodal.FeatDim)(0f)
   }
 
+  test("resize: output bounded by target, small blobs untouched, deterministic") {
+    val out = Multimodal.resize(spark, media, "doc_id", targetBytes = 64).cache()
+    out.count() shouldBe media.count()
+    out.filter(org.apache.spark.sql.functions.length(col("media")) > 64).count() shouldBe 0L
+    // small inputs pass through unchanged
+    val smalls = media.filter(org.apache.spark.sql.functions.length(col("media")) <= 64).select("doc_id").collect().map(_.getLong(0))
+    if (smalls.nonEmpty) {
+      val orig = media.filter(col("doc_id") === smalls.head).select("media").head().getAs[Array[Byte]](0)
+      val res = out.filter(col("doc_id") === smalls.head).select("media").head().getAs[Array[Byte]](0)
+      res.toSeq shouldBe orig.toSeq
+    }
+    // stub endpoints: first byte preserved
+    Multimodal.resizeStub(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), 4).toSeq shouldBe Seq[Byte](1, 3, 5, 7)
+  }
+
+  test("sampleFrames: fixed-size frames at the stride, remainder dropped") {
+    import spark.implicits._
+    val blob = (0 until 100).map(_.toByte).toArray // 10 frames of 10 bytes
+    val df = Seq((1L, blob)).toDF("doc_id", "media")
+    val frames = Multimodal.sampleFrames(spark, df, "doc_id", frameBytes = 10, stride = 3)
+      .orderBy("frame_idx").collect()
+    frames.map(_.getInt(1)).toSeq shouldBe Seq(0, 3, 6, 9)
+    frames.foreach { r =>
+      val f = r.getAs[Array[Byte]](2)
+      f.length shouldBe 10
+      f(0) shouldBe (r.getInt(1) * 10).toByte
+    }
+    // blob smaller than one frame → no rows, no crash
+    val tiny = Seq((2L, Array[Byte](1, 2))).toDF("doc_id", "media")
+    Multimodal.sampleFrames(spark, tiny, "doc_id", frameBytes = 10, stride = 1).count() shouldBe 0L
+  }
+
   test("batch grouping handles partitions larger than BatchSize") {
     import spark.implicits._
     val big = spark.range(3 * Multimodal.BatchSize + 17).select(
