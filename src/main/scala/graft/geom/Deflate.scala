@@ -1,0 +1,45 @@
+package graft.geom
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, Inflater}
+
+/** Deflate helper for compact geometry interchange — the reference pairs
+  * its TWKB codec with a deflate utility
+  * (jts/src/main/scala/com/azavea/hiveless/spatial/util/DeflateCompressor.scala:22)
+  * for cold-storage export of geometry columns; [[TWKB]] + deflate is the
+  * compact wire format, WKB stays the in-engine representation.
+  */
+object Deflate {
+
+  def compress(data: Array[Byte], level: Int = Deflater.DEFAULT_COMPRESSION): Array[Byte] = {
+    val deflater = new Deflater(level)
+    try {
+      deflater.setInput(data)
+      deflater.finish()
+      val out = new ByteArrayOutputStream(math.max(data.length / 2, 32))
+      val buf = new Array[Byte](1024)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally deflater.end()
+  }
+
+  def decompress(data: Array[Byte]): Array[Byte] = {
+    val inflater = new Inflater()
+    try {
+      inflater.setInput(data)
+      val out = new ByteArrayOutputStream(math.max(data.length * 2, 32))
+      val buf = new Array[Byte](1024)
+      while (!inflater.finished()) {
+        val n = inflater.inflate(buf)
+        if (n == 0 && inflater.needsInput()) {
+          throw new IllegalArgumentException("truncated deflate stream")
+        }
+        out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inflater.end()
+  }
+}

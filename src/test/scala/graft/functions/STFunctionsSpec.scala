@@ -277,4 +277,18 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
         new org.locationtech.jts.geom.Coordinate(a,b) }).convexHull()
     GeomIO.fromWKT(bySql(0)).norm().equalsExact(local.norm(), 1e-9) shouldBe true
   }
+
+  test("deflate: TWKB roundtrip survives compression; corrupt stream rejected") {
+    import graft.geom.{Deflate, TWKB}
+    val g = GeomIO.fromWKT("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val twkb = TWKB.write(g)
+    val packed = Deflate.compress(twkb)
+    Deflate.decompress(packed).toSeq shouldBe twkb.toSeq
+    TWKB.read(Deflate.decompress(packed)).equalsExact(TWKB.read(twkb)) shouldBe true
+    // compression actually helps on repetitive coordinate streams
+    val many = TWKB.write(GeomIO.fromWKT(
+      "LINESTRING (" + (0 to 200).map(i => s"$i 0").mkString(", ") + ")"))
+    Deflate.compress(many).length should be < many.length
+    an[Exception] should be thrownBy Deflate.decompress(Array[Byte](1, 2, 3))
+  }
 }
