@@ -161,4 +161,17 @@ object FunctionDefs {
   def call(name: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftBridge.column(
       GeomFn(name, byName(name), cols.map(org.apache.spark.sql.GraftBridge.expression)))
+
+  /** Build a callable aggregate Column (names from
+    * [[FunctionRegistration.aggBuilders]]'s registry).
+    */
+  def callAgg(name: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    val exprs = cols.map(org.apache.spark.sql.GraftBridge.expression)
+    val agg = name match {
+      case "topk_by_score"     => TopKAgg(exprs(0), exprs(1), exprs(2))
+      case "st_convexhullaggr" => ConvexHullAgg(exprs.head)
+      case other               => throw new IllegalArgumentException(s"unknown aggregate $other")
+    }
+    org.apache.spark.sql.GraftBridge.column(agg.toAggregateExpression(isDistinct = false))
+  }
 }

@@ -32,6 +32,10 @@ object FunctionRegistration {
     "st_convexHullAggr" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.size == 1, "st_convexHullAggr takes exactly one geometry argument")
       ConvexHullAgg(children.head)
+    }),
+    "topk_by_score" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 3, "topk_by_score(id, score, k)")
+      TopKAgg(children(0), children(1), children(2))
     })
   )
 

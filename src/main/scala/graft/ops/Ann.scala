@@ -21,6 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** Per-query top-k through the bounded-heap aggregate
+    * (graft.functions.TopKAgg): ranked exactly like
+    * `row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id)`, but as
+    * an algebraic aggregate — each partition reduces to ≤k rows per query
+    * BEFORE the shuffle, instead of shuffling every scored row into a few
+    * hot query partitions.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("qid")
+      .agg(graft.functions.FunctionDefs.callAgg("topk_by_score",
+        col("id"), col("cos"), lit(k)).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("qid"), col("__t.id").as("id"),
+        (col("__r") + 1).cast("int").as("rank"), col("__t.score").as("cos"))
+
   /** Exact top-k by cosine for each query row. `queries` is expected to
     * be small (it is broadcast). Output: (qid, id, rank, cos).
     */
@@ -30,13 +46,11 @@ object Ann {
       k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
     val q = queries.select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    c.crossJoin(broadcast(q))
-      .filter(col("id") =!= col("qid"))
-      .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "rank", "cos")
+    rankTopK(
+      c.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid"))
+        .withColumn("cos", Vectors.cosine(col("__qv"), col("__v"))),
+      k)
   }
 
   /** Random-hyperplane signature: bit i is the sign of v·h_i where h_i is
@@ -80,12 +94,9 @@ object Ann {
         c("__tbl") === q("__tbl") && c("__bucket") === q("__probe"))
       .filter(col("id") =!= col("qid"))
       .select("qid", "__qv", "id", "__v").distinct()
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    candidates
-      .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "rank", "cos")
+    rankTopK(
+      candidates.withColumn("cos", Vectors.cosine(col("__qv"), col("__v"))),
+      k)
   }
 
   /** IVF (inverted-file) ANN: cluster the corpus around `nlist` centroids
@@ -133,12 +144,10 @@ object Ann {
     val q = queries
       .select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
       .withColumn("__c", explode(call("ivf_probes", col("__qv"), cent, lit(nprobe))))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id"))
-    assigned.join(broadcast(q), "__c")
-      .filter(col("id") =!= col("qid"))
-      .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "id", "rank", "cos")
+    rankTopK(
+      assigned.join(broadcast(q), "__c")
+        .filter(col("id") =!= col("qid"))
+        .withColumn("cos", Vectors.cosine(col("__qv"), col("__v"))),
+      k)
   }
 }

@@ -93,6 +93,23 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     withClue(s"recalls=$recalls") { recalls.sum / recalls.size should be >= 0.4 }
   }
 
+  test("top-k aggregate: partial map-side reduction, identical across partitionings") {
+    val narrow = Ann.bruteForce(corpus.repartition(1), "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    // many partitions → heap serialize + merge paths exercised
+    val wide = Ann.bruteForce(corpus.repartition(13), "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    val wideRows = wide.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    wideRows shouldBe narrow
+    // the aggregation is partial: a partial ObjectHashAggregate runs before the shuffle
+    val plan = wide.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan.linesIterator.count(_.contains("ObjectHashAggregate")) should be >= 2
+      plan should include("partial_topk_by_score")
+    }
+  }
+
   test("ivfTopK probing more lists converges to brute force") {
     val brute = Ann.bruteForce(corpus, "vec_id", "embedding",
         corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
