@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Degenerate-input behavior: at corpus scale there is ALWAYS a null
+  * text, an empty document, a zero vector, an empty partition. Operators
+  * must pass them through or drop them — never throw and kill the job.
+  */
+class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  private def docs(rows: (Long, String)*) = {
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (i, t) => Row(i, t) }: _*),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+  }
+
+  private lazy val dirty = docs(
+    (1L, "a normal document with several words here"),
+    (2L, null),
+    (3L, ""),
+    (4L, " "),
+    (5L, "a normal document with several words here"))
+
+  test("dedup family tolerates null and empty text") {
+    noException should be thrownBy Dedup.exactGroups(dirty, "id", "text").collect()
+    noException should be thrownBy
+      Dedup.minhashLsh(dirty, "id", "text", k = 3, threshold = 0.5).collect()
+    noException should be thrownBy
+      Dedup.simhashNearDup(dirty, "id", "text", maxDist = 3, pieces = 4).collect()
+    // the two identical real docs still pair up
+    Dedup.exactGroups(dirty, "id", "text")
+      .filter(col("n_copies") === 2).count() shouldBe 1L
+  }
+
+  test("text analysis tolerates null/empty text (null in, null out)") {
+    val out = dirty.select(col("id"),
+      Text.wsTokenCount(col("text")).as("ws"),
+      Text.langId(col("text")).as("lang"),
+      Text.fingerprints(col("text")).as("fp"))
+    noException should be thrownBy out.collect()
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    byId(2L).isNullAt(1) shouldBe true
+    byId(2L).isNullAt(2) shouldBe true
+    byId(3L).getString(2) shouldBe "und" // empty text → undetermined, not a crash
+  }
+
+  test("ANN tolerates zero vectors and an empty query set") {
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+        Row(2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: undefined cosine
+        Row(3L, Seq(0.0f, 1.0f, 0.0f, 0.0f))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    noException should be thrownBy Ann.bruteForce(
+      vecs, "vec_id", "embedding", vecs.filter(col("vec_id") === 1), "vec_id", "embedding", 2).collect()
+    val empty = Ann.bruteForce(
+      vecs, "vec_id", "embedding", vecs.filter(col("vec_id") < 0), "vec_id", "embedding", 2)
+    empty.count() shouldBe 0L
+    noException should be thrownBy Ann.ivfTopK(
+      vecs, "vec_id", "embedding", vecs.filter(col("vec_id") === 1), "vec_id", "embedding",
+      k = 2, nlist = 2, nprobe = 1).collect()
+  }
+
+  test("multimodal tolerates empty blobs") {
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Array.emptyByteArray), Row(2L, Array[Byte](1, 2, 3))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("media", BinaryType))))
+    val f = Multimodal.features(spark, media, "doc_id").collect()
+    f.length shouldBe 2
+    noException should be thrownBy
+      Multimodal.resize(spark, media, "doc_id", 2).collect()
+    Multimodal.sampleFrames(spark, media, "doc_id", frameBytes = 2, stride = 1)
+      .count() shouldBe 1L
+  }
+}
