@@ -16,9 +16,17 @@ object Bench {
     GraftSession.enable(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm the JVM/codegen paths once so per-query times measure the plan,
-    // not first-use classloading.
+    // Warm the JVM/codegen/IO paths once so per-query times measure the
+    // plan, not first-use classloading: a real parquet scan, a broadcast
+    // join, an exchange and an aggregate (the first timed query otherwise
+    // absorbs all session init).
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    val warmR = sources.Tables.region(spark, sfDir)
+    val warmN = sources.Tables.nation(spark, sfDir)
+    warmN.join(org.apache.spark.sql.functions.broadcast(warmR),
+        warmN("n_regionkey") === warmR("r_regionkey"))
+      .groupBy("r_name").count()
+      .write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
