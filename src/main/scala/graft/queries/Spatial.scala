@@ -180,14 +180,20 @@ object Spatial {
   /** Z2/partition keys (Morton math not SQL-expressible → rows-only;
     * Z2Spec asserts known vectors and locality).
     */
+  /** Z2 keys value-checked against an independent arithmetic oracle: the
+    * DuckDB side re-derives the 30-bit scaling and Morton interleave as a
+    * 60-term bit-shift sum (pure IEEE +,/,* then integer bit ops — no
+    * libm, so both engines agree bit-for-bit). `st_partitionCentroid`
+    * (web-mercator tiles → tan/log, libm-dependent) is spec-verified
+    * instead.
+    */
   def spZ2Partition(s: SparkSession, dir: String): DataFrame =
     customerPoints(s, dir).select(
       col("c_custkey"),
       st.z2Cell(col("geom"), lit(8)).as("cell8"),
-      st.partitionCentroid(col("geom"), lit(8)).as("pkey"),
       col("geom"))
       .withColumn("z2", st.z2LatLon(col("geom")))
-      .select("c_custkey", "cell8", "pkey", "z2.min", "z2.max")
+      .select("c_custkey", "cell8", "z2.min", "z2.max")
       .orderBy("c_custkey")
 
   /** Spatial join via the Z2 grid-cell cover join (no cross product):
@@ -251,6 +257,14 @@ object Spatial {
     "sp_spatial_join" -> spSpatialJoin _
   )
 
+  /** Morton interleave as SQL: bit k of ix → position 2k, bit k of iy →
+    * position 2k+1 (graft.geom.Z2.index's even/odd layout).
+    */
+  private def z2InterleaveSql(ix: String, iy: String, bits: Int): String =
+    (0 until bits).map(k =>
+      s"((($ix >> $k) & 1) << ${2 * k}) + ((($iy >> $k) & 1) << ${2 * k + 1})")
+      .mkString(" + ")
+
   private val xyRoundtripOracle =
     s"""SELECT c_custkey,
        | round($lonSql, 6) AS x,
@@ -258,6 +272,19 @@ object Spatial {
        |FROM customer ORDER BY c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sp_z2_partition" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+         |scaled AS (
+         |  SELECT c_custkey,
+         |    greatest(0, least(1073741823, floor((lon + 180.0) / 360.0 * 1073741824.0)))::BIGINT AS ix,
+         |    greatest(0, least(1073741823, floor((lat + 90.0) / 180.0 * 1073741824.0)))::BIGINT AS iy
+         |  FROM base)
+         |SELECT c_custkey,
+         |  (${z2InterleaveSql("(ix >> 22)", "(iy >> 22)", 8)}) AS cell8,
+         |  (${z2InterleaveSql("ix", "iy", 30)}) AS "min",
+         |  (${z2InterleaveSql("ix", "iy", 30)}) AS "max"
+         |FROM scaled ORDER BY c_custkey""".stripMargin,
     "sp_hull_aggr" ->
       s"""SELECT c_custkey % 10 AS grp,
          | round(min(lon), 6) AS xmin, round(min(lat), 6) AS ymin,

@@ -291,4 +291,22 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     Deflate.compress(many).length should be < many.length
     an[Exception] should be thrownBy Deflate.decompress(Array[Byte](1, 2, 3))
   }
+
+  test("partitionCentroid: deterministic, spatially local, bit-shift coarsening") {
+    val r = sql1(
+      """SELECT st_partitionCentroid(st_makePoint(10.0, 45.0), 8) AS a,
+        |       st_partitionCentroid(st_makePoint(10.05, 45.05), 8) AS near,
+        |       st_partitionCentroid(st_makePoint(-120.0, -30.0), 8) AS far,
+        |       st_partitionCentroid(st_makePoint(10.0, 45.0), 8, 0) AS fine,
+        |       st_partitionCentroid(st_makePoint(10.0, 45.0), 8, 4) AS coarse
+        |""".stripMargin)
+    val (a, near, far) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    a shouldBe near // ~5km apart → same zoom-8 tile bucket
+    a should not be far
+    // bits parameter coarsens by right shift of the interleaved tile key
+    r.getLong(4) shouldBe (r.getLong(3) >> 4)
+    a shouldBe (r.getLong(3) >> 8)
+    // deterministic across calls
+    sql1("SELECT st_partitionCentroid(st_makePoint(10.0, 45.0), 8) AS a").getLong(0) shouldBe a
+  }
 }
