@@ -67,6 +67,23 @@ class ReferenceParitySpec extends AnyFunSuite with SparkTestSession with Matcher
     optimized should include("bbox").and(include("xmin"))
   }
 
+  test("ST_Intersects filters a parquet copy to the same 5 rows, with pushed extent ranges") {
+    assume(haveReference)
+    // STIndexSpec's parquet variant: same corpus through the columnar path
+    val pq = java.nio.file.Files.createTempDirectory("graft-parity").toString + "/polygons"
+    polygons.withColumn("bbox", st.extentFromGeom(col("geom")))
+      .drop("geom").withColumn("geom", st.geomFromWKT(col("wkt")))
+      .write.mode("overwrite").parquet(pq)
+    val back = spark.read.parquet(pq)
+    back.filter(st.intersects(col("geom"), st.geomFromGeoJson(lit(windowGeoJson))))
+      .count() shouldBe 5
+    val viaExtent = back.filter(st.intersects(col("bbox"), st.geomFromGeoJson(lit(windowGeoJson))))
+    viaExtent.count() shouldBe 5
+    // range predicates reach the parquet scan on the struct fields
+    viaExtent.queryExecution.executedPlan.toString should include("PushedFilters: [")
+    viaExtent.queryExecution.executedPlan.toString should include("bbox.xmin")
+  }
+
   test("non-foldable second argument (bbox, bbox) stays unoptimized, as in the reference") {
     assume(haveReference)
     val withBbox = polygons.withColumn("bbox", st.extentFromGeom(col("geom")))
