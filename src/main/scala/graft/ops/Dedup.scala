@@ -156,4 +156,30 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** LSH-blocked embedding near-dup — the 100 TB path: candidates come
+    * from a self-join on random-hyperplane bucket keys (multiple
+    * independent tables to recover boundary losses), exact cosine only
+    * within buckets. One scan computes all signatures; the shuffle
+    * carries (table, bucket, id, vec) instead of the n² cross product.
+    * Reported cosines are exact; recall follows the LSH S-curve
+    * (high-cosine pairs collide in some table with high probability).
+    */
+  def embeddingNearDupBlocked(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nBits: Int = 8, tables: Int = 8, seed: Long = 7): DataFrame = {
+    val e = df.select(col(idCol).as("__id"), Vectors.toDouble(col(vecCol)).as("__v"))
+      .select(col("__id"), col("__v"),
+        posexplode(array((0 until tables).map(t =>
+          graft.functions.FunctionDefs.call("lsh_bucket",
+            col("__v"), lit(nBits), lit(seed + t * 7919))): _*)).as(Seq("__tbl", "__bucket")))
+    val a = e.select(col("__id").as("id_a"), col("__v").as("__va"), col("__tbl"), col("__bucket"))
+    val b = e.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__tbl"), col("__bucket"))
+    a.join(b, Seq("__tbl", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__va", "__vb").distinct()
+      .withColumn("cos", Vectors.cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
 }

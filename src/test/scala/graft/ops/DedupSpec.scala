@@ -114,4 +114,38 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     got shouldBe expected
   }
+
+  test("embeddingNearDupBlocked: finds planted near-dups with exact cosines, no cross join") {
+    // near-dup regime (cosine >= 0.9) is where LSH blocking applies: the
+    // S-curve collision probability at cos≈0.99 with 8-bit × 8-table
+    // signatures is >99.9%; at low thresholds everything is a candidate
+    // and only the exact all-pairs variant makes sense.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val planted = base.take(10).map { case (id, v) =>
+      // tiny deterministic perturbation → cosine ≈ 0.9999
+      (id + 100000L, v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) 1e-3f else -1e-3f) })
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList((base ++ planted).map { case (id, v) => Row(id, v.toSeq) }: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val blockedDf = Dedup.embeddingNearDupBlocked(df, "vec_id", "embedding", 0.9)
+    val blocked = blockedDf
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (original, copy) pair must be found
+    (0 until 10).foreach { i =>
+      val id = base(i)._1
+      blocked should contain((id, id + 100000L))
+    }
+    // precision: reported pairs are a subset of the exact >=0.9 pairs
+    val exact = Dedup.embeddingNearDup(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    blocked.subsetOf(exact) shouldBe true
+    blockedDf.queryExecution.executedPlan.toString
+      .contains("CartesianProduct") shouldBe false
+  }
 }
