@@ -167,7 +167,7 @@ object FunctionDefs {
     */
   def callAgg(name: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
     val exprs = cols.map(org.apache.spark.sql.GraftBridge.expression)
-    val agg = name match {
+    val agg = name.toLowerCase match {
       case "topk_by_score"     => TopKAgg(exprs(0), exprs(1), exprs(2))
       case "st_convexhullaggr" => ConvexHullAgg(exprs.head)
       case other               => throw new IllegalArgumentException(s"unknown aggregate $other")

@@ -39,23 +39,28 @@ case class ConvexHullAgg(
 
   override def createAggregationBuffer(): Geometry = null
 
+  // hull(A ∪ B) = hull(coords(A) ++ coords(B)): a GeometryCollection hull
+  // only gathers coordinates — no JTS overlay/noding per row, which would
+  // otherwise dominate a full scan.
+  private def foldHull(a: Geometry, b: Geometry): Geometry =
+    a.getFactory.createGeometryCollection(Array(a, b)).convexHull()
+
   override def update(buffer: Geometry, input: InternalRow): Geometry = {
     val v = child.eval(input)
     if (v == null) buffer
     else {
       val g = GeomIO.fromWKB(v.asInstanceOf[Array[Byte]])
-      if (buffer == null) g.convexHull()
-      else buffer.union(g.convexHull()).convexHull()
+      if (buffer == null) g.convexHull() else foldHull(buffer, g)
     }
   }
 
   override def merge(a: Geometry, b: Geometry): Geometry =
     if (a == null) b
     else if (b == null) a
-    else a.union(b).convexHull()
+    else foldHull(a, b)
 
   override def eval(buffer: Geometry): Any =
-    if (buffer == null) null else GeomIO.toWKB(buffer.convexHull())
+    if (buffer == null) null else GeomIO.toWKB(buffer)
 
   override def serialize(buffer: Geometry): Array[Byte] =
     if (buffer == null) Array.emptyByteArray else GeomIO.toWKB(buffer)

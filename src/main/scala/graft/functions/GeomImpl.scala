@@ -636,9 +636,14 @@ object GeomImpl {
     if (best < 0) UTF8String.fromString("und") else langs.getUTF8String(best)
   }
 
-  /** IVF list assignment: index of the cosine-nearest centroid. */
-  def ivfAssign(v: ArrayData, centroids: ArrayData): Int =
-    ivfNearest(v, centroids, 1)(0)
+  /** IVF list assignment: index of the cosine-nearest centroid;
+    * -1 when the centroid set is empty (empty corpus) so callers get an
+    * empty join instead of a crash.
+    */
+  def ivfAssign(v: ArrayData, centroids: ArrayData): Int = {
+    val nearest = ivfNearest(v, centroids, 1)
+    if (nearest.isEmpty) -1 else nearest(0)
+  }
 
   /** The `nprobe` nearest centroid indices, best-first (query-side probe set). */
   def ivfProbes(v: ArrayData, centroids: ArrayData, nprobe: Int): ArrayData =

@@ -99,9 +99,13 @@ case class TopKAgg(
     val ok = (!idChild.resolved || idChild.dataType == LongType || idChild.dataType == IntegerType) &&
       (!scoreChild.resolved || scoreChild.dataType == DoubleType || scoreChild.dataType == FloatType) &&
       kChild.foldable
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      "topk_by_score expects (id bigint, score double, k literal int)")
+    if (!ok)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "topk_by_score expects (id bigint, score double, k literal int)")
+    else if (k < 1)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score: k must be >= 1, got $k")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
   }
 
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
@@ -112,7 +116,10 @@ case class TopKAgg(
     if (id != null && score != null) {
       val idL = id match { case i: Int => i.toLong; case l: Long => l }
       val scoreD = score match { case f: Float => f.toDouble; case d: Double => d }
-      buf.add(idL, scoreD)
+      // NaN never ranks (cosine of a zero vector); letting one in would
+      // poison the heap — every comparison against NaN is false, so a NaN
+      // root would reject all later candidates.
+      if (!scoreD.isNaN) buf.add(idL, scoreD)
     }
     buf
   }

@@ -34,8 +34,10 @@ object Deflate {
       val buf = new Array[Byte](1024)
       while (!inflater.finished()) {
         val n = inflater.inflate(buf)
-        if (n == 0 && inflater.needsInput()) {
-          throw new IllegalArgumentException("truncated deflate stream")
+        // needsDictionary: FDICT streams make inflate() return 0 with
+        // needsInput() false — without this check the loop never ends
+        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) {
+          throw new IllegalArgumentException("truncated or unsupported deflate stream")
         }
         out.write(buf, 0, n)
       }

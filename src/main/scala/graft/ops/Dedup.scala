@@ -84,9 +84,16 @@ object Dedup {
         hash(slice(col("__sig"), j * r + 1, lit(r))))).as(Seq("__band", "__bkey")))
     val bandKeys =
       if (maxBucket <= 0) allBandKeys
-      else allBandKeys
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("__band", "__bkey")))
-        .filter(col("__n") <= maxBucket).drop("__n")
+      else {
+        // over-cap buckets are few — find them with a partial-aggregated
+        // count (one row per bucket through the shuffle) and broadcast the
+        // blacklist into an anti-join. A window count here would shuffle
+        // every band key AND pin each hot bucket onto one task.
+        val overCap = allBandKeys.groupBy("__band", "__bkey")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select("__band", "__bkey")
+        allBandKeys.join(broadcast(overCap), Seq("__band", "__bkey"), "left_anti")
+      }
     val a = bandKeys.select(col(idCol).as("id_a"), col("__band"), col("__bkey"))
     val b = bandKeys.select(col(idCol).as("id_b"), col("__band"), col("__bkey"))
     val candidates = a.join(b, Seq("__band", "__bkey"))

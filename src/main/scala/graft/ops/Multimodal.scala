@@ -58,8 +58,11 @@ object Multimodal {
     */
   def features(spark: SparkSession, media: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
+    // null media rows are dropped up front (a real ingest quarantines
+    // them); without this every map below NPEs and kills the stage
     val ds: Dataset[(Long, Array[Byte])] =
-      media.select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+      media.filter(col("media").isNotNull)
+        .select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
     ds.mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
         // per-batch setup would go here (decoder init, model session…)
@@ -96,7 +99,8 @@ object Multimodal {
              targetBytes: Int): DataFrame = {
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
-      media.select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+      media.filter(col("media").isNotNull)
+        .select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
     ds.mapPartitions { rows =>
       rows.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { case (id, bytes) =>
@@ -117,7 +121,8 @@ object Multimodal {
     import spark.implicits._
     require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
     val ds: Dataset[(Long, Array[Byte])] =
-      media.select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+      media.filter(col("media").isNotNull)
+        .select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
     ds.mapPartitions { rows =>
       rows.flatMap { case (id, bytes) =>
         val nFrames = bytes.length / frameBytes

@@ -177,9 +177,6 @@ object Spatial {
         round(st.y(col("m")), 2).as("my"))
       .orderBy("c_custkey")
 
-  /** Z2/partition keys (Morton math not SQL-expressible → rows-only;
-    * Z2Spec asserts known vectors and locality).
-    */
   /** Z2 keys value-checked against an independent arithmetic oracle: the
     * DuckDB side re-derives the 30-bit scaling and Morton interleave as a
     * 60-term bit-shift sum (pure IEEE +,/,* then integer bit ops — no

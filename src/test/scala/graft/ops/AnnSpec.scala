@@ -110,6 +110,27 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("zero vectors (NaN cosine) never rank and never block real results") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // zero vector FIRST so it is the first update into the heap
+    val rows = Seq(
+      Row(100L, Seq(0.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(1.0f, 0.0f, 0.0f)),
+      Row(2L, Seq(0.9f, 0.1f, 0.0f)),
+      Row(3L, Seq(0.0f, 1.0f, 0.0f)),
+      Row(4L, Seq(0.5f, 0.5f, 0.0f)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))).repartition(1)
+    val got = Ann.bruteForce(df, "vec_id", "embedding",
+        df.filter(col("vec_id") === 1), "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect()
+    got.map(_.getLong(1)).toSeq shouldBe Seq(2L, 4L, 3L) // by true cosine
+    got.foreach(r => r.getDouble(3).isNaN shouldBe false)
+  }
+
   test("ivfTopK probing more lists converges to brute force") {
     val brute = Ann.bruteForce(corpus, "vec_id", "embedding",
         corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)

@@ -67,12 +67,13 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
       k = 2, nlist = 2, nprobe = 1).collect()
   }
 
-  test("multimodal tolerates empty blobs") {
+  test("multimodal tolerates empty and null blobs") {
     val media = spark.createDataFrame(
-      java.util.Arrays.asList(Row(1L, Array.emptyByteArray), Row(2L, Array[Byte](1, 2, 3))),
+      java.util.Arrays.asList(
+        Row(1L, Array.emptyByteArray), Row(2L, Array[Byte](1, 2, 3)), Row(3L, null)),
       StructType(Seq(StructField("doc_id", LongType), StructField("media", BinaryType))))
     val f = Multimodal.features(spark, media, "doc_id").collect()
-    f.length shouldBe 2
+    f.length shouldBe 2 // null-media rows dropped, not a stage failure
     noException should be thrownBy
       Multimodal.resize(spark, media, "doc_id", 2).collect()
     Multimodal.sampleFrames(spark, media, "doc_id", frameBytes = 2, stride = 1)

@@ -47,6 +47,33 @@ class SpatialLayoutSpec extends AnyFunSuite with SparkTestSession with Matchers 
     scan.toString should include("PartitionFilters")
   }
 
+  test("cell-spanning polygons are never lost to directory pruning; residual is exact") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mk = (id: Long, wkt: String) => Row(id, wkt)
+    val rows = Seq(
+      // L-shaped polygon: bbox (9,9)-(15,15) overlaps the window corner,
+      // the shape itself (x>=12 or y>=12) does not
+      mk(1L, "POLYGON ((12 9, 15 9, 15 15, 9 15, 9 12, 12 12, 12 9))"),
+      // huge polygon spanning many level-3 cells, centroid far east of
+      // the window but overlapping it: centroid-keyed pruning would drop it
+      mk(2L, "POLYGON ((-5 -5, 120 -5, 120 5, -5 5, -5 -5))"),
+      // plainly inside the window
+      mk(3L, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+      // plainly outside
+      mk(4L, "POLYGON ((100 40, 101 40, 101 41, 100 41, 100 40))"))
+    val df = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("id", LongType), StructField("wkt", StringType))))
+      .withColumn("geom", st.geomFromWKT(col("wkt"))).drop("wkt")
+    val path = java.nio.file.Files.createTempDirectory("graft-z2poly").toString + "/polys"
+    SpatialLayout.writeZ2(df, "geom", path, level = 12, dirLevel = 3)
+    // window (0,0)-(10,10): hits 2 and 3; 1 only by bbox; 4 not at all
+    val got = SpatialLayout.readWindow(spark, path, 0.0, 0.0, 10.0, 10.0, dirLevel = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    got shouldBe Set(2L, 3L)
+  }
+
   test("row-group range filters reach the parquet scan") {
     val df = SpatialLayout.readWindow(spark, layoutPath, -140.0, 0.0, -100.0, 40.0, dirLevel = 3)
     df.collect()
