@@ -2,18 +2,17 @@ package graft.ops
 
 import graft.functions.Vectors
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (SURVEY.md §2.9).
   *
-  * Two paths: brute-force cosine top-k (exact baseline — broadcast the
-  * query set, score with codegen'd vector folds, per-query top-k via
-  * window) and random-hyperplane LSH (the scale path — signatures are
-  * computed scan-side in one pass, candidates come from a bucket
-  * equi-join instead of a cross product, multiprobe flips single
-  * signature bits to recover boundary losses).
+  * Three paths: brute-force cosine top-k (exact baseline — broadcast the
+  * query set, score with codegen'd vector folds, rank via the bounded-heap
+  * aggregate), random-hyperplane LSH (signatures computed scan-side in one
+  * pass, candidates from a bucket equi-join instead of a cross product,
+  * multiprobe flips single signature bits to recover boundary losses),
+  * and IVF (cluster once, probe the nearest lists per query).
   *
   * At 100 TB: brute-force cost is queries×corpus and only works for
   * small query sets; LSH shuffles (bucket, id, vector) once and bounds
