@@ -34,9 +34,12 @@ object Deflate {
       val buf = new Array[Byte](1024)
       while (!inflater.finished()) {
         val n = inflater.inflate(buf)
-        // needsDictionary: FDICT streams make inflate() return 0 with
-        // needsInput() false — without this check the loop never ends
-        if (n == 0 && (inflater.needsInput() || inflater.needsDictionary())) {
+        // an empty payload returns 0 AND finishes in the same call — only
+        // a 0 that leaves the stream unfinished is an error. needsDictionary
+        // covers FDICT streams, where inflate() returns 0 with
+        // needsInput() false and the loop would otherwise never end.
+        if (n == 0 && !inflater.finished() &&
+            (inflater.needsInput() || inflater.needsDictionary())) {
           throw new IllegalArgumentException("truncated or unsupported deflate stream")
         }
         out.write(buf, 0, n)

@@ -1,0 +1,115 @@
+package graft.geom
+
+import graft.functions.TopKBuffer
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import scala.util.Random
+
+/** Randomized invariants over the codec and index primitives —
+  * deterministic seeds, a few hundred cases per property, checking the
+  * algebraic laws the engine relies on rather than single examples.
+  */
+class PropertiesSpec extends AnyFunSuite with Matchers {
+
+  private val gf = new GeometryFactory()
+  private def rng = new Random(0xC0FFEE)
+
+  test("Z2: split/combine are inverse; index decomposes into its inputs") {
+    val r = rng
+    (1 to 500).foreach { _ =>
+      val x = r.nextInt(1 << 30)
+      val y = r.nextInt(1 << 30)
+      Z2.combine(Z2.split(x.toLong)) shouldBe x
+      val z = Z2.index(x, y)
+      Z2.xOf(z) shouldBe x
+      Z2.yOf(z) shouldBe y
+    }
+  }
+
+  test("Z2: key ranges of nested envelopes nest") {
+    val r = rng
+    (1 to 200).foreach { _ =>
+      val lon = r.nextDouble() * 340 - 170
+      val lat = r.nextDouble() * 160 - 80
+      val (wLo, wHi) = Z2.indexRange(gf.toGeometry(
+        new org.locationtech.jts.geom.Envelope(lon - 1, lon + 1, lat - 1, lat + 1)))
+      val (nLo, nHi) = Z2.indexRange(gf.toGeometry(
+        new org.locationtech.jts.geom.Envelope(lon - 0.1, lon + 0.1, lat - 0.1, lat + 0.1)))
+      nLo should be >= wLo
+      nHi should be <= wHi
+    }
+  }
+
+  test("GeoHash: cell of encode(p) contains p at every precision 5..40") {
+    val r = rng
+    (1 to 100).foreach { _ =>
+      val lon = r.nextDouble() * 360 - 180
+      val lat = r.nextDouble() * 180 - 90
+      (5 to 40 by 5).foreach { bits =>
+        val h = GeoHash.encode(lon, lat, bits)
+        val env = GeoHash.decodeEnvelope(h, bits)
+        withClue(s"($lon,$lat)@$bits→$h env=$env") {
+          env.getMinX should be <= lon
+          env.getMaxX should be >= lon
+          env.getMinY should be <= lat
+          env.getMaxY should be >= lat
+        }
+      }
+    }
+  }
+
+  test("TWKB: random linestrings roundtrip within the quantization step") {
+    val r = rng
+    (1 to 100).foreach { _ =>
+      val n = 2 + r.nextInt(20)
+      val coords = Array.fill(n)(new Coordinate(
+        math.rint((r.nextDouble() * 360 - 180) * 1e6) / 1e6,
+        math.rint((r.nextDouble() * 180 - 90) * 1e6) / 1e6))
+      val g = gf.createLineString(coords)
+      val back = TWKB.read(TWKB.write(g, 6))
+      back.getNumPoints shouldBe n
+      back.getCoordinates.zip(coords).foreach { case (a, b) =>
+        a.x shouldBe b.x +- 5e-7
+        a.y shouldBe b.y +- 5e-7
+      }
+    }
+  }
+
+  test("WKB: exact roundtrip for random multipoints") {
+    val r = rng
+    (1 to 100).foreach { _ =>
+      val n = 1 + r.nextInt(10)
+      val g = gf.createMultiPointFromCoords(Array.fill(n)(
+        new Coordinate(r.nextDouble() * 360 - 180, r.nextDouble() * 180 - 90)))
+      GeomIO.fromWKB(GeomIO.toWKB(g)).equalsExact(g) shouldBe true
+    }
+  }
+
+  test("Deflate: roundtrip arbitrary byte blobs of any size") {
+    val r = rng
+    (0 to 50).foreach { i =>
+      val bytes = new Array[Byte](i * 37 % 2048)
+      r.nextBytes(bytes)
+      Deflate.decompress(Deflate.compress(bytes)).toSeq shouldBe bytes.toSeq
+    }
+  }
+
+  test("TopKBuffer: equals reference sort under random inserts, merges and NaN-free input") {
+    val r = rng
+    (1 to 100).foreach { _ =>
+      val k = 1 + r.nextInt(8)
+      val n = r.nextInt(60)
+      val items = Seq.fill(n)((r.nextLong() % 1000, math.rint(r.nextDouble() * 10) / 10))
+      val expected = items.distinct
+        .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)).take(k)
+      // two partial buffers merged, mimicking map-side partials
+      val (left, right) = items.distinct.splitAt(items.distinct.size / 2)
+      val bufA = new TopKBuffer(k); left.foreach { case (id, s) => bufA.add(id, s) }
+      val bufB = new TopKBuffer(k); right.foreach { case (id, s) => bufB.add(id, s) }
+      var i = 0
+      while (i < bufB.size) { bufA.add(bufB.idAt(i), bufB.scoreAt(i)); i += 1 }
+      bufA.sorted.toSeq shouldBe expected.map { case (id, s) => (id, s) }
+    }
+  }
+}
