@@ -127,15 +127,25 @@ object Dedup {
     */
   def simhashNearDup(
       df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, pieces: Int = 4): DataFrame = {
+      maxDist: Int = 3, pieces: Int = 4, maxBucket: Int = 0): DataFrame = {
     require(maxDist < pieces, "pigeonhole banding needs maxDist < pieces")
     val bitsPer = 64 / pieces
     val withHash = df.select(col(idCol), simhash64(textCol).as("__simhash"))
-    val chunks = withHash.select(
+    val allChunks = withHash.select(
       col(idCol), col("__simhash"),
       posexplode(expr(
         s"transform(sequence(0, ${pieces - 1}), j -> (__simhash >> (j * $bitsPer)) & ${(1L << bitsPer) - 1})"))
         .as(Seq("__piece", "__chunk")))
+    // same hot-bucket guard as minhashLsh: an m-row chunk bucket yields m²
+    // candidate pairs; identical boilerplate belongs to exact dedup
+    val chunks =
+      if (maxBucket <= 0) allChunks
+      else {
+        val overCap = allChunks.groupBy("__piece", "__chunk")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+          .select("__piece", "__chunk")
+        allChunks.join(broadcast(overCap), Seq("__piece", "__chunk"), "left_anti")
+      }
     val a = chunks.select(col(idCol).as("id_a"), col("__simhash").as("__ha"), col("__piece"), col("__chunk"))
     val b = chunks.select(col(idCol).as("id_b"), col("__simhash").as("__hb"), col("__piece"), col("__chunk"))
     a.join(b, Seq("__piece", "__chunk"))

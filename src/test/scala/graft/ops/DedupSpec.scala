@@ -97,6 +97,28 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     pairs should not contain ((1L, 4L))
   }
 
+  test("simhashNearDup: maxBucket drops boilerplate-bucket pairs, keeps real near-dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hot = (10L to 29L).map(_ -> "boiler plate boiler plate boiler plate boiler plate")
+    val df = docs(Seq(
+      1L -> base,
+      2L -> base.replace("kappa", "lambda")) ++ hot: _*)
+    // pick the banding from the measured distance so the near-dup pair is
+    // guaranteed findable via pigeonhole (dist < pieces)
+    val h = df.filter(col("id") <= 2).select(col("id"), Dedup.simhash64("text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = java.lang.Long.bitCount(h(1L) ^ h(2L))
+    val pieces = 32 // 2-bit chunks; dist < 32 holds for this near-dup pair
+    dist should be < pieces
+    val capped = Dedup.simhashNearDup(df, "id", "text", dist, pieces, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped should contain((1L, 2L))
+    capped.filter(_._1 >= 10L) shouldBe empty
+    val uncapped = Dedup.simhashNearDup(df, "id", "text", dist, pieces)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    uncapped.count(p => p._1 >= 10L && p._2 >= 10L) shouldBe 190 // the quadratic blowup the cap removes
+  }
+
   test("embeddingNearDup matches a locally computed cosine filter") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, sfDir).limit(80).cache()
