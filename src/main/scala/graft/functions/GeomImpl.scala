@@ -600,6 +600,28 @@ object GeomImpl {
     out
   }
 
+  /** Membership count: how many of `words` appear in the (tiny, literal)
+    * `stops` list. Native twin of filter+array_contains.
+    */
+  def stopwordCountNative(words: ArrayData, stops: ArrayData): Int = {
+    val nw = words.numElements()
+    val ns = stops.numElements()
+    var count = 0
+    var i = 0
+    while (i < nw) {
+      val w = words.getUTF8String(i)
+      var s = 0
+      var found = false
+      while (s < ns && !found) {
+        if (stops.getUTF8String(s) == w) found = true
+        s += 1
+      }
+      if (found) count += 1
+      i += 1
+    }
+    count
+  }
+
   /** Argmax language by stopword hits: one pass over `words`, counting
     * membership in each profile (profiles are tiny literals — linear
     * probing beats per-row set building). First max wins; zero hits →

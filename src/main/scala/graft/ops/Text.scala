@@ -26,7 +26,8 @@ object Text {
     "the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a", "on")
 
   def stopwordCount(text: Column): Column =
-    size(filter(split(text, " "), w => array_contains(array(stopwords.map(lit): _*), w)))
+    graft.functions.FunctionDefs.call("stopword_count",
+      split(text, " "), typedlit(stopwords))
 
   /** Heuristic quality facets + a composite score in [0,1]; the formulas
     * are plain arithmetic so an external oracle can recompute them.
