@@ -170,6 +170,7 @@ object FunctionDefs {
     val exprs = cols.map(org.apache.spark.sql.GraftBridge.expression)
     val agg = name.toLowerCase match {
       case "topk_by_score"     => TopKAgg(exprs(0), exprs(1), exprs(2))
+      case "topn_rows"         => TopNRowsAgg(exprs(0), exprs(1), exprs(2), exprs(3))
       case "st_convexhullaggr" => ConvexHullAgg(exprs.head)
       case other               => throw new IllegalArgumentException(s"unknown aggregate $other")
     }

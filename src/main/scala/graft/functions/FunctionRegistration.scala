@@ -36,6 +36,10 @@ object FunctionRegistration {
     "topk_by_score" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.size == 3, "topk_by_score(id, score, k)")
       TopKAgg(children(0), children(1), children(2))
+    }),
+    "topn_rows" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 4, "topn_rows(id, payload, score, k)")
+      TopNRowsAgg(children(0), children(1), children(2), children(3))
     })
   )
 

@@ -103,6 +103,24 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** "Keep the N best documents per language by quality" through the
+    * payload-carrying top-N aggregate (graft.functions.TopNRowsAgg) —
+    * map-side partial top-N instead of a full window shuffle; ordering
+    * (score desc, id asc) matches the oracle's row_number exactly.
+    */
+  def txTopdocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = Text.quality(docs, "doc_id", "text").select("doc_id", "quality")
+    val withLang = docs.select(col("doc_id"), col("lang")).join(q, "doc_id")
+    withLang.groupBy("lang")
+      .agg(graft.functions.FunctionDefs.callAgg("topn_rows",
+        col("doc_id"), struct(col("quality")), col("quality"), lit(3)).as("__top"))
+      .select(col("lang"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("lang"), (col("__r") + 1).cast("int").as("rank"),
+        col("__t.id").as("doc_id"), col("__t.payload.quality").as("quality"))
+      .orderBy("lang", "rank")
+  }
+
   def mmFrames(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.sampleFrames(s, media, "doc_id", frameBytes = 32, stride = 4)
@@ -124,6 +142,7 @@ object Pipeline {
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
+    "tx_topdocs" -> txTopdocs _,
     "mm_features" -> mmFeatures _,
     "mm_frames" -> mmFrames _
   )
@@ -180,6 +199,22 @@ object Pipeline {
         | round(n_alnum * 1.0 / n_chars, 4) AS alnum_ratio,
         | round(least(n_words * 1.0 / 50.0, 1.0) * (n_alnum * 1.0 / n_chars), 4) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    "tx_topdocs" ->
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alnum
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(n_words * 1.0 / 50.0, 1.0) * (n_alnum * 1.0 / n_chars), 4) AS quality
+        |  FROM t),
+        |r AS (
+        |  SELECT d.lang, q.doc_id, q.quality,
+        |    row_number() OVER (PARTITION BY d.lang ORDER BY q.quality DESC, q.doc_id) AS rank
+        |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+        |SELECT lang, rank::INT AS rank, doc_id, quality
+        |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 16 AS feat_dim
         |FROM documents ORDER BY doc_id""".stripMargin,
