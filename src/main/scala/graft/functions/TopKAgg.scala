@@ -7,65 +7,11 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
-/** Bounded top-k buffer: the k highest-scoring (id, score) pairs, ordered
-  * by (score desc, id asc) — identical tie-break to
-  * `row_number() OVER (ORDER BY score DESC, id)`.
-  */
-final class TopKBuffer(val k: Int) {
-  // min-heap on (score asc, id desc): the root is the WORST kept entry
-  private var n = 0
-  private val scores = new Array[Double](k)
-  private val ids = new Array[Long](k)
-
-  private def worseThan(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 < s2 || (s1 == s2 && i1 > i2)
-
-  private def siftUp(pos: Int): Unit = {
-    var i = pos
-    while (i > 0 && worseThan(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {
-      val p = (i - 1) / 2
-      swap(i, p); i = p
-    }
-  }
-
-  private def siftDown(pos: Int): Unit = {
-    var i = pos
-    var done = false
-    while (!done) {
-      val l = 2 * i + 1; val r = 2 * i + 2
-      var worst = i
-      if (l < n && worseThan(scores(l), ids(l), scores(worst), ids(worst))) worst = l
-      if (r < n && worseThan(scores(r), ids(r), scores(worst), ids(worst))) worst = r
-      if (worst == i) done = true else { swap(i, worst); i = worst }
-    }
-  }
-
-  private def swap(a: Int, b: Int): Unit = {
-    val s = scores(a); scores(a) = scores(b); scores(b) = s
-    val t = ids(a); ids(a) = ids(b); ids(b) = t
-  }
-
-  def add(id: Long, score: Double): Unit =
-    if (n < k) {
-      scores(n) = score; ids(n) = id; n += 1
-      siftUp(n - 1)
-    } else if (n > 0 && worseThan(scores(0), ids(0), score, id)) {
-      scores(0) = score; ids(0) = id
-      siftDown(0)
-    }
-
-  def size: Int = n
-  def scoreAt(i: Int): Double = scores(i)
-  def idAt(i: Int): Long = ids(i)
-
-  /** (id, score) best-first. */
-  def sorted: Array[(Long, Double)] =
-    (0 until n).map(i => (ids(i), scores(i))).toArray
-      .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
-}
-
 /** Aggregate top-k by score: returns array<struct<id long, score double>>
   * best-first, with `row_number`-compatible ordering (score desc, id asc).
+  * The payload-free twin of [[TopNRowsAgg]] — both share
+  * [[TopNRowsBuffer]]'s bounded heap, so ranking/tie-break/NaN semantics
+  * can never diverge.
   *
   * The point at scale: this is an algebraic aggregate, so Spark applies
   * it map-side — each input partition reduces to ≤k entries per group
@@ -81,13 +27,9 @@ case class TopKAgg(
     kChild: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopNRowsBuffer] {
 
-  private lazy val k: Int = kChild.eval(InternalRow.empty) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(s"topk_by_score: k must be a literal int, got $other")
-  }
+  private lazy val k: Int = TopNRowsBuffer.literalK(kChild, "topk_by_score")
 
   override def prettyName: String = "topk_by_score"
   override def children: Seq[Expression] = Seq(idChild, scoreChild, kChild)
@@ -97,20 +39,14 @@ case class TopKAgg(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = (!idChild.resolved || idChild.dataType == LongType || idChild.dataType == IntegerType) &&
-      (!scoreChild.resolved || scoreChild.dataType == DoubleType || scoreChild.dataType == FloatType) &&
-      kChild.foldable
-    if (!ok)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "topk_by_score expects (id bigint, score double, k literal int)")
-    else if (k < 1)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"topk_by_score: k must be >= 1, got $k")
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      (!scoreChild.resolved || scoreChild.dataType == DoubleType || scoreChild.dataType == FloatType)
+    TopNRowsBuffer.checkK(ok, kChild, "topk_by_score",
+      "topk_by_score expects (id bigint, score double, k literal int)")
   }
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopNRowsBuffer = new TopNRowsBuffer(k)
 
-  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+  override def update(buf: TopNRowsBuffer, input: InternalRow): TopNRowsBuffer = {
     val id = idChild.eval(input)
     val score = scoreChild.eval(input)
     if (id != null && score != null) {
@@ -119,23 +55,23 @@ case class TopKAgg(
       // NaN never ranks (cosine of a zero vector); letting one in would
       // poison the heap — every comparison against NaN is false, so a NaN
       // root would reject all later candidates.
-      if (!scoreD.isNaN) buf.add(idL, scoreD)
+      if (!scoreD.isNaN) buf.add(idL, scoreD, TopNRowsBuffer.NoPayload)
     }
     buf
   }
 
-  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+  override def merge(a: TopNRowsBuffer, b: TopNRowsBuffer): TopNRowsBuffer = {
     var i = 0
-    while (i < b.size) { a.add(b.idAt(i), b.scoreAt(i)); i += 1 }
+    while (i < b.size) { a.add(b.idAt(i), b.scoreAt(i), TopNRowsBuffer.NoPayload); i += 1 }
     a
   }
 
-  override def eval(buf: TopKBuffer): Any =
-    new GenericArrayData(buf.sorted.map { case (id, s) =>
+  override def eval(buf: TopNRowsBuffer): Any =
+    new GenericArrayData(buf.sorted.map { case (id, s, _) =>
       new GenericInternalRow(Array[Any](id, s))
-    }.asInstanceOf[Array[Any]])
+    }.toArray[Any])
 
-  override def serialize(buf: TopKBuffer): Array[Byte] = {
+  override def serialize(buf: TopNRowsBuffer): Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + buf.size * 16)
     bb.putInt(buf.k).putInt(buf.size)
     var i = 0
@@ -143,12 +79,12 @@ case class TopKAgg(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+  override def deserialize(bytes: Array[Byte]): TopNRowsBuffer = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new TopKBuffer(bb.getInt)
+    val buf = new TopNRowsBuffer(bb.getInt)
     val n = bb.getInt
     var i = 0
-    while (i < n) { buf.add(bb.getLong, bb.getDouble); i += 1 }
+    while (i < n) { buf.add(bb.getLong, bb.getDouble, TopNRowsBuffer.NoPayload); i += 1 }
     buf
   }
 

@@ -57,6 +57,32 @@ final class TopNRowsBuffer(val k: Int) {
       .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
 }
 
+object TopNRowsBuffer {
+  /** Payload slot for the payload-free [[TopKAgg]]. */
+  val NoPayload: Array[Byte] = Array.emptyByteArray
+
+  /** Evaluate a foldable k literal, or -1 when it is null/non-integral
+    * (reported by [[checkK]] as an analysis error, never an exception).
+    */
+  def literalK(kChild: org.apache.spark.sql.catalyst.expressions.Expression,
+               fn: String): Int =
+    scala.util.Try(kChild.eval(InternalRow.empty)).toOption.orNull match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.intValue
+      case _ => -1
+    }
+
+  def checkK(inputsOk: Boolean,
+             kChild: org.apache.spark.sql.catalyst.expressions.Expression,
+             fn: String, usage: String): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (!inputsOk || !kChild.foldable) TypeCheckResult.TypeCheckFailure(usage)
+    else if (literalK(kChild, fn) < 1)
+      TypeCheckResult.TypeCheckFailure(s"$fn: k must be a literal integer >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+}
+
 /** Grouped top-N rows: `topn_rows(id, payload, score, k)` returns
   * array<struct<id, score, payload>> best-first, ranked like
   * `row_number() OVER (PARTITION BY grp ORDER BY score DESC, id ASC)`.
@@ -77,11 +103,7 @@ case class TopNRowsAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopNRowsBuffer] {
 
-  private lazy val k: Int = kChild.eval(InternalRow.empty) match {
-    case i: Int => i
-    case l: Long => l.toInt
-    case other => throw new IllegalArgumentException(s"topn_rows: k must be a literal int, got $other")
-  }
+  private lazy val k: Int = TopNRowsBuffer.literalK(kChild, "topn_rows")
 
   @transient private lazy val payloadProj =
     UnsafeProjection.create(Array(payloadChild.dataType))
@@ -96,15 +118,9 @@ case class TopNRowsAgg(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = (!idChild.resolved || idChild.dataType == LongType || idChild.dataType == IntegerType) &&
-      (!scoreChild.resolved || scoreChild.dataType == DoubleType || scoreChild.dataType == FloatType) &&
-      kChild.foldable
-    if (!ok)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        "topn_rows expects (id bigint, payload, score double, k literal int)")
-    else if (k < 1)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"topn_rows: k must be >= 1, got $k")
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      (!scoreChild.resolved || scoreChild.dataType == DoubleType || scoreChild.dataType == FloatType)
+    TopNRowsBuffer.checkK(ok, kChild, "topn_rows",
+      "topn_rows expects (id bigint, payload, score double, k literal int)")
   }
 
   override def createAggregationBuffer(): TopNRowsBuffer = new TopNRowsBuffer(k)

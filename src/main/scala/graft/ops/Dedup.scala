@@ -33,6 +33,31 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Shared hot-bucket guard for banded candidate generation: drop
+    * bucket keys holding more than `cap` rows before the self-join (an
+    * m-row bucket yields m² pairs — one boilerplate key would dominate
+    * the job, and AQE can split a partition but not shrink a quadratic
+    * pair count). Over-cap keys are found with a partial-aggregated
+    * count (one row per bucket through the shuffle) and broadcast into
+    * an anti-join; a window count would shuffle every key AND pin each
+    * hot bucket on one task.
+    *
+    * Trade-offs callers accept when setting a cap: (a) recall — a true
+    * near-dup pair whose only shared bucket is over the cap is lost, so
+    * run [[exact]] first (giant buckets are near-always identical
+    * content); (b) cost — the banded frame's lineage is evaluated twice
+    * (once for counts, once as the probe side); persist upstream if the
+    * signature computation dominates.
+    */
+  private def dropOverCapBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val overCap = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+        .select(keys.map(col): _*)
+      banded.join(broadcast(overCap), keys, "left_anti")
+    }
+
   // ------------------------------------------------------- minhash LSH
 
   /** Distinct word k-shingles as an array column (native codegen'd
@@ -82,18 +107,7 @@ object Dedup {
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
         hash(slice(col("__sig"), j * r + 1, lit(r))))).as(Seq("__band", "__bkey")))
-    val bandKeys =
-      if (maxBucket <= 0) allBandKeys
-      else {
-        // over-cap buckets are few — find them with a partial-aggregated
-        // count (one row per bucket through the shuffle) and broadcast the
-        // blacklist into an anti-join. A window count here would shuffle
-        // every band key AND pin each hot bucket onto one task.
-        val overCap = allBandKeys.groupBy("__band", "__bkey")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-          .select("__band", "__bkey")
-        allBandKeys.join(broadcast(overCap), Seq("__band", "__bkey"), "left_anti")
-      }
+    val bandKeys = dropOverCapBuckets(allBandKeys, Seq("__band", "__bkey"), maxBucket)
     val a = bandKeys.select(col(idCol).as("id_a"), col("__band"), col("__bkey"))
     val b = bandKeys.select(col(idCol).as("id_b"), col("__band"), col("__bkey"))
     val candidates = a.join(b, Seq("__band", "__bkey"))
@@ -124,6 +138,11 @@ object Dedup {
     * — any pair within maxDist < pieces must share at least one exact
     * chunk — equi-join on (chunk index, chunk value), then verify the
     * true distance. Returns (id_a, id_b, dist).
+    *
+    * `maxBucket` (0 = off) applies [[dropOverCapBuckets]]: with a cap set
+    * the pigeonhole guarantee is no longer exact — a pair whose every
+    * shared chunk sits in an over-cap bucket is lost. Run [[exact]]
+    * first; see the helper's scaladoc for the full trade-off.
     */
   def simhashNearDup(
       df: DataFrame, idCol: String, textCol: String,
@@ -136,16 +155,7 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${pieces - 1}), j -> (__simhash >> (j * $bitsPer)) & ${(1L << bitsPer) - 1})"))
         .as(Seq("__piece", "__chunk")))
-    // same hot-bucket guard as minhashLsh: an m-row chunk bucket yields m²
-    // candidate pairs; identical boilerplate belongs to exact dedup
-    val chunks =
-      if (maxBucket <= 0) allChunks
-      else {
-        val overCap = allChunks.groupBy("__piece", "__chunk")
-          .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-          .select("__piece", "__chunk")
-        allChunks.join(broadcast(overCap), Seq("__piece", "__chunk"), "left_anti")
-      }
+    val chunks = dropOverCapBuckets(allChunks, Seq("__piece", "__chunk"), maxBucket)
     val a = chunks.select(col(idCol).as("id_a"), col("__simhash").as("__ha"), col("__piece"), col("__chunk"))
     val b = chunks.select(col(idCol).as("id_b"), col("__simhash").as("__hb"), col("__piece"), col("__chunk"))
     a.join(b, Seq("__piece", "__chunk"))

@@ -16,9 +16,11 @@ class RegistrySpec extends AnyFunSuite with SparkTestSession with Matchers {
 
   test("every reference function name resolves in the session registry") {
     assume(new java.io.File(createUdfsSql).exists())
-    val referenceNames = Source.fromFile(createUdfsSql).getLines()
-      .flatMap("(?i)FUNCTION\\s+(st_\\w+)".r.findFirstMatchIn(_).map(_.group(1)))
-      .toSeq
+    val referenceNames = scala.util.Using.resource(Source.fromFile(createUdfsSql)) { src =>
+      src.getLines()
+        .flatMap("(?i)FUNCTION\\s+(st_\\w+)".r.findFirstMatchIn(_).map(_.group(1)))
+        .toSeq
+    }
     referenceNames.size should be >= 75
     val registry = spark.sessionState.functionRegistry
     val missing = referenceNames.filterNot(n =>
@@ -26,9 +28,12 @@ class RegistrySpec extends AnyFunSuite with SparkTestSession with Matchers {
     withClue(s"missing from registry: $missing") { missing shouldBe empty }
   }
 
-  test("graft extension names (extent, z2, vector, aggregate) resolve too") {
+  test("every graft builder (scalars and aggregates) resolves too") {
     val registry = spark.sessionState.functionRegistry
-    val extras = FunctionDefs.defs.map(_._1) ++ Seq("st_convexHullAggr", "topk_by_score")
+    // derived from the registration source of truth, so a dropped
+    // aggregate registration fails here rather than passing silently
+    val extras = FunctionRegistration.builders.map(_._1)
+    extras.map(_.toLowerCase) should contain allOf ("topk_by_score", "topn_rows", "st_convexhullaggr")
     val missing = extras.filterNot(n =>
       registry.functionExists(FunctionIdentifier(n.toLowerCase)))
     withClue(s"missing from registry: $missing") { missing shouldBe empty }

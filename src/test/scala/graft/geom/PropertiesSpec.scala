@@ -1,6 +1,6 @@
 package graft.geom
 
-import graft.functions.TopKBuffer
+import graft.functions.TopNRowsBuffer
 import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
@@ -104,12 +104,13 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       val expected = items.distinct
         .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)).take(k)
       // two partial buffers merged, mimicking map-side partials
+      val none = TopNRowsBuffer.NoPayload
       val (left, right) = items.distinct.splitAt(items.distinct.size / 2)
-      val bufA = new TopKBuffer(k); left.foreach { case (id, s) => bufA.add(id, s) }
-      val bufB = new TopKBuffer(k); right.foreach { case (id, s) => bufB.add(id, s) }
+      val bufA = new TopNRowsBuffer(k); left.foreach { case (id, s) => bufA.add(id, s, none) }
+      val bufB = new TopNRowsBuffer(k); right.foreach { case (id, s) => bufB.add(id, s, none) }
       var i = 0
-      while (i < bufB.size) { bufA.add(bufB.idAt(i), bufB.scoreAt(i)); i += 1 }
-      bufA.sorted.toSeq shouldBe expected.map { case (id, s) => (id, s) }
+      while (i < bufB.size) { bufA.add(bufB.idAt(i), bufB.scoreAt(i), none); i += 1 }
+      bufA.sorted.map(t => (t._1, t._2)).toSeq shouldBe expected.map { case (id, s) => (id, s) }
     }
   }
 }
