@@ -219,7 +219,8 @@ object Relational {
         |ORDER BY rf, ls""".stripMargin,
     "ev_window" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
-        | event_type, count(*) AS n, round(avg(value),4) AS avg_value
+        | event_type, count(*) AS n,
+        | ((sum(round(value * 1000000.0)::BIGINT) + count(*) * 50) // (count(*) * 100)) / 10000.0 AS avg_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "ev_sessions" ->
       """SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events

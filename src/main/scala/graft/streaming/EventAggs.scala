@@ -10,14 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object EventAggs {
 
-  /** Hourly tumbling window × event_type: count + avg(value). */
+  /** Hourly tumbling window × event_type: count + avg(value), 4 dp.
+    *
+    * The average is computed entirely in integer arithmetic: values
+    * become micro-unit longs (round(value·10⁶)), the sum is exact and
+    * order-independent, and the 4-dp rounding is integer half-up
+    * ((sum + d/2) div d). `round(avg(double), 4)` is NOT reproducible
+    * across engines: float summation order shifts the last ulp, and on
+    * exact decimal ties Spark rounds the decimal string HALF_UP while
+    * DuckDB rounds the binary double — both found by the oracle compare
+    * at sf0.1.
+    */
   def hourly(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6).cast("long")).as("__sum_micro"))
       .select(
         unix_timestamp(col("w.start")).as("hour_start"),
-        col("event_type"), col("n"), col("avg_value"))
+        col("event_type"), col("n"),
+        // integer half-up rounding of sum_micro / (n·10⁶) to 4 dp
+        (expr("(__sum_micro + n * 50) div (n * 100)") / 1e4).as("avg_value"))
 
   /** Streaming variant: same aggregation behind an event-time watermark
     * (late data beyond `delay` is dropped; state for closed windows is
