@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,17 +20,39 @@ object Relational {
 
   private def q(name: String)(f: (SparkSession, String) => DataFrame) = name -> f
 
+  /** Money/quantity columns carry exactly 2 decimals, so all aggregation
+    * runs on exact integer cents (and cents×basis-points micro-units for
+    * the discounted price): sums are order-independent and
+    * engine-independent, unlike `round(sum(double), 2)`, whose float
+    * summation order plus exact-decimal rounding ties diverge between
+    * engines (observed on ev_window at sf0.1; q3 even ORDERS by the sum).
+    * Sums accumulate as decimal(38,0) for overflow headroom at warehouse
+    * scale. Rounding is integer half-up: `(x + half) div unit` — for the
+    * 4-dp average, `n div 2` truncation is safe because an odd divisor
+    * can never produce an exact tie.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private val discPriceMicro: Column =
+    (cents(col("l_extendedprice")) *
+      (lit(10000L) - round(col("l_discount") * 10000).cast("long"))).cast("decimal(38,0)")
+
   /** TPC-H Q1-style pricing summary: one scan, one shuffle on the 6-group key. */
   def q1Agg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
+        sum(cents(col("l_quantity")).cast("decimal(38,0)")).as("__qty_c"),
+        sum(cents(col("l_extendedprice")).cast("decimal(38,0)")).as("__base_c"),
+        sum(discPriceMicro).as("__disc_m"),
         count(lit(1)).as("count_order")
       )
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        (col("__qty_c") / 100.0).cast("double").as("sum_qty"),
+        (col("__base_c") / 100.0).cast("double").as("sum_base_price"),
+        (expr("(__disc_m + 5000) div 10000") / 100.0).as("sum_disc_price"),
+        (expr("(__qty_c * 100 + count_order div 2) div count_order") / 1e4).as("avg_qty"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3-style: broadcast the filtered customer dim, shuffle join o⋈l. */
@@ -41,8 +63,10 @@ object Relational {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-      .select("l_orderkey", "revenue", "o_orderdate")
+      .agg(sum(discPriceMicro).as("__rev_m"))
+      .select(col("l_orderkey"),
+        (expr("(__rev_m + 5000) div 10000") / 100.0).as("revenue"),
+        col("o_orderdate"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -62,7 +86,8 @@ object Relational {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(sum(discPriceMicro).as("__rev_m"))
+      .select(col("n_name"), (expr("(__rev_m + 5000) div 10000") / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -113,7 +138,10 @@ object Relational {
   def qDateBuckets(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start"))
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice")).cast("decimal(38,0)")).as("__tot_c"))
+      .select(col("month_start"), col("n_orders"),
+        (col("__tot_c") / 100.0).cast("double").as("total"))
       .orderBy("month_start")
 
   /** Rollup over returnflag/linestatus with NULL-safe labels. */
@@ -158,17 +186,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // money/quantity math in exact integer cents / micro-units with
+    // integer half-up rounding — the bit-identical twin of the Spark side
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty,
+        | sum(round(l_quantity*100)::BIGINT) / 100.0 AS sum_qty,
+        | sum(round(l_extendedprice*100)::BIGINT) / 100.0 AS sum_base_price,
+        | ((sum(round(l_extendedprice*100)::BIGINT * (10000 - round(l_discount*10000)::BIGINT)) + 5000) // 10000) / 100.0 AS sum_disc_price,
+        | ((sum(round(l_quantity*100)::BIGINT) * 100 + count(*) // 2) // count(*)) / 10000.0 AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | ((sum(round(l_extendedprice*100)::BIGINT * (10000 - round(l_discount*10000)::BIGINT)) + 5000) // 10000) / 100.0 AS revenue,
         | o_orderdate
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -180,7 +210,7 @@ object Relational {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue
+        | ((sum(round(l_extendedprice*100)::BIGINT * (10000 - round(l_discount*10000)::BIGINT)) + 5000) // 10000) / 100.0 AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -210,7 +240,7 @@ object Relational {
         |ORDER BY p_partkey""".stripMargin,
     "q_date_buckets" ->
       """SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_start,
-        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        | count(*) AS n_orders, sum(round(o_totalprice*100)::BIGINT) / 100.0 AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag,'ALL') AS rf,
