@@ -53,4 +53,44 @@ object SpatialJoin {
       .filter(st.intersects(col(leftGeom), col(rightGeom)))
       .drop("__cell", "__lext", "__rext")
   }
+
+  /** k nearest corpus POINTS for each query geometry, searched within
+    * `radius` (planar degrees). Candidates come from the Z2 cells
+    * covering the query's radius-expanded envelope (equi-join on cell —
+    * each corpus point lives in exactly one cell, so no pair dedup is
+    * needed); exact distances then rank through the bounded-heap
+    * aggregate, so each partition reduces to ≤k candidates per query
+    * before the shuffle.
+    *
+    * Neighbors beyond `radius` are not considered — the caller bounds the
+    * search (an unbounded exact KNN needs expanding-ring search; at
+    * corpus scale a radius bound is almost always what's wanted). Pick
+    * `level` so a cell is at least radius wide (360/2^level ≥ radius):
+    * the cover then spans O(1) cells per query.
+    * Output: (qid, rank, id, dist), rank 1 = nearest, ties broken by id.
+    */
+  def knnPoints(
+      queries: DataFrame, qidCol: String, qGeom: String,
+      corpus: DataFrame, idCol: String, cGeom: String,
+      k: Int, radius: Double, level: Int = 6): DataFrame = {
+    val lev = lit(level)
+    val q = queries.select(col(qidCol).as("qid"), col(qGeom).as("__qg"))
+      .withColumn("__e", st.extentFromGeom(col("__qg")))
+      .withColumn("__box", st.makeBBOX(
+        col("__e.xmin") - radius, col("__e.ymin") - radius,
+        col("__e.xmax") + radius, col("__e.ymax") + radius))
+      .withColumn("__cell", explode(st.z2CellCover(col("__box"), lev)))
+      .select("qid", "__qg", "__cell")
+    val c = corpus.select(col(idCol).as("id"), col(cGeom).as("__cg"))
+      .withColumn("__cell", st.z2Cell(col("__cg"), lev))
+    c.join(q, "__cell")
+      .withColumn("__dist", st.distance(col("__qg"), col("__cg")))
+      .filter(col("__dist") <= radius)
+      .groupBy("qid")
+      .agg(graft.functions.FunctionDefs.callAgg("topk_by_score",
+        col("id"), -col("__dist"), lit(k)).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("qid"), (col("__r") + 1).cast("int").as("rank"),
+        col("__t.id").as("id"), (-col("__t.score")).as("dist"))
+  }
 }

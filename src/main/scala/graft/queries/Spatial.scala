@@ -211,6 +211,20 @@ object Spatial {
       .orderBy("s_suppkey")
   }
 
+  /** Distributed KNN join: 5 nearest customer points (incl. self) for
+    * each of the first 20 customers, within 15°. Cell-cover candidates +
+    * bounded-heap ranking; the oracle replays it as a row_number over the
+    * identical IEEE point distance.
+    */
+  def spKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = customerPoints(s, dir).select(col("c_custkey"), col("geom"))
+    graft.ops.SpatialJoin.knnPoints(
+        pts.filter(col("c_custkey") <= 20), "c_custkey", "geom",
+        pts, "c_custkey", "geom", k = 5, radius = 15.0, level = 4)
+      .select(col("qid"), col("rank"), col("id"), round(col("dist"), 6).as("dist"))
+      .orderBy("qid", "rank")
+  }
+
   /** Geodesic buffer membership (no closed-form oracle → rows-only;
     * STFunctionsSpec asserts buffer geometry properties).
     */
@@ -251,7 +265,8 @@ object Spatial {
     "sp_reproject" -> spReproject _,
     "sp_z2_partition" -> spZ2Partition _,
     "sp_buffer_count" -> spBufferCount _,
-    "sp_spatial_join" -> spSpatialJoin _
+    "sp_spatial_join" -> spSpatialJoin _,
+    "sp_knn_join" -> spKnnJoin _
   )
 
   /** Morton interleave as SQL: bit k of ix → position 2k, bit k of iy →
@@ -269,6 +284,17 @@ object Spatial {
        |FROM customer ORDER BY c_custkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sp_knn_join" ->
+      s"""WITH pts AS (SELECT c_custkey AS id, $lonSql AS x, $latSql AS y FROM customer),
+         |q AS (SELECT * FROM pts WHERE id <= 20),
+         |d AS (SELECT q.id AS qid, p.id AS id,
+         |        sqrt((q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y)) AS dist
+         |      FROM q CROSS JOIN pts p),
+         |r AS (SELECT qid, id, dist,
+         |        row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+         |      FROM d WHERE dist <= 15.0)
+         |SELECT qid, rank::INT AS rank, id, round(dist, 6) AS dist
+         |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "sp_z2_partition" ->
       s"""WITH base AS (
          |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),

@@ -34,7 +34,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
   }
 
   test("candidate-generation joins are equi-joins, never cartesian") {
-    for (q <- Seq("dd_minhash", "dd_simhash", "ann_lsh", "ann_ivf", "sp_spatial_join")) {
+    for (q <- Seq("dd_minhash", "dd_simhash", "ann_lsh", "ann_ivf", "sp_spatial_join", "sp_knn_join")) {
       val p = planOf(q)
       withClue(s"$q plan:\n$p") {
         p.contains("CartesianProduct") shouldBe false

@@ -126,6 +126,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     stateBased shouldBe lagBased
   }
 
+  test("spatial predicates work on streaming frames (st_intersects filter on a stream)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.functions.st
+    val input = MemoryStream[(Long, Double, Double)](spark)
+    val filtered = input.toDF().toDF("id", "lon", "lat")
+      .withColumn("geom", st.makePoint(col("lon"), col("lat")))
+      .filter(st.intersects(st.makeBBOX(0.0, 0.0, 10.0, 10.0), col("geom")))
+    val q = filtered.select("id").writeStream
+      .format("memory").queryName("sp_stream").outputMode("append").start()
+    try {
+      input.addData((1L, 5.0, 5.0), (2L, 50.0, 5.0), (3L, 9.9, 0.1))
+      q.processAllAvailable()
+      input.addData((4L, -5.0, -5.0), (5L, 0.0, 10.0)) // 5 on the boundary → intersects
+      q.processAllAvailable()
+      spark.table("sp_stream").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 3L, 5L)
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     val spark0 = spark
     import spark0.implicits._
