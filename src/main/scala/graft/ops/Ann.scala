@@ -57,16 +57,16 @@ object Ann {
     * — computed scan-side by the native codegen'd lsh_bucket expression,
     * no shuffle, no stored hyperplane matrix.
     */
-  def lshBucket(vecCol: String, nBits: Int, dim: Int, seed: Long = 7): org.apache.spark.sql.Column =
+  def lshBucket(vecCol: String, nBits: Int, seed: Long = 7): org.apache.spark.sql.Column =
     graft.functions.FunctionDefs.call("lsh_bucket",
       Vectors.toDouble(col(vecCol)), lit(nBits), lit(seed))
 
   /** (id, bucket) for every corpus row. */
   def lshBuckets(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nBits: Int, dim: Int, seed: Long = 7): DataFrame =
+      nBits: Int, seed: Long = 7): DataFrame =
     corpus.select(col(idCol).as("id"), col(vecCol),
-      lshBucket(vecCol, nBits, dim, seed).as("bucket"))
+      lshBucket(vecCol, nBits, seed).as("bucket"))
 
   /** Multi-table LSH top-k: `tables` independent signature tables (the
     * standard recall amplifier — candidate recall is 1-(1-p)^tables),
@@ -77,11 +77,11 @@ object Ann {
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nBits: Int, dim: Int, tables: Int = 8, seed: Long = 7): DataFrame = {
+      k: Int, nBits: Int, tables: Int = 8, seed: Long = 7): DataFrame = {
     def tabled(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id).as("__id"), Vectors.toDouble(col(vec)).as("__vec"),
         posexplode(array((0 until tables).map(t =>
-          lshBucket(vec, nBits, dim, seed + t * 7919)): _*)).as(Seq("__tbl", "__bucket")))
+          lshBucket(vec, nBits, seed + t * 7919)): _*)).as(Seq("__tbl", "__bucket")))
     val c = tabled(corpus, idCol, vecCol)
       .select(col("__id").as("id"), col("__vec").as("__v"), col("__tbl"), col("__bucket"))
     val q = tabled(queries, qidCol, qvecCol)

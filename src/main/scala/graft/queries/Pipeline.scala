@@ -59,7 +59,7 @@ object Pipeline {
     val e = Tables.embeddings(s, dir)
     Ann.lshTopK(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, nBits = 8, dim = 64)
+        k = 10, nBits = 8)
       .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
       .orderBy("qid", "rank")
   }

@@ -44,9 +44,9 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
   }
 
   test("lshBuckets is deterministic and spreads the corpus") {
-    val b1 = Ann.lshBuckets(corpus, "vec_id", "embedding", nBits = 8, dim = 64)
+    val b1 = Ann.lshBuckets(corpus, "vec_id", "embedding", nBits = 8)
       .select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val b2 = Ann.lshBuckets(corpus, "vec_id", "embedding", nBits = 8, dim = 64)
+    val b2 = Ann.lshBuckets(corpus, "vec_id", "embedding", nBits = 8)
       .select("id", "bucket").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     b1 shouldBe b2
     b1.values.toSet.size should be > 16 // 256 possible buckets, 500 vecs
@@ -58,7 +58,7 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val approx = Ann.lshTopK(corpus, "vec_id", "embedding",
         corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
-        k = 10, nBits = 8, dim = 64)
+        k = 10, nBits = 8)
       .collect()
     // correctness: reported cosines are the exact cosines
     approx.foreach { r =>
