@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.functions.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large text corpora (SURVEY.md §2.8).
@@ -27,10 +26,22 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
-  /** The deduplicated frame: keep the min-id row per content hash. */
+  /** The deduplicated frame: keep the min-id row per content hash.
+    *
+    * Survivors are computed with the partial-aggregating [[exactGroups]]
+    * and semi-joined back on (hash, id) — the wide document rows never
+    * shuffle (only their 16-byte digests do), and no duplicate group is
+    * pinned onto a single task the way a
+    * `row_number().over(partitionBy(hash))` window would.
+    */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val survivors = exactGroups(df, idCol, textCol)
+      .select(col("content_hash"), col("survivor_id").as(idCol))
+    df.withColumn("__hash", md5(col(textCol)))
+      .join(survivors,
+        col("__hash") === survivors("content_hash") && df(idCol) === survivors(idCol),
+        "left_semi")
+      .drop("__hash")
   }
 
   /** Shared hot-bucket guard for banded candidate generation: drop

@@ -43,6 +43,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("Dedup.exact: survivors via aggregate + semi-join, no full-row window shuffle") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val df = ops.Dedup.exact(docs, "doc_id", "text")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    withClue(s"plan:\n$p") {
+      p.contains("Window") shouldBe false
+      p should include("LeftSemi")
+      // the digest aggregation goes partial→final (map-side combine)
+      p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+    }
+  }
+
   test("spatial scalar pipeline stays inside whole-stage codegen") {
     val p = planOf("sp_measure")
     p should include("*(") // WholeStageCodegen stage marker
