@@ -28,22 +28,33 @@ object Bench {
       .groupBy("r_name").count()
       .write.format("noop").mode("overwrite").save()
 
+    // Median of `iters` timed passes per query: one-shot timings mix
+    // codegen compilation, JIT warmup and IO-cache state into the number,
+    // which showed up as uninterpretable 1.4–4.8× swings on unchanged
+    // plans between rounds. The median of 3 is robust to one outlier pass.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+      val times = (1 to iters).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val median = if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
+      (name, median, times.size == iters)
     }
-    // Failed queries are recorded as negative elapsed time (sentinel) and
-    // listed under "errors" so a throw is never mistaken for a fast success.
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
+    // Failed queries are recorded as -1 (sentinel) and listed under
+    // "errors"; they are EXCLUDED from total so a partially-failed run
+    // never publishes a comparable-looking headline number.
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"iterations":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

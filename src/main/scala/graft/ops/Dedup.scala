@@ -28,18 +28,29 @@ object Dedup {
 
   /** The deduplicated frame: keep the min-id row per content hash.
     *
+    * Precondition: `idCol` is unique — with duplicate ids, every row
+    * matching (hash, min id) survives (where the old window formulation
+    * kept exactly one).
+    *
     * Survivors are computed with the partial-aggregating [[exactGroups]]
-    * and semi-joined back on (hash, id) — the wide document rows never
-    * shuffle (only their 16-byte digests do), and no duplicate group is
-    * pinned onto a single task the way a
-    * `row_number().over(partitionBy(hash))` window would.
+    * and semi-joined back on (hash, id). When the survivor set broadcasts,
+    * the wide document rows never shuffle (only their digests do); at
+    * corpus scale — one survivor per distinct document — the join degrades
+    * to a shuffled semi-join, where the win over a
+    * `row_number().over(partitionBy(hash))` window is that no duplicate
+    * group is pinned onto a single task (AQE can split skewed hash keys)
+    * and the digest-only aggregate still combines map-side.
+    *
+    * Joins are null-safe (`<=>`): md5(null) is null, and a plain `===`
+    * would silently drop every null-text row instead of keeping one
+    * representative.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val survivors = exactGroups(df, idCol, textCol)
       .select(col("content_hash"), col("survivor_id").as(idCol))
     df.withColumn("__hash", md5(col(textCol)))
       .join(survivors,
-        col("__hash") === survivors("content_hash") && df(idCol) === survivors(idCol),
+        col("__hash") <=> survivors("content_hash") && df(idCol) <=> survivors(idCol),
         "left_semi")
       .drop("__hash")
   }

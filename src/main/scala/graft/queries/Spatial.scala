@@ -234,6 +234,123 @@ object Spatial {
         st.bufferPoint(st.makePoint(lit(0.05), lit(0.05)), lit(2000000.0)), col("geom")))
       .select("c_custkey").orderBy("c_custkey")
 
+  /** DE-9IM predicate matrix over deterministic box configurations: B
+    * half-overlaps A (translate by w/2), C shares exactly A's right edge
+    * (translate by w — the same IEEE sum, so the edges are bit-identical),
+    * D is far disjoint (y+10 > any h), and L is a horizontal line through
+    * A's interior extending past both sides. Every predicate outcome —
+    * including the full relate() matrix strings — is a per-row constant
+    * the oracle asserts. Covers st_covers / st_crosses / st_disjoint /
+    * st_equals / st_overlaps / st_touches / st_relate / st_relateBool
+    * (reference spatial/src/main/scala/com/azavea/hiveless/spatial/ST_Covers.scala:1 et al).
+    */
+  def spPredicates(s: SparkSession, dir: String): DataFrame =
+    customerBoxes(s, dir)
+      .withColumn("boxB", st.translate(col("box"), col("w") / 2, lit(0.0)))
+      .withColumn("boxC", st.translate(col("box"), col("w"), lit(0.0)))
+      .withColumn("boxD", st.translate(col("box"), col("w") * 3, lit(10.0)))
+      .withColumn("lineL", st.makeLine(array(
+        st.makePoint(col("lon") - col("w"), col("lat") + col("h") / 2),
+        st.makePoint(col("lon") + col("w") * 2, col("lat") + col("h") / 2))))
+      .select(
+        col("c_custkey"),
+        when(st.covers(col("box"), st.makePoint(col("lon"), col("lat"))), 1).otherwise(0).as("covers_corner"),
+        when(st.covers(col("box"), col("boxB")), 1).otherwise(0).as("covers_b"),
+        when(st.equalsGeom(col("box"), st.envelope(col("box"))), 1).otherwise(0).as("equals_env"),
+        when(st.equalsGeom(col("box"), col("boxB")), 1).otherwise(0).as("equals_b"),
+        when(st.overlaps(col("box"), col("boxB")), 1).otherwise(0).as("overlaps_b"),
+        when(st.overlaps(col("box"), col("boxC")), 1).otherwise(0).as("overlaps_c"),
+        when(st.touches(col("box"), col("boxC")), 1).otherwise(0).as("touches_c"),
+        when(st.touches(col("box"), col("boxB")), 1).otherwise(0).as("touches_b"),
+        when(st.disjoint(col("box"), col("boxD")), 1).otherwise(0).as("disjoint_d"),
+        when(st.disjoint(col("box"), col("boxB")), 1).otherwise(0).as("disjoint_b"),
+        when(st.crosses(col("lineL"), col("box")), 1).otherwise(0).as("crosses_l"),
+        when(st.crosses(col("lineL"), col("boxD")), 1).otherwise(0).as("crosses_d"),
+        st.relate(col("box"), col("boxB")).as("rel_overlap"),
+        st.relate(col("box"), col("boxC")).as("rel_touch"),
+        st.relate(col("box"), col("boxD")).as("rel_disjoint"),
+        when(st.relateBool(col("box"), col("boxC"), lit("F***T****")), 1).otherwise(0).as("touch_pattern"))
+      .orderBy("c_custkey")
+
+  /** Accessor tail, value-checked: boundary length = perimeter, dimension
+    * per geometry class, exterior-ring vertex count and 1-based pointN
+    * coordinates (JTS envelope ring order: (xmin,ymin) → (xmin,ymax) →
+    * (xmax,ymax) → (xmax,ymin) → close), interior-ring absence, the st_is*
+    * family, typed casts and st_makePointM / st_byteArray passthroughs.
+    */
+  def spAccessors(s: SparkSession, dir: String): DataFrame =
+    customerBoxes(s, dir)
+      .withColumn("ring", st.exteriorRing(col("box")))
+      .withColumn("line3", st.makeLine(array(
+        col("geom"),
+        st.makePoint(col("lon") + 1.0, col("lat")),
+        st.makePoint(col("lon") + 2.0, col("lat")))))
+      .select(
+        col("c_custkey"),
+        round(st.length(st.boundary(col("box"))), 6).as("bnd_len"),
+        st.dimension(col("box")).as("dim_box"),
+        st.dimension(col("geom")).as("dim_pt"),
+        st.dimension(col("line3")).as("dim_line"),
+        st.coordDim(col("geom")).as("coord_dim"),
+        st.numPoints(col("ring")).as("np_ring"),
+        round(st.x(st.pointN(col("ring"), lit(3))), 6).as("p3x"),
+        round(st.y(st.pointN(col("ring"), lit(3))), 6).as("p3y"),
+        round(st.x(st.geometryN(col("geom"), lit(1))), 6).as("gn_x"),
+        when(st.interiorRingN(col("box"), lit(1)).isNull, 0).otherwise(1).as("has_iring"),
+        when(st.isValid(col("box")), 1).otherwise(0).as("is_valid"),
+        when(st.isSimple(col("box")), 1).otherwise(0).as("is_simple"),
+        when(st.isEmpty(col("box")), 1).otherwise(0).as("is_empty"),
+        when(st.isClosed(col("ring")), 1).otherwise(0).as("ring_closed"),
+        when(st.isRing(col("ring")), 1).otherwise(0).as("ring_is_ring"),
+        when(st.isCollection(col("box")), 1).otherwise(0).as("is_coll"),
+        when(st.isGeomField(st.asText(col("geom"))), 1).otherwise(0).as("is_geomfield"),
+        round(st.x(st.castToPoint(col("geom"))), 6).as("cast_pt_x"),
+        st.numPoints(st.castToPolygon(col("box"))).as("cast_poly_np"),
+        round(st.x(st.makePointM(col("lon"), col("lat"), lit(7.0))), 6).as("mpm_x"),
+        org.apache.spark.sql.functions.length(st.byteArray(lit("graft"))).cast("int").as("ba_len"))
+      .orderBy("c_custkey")
+
+  /** Processing tail, value-checked: Douglas-Peucker keeps all 5 box
+    * vertices but collapses a collinear 3-point line to 2; closestPoint
+    * returns the exact corner (vertex case) and the projected top-edge
+    * point (interior case); scalar convexHull of a box is the box, of a
+    * 3-point right-angle line the 0.5-area triangle; lengthSphere is the
+    * haversine of the single segment; antimeridianSafeGeom splits a
+    * 180°-crossing box into 2 parts preserving total area.
+    */
+  def spProcess(s: SparkSession, dir: String): DataFrame =
+    customerBoxes(s, dir)
+      .withColumn("line3", st.makeLine(array(
+        col("geom"),
+        st.makePoint(col("lon") + 1.0, col("lat")),
+        st.makePoint(col("lon") + 2.0, col("lat")))))
+      .withColumn("line2", st.makeLine(array(
+        col("geom"), st.makePoint(col("lon") + 1.0, col("lat")))))
+      .withColumn("tri", st.makeLine(array(
+        col("geom"),
+        st.makePoint(col("lon") + 1.0, col("lat")),
+        st.makePoint(col("lon"), col("lat") + 1.0))))
+      .withColumn("idlBox", st.makeBBOX(
+        lit(179.5), col("lat"), lit(179.5) + col("w") + lit(1.0), col("lat") + col("h")))
+      .select(
+        col("c_custkey"),
+        st.numPoints(st.simplify(col("box"), lit(0.01))).as("simp_np"),
+        st.numPoints(st.simplify(col("line3"), lit(0.01))).as("simp_line_np"),
+        st.numPoints(st.simplifyPreserveTopology(col("box"), lit(0.01))).as("topo_np"),
+        round(st.x(st.closestPoint(col("box"),
+          st.makePoint(col("lon") - 1.0, col("lat") - 1.0))), 6).as("cp1x"),
+        round(st.y(st.closestPoint(col("box"),
+          st.makePoint(col("lon") - 1.0, col("lat") - 1.0))), 6).as("cp1y"),
+        round(st.x(st.closestPoint(col("box"),
+          st.makePoint(col("lon") + col("w") / 2, col("lat") + col("h") + 2.0))), 6).as("cp2x"),
+        round(st.area(st.convexHull(col("box"))), 6).as("hull_area"),
+        round(st.area(st.convexHull(col("tri"))), 6).as("tri_area"),
+        st.numPoints(st.convexHull(col("tri"))).as("tri_np"),
+        round(st.lengthSphere(col("line2")), 1).as("lsph"),
+        round(st.area(st.antimeridianSafeGeom(col("idlBox"))), 6).as("ams_area"),
+        st.numGeometries(st.antimeridianSafeGeom(col("idlBox"))).as("ams_ng"))
+      .orderBy("c_custkey")
+
   /** Grouped convex hull through the native aggregate; the hull's
     * envelope must equal the group's coordinate min/max, which the
     * oracle recomputes arithmetically — a value-level check that the
@@ -260,6 +377,9 @@ object Spatial {
     "sp_geojson_roundtrip" -> spGeojsonRoundtrip _,
     "sp_geohash" -> spGeohash _,
     "sp_contains" -> spContains _,
+    "sp_predicates" -> spPredicates _,
+    "sp_accessors" -> spAccessors _,
+    "sp_process" -> spProcess _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
     "sp_reproject" -> spReproject _,
@@ -359,6 +479,48 @@ object Spatial {
     "sp_contains" ->
       """SELECT c_custkey, 1 AS has_inner, 0 AS has_corner, 1 AS inner_within
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // Predicate outcomes are per-row constants by construction (the box
+    // configurations have fixed topology for every w>0, h>0); relate
+    // matrix strings verified against JTS semantics.
+    "sp_predicates" ->
+      """SELECT c_custkey,
+        | 1 AS covers_corner, 0 AS covers_b, 1 AS equals_env, 0 AS equals_b,
+        | 1 AS overlaps_b, 0 AS overlaps_c, 1 AS touches_c, 0 AS touches_b,
+        | 1 AS disjoint_d, 0 AS disjoint_b, 1 AS crosses_l, 0 AS crosses_d,
+        | '212111212' AS rel_overlap, 'FF2F11212' AS rel_touch,
+        | 'FF2FF1212' AS rel_disjoint, 1 AS touch_pattern
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "sp_accessors" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat, $wSql AS w, $hSql AS h
+         |  FROM customer)
+         |SELECT c_custkey,
+         | round(2 * ((lon + w) - lon) + 2 * ((lat + h) - lat), 6) AS bnd_len,
+         | 2 AS dim_box, 0 AS dim_pt, 1 AS dim_line, 2 AS coord_dim, 5 AS np_ring,
+         | round(lon + w, 6) AS p3x, round(lat + h, 6) AS p3y,
+         | round(lon, 6) AS gn_x, 0 AS has_iring,
+         | 1 AS is_valid, 1 AS is_simple, 0 AS is_empty,
+         | 1 AS ring_closed, 1 AS ring_is_ring, 0 AS is_coll, 1 AS is_geomfield,
+         | round(lon, 6) AS cast_pt_x, 5 AS cast_poly_np,
+         | round(lon, 6) AS mpm_x, 5 AS ba_len
+         |FROM b ORDER BY c_custkey""".stripMargin,
+    "sp_process" ->
+      s"""WITH b AS (
+         |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat, $wSql AS w, $hSql AS h
+         |  FROM customer)
+         |SELECT c_custkey,
+         | 5 AS simp_np, 2 AS simp_line_np, 5 AS topo_np,
+         | round(lon, 6) AS cp1x, round(lat, 6) AS cp1y,
+         | round(lon + w / 2, 6) AS cp2x,
+         | round(((lon + w) - lon) * ((lat + h) - lat), 6) AS hull_area,
+         | 0.5 AS tri_area, 4 AS tri_np,
+         | round(2.0 * 6371008.8 * asin(least(1.0, sqrt(
+         |   sin(radians(lat - lat) / 2) * sin(radians(lat - lat) / 2) +
+         |   cos(radians(lat)) * cos(radians(lat)) *
+         |   sin(radians((lon + 1.0) - lon) / 2) * sin(radians((lon + 1.0) - lon) / 2)))), 1) AS lsph,
+         | round(((179.5 + w + 1.0) - 179.5) * ((lat + h) - lat), 6) AS ams_area,
+         | 2 AS ams_ng
+         |FROM b ORDER BY c_custkey""".stripMargin,
     "sp_overlay" ->
       s"""WITH b AS (
          |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat, $wSql AS w, $hSql AS h

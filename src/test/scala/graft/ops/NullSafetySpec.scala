@@ -35,6 +35,10 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
     // the two identical real docs still pair up
     Dedup.exactGroups(dirty, "id", "text")
       .filter(col("n_copies") === 2).count() shouldBe 1L
+    // exact keeps ONE representative per group INCLUDING the null-text
+    // group (md5(null) is null → the semi-join must be null-safe)
+    val kept = Dedup.exact(dirty, "id", "text").select("id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 2L, 3L, 4L)
   }
 
   test("text analysis tolerates null/empty text (null in, null out)") {
