@@ -171,6 +171,7 @@ object FunctionDefs {
     val agg = name.toLowerCase match {
       case "topk_by_score"     => TopKAgg(exprs(0), exprs(1), exprs(2))
       case "topn_rows"         => TopNRowsAgg(exprs(0), exprs(1), exprs(2), exprs(3))
+      case "vec_sum"           => VectorSumAgg(exprs.head)
       case "st_convexhullaggr" => ConvexHullAgg(exprs.head)
       case other               => throw new IllegalArgumentException(s"unknown aggregate $other")
     }

@@ -40,6 +40,10 @@ object FunctionRegistration {
     "topn_rows" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.size == 4, "topn_rows(id, payload, score, k)")
       TopNRowsAgg(children(0), children(1), children(2), children(3))
+    }),
+    "vec_sum" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 1, "vec_sum(array<double>)")
+      VectorSumAgg(children.head)
     })
   )
 

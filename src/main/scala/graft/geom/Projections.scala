@@ -2,12 +2,16 @@ package graft.geom
 
 import org.locationtech.jts.geom.{Coordinate, CoordinateFilter, Geometry}
 
-/** CRS handling without a projection library on the classpath: the two
-  * CRSs the test surface needs (EPSG:4326 lon/lat and EPSG:3857 web
-  * mercator) are implemented from the public spherical-mercator formulas.
+/** CRS handling without a projection library on the classpath: the CRSs
+  * the surface needs — EPSG:4326 lon/lat, EPSG:3857 web mercator, and the
+  * 120 WGS84 UTM zones (EPSG:32601–32660 north, 32701–32760 south) — are
+  * implemented from public formulas (spherical web-mercator; the
+  * transverse-mercator series from Snyder, "Map Projections: A Working
+  * Manual", USGS Professional Paper 1395, 1987, pp. 61–63).
   * Mirrors the reference's st_crsFromText / st_geomReproject surface
   * (spatial-index/src/main/scala/com/azavea/hiveless/spatial/index/ST_GeomReproject.scala:1)
-  * with an explicitly-supported CRS set instead of a proj4 dependency.
+  * with an explicitly-supported CRS set instead of a proj4 dependency;
+  * unsupported codes fail loudly with the supported list.
   */
 object Projections {
 
@@ -15,12 +19,123 @@ object Projections {
   val R: Double = 6378137.0
   val MaxLat: Double = 85.05112877980659
 
-  def normalize(crs: String): String = crs.trim.toUpperCase match {
-    case "EPSG:4326" | "4326" | "WGS84" | "LATLNG" | "LATLON" => "EPSG:4326"
-    case "EPSG:3857" | "3857" | "WEBMERCATOR" | "EPSG:900913" => "EPSG:3857"
-    case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857)")
+  // WGS84 ellipsoid + transverse-mercator constants (public values)
+  private val A = 6378137.0                  // semi-major axis
+  private val F = 1.0 / 298.257223563        // flattening
+  private val E2 = F * (2.0 - F)             // first eccentricity²
+  private val Ep2 = E2 / (1.0 - E2)          // second eccentricity²
+  private val K0 = 0.9996                    // UTM scale factor
+  private val FalseEasting = 500000.0
+  private val FalseNorthingSouth = 10000000.0
+
+  /** A supported coordinate reference system: transforms to/from
+    * geographic lon/lat degrees.
+    */
+  sealed trait Crs {
+    def name: String
+    def fromGeo(lon: Double, lat: Double): (Double, Double)
+    def toGeo(x: Double, y: Double): (Double, Double)
   }
+
+  case object LonLat extends Crs {
+    val name = "EPSG:4326"
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = (lon, lat)
+    def toGeo(x: Double, y: Double): (Double, Double) = (x, y)
+  }
+
+  case object WebMercator extends Crs {
+    val name = "EPSG:3857"
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = toMercator(lon, lat)
+    def toGeo(x: Double, y: Double): (Double, Double) = fromMercator(x, y)
+  }
+
+  /** One WGS84 UTM zone (Snyder transverse-mercator series, exact to
+    * well under a millimeter inside the zone's ±3° extent).
+    */
+  final case class Utm(zone: Int, north: Boolean) extends Crs {
+    require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range 1–60")
+    val name: String = s"EPSG:${(if (north) 32600 else 32700) + zone}"
+    private val lam0 = math.toRadians(-183.0 + 6.0 * zone) // central meridian
+    private val falseNorthing = if (north) 0.0 else FalseNorthingSouth
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val sinPhi = math.sin(phi)
+      val cosPhi = math.cos(phi)
+      val tanPhi = math.tan(phi)
+      val n = A / math.sqrt(1.0 - E2 * sinPhi * sinPhi)
+      val t = tanPhi * tanPhi
+      val c = Ep2 * cosPhi * cosPhi
+      val a = cosPhi * (math.toRadians(lon) - lam0)
+      val m = meridianArc(phi)
+      val a2 = a * a; val a3 = a2 * a; val a4 = a3 * a; val a5 = a4 * a; val a6 = a5 * a
+      val x = K0 * n * (a + (1.0 - t + c) * a3 / 6.0 +
+        (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * Ep2) * a5 / 120.0) + FalseEasting
+      val y = K0 * (m + n * tanPhi * (a2 / 2.0 +
+        (5.0 - t + 9.0 * c + 4.0 * c * c) * a4 / 24.0 +
+        (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * Ep2) * a6 / 720.0)) + falseNorthing
+      (x, y)
+    }
+
+    def toGeo(x: Double, y: Double): (Double, Double) = {
+      val m = (y - falseNorthing) / K0
+      val mu = m / (A * (1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0))
+      val e1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
+      val phi1 = mu +
+        (3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0) * math.sin(2.0 * mu) +
+        (21.0 * e1 * e1 / 16.0 - 55.0 * math.pow(e1, 4) / 32.0) * math.sin(4.0 * mu) +
+        (151.0 * e1 * e1 * e1 / 96.0) * math.sin(6.0 * mu) +
+        (1097.0 * math.pow(e1, 4) / 512.0) * math.sin(8.0 * mu)
+      val sinPhi1 = math.sin(phi1)
+      val cosPhi1 = math.cos(phi1)
+      val tanPhi1 = math.tan(phi1)
+      val c1 = Ep2 * cosPhi1 * cosPhi1
+      val t1 = tanPhi1 * tanPhi1
+      val oneMinus = 1.0 - E2 * sinPhi1 * sinPhi1
+      val n1 = A / math.sqrt(oneMinus)
+      val r1 = A * (1.0 - E2) / (oneMinus * math.sqrt(oneMinus))
+      val d = (x - FalseEasting) / (n1 * K0)
+      val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d; val d5 = d4 * d; val d6 = d5 * d
+      val phi = phi1 - (n1 * tanPhi1 / r1) * (d2 / 2.0 -
+        (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * Ep2) * d4 / 24.0 +
+        (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - 252.0 * Ep2 - 3.0 * c1 * c1) * d6 / 720.0)
+      val lam = lam0 + (d - (1.0 + 2.0 * t1 + c1) * d3 / 6.0 +
+        (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * Ep2 + 24.0 * t1 * t1) * d5 / 120.0) / cosPhi1
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+
+    /** Meridian arc length from the equator to latitude φ (Snyder 3-21). */
+    private def meridianArc(phi: Double): Double =
+      A * ((1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0) * phi -
+        (3.0 * E2 / 8.0 + 3.0 * E2 * E2 / 32.0 + 45.0 * E2 * E2 * E2 / 1024.0) * math.sin(2.0 * phi) +
+        (15.0 * E2 * E2 / 256.0 + 45.0 * E2 * E2 * E2 / 1024.0) * math.sin(4.0 * phi) -
+        (35.0 * E2 * E2 * E2 / 3072.0) * math.sin(6.0 * phi))
+  }
+
+  private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
+
+  /** Parse a CRS string to its transform. Accepted spellings: EPSG:4326
+    * (4326 / WGS84 / LATLON / LATLNG), EPSG:3857 (3857 / WEBMERCATOR /
+    * EPSG:900913), EPSG:326zz / EPSG:327zz ("UTM ZONE zzN"/"zzS" also
+    * accepted). Anything else throws with the supported list, matching
+    * the reference's fail-on-unknown behavior (ST_CrsFromText.scala:23).
+    */
+  def parseCrs(crs: String): Crs = crs.trim.toUpperCase.replaceAll("\\s+", " ") match {
+    case "EPSG:4326" | "4326" | "WGS84" | "LATLNG" | "LATLON" => LonLat
+    case "EPSG:3857" | "3857" | "WEBMERCATOR" | "EPSG:900913" => WebMercator
+    case UtmPattern(hemi, zz) => Utm(zz.toInt, north = hemi == "6")
+    case s if s.startsWith("UTM ZONE ") && s.length > 9 =>
+      val body = s.drop(9)
+      val (digits, hemi) = body.span(_.isDigit)
+      require(digits.nonEmpty && (hemi == "N" || hemi == "S"),
+        s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
+      Utm(digits.toInt, north = hemi == "N")
+    case other => throw new IllegalArgumentException(
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:32601-32660, EPSG:32701-32760)")
+  }
+
+  /** Canonical EPSG name for a supported CRS string (st_crsFromText). */
+  def normalize(crs: String): String = parseCrs(crs).name
 
   def toMercator(lon: Double, lat: Double): (Double, Double) = {
     val clampedLat = math.max(-MaxLat, math.min(MaxLat, lat))
@@ -35,20 +150,18 @@ object Projections {
     (lon, lat)
   }
 
-  /** Reproject a geometry between the supported CRSs (copy, then mutate
-    * coordinates in place via JTS's CoordinateFilter).
+  /** Reproject a geometry between any two supported CRSs (copy, then
+    * mutate coordinates in place via JTS's CoordinateFilter), routing
+    * through geographic coordinates when neither side is EPSG:4326.
     */
   def reproject(g: Geometry, fromCrs: String, toCrs: String): Geometry = {
-    val from = normalize(fromCrs)
-    val to = normalize(toCrs)
+    val from = parseCrs(fromCrs)
+    val to = parseCrs(toCrs)
     if (from == to) return g
     val out = g.copy()
     val filter: CoordinateFilter = (c: Coordinate) => {
-      val (nx, ny) = (from, to) match {
-        case ("EPSG:4326", "EPSG:3857") => toMercator(c.x, c.y)
-        case ("EPSG:3857", "EPSG:4326") => fromMercator(c.x, c.y)
-        case _ => (c.x, c.y)
-      }
+      val (lon, lat) = from.toGeo(c.x, c.y)
+      val (nx, ny) = to.fromGeo(lon, lat)
       c.setX(nx); c.setY(ny)
     }
     out.apply(filter)

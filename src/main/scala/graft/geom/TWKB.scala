@@ -121,7 +121,13 @@ object TWKB {
     val geomType = tp & 0x0f
     val precision = unzigzag((tp >> 4).toLong).toInt
     val meta = cur.byte()
-    require((meta & 0x07) == 0, "TWKB bbox/size/idlist metadata not supported by this reader")
+    // 0x01 bbox / 0x02 size / 0x04 idlist change the byte layout, and
+    // 0x08 (extended dims: a PostGIS Z/M TWKB) adds a dimensions byte plus
+    // extra per-vertex ordinates — silently parsing any of them would
+    // yield corrupt coordinates, so all four fail loudly.
+    require((meta & 0x0f) == 0,
+      "TWKB bbox/size/idlist/extended-dims metadata not supported by this reader " +
+        f"(metadata byte 0x$meta%02x)")
     val empty = (meta & 0x10) != 0
     val scale = math.pow(10, precision)
     val last = Array(0L, 0L)

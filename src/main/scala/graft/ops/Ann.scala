@@ -106,16 +106,19 @@ object Ann {
     * At 100 TB: centroids are nlist×dim doubles (a literal in the plan, no
     * broadcast join needed); assignment is one scan-side native expression;
     * the clustered corpus is written once and reused across query batches;
-    * a query scans ~nprobe/nlist of the data. Lloyd's per-round driver
-    * state is only the centroid matrix — the mean-reduction runs
-    * distributed with map-side partial aggregation.
+    * a query scans ~nprobe/nlist of the data. Each Lloyd round is one
+    * groupBy(cluster) with the native vec_sum aggregate
+    * ([[graft.functions.VectorSumAgg]]) — partitions pre-reduce to one
+    * dim-length array per cluster map-side, and the driver collects nlist
+    * (sum, count) rows per round (65 k rows at nlist=65536, vs the 67 M
+    * a per-dimension explode would collect at dim=1024).
     * Output: (qid, id, rank, cos) — exact cosines over probed candidates.
     */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2, seed: Long = 7): DataFrame = {
-    import graft.functions.FunctionDefs.call
+    import graft.functions.FunctionDefs.{call, callAgg}
     val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
 
     var centroids: Array[Seq[Double]] =
@@ -124,15 +127,17 @@ object Ann {
     var it = 0
     while (it < iters) {
       val cent = typedlit(centroids.toSeq)
-      val means = c.select(call("ivf_assign", col("__v"), cent).as("__c"),
-          posexplode(col("__v")).as(Seq("__d", "__x")))
-        .groupBy("__c", "__d").agg(avg("__x").as("__m"))
-        .collect()
-      val byCluster = means.groupBy(_.getInt(0))
+      val sums = c.select(call("ivf_assign", col("__v"), cent).as("__c"), col("__v"))
+        .groupBy("__c")
+        .agg(callAgg("vec_sum", col("__v")).as("__sum"), count(lit(1)).as("__n"))
+        .collect() // nlist rows: (cluster, sum vector, count)
+      val byCluster = sums.map(r => r.getInt(0) -> r).toMap
       centroids = centroids.indices.map { ci =>
         byCluster.get(ci) match {
-          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          case None       => centroids(ci) // empty list keeps its centroid
+          case Some(row) =>
+            val n = row.getLong(2).toDouble
+            row.getSeq[Double](1).map(_ / n)
+          case None => centroids(ci) // empty list keeps its centroid
         }
       }.toArray
       it += 1

@@ -33,10 +33,26 @@ object SpatialJoin {
     *              geometries cover O(1) cells: cell width = 360/2^level
     *              degrees lon, 180/2^level lat.
     */
+  /** Working-column names appended to both sides during the cell-cover
+    * join; caller frames must not already use them (checked, not silently
+    * clobbered).
+    */
+  private val Reserved = Seq("__cell", "__lext", "__rext")
+
+  private def requireFree(df: DataFrame, side: String): Unit = {
+    val clash = df.columns.filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"SpatialJoin: $side input already has reserved working column(s) ${clash.mkString(", ")} — rename them before joining")
+  }
+
   def intersects(
       left: DataFrame, leftGeom: String,
       right: DataFrame, rightGeom: String,
       level: Int = 8): DataFrame = {
+    requireFree(left, "left")
+    requireFree(right, "right")
+    require(leftGeom != rightGeom,
+      s"SpatialJoin.intersects: left and right geometry columns are both named '$leftGeom' — the post-join exact predicate would be ambiguous; alias one side first")
     val lev = lit(level)
     val l = left
       .withColumn("__lext", st.extentFromGeom(col(leftGeom)))
@@ -73,6 +89,9 @@ object SpatialJoin {
       queries: DataFrame, qidCol: String, qGeom: String,
       corpus: DataFrame, idCol: String, cGeom: String,
       k: Int, radius: Double, level: Int = 6): DataFrame = {
+    // no reserved-name guard needed here: both sides are projected to
+    // fixed names (qid/__qg, id/__cg) before any working column is added,
+    // so caller column names cannot collide with the working set
     val lev = lit(level)
     val q = queries.select(col(qidCol).as("qid"), col(qGeom).as("__qg"))
       .withColumn("__e", st.extentFromGeom(col("__qg")))

@@ -47,6 +47,35 @@ object Pipeline {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
 
+  /** The 100 TB embedding-dedup path (LSH-blocked bucket self-join — no
+    * cross join); candidate recall is probabilistic so the pair list is
+    * rows-only, and [[ddEmbedRecall]] value-checks it against the exact
+    * oracle.
+    */
+  def ddEmbedBlocked(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupBlocked(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  /** Blocked-vs-exact quality contract, DuckDB-checkable: n_exact is the
+    * oracle-recomputable all-pairs count; n_precision_miss counts blocked
+    * pairs absent from the exact set (exactly 0 by construction — the
+    * blocked path reports true cosines, so precision is 1); the recall
+    * floor asserts the bucketed candidates find at least 10% of true
+    * pairs at these params (deterministic: hashes are seeded).
+    */
+  def ddEmbedRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val exact = Dedup.embeddingNearDup(e, "vec_id", "embedding", 0.4).select("id_a", "id_b")
+    val blocked = Dedup.embeddingNearDupBlocked(e, "vec_id", "embedding", 0.4).select("id_a", "id_b")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(blocked.agg(count(lit(1)).as("n_found")))
+      .crossJoin(blocked.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_precision_miss")))
+      .select(col("n_exact"), col("n_precision_miss"),
+        when(col("n_found") * 10 >= col("n_exact"), 1).otherwise(0).as("recall_floor_ok"))
+  }
+
   def annBrute(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Ann.bruteForce(e, "vec_id", "embedding",
@@ -69,6 +98,36 @@ object Pipeline {
     Ann.ivfTopK(e, "vec_id", "embedding",
         e.filter(col("vec_id") < 5), "vec_id", "embedding",
         k = 10, nlist = 16, nprobe = 4)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** LSH in its provably-complete regime: at nBits=1 the 1-bit multiprobe
+    * covers both buckets, so candidates = the whole corpus and the output
+    * must EQUAL the brute-force ranking — value-checking the entire LSH
+    * machinery (signatures, bucket join, multiprobe, dedup, exact
+    * rescoring, bounded-heap ranking) against the brute-force oracle.
+    * The approximate regime (ann_lsh) stays rows-only + spec.
+    */
+  def annLshExhaustive(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.lshTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nBits = 1, tables = 1)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF at nprobe=nlist probes every list, so the output must EQUAL the
+    * brute-force ranking — value-checking clustering, assignment, probe
+    * selection and rescoring against the brute-force oracle (the same
+    * convergence AnnSpec asserts, here under the driver's value gate).
+    */
+  def annIvfFull(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.ivfTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 8)
       .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
       .orderBy("qid", "rank")
   }
@@ -135,9 +194,13 @@ object Pipeline {
     "dd_minhash" -> ddMinhash _,
     "dd_simhash" -> ddSimhash _,
     "dd_embed" -> ddEmbed _,
+    "dd_embed_blocked" -> ddEmbedBlocked _,
+    "dd_embed_recall" -> ddEmbedRecall _,
     "ann_brute" -> annBrute _,
     "ann_lsh" -> annLsh _,
     "ann_ivf" -> annIvf _,
+    "ann_lsh_exhaustive" -> annLshExhaustive _,
+    "ann_ivf_full" -> annIvfFull _,
     "tx_tokens" -> txTokens _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
@@ -149,6 +212,25 @@ object Pipeline {
 
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** Brute-force top-k ranking — also the oracle for the LSH/IVF entries
+    * run in their provably-complete regimes (all-bucket multiprobe /
+    * nprobe=nlist), where the approximate paths must reproduce the exact
+    * ranking bit-for-bit.
+    */
+  private val bruteTopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS c
+       |  FROM (SELECT vec_id, v FROM q) a
+       |  JOIN e b ON b.vec_id != a.vec_id),
+       |ranked AS (
+       |  SELECT qid, id, c,
+       |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+       |  FROM scored)
+       |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos
+       |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -167,19 +249,14 @@ object Pipeline {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE $cosSql >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
-    "ann_brute" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
-         |scored AS (
-         |  SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS c
-         |  FROM (SELECT vec_id, v FROM q) a
-         |  JOIN e b ON b.vec_id != a.vec_id),
-         |ranked AS (
-         |  SELECT qid, id, c,
-         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
-         |  FROM scored)
-         |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos
-         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "ann_brute" -> bruteTopKSql,
+    "ann_lsh_exhaustive" -> bruteTopKSql,
+    "ann_ivf_full" -> bruteTopKSql,
+    "dd_embed_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT count(*) AS n_exact, 0 AS n_precision_miss, 1 AS recall_floor_ok
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE $cosSql >= 0.4""".stripMargin,
     "tx_tokens" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
@@ -223,7 +300,9 @@ object Pipeline {
         | unnest(range(0, octet_length(encode(text)) // 32, 4))::INT AS frame_idx,
         | 32 AS frame_len
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
-    // dd_minhash / dd_simhash / ann_lsh / ann_ivf / tx_langid /
-    // tx_fingerprint: probabilistic or non-SQL-expressible → rows-only + specs
+    // dd_minhash / dd_simhash / dd_embed_blocked / ann_lsh / ann_ivf /
+    // tx_langid / tx_fingerprint: probabilistic or non-SQL-expressible →
+    // rows-only + specs (dd_embed_blocked's quality is value-checked by
+    // dd_embed_recall; ann_lsh/ann_ivf machinery by the exhaustive twins)
   )
 }

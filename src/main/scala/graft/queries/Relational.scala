@@ -20,6 +20,17 @@ object Relational {
 
   private def q(name: String)(f: (SparkSession, String) => DataFrame) = name -> f
 
+  /** Engine-portable integer floor division as a SQL fragment: Spark's
+    * `div` truncates toward zero while DuckDB's `//` floors, so a bare
+    * `div` silently diverges on negative numerators. `a - pmod(a, b)` is
+    * an exact multiple of b (pmod is always in [0, b) for b > 0), so the
+    * trailing `div` is exact division and the result is floor(a/b) for
+    * any sign of a. Divisors must be positive (all ours are counts or
+    * unit constants).
+    */
+  def floorDivSql(a: String, b: String): String =
+    s"((($a) - pmod(($a), ($b))) div ($b))"
+
   /** Money/quantity columns carry exactly 2 decimals, so all aggregation
     * runs on exact integer cents (and cents×basis-points micro-units for
     * the discounted price): sums are order-independent and
@@ -27,7 +38,8 @@ object Relational {
     * summation order plus exact-decimal rounding ties diverge between
     * engines (observed on ev_window at sf0.1; q3 even ORDERS by the sum).
     * Sums accumulate as decimal(38,0) for overflow headroom at warehouse
-    * scale. Rounding is integer half-up: `(x + half) div unit` — for the
+    * scale. Rounding is integer round-half-up, floor((x + half) / unit),
+    * via [[floorDivSql]] so it stays correct for negative sums; for the
     * 4-dp average, `n div 2` truncation is safe because an odd divisor
     * can never produce an exact tie.
     */
@@ -50,8 +62,8 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"),
         (col("__qty_c") / 100.0).cast("double").as("sum_qty"),
         (col("__base_c") / 100.0).cast("double").as("sum_base_price"),
-        (expr("(__disc_m + 5000) div 10000") / 100.0).as("sum_disc_price"),
-        (expr("(__qty_c * 100 + count_order div 2) div count_order") / 1e4).as("avg_qty"),
+        (expr(floorDivSql("__disc_m + 5000", "10000")) / 100.0).as("sum_disc_price"),
+        (expr(floorDivSql("__qty_c * 100 + count_order div 2", "count_order")) / 1e4).as("avg_qty"),
         col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -65,7 +77,7 @@ object Relational {
       .groupBy("l_orderkey", "o_orderdate")
       .agg(sum(discPriceMicro).as("__rev_m"))
       .select(col("l_orderkey"),
-        (expr("(__rev_m + 5000) div 10000") / 100.0).as("revenue"),
+        (expr(floorDivSql("__rev_m + 5000", "10000")) / 100.0).as("revenue"),
         col("o_orderdate"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -87,7 +99,7 @@ object Relational {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
       .agg(sum(discPriceMicro).as("__rev_m"))
-      .select(col("n_name"), (expr("(__rev_m + 5000) div 10000") / 100.0).as("revenue"))
+      .select(col("n_name"), (expr(floorDivSql("__rev_m + 5000", "10000")) / 100.0).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 

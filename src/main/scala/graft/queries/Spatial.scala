@@ -351,6 +351,49 @@ object Spatial {
         st.numGeometries(st.antimeridianSafeGeom(col("idlBox"))).as("ams_ng"))
       .orderBy("c_custkey")
 
+  /** EPSG:4326 → per-row UTM zone (EPSG:326zz/327zz) projection, plus an
+    * inverse round-trip flag. The oracle re-derives the full Snyder
+    * transverse-mercator forward series in SQL with the identical IEEE
+    * operation order as geom/Projections.scala (E2/Ep2 interpolated as
+    * exact shortest-roundtrip double literals), so easting/northing
+    * value-check at 0.1 m; the inverse series is asserted through the
+    * rt_ok roundtrip bit (< 1e-7° ≈ 1 cm) since running it through the
+    * forward oracle would only re-test the forward path.
+    */
+  def spUtm(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("zone", (floor((col("lon") + 180.0) / 6.0) + 1).cast("int"))
+      .withColumn("crs", concat(lit("EPSG:"),
+        (when(col("lat") >= 0, 32600).otherwise(32700) + col("zone")).cast("string")))
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs")))
+      .withColumn("back", st.geomReproject(col("p"), col("crs"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"), col("zone"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
+  /** TWKB wire format, value-checked: fixed-precision quantization
+    * (precision 2 snaps coordinates to 1/100°, which the oracle
+    * recomputes as round(deg·100)/100), the encoded byte length
+    * re-derived from the zigzag-varint rules (1 header + 1 metadata byte
+    * + ⌈bits(zigzag(v))/7⌉ per ordinate), and a constant spec vector —
+    * POINT(1 2) at precision 0 is the 4-byte hex 01000204 — parsed back.
+    * Unsupported-metadata rejection (bbox/size/idlist/extended-dims
+    * flags) is spec-verified in STFunctionsSpec.
+    */
+  def spTwkb(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      round(st.x(st.geomFromTWKB(st.asTWKB(col("geom"), lit(2)))), 6).as("tw_x"),
+      round(st.y(st.geomFromTWKB(st.asTWKB(col("geom"), lit(2)))), 6).as("tw_y"),
+      org.apache.spark.sql.functions.length(st.asTWKB(col("geom"), lit(2))).cast("int").as("tw_len"),
+      round(st.x(st.geomFromTWKB(unhex(lit("01000204")))), 6).as("const_x"),
+      round(st.y(st.geomFromTWKB(unhex(lit("01000204")))), 6).as("const_y"))
+      .orderBy("c_custkey")
+
   /** Grouped convex hull through the native aggregate; the hull's
     * envelope must equal the group's coordinate min/max, which the
     * oracle recomputes arithmetically — a value-level check that the
@@ -380,6 +423,8 @@ object Spatial {
     "sp_predicates" -> spPredicates _,
     "sp_accessors" -> spAccessors _,
     "sp_process" -> spProcess _,
+    "sp_twkb" -> spTwkb _,
+    "sp_utm" -> spUtm _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
     "sp_reproject" -> spReproject _,
@@ -396,6 +441,56 @@ object Spatial {
     (0 until bits).map(k =>
       s"((($ix >> $k) & 1) << ${2 * k}) + ((($iy >> $k) & 1) << ${2 * k + 1})")
       .mkString(" + ")
+
+  /** Snyder forward transverse-mercator series as DuckDB SQL, mirroring
+    * geom/Projections.Utm.fromGeo operation-for-operation (same literals,
+    * same associativity, intermediate powers chained a3=a2·a … a6=a5·a)
+    * so both engines produce bit-identical doubles up to libm's 1-ulp
+    * sin/cos/tan differences — absorbed by the 0.1 m rounding. E2/Ep2 are
+    * interpolated as shortest-roundtrip literals of the Scala doubles.
+    */
+  private val spUtmOracle: String = {
+    val f = 1.0 / 298.257223563
+    // exponent notation forces a DOUBLE literal in DuckDB (a plain
+    // 19-digit decimal parses as DECIMAL and overflows on multiply)
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))          // = Projections' E2, same IEEE ops
+    val ep2 = dlit((f * (2.0 - f)) / (1.0 - f * (2.0 - f)))
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+       |z AS (SELECT c_custkey, lon, lat,
+       |        (floor((lon + 180.0) / 6.0) + 1)::INT AS zone FROM b),
+       |g AS (SELECT c_custkey, lon, lat, zone,
+       |        radians(lat) AS phi,
+       |        sin(radians(lat)) AS sphi,
+       |        cos(radians(lat)) AS cphi,
+       |        tan(radians(lat)) AS tphi,
+       |        cos(radians(lat)) * (radians(lon) - radians(-183.0 + 6.0 * zone)) AS aa
+       |      FROM z),
+       |h AS (SELECT *,
+       |        6378137.0 / sqrt(1.0 - $e2 * sphi * sphi) AS nn,
+       |        tphi * tphi AS tt,
+       |        $ep2 * cphi * cphi AS cc,
+       |        aa * aa AS a2
+       |      FROM g),
+       |i AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM h),
+       |j AS (SELECT *, a3 * aa AS a4 FROM i),
+       |k AS (SELECT *, a4 * aa AS a5 FROM j),
+       |l AS (SELECT *, a5 * aa AS a6,
+       |        6378137.0 * ((1.0 - $e2 / 4.0 - 3.0 * $e2 * $e2 / 64.0 - 5.0 * $e2 * $e2 * $e2 / 256.0) * phi
+       |          - (3.0 * $e2 / 8.0 + 3.0 * $e2 * $e2 / 32.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(2.0 * phi)
+       |          + (15.0 * $e2 * $e2 / 256.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(4.0 * phi)
+       |          - (35.0 * $e2 * $e2 * $e2 / 3072.0) * sin(6.0 * phi)) AS mm
+       |      FROM k)
+       |SELECT c_custkey, zone,
+       | round(0.9996 * nn * (aa + (1.0 - tt + cc) * a3 / 6.0
+       |   + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2) * a5 / 120.0) + 500000.0, 1) AS easting,
+       | round(0.9996 * (mm + ntan * (a2 / 2.0
+       |   + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
+       |   + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0))
+       |   + (CASE WHEN lat >= 0 THEN 0.0 ELSE 10000000.0 END), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM l ORDER BY c_custkey""".stripMargin
+  }
 
   private val xyRoundtripOracle =
     s"""SELECT c_custkey,
@@ -521,6 +616,23 @@ object Spatial {
          | round(((179.5 + w + 1.0) - 179.5) * ((lat + h) - lat), 6) AS ams_area,
          | 2 AS ams_ng
          |FROM b ORDER BY c_custkey""".stripMargin,
+    "sp_twkb" ->
+      s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+         |v AS (SELECT c_custkey,
+         |        round(lon * 100)::BIGINT AS vx, round(lat * 100)::BIGINT AS vy
+         |      FROM b),
+         |z AS (SELECT c_custkey, vx, vy,
+         |        CASE WHEN vx >= 0 THEN 2 * vx ELSE -2 * vx - 1 END AS zx,
+         |        CASE WHEN vy >= 0 THEN 2 * vy ELSE -2 * vy - 1 END AS zy
+         |      FROM v)
+         |SELECT c_custkey,
+         | round(vx / 100.0, 6) AS tw_x,
+         | round(vy / 100.0, 6) AS tw_y,
+         | (2 + CASE WHEN zx < 128 THEN 1 WHEN zx < 16384 THEN 2 ELSE 3 END
+         |    + CASE WHEN zy < 128 THEN 1 WHEN zy < 16384 THEN 2 ELSE 3 END)::INT AS tw_len,
+         | 1.0 AS const_x, 2.0 AS const_y
+         |FROM z ORDER BY c_custkey""".stripMargin,
+    "sp_utm" -> spUtmOracle,
     "sp_overlay" ->
       s"""WITH b AS (
          |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat, $wSql AS w, $hSql AS h

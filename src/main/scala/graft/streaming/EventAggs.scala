@@ -14,12 +14,16 @@ object EventAggs {
     *
     * The average is computed entirely in integer arithmetic: values
     * become micro-unit longs (round(value·10⁶)), the sum is exact and
-    * order-independent, and the 4-dp rounding is integer half-up
-    * ((sum + d/2) div d). `round(avg(double), 4)` is NOT reproducible
+    * order-independent, and the 4-dp rounding is integer round-half-up
+    * (floor((sum + d/2) / d)). `round(avg(double), 4)` is NOT reproducible
     * across engines: float summation order shifts the last ulp, and on
     * exact decimal ties Spark rounds the decimal string HALF_UP while
     * DuckDB rounds the binary double — both found by the oracle compare
     * at sf0.1.
+    *
+    * The floor division is spelled sign-aware ([[graft.queries.Relational.floorDivSql]]):
+    * Spark's `div` truncates toward zero while the oracle's `//` floors,
+    * so a bare `div` would silently diverge on negative sums.
     */
   def hourly(events: DataFrame): DataFrame =
     events
@@ -29,8 +33,9 @@ object EventAggs {
       .select(
         unix_timestamp(col("w.start")).as("hour_start"),
         col("event_type"), col("n"),
-        // integer half-up rounding of sum_micro / (n·10⁶) to 4 dp
-        (expr("(__sum_micro + n * 50) div (n * 100)") / 1e4).as("avg_value"))
+        // integer round-half-up of sum_micro / (n·10⁶) to 4 dp
+        (expr(graft.queries.Relational.floorDivSql("__sum_micro + n * 50", "n * 100")) / 1e4)
+          .as("avg_value"))
 
   /** Streaming variant: same aggregation behind an event-time watermark
     * (late data beyond `delay` is dropped; state for closed windows is

@@ -202,6 +202,21 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("TWKB reader rejects unsupported metadata flags loudly (incl. 0x08 extended dims)") {
+    val ok = TWKB.write(GeomIO.fromWKT("POINT (1 2)"), 0)
+    // flipping any of bbox/size/idlist/extended-dims into the metadata
+    // byte must throw, never silently mis-parse (a PostGIS Z/M TWKB sets
+    // 0x08 and carries extra ordinates this reader cannot skip)
+    for (flag <- Seq(0x01, 0x02, 0x04, 0x08)) {
+      val corrupt = ok.clone()
+      corrupt(1) = (corrupt(1) | flag).toByte
+      val e = intercept[IllegalArgumentException](TWKB.read(corrupt))
+      withClue(f"flag 0x$flag%02x") { e.getMessage should include("not supported") }
+    }
+    // the empty-geometry flag (0x10) stays legal
+    TWKB.read(TWKB.write(GeomIO.fromWKT("POINT EMPTY"), 0)).isEmpty shouldBe true
+  }
+
   test("geohash: non-multiple-of-5 precisions roundtrip (cell contains point)") {
     import graft.geom.GeoHash
     for (bits <- Seq(7, 12, 23, 40, 63); (lon, lat) <- Seq((-122.42, 37.77), (151.21, -33.87))) {
@@ -233,6 +248,44 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
       """SELECT round(st_x(st_geomReproject(st_geomReproject(st_makePoint(12.5, 41.9),
         |  'EPSG:4326', 'EPSG:3857'), 'EPSG:3857', 'EPSG:4326')), 9) AS x""".stripMargin)
     r.getDouble(0) shouldBe 12.5 +- 1e-9
+  }
+
+  test("CRS: UTM zones — known anchors, hemisphere symmetry, roundtrip, zone parsing") {
+    import graft.geom.Projections
+    // crsFromText accepts EPSG codes and "UTM zone NN{N,S}" spellings
+    sql1("SELECT st_crsFromText('EPSG:32633')").getString(0) shouldBe "EPSG:32633"
+    sql1("SELECT st_crsFromText('utm zone 33n')").getString(0) shouldBe "EPSG:32633"
+    sql1("SELECT st_crsFromText('UTM zone 10S')").getString(0) shouldBe "EPSG:32710"
+    an[Exception] should be thrownBy Projections.parseCrs("EPSG:32661") // zone 61
+    // the central meridian of zone 33 (15°E) maps to the false easting,
+    // and the equator to northing 0 (north) / 10 000 000 (south)
+    val (cx, cy) = Projections.Utm(33, north = true).fromGeo(15.0, 0.0)
+    cx shouldBe 500000.0 +- 1e-6
+    cy shouldBe 0.0 +- 1e-6
+    // hemisphere symmetry: y_south(−φ) = 10 000 000 − y_north(φ)
+    val (_, yn) = Projections.Utm(33, north = true).fromGeo(16.2, 47.1)
+    val (_, ys) = Projections.Utm(33, north = false).fromGeo(16.2, -47.1)
+    ys shouldBe (10000000.0 - yn) +- 1e-6
+    // scale on the central meridian is k0: 1° of latitude ≈ 110 575 m of
+    // meridian arc at the equator → easting constant, northing ≈ k0·arc
+    val (x1, y1) = Projections.Utm(33, north = true).fromGeo(15.0, 1.0)
+    x1 shouldBe 500000.0 +- 1e-6
+    y1 / 110574.4 shouldBe 0.9996 +- 1e-3
+    // forward∘inverse identity across the zone and both hemispheres
+    for (lon <- Seq(12.1, 15.0, 17.9); lat <- Seq(-79.5, -12.3, 0.7, 45.0, 83.9)) {
+      val utm = Projections.Utm(33, north = lat >= 0)
+      val (x, y) = utm.fromGeo(lon, lat)
+      val (lonB, latB) = utm.toGeo(x, y)
+      withClue(s"($lon, $lat)") {
+        lonB shouldBe lon +- 1e-8
+        latB shouldBe lat +- 1e-8
+      }
+    }
+    // end-to-end through the SQL surface, web-mercator → UTM chains via geo
+    val r = sql1(
+      """SELECT round(st_x(st_geomReproject(st_geomReproject(st_makePoint(14.5, 46.1),
+        |  'EPSG:4326', 'EPSG:32633'), 'EPSG:32633', 'EPSG:3857')), 6) AS x""".stripMargin)
+    r.getDouble(0) shouldBe (6378137.0 * math.toRadians(14.5)) +- 1e-4
   }
 
   test("lengthSphere sums haversine segment lengths") {

@@ -141,4 +141,36 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     all shouldBe brute // nprobe == nlist probes everything → exact
   }
+
+  test("lshTopK at nBits=1 (multiprobe covers both buckets) equals brute force exactly") {
+    val brute = Ann.bruteForce(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted.toSeq
+    val exhaustive = Ann.lshTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nBits = 1, tables = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted.toSeq
+    exhaustive shouldBe brute
+  }
+
+  test("vec_sum: elementwise grouped sum, null-safe, partial map-side reduction") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0, Seq(1.0, 2.0)), Row(0, Seq(3.0, 4.5)),
+        Row(1, Seq(5.0, 6.0)), Row(1, null),
+        Row(2, null)),
+      StructType(Seq(StructField("g", IntegerType),
+        StructField("v", ArrayType(DoubleType))))).repartition(4)
+    val out = df.groupBy("g")
+      .agg(graft.functions.FunctionDefs.callAgg("vec_sum", col("v")).as("s"))
+    val m = out.collect().map(r => r.getInt(0) -> Option(r.getSeq[Double](1))).toMap
+    m(0) shouldBe Some(Seq(4.0, 6.5))
+    m(1) shouldBe Some(Seq(5.0, 6.0))
+    m(2) shouldBe None // all-null group → null, not a crash
+    // algebraic aggregate: Spark plans a partial (map-side) phase, so each
+    // partition ships one dim-length array per group through the shuffle
+    out.queryExecution.executedPlan.toString should include("partial_vec_sum")
+  }
 }

@@ -61,4 +61,18 @@ class SpatialJoinSpec extends AnyFunSuite with SparkTestSession with Matchers {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("reserved working-column collisions fail loudly instead of clobbering") {
+    val withCell = boxesA.withColumn("__cell", col("aid"))
+    val e1 = intercept[IllegalArgumentException] {
+      SpatialJoin.intersects(withCell, "abox", boxesB, "bbox_")
+    }
+    e1.getMessage should include("__cell")
+    // identical geometry column names on both sides would make the exact
+    // post-join predicate ambiguous
+    val sameName = boxesB.withColumnRenamed("bbox_", "abox")
+    intercept[IllegalArgumentException] {
+      SpatialJoin.intersects(boxesA, "abox", sameName, "abox")
+    }
+  }
 }

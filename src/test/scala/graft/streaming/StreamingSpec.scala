@@ -42,6 +42,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("windowed avg is floor-based round-half-up — correct for NEGATIVE sums") {
+    val spark0 = spark
+    import spark0.implicits._
+    // sums per (window, type): click → -1.0 + -2.5 = -3.5 (avg -1.75),
+    // refund → -0.00005 alone (micro sum -50, n=1 → (−50+50)/100 = 0 ⇒
+    // avg 0.0, the half-up tie rounding toward +∞ that DuckDB's
+    // (sum + n*50) // (n*100) also produces; truncating `div` would give
+    // the same 0 here but -1 for refund2's -150 micro (DuckDB -1 too) and
+    // diverge at e.g. -250 micro: floor(-2.0) = -2 vs trunc → -2 … the
+    // real divergence shows on click: (−3 500 000+100)÷200 → floor = −17500
+    // ⇒ −1.75 exactly; a truncating div yields −17499 ⇒ −1.7499.
+    val negatives = Seq(
+      ev(0, "click", -1.0, 1), ev(5, "click", -2.5, 1),
+      ev(10, "refund", -0.00005, 2), ev(20, "refund2", -0.00015, 2))
+    val got = EventAggs.hourly(negatives.toDF())
+      .select("event_type", "avg_value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got("click") shouldBe -1.75
+    got("refund") shouldBe 0.0     // -0.5e-4 ties up toward +∞ (floor of (−50+50)/100)
+    got("refund2") shouldBe -1e-4  // floor((−150+50)/100) = −1 micro-4dp unit
+  }
+
   test("watermarked append-mode agg emits closed windows") {
     val spark0 = spark
     import spark0.implicits._
