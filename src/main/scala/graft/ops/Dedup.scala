@@ -144,6 +144,38 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT n-gram Jaccard set-similarity self-join — no cross product and
+    * no probabilistic loss: any pair with jaccard ≥ t > 0 shares at least
+    * one shingle, so candidates come from an inverted-index equi-join on
+    * distinct shingles, then the exact jaccard verifies. The shuffle
+    * carries (shingle, id) postings; candidate fan-out is bounded by
+    * shingle document-frequency (near-dup corpora keep boilerplate
+    * shingles rare after [[exact]] dedup). `maxBucket` caps hot-shingle
+    * postings — NOTE that unlike the LSH paths, a cap here breaks
+    * exactness (a pair whose every shared shingle is over-cap is lost),
+    * so it defaults to off; at 100 TB prefer [[minhashLsh]] and keep this
+    * as the ground-truth/verification operator.
+    */
+  def jaccardJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
+    val d = df.select(col(idCol), shingles(col(textCol), k).as("__sh"))
+    val postings = dropOverCapBuckets(
+      d.select(col(idCol), explode(col("__sh")).as("__tok")), Seq("__tok"), maxBucket)
+    val a = postings.select(col(idCol).as("id_a"), col("__tok"))
+    val b = postings.select(col(idCol).as("id_b"), col("__tok"))
+    val candidates = a.join(b, Seq("__tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = d.select(col(idCol), col("__sh"))
+    candidates
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__sb")), "id_b")
+      .withColumn("jaccard", jaccard(col("__sa"), col("__sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each

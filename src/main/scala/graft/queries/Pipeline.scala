@@ -37,6 +37,36 @@ object Pipeline {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Exact set-similarity join (inverted-index, no cross product): its
+    * full (id_a, id_b, jaccard) output is deterministic, so the oracle
+    * recomputes it as an all-pairs shingle-jaccard in SQL.
+    */
+  def ddJaccardJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardJoin(Tables.documents(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  /** MinHash-vs-exact quality contract: n_exact from [[ddJaccardJoin]]'s
+    * ground truth, zero precision misses (candidates are verified with
+    * the same exact jaccard, so found ⊆ exact by construction), and —
+    * at 16 bands × 4 rows on j ≥ 0.8 pairs the S-curve passes ≥ 99.97%
+    * per pair — zero missed pairs on this corpus (deterministic: seeded
+    * hashes), which the oracle asserts exactly.
+    */
+  def ddMinhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val exact = Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.8)
+      .select("id_a", "id_b")
+    val found = Dedup.minhashLsh(docs, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+      .select("id_a", "id_b")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(exact.join(found, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed")))
+      .crossJoin(found.join(exact, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_precision_miss")))
+  }
+
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
         maxDist = 3, pieces = 4)
@@ -155,6 +185,38 @@ object Pipeline {
       .select(col("doc_id"), size(col("fps")).as("n_fp"), array_min(col("fps")).as("min_fp"))
       .orderBy("doc_id")
 
+  /** Winnowing's defining property (Schleimer et al.): similar documents
+    * share fingerprints. For every exact near-dup pair (shingle jaccard
+    * ≥ 0.8, ground truth from [[ddJaccardJoin]]) the fingerprint sets
+    * must overlap ≥ 20% — deterministic on this corpus (seeded hashes),
+    * with the pair count oracle-recomputed from the shingle SQL.
+    */
+  def txFingerprintStable(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.8)
+      .select("id_a", "id_b")
+    val fp = docs.select(col("doc_id"), Text.fingerprints(col("text")).as("fp"))
+    pairs
+      .join(fp.select(col("doc_id").as("id_a"), col("fp").as("fa")), "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("fp").as("fb")), "id_b")
+      .withColumn("ov", size(array_intersect(col("fa"), col("fb"))) * lit(1.0) /
+        size(array_union(col("fa"), col("fb"))))
+      .agg(count(lit(1)).as("n_neardup_pairs"),
+        coalesce(sum(when(col("ov") >= 0.2, 0).otherwise(1)), lit(0L)).as("n_low_overlap"))
+  }
+
+  /** Resize through the batched partition shape: output length contract
+    * len' = min(len, target) is oracle-recomputable.
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
+    Multimodal.resize(s, media, "doc_id", targetBytes = 64)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.length(col("media")).cast("int").as("resized_len"),
+        col("orig_bytes"))
+      .orderBy("doc_id")
+  }
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.features(s, media, "doc_id")
@@ -191,7 +253,9 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
+    "dd_jaccard_join" -> ddJaccardJoin _,
     "dd_minhash" -> ddMinhash _,
+    "dd_minhash_recall" -> ddMinhashRecall _,
     "dd_simhash" -> ddSimhash _,
     "dd_embed" -> ddEmbed _,
     "dd_embed_blocked" -> ddEmbedBlocked _,
@@ -205,13 +269,43 @@ object Pipeline {
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
+    "tx_fingerprint_stable" -> txFingerprintStable _,
     "tx_topdocs" -> txTopdocs _,
     "mm_features" -> mmFeatures _,
+    "mm_resize" -> mmResize _,
     "mm_frames" -> mmFrames _
   )
 
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** The language-ID heuristic replayed in SQL, generated from the SAME
+    * `Text.langProfiles` the native expression uses: per-profile stopword
+    * hit counts over the identical tokenization, argmax with first-max-
+    * wins tie-breaking (the CASE chain in profile order), all-zero → und.
+    */
+  private val langIdOracle: String = {
+    val profs = graft.ops.Text.langProfiles
+    val hitCols = profs.map { case (l, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(w, x -> list_contains($lst, x))) AS hits_$l"
+    }.mkString(",\n        ")
+    val gr = s"greatest(${profs.map(p => s"hits_${p._1}").mkString(", ")})"
+    val cases = profs.map(_._1).dropRight(1)
+      .map(l => s"WHEN hits_$l = $gr THEN '$l'").mkString("\n      ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |        regexp_split_to_array(lower(text), '[^a-záéíóúüñäöß]+') AS w
+       |      FROM documents),
+       |h AS (SELECT doc_id, text,
+       |        $hitCols
+       |      FROM t)
+       |SELECT doc_id,
+       | CASE WHEN text IS NULL THEN NULL
+       |      WHEN $gr = 0 THEN 'und'
+       |      $cases
+       |      ELSE '${profs.last._1}' END AS lang_guess
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
 
   /** Brute-force top-k ranking — also the oracle for the LSH/IVF entries
     * run in their provably-complete regimes (all-bucket multiprobe /
@@ -249,6 +343,57 @@ object Pipeline {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE $cosSql >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+    // 3-word shingles as a DuckDB list comprehension, mirroring the
+    // native word_shingles builder (short texts collapse to one shingle
+    // of all words — same as the Spark side)
+    "dd_jaccard_join" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) >= 3
+         |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                 for i in range(1, len(w) - 1)])
+         |             ELSE [array_to_string(w, ' ')] END AS sh
+         |      FROM d),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        len(list_distinct(list_concat(a.sh, b.sh))) AS j
+         |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p
+         |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    "dd_minhash_recall" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in range(1, len(w) - 1)])
+        |             ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM d)
+        |SELECT count(*) AS n_exact, 0 AS n_missed, 0 AS n_precision_miss
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    // the language-ID heuristic (argmax of per-profile stopword hits,
+    // ties in profile order, zero hits → und) is itself SQL-expressible —
+    // generated from the same Text.langProfiles so the two sides cannot
+    // drift
+    "tx_langid" -> langIdOracle,
+    "tx_fingerprint_stable" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in range(1, len(w) - 1)])
+        |             ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM d)
+        |SELECT count(*) AS n_neardup_pairs, 0 AS n_low_overlap
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        | least(octet_length(encode(text)), 64)::INT AS resized_len,
+        | octet_length(encode(text))::INT AS orig_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "ann_brute" -> bruteTopKSql,
     "ann_lsh_exhaustive" -> bruteTopKSql,
     "ann_ivf_full" -> bruteTopKSql,

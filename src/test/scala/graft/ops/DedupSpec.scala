@@ -119,6 +119,37 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     uncapped.count(p => p._1 >= 10L && p._2 >= 10L) shouldBe 190 // the quadratic blowup the cap removes
   }
 
+  test("jaccardJoin: exactly the brute-force jaccard pairs, via equi-join not cross join") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = docs(
+      1L -> base,
+      2L -> base,                               // jaccard 1.0
+      3L -> (base + " extra"),                  // one extra word → high jaccard
+      4L -> "completely different words here about other things entirely now",
+      5L -> "unrelated content that shares no shingles with anything else at all")
+    val joined = Dedup.jaccardJoin(df, "id", "text", k = 3, threshold = 0.5)
+    // brute-force ground truth over the same shingle arrays
+    val sh = df.select(col("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expected = (for {
+      (i, si) <- sh.toSeq; (j, sj) <- sh.toSeq if i < j
+      jac = (si & sj).size.toDouble / (si | sj).size
+      if jac >= 0.5
+    } yield (i, j)).toSet
+    expected should not be empty
+    joined.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe expected
+    // reported jaccards are the true set jaccards
+    joined.collect().foreach { r =>
+      val jac = (sh(r.getLong(0)) & sh(r.getLong(1))).size.toDouble /
+        (sh(r.getLong(0)) | sh(r.getLong(1))).size
+      r.getDouble(2) shouldBe jac +- 1e-12
+    }
+    val plan = joined.queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("embeddingNearDup matches a locally computed cosine filter") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, sfDir).limit(80).cache()
