@@ -162,6 +162,45 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** Int8 embedding quantization (the 4×-less-IO storage path for ANN at
+    * corpus scale): per-vector symmetric scale, quantize, dequantize —
+    * every output (quantized checksum, scale, max reconstruction error)
+    * is plain arithmetic the oracle replays exactly.
+    */
+  def annInt8(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+    e.withColumn("scale", Vectors.int8Scale(col("v")))
+      .withColumn("q", Vectors.quantizeInt8(col("v"), col("scale")))
+      .withColumn("deq", Vectors.dequantizeInt8(col("q"), col("scale")))
+      .select(
+        col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        round(col("scale"), 6).as("scale_r"),
+        round(aggregate(zip_with(col("v"), col("deq"), (a, b) => abs(a - b)),
+          lit(0.0), (a, x) => greatest(a, x)), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  /** As-of join (events → latest order at a per-event cutoff date):
+    * the union-window formulation ([[graft.ops.AsofJoin]]) vs DuckDB's
+    * native ASOF JOIN as the oracle. The matched value is the order
+    * DATE, which is tie-deterministic even if several orders share it.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, cast(event_id % 2400 as int), 0, 0, 0)")
+        .as("cutoff"))
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    graft.ops.AsofJoin.asof(e, "cutoff", o, "o_orderdate", Seq("user_id"))
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("cutoff")).as("cutoff_s"),
+        unix_timestamp(col("o_orderdate")).as("asof_order_s"))
+      .orderBy("event_id")
+  }
+
   def txTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -265,6 +304,8 @@ object Pipeline {
     "ann_ivf" -> annIvf _,
     "ann_lsh_exhaustive" -> annLshExhaustive _,
     "ann_ivf_full" -> annIvfFull _,
+    "ann_int8" -> annInt8 _,
+    "q_asof_join" -> qAsofJoin _,
     "tx_tokens" -> txTokens _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
@@ -397,6 +438,31 @@ object Pipeline {
     "ann_brute" -> bruteTopKSql,
     "ann_lsh_exhaustive" -> bruteTopKSql,
     "ann_ivf_full" -> bruteTopKSql,
+    // int8 quantization arithmetic replayed exactly: same max, same
+    // 127/max scale, same round-and-clamp, same reconstruction errors
+    "ann_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END AS scale FROM m),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> round(x * scale)::INT) AS qv FROM s)
+        |SELECT vec_id,
+        | list_sum(qv)::BIGINT AS q_sum,
+        | round(scale, 6) AS scale_r,
+        | round(list_max([abs(v[i] - qv[i] / scale) for i in range(1, len(v) + 1)]), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |        TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 1 DAY * (event_id % 2400) AS cutoff
+        |      FROM events)
+        |SELECT e.event_id, e.user_id,
+        | epoch(e.cutoff)::BIGINT AS cutoff_s,
+        | epoch(o.o_orderdate)::BIGINT AS asof_order_s
+        |FROM e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.cutoff >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
     "dd_embed_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT count(*) AS n_exact, 0 AS n_precision_miss, 1 AS recall_floor_ok

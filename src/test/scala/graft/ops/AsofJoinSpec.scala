@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class AsofJoinSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  private def frame(schema: StructType, rows: Row*) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  private val tradeSchema = StructType(Seq(
+    StructField("sym", StringType), StructField("t", LongType),
+    StructField("qty", LongType)))
+  private val quoteSchema = StructType(Seq(
+    StructField("sym", StringType), StructField("qt", LongType),
+    StructField("px", DoubleType)))
+
+  private lazy val trades = frame(tradeSchema,
+    Row("A", 2L, 10L), Row("A", 3L, 20L), Row("A", 6L, 30L),
+    Row("B", 1L, 40L), // before any B quote → null match
+    Row("B", 9L, 50L))
+  private lazy val quotes = frame(quoteSchema,
+    Row("A", 1L, 1.0), Row("A", 3L, 3.0), Row("A", 5L, 5.0),
+    Row("B", 2L, 2.0), Row("B", 7L, 7.0))
+
+  test("latest quote at-or-before each trade; inclusive ties; null when none") {
+    val out = AsofJoin.asof(trades, "t", quotes, "qt", Seq("sym"))
+      .select("sym", "t", "qty", "qt", "px").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(4)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    out(("A", 2L)) shouldBe Some((1L, 1.0))
+    out(("A", 3L)) shouldBe Some((3L, 3.0)) // equal timestamps match (inclusive)
+    out(("A", 6L)) shouldBe Some((5L, 5.0))
+    out(("B", 1L)) shouldBe None            // left join: no earlier quote
+    out(("B", 9L)) shouldBe Some((7L, 7.0))
+  }
+
+  test("plan is one window over a union — no cartesian or range-join explosion") {
+    val plan = AsofJoin.asof(trades, "t", quotes, "qt", Seq("sym"))
+      .queryExecution.executedPlan.toString
+    plan should include("Window")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("column collisions and reserved names fail loudly") {
+    intercept[IllegalArgumentException] {
+      // right's payload column "qty" collides with left
+      AsofJoin.asof(trades, "t",
+        quotes.withColumnRenamed("px", "qty"), "qt", Seq("sym"))
+    }
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(trades.withColumn("__ts", col("t")), "t", quotes, "qt", Seq("sym"))
+    }
+  }
+
+  test("int8 quantization: exact arithmetic, bounded reconstruction error") {
+    import graft.functions.Vectors
+    val df = frame(
+      StructType(Seq(StructField("id", LongType),
+        StructField("v", ArrayType(DoubleType)))),
+      Row(1L, Seq(0.5, -1.0, 0.25)),
+      Row(2L, Seq(0.0, 0.0, 0.0)))
+    val q = df
+      .withColumn("scale", Vectors.int8Scale(col("v")))
+      .withColumn("q", Vectors.quantizeInt8(col("v"), col("scale")))
+      .withColumn("deq", Vectors.dequantizeInt8(col("q"), col("scale")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    q(1L).getDouble(2) shouldBe 127.0 // scale = 127/max|x| = 127/1.0
+    q(1L).getSeq[Int](3) shouldBe Seq(64, -127, 32) // round(63.5)=64 half-up
+    val deq = q(1L).getSeq[Double](4)
+    deq.zip(Seq(0.5, -1.0, 0.25)).foreach { case (d, orig) =>
+      math.abs(d - orig) should be <= (0.5 / 127.0 + 1e-12)
+    }
+    q(2L).getDouble(2) shouldBe 1.0 // zero vector: scale 1, q = zeros
+    q(2L).getSeq[Int](3) shouldBe Seq(0, 0, 0)
+  }
+}
