@@ -167,6 +167,32 @@ object Relational {
         col("n"))
       .orderBy("rf", "ls")
 
+  /** Sketch aggregates with honest error contracts: HLL++ distinct
+    * counts (approx_count_distinct, rsd 5%) checked within ±15% of the
+    * exact count, and approx_percentile (rank error ≤ n/accuracy)
+    * checked inside the exact p45–p55 band. Both sketches are
+    * deterministic (hash-based, no RNG), so the flags are stable and the
+    * oracle asserts them as constants next to the exact counts. At
+    * 100 TB the sketches are the point: distinct-count and quantile in
+    * one pass with bounded memory, no sort, map-side partials.
+    */
+  def qSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_suppkey")).as("exact_distinct"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("__acd"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("__p50"),
+        expr("percentile(l_quantity, 0.45)").as("__p45"),
+        expr("percentile(l_quantity, 0.55)").as("__p55"))
+      .select(
+        col("l_returnflag"), col("n"), col("exact_distinct"),
+        when(abs(col("__acd") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.15, 1).otherwise(0).as("acd_ok"),
+        when(col("__p50").between(col("__p45"), col("__p55")), 1).otherwise(0).as("p50_ok"))
+      .orderBy("l_returnflag")
+
   /** Hourly tumbling-window event aggregate — the shared batch/stream
     * transformation ([[graft.streaming.EventAggs]]); the oracle verifies
     * the same logic the streaming path runs behind a watermark.
@@ -193,6 +219,7 @@ object Relational {
     q("q_avg_filter")(qAvgFilter),
     q("q_date_buckets")(qDateBuckets),
     q("q_rollup")(qRollup),
+    q("q_sketch")(qSketch),
     q("ev_window")(evWindow),
     q("ev_sessions")(evSessions)
   )
@@ -259,6 +286,11 @@ object Relational {
         | coalesce(l_linestatus,'ALL') AS ls, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q_sketch" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | count(DISTINCT l_suppkey) AS exact_distinct,
+        | 1 AS acd_ok, 1 AS p50_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_window" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
         | event_type, count(*) AS n,

@@ -375,6 +375,16 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** st_asLatLonText DMS formatting, value-checked: the oracle rebuilds
+    * the identical degree/minute/second decomposition (trunc-based, same
+    * IEEE ops) and formats with printf — DuckDB's fmt and Java's
+    * Formatter agree on %d / %02d / %06.3f for these values.
+    */
+  def spLatLonText(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .select(col("c_custkey"), st.asLatLonText(col("geom")).as("dms"))
+      .orderBy("c_custkey")
+
   /** TWKB wire format, value-checked: fixed-precision quantization
     * (precision 2 snaps coordinates to 1/100°, which the oracle
     * recomputes as round(deg·100)/100), the encoded byte length
@@ -425,6 +435,7 @@ object Spatial {
     "sp_process" -> spProcess _,
     "sp_twkb" -> spTwkb _,
     "sp_utm" -> spUtm _,
+    "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
     "sp_reproject" -> spReproject _,
@@ -633,6 +644,24 @@ object Spatial {
          | 1.0 AS const_x, 2.0 AS const_y
          |FROM z ORDER BY c_custkey""".stripMargin,
     "sp_utm" -> spUtmOracle,
+    // mirrors GeomImpl.asLatLonText's trunc-based DMS decomposition and
+    // Java format "%d°%02d'%06.3f\"H" exactly
+    "sp_latlon" ->
+      s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+         |g AS (SELECT c_custkey, lon, lat, abs(lat) AS alat, abs(lon) AS alon FROM b),
+         |m AS (SELECT c_custkey, lon, lat,
+         |        trunc(alat)::INT AS latd, (alat - trunc(alat)) * 60.0 AS latmf,
+         |        trunc(alon)::INT AS lond, (alon - trunc(alon)) * 60.0 AS lonmf
+         |      FROM g)
+         |SELECT c_custkey,
+         | printf('%d°%02d''%06.3f"%s', latd, trunc(latmf)::INT,
+         |        (latmf - trunc(latmf)) * 60.0,
+         |        CASE WHEN lat < 0 THEN 'S' ELSE 'N' END)
+         | || ' ' ||
+         | printf('%d°%02d''%06.3f"%s', lond, trunc(lonmf)::INT,
+         |        (lonmf - trunc(lonmf)) * 60.0,
+         |        CASE WHEN lon < 0 THEN 'W' ELSE 'E' END) AS dms
+         |FROM m ORDER BY c_custkey""".stripMargin,
     "sp_overlay" ->
       s"""WITH b AS (
          |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat, $wSql AS w, $hSql AS h
