@@ -210,6 +210,17 @@ object Relational {
     graft.streaming.Sessionize(Tables.events(s, dir)).toDF()
       .orderBy("user_id")
 
+  /** Stream-static enrichment through the SAME function the streaming
+    * path uses ([[graft.streaming.Enrich]]), run in batch mode: events
+    * join the broadcast customer dimension, counts per market segment.
+    */
+  def evEnrich(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.streaming.Enrich.perSegment(Tables.events(s, dir), c, "user_id", "c_mktsegment")
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -221,7 +232,8 @@ object Relational {
     q("q_rollup")(qRollup),
     q("q_sketch")(qSketch),
     q("ev_window")(evWindow),
-    q("ev_sessions")(evSessions)
+    q("ev_sessions")(evSessions),
+    q("ev_enrich")(evEnrich)
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,6 +308,10 @@ object Relational {
         | event_type, count(*) AS n,
         | ((sum(round(value * 1000000.0)::BIGINT) + count(*) * 50) // (count(*) * 100)) / 10000.0 AS avg_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "ev_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_sessions" ->
       """SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
         |FROM (

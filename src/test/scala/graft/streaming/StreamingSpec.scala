@@ -172,8 +172,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     import spark0.implicits._
     val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze")).toDF("user_id", "tier")
     val input = MemoryStream[TestEvent](spark)
-    val q = input.toDF().join(dim, "user_id")
-      .groupBy("tier").agg(count(lit(1)).as("n"))
+    // the SAME shared transformation the oracle-verified ev_enrich runs in batch
+    val q = Enrich.perSegment(input.toDF(), dim, "user_id", "tier")
       .writeStream.format("memory").queryName("join_out").outputMode("complete").start()
     try {
       input.addData(sampleEvents)
