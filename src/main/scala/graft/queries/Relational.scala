@@ -221,6 +221,22 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Interval join through the cell-bucketed RangeJoin (equi-join on
+    * cells, never a nested loop): orders priced inside deterministic
+    * per-supplier price bands, counted per band. The oracle replays the
+    * BETWEEN join directly.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.supplier(s, dir).select(
+      col("s_suppkey"),
+      ((col("s_suppkey") % 50) * 4000.0).as("lo"),
+      ((col("s_suppkey") % 50) * 4000.0 + 6000.0).as("hi"))
+    val pts = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+    graft.ops.RangeJoin.pointInInterval(pts, "o_totalprice", bands, "lo", "hi", cellWidth = 4000.0)
+      .groupBy("s_suppkey").agg(count(lit(1)).as("n_orders"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -231,6 +247,7 @@ object Relational {
     q("q_date_buckets")(qDateBuckets),
     q("q_rollup")(qRollup),
     q("q_sketch")(qSketch),
+    q("q_range_join")(qRangeJoin),
     q("ev_window")(evWindow),
     q("ev_sessions")(evSessions),
     q("ev_enrich")(evEnrich)
@@ -308,6 +325,12 @@ object Relational {
         | event_type, count(*) AS n,
         | ((sum(round(value * 1000000.0)::BIGINT) + count(*) * 50) // (count(*) * 100)) / 10000.0 AS avg_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_range_join" ->
+      """SELECT s_suppkey, count(*) AS n_orders
+        |FROM supplier JOIN orders
+        |  ON o_totalprice BETWEEN (s_suppkey % 50) * 4000.0
+        |                      AND (s_suppkey % 50) * 4000.0 + 6000.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
     "ev_enrich" ->
       """SELECT c_mktsegment, count(*) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
