@@ -70,6 +70,33 @@ object Text {
       typedlit(langProfiles.map(_._1)),
       typedlit(langProfiles.map(_._2)))
 
+  // ---------------------------------------------------------- packing
+
+  /** Assign documents to contiguous token-budget chunks — the
+    * distributable form of training-sequence packing: within each
+    * shard (partition key), documents in a deterministic order are cut
+    * into chunks of ≤ `budget` cumulative tokens (a document larger
+    * than the budget gets its own chunk). chunk = floor(exclusive-
+    * cumulative-tokens / budget) over the shard's running total.
+    *
+    * One window pass per shard (single shuffle on the shard key); true
+    * first-fit bin packing is inherently sequential, while this
+    * contiguous variant keeps the same budget guarantee per chunk
+    * boundary and scales — pick shards (e.g. language, source) so each
+    * holds what one training shard should.
+    */
+  def packByTokenBudget(
+      df: DataFrame, shardCol: String, idCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(shardCol), col(idCol), wsTokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("chunk", ((col("__cum") - col("n_tokens")) / budget).cast("long"))
+      .drop("__cum")
+  }
+
   // ------------------------------------------------------- fingerprint
 
   /** Winnowing document fingerprints: xxhash64 of word k-shingles, then

@@ -256,6 +256,13 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Training-sequence packing: language-sharded contiguous token-budget
+    * chunks; the oracle replays the identical window cumsum in SQL.
+    */
+  def txPack(s: SparkSession, dir: String): DataFrame =
+    Text.packByTokenBudget(Tables.documents(s, dir), "lang", "doc_id", "text", budget = 512)
+      .orderBy("lang", "doc_id")
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.features(s, media, "doc_id")
@@ -312,6 +319,7 @@ object Pipeline {
     "tx_fingerprint" -> txFingerprint _,
     "tx_fingerprint_stable" -> txFingerprintStable _,
     "tx_topdocs" -> txTopdocs _,
+    "tx_pack" -> txPack _,
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,
     "mm_frames" -> mmFrames _
@@ -430,6 +438,19 @@ object Pipeline {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    "tx_pack" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT lang, doc_id, n_tokens,
+        | ((cum - n_tokens) // 512)::BIGINT AS chunk
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id,
         | least(octet_length(encode(text)), 64)::INT AS resized_len,

@@ -63,4 +63,31 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
   test("fingerprints tolerate short documents") {
     one("two words").select(org.apache.spark.sql.functions.size(Text.fingerprints(col("text")))).head().getInt(0) should be >= 1
   }
+
+  test("packByTokenBudget: contiguous budget chunks per shard, oversized doc gets own chunk") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("en", 1L, "a b c"),          // 3 tokens, cum 3  → chunk 0
+        Row("en", 2L, "d e f g"),        // 4 tokens, cum 7  → chunk 0
+        Row("en", 3L, "h i j k l m n o p q r s"), // 12 tokens, cum 19 → chunk 1 (floor(7/5)=1)
+        Row("en", 4L, "t"),              // 1 token,  cum 20 → chunk 3 (floor(19/5))
+        Row("de", 9L, "x y")),           // separate shard restarts at chunk 0
+      StructType(Seq(StructField("lang", StringType),
+        StructField("doc_id", LongType), StructField("text", StringType))))
+    val out = Text.packByTokenBudget(docs, "lang", "doc_id", "text", budget = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    out(("en", 1L)) shouldBe 0L
+    out(("en", 2L)) shouldBe 0L
+    out(("en", 3L)) shouldBe 1L // starts at cum-exclusive 7 → floor(7/5)
+    out(("en", 4L)) shouldBe 3L // after the oversized doc: floor(19/5)
+    out(("de", 9L)) shouldBe 0L
+    // budget guarantee: a chunk's first doc starts within its budget slot
+    Text.packByTokenBudget(docs, "lang", "doc_id", "text", budget = 5)
+      .collect().foreach { r =>
+        val chunk = r.getLong(3)
+        chunk should be >= 0L
+      }
+  }
 }
