@@ -404,6 +404,27 @@ object Spatial {
       round(st.y(st.geomFromTWKB(unhex(lit("01000204")))), 6).as("const_y"))
       .orderBy("c_custkey")
 
+  /** Geodesic buffer sandwich bound, value-checked: the 64-gon buffer's
+    * vertices sit at exactly the spherical radius, and its chord sag is
+    * ~(π/64)²/2 ≈ 0.12% of r, so every point with haversine distance
+    * ≤ 0.98 r MUST test inside and every point ≥ 1.02 r MUST test
+    * outside (equatorial test region → projection distortion far below
+    * the 2% margin). The oracle recomputes the core count by haversine
+    * and asserts zero violations either way; the exact polygon edge
+    * stays spec + rows-only (`sp_buffer_count`).
+    */
+  def spBufferBounds(s: SparkSession, dir: String): DataFrame = {
+    val radius = 2000000.0
+    val center = st.makePoint(lit(0.05), lit(0.05))
+    customerPoints(s, dir)
+      .withColumn("__d", st.distanceSphere(col("geom"), center))
+      .withColumn("__in", st.intersects(st.bufferPoint(center, lit(radius)), col("geom")))
+      .agg(
+        sum(when(col("__d") <= radius * 0.98, 1).otherwise(0)).as("n_core"),
+        sum(when(col("__d") <= radius * 0.98 && !col("__in"), 1).otherwise(0)).as("viol_in"),
+        sum(when(col("__d") >= radius * 1.02 && col("__in"), 1).otherwise(0)).as("viol_out"))
+  }
+
   /** Grouped convex hull through the native aggregate; the hull's
     * envelope must equal the group's coordinate min/max, which the
     * oracle recomputes arithmetically — a value-level check that the
@@ -441,6 +462,7 @@ object Spatial {
     "sp_reproject" -> spReproject _,
     "sp_z2_partition" -> spZ2Partition _,
     "sp_buffer_count" -> spBufferCount _,
+    "sp_buffer_bounds" -> spBufferBounds _,
     "sp_spatial_join" -> spSpatialJoin _,
     "sp_knn_join" -> spKnnJoin _
   )
@@ -644,6 +666,18 @@ object Spatial {
          | 1.0 AS const_x, 2.0 AS const_y
          |FROM z ORDER BY c_custkey""".stripMargin,
     "sp_utm" -> spUtmOracle,
+    "sp_buffer_bounds" ->
+      s"""WITH p AS (
+         |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+         |d AS (
+         |  SELECT 2.0 * 6371008.8 * asin(least(1.0, sqrt(
+         |    sin(radians(0.05 - lat) / 2) * sin(radians(0.05 - lat) / 2) +
+         |    cos(radians(lat)) * cos(radians(0.05)) *
+         |    sin(radians(0.05 - lon) / 2) * sin(radians(0.05 - lon) / 2)))) AS dist
+         |  FROM p)
+         |SELECT sum(CASE WHEN dist <= 2000000.0 * 0.98 THEN 1 ELSE 0 END)::BIGINT AS n_core,
+         | 0 AS viol_in, 0 AS viol_out
+         |FROM d""".stripMargin,
     // mirrors GeomImpl.asLatLonText's trunc-based DMS decomposition and
     // Java format "%d°%02d'%06.3f\"H" exactly
     "sp_latlon" ->
