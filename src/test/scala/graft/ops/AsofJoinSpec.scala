@@ -47,6 +47,29 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestSession with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("randomized: equals per-key brute force on seeded data (unique right ts per key)") {
+    val r = new scala.util.Random(0xA50F)
+    val keys = Seq("k0", "k1", "k2", "k3", "k4")
+    val lefts = (1 to 150).map(i => Row(keys(r.nextInt(5)), r.nextInt(1000).toLong, i.toLong))
+    // distinct (key, ts) on the right so the brute-force expectation is
+    // single-valued (ties are documented as unspecified)
+    val rights = r.shuffle((0 until 1000).toList).take(120).zipWithIndex.map {
+      case (ts, i) => Row(keys(i % 5), ts.toLong, i.toDouble)
+    }
+    val ldf = frame(tradeSchema, lefts: _*)
+    val rdf = frame(quoteSchema, rights: _*)
+    val byKey = rights.groupBy(_.getString(0))
+      .view.mapValues(_.map(q => (q.getLong(1), q.getDouble(2))).sortBy(_._1)).toMap
+    val got = AsofJoin.asof(ldf, "t", rdf, "qt", Seq("sym")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    lefts.foreach { l =>
+      val (k, t, q) = (l.getString(0), l.getLong(1), l.getLong(2))
+      val expected = byKey.getOrElse(k, Nil).filter(_._1 <= t).lastOption.map(_._2)
+      withClue(s"key=$k t=$t") { got((k, t, q)) shouldBe expected }
+    }
+  }
+
   test("column collisions and reserved names fail loudly") {
     intercept[IllegalArgumentException] {
       // right's payload column "qty" collides with left

@@ -44,6 +44,34 @@ class RangeJoinSpec extends AnyFunSuite with SparkTestSession with Matchers {
     plan should not include "CartesianProduct"
   }
 
+  test("randomized: equals brute force on 200×60 seeded data, several cell widths") {
+    val r = new scala.util.Random(0xBEEF)
+    val pts = (1 to 200).map(i => Row(i.toLong, r.nextDouble() * 200 - 100))
+    val ivs = (1 to 60).map { i =>
+      val lo = r.nextDouble() * 200 - 110
+      Row(1000L + i, lo, lo + r.nextDouble() * 30)
+    }
+    val pdf = spark.createDataFrame(java.util.Arrays.asList(pts: _*),
+      StructType(Seq(StructField("pid", LongType), StructField("v", DoubleType))))
+    val idf = spark.createDataFrame(java.util.Arrays.asList(ivs: _*),
+      StructType(Seq(StructField("iid", LongType),
+        StructField("lo", DoubleType), StructField("hi", DoubleType))))
+    val expected = (for {
+      Row(pid: Long, v: Double) <- pts
+      Row(iid: Long, lo: Double, hi: Double) <- ivs
+      if v >= lo && v <= hi
+    } yield (pid, iid)).toSet
+    expected.size should be > 50
+    for (w <- Seq(1.0, 7.3, 64.0)) {
+      val got = RangeJoin.pointInInterval(pdf, "v", idf, "lo", "hi", w)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      withClue(s"cellWidth=$w") {
+        got.toSet shouldBe expected
+        got.length shouldBe expected.size
+      }
+    }
+  }
+
   test("reserved/colliding column names fail loudly") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points.withColumn("__cell", lit(1)), "v",
