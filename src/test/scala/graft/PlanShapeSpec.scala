@@ -61,4 +61,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     p should include("*(") // WholeStageCodegen stage marker
     p.contains("CartesianProduct") shouldBe false
   }
+
+  test("ev_enrich: the static dimension broadcasts — the stream side never shuffles for the join") {
+    val p = planOf("ev_enrich")
+    p should include("BroadcastHashJoin")
+    p.contains("SortMergeJoin") shouldBe false
+  }
+
+  test("q_range_join / q_asof_join: no nested-loop or cartesian products") {
+    Seq("q_range_join", "q_asof_join").foreach { q =>
+      val p = planOf(q)
+      withClue(q) {
+        p.contains("BroadcastNestedLoopJoin") shouldBe false
+        p.contains("CartesianProduct") shouldBe false
+      }
+    }
+  }
+
+  test("q_sketch: no Expand — exact distinct comes from a two-level aggregate") {
+    val p = planOf("q_sketch")
+    p.contains("Expand") shouldBe false
+  }
+
+  test("vec_sum resolves from SQL and plans a partial aggregate") {
+    sources.Tables.embeddings(spark, sfDir).limit(50).createOrReplaceTempView("vs_emb")
+    val df = spark.sql(
+      "SELECT vec_sum(cast(embedding AS array<double>)) AS s FROM vs_emb")
+    df.collect().head.getSeq[Double](0).length shouldBe 64
+    df.queryExecution.executedPlan.toString should include("partial_vec_sum")
+  }
 }
