@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * ordered by (ts, side) where `last(payload, ignoreNulls)` carries the
   * most recent right payload forward onto each left row. Cost at 100 TB:
   * both sides shuffle once on the key (no range-join candidate
-  * explosion, no per-key driver work), then a linear in-partition scan;
-  * skewed keys split under AQE. Right rows sort before left rows at
+  * explosion, no per-key driver work), then a linear in-partition scan.
+  * Hot-key caveat: the window partitions BY KEY, and AQE splits skewed
+  * join/shuffle partitions but NOT window partitions — a single key with
+  * millions of rows pins one task for its whole (sorted) scan. The scan
+  * itself is linear, so the bound is O(max key group) per task; for
+  * pathological keys, pre-bucket the timestamp range into coarse epochs
+  * (carrying the last right row of each epoch forward) before calling
+  * this. A range join is strictly worse: it explodes candidates AND
+  * still concentrates the hot key. Right rows sort before left rows at
   * equal timestamps, which is what makes the match inclusive.
   *
   * Determinism: if several right rows share the same (key, ts), which

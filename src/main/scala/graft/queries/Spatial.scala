@@ -727,6 +727,6 @@ object Spatial {
          | AND ($latSql) BETWEEN ((s_suppkey * 17) % 1600) / 10.0 - 80.0
          |                   AND ((s_suppkey * 17) % 1600) / 10.0 - 80.0 + 8.0
          |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin
-    // sp_z2_partition, sp_buffer_count: rows-only (driver) + specs
+    // sp_buffer_count: rows-only (driver) + specs
   )
 }
