@@ -71,12 +71,16 @@ object FunctionDefs {
     "st_asBinary"      -> f("asBinary", Bin, G),
     "st_asTWKB"        -> (f("asTWKB", Bin, G) ++ f("asTWKBPrec", Bin, G, I)),
     "st_asGeoJson"     -> f("asGeoJson", S, G),
+    "st_deflate"       -> f("deflate", Bin, Bin),  // graft extension (TWKB export pairing)
+    "st_inflate"       -> f("inflate", Bin, Bin),  // graft extension
     "st_asGeoHash"     -> f("geoHash", S, G, I),
     "st_geoHash"       -> f("geoHash", S, G, I),
     "st_asLatLonText"  -> f("asLatLonText", S, G),
     // ---- accessors & measures
     "st_x"             -> boxed("x", D, G),
     "st_y"             -> boxed("y", D, G),
+    "st_z"             -> boxed("zCoord", D, G),  // graft extension (Z/M TWKB/WKB)
+    "st_m"             -> boxed("mCoord", D, G),  // graft extension
     "st_area"          -> f("area", D, G),
     "st_length"        -> f("length", D, G),
     "st_distance"      -> f("distance", D, G, G),

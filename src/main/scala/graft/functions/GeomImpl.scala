@@ -102,6 +102,12 @@ object GeomImpl {
   def asTWKBPrec(b: Array[Byte], prec: Int): Array[Byte] = TWKB.write(parse(b), prec)
   def geomFromTWKB(b: Array[Byte]): Array[Byte] = out(TWKB.read(b))
 
+  /** Deflate/inflate for compact cold-storage export (TWKB + deflate is
+    * the reference's wire pairing — jts/.../DeflateCompressor.scala:22).
+    */
+  def deflate(b: Array[Byte]): Array[Byte] = Deflate.compress(b)
+  def inflate(b: Array[Byte]): Array[Byte] = Deflate.decompress(b)
+
   /** Point → "35°21'07.128"N 97°40'12.000"W"-style DMS text (lat lon). */
   def asLatLonText(b: Array[Byte]): UTF8String = parse(b) match {
     case p: Point =>
@@ -161,6 +167,22 @@ object GeomImpl {
   def y(b: Array[Byte]): java.lang.Double = parse(b) match {
     case p: Point => p.getY
     case _        => null
+  }
+
+  /** Z ordinate of a point; null for non-points or XY(M)-only data. */
+  def zCoord(b: Array[Byte]): java.lang.Double = parse(b) match {
+    case p: Point =>
+      val z = p.getCoordinate.getZ
+      if (java.lang.Double.isNaN(z)) null else z
+    case _ => null
+  }
+
+  /** M ordinate of a point; null for non-points or data without measures. */
+  def mCoord(b: Array[Byte]): java.lang.Double = parse(b) match {
+    case p: Point =>
+      val m = p.getCoordinate.getM
+      if (java.lang.Double.isNaN(m)) null else m
+    case _ => null
   }
 
   def area(b: Array[Byte]): Double   = parse(b).getArea

@@ -51,6 +51,8 @@ object st {
   def asBinary(g: Column): Column = fn("st_asBinary", g)
   def asTWKB(g: Column): Column = fn("st_asTWKB", g)
   def asTWKB(g: Column, prec: Column): Column = fn("st_asTWKB", g, prec)
+  def deflate(b: Column): Column = fn("st_deflate", b)
+  def inflate(b: Column): Column = fn("st_inflate", b)
   def asGeoJson(g: Column): Column = fn("st_asGeoJson", g)
   def geoHash(g: Column, precBits: Column): Column = fn("st_geoHash", g, precBits)
   def asLatLonText(g: Column): Column = fn("st_asLatLonText", g)
@@ -58,6 +60,8 @@ object st {
   // ---- accessors & measures
   def x(g: Column): Column = fn("st_x", g)
   def y(g: Column): Column = fn("st_y", g)
+  def z(g: Column): Column = fn("st_z", g)
+  def m(g: Column): Column = fn("st_m", g)
   def area(g: Column): Column = fn("st_area", g)
   def length(g: Column): Column = fn("st_length", g)
   def distance(a: Column, b: Column): Column = fn("st_distance", a, b)

@@ -3,11 +3,15 @@ package graft.geom
 import org.locationtech.jts.geom.{Coordinate, CoordinateFilter, Geometry}
 
 /** CRS handling without a projection library on the classpath: the CRSs
-  * the surface needs — EPSG:4326 lon/lat, EPSG:3857 web mercator, and the
-  * 120 WGS84 UTM zones (EPSG:32601–32660 north, 32701–32760 south) — are
+  * the surface needs — EPSG:4326 lon/lat, EPSG:3857 web mercator, the
+  * 120 WGS84 UTM zones (EPSG:32601–32660 north, 32701–32760 south), and
+  * the two polar stereographic systems that cover the latitudes UTM
+  * leaves (EPSG:3031 Antarctic, EPSG:3413 NSIDC Arctic) — are
   * implemented from public formulas (spherical web-mercator; the
   * transverse-mercator series from Snyder, "Map Projections: A Working
-  * Manual", USGS Professional Paper 1395, 1987, pp. 61–63).
+  * Manual", USGS Professional Paper 1395, 1987, pp. 61–63; the
+  * ellipsoidal polar stereographic from Snyder pp. 160–162, eqs. 21-33..36
+  * and the 3-5 inverse series).
   * Mirrors the reference's st_crsFromText / st_geomReproject surface
   * (spatial-index/src/main/scala/com/azavea/hiveless/spatial/index/ST_GeomReproject.scala:1)
   * with an explicitly-supported CRS set instead of a proj4 dependency;
@@ -112,6 +116,60 @@ object Projections {
         (35.0 * E2 * E2 * E2 / 3072.0) * math.sin(6.0 * phi))
   }
 
+  /** Ellipsoidal polar stereographic with a standard parallel (Snyder
+    * "variant B", pp. 160–162): EPSG:3031 (Antarctic Polar Stereographic,
+    * lat_ts = −71°, lon0 = 0) and EPSG:3413 (NSIDC Sea Ice Polar
+    * Stereographic North, lat_ts = 70°, lon0 = −45°), both FE = FN = 0.
+    * The south aspect uses the north equations with the signs of φ, λ,
+    * λ0, x and y reversed (Snyder p. 161).
+    */
+  final case class PolarStereo(north: Boolean, latTs: Double, lon0: Double, code: Int) extends Crs {
+    val name: String = s"EPSG:$code"
+    private val e = math.sqrt(E2)
+    // t and m at the standard parallel, in north-aspect terms (φc = |lat_ts|)
+    private val phiC = math.toRadians(math.abs(latTs))
+    private val tC = tOf(phiC)
+    private val mC = math.cos(phiC) / math.sqrt(1.0 - E2 * math.sin(phiC) * math.sin(phiC))
+    // inverse series coefficients (Snyder 3-5)
+    private val c2 = E2 / 2.0 + 5.0 * E2 * E2 / 24.0 + E2 * E2 * E2 / 12.0 + 13.0 * E2 * E2 * E2 * E2 / 360.0
+    private val c4 = 7.0 * E2 * E2 / 48.0 + 29.0 * E2 * E2 * E2 / 240.0 + 811.0 * E2 * E2 * E2 * E2 / 11520.0
+    private val c6 = 7.0 * E2 * E2 * E2 / 120.0 + 81.0 * E2 * E2 * E2 * E2 / 1120.0
+    private val c8 = 4279.0 * E2 * E2 * E2 * E2 / 161280.0
+
+    /** Snyder 15-9: t = tan(π/4 − φ/2) / [(1 − e sinφ)/(1 + e sinφ)]^(e/2). */
+    private def tOf(phi: Double): Double =
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2.0)
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      // south aspect: run the north equations on (−φ, −λ, −λ0), negate x,y
+      val phi = math.toRadians(if (north) lat else -lat)
+      val dlam = if (north) math.toRadians(lon) - math.toRadians(lon0)
+                 else math.toRadians(-lon) - math.toRadians(-lon0)
+      val rho = A * mC * tOf(phi) / tC                 // Snyder 21-34
+      val x = rho * math.sin(dlam)                     // Snyder 21-30
+      val y = -rho * math.cos(dlam)                    // Snyder 21-31
+      if (north) (x, y) else (-x, -y)
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val (x, y) = if (north) (x0, y0) else (-x0, -y0)
+      val rho = math.sqrt(x * x + y * y)
+      val t = rho * tC / (A * mC)                      // Snyder 21-39
+      val chi = math.Pi / 2.0 - 2.0 * math.atan(t)     // Snyder 7-13
+      val phi = chi + c2 * math.sin(2.0 * chi) + c4 * math.sin(4.0 * chi) +
+        c6 * math.sin(6.0 * chi) + c8 * math.sin(8.0 * chi) // Snyder 3-5
+      val lam = (if (north) math.toRadians(lon0) else math.toRadians(-lon0)) +
+        (if (rho == 0.0) 0.0 else math.atan2(x, -y))   // Snyder 20-16
+      val lonOut = math.toDegrees(lam)
+      val lonSigned = if (north) lonOut else -lonOut
+      // atan2 + lon0 can land outside (-180, 180] when the point sits
+      // across the antimeridian from the central meridian — wrap it back
+      val lonNorm = lonSigned - 360.0 * math.floor((lonSigned + 180.0) / 360.0)
+      if (north) (lonNorm, math.toDegrees(phi)) else (lonNorm, -math.toDegrees(phi))
+    }
+  }
+
   private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
 
   /** Parse a CRS string to its transform. Accepted spellings: EPSG:4326
@@ -123,6 +181,8 @@ object Projections {
   def parseCrs(crs: String): Crs = crs.trim.toUpperCase.replaceAll("\\s+", " ") match {
     case "EPSG:4326" | "4326" | "WGS84" | "LATLNG" | "LATLON" => LonLat
     case "EPSG:3857" | "3857" | "WEBMERCATOR" | "EPSG:900913" => WebMercator
+    case "EPSG:3031" | "3031" => PolarStereo(north = false, latTs = -71.0, lon0 = 0.0, code = 3031)
+    case "EPSG:3413" | "3413" => PolarStereo(north = true, latTs = 70.0, lon0 = -45.0, code = 3413)
     case UtmPattern(hemi, zz) => Utm(zz.toInt, north = hemi == "6")
     case s if s.startsWith("UTM ZONE ") && s.length > 9 =>
       val body = s.drop(9)
@@ -131,7 +191,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:32601-32660, EPSG:32701-32760)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:3031, EPSG:3413, EPSG:32601-32660, EPSG:32701-32760)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

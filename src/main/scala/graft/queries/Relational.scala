@@ -227,6 +227,16 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Batch-mode CORRECTNESS twin of the streaming exact dedup
+    * ([[graft.streaming.StreamDedup.exactBatch]] — same content-hash key
+    * as `Dedup.exact`, keep-first-by-arrival): the oracle replays it as a
+    * row_number-over-(ts, id) SQL.
+    */
+  def evDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamDedup.exactBatch(
+        Tables.events(s, dir), "props", "ts", "event_id")
+      .orderBy("survivor_id")
+
   /** Interval join through the cell-bucketed RangeJoin (equi-join on
     * cells, never a nested loop): orders priced inside deterministic
     * per-supplier price bands, counted per band. The oracle replays the
@@ -256,7 +266,8 @@ object Relational {
     q("q_range_join")(qRangeJoin),
     q("ev_window")(evWindow),
     q("ev_sessions")(evSessions),
-    q("ev_enrich")(evEnrich)
+    q("ev_enrich")(evEnrich),
+    q("ev_dedup")(evDedup)
   )
 
   val oracles: Map[String, String] = Map(
@@ -350,6 +361,16 @@ object Relational {
         |  FROM (SELECT user_id, ts,
         |          lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
         |        FROM events))
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // keep-first-by-arrival: both engines hash the same UTF-8 bytes with
+    // md5 and pick the row with min (ts, event_id) per digest
+    "ev_dedup" ->
+      """WITH h AS (SELECT event_id, ts, md5(props) AS content_hash FROM events),
+        |r AS (SELECT content_hash, event_id,
+        |        row_number() OVER (PARTITION BY content_hash ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY content_hash) AS n_copies
+        |      FROM h)
+        |SELECT content_hash, event_id AS survivor_id, n_copies
+        |FROM r WHERE rn = 1 ORDER BY survivor_id""".stripMargin
   )
 }

@@ -375,6 +375,30 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Polar stereographic reprojection for the latitudes UTM leaves:
+    * points south of −60° → EPSG:3031 (Antarctic), north of 60° →
+    * EPSG:3413 (NSIDC Arctic). The oracle re-derives the full Snyder
+    * variant-B forward (t, t_c, m_c, ρ, sin/cos split, south-aspect sign
+    * reversal) op-for-op in SQL, value-checking at 0.1 m; the inverse
+    * series is asserted through the rt_ok roundtrip bit (< 1e-7° ≈ 1 cm).
+    * The implementation itself is anchored to the EPSG guidance-note
+    * variant-B worked example in STFunctionsSpec.
+    */
+  def spPolar(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(abs(col("lat")) >= 60.0)
+      .withColumn("crs", when(col("lat") < 0, lit("EPSG:3031")).otherwise(lit("EPSG:3413")))
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs")))
+      .withColumn("back", st.geomReproject(col("p"), col("crs"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        when(col("lat") < 0, 3031).otherwise(3413).as("epsg"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** st_asLatLonText DMS formatting, value-checked: the oracle rebuilds
     * the identical degree/minute/second decomposition (trunc-based, same
     * IEEE ops) and formats with printf — DuckDB's fmt and Java's
@@ -391,8 +415,12 @@ object Spatial {
     * re-derived from the zigzag-varint rules (1 header + 1 metadata byte
     * + ⌈bits(zigzag(v))/7⌉ per ordinate), and a constant spec vector —
     * POINT(1 2) at precision 0 is the 4-byte hex 01000204 — parsed back.
-    * Unsupported-metadata rejection (bbox/size/idlist/extended-dims
-    * flags) is spec-verified in STFunctionsSpec.
+    * Extended dimensions (metadata 0x08 + dimensions byte, per the
+    * reference's TWKBReader.java:93-126): a hand-derived POINT Z (1 2 3)
+    * vector 010801020406 must parse with Z = 3 and coord-dim 3, and an
+    * XYM point must roundtrip its measure through write+read with the
+    * byte length the ext-dims arithmetic predicts (ext byte + 2-byte
+    * m varint). bbox/size/idlist rejection stays spec-verified.
     */
   def spTwkb(s: SparkSession, dir: String): DataFrame =
     customerPoints(s, dir).select(
@@ -401,8 +429,34 @@ object Spatial {
       round(st.y(st.geomFromTWKB(st.asTWKB(col("geom"), lit(2)))), 6).as("tw_y"),
       org.apache.spark.sql.functions.length(st.asTWKB(col("geom"), lit(2))).cast("int").as("tw_len"),
       round(st.x(st.geomFromTWKB(unhex(lit("01000204")))), 6).as("const_x"),
-      round(st.y(st.geomFromTWKB(unhex(lit("01000204")))), 6).as("const_y"))
+      round(st.y(st.geomFromTWKB(unhex(lit("01000204")))), 6).as("const_y"),
+      round(st.z(st.geomFromTWKB(unhex(lit("010801020406")))), 6).as("const_z"),
+      st.coordDim(st.geomFromTWKB(unhex(lit("010801020406")))).as("const_zdim"),
+      round(st.m(st.geomFromTWKB(st.asTWKB(
+        st.makePointM(col("lon"), col("lat"), lit(7.0)), lit(2)))), 6).as("m_rt"),
+      org.apache.spark.sql.functions.length(st.asTWKB(
+        st.makePointM(col("lon"), col("lat"), lit(7.0)), lit(2))).cast("int").as("tw_len_m"))
       .orderBy("c_custkey")
+
+  /** TWKB + deflate export pairing (the reference's cold-storage wire
+    * format, jts/.../DeflateCompressor.scala): inflate(deflate(twkb))
+    * must reproduce the exact quantized coordinates and byte count, and
+    * the stream must open with the zlib default-compression header 789C
+    * (CMF 0x78: deflate/32K window; FLG 0x9C: FLEVEL=2, check bits) —
+    * all constants the oracle asserts.
+    */
+  def spTwkbDeflate(s: SparkSession, dir: String): DataFrame = {
+    val twkb = st.asTWKB(col("geom"), lit(2))
+    val rt = st.geomFromTWKB(st.inflate(st.deflate(twkb)))
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      round(st.x(rt), 6).as("rt_x"),
+      round(st.y(rt), 6).as("rt_y"),
+      hex(substring(st.deflate(twkb), 1, 2)).as("hdr"),
+      when(org.apache.spark.sql.functions.length(st.inflate(st.deflate(twkb))) ===
+        org.apache.spark.sql.functions.length(twkb), 1).otherwise(0).as("len_ok"))
+      .orderBy("c_custkey")
+  }
 
   /** Geodesic buffer sandwich bound, value-checked: the 64-gon buffer's
     * vertices sit at exactly the spherical radius, and its chord sag is
@@ -455,7 +509,9 @@ object Spatial {
     "sp_accessors" -> spAccessors _,
     "sp_process" -> spProcess _,
     "sp_twkb" -> spTwkb _,
+    "sp_twkb_deflate" -> spTwkbDeflate _,
     "sp_utm" -> spUtm _,
+    "sp_polar" -> spPolar _,
     "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
@@ -523,6 +579,39 @@ object Spatial {
        |   + (CASE WHEN lat >= 0 THEN 0.0 ELSE 10000000.0 END), 1) AS northing,
        | 1 AS rt_ok
        |FROM l ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Snyder polar-stereographic variant-B forward as DuckDB SQL,
+    * mirroring geom/Projections.PolarStereo op-for-op (t via 15-9, ρ via
+    * 21-34, x/y via 21-30/31, south aspect = sign reversal — exact in
+    * IEEE, so spelled as the simplified signs). libm 1-ulp sin/cos/pow
+    * differences are absorbed by the 0.1 m rounding.
+    */
+  private val spPolarOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE abs($latSql) >= 60.0),
+       |c AS (SELECT *, sqrt($e2) AS e FROM b),
+       |g AS (SELECT c_custkey, lon, lat, e,
+       |        CASE WHEN lat < 0 THEN radians(71.0) ELSE radians(70.0) END AS phic,
+       |        CASE WHEN lat < 0 THEN radians(-lat) ELSE radians(lat) END AS phi,
+       |        CASE WHEN lat < 0 THEN radians(-lon)
+       |             ELSE radians(lon) - radians(-45.0) END AS dlam
+       |      FROM c),
+       |h AS (SELECT *,
+       |        tan(pi() / 4.0 - phic / 2.0) / pow((1.0 - e * sin(phic)) / (1.0 + e * sin(phic)), e / 2.0) AS tc,
+       |        cos(phic) / sqrt(1.0 - $e2 * sin(phic) * sin(phic)) AS mc,
+       |        tan(pi() / 4.0 - phi / 2.0) / pow((1.0 - e * sin(phi)) / (1.0 + e * sin(phi)), e / 2.0) AS t
+       |      FROM g),
+       |i AS (SELECT *, 6378137.0 * mc * t / tc AS rho FROM h)
+       |SELECT c_custkey,
+       | CASE WHEN lat < 0 THEN 3031 ELSE 3413 END AS epsg,
+       | round(CASE WHEN lat < 0 THEN -(rho * sin(dlam)) ELSE rho * sin(dlam) END, 1) AS easting,
+       | round(CASE WHEN lat < 0 THEN rho * cos(dlam) ELSE -(rho * cos(dlam)) END, 1) AS northing,
+       | 1 AS rt_ok
+       |FROM i ORDER BY c_custkey""".stripMargin
   }
 
   private val xyRoundtripOracle =
@@ -649,6 +738,8 @@ object Spatial {
          | round(((179.5 + w + 1.0) - 179.5) * ((lat + h) - lat), 6) AS ams_area,
          | 2 AS ams_ng
          |FROM b ORDER BY c_custkey""".stripMargin,
+    // tw_len_m = tw_len + 3: the XYM variant adds the dimensions byte and
+    // a 2-byte m varint (m = round(7.0 * 10^2) = 700, zigzag 1400 < 2^14)
     "sp_twkb" ->
       s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
          |v AS (SELECT c_custkey,
@@ -657,15 +748,29 @@ object Spatial {
          |z AS (SELECT c_custkey, vx, vy,
          |        CASE WHEN vx >= 0 THEN 2 * vx ELSE -2 * vx - 1 END AS zx,
          |        CASE WHEN vy >= 0 THEN 2 * vy ELSE -2 * vy - 1 END AS zy
-         |      FROM v)
+         |      FROM v),
+         |l AS (SELECT c_custkey, vx, vy,
+         |        (2 + CASE WHEN zx < 128 THEN 1 WHEN zx < 16384 THEN 2 ELSE 3 END
+         |           + CASE WHEN zy < 128 THEN 1 WHEN zy < 16384 THEN 2 ELSE 3 END)::INT AS tw_len
+         |      FROM z)
          |SELECT c_custkey,
          | round(vx / 100.0, 6) AS tw_x,
          | round(vy / 100.0, 6) AS tw_y,
-         | (2 + CASE WHEN zx < 128 THEN 1 WHEN zx < 16384 THEN 2 ELSE 3 END
-         |    + CASE WHEN zy < 128 THEN 1 WHEN zy < 16384 THEN 2 ELSE 3 END)::INT AS tw_len,
-         | 1.0 AS const_x, 2.0 AS const_y
-         |FROM z ORDER BY c_custkey""".stripMargin,
+         | tw_len,
+         | 1.0 AS const_x, 2.0 AS const_y,
+         | 3.0 AS const_z, 3 AS const_zdim,
+         | 7.0 AS m_rt,
+         | (tw_len + 3)::INT AS tw_len_m
+         |FROM l ORDER BY c_custkey""".stripMargin,
+    "sp_twkb_deflate" ->
+      s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer)
+         |SELECT c_custkey,
+         | round(round(lon * 100) / 100.0, 6) AS rt_x,
+         | round(round(lat * 100) / 100.0, 6) AS rt_y,
+         | '789C' AS hdr, 1 AS len_ok
+         |FROM b ORDER BY c_custkey""".stripMargin,
     "sp_utm" -> spUtmOracle,
+    "sp_polar" -> spPolarOracle,
     "sp_buffer_bounds" ->
       s"""WITH p AS (
          |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),

@@ -28,4 +28,20 @@ object StreamDedup {
     withContentHash(docs, textCol)
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Batch twin of [[exactStream]] with deterministic keep-FIRST-by-
+    * arrival semantics (min (ts, id) per content hash — the row the
+    * streaming path keeps when events arrive in timestamp order inside
+    * one watermark span). One shuffle on the 16-byte digest with partial
+    * aggregation; the wide payload never shuffles — the survivor row is
+    * identified by id, not carried.
+    */
+  def exactBatch(docs: DataFrame, textCol: String, tsCol: String,
+                 idCol: String): DataFrame =
+    withContentHash(docs, textCol)
+      .groupBy("content_hash")
+      .agg(min(struct(col(tsCol), col(idCol))).as("__first"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"),
+        col(s"__first.$idCol").as("survivor_id"), col("n_copies"))
 }

@@ -202,12 +202,11 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
-  test("TWKB reader rejects unsupported metadata flags loudly (incl. 0x08 extended dims)") {
+  test("TWKB reader rejects unsupported bbox/size/idlist metadata loudly") {
     val ok = TWKB.write(GeomIO.fromWKT("POINT (1 2)"), 0)
-    // flipping any of bbox/size/idlist/extended-dims into the metadata
-    // byte must throw, never silently mis-parse (a PostGIS Z/M TWKB sets
-    // 0x08 and carries extra ordinates this reader cannot skip)
-    for (flag <- Seq(0x01, 0x02, 0x04, 0x08)) {
+    // flipping any of bbox/size/idlist into the metadata byte must throw,
+    // never silently mis-parse (each changes the byte layout)
+    for (flag <- Seq(0x01, 0x02, 0x04)) {
       val corrupt = ok.clone()
       corrupt(1) = (corrupt(1) | flag).toByte
       val e = intercept[IllegalArgumentException](TWKB.read(corrupt))
@@ -215,6 +214,48 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
     // the empty-geometry flag (0x10) stays legal
     TWKB.read(TWKB.write(GeomIO.fromWKT("POINT EMPTY"), 0)).isEmpty shouldBe true
+  }
+
+  test("TWKB extended dims: Z and M ordinates roundtrip (PostGIS-style 0x08 metadata)") {
+    import org.locationtech.jts.geom.{Coordinate, CoordinateXYZM}
+    // Z-only: POINT Z (1.25 2.5 3.75)
+    val pz = GeomIO.factory.createPoint(new Coordinate(1.25, 2.5, 3.75))
+    val zBack = TWKB.read(TWKB.write(pz, 2))
+    zBack.getCoordinate.x shouldBe 1.25
+    zBack.getCoordinate.getZ shouldBe 3.75
+    // XYZM point
+    val pzm = GeomIO.factory.createPoint(new CoordinateXYZM(1.0, 2.0, 3.0, 4.0))
+    val zmBack = TWKB.read(TWKB.write(pzm, 0))
+    zmBack.getCoordinate.getZ shouldBe 3.0
+    zmBack.getCoordinate.getM shouldBe 4.0
+    // XYM (NaN Z, as st_makePointM builds): M survives, Z stays absent
+    val pm = GeomIO.fromWKB(graft.functions.GeomImpl.makePointM(-5.5, 6.25, 7.125))
+    val mBytes = TWKB.write(pm, 3)
+    // metadata byte carries 0x08, dimensions byte M-only at precision 3
+    (mBytes(1) & 0x08) should not be 0
+    (mBytes(2) & 0xff) shouldBe (0x02 | (3 << 5))
+    val mBack = TWKB.read(mBytes)
+    mBack.getCoordinate.getM shouldBe 7.125
+    java.lang.Double.isNaN(mBack.getCoordinate.getZ) shouldBe true
+    // hand-derived spec vector: POINT Z (1 2 3), precision 0, zprec 0
+    val const = TWKB.read(Array[Byte](0x01, 0x08, 0x01, 0x02, 0x04, 0x06))
+    const.getCoordinate.x shouldBe 1.0
+    const.getCoordinate.getZ shouldBe 3.0
+    // Z linestring: deltas per vertex on all three lanes
+    val ls = GeomIO.factory.createLineString(
+      Array(new Coordinate(0, 0, 10), new Coordinate(1.5, -2.5, 9.25)))
+    val lsBack = TWKB.read(TWKB.write(ls, 2))
+    lsBack.getCoordinates()(1).getZ shouldBe 9.25
+    lsBack.getCoordinates()(1).y shouldBe -2.5
+  }
+
+  test("deflate/inflate SQL functions: roundtrip + zlib default header") {
+    val r = sql1(
+      """SELECT st_asText(st_geomFromTWKB(st_inflate(st_deflate(st_asTWKB(st_makePoint(1.25, 2.5), 2))))) AS rt,
+        |       hex(substring(st_deflate(st_asTWKB(st_makePoint(1.25, 2.5), 2)), 1, 2)) AS hdr
+        |""".stripMargin)
+    r.getString(0) shouldBe "POINT (1.25 2.5)"
+    r.getString(1) shouldBe "789C"
   }
 
   test("geohash: non-multiple-of-5 precisions roundtrip (cell contains point)") {
@@ -286,6 +327,40 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
       """SELECT round(st_x(st_geomReproject(st_geomReproject(st_makePoint(14.5, 46.1),
         |  'EPSG:4326', 'EPSG:32633'), 'EPSG:32633', 'EPSG:3857')), 6) AS x""".stripMargin)
     r.getDouble(0) shouldBe (6378137.0 * math.toRadians(14.5)) +- 1e-4
+  }
+
+  test("CRS: polar stereographic — EPSG worked example, pole geometry, roundtrip") {
+    import graft.geom.Projections
+    // EPSG guidance note 7-2, Polar Stereographic variant B worked example
+    // (WGS84, lat_ts=-71, lon0=70, FE=FN=6000000): phi=-75, lam=120 must
+    // project to E 7255380.79, N 7053389.56
+    val ex = Projections.PolarStereo(north = false, latTs = -71.0, lon0 = 70.0, code = 3032)
+    val (x, y) = ex.fromGeo(120.0, -75.0)
+    (x + 6000000.0) shouldBe 7255380.79 +- 0.01
+    (y + 6000000.0) shouldBe 7053389.56 +- 0.01
+    // center meridians: x = 0 exactly, northing sign per aspect
+    val s31 = Projections.parseCrs("EPSG:3031")
+    val (x31, y31) = s31.fromGeo(0.0, -71.0)
+    math.abs(x31) shouldBe 0.0 +- 1e-9
+    y31 should be > 0.0 // grid north points toward lon 180 in the south aspect
+    val n13 = Projections.parseCrs("EPSG:3413")
+    val (x13, y13) = n13.fromGeo(-45.0, 70.0)
+    math.abs(x13) shouldBe 0.0 +- 1e-9
+    y13 should be < 0.0
+    // roundtrip across both aspects
+    for ((lon, lat) <- Seq((13.0, -77.85), (-150.0, -60.0), (100.0, 82.5), (-45.0, 60.0), (179.9, -89.9))) {
+      val crs = if (lat < 0) s31 else n13
+      val (px, py) = crs.fromGeo(lon, lat)
+      val (bl, bp) = crs.toGeo(px, py)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-9
+        bp shouldBe lat +- 1e-9
+      }
+    }
+    // SQL surface
+    sql1("SELECT st_crsFromText('3031')").getString(0) shouldBe "EPSG:3031"
+    val p = sql1("SELECT st_y(st_geomReproject(st_makePoint(0.0, -71.0), 'EPSG:4326', 'EPSG:3031'))")
+    p.getDouble(0) shouldBe y31 +- 1e-6
   }
 
   test("lengthSphere sums haversine segment lengths") {

@@ -75,6 +75,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession with Matchers {
     Multimodal.sampleFrames(spark, tiny, "doc_id", frameBytes = 10, stride = 1).count() shouldBe 0L
   }
 
+  test("real PNG decode: javax.imageio roundtrips the synthesized pixels exactly") {
+    import spark.implicits._
+    // direct: encode then decode one image, compare every sample
+    val bytes = Multimodal.synthPng(42L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    img.getWidth shouldBe (1 + 42 % 8)
+    img.getHeight shouldBe (1 + 42 % 5)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      img.getRaster.getSample(x, y, 0) shouldBe ((42 * 31 + y * img.getWidth + x) % 256)
+    // through the batched operator: dims + pixel sums match the formula
+    val ids = spark.range(40).select(col("id").as("doc_id"))
+    val out = Multimodal.decodeImages(spark, Multimodal.synthesizePngs(spark, ids, "doc_id"), "doc_id")
+      .orderBy("doc_id").collect()
+    out.length shouldBe 40
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (1 + id % 8, 1 + id % 5)
+      r.getInt(1).toLong shouldBe w
+      r.getInt(2).toLong shouldBe h
+      r.getLong(3) shouldBe (0L until w * h).map(i => (id * 31 + i) % 256).sum
+    }
+  }
+
   test("batch grouping handles partitions larger than BatchSize") {
     import spark.implicits._
     val big = spark.range(3 * Multimodal.BatchSize + 17).select(
