@@ -180,9 +180,9 @@ object Spatial {
   /** Z2 keys value-checked against an independent arithmetic oracle: the
     * DuckDB side re-derives the 30-bit scaling and Morton interleave as a
     * 60-term bit-shift sum (pure IEEE +,/,* then integer bit ops — no
-    * libm, so both engines agree bit-for-bit). `st_partitionCentroid`
-    * (web-mercator tiles → tan/log, libm-dependent) is spec-verified
-    * instead.
+    * libm, so both engines agree bit-for-bit). The libm-dependent
+    * st_partitionCentroid key gets its own margin-checked oracle in
+    * [[spPartition]].
     */
   def spZ2Partition(s: SparkSession, dir: String): DataFrame =
     customerPoints(s, dir).select(
@@ -191,6 +191,21 @@ object Spatial {
       col("geom"))
       .withColumn("z2", st.z2LatLon(col("geom")))
       .select("c_custkey", "cell8", "z2.min", "z2.max")
+      .orderBy("c_custkey")
+
+  /** st_partitionCentroid (slippy-tile Morton partition key), promoted
+    * from spec-only to value-checked: the x tile index is pure arithmetic
+    * (bit-identical across engines — boundary-exact values are safe), and
+    * the libm-dependent y tile index sits ≥ 4.5e-4 tiles from every
+    * integer boundary on this grid (measured at sf0.1), ~12 orders of
+    * magnitude above libm's 1-ulp tan/log differences, so trunc() agrees.
+    * The oracle re-derives tile math + 6-bit Morton interleave + shift.
+    */
+  def spPartition(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir).select(
+      col("c_custkey"),
+      st.partitionCentroid(col("geom"), lit(6)).as("pk6"),
+      st.partitionCentroid(col("geom"), lit(6), lit(4)).as("pk6b4"))
       .orderBy("c_custkey")
 
   /** Spatial join via the Z2 grid-cell cover join (no cross product):
@@ -517,6 +532,7 @@ object Spatial {
     "sp_extent_prune" -> spExtentPrune _,
     "sp_reproject" -> spReproject _,
     "sp_z2_partition" -> spZ2Partition _,
+    "sp_partition" -> spPartition _,
     "sp_buffer_count" -> spBufferCount _,
     "sp_buffer_bounds" -> spBufferBounds _,
     "sp_spatial_join" -> spSpatialJoin _,
@@ -645,6 +661,22 @@ object Spatial {
          |  (${z2InterleaveSql("ix", "iy", 30)}) AS "min",
          |  (${z2InterleaveSql("ix", "iy", 30)}) AS "max"
          |FROM scaled ORDER BY c_custkey""".stripMargin,
+    // slippy tiling mirrored op-for-op: lat clamp, radians, the
+    // log(tan+1/cos) term, trunc-toward-zero, [0, n-1] clamp, then the
+    // same even/odd Morton interleave as sp_z2_partition, >> bits
+    "sp_partition" ->
+      s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+         |c AS (SELECT c_custkey, lon,
+         |        radians(greatest(-85.05112877980659, least(85.05112877980659, lat))) AS phi
+         |      FROM b),
+         |t AS (SELECT c_custkey,
+         |        greatest(0, least(63, trunc((lon + 180.0) / 360.0 * 64)::BIGINT)) AS xt,
+         |        greatest(0, least(63, trunc((1.0 - ln(tan(phi) + 1.0 / cos(phi)) / pi()) / 2.0 * 64)::BIGINT)) AS yt
+         |      FROM c)
+         |SELECT c_custkey,
+         | ((${z2InterleaveSql("xt", "yt", 6)}) >> 8) AS pk6,
+         | ((${z2InterleaveSql("xt", "yt", 6)}) >> 4) AS pk6b4
+         |FROM t ORDER BY c_custkey""".stripMargin,
     "sp_hull_aggr" ->
       s"""SELECT c_custkey % 10 AS grp,
          | round(min(lon), 6) AS xmin, round(min(lat), 6) AS ymin,
