@@ -83,6 +83,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     p.contains("Expand") shouldBe false
   }
 
+  test("ev_dedup: keep-first via partial aggregation on the digest, no window shuffle") {
+    val p = planOf("ev_dedup")
+    withClue(s"plan:\n$p") {
+      p.contains("Window") shouldBe false
+      // min(struct) + count reduce map-side before the digest shuffle
+      // (SortAggregate, not HashAggregate — struct-typed min buffers are
+      // not hash-aggregable — but the partial→final split is what matters)
+      p should include("partial_min")
+      p.linesIterator.count(_.contains("Aggregate")) should be >= 2
+    }
+  }
+
+  test("mm_decode: decode is a narrow map — no shuffle before the image stage") {
+    val p = planOf("mm_decode")
+    withClue(s"plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      // only the final orderBy may exchange; the decode pipeline itself is scan-side
+      p.linesIterator.count(_.contains("Exchange")) should be <= 2
+    }
+  }
+
   test("vec_sum resolves from SQL and plans a partial aggregate") {
     sources.Tables.embeddings(spark, sfDir).limit(50).createOrReplaceTempView("vs_emb")
     val df = spark.sql(

@@ -109,6 +109,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("batch dedup twin (ev_dedup path) agrees with the streaming dedup survivors") {
+    val spark0 = spark
+    import spark0.implicits._
+    val t0 = 1700000000000L
+    // duplicates arriving in timestamp order within one watermark span —
+    // the regime where streaming keeps exactly the first arrival
+    val docs = Seq(
+      (new Timestamp(t0), 1L, "alpha"), (new Timestamp(t0 + 1000), 2L, "beta"),
+      (new Timestamp(t0 + 60000), 3L, "alpha"), (new Timestamp(t0 + 61000), 4L, "gamma"),
+      (new Timestamp(t0 + 62000), 5L, "beta"), (new Timestamp(t0 + 63000), 6L, "alpha"))
+    val batchDf = docs.toDF("ts", "doc_id", "text")
+    val batch = StreamDedup.exactBatch(batchDf, "text", "ts", "doc_id")
+    batch.select("survivor_id").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 4L)
+    batch.select("n_copies").collect().map(_.getLong(0)).sum shouldBe docs.size
+    // streaming survivors over the same feed = the batch survivors
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val q = StreamDedup.exactStream(
+        input.toDF().toDF("ts", "doc_id", "text"), "text", "ts", delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_twin").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      spark.table("dedup_twin").select("doc_id").collect().map(_.getLong(0)).toSet shouldBe
+        Set(1L, 2L, 4L)
+    } finally q.stop()
+  }
+
   test("streaming sessionization accumulates state across triggers == batch twin") {
     val spark0 = spark
     import spark0.implicits._
