@@ -24,7 +24,9 @@ object GeomImpl {
 
   // Small per-thread identity memo so repeated byte[] instances (literal
   // children evaluate to the same object every row) parse once, not per row.
-  private final val MemoSlots = 4
+  // 8 slots: the widest query rows (sp_predicates: box + 3 translates +
+  // line + points) juggle ~6 distinct geometries — 4 slots thrashed.
+  private final val MemoSlots = 8
   private val memoKeys = ThreadLocal.withInitial[Array[AnyRef]](() => new Array[AnyRef](MemoSlots))
   private val memoVals = ThreadLocal.withInitial[Array[Geometry]](() => new Array[Geometry](MemoSlots))
   private val memoIdx  = ThreadLocal.withInitial[Array[Int]](() => new Array[Int](1))

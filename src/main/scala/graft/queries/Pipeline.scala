@@ -270,6 +270,25 @@ object Pipeline {
       .orderBy("event_id")
   }
 
+  /** The hot-key-safe as-of variant ([[graft.ops.AsofJoin.asofBucketed]],
+    * 90-day epochs) on the same inputs as [[qAsofJoin]] — semantics are
+    * identical by construction, so it shares the DuckDB ASOF oracle and
+    * must hash-match it exactly.
+    */
+  def qAsofBucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      expr("timestamp'1995-01-01 00:00:00' + make_interval(0, 0, 0, cast(event_id % 2400 as int), 0, 0, 0)")
+        .as("cutoff"))
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("user_id"), col("o_orderdate"))
+    graft.ops.AsofJoin.asofBucketed(e, "cutoff", o, "o_orderdate", Seq("user_id"),
+        bucketSeconds = 90L * 86400L)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("cutoff")).as("cutoff_s"),
+        unix_timestamp(col("o_orderdate")).as("asof_order_s"))
+      .orderBy("event_id")
+  }
+
   def txTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -397,6 +416,7 @@ object Pipeline {
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_int8" -> annInt8 _,
     "q_asof_join" -> qAsofJoin _,
+    "q_asof_bucketed" -> qAsofBucketed _,
     "tx_tokens" -> txTokens _,
     "tx_quality" -> txQuality _,
     "tx_langid" -> txLangid _,
@@ -459,6 +479,17 @@ object Pipeline {
        |  FROM scored)
        |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos
        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  private val asofOracleSql =
+    """WITH e AS (SELECT event_id, user_id,
+      |        TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 1 DAY * (event_id % 2400) AS cutoff
+      |      FROM events)
+      |SELECT e.event_id, e.user_id,
+      | epoch(e.cutoff)::BIGINT AS cutoff_s,
+      | epoch(o.o_orderdate)::BIGINT AS asof_order_s
+      |FROM e ASOF LEFT JOIN orders o
+      |  ON e.user_id = o.o_custkey AND e.cutoff >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
@@ -580,16 +611,10 @@ object Pipeline {
         | round(scale, 6) AS scale_r,
         | round(list_max([abs(v[i] - qv[i] / scale) for i in range(1, len(v) + 1)]), 6) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
-    "q_asof_join" ->
-      """WITH e AS (SELECT event_id, user_id,
-        |        TIMESTAMP '1995-01-01 00:00:00' + INTERVAL 1 DAY * (event_id % 2400) AS cutoff
-        |      FROM events)
-        |SELECT e.event_id, e.user_id,
-        | epoch(e.cutoff)::BIGINT AS cutoff_s,
-        | epoch(o.o_orderdate)::BIGINT AS asof_order_s
-        |FROM e ASOF LEFT JOIN orders o
-        |  ON e.user_id = o.o_custkey AND e.cutoff >= o.o_orderdate
-        |ORDER BY event_id""".stripMargin,
+    "q_asof_join" -> asofOracleSql,
+    // identical semantics by construction — the bucketed variant must
+    // reproduce the plain as-of bit-for-bit
+    "q_asof_bucketed" -> asofOracleSql,
     "dd_embed_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT count(*) AS n_exact, 0 AS n_precision_miss, 1 AS recall_floor_ok

@@ -70,6 +70,53 @@ class AsofJoinSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("asofBucketed == asof at every bucket width, including one hot key") {
+    val r = new scala.util.Random(0xB0C4)
+    val tsSchema = StructType(Seq(
+      StructField("sym", StringType), StructField("t", TimestampType),
+      StructField("qty", LongType)))
+    val qsSchema = StructType(Seq(
+      StructField("sym", StringType), StructField("qt", TimestampType),
+      StructField("px", DoubleType)))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // hot key: 80% of rows land on k0; right ts unique per key
+    val keys = Seq("k0", "k0", "k0", "k0", "k1")
+    val lefts = (1 to 200).map(i => Row(keys(r.nextInt(5)), ts(r.nextInt(5000).toLong), i.toLong))
+    val rights = r.shuffle((0 until 5000).toList).take(150).zipWithIndex.map {
+      case (s, i) => Row(keys(i % 5), ts(s.toLong), i.toDouble)
+    }
+    val ldf = frame(tsSchema, lefts: _*)
+    val rdf = frame(qsSchema, rights: _*)
+    val reference = AsofJoin.asof(ldf, "t", rdf, "qt", Seq("sym"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // widths spanning one-epoch-per-event up to everything-in-one-epoch
+    for (width <- Seq(1L, 60L, 3600L, 1000000L)) {
+      val got = AsofJoin.asofBucketed(ldf, "t", rdf, "qt", Seq("sym"), width)
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)) ->
+          (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+      withClue(s"bucketSeconds=$width") { got shouldBe reference }
+    }
+  }
+
+  test("asofBucketed window partitions by (key, epoch) — hot key splits across tasks") {
+    val tsSchema = StructType(Seq(
+      StructField("sym", StringType), StructField("t", TimestampType),
+      StructField("qty", LongType)))
+    val qsSchema = StructType(Seq(
+      StructField("sym", StringType), StructField("qt", TimestampType),
+      StructField("px", DoubleType)))
+    def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ldf = frame(tsSchema, (1 to 50).map(i => Row("hot", ts(i * 60L), i.toLong)): _*)
+    val rdf = frame(qsSchema, (1 to 10).map(i => Row("hot", ts(i * 300L), i.toDouble)): _*)
+    val plan = AsofJoin.asofBucketed(ldf, "t", rdf, "qt", Seq("sym"), 600L)
+      .queryExecution.executedPlan.toString
+    // the event window's partition spec must include the epoch column
+    plan.linesIterator.filter(_.contains("Window"))
+      .exists(l => l.contains("__bk")) shouldBe true
+    plan should not include "CartesianProduct"
+  }
+
   test("column collisions and reserved names fail loudly") {
     intercept[IllegalArgumentException] {
       // right's payload column "qty" collides with left
