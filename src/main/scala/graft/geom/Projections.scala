@@ -170,6 +170,68 @@ object Projections {
     }
   }
 
+  /** Ellipsoidal Lambert azimuthal equal-area (Snyder pp. 187–190, eqs.
+    * 3-12, 24-27..29 forward; 24-16..19 + 3-18 inverse): EPSG:3035
+    * (ETRS89-extended / LAEA Europe, lat0 = 52°, lon0 = 10°,
+    * FE = 4321000, FN = 3210000). The ETRS89 (GRS80) and WGS84
+    * ellipsoids differ by ~0.1 mm in semi-minor axis — WGS84 constants
+    * are used throughout, consistent with the rest of this object.
+    */
+  final case class Laea(lat0: Double, lon0: Double, fe: Double, fn: Double, code: Int) extends Crs {
+    val name: String = s"EPSG:$code"
+    private val e = math.sqrt(E2)
+
+    /** Snyder 3-12: q(φ) = (1−e²)[sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e sinφ)/(1+e sinφ))]. */
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - E2) * (s / (1.0 - E2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+
+    private val qP = qOf(math.Pi / 2.0)
+    private val q1 = qOf(math.toRadians(lat0))
+    private val beta1 = math.asin(q1 / qP)
+    private val rq = A * math.sqrt(qP / 2.0)
+    private val sinB1 = math.sin(beta1)
+    private val cosB1 = math.cos(beta1)
+    private val m1 = {
+      val s = math.sin(math.toRadians(lat0))
+      math.cos(math.toRadians(lat0)) / math.sqrt(1.0 - E2 * s * s)
+    }
+    private val d = A * m1 / (rq * cosB1)
+    // inverse authalic-latitude series coefficients (Snyder 3-18)
+    private val a2 = E2 / 3.0 + 31.0 * E2 * E2 / 180.0 + 517.0 * E2 * E2 * E2 / 5040.0
+    private val a4 = 23.0 * E2 * E2 / 360.0 + 251.0 * E2 * E2 * E2 / 3780.0
+    private val a6 = 761.0 * E2 * E2 * E2 / 45360.0
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val beta = math.asin(qOf(math.toRadians(lat)) / qP)
+      val dlam = math.toRadians(lon) - math.toRadians(lon0)
+      val sinB = math.sin(beta)
+      val cosB = math.cos(beta)
+      val b = rq * math.sqrt(2.0 / (1.0 + sinB1 * sinB + cosB1 * cosB * math.cos(dlam)))
+      val x = b * d * (cosB * math.sin(dlam))
+      val y = (b / d) * (cosB1 * sinB - sinB1 * cosB * math.cos(dlam))
+      (x + fe, y + fn)
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - fe
+      val y = y0 - fn
+      val rho = math.sqrt((x / d) * (x / d) + (d * y) * (d * y))
+      if (rho == 0.0) return (lon0, lat0)
+      val ce = 2.0 * math.asin(rho / (2.0 * rq))
+      val sinCe = math.sin(ce)
+      val cosCe = math.cos(ce)
+      val betaP = math.asin(cosCe * sinB1 + (d * y * sinCe * cosB1) / rho)
+      val lam = math.toRadians(lon0) +
+        math.atan2(x * sinCe, d * rho * cosB1 * cosCe - d * d * y * sinB1 * sinCe)
+      val phi = betaP + a2 * math.sin(2.0 * betaP) + a4 * math.sin(4.0 * betaP) +
+        a6 * math.sin(6.0 * betaP)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
 
   /** Parse a CRS string to its transform. Accepted spellings: EPSG:4326
@@ -183,6 +245,7 @@ object Projections {
     case "EPSG:3857" | "3857" | "WEBMERCATOR" | "EPSG:900913" => WebMercator
     case "EPSG:3031" | "3031" => PolarStereo(north = false, latTs = -71.0, lon0 = 0.0, code = 3031)
     case "EPSG:3413" | "3413" => PolarStereo(north = true, latTs = 70.0, lon0 = -45.0, code = 3413)
+    case "EPSG:3035" | "3035" => Laea(lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0, code = 3035)
     case UtmPattern(hemi, zz) => Utm(zz.toInt, north = hemi == "6")
     case s if s.startsWith("UTM ZONE ") && s.length > 9 =>
       val body = s.drop(9)
@@ -191,7 +254,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:3031, EPSG:3413, EPSG:32601-32660, EPSG:32701-32760)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:32601-32660, EPSG:32701-32760)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

@@ -414,6 +414,28 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Lambert azimuthal equal-area (EPSG:3035, the pan-European grid) over
+    * the window it is actually used for (lon ∈ [−30°, 50°] — also keeps
+    * the working points far from the antipodal singularity, where the
+    * projection's 1/√(1+cos c) amplification would outgrow the 0.1 m
+    * gate). The oracle re-derives the full Snyder ellipsoidal forward
+    * (authalic q, β, B, D) op-for-op in SQL; the inverse series is
+    * asserted through the rt_ok bit; the EPSG worked example anchors the
+    * implementation in STFunctionsSpec.
+    */
+  def spLaea(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("lon") >= -30.0 && col("lon") <= 50.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit("EPSG:3035")))
+      .withColumn("back", st.geomReproject(col("p"), lit("EPSG:3035"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** st_asLatLonText DMS formatting, value-checked: the oracle rebuilds
     * the identical degree/minute/second decomposition (trunc-based, same
     * IEEE ops) and formats with printf — DuckDB's fmt and Java's
@@ -527,6 +549,7 @@ object Spatial {
     "sp_twkb_deflate" -> spTwkbDeflate _,
     "sp_utm" -> spUtm _,
     "sp_polar" -> spPolar _,
+    "sp_laea" -> spLaea _,
     "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
@@ -628,6 +651,48 @@ object Spatial {
        | round(CASE WHEN lat < 0 THEN rho * cos(dlam) ELSE -(rho * cos(dlam)) END, 1) AS northing,
        | 1 AS rt_ok
        |FROM i ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Snyder ellipsoidal LAEA forward as DuckDB SQL, mirroring
+    * geom/Projections.Laea op-for-op (authalic q via 3-12, β, R_q, m1, D,
+    * B, then 24-30/31 with the false origin added last). libm 1-ulp
+    * differences are absorbed by the 0.1 m rounding in the [−30°, 50°]
+    * window (far from the antipodal amplification).
+    */
+  private val spLaeaOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    def qOf(s: String) =
+      s"(1.0 - $e2) * (($s) / (1.0 - $e2 * ($s) * ($s)) - (1.0 / (2.0 * e)) * ln((1.0 - e * ($s)) / (1.0 + e * ($s))))"
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($lonSql) >= -30.0 AND ($lonSql) <= 50.0),
+       |c AS (SELECT *, sqrt($e2) AS e FROM b),
+       |g AS (SELECT *,
+       |        ${qOf("sin(pi() / 2.0)")} AS qp,
+       |        ${qOf("sin(radians(52.0))")} AS q1,
+       |        cos(radians(52.0)) / sqrt(1.0 - $e2 * sin(radians(52.0)) * sin(radians(52.0))) AS m1,
+       |        ${qOf("sin(radians(lat))")} AS q,
+       |        radians(lon) - radians(10.0) AS dlam
+       |      FROM c),
+       |h AS (SELECT *,
+       |        asin(q1 / qp) AS beta1,
+       |        asin(q / qp) AS beta,
+       |        6378137.0 * sqrt(qp / 2.0) AS rq
+       |      FROM g),
+       |i AS (SELECT *,
+       |        sin(beta1) AS sinb1, cos(beta1) AS cosb1,
+       |        sin(beta) AS sinb, cos(beta) AS cosb,
+       |        6378137.0 * m1 / (rq * cos(beta1)) AS dd
+       |      FROM h),
+       |j AS (SELECT *,
+       |        rq * sqrt(2.0 / (1.0 + sinb1 * sinb + cosb1 * cosb * cos(dlam))) AS bb
+       |      FROM i)
+       |SELECT c_custkey,
+       | round(bb * dd * (cosb * sin(dlam)) + 4321000.0, 1) AS easting,
+       | round((bb / dd) * (cosb1 * sinb - sinb1 * cosb * cos(dlam)) + 3210000.0, 1) AS northing,
+       | 1 AS rt_ok
+       |FROM j ORDER BY c_custkey""".stripMargin
   }
 
   private val xyRoundtripOracle =
@@ -803,6 +868,7 @@ object Spatial {
          |FROM b ORDER BY c_custkey""".stripMargin,
     "sp_utm" -> spUtmOracle,
     "sp_polar" -> spPolarOracle,
+    "sp_laea" -> spLaeaOracle,
     "sp_buffer_bounds" ->
       s"""WITH p AS (
          |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),

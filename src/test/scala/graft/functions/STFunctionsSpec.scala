@@ -363,6 +363,29 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     p.getDouble(0) shouldBe y31 +- 1e-6
   }
 
+  test("CRS: LAEA (EPSG:3035) — EPSG worked example, center exactness, roundtrip") {
+    import graft.geom.Projections
+    // EPSG guidance note 7-2 LAEA worked example (ETRS89-LAEA): phi=50,
+    // lam=5 must project to E 3962799.45, N 2999718.85
+    val laea = Projections.parseCrs("EPSG:3035")
+    val (x, y) = laea.fromGeo(5.0, 50.0)
+    x shouldBe 3962799.45 +- 0.01
+    y shouldBe 2999718.85 +- 0.01
+    // projection center maps to the false origin exactly
+    laea.fromGeo(10.0, 52.0) shouldBe ((4321000.0, 3210000.0))
+    for ((lon, lat) <- Seq((-10.0, 35.0), (30.0, 70.0), (45.0, 28.0), (10.0, -40.0))) {
+      val (px, py) = laea.fromGeo(lon, lat)
+      val (bl, bp) = laea.toGeo(px, py)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-7
+        bp shouldBe lat +- 1e-7
+      }
+    }
+    sql1("SELECT st_crsFromText('3035')").getString(0) shouldBe "EPSG:3035"
+    val p = sql1("SELECT st_x(st_geomReproject(st_makePoint(5.0, 50.0), 'EPSG:4326', 'EPSG:3035'))")
+    p.getDouble(0) shouldBe x +- 1e-6
+  }
+
   test("lengthSphere sums haversine segment lengths") {
     val df = spark.sql("SELECT st_lengthSphere(st_geomFromWKT('LINESTRING (0 0, 1 0, 1 1)')) AS l")
     val expected = Sphere.haversine(0, 0, 1, 0) + Sphere.haversine(1, 0, 1, 1)
