@@ -232,6 +232,68 @@ object Projections {
     }
   }
 
+  /** Ellipsoidal Lambert conformal conic, 2 standard parallels (Snyder
+    * pp. 104–110, eqs. 14-15, 15-1..15-11 forward; 15-9..15-11 + 7-13 +
+    * 3-5 inverse): EPSG:2154 (RGF93 / Lambert-93, φ1 = 49°, φ2 = 44°,
+    * φ0 = 46.5°, λ0 = 3°, FE = 700000, FN = 6600000). RGF93 (GRS80) vs
+    * WGS84 ellipsoid constants differ by ~0.1 mm; WGS84 is used
+    * throughout, consistent with the rest of this object. Verified by
+    * projection invariants in STFunctionsSpec: scale = 1 on both
+    * standard parallels, conformality (isotropic local scale), and
+    * inverse roundtrip.
+    */
+  final case class Lcc2sp(lat1: Double, lat2: Double, lat0: Double, lon0: Double,
+                          fe: Double, fn: Double, code: Int) extends Crs {
+    val name: String = s"EPSG:$code"
+    private val e = math.sqrt(E2)
+
+    /** Snyder 15-9: t = tan(π/4 − φ/2) / [(1 − e sinφ)/(1 + e sinφ)]^(e/2). */
+    private def tOf(phi: Double): Double =
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2.0)
+
+    /** Snyder 14-15: m = cosφ / sqrt(1 − e² sin²φ). */
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - E2 * s * s)
+    }
+
+    private val phi1 = math.toRadians(lat1)
+    private val phi2 = math.toRadians(lat2)
+    private val m1 = mOf(phi1)
+    private val m2 = mOf(phi2)
+    private val t1 = tOf(phi1)
+    private val t2 = tOf(phi2)
+    private val n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2)) // 15-8
+    private val bigF = m1 / (n * math.pow(t1, n))                                 // 15-10
+    private val rho0 = A * bigF * math.pow(tOf(math.toRadians(lat0)), n)          // 15-7a
+    // inverse conformal-latitude series coefficients (Snyder 3-5)
+    private val c2 = E2 / 2.0 + 5.0 * E2 * E2 / 24.0 + E2 * E2 * E2 / 12.0 + 13.0 * E2 * E2 * E2 * E2 / 360.0
+    private val c4 = 7.0 * E2 * E2 / 48.0 + 29.0 * E2 * E2 * E2 / 240.0 + 811.0 * E2 * E2 * E2 * E2 / 11520.0
+    private val c6 = 7.0 * E2 * E2 * E2 / 120.0 + 81.0 * E2 * E2 * E2 * E2 / 1120.0
+    private val c8 = 4279.0 * E2 * E2 * E2 * E2 / 161280.0
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val rho = A * bigF * math.pow(tOf(math.toRadians(lat)), n)  // 15-7
+      val theta = n * (math.toRadians(lon) - math.toRadians(lon0)) // 14-4
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta)) // 14-1/14-2
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - fe
+      val y = rho0 - (y0 - fn)
+      val rhoSigned = math.sqrt(x * x + y * y)
+      val rho = if (n < 0) -rhoSigned else rhoSigned                // 14-10
+      val t = math.pow(rho / (A * bigF), 1.0 / n)                   // 15-11
+      val theta = math.atan2(x, y)                                  // 14-11
+      val lam = math.toRadians(lon0) + theta / n
+      val chi = math.Pi / 2.0 - 2.0 * math.atan(t)                  // 7-13
+      val phi = chi + c2 * math.sin(2.0 * chi) + c4 * math.sin(4.0 * chi) +
+        c6 * math.sin(6.0 * chi) + c8 * math.sin(8.0 * chi)         // 3-5
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
 
   /** Parse a CRS string to its transform. Accepted spellings: EPSG:4326
@@ -246,6 +308,8 @@ object Projections {
     case "EPSG:3031" | "3031" => PolarStereo(north = false, latTs = -71.0, lon0 = 0.0, code = 3031)
     case "EPSG:3413" | "3413" => PolarStereo(north = true, latTs = 70.0, lon0 = -45.0, code = 3413)
     case "EPSG:3035" | "3035" => Laea(lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0, code = 3035)
+    case "EPSG:2154" | "2154" => Lcc2sp(lat1 = 49.0, lat2 = 44.0, lat0 = 46.5, lon0 = 3.0,
+      fe = 700000.0, fn = 6600000.0, code = 2154)
     case UtmPattern(hemi, zz) => Utm(zz.toInt, north = hemi == "6")
     case s if s.startsWith("UTM ZONE ") && s.length > 9 =>
       val body = s.drop(9)
@@ -254,7 +318,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:32601-32660, EPSG:32701-32760)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:32601-32660, EPSG:32701-32760)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

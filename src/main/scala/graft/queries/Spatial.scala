@@ -436,6 +436,28 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Lambert conformal conic 2SP (EPSG:2154 Lambert-93, the French
+    * national grid — the same family as the US State Plane zones) over a
+    * wide European window. The oracle re-derives the full Snyder forward
+    * (t, m, n, F, ρ0, ρ, θ) op-for-op in SQL at 0.1 m; the inverse
+    * series is asserted through the rt_ok bit; secant-cone scale and
+    * conformality invariants anchor the implementation in
+    * STFunctionsSpec.
+    */
+  def spLcc(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("lon") >= -30.0 && col("lon") <= 36.0 &&
+              col("lat") >= 20.0 && col("lat") <= 70.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit("EPSG:2154")))
+      .withColumn("back", st.geomReproject(col("p"), lit("EPSG:2154"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** st_asLatLonText DMS formatting, value-checked: the oracle rebuilds
     * the identical degree/minute/second decomposition (trunc-based, same
     * IEEE ops) and formats with printf — DuckDB's fmt and Java's
@@ -550,6 +572,7 @@ object Spatial {
     "sp_utm" -> spUtm _,
     "sp_polar" -> spPolar _,
     "sp_laea" -> spLaea _,
+    "sp_lcc" -> spLcc _,
     "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
@@ -691,6 +714,43 @@ object Spatial {
        |SELECT c_custkey,
        | round(bb * dd * (cosb * sin(dlam)) + 4321000.0, 1) AS easting,
        | round((bb / dd) * (cosb1 * sinb - sinb1 * cosb * cos(dlam)) + 3210000.0, 1) AS northing,
+       | 1 AS rt_ok
+       |FROM j ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Snyder LCC-2SP forward as DuckDB SQL, mirroring
+    * geom/Projections.Lcc2sp op-for-op (t via 15-9, m via 14-15, n/F/ρ0
+    * via 15-8/15-10/15-7a, then 14-1/14-2 with the false origin added
+    * first, matching the Scala `fe + ρ sinθ` order).
+    */
+  private val spLccOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    def tOf(phi: String) =
+      s"tan(pi() / 4.0 - ($phi) / 2.0) / pow((1.0 - e * sin($phi)) / (1.0 + e * sin($phi)), e / 2.0)"
+    def mOf(phi: String) =
+      s"cos($phi) / sqrt(1.0 - $e2 * sin($phi) * sin($phi))"
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($lonSql) >= -30.0 AND ($lonSql) <= 36.0
+       |             AND ($latSql) >= 20.0 AND ($latSql) <= 70.0),
+       |c AS (SELECT *, sqrt($e2) AS e FROM b),
+       |g AS (SELECT *,
+       |        ${mOf("radians(49.0)")} AS m1, ${mOf("radians(44.0)")} AS m2,
+       |        ${tOf("radians(49.0)")} AS t1, ${tOf("radians(44.0)")} AS t2,
+       |        ${tOf("radians(46.5)")} AS t0,
+       |        ${tOf("radians(lat)")} AS t
+       |      FROM c),
+       |h AS (SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n FROM g),
+       |i AS (SELECT *, m1 / (n * pow(t1, n)) AS ff FROM h),
+       |j AS (SELECT *,
+       |        6378137.0 * ff * pow(t0, n) AS rho0,
+       |        6378137.0 * ff * pow(t, n) AS rho,
+       |        n * (radians(lon) - radians(3.0)) AS theta
+       |      FROM i)
+       |SELECT c_custkey,
+       | round(700000.0 + rho * sin(theta), 1) AS easting,
+       | round(6600000.0 + rho0 - rho * cos(theta), 1) AS northing,
        | 1 AS rt_ok
        |FROM j ORDER BY c_custkey""".stripMargin
   }
@@ -869,6 +929,7 @@ object Spatial {
     "sp_utm" -> spUtmOracle,
     "sp_polar" -> spPolarOracle,
     "sp_laea" -> spLaeaOracle,
+    "sp_lcc" -> spLccOracle,
     "sp_buffer_bounds" ->
       s"""WITH p AS (
          |  SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),

@@ -284,7 +284,7 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
   test("CRS: crsFromText normalizes, rejects unsupported; reproject roundtrips") {
     sql1("SELECT st_crsFromText('epsg:4326')").getString(0) shouldBe "EPSG:4326"
     sql1("SELECT st_crsFromText('WebMercator')").getString(0) shouldBe "EPSG:3857"
-    an[Exception] should be thrownBy sql1("SELECT st_crsFromText('EPSG:2154')")
+    an[Exception] should be thrownBy sql1("SELECT st_crsFromText('EPSG:27700')")
     val r = sql1(
       """SELECT round(st_x(st_geomReproject(st_geomReproject(st_makePoint(12.5, 41.9),
         |  'EPSG:4326', 'EPSG:3857'), 'EPSG:3857', 'EPSG:4326')), 9) AS x""".stripMargin)
@@ -384,6 +384,58 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     sql1("SELECT st_crsFromText('3035')").getString(0) shouldBe "EPSG:3035"
     val p = sql1("SELECT st_x(st_geomReproject(st_makePoint(5.0, 50.0), 'EPSG:4326', 'EPSG:3035'))")
     p.getDouble(0) shouldBe x +- 1e-6
+  }
+
+  test("CRS: Lambert-93 (EPSG:2154) — secant-cone invariants, conformality, roundtrip") {
+    import graft.geom.Projections
+    val lcc = Projections.parseCrs("EPSG:2154")
+    // local east-west scale factor via a small finite difference
+    def parallelScale(lat: Double, lon: Double): Double = {
+      val d = 0.01
+      val (x1, y1) = lcc.fromGeo(lon, lat)
+      val (x2, y2) = lcc.fromGeo(lon + d, lat)
+      val chord = math.hypot(x2 - x1, y2 - y1)
+      val s = math.sin(math.toRadians(lat))
+      val parallelRadius = 6378137.0 * math.cos(math.toRadians(lat)) /
+        math.sqrt(1.0 - 0.00669437999014133 * s * s)
+      chord / (math.toRadians(d) * parallelRadius)
+    }
+    // scale is exactly 1 on both standard parallels, < 1 between, > 1 outside
+    parallelScale(49.0, 3.0) shouldBe 1.0 +- 1e-6
+    parallelScale(44.0, 7.0) shouldBe 1.0 +- 1e-6
+    parallelScale(46.5, 3.0) should be < 1.0
+    parallelScale(51.5, 3.0) should be > 1.0
+    parallelScale(41.0, 3.0) should be > 1.0
+    // conformality: north-south scale equals east-west scale
+    def meridianScale(lat: Double, lon: Double): Double = {
+      val d = 0.01
+      val (x1, y1) = lcc.fromGeo(lon, lat)
+      val (x2, y2) = lcc.fromGeo(lon, lat + d)
+      val chord = math.hypot(x2 - x1, y2 - y1)
+      val s = math.sin(math.toRadians(lat))
+      val w = 1.0 - 0.00669437999014133 * s * s
+      val meridianRadius = 6378137.0 * (1.0 - 0.00669437999014133) / (w * math.sqrt(w))
+      chord / (math.toRadians(d) * meridianRadius)
+    }
+    for ((lon, lat) <- Seq((2.35, 48.85), (-1.55, 47.22), (7.75, 48.57), (5.37, 43.30)))
+      meridianScale(lat, lon) / parallelScale(lat, lon) shouldBe 1.0 +- 1e-4
+    // the projection center maps to the false origin's easting, and Paris
+    // lands in the published Lambert-93 ballpark
+    val (cx, _) = lcc.fromGeo(3.0, 46.5)
+    cx shouldBe 700000.0 +- 1e-6
+    val (px, py) = lcc.fromGeo(2.3522, 48.8566)
+    px shouldBe 652000.0 +- 20000.0
+    py shouldBe 6862000.0 +- 20000.0
+    // roundtrip
+    for ((lon, lat) <- Seq((2.35, 48.85), (-4.5, 48.4), (9.5, 42.0), (3.0, 46.5), (20.0, 60.0))) {
+      val (x, y) = lcc.fromGeo(lon, lat)
+      val (bl, bp) = lcc.toGeo(x, y)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-8
+        bp shouldBe lat +- 1e-8
+      }
+    }
+    sql1("SELECT st_crsFromText('2154')").getString(0) shouldBe "EPSG:2154"
   }
 
   test("lengthSphere sums haversine segment lengths") {
