@@ -253,6 +253,46 @@ object Relational {
       .orderBy("s_suppkey")
   }
 
+  // One bucketed-layout write per (JVM, sf dir): the layout is the
+  // write-once-read-many warehouse artifact, so only the first call pays
+  // the write; every later call (bench iterations 2..n, and every real
+  // recurring join) reads the catalog tables shuffle-free.
+  private val bucketedReady = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** End-to-end value check of the bucketed co-located layout
+    * ([[graft.sources.BucketedLayout]]): write orders and customer
+    * bucketed+sorted by custkey, join the CATALOG tables (the join is
+    * Exchange-free — asserted by BucketedLayoutSpec; this entry verifies
+    * the data half: the bucket files + catalog metadata round-trip every
+    * row), aggregate revenue per market segment. Oracle replays the join
+    * on the raw parquet.
+    */
+  def qBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (oTbl, cTbl) = bucketedReady.computeIfAbsent(dir, { d =>
+      val tag = java.lang.Integer.toHexString(d.hashCode)
+      val o = s"graft_bkt_orders_$tag"
+      val c = s"graft_bkt_customer_$tag"
+      graft.sources.BucketedLayout.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        o, "o_custkey", 8)
+      graft.sources.BucketedLayout.writeBucketed(
+        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+        c, "c_custkey", 8)
+      (o, c)
+    })
+    graft.sources.BucketedLayout.read(s, oTbl)
+      .join(graft.sources.BucketedLayout.read(s, cTbl), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(cents(col("o_totalprice")).cast("decimal(38,0)")).as("__rev_c"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        col("c_mktsegment"),
+        (col("__rev_c") / 100.0).cast("double").as("revenue"),
+        col("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -264,6 +304,7 @@ object Relational {
     q("q_rollup")(qRollup),
     q("q_sketch")(qSketch),
     q("q_range_join")(qRangeJoin),
+    q("q_bucketed")(qBucketed),
     q("ev_window")(evWindow),
     q("ev_sessions")(evSessions),
     q("ev_enrich")(evEnrich),
@@ -281,6 +322,12 @@ object Relational {
         | ((sum(round(l_quantity*100)::BIGINT) * 100 + count(*) // 2) // count(*)) / 10000.0 AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_bucketed" ->
+      """SELECT c_mktsegment,
+        | sum(round(o_totalprice*100)::BIGINT) / 100.0 AS revenue,
+        | count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
         | ((sum(round(l_extendedprice*100)::BIGINT * (10000 - round(l_discount*10000)::BIGINT)) + 5000) // 10000) / 100.0 AS revenue,

@@ -20,14 +20,28 @@ object BucketedLayout {
     * per-task Sort from sort-merge joins). Registers `table` in the
     * session catalog (bucketing metadata lives in the catalog; a plain
     * path write cannot carry it).
+    *
+    * An orphaned managed-table location (files left under the warehouse
+    * dir by a previous process whose in-memory catalog is gone) would
+    * make `saveAsTable` refuse to create the table even in overwrite
+    * mode, so the stale entry AND location are removed first — this
+    * gives `overwrite` the cross-process semantics a warehouse job
+    * expects.
     */
-  def writeBucketed(df: DataFrame, table: String, keyCol: String, nBuckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, keyCol: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write
       .format("parquet")
       .bucketBy(nBuckets, keyCol)
       .sortBy(keyCol)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }
