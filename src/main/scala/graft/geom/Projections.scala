@@ -15,7 +15,11 @@ import org.locationtech.jts.geom.{Coordinate, CoordinateFilter, Geometry}
   * Mirrors the reference's st_crsFromText / st_geomReproject surface
   * (spatial-index/src/main/scala/com/azavea/hiveless/spatial/index/ST_GeomReproject.scala:1)
   * with an explicitly-supported CRS set instead of a proj4 dependency;
-  * unsupported codes fail loudly with the supported list.
+  * proj4 parameter strings for the implemented families (longlat, merc
+  * sphere, utm, tmerc, lcc 2SP, laea, polar stere — see [[parseProj4]])
+  * are parsed onto the same transforms, so arbitrary national grids in
+  * those families work without their EPSG code being listed; anything
+  * else fails loudly with the supported list.
   */
 object Projections {
 
@@ -53,14 +57,19 @@ object Projections {
     def toGeo(x: Double, y: Double): (Double, Double) = fromMercator(x, y)
   }
 
-  /** One WGS84 UTM zone (Snyder transverse-mercator series, exact to
-    * well under a millimeter inside the zone's ±3° extent).
+  /** Generic ellipsoidal transverse mercator (Snyder pp. 61–63, eqs.
+    * 8-9..8-17) with arbitrary origin latitude, scale factor and false
+    * origin — a UTM zone is the instance (lat0 = 0, k0 = 0.9996,
+    * fe = 500 km); national grids differ only in these parameters. For
+    * lat0 = 0 the meridian-arc offset m0 is exactly 0, so [[Utm]]
+    * instances compute bit-identical doubles to a hard-coded UTM series
+    * (the sp_utm SQL oracle depends on that). Exact to well under a
+    * millimeter within ±3° of the central meridian.
     */
-  final case class Utm(zone: Int, north: Boolean) extends Crs {
-    require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range 1–60")
-    val name: String = s"EPSG:${(if (north) 32600 else 32700) + zone}"
-    private val lam0 = math.toRadians(-183.0 + 6.0 * zone) // central meridian
-    private val falseNorthing = if (north) 0.0 else FalseNorthingSouth
+  final case class Tmerc(lat0: Double, lon0: Double, k0: Double,
+                         fe: Double, fn: Double, name: String) extends Crs {
+    private val lam0 = math.toRadians(lon0)
+    private val m0 = if (lat0 == 0.0) 0.0 else meridianArc(math.toRadians(lat0))
 
     def fromGeo(lon: Double, lat: Double): (Double, Double) = {
       val phi = math.toRadians(lat)
@@ -73,16 +82,16 @@ object Projections {
       val a = cosPhi * (math.toRadians(lon) - lam0)
       val m = meridianArc(phi)
       val a2 = a * a; val a3 = a2 * a; val a4 = a3 * a; val a5 = a4 * a; val a6 = a5 * a
-      val x = K0 * n * (a + (1.0 - t + c) * a3 / 6.0 +
-        (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * Ep2) * a5 / 120.0) + FalseEasting
-      val y = K0 * (m + n * tanPhi * (a2 / 2.0 +
+      val x = k0 * n * (a + (1.0 - t + c) * a3 / 6.0 +
+        (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * Ep2) * a5 / 120.0) + fe
+      val y = k0 * (m - m0 + n * tanPhi * (a2 / 2.0 +
         (5.0 - t + 9.0 * c + 4.0 * c * c) * a4 / 24.0 +
-        (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * Ep2) * a6 / 720.0)) + falseNorthing
+        (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * Ep2) * a6 / 720.0)) + fn
       (x, y)
     }
 
     def toGeo(x: Double, y: Double): (Double, Double) = {
-      val m = (y - falseNorthing) / K0
+      val m = (y - fn) / k0 + m0
       val mu = m / (A * (1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0))
       val e1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
       val phi1 = mu +
@@ -98,7 +107,7 @@ object Projections {
       val oneMinus = 1.0 - E2 * sinPhi1 * sinPhi1
       val n1 = A / math.sqrt(oneMinus)
       val r1 = A * (1.0 - E2) / (oneMinus * math.sqrt(oneMinus))
-      val d = (x - FalseEasting) / (n1 * K0)
+      val d = (x - fe) / (n1 * k0)
       val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d; val d5 = d4 * d; val d6 = d5 * d
       val phi = phi1 - (n1 * tanPhi1 / r1) * (d2 / 2.0 -
         (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * Ep2) * d4 / 24.0 +
@@ -116,6 +125,14 @@ object Projections {
         (35.0 * E2 * E2 * E2 / 3072.0) * math.sin(6.0 * phi))
   }
 
+  /** One WGS84 UTM zone as its [[Tmerc]] instance. */
+  def Utm(zone: Int, north: Boolean): Tmerc = {
+    require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range 1–60")
+    Tmerc(lat0 = 0.0, lon0 = -183.0 + 6.0 * zone, k0 = K0,
+      fe = FalseEasting, fn = if (north) 0.0 else FalseNorthingSouth,
+      name = s"EPSG:${(if (north) 32600 else 32700) + zone}")
+  }
+
   /** Ellipsoidal polar stereographic with a standard parallel (Snyder
     * "variant B", pp. 160–162): EPSG:3031 (Antarctic Polar Stereographic,
     * lat_ts = −71°, lon0 = 0) and EPSG:3413 (NSIDC Sea Ice Polar
@@ -123,8 +140,8 @@ object Projections {
     * The south aspect uses the north equations with the signs of φ, λ,
     * λ0, x and y reversed (Snyder p. 161).
     */
-  final case class PolarStereo(north: Boolean, latTs: Double, lon0: Double, code: Int) extends Crs {
-    val name: String = s"EPSG:$code"
+  final case class PolarStereo(north: Boolean, latTs: Double, lon0: Double, name: String,
+                               fe: Double = 0.0, fn: Double = 0.0) extends Crs {
     private val e = math.sqrt(E2)
     // t and m at the standard parallel, in north-aspect terms (φc = |lat_ts|)
     private val phiC = math.toRadians(math.abs(latTs))
@@ -149,11 +166,11 @@ object Projections {
       val rho = A * mC * tOf(phi) / tC                 // Snyder 21-34
       val x = rho * math.sin(dlam)                     // Snyder 21-30
       val y = -rho * math.cos(dlam)                    // Snyder 21-31
-      if (north) (x, y) else (-x, -y)
+      if (north) (x + fe, y + fn) else (-x + fe, -y + fn)
     }
 
     def toGeo(x0: Double, y0: Double): (Double, Double) = {
-      val (x, y) = if (north) (x0, y0) else (-x0, -y0)
+      val (x, y) = if (north) (x0 - fe, y0 - fn) else (-(x0 - fe), -(y0 - fn))
       val rho = math.sqrt(x * x + y * y)
       val t = rho * tC / (A * mC)                      // Snyder 21-39
       val chi = math.Pi / 2.0 - 2.0 * math.atan(t)     // Snyder 7-13
@@ -177,8 +194,7 @@ object Projections {
     * ellipsoids differ by ~0.1 mm in semi-minor axis — WGS84 constants
     * are used throughout, consistent with the rest of this object.
     */
-  final case class Laea(lat0: Double, lon0: Double, fe: Double, fn: Double, code: Int) extends Crs {
-    val name: String = s"EPSG:$code"
+  final case class Laea(lat0: Double, lon0: Double, fe: Double, fn: Double, name: String) extends Crs {
     private val e = math.sqrt(E2)
 
     /** Snyder 3-12: q(φ) = (1−e²)[sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e sinφ)/(1+e sinφ))]. */
@@ -243,8 +259,7 @@ object Projections {
     * inverse roundtrip.
     */
   final case class Lcc2sp(lat1: Double, lat2: Double, lat0: Double, lon0: Double,
-                          fe: Double, fn: Double, code: Int) extends Crs {
-    val name: String = s"EPSG:$code"
+                          fe: Double, fn: Double, name: String) extends Crs {
     private val e = math.sqrt(E2)
 
     /** Snyder 15-9: t = tan(π/4 − φ/2) / [(1 − e sinφ)/(1 + e sinφ)]^(e/2). */
@@ -296,20 +311,144 @@ object Projections {
 
   private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
 
+  // proj4 keys that select/parameterize a projection this object can build
+  private val Proj4ParamKeys = Set(
+    "proj", "zone", "south", "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0",
+    "k", "k_0", "x_0", "y_0")
+  // keys that pin the datum/ellipsoid/units — validated, not stored
+  private val Proj4GuardKeys = Set(
+    "a", "b", "rf", "ellps", "datum", "towgs84", "units", "to_meter", "pm")
+  // decorative flags with no numeric effect
+  private val Proj4NoiseKeys = Set("no_defs", "wktext", "type")
+
+  /** Parse a proj4 parameter string (`+proj=… +lat_0=… …`) into one of
+    * the native transforms — the projection families this object already
+    * implements cover the proj4 surface a warehouse actually meets:
+    * longlat, merc (the 3857 sphere), utm, tmerc, lcc (2SP), laea, and
+    * polar stere. The reference hands any proj4 string to proj4j
+    * (ST_CrsFromText.scala:1); without that dependency, a supported
+    * subset is rebuilt on the same Snyder machinery and everything else
+    * — unknown keys included — fails loudly rather than silently
+    * misprojecting. Datum guard: WGS84/GRS80 only (sub-mm apart), same
+    * policy as the EPSG entries; non-zero towgs84, exotic ellipsoids,
+    * non-meter units and non-Greenwich prime meridians are rejected.
+    */
+  private def parseProj4(raw: String): Crs = {
+    val kv = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    raw.trim.split("\\s+").foreach { tok =>
+      require(tok.startsWith("+"), s"proj4 token '$tok' must start with '+'")
+      tok.drop(1).split("=", 2) match {
+        case Array(k, v) => kv(k.toLowerCase) = v
+        case Array(k)    => kv(k.toLowerCase) = ""
+      }
+    }
+    val unknown = kv.keySet.diff(Proj4ParamKeys ++ Proj4GuardKeys ++ Proj4NoiseKeys)
+    require(unknown.isEmpty,
+      s"Unsupported proj4 parameter(s) ${unknown.mkString("+", " +", "")} in '$raw'")
+    def num(k: String, dflt: Double): Double =
+      kv.get(k).map(_.toDouble).getOrElse(dflt)
+    val proj = kv.getOrElse("proj", throw new IllegalArgumentException(
+      s"proj4 string '$raw' has no +proj"))
+
+    // datum / ellipsoid / unit guard
+    val ellps = kv.getOrElse("ellps", kv.getOrElse("datum", "WGS84")).toUpperCase
+    require(ellps == "WGS84" || ellps == "GRS80",
+      s"Unsupported ellipsoid/datum '$ellps' (WGS84 and GRS80 only)")
+    val sphere = kv.contains("a") && kv.get("a") == kv.get("b")
+    if (kv.contains("a")) {
+      require(num("a", A) == A, s"Unsupported semi-major axis ${kv("a")} (WGS84 a=$A only)")
+      if (!sphere && kv.contains("b"))
+        require(math.abs(num("b", 0) - A * (1.0 - F)) < 1e-3,
+          s"Unsupported semi-minor axis ${kv("b")}")
+      if (kv.contains("rf"))
+        require(math.abs(num("rf", 0) - 1.0 / F) < 1e-6, s"Unsupported 1/f ${kv("rf")}")
+    }
+    require(sphere || proj != "merc",
+      s"+proj=merc is supported only as the EPSG:3857 sphere (+a=$A +b=$A)")
+    kv.get("towgs84").foreach(v => require(v.split(",").forall(_.toDouble == 0.0),
+      s"Non-zero +towgs84=$v not supported (WGS84-family datums only)"))
+    kv.get("units").foreach(u => require(u == "m", s"Unsupported +units=$u (meters only)"))
+    kv.get("to_meter").foreach(v => require(v.toDouble == 1.0, s"Unsupported +to_meter=$v"))
+    kv.get("pm").foreach(v => require(v == "0" || v.equalsIgnoreCase("greenwich"),
+      s"Unsupported prime meridian +pm=$v"))
+
+    // canonical name: the parameters that define the transform, fixed order
+    def fmt(d: Double): String =
+      if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString else d.toString
+    def mkName(params: (String, Double)*): String =
+      s"+proj=$proj " + params.map { case (k, v) => s"+$k=${fmt(v)}" }.mkString(" ") +
+        " +ellps=WGS84"
+
+    proj match {
+      case "longlat" | "latlong" =>
+        require(num("lon_0", 0.0) == 0.0, "+proj=longlat with a shifted +lon_0 is not supported")
+        LonLat
+      case "merc" =>
+        require(num("k", num("k_0", 1.0)) == 1.0 && num("lat_ts", 0.0) == 0.0 &&
+          num("lon_0", 0.0) == 0.0 && num("x_0", 0.0) == 0.0 && num("y_0", 0.0) == 0.0,
+          s"+proj=merc supported only with EPSG:3857 parameters")
+        WebMercator
+      case "utm" =>
+        val zone = kv.getOrElse("zone", throw new IllegalArgumentException(
+          "+proj=utm requires +zone")).toInt
+        require(num("x_0", FalseEasting) == FalseEasting && num("k", K0) == K0,
+          "+proj=utm with non-UTM +x_0/+k is not supported (use +proj=tmerc)")
+        Utm(zone, north = !kv.contains("south"))
+      case "tmerc" =>
+        val (lat0, lon0, k0) = (num("lat_0", 0.0), num("lon_0", 0.0), num("k", num("k_0", 1.0)))
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        Tmerc(lat0, lon0, k0, fe, fn,
+          mkName("lat_0" -> lat0, "lon_0" -> lon0, "k_0" -> k0, "x_0" -> fe, "y_0" -> fn))
+      case "lcc" =>
+        require(kv.contains("lat_1") && kv.contains("lat_2"),
+          "+proj=lcc is supported in the 2-standard-parallel form (+lat_1 and +lat_2)")
+        val (lat1, lat2) = (num("lat_1", 0.0), num("lat_2", 0.0))
+        val (lat0, lon0) = (num("lat_0", lat1), num("lon_0", 0.0))
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        Lcc2sp(lat1, lat2, lat0, lon0, fe, fn,
+          mkName("lat_1" -> lat1, "lat_2" -> lat2, "lat_0" -> lat0, "lon_0" -> lon0,
+            "x_0" -> fe, "y_0" -> fn))
+      case "laea" =>
+        val (lat0, lon0) = (num("lat_0", 0.0), num("lon_0", 0.0))
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        Laea(lat0, lon0, fe, fn,
+          mkName("lat_0" -> lat0, "lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn))
+      case "stere" =>
+        val lat0 = num("lat_0", 90.0)
+        require(math.abs(lat0) == 90.0,
+          "+proj=stere is supported in the polar aspect only (+lat_0=90 or -90)")
+        val latTs = num("lat_ts", lat0)
+        require(math.abs(latTs) < 90.0,
+          "+proj=stere requires a standard parallel +lat_ts strictly between the poles " +
+            "(variant B; the +k_0 variant A form is not supported)")
+        val lon0 = num("lon_0", 0.0)
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        PolarStereo(north = lat0 > 0, latTs = latTs, lon0 = lon0,
+          name = mkName("lat_0" -> lat0, "lat_ts" -> latTs, "lon_0" -> lon0,
+            "x_0" -> fe, "y_0" -> fn),
+          fe = fe, fn = fn)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported +proj=$other (supported: longlat, merc (3857 sphere), utm, tmerc, lcc, laea, stere)")
+    }
+  }
+
   /** Parse a CRS string to its transform. Accepted spellings: EPSG:4326
     * (4326 / WGS84 / LATLON / LATLNG), EPSG:3857 (3857 / WEBMERCATOR /
     * EPSG:900913), EPSG:326zz / EPSG:327zz ("UTM ZONE zzN"/"zzS" also
-    * accepted). Anything else throws with the supported list, matching
-    * the reference's fail-on-unknown behavior (ST_CrsFromText.scala:23).
+    * accepted), plus proj4 parameter strings (`+proj=…`, see
+    * [[parseProj4]]). Anything else throws with the supported list,
+    * matching the reference's fail-on-unknown behavior
+    * (ST_CrsFromText.scala:23).
     */
-  def parseCrs(crs: String): Crs = crs.trim.toUpperCase.replaceAll("\\s+", " ") match {
+  def parseCrs(crs: String): Crs = if (crs.trim.startsWith("+")) parseProj4(crs)
+  else crs.trim.toUpperCase.replaceAll("\\s+", " ") match {
     case "EPSG:4326" | "4326" | "WGS84" | "LATLNG" | "LATLON" => LonLat
     case "EPSG:3857" | "3857" | "WEBMERCATOR" | "EPSG:900913" => WebMercator
-    case "EPSG:3031" | "3031" => PolarStereo(north = false, latTs = -71.0, lon0 = 0.0, code = 3031)
-    case "EPSG:3413" | "3413" => PolarStereo(north = true, latTs = 70.0, lon0 = -45.0, code = 3413)
-    case "EPSG:3035" | "3035" => Laea(lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0, code = 3035)
+    case "EPSG:3031" | "3031" => PolarStereo(north = false, latTs = -71.0, lon0 = 0.0, name = "EPSG:3031")
+    case "EPSG:3413" | "3413" => PolarStereo(north = true, latTs = 70.0, lon0 = -45.0, name = "EPSG:3413")
+    case "EPSG:3035" | "3035" => Laea(lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0, name = "EPSG:3035")
     case "EPSG:2154" | "2154" => Lcc2sp(lat1 = 49.0, lat2 = 44.0, lat0 = 46.5, lon0 = 3.0,
-      fe = 700000.0, fn = 6600000.0, code = 2154)
+      fe = 700000.0, fn = 6600000.0, name = "EPSG:2154")
     case UtmPattern(hemi, zz) => Utm(zz.toInt, north = hemi == "6")
     case s if s.startsWith("UTM ZONE ") && s.length > 9 =>
       val body = s.drop(9)
@@ -318,7 +457,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:32601-32660, EPSG:32701-32760)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/stere)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

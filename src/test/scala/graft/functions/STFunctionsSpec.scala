@@ -334,10 +334,11 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     // EPSG guidance note 7-2, Polar Stereographic variant B worked example
     // (WGS84, lat_ts=-71, lon0=70, FE=FN=6000000): phi=-75, lam=120 must
     // project to E 7255380.79, N 7053389.56
-    val ex = Projections.PolarStereo(north = false, latTs = -71.0, lon0 = 70.0, code = 3032)
+    val ex = Projections.PolarStereo(north = false, latTs = -71.0, lon0 = 70.0, name = "EPSG:3032",
+      fe = 6000000.0, fn = 6000000.0)
     val (x, y) = ex.fromGeo(120.0, -75.0)
-    (x + 6000000.0) shouldBe 7255380.79 +- 0.01
-    (y + 6000000.0) shouldBe 7053389.56 +- 0.01
+    x shouldBe 7255380.79 +- 0.01
+    y shouldBe 7053389.56 +- 0.01
     // center meridians: x = 0 exactly, northing sign per aspect
     val s31 = Projections.parseCrs("EPSG:3031")
     val (x31, y31) = s31.fromGeo(0.0, -71.0)
@@ -436,6 +437,70 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
       }
     }
     sql1("SELECT st_crsFromText('2154')").getString(0) shouldBe "EPSG:2154"
+  }
+
+  test("CRS: proj4 strings — EPSG-equivalent params, generic tmerc, rejection") {
+    import graft.geom.Projections
+    // proj4 spellings of the supported EPSG systems must produce the
+    // exact same transform (same class, same params → bit-equal doubles)
+    val pairs = Seq(
+      "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs" -> "EPSG:32633",
+      "+proj=utm +zone=19 +south +ellps=WGS84" -> "EPSG:32719",
+      "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs" -> "EPSG:2154",
+      "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80 +units=m" -> "EPSG:3035",
+      "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m" -> "EPSG:3031",
+      "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +datum=WGS84" -> "EPSG:3413",
+      "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m" -> "EPSG:3857",
+      "+proj=longlat +datum=WGS84 +no_defs" -> "EPSG:4326")
+    for ((p4, epsg) <- pairs; (lon, lat) <- Seq((12.5, 47.3), (-63.2, -33.7))) {
+      withClue(s"$p4 vs $epsg @($lon,$lat)") {
+        Projections.parseCrs(p4).fromGeo(lon, lat) shouldBe
+          Projections.parseCrs(epsg).fromGeo(lon, lat)
+      }
+    }
+    // utm proj4 canonicalizes to its EPSG name through SQL
+    sql1("SELECT st_crsFromText('+proj=utm +zone=33 +datum=WGS84')")
+      .getString(0) shouldBe "EPSG:32633"
+    // a generic tmerc — national-grid parameters (OSGB-style k_0/false
+    // origin, on WGS84): origin maps to the false origin, central-meridian
+    // scale equals k_0, and the inverse series roundtrips
+    val k0 = 0.9996012717
+    val grid = Projections.parseCrs(
+      s"+proj=tmerc +lat_0=49 +lon_0=-2 +k=$k0 +x_0=400000 +y_0=-100000 +ellps=WGS84")
+    val (ox, oy) = grid.fromGeo(-2.0, 49.0)
+    ox shouldBe 400000.0 +- 1e-6
+    oy shouldBe -100000.0 +- 1e-6
+    val d = 0.01
+    val (x1, y1) = grid.fromGeo(-2.0, 52.0)
+    val (x2, y2) = grid.fromGeo(-2.0, 52.0 + d)
+    val s52 = math.sin(math.toRadians(52.0))
+    val w = 1.0 - 0.00669437999014133 * s52 * s52
+    val meridianRadius = 6378137.0 * (1.0 - 0.00669437999014133) / (w * math.sqrt(w))
+    math.hypot(x2 - x1, y2 - y1) / (math.toRadians(d) * meridianRadius) shouldBe k0 +- 1e-6
+    // 1e-7° ≈ 1 cm: the 6th-order series truncation reaches ~2 mm at
+    // Cornwall's 3.7° offset from the central meridian (UTM's own spec
+    // is ±3°), so the roundtrip bound is looser than the UTM tests'
+    for ((lon, lat) <- Seq((-5.7, 50.07), (1.29, 52.63), (-2.0, 49.0), (-3.18, 55.95))) {
+      val (x, y) = grid.fromGeo(lon, lat)
+      val (bl, bp) = grid.toGeo(x, y)
+      withClue(s"($lon,$lat)") { bl shouldBe lon +- 1e-7; bp shouldBe lat +- 1e-7 }
+    }
+    // end-to-end SQL reproject with a proj4 target equals the EPSG target
+    val viaProj4 = sql1(
+      """SELECT round(st_x(st_geomReproject(st_makePoint(2.3522, 48.8566), 'EPSG:4326',
+        |  '+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80')), 3) AS x""".stripMargin).getDouble(0)
+    val viaEpsg = sql1(
+      """SELECT round(st_x(st_geomReproject(st_makePoint(2.3522, 48.8566), 'EPSG:4326',
+        |  'EPSG:2154')), 3) AS x""".stripMargin).getDouble(0)
+    viaProj4 shouldBe viaEpsg
+    // loud rejection: unsupported projection, ellipsoid, prime meridian,
+    // 1SP lcc, oblique stere, unknown parameter keys
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=aea +lat_1=29.5 +lat_2=45.5")
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=tmerc +ellps=airy")
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=utm +zone=33 +pm=paris")
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=lcc +lat_1=40 +lat_0=40")
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=stere +lat_0=45 +lat_ts=45")
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=tmerc +azi=20")
   }
 
   test("lengthSphere sums haversine segment lengths") {
