@@ -154,6 +154,7 @@ object FunctionDefs {
     "lsh_bucket"        -> f("lshBucketNative", L, ArrayType(D), I, L),
     "lang_id"           -> f("langIdNative", S, ArrayType(S), ArrayType(S), ArrayType(ArrayType(S))),
     "stopword_count"    -> f("stopwordCountNative", I, ArrayType(S), ArrayType(S)),
+    "repetition_stats"  -> f("repetitionStats", ArrayType(L), ArrayType(S), I),
     "ivf_assign"        -> f("ivfAssign", I, ArrayType(D), ArrayType(ArrayType(D))),
     "ivf_probes"        -> f("ivfProbes", ArrayType(I), ArrayType(D), ArrayType(ArrayType(D)), I)
   )

@@ -646,6 +646,51 @@ object GeomImpl {
     count
   }
 
+  /** Single-pass repetition statistics for Gopher-style quality
+    * filtering (Rae et al. 2021, "Scaling Language Models: Methods,
+    * Analysis & Insights from Training Gopher", appendix A — public):
+    * returns [top word count, distinct words, total words, word-gram
+    * positions whose n-gram occurs more than once, total n-grams]. One
+    * hash-count pass over the words and one over the n-grams, per row at
+    * the scan — no explode, no per-document shuffle.
+    */
+  def repetitionStats(words: ArrayData, n: Int): ArrayData = {
+    val nw = words.numElements()
+    val wc = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < nw) {
+      val w = words.getUTF8String(i)
+      val prev = wc.get(w)
+      wc.put(w, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var top = 0
+    val vit = wc.values().iterator()
+    while (vit.hasNext) { val c = vit.next(); if (c > top) top = c }
+    val ng = math.max(nw - n + 1, 0)
+    val gramAt = new Array[String](ng)
+    val gc = new java.util.HashMap[String, Integer]()
+    i = 0
+    while (i < ng) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + k))
+        k += 1
+      }
+      val g = sb.toString
+      gramAt(i) = g
+      val prev = gc.get(g)
+      gc.put(g, if (prev == null) 1 else prev + 1)
+      i += 1
+    }
+    var dup = 0L
+    i = 0
+    while (i < ng) { if (gc.get(gramAt(i)) > 1) dup += 1; i += 1 }
+    new GenericArrayData(Array[Long](top.toLong, wc.size().toLong, nw.toLong, dup, ng.toLong))
+  }
+
   /** Argmax language by stopword hits: one pass over `words`, counting
     * membership in each profile (profiles are tiny literals — linear
     * probing beats per-row set building). First max wins; zero hits →

@@ -48,6 +48,28 @@ object Text {
       round(least(nWords * lit(1.0) / 50.0, lit(1.0)) * alnumR, 4).as("quality"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A —
+    * public): documents dominated by a single word, by repeated words,
+    * or by repeated n-grams are low-quality training data. Emits
+    * `top_word_frac` (most frequent word / total words), `dup_word_frac`
+    * (1 − distinct/total) and `dup_<n>gram_frac` (word positions covered
+    * by an n-gram occurring more than once / total n-grams). One native
+    * single-pass expression per row ([[graft.functions.FunctionDefs]]
+    * `repetition_stats`) — scan-side, no explode, no shuffle.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.withColumn("__r",
+        graft.functions.FunctionDefs.call("repetition_stats", split(col(textCol), " "), lit(n)))
+      .select(
+        col(idCol),
+        col("__r").getItem(2).as("n_words"),
+        round(col("__r").getItem(0) * lit(1.0) / col("__r").getItem(2), 4).as("top_word_frac"),
+        round((col("__r").getItem(2) - col("__r").getItem(1)) * lit(1.0) / col("__r").getItem(2), 4)
+          .as("dup_word_frac"),
+        round(when(col("__r").getItem(4) === 0, lit(0.0))
+          .otherwise(col("__r").getItem(3) * lit(1.0) / col("__r").getItem(4)), 4)
+          .as(s"dup_${n}gram_frac"))
+
   // ---------------------------------------------------------- language
 
   /** Stopword profiles for the language-ID heuristic (top function words

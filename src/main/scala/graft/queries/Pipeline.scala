@@ -299,6 +299,9 @@ object Pipeline {
   def txQuality(s: SparkSession, dir: String): DataFrame =
     Text.quality(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  def txRepetition(s: SparkSession, dir: String): DataFrame =
+    Text.repetition(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
   def txLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"), Text.langId(col("text")).as("lang_guess"))
@@ -419,6 +422,7 @@ object Pipeline {
     "q_asof_bucketed" -> qAsofBucketed _,
     "tx_tokens" -> txTokens _,
     "tx_quality" -> txQuality _,
+    "tx_repetition" -> txRepetition _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
     "tx_fingerprint_stable" -> txFingerprintStable _,
@@ -639,6 +643,31 @@ object Pipeline {
         | round(n_alnum * 1.0 / n_chars, 4) AS alnum_ratio,
         | round(least(n_words * 1.0 / 50.0, 1.0) * (n_alnum * 1.0 / n_chars), 4) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    // word histogram via unnest/group-by, 3-grams via the same list
+    // comprehension as the shingle oracles; dup positions = every
+    // occurrence of a gram whose count exceeds 1
+    "tx_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wc AS (SELECT doc_id, word, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(w) AS word FROM d) GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS top_c, count(*) AS n_distinct, sum(c) AS n_words
+        |        FROM wc GROUP BY 1),
+        |g AS (SELECT doc_id, CASE WHEN len(w) >= 3
+        |           THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+        |           ELSE [] END AS grams FROM d),
+        |gc AS (SELECT doc_id, gram, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(grams) AS gram FROM g) GROUP BY 1, 2),
+        |gagg AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos,
+        |                sum(c) AS n_grams
+        |         FROM gc GROUP BY 1)
+        |SELECT a.doc_id,
+        | a.n_words::BIGINT AS n_words,
+        | round(a.top_c * 1.0 / a.n_words, 4) AS top_word_frac,
+        | round((a.n_words - a.n_distinct) * 1.0 / a.n_words, 4) AS dup_word_frac,
+        | round(CASE WHEN coalesce(gg.n_grams, 0) = 0 THEN 0.0
+        |       ELSE gg.dup_pos * 1.0 / gg.n_grams END, 4) AS dup_3gram_frac
+        |FROM agg a LEFT JOIN gagg gg ON a.doc_id = gg.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
     "tx_topdocs" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars,

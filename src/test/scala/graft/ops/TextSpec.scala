@@ -35,6 +35,28 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     r.getAs[Double]("alnum_ratio") shouldBe 1.0
   }
 
+  test("repetition signals on known strings") {
+    // "a a a b": top word 3/4, dup fraction (4-2)/4, 3-grams "a a a"/"a a b" unique
+    val r1 = Text.repetition(one("a a a b"), "id", "text").head()
+    r1.getAs[Long]("n_words") shouldBe 4L
+    r1.getAs[Double]("top_word_frac") shouldBe 0.75
+    r1.getAs[Double]("dup_word_frac") shouldBe 0.5
+    r1.getAs[Double]("dup_3gram_frac") shouldBe 0.0
+    // a fully-repeated loop: every 3-gram occurs more than once
+    val r2 = Text.repetition(one("x y z x y z x y z"), "id", "text").head()
+    r2.getAs[Double]("dup_3gram_frac") shouldBe 1.0
+    r2.getAs[Double]("top_word_frac") shouldBe 0.3333
+    // all-distinct text: zero repetition everywhere
+    val r3 = Text.repetition(one("p q r s t u"), "id", "text").head()
+    r3.getAs[Double]("top_word_frac") shouldBe 0.1667
+    r3.getAs[Double]("dup_word_frac") shouldBe 0.0
+    r3.getAs[Double]("dup_3gram_frac") shouldBe 0.0
+    // shorter than n: no 3-grams → 0 by convention, words still counted
+    val r4 = Text.repetition(one("w w"), "id", "text").head()
+    r4.getAs[Double]("dup_word_frac") shouldBe 0.5
+    r4.getAs[Double]("dup_3gram_frac") shouldBe 0.0
+  }
+
   test("language ID picks the profile language; gibberish → und") {
     val cases = Seq(
       "the cat is in the house and it was warm" -> "en",
