@@ -432,6 +432,15 @@ object Projections {
     }
   }
 
+  // st_geomReproject evaluates per row but its CRS arguments are query
+  // literals, so the handful of distinct strings per executor is memoized:
+  // a hit skips the regex/proj4 parse AND the transform's constant setup
+  // (Lcc2sp/Laea each run ~10 transcendentals at construction). Bounded
+  // so adversarial per-row CRS strings can't grow the map; instances are
+  // immutable, so cross-thread sharing is free.
+  private val crsMemo = new java.util.concurrent.ConcurrentHashMap[String, Crs]()
+  private val CrsMemoMax = 256
+
   /** Parse a CRS string to its transform. Accepted spellings: EPSG:4326
     * (4326 / WGS84 / LATLON / LATLNG), EPSG:3857 (3857 / WEBMERCATOR /
     * EPSG:900913), EPSG:326zz / EPSG:327zz ("UTM ZONE zzN"/"zzS" also
@@ -440,7 +449,17 @@ object Projections {
     * matching the reference's fail-on-unknown behavior
     * (ST_CrsFromText.scala:23).
     */
-  def parseCrs(crs: String): Crs = if (crs.trim.startsWith("+")) parseProj4(crs)
+  def parseCrs(crs: String): Crs = {
+    val cached = crsMemo.get(crs)
+    if (cached != null) cached
+    else {
+      val built = parseCrsUncached(crs)
+      if (crsMemo.size < CrsMemoMax) crsMemo.putIfAbsent(crs, built)
+      built
+    }
+  }
+
+  private def parseCrsUncached(crs: String): Crs = if (crs.trim.startsWith("+")) parseProj4(crs)
   else crs.trim.toUpperCase.replaceAll("\\s+", " ") match {
     case "EPSG:4326" | "4326" | "WGS84" | "LATLNG" | "LATLON" => LonLat
     case "EPSG:3857" | "3857" | "WEBMERCATOR" | "EPSG:900913" => WebMercator
