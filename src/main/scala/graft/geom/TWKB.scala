@@ -12,8 +12,12 @@ import org.locationtech.jts.geom._
   * plus extended-precision Z/M ordinates (metadata flag 0x08 + the
   * dimensions byte, matching the reference's vendored reader,
   * jts/src/main/java/.../hiveless/serializers/TWKBReader.java:93-126), so
-  * PostGIS-written Z/M TWKB ingests instead of erroring. bbox / size /
-  * idlist metadata (0x01/0x02/0x04) remain unsupported and fail loudly.
+  * PostGIS-written Z/M TWKB ingests instead of erroring. The optional
+  * bbox / size / idlist metadata (0x01/0x02/0x04) parse on read (size is
+  * length-validated, bbox and per-member ids are skipped — they are
+  * redundant with the body / have no JTS slot), and the writer can emit
+  * bbox/size on request, matching the reference reader's full metadata
+  * surface (TWKBReader.java:93-105).
   */
 object TWKB {
 
@@ -75,11 +79,33 @@ object TWKB {
   /** Z/M ordinates are emitted at `precision` clamped to the extended
     * byte's unsigned 3-bit range [0, 7] (XY precision itself is zigzag
     * and may be negative).
+    *
+    * `withBBox` / `withSize` emit the optional bounding-box (0x01) and
+    * byte-size (0x02) metadata on the top-level geometry, matching the
+    * canonical writer's options (reference TWKBWriter.java) — per the
+    * spec the size varint counts everything after itself (bbox + body),
+    * and the bbox is one (min, extent-delta) svarint pair per dimension
+    * in scaled integers. Collection members stay plain.
     */
-  def write(g: Geometry, precision: Int = DefaultPrecision): Array[Byte] = {
-    val buf = new Buf()
-    writeGeom(g, precision, buf)
-    buf.result()
+  def write(g: Geometry, precision: Int = DefaultPrecision,
+            withBBox: Boolean = false, withSize: Boolean = false): Array[Byte] = {
+    if (!withBBox && !withSize) {
+      val buf = new Buf()
+      writeGeom(g, precision, buf)
+      buf.result()
+    } else {
+      val head = new Buf()
+      val metaExtra = (if (withBBox && !g.isEmpty) 0x01 else 0) | (if (withSize) 0x02 else 0)
+      writeHeaderAndMeta(g, precision, head, metaExtra)
+      val rest = new Buf()
+      if (withBBox && !g.isEmpty) writeBBox(g, precision, rest)
+      if (!g.isEmpty) writeBody(g, precision, rest)
+      if (withSize) head.varint(rest.len)
+      val out = new Array[Byte](head.len + rest.len)
+      System.arraycopy(head.arr, 0, out, 0, head.len)
+      System.arraycopy(rest.arr, 0, out, head.len, rest.len)
+      out
+    }
   }
 
   private def typeCode(g: Geometry): Int = g match {
@@ -93,19 +119,66 @@ object TWKB {
   }
 
   private def writeGeom(g: Geometry, precision: Int, buf: Buf): Unit = {
+    writeHeaderAndMeta(g, precision, buf, 0)
+    if (g.isEmpty) return
+    writeBody(g, precision, buf)
+  }
+
+  private def writeHeaderAndMeta(g: Geometry, precision: Int, buf: Buf, metaExtra: Int): Unit = {
     // type-and-precision byte: low nibble type, high nibble zigzag precision
     buf.byte((zigzag(precision.toLong).toInt << 4) | typeCode(g))
     val (hasZ, hasM) = zmOf(g)
     val extPrec = math.max(0, math.min(7, precision))
-    // metadata byte: empty-geometry flag (0x10) and/or extended-dims (0x08)
-    var meta = 0
+    // metadata byte: empty-geometry flag (0x10), extended-dims (0x08),
+    // plus any caller-requested bbox/size bits
+    var meta = metaExtra
     if (g.isEmpty) meta |= 0x10
     if (hasZ || hasM) meta |= 0x08
     buf.byte(meta)
     if (hasZ || hasM)
       buf.byte((if (hasZ) 0x01 else 0) | (if (hasM) 0x02 else 0) |
         ((if (hasZ) extPrec else 0) << 2) | ((if (hasM) extPrec else 0) << 5))
-    if (g.isEmpty) return
+  }
+
+  /** Bounding box in scaled integers, one (min, max−min) svarint pair
+    * per dimension, over the same rounded values the coordinates emit.
+    */
+  private def writeBBox(g: Geometry, precision: Int, buf: Buf): Unit = {
+    val (hasZ, hasM) = zmOf(g)
+    val extPrec = math.max(0, math.min(7, precision))
+    val scale = math.pow(10, precision)
+    val extScale = math.pow(10, extPrec)
+    val nDims = 2 + (if (hasZ) 1 else 0) + (if (hasM) 1 else 0)
+    val mins = Array.fill(nDims)(Long.MaxValue)
+    val maxs = Array.fill(nDims)(Long.MinValue)
+    g.apply(new CoordinateFilterBBox(scale, extScale, hasZ, hasM, mins, maxs))
+    var d = 0
+    while (d < nDims) {
+      buf.svarint(mins(d))
+      buf.svarint(maxs(d) - mins(d))
+      d += 1
+    }
+  }
+
+  private final class CoordinateFilterBBox(scale: Double, extScale: Double,
+                                           hasZ: Boolean, hasM: Boolean,
+                                           mins: Array[Long], maxs: Array[Long])
+      extends org.locationtech.jts.geom.CoordinateFilter {
+    def filter(c: Coordinate): Unit = {
+      def upd(d: Int, v: Long): Unit = {
+        if (v < mins(d)) mins(d) = v
+        if (v > maxs(d)) maxs(d) = v
+      }
+      upd(0, math.round(c.x * scale))
+      upd(1, math.round(c.y * scale))
+      if (hasZ) upd(2, math.round(c.getZ * extScale))
+      if (hasM) upd(2 + (if (hasZ) 1 else 0), math.round(c.getM * extScale))
+    }
+  }
+
+  private def writeBody(g: Geometry, precision: Int, buf: Buf): Unit = {
+    val (hasZ, hasM) = zmOf(g)
+    val extPrec = math.max(0, math.min(7, precision))
     val scale = math.pow(10, precision)
     val extScale = math.pow(10, extPrec)
     val dims = new Dims(hasZ, hasM, extScale, extScale)
@@ -166,12 +239,6 @@ object TWKB {
     val geomType = tp & 0x0f
     val precision = unzigzag((tp >> 4).toLong).toInt
     val meta = cur.byte()
-    // 0x01 bbox / 0x02 size / 0x04 idlist change the byte layout —
-    // silently parsing any of them would yield corrupt coordinates, so
-    // all three fail loudly. 0x08 (extended dims) is supported below.
-    require((meta & 0x07) == 0,
-      "TWKB bbox/size/idlist metadata not supported by this reader " +
-        f"(metadata byte 0x$meta%02x)")
     val dims =
       if ((meta & 0x08) != 0) {
         val ext = cur.byte()
@@ -179,6 +246,26 @@ object TWKB {
           math.pow(10, (ext >> 2) & 0x07), math.pow(10, (ext >> 5) & 0x07))
       } else new Dims(false, false, 1.0, 1.0)
     val empty = (meta & 0x10) != 0
+    // optional metadata (spec order: size, then bbox, then the body).
+    // size is validated against the remaining bytes; bbox min/extent
+    // pairs are redundant with the coordinates and skipped; per-member
+    // ids (0x04, multi/collection only) have no JTS slot and are
+    // skipped inside the body readers.
+    if ((meta & 0x02) != 0) {
+      val size = cur.varint()
+      require(cur.pos + size <= cur.arr.length,
+        s"TWKB size metadata claims $size bytes but only ${cur.arr.length - cur.pos} remain")
+    }
+    if ((meta & 0x01) != 0) {
+      require(!empty, "TWKB bbox metadata on an empty geometry")
+      val nDims = 2 + (if (dims.hasZ) 1 else 0) + (if (dims.hasM) 1 else 0)
+      var d = 0
+      while (d < 2 * nDims) { cur.svarint(); d += 1 }
+    }
+    val idlist = (meta & 0x04) != 0
+    require(!idlist || geomType >= 4,
+      f"TWKB idlist metadata on non-multi geometry type $geomType (metadata byte 0x$meta%02x)")
+    def skipIds(n: Int): Unit = if (idlist) { var i = 0; while (i < n) { cur.svarint(); i += 1 } }
     val scale = math.pow(10, precision)
     val last = dims.last
     def coords(n: Int): Array[Coordinate] = {
@@ -221,14 +308,22 @@ object TWKB {
       case 1 => if (empty) f.createPoint() else f.createPoint(coords(1)(0))
       case 2 => if (empty) f.createLineString() else f.createLineString(coords(cur.varint().toInt))
       case 3 => if (empty) f.createPolygon() else polygon()
-      case 4 => if (empty) f.createMultiPoint() else
-        f.createMultiPoint(Array.fill(cur.varint().toInt)(coords(1)(0)).map(f.createPoint))
-      case 5 => if (empty) f.createMultiLineString(Array.empty[LineString]) else
-        f.createMultiLineString(Array.fill(cur.varint().toInt)(f.createLineString(coords(cur.varint().toInt))))
-      case 6 => if (empty) f.createMultiPolygon(Array.empty[Polygon]) else
-        f.createMultiPolygon(Array.fill(cur.varint().toInt)(polygon()))
-      case 7 => if (empty) f.createGeometryCollection() else
-        f.createGeometryCollection(Array.fill(cur.varint().toInt)(readGeom(cur)))
+      case 4 => if (empty) f.createMultiPoint() else {
+        val n = cur.varint().toInt; skipIds(n)
+        f.createMultiPoint(Array.fill(n)(coords(1)(0)).map(f.createPoint))
+      }
+      case 5 => if (empty) f.createMultiLineString(Array.empty[LineString]) else {
+        val n = cur.varint().toInt; skipIds(n)
+        f.createMultiLineString(Array.fill(n)(f.createLineString(coords(cur.varint().toInt))))
+      }
+      case 6 => if (empty) f.createMultiPolygon(Array.empty[Polygon]) else {
+        val n = cur.varint().toInt; skipIds(n)
+        f.createMultiPolygon(Array.fill(n)(polygon()))
+      }
+      case 7 => if (empty) f.createGeometryCollection() else {
+        val n = cur.varint().toInt; skipIds(n)
+        f.createGeometryCollection(Array.fill(n)(readGeom(cur)))
+      }
       case other => throw new IllegalArgumentException(s"bad TWKB type $other")
     }
   }

@@ -202,15 +202,37 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
-  test("TWKB reader rejects unsupported bbox/size/idlist metadata loudly") {
-    val ok = TWKB.write(GeomIO.fromWKT("POINT (1 2)"), 0)
-    // flipping any of bbox/size/idlist into the metadata byte must throw,
-    // never silently mis-parse (each changes the byte layout)
-    for (flag <- Seq(0x01, 0x02, 0x04)) {
-      val corrupt = ok.clone()
-      corrupt(1) = (corrupt(1) | flag).toByte
-      val e = intercept[IllegalArgumentException](TWKB.read(corrupt))
-      withClue(f"flag 0x$flag%02x") { e.getMessage should include("not supported") }
+  test("TWKB optional metadata: constant size/bbox vectors, idlist skip, loud failures") {
+    def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    val p = GeomIO.fromWKT("POINT (1 2)")
+    // constant byte vectors at precision 0 (hand-derivable from the spec)
+    hex(TWKB.write(p, 0)) shouldBe "01000204"
+    hex(TWKB.write(p, 0, withSize = true)) shouldBe "0102020204"
+    hex(TWKB.write(p, 0, withBBox = true)) shouldBe "0101020004000204"
+    hex(TWKB.write(p, 0, withBBox = true, withSize = true)) shouldBe "010306020004000204"
+    for (flags <- Seq((true, false), (false, true), (true, true)))
+      TWKB.read(TWKB.write(p, 0, withBBox = flags._1, withSize = flags._2))
+        .equalsExact(p) shouldBe true
+    // PostGIS-style per-member idlist (0x04) on a multipoint, hand-built:
+    // MULTIPOINT ((3 1), (5 2)) with ids [7, 9] — ids are skipped
+    val mp = Array(0x04, 0x04, 0x02, 0x0e, 0x12, 0x06, 0x02, 0x04, 0x02).map(_.toByte)
+    TWKB.read(mp).equalsExact(GeomIO.fromWKT("MULTIPOINT ((3 1), (5 2))")) shouldBe true
+    // idlist on a non-multi type is a layout violation and fails loudly
+    val bad = TWKB.write(p, 0).clone()
+    bad(1) = (bad(1) | 0x04).toByte
+    intercept[IllegalArgumentException](TWKB.read(bad))
+    // a size claim that overruns the buffer fails loudly
+    intercept[Exception](TWKB.read(TWKB.write(p, 0, withSize = true).dropRight(1)))
+    // extended dims widen the bbox to one (min, delta) pair per dimension
+    val pz = GeomIO.factory.createPoint(new org.locationtech.jts.geom.Coordinate(1.0, 2.0, 3.0))
+    TWKB.read(TWKB.write(pz, 0, withBBox = true, withSize = true)).getCoordinate.getZ shouldBe 3.0
+    // bbox+size roundtrip across geometry classes
+    for (wkt <- Seq("LINESTRING (0 0, 1 1, 2 0)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+                    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))", "GEOMETRYCOLLECTION (POINT (1 1))")) {
+      val g = GeomIO.fromWKT(wkt)
+      withClue(wkt) {
+        TWKB.read(TWKB.write(g, 3, withBBox = true, withSize = true)).equalsExact(g, 1e-3) shouldBe true
+      }
     }
     // the empty-geometry flag (0x10) stays legal
     TWKB.read(TWKB.write(GeomIO.fromWKT("POINT EMPTY"), 0)).isEmpty shouldBe true
