@@ -152,6 +152,72 @@ object Multimodal {
     }.toDF(idCol, "img_w", "img_h", "px_sum")
   }
 
+  /** Deterministic test audio: 16-bit mono PCM at 8 kHz, 16 + id % 32
+    * samples, sample(i) = ((id·131 + i·17) mod 65536) − 32768 — every
+    * decoded property is recomputable from id alone (WAV PCM is
+    * lossless), so a SQL oracle can certify a REAL codec roundtrip,
+    * exactly like [[synthPng]] does for images.
+    */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = (16 + id % 32).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((id * 131 + i * 17) % 65536) - 32768).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream(64 + data.length)
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** (id) → (id, media = encoded WAV bytes), scan-side. */
+  def synthesizeWavs(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map(id => (id, synthWav(id)))))
+      .toDF(idCol, "media")
+  }
+
+  /** REAL audio decode through the batched partition shape:
+    * javax.sound.sampled (JDK — public classpath) WAV parse per blob,
+    * emitting (id, sample_rate, n_channels, n_samples, sample_sum) with
+    * the signed 16-bit samples decoded little-endian from the PCM
+    * stream. Narrow map before any wide operator — the same cost model
+    * as [[decodeImages]].
+    */
+  def decodeAudio(spark: SparkSession, media: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.filter(col("media").isNotNull)
+        .select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"expected 16-bit little-endian PCM for id $id, got $fmt")
+          val pcm = try ais.readAllBytes() finally ais.close()
+          val n = pcm.length / 2
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            sum += (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))).toShort.toLong
+            i += 1
+          }
+          (id, fmt.getSampleRate.toInt, fmt.getChannels, n.toLong, sum)
+        }
+      }
+    }.toDF(idCol, "sample_rate", "n_channels", "n_samples", "sample_sum")
+  }
+
   /** STUBBED resize: a real implementation would decode, scale to
     * `targetBytes`-worth of pixels and re-encode; the stand-in
     * deterministically downsamples the byte stream by striding, so output

@@ -366,6 +366,12 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  def mmAudio(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    Multimodal.decodeAudio(s, Multimodal.synthesizeWavs(s, docs, "doc_id"), "doc_id")
+      .orderBy("doc_id")
+  }
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.features(s, media, "doc_id")
@@ -431,7 +437,8 @@ object Pipeline {
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,
     "mm_frames" -> mmFrames _,
-    "mm_decode" -> mmDecode _
+    "mm_decode" -> mmDecode _,
+    "mm_audio" -> mmAudio _
   )
 
   private val cosSql =
@@ -700,6 +707,16 @@ object Pipeline {
         | (1 + doc_id % 5)::INT AS img_h,
         | list_sum([(doc_id * 31 + i) % 256
         |           for i in range(0, ((1 + doc_id % 8) * (1 + doc_id % 5))::INT)])::BIGINT AS px_sum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the WAV synthesis formula replayed arithmetically: WAV PCM is
+    // lossless, so the real javax.sound decode must reproduce it exactly
+    "mm_audio" ->
+      """SELECT doc_id,
+        | 8000::INT AS sample_rate,
+        | 1::INT AS n_channels,
+        | (16 + doc_id % 32)::BIGINT AS n_samples,
+        | list_sum([(doc_id * 131 + i * 17) % 65536 - 32768
+        |           for i in range(0, (16 + doc_id % 32)::INT)])::BIGINT AS sample_sum
         |FROM documents ORDER BY doc_id""".stripMargin
     // dd_minhash / dd_simhash / dd_embed_blocked / ann_lsh / ann_ivf /
     // tx_langid / tx_fingerprint: probabilistic or non-SQL-expressible →

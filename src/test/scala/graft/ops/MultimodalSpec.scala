@@ -98,6 +98,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("real WAV decode: javax.sound roundtrips the synthesized samples exactly") {
+    import spark.implicits._
+    // direct: encode then decode one clip, compare format + every sample
+    val bytes = Multimodal.synthWav(42L)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    ais.getFormat.getSampleRate shouldBe 8000f
+    ais.getFormat.getChannels shouldBe 1
+    val pcm = ais.readAllBytes()
+    val n = (16 + 42 % 32)
+    pcm.length shouldBe n * 2
+    for (i <- 0 until n) {
+      val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+      s shouldBe ((42L * 131 + i * 17) % 65536 - 32768).toInt
+    }
+    // through the batched operator: counts + sums match the formula
+    val ids = spark.range(40).select(col("id").as("doc_id"))
+    val out = Multimodal.decodeAudio(spark, Multimodal.synthesizeWavs(spark, ids, "doc_id"), "doc_id")
+      .orderBy("doc_id").collect()
+    out.length shouldBe 40
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nn = 16 + id % 32
+      r.getInt(1) shouldBe 8000
+      r.getInt(2) shouldBe 1
+      r.getLong(3) shouldBe nn
+      r.getLong(4) shouldBe (0L until nn).map(i => (id * 131 + i * 17) % 65536 - 32768).sum
+    }
+  }
+
   test("batch grouping handles partitions larger than BatchSize") {
     import spark.implicits._
     val big = spark.range(3 * Multimodal.BatchSize + 17).select(
