@@ -104,6 +104,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_repetition: single-pass scan-side stats, no shuffle before the sort") {
+    val p = planOf("tx_repetition")
+    withClue(s"plan:\n$p") {
+      p should include("repetition_stats")
+      // one Exchange for the final orderBy (printed twice: AQE initial +
+      // final sections); the stats themselves are a narrow projection
+      // over the scan — no aggregate, no explode
+      p.linesIterator.count(_.contains("Exchange")) should be <= 2
+      p.contains("Generate") shouldBe false // no explode-based histogram
+      p.contains("HashAggregate") shouldBe false
+    }
+  }
+
+  test("mm_audio: decode is a narrow map — no shuffle before the audio stage") {
+    val p = planOf("mm_audio")
+    withClue(s"plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      p.linesIterator.count(_.contains("Exchange")) should be <= 2
+    }
+  }
+
   test("vec_sum resolves from SQL and plans a partial aggregate") {
     sources.Tables.embeddings(spark, sfDir).limit(50).createOrReplaceTempView("vs_emb")
     val df = spark.sql(
