@@ -270,4 +270,50 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  // ------------------------------------------------ component clustering
+
+  /** Connected components over a near-duplicate pair list — the step
+    * between pair generation (minhashLsh / jaccardJoin /
+    * embeddingNearDupBlocked) and survivor selection: transitive
+    * near-dups A~B~C must dedup as ONE group even when A~C was never
+    * emitted as a pair. Returns (id, component) with component = the
+    * minimum id in each component; ids absent from `pairs` are the
+    * caller's singletons.
+    *
+    * Algorithm: min-label propagation to a fixpoint — labels start as
+    * the id, every iteration each node takes the min of its own and its
+    * neighbors' labels (one shuffle per iteration on the symmetrized
+    * edge list). Iterations = component diameter, and near-dup clusters
+    * are shallow (pair generators emit most intra-cluster edges, so
+    * diameters are single-digit); maxIter bounds the pathological
+    * chain. Each round materializes only (id, label) — never the
+    * transitive closure, which is what makes this safe at 100 TB where
+    * a recursive-CTE-style expansion would explode.
+    */
+  def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val next = labels.select("id", "comp").union(prop)
+        .groupBy("id").agg(min("comp").as("comp")).cache()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("comp").as("__old")), "id")
+        .filter(col("comp") =!= col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
 }

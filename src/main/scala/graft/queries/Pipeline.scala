@@ -46,6 +46,24 @@ object Pipeline {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup groups through connected components: jaccardJoin pairs →
+    * min-label propagation → every document labeled with its component
+    * (singletons label themselves) + the component size. Transitive
+    * closure is the semantics a dedup survivor pass actually needs; the
+    * oracle recomputes it with a recursive CTE over the same pair SQL.
+    */
+  def ddComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.8)
+    val cc = Dedup.connectedComponents(pairs)
+    val comp = docs.select(col("doc_id"))
+      .join(cc, docs("doc_id") === cc("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+    comp.join(comp.groupBy("component").agg(count(lit(1)).as("n_members")), "component")
+      .select("doc_id", "component", "n_members")
+      .orderBy("doc_id")
+  }
+
   /** MinHash-vs-exact quality contract: n_exact from [[ddJaccardJoin]]'s
     * ground truth, zero precision misses (candidates are verified with
     * the same exact jaccard, so found ⊆ exact by construction), and —
@@ -409,6 +427,7 @@ object Pipeline {
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
     "dd_jaccard_join" -> ddJaccardJoin _,
+    "dd_components" -> ddComponents _,
     "dd_minhash" -> ddMinhash _,
     "dd_minhash_recall" -> ddMinhashRecall _,
     "dd_simhash" -> ddSimhash _,
@@ -536,6 +555,32 @@ object Pipeline {
          |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
          |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p
          |WHERE j >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+    // transitive closure by recursive min-label walk over the symmetric
+    // j>=0.8 pair graph (same shingle SQL as dd_jaccard_join); UNION
+    // (not ALL) dedups rows so the recursion terminates
+    "dd_components" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) >= 3
+         |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                 for i in range(1, len(w) - 1)])
+         |             ELSE [array_to_string(w, ' ')] END AS sh
+         |      FROM d),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |walk(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, walk.comp FROM walk JOIN e ON e.src = walk.id),
+         |cc AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY 1)
+         |SELECT cc.doc_id, cc.component, n.n_members
+         |FROM cc JOIN (SELECT component, count(*) AS n_members FROM cc GROUP BY 1) n
+         |  USING (component)
+         |ORDER BY cc.doc_id""".stripMargin,
     "dd_minhash_recall" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,

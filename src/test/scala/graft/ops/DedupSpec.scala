@@ -201,4 +201,24 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     blockedDf.queryExecution.executedPlan.toString
       .contains("CartesianProduct") shouldBe false
   }
+
+  test("connectedComponents: transitive closure via min-label propagation") {
+    import spark.implicits._
+    // A~B~C one component even though A~C was never a pair; disjoint
+    // pairs stay separate; component label = min member id
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L, 2L, 3L).foreach(i => cc(i) shouldBe 1L)
+    Seq(10L, 11L).foreach(i => cc(i) shouldBe 10L)
+    Seq(20L, 21L, 22L, 23L).foreach(i => cc(i) shouldBe 20L)
+    cc.size shouldBe 9
+    // a pure chain needs diameter-many propagation rounds and still
+    // converges to the single min label
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val c2 = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 12L).foreach(i => c2(i) shouldBe 0L)
+  }
 }
