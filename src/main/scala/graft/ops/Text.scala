@@ -92,6 +92,48 @@ object Text {
       typedlit(langProfiles.map(_._1)),
       typedlit(langProfiles.map(_._2)))
 
+  // --------------------------------------------------------- curation
+
+  /** Deterministic per-stratum downsampling for corpus curation (e.g.
+    * per-language token budgets): keep a row iff
+    * `(id·2654435761 + salt) mod 1000000007 < rate(stratum)·1000000007`.
+    * A multiplicative hash instead of xxhash so the decision is exact
+    * integer arithmetic an external oracle can replay; deterministic in
+    * the id, so re-runs and incremental builds keep the same rows —
+    * unlike `df.sample`, whose per-partition RNG reshuffles the kept set
+    * whenever partitioning changes. Scan-side filter, no shuffle.
+    */
+  def sampleByStrata(df: DataFrame, strataCol: String, idCol: String,
+                     rates: Map[String, Double], defaultRate: Double = 0.0,
+                     salt: Long = 0L): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L) + lit(salt), lit(1000000007L))
+    df.filter(h.cast("double") < rate * lit(1000000007.0))
+  }
+
+  /** Overlapping token-window chunking for long documents (the standard
+    * pre-training shape: windows of `size` tokens every `stride`
+    * tokens): one output row per window start 0, stride, 2·stride, …
+    * below the token count, each carrying its index, clamped token
+    * count and text. flatMap-shaped explode at the scan — rows fan out
+    * before any wide operator, no shuffle.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))).as(Seq("chunk_idx", "__s")),
+        col("__toks"))
+      .select(
+        col(idCol), col("chunk_idx"),
+        size(slice(col("__toks"), col("__s") + 1, lit(window))).as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("__s") + 1, lit(window)), " ").as("chunk_text"))
+  }
+
   // ---------------------------------------------------------- packing
 
   /** Assign documents to contiguous token-budget chunks — the

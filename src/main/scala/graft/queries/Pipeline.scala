@@ -320,6 +320,21 @@ object Pipeline {
   def txRepetition(s: SparkSession, dir: String): DataFrame =
     Text.repetition(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Deterministic stratified downsampling: per-language keep rates via
+    * an exact integer multiplicative hash the oracle replays verbatim.
+    */
+  def txSample(s: SparkSession, dir: String): DataFrame =
+    Text.sampleByStrata(Tables.documents(s, dir), "lang", "doc_id",
+        rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0), defaultRate = 0.1)
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  /** Overlapping 16-token windows every 12 tokens; the oracle rebuilds
+    * every window with list_slice over the same token split.
+    */
+  def txChunks(s: SparkSession, dir: String): DataFrame =
+    Text.chunk(Tables.documents(s, dir), "doc_id", "text", window = 16, stride = 12)
+      .orderBy("doc_id", "chunk_idx")
+
   def txLangid(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"), Text.langId(col("text")).as("lang_guess"))
@@ -448,6 +463,8 @@ object Pipeline {
     "tx_tokens" -> txTokens _,
     "tx_quality" -> txQuality _,
     "tx_repetition" -> txRepetition _,
+    "tx_sample" -> txSample _,
+    "tx_chunks" -> txChunks _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
     "tx_fingerprint_stable" -> txFingerprintStable _,
@@ -720,6 +737,19 @@ object Pipeline {
         |       ELSE gg.dup_pos * 1.0 / gg.n_grams END, 4) AS dup_3gram_frac
         |FROM agg a LEFT JOIN gagg gg ON a.doc_id = gg.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+    "tx_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 2654435761 + 0) % 1000000007)::DOUBLE <
+        |      (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 1.0
+        |            ELSE 0.1 END) * 1000000007.0
+        |ORDER BY doc_id""".stripMargin,
+    "tx_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, unnest(range(0, len(w), 12)) AS s FROM d)
+        |SELECT doc_id, (s // 12)::INT AS chunk_idx,
+        | len(list_slice(w, s + 1, s + 16))::INT AS n_chunk_tokens,
+        | array_to_string(list_slice(w, s + 1, s + 16), ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "tx_topdocs" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars,

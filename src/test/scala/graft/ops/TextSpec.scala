@@ -86,6 +86,45 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     one("two words").select(org.apache.spark.sql.functions.size(Text.fingerprints(col("text")))).head().getInt(0) should be >= 1
   }
 
+  test("sampleByStrata: deterministic, rate-monotone, exact at the extremes") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0L until 1000L).map(i => Row(if (i % 2 == 0) "en" else "de", i))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+      StructType(Seq(StructField("lang", StringType), StructField("id", LongType))))
+    // rate 1.0 keeps everything in the stratum, rate 0.0 nothing
+    val kept = Text.sampleByStrata(df, "lang", "id", Map("en" -> 1.0, "de" -> 0.0))
+      .collect().map(_.getLong(1)).toSet
+    kept.size shouldBe 500
+    kept.forall(_ % 2 == 0) shouldBe true
+    // a fractional rate is deterministic across runs and ballpark-sized
+    val half = Text.sampleByStrata(df, "lang", "id", Map("en" -> 0.5, "de" -> 0.5))
+      .collect().map(_.getLong(1)).toSet
+    Text.sampleByStrata(df, "lang", "id", Map("en" -> 0.5, "de" -> 0.5))
+      .collect().map(_.getLong(1)).toSet shouldBe half
+    half.size.toDouble shouldBe 500.0 +- 100.0
+    // a lower rate keeps a subset of the higher rate's rows (same hash)
+    val quarter = Text.sampleByStrata(df, "lang", "id", Map("en" -> 0.25, "de" -> 0.25))
+      .collect().map(_.getLong(1)).toSet
+    quarter.subsetOf(half) shouldBe true
+  }
+
+  test("chunk: overlapping windows cover every token at the stride") {
+    val out = Text.chunk(one("a b c d e f g h i j"), "id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    // 10 tokens, starts 0,3,6,9 → 4 chunks
+    out.length shouldBe 4
+    out.map(_.getInt(1)).toSeq shouldBe Seq(0, 1, 2, 3)
+    out.map(_.getString(3)).toSeq shouldBe
+      Seq("a b c d", "d e f g", "g h i j", "j")
+    out.map(_.getInt(2)).toSeq shouldBe Seq(4, 4, 4, 1)
+    // window >= tokens → one full chunk
+    val one4 = Text.chunk(one("x y z"), "id", "text", window = 16, stride = 12).collect()
+    one4.length shouldBe 1
+    one4.head.getString(3) shouldBe "x y z"
+  }
+
   test("packByTokenBudget: contiguous budget chunks per shard, oversized doc gets own chunk") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
