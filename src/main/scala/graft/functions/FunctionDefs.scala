@@ -156,6 +156,7 @@ object FunctionDefs {
     "stopword_count"    -> f("stopwordCountNative", I, ArrayType(S), ArrayType(S)),
     "repetition_stats"  -> f("repetitionStats", ArrayType(L), ArrayType(S), I),
     "ivf_assign"        -> f("ivfAssign", I, ArrayType(D), ArrayType(ArrayType(D))),
+    "pq_adc"            -> f("pqAdc", D, ArrayType(D), ArrayType(I), ArrayType(D), I),
     "ivf_probes"        -> f("ivfProbes", ArrayType(I), ArrayType(D), ArrayType(ArrayType(D)), I)
   )
 

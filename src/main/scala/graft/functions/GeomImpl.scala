@@ -646,6 +646,30 @@ object GeomImpl {
     count
   }
 
+  /** Asymmetric-distance computation for product quantization: the
+    * approximate dot product of query `qv` with a PQ-coded vector is the
+    * sum over subspaces of qv_subspace · centroid(code). `flat` is the
+    * codebook flattened as [m][ksub][subdim]; one multiply-add per query
+    * dimension, no decode of the corpus vector.
+    */
+  def pqAdc(qv: ArrayData, codes: ArrayData, flat: ArrayData, m: Int): Double = {
+    val dim = qv.numElements()
+    val subdim = dim / m
+    val ksub = flat.numElements() / (m * subdim)
+    var sum = 0.0
+    var j = 0
+    while (j < m) {
+      val base = (j * ksub + codes.getInt(j)) * subdim
+      var d = 0
+      while (d < subdim) {
+        sum += qv.getDouble(j * subdim + d) * flat.getDouble(base + d)
+        d += 1
+      }
+      j += 1
+    }
+    sum
+  }
+
   /** Single-pass repetition statistics for Gopher-style quality
     * filtering (Rae et al. 2021, "Scaling Language Models: Methods,
     * Analysis & Insights from Training Gopher", appendix A — public):

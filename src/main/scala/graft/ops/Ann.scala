@@ -154,4 +154,94 @@ object Ann {
         .withColumn("cos", Vectors.cosine(col("__qv"), col("__v"))),
       k)
   }
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search" — public): vectors are L2-normalized,
+    * split into `m` subspaces, and each subvector is replaced by the id
+    * of its nearest codeword from a per-subspace `ksub`-entry codebook
+    * (trained with the same vec_sum Lloyd machinery as [[ivfTopK]], on
+    * sliced vectors). A coded vector is m small ints instead of dim
+    * doubles — at dim=64/m=8 a 32× shrink; the codebook itself is a plan
+    * literal.
+    *
+    * Search is asymmetric distance computation: the scan over the CODED
+    * corpus scores each row with the native `pq_adc` expression (sum of
+    * query-subvector · codeword dots — on normalized vectors this
+    * approximates cosine), keeps `refine`·k candidates per query through
+    * the bounded-heap aggregate, and only the shortlist is re-ranked
+    * with exact cosines on the raw vectors. At 100 TB the ADC pass
+    * reads m bytes-per-code columns, not the embeddings; the raw
+    * vectors are fetched for refine·k·queries rows only.
+    * Output: (qid, id, rank, cos) — exact cosines on the final ranking.
+    */
+  def pqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      refine: Int = 4, seed: Long = 7): DataFrame = {
+    import graft.functions.FunctionDefs.{call, callAgg}
+    val raw = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
+    val c = raw
+      .withColumn("__n", call("vec_norm", col("__v")))
+      .withColumn("__vn", when(col("__n") === 0.0, col("__v"))
+        .otherwise(expr("transform(__v, x -> x / __n)")))
+      .select("id", "__v", "__vn")
+    val dim = c.select(size(col("__v"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subdim = dim / m
+
+    // per-subspace codebooks: deterministic hashed-id sample init + Lloyd
+    val codebooks: Array[Array[Seq[Double]]] = (0 until m).map { j =>
+      val sub = c.select(col("id"), slice(col("__vn"), j * subdim + 1, subdim).as("__s"))
+      var cents: Array[Seq[Double]] =
+        sub.orderBy(xxhash64(col("id"), lit(seed + j)), col("id")).limit(ksub)
+          .select("__s").collect().map(_.getSeq[Double](0))
+      var it = 0
+      while (it < iters) {
+        val centLit = typedlit(cents.toSeq)
+        val sums = sub.select(call("ivf_assign", col("__s"), centLit).as("__c"), col("__s"))
+          .groupBy("__c")
+          .agg(callAgg("vec_sum", col("__s")).as("__sum"), count(lit(1)).as("__cnt"))
+          .collect()
+        val byC = sums.map(r => r.getInt(0) -> r).toMap
+        cents = cents.indices.map { ci =>
+          byC.get(ci) match {
+            case Some(row) =>
+              val n = row.getLong(2).toDouble
+              row.getSeq[Double](1).map(_ / n)
+            case None => cents(ci)
+          }
+        }.toArray
+        it += 1
+      }
+      cents
+    }.toArray
+
+    // scan-side encode: m nearest-codeword ids per row; at scale the
+    // coded corpus (and only it) is what the ADC pass reads
+    val codeCols = (0 until m).map(j =>
+      call("ivf_assign", slice(col("__vn"), j * subdim + 1, subdim), typedlit(codebooks(j).toSeq)))
+    val coded = c.select(col("id"), array(codeCols: _*).as("__codes"))
+    val flatLit = typedlit(codebooks.flatMap(_.flatMap(_.toArray)).toSeq)
+
+    val q = queries.select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
+      .withColumn("__qn", call("vec_norm", col("__qv")))
+      .withColumn("__qvn", when(col("__qn") === 0.0, col("__qv"))
+        .otherwise(expr("transform(__qv, x -> x / __qn)")))
+      .select("qid", "__qv", "__qvn")
+    val shortlist = coded.crossJoin(broadcast(q.select("qid", "__qvn")))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__adc", call("pq_adc", col("__qvn"), col("__codes"), flatLit, lit(m)))
+      .groupBy("qid")
+      .agg(callAgg("topk_by_score", col("id"), col("__adc"), lit(refine * k)).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__t"))
+      .select(col("qid"), col("__t.id").as("id"))
+    rankTopK(
+      shortlist
+        .join(raw, "id")
+        .join(broadcast(q.select("qid", "__qv")), "qid")
+        .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
+        .select("qid", "id", "cos"),
+      k)
+  }
 }

@@ -170,6 +170,33 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.pqTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, m = 8, ksub = 32, refine = 10)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Recall@10 contract for the PQ+refine operating point (m=8 codes,
+    * ksub=32, 10x refine pool) against the brute ranking — PQ is lossy
+    * by construction (no exhaustive regime exists), so the quality claim
+    * IS the recall floor, like dd_embed_blocked's. Measured recall@10:
+    * 86% at sf0.001, 96% at sf0.01, 64% at sf0.1 (deterministic —
+    * seeded codebook init); floor 40%.
+    */
+  def annPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Ann.bruteForce(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .select("qid", "id")
+    val approx = Ann.pqTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, m = 8, ksub = 32, refine = 10)
+      .select("qid", "id")
+    annRecallOf(brute, approx, floorPct = 40)
+  }
+
   /** LSH in its provably-complete regime: at nBits=1 the 1-bit multiprobe
     * covers both buckets, so candidates = the whole corpus and the output
     * must EQUAL the brute-force ranking — value-checking the entire LSH
@@ -456,6 +483,8 @@ object Pipeline {
     "ann_lsh_exhaustive" -> annLshExhaustive _,
     "ann_ivf_full" -> annIvfFull _,
     "ann_lsh_recall" -> annLshRecall _,
+    "ann_pq" -> annPq _,
+    "ann_pq_recall" -> annPqRecall _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_int8" -> annInt8 _,
     "q_asof_join" -> qAsofJoin _,
@@ -667,6 +696,9 @@ object Pipeline {
       s"""SELECT count(*)::BIGINT AS n_brute, 1 AS recall_floor_ok
          |FROM ($bruteTopKSql)""".stripMargin,
     "ann_ivf_recall" ->
+      s"""SELECT count(*)::BIGINT AS n_brute, 1 AS recall_floor_ok
+         |FROM ($bruteTopKSql)""".stripMargin,
+    "ann_pq_recall" ->
       s"""SELECT count(*)::BIGINT AS n_brute, 1 AS recall_floor_ok
          |FROM ($bruteTopKSql)""".stripMargin,
     // int8 quantization arithmetic replayed exactly: same max, same

@@ -93,6 +93,29 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     withClue(s"recalls=$recalls") { recalls.sum / recalls.size should be >= 0.4 }
   }
 
+  test("pqTopK returns true cosines, is deterministic, and achieves useful recall") {
+    def run() = Ann.pqTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, m = 8, ksub = 32, refine = 10)
+      .collect()
+    val approx = run()
+    // exact re-rank: reported cosines are the true cosines on raw vectors
+    approx.foreach { r =>
+      r.getDouble(3) shouldBe cos(localVecs(r.getLong(0)), localVecs(r.getLong(1))) +- 1e-12
+    }
+    // deterministic: seeded codebook init
+    run().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq shouldBe
+      approx.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val brute = Ann.bruteForce(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val byQ = approx.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = (0L until 5L).map { q =>
+      brute(q).intersect(byQ.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }
+    withClue(s"recalls=$recalls") { recalls.sum / recalls.size should be >= 0.4 }
+  }
+
   test("top-k aggregate: partial map-side reduction, identical across partitionings") {
     val narrow = Ann.bruteForce(corpus.repartition(1), "vec_id", "embedding",
         corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
