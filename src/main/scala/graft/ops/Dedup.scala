@@ -290,6 +290,16 @@ object Dedup {
     * chain. Each round materializes only (id, label) — never the
     * transitive closure, which is what makes this safe at 100 TB where
     * a recursive-CTE-style expansion would explode.
+    *
+    * Each round is cut from its predecessor's lineage with an eager
+    * `localCheckpoint` (the GraphFrames pattern): caching alone keeps
+    * the full logical plan, which references the previous round's plan
+    * three times (propagate, union, convergence check) and therefore
+    * grows exponentially in the iteration count — a 12-hop chain
+    * produced a ~2^12-node plan whose analysis/explain alone OOMed the
+    * driver. With the checkpoint every round plans against a leaf RDD,
+    * so plan size, analysis time and driver memory stay O(1) per round
+    * regardless of component diameter.
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
@@ -297,18 +307,17 @@ object Dedup {
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).cache()
+      .withColumn("comp", col("id")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("comp"))
       val next = labels.select("id", "comp").union(prop)
-        .groupBy("id").agg(min("comp").as("comp")).cache()
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
       val changed = next.as("n")
         .join(labels.select(col("id"), col("comp").as("__old")), "id")
         .filter(col("comp") =!= col("__old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1

@@ -158,7 +158,37 @@ object Multimodal {
     * lossless), so a SQL oracle can certify a REAL codec roundtrip,
     * exactly like [[synthPng]] does for images.
     */
-  def synthWav(id: Long): Array[Byte] = {
+  // The AudioSystem facade resolves its SPI providers through a
+  // JDK-wide synchronized cache on EVERY call — 32 executor threads
+  // serialize on that lock (measured 19× on 10× clips before this).
+  // Resolving the WAV reader/writer once per partition through the
+  // public ServiceLoader SPI keeps the decode embarrassingly parallel,
+  // exactly like decodeImages' reused ImageReader.
+  private def wavWriter(): javax.sound.sampled.spi.AudioFileWriter = {
+    val it = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      if (w.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)) return w
+    }
+    throw new IllegalStateException("no WAVE AudioFileWriter on this JDK")
+  }
+
+  private def wavReader(): javax.sound.sampled.spi.AudioFileReader = {
+    val it = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val probe = synthWavBytesOnly(0L)
+    while (it.hasNext) {
+      val r = it.next()
+      try {
+        r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close()
+        return r
+      } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    throw new IllegalStateException("no WAVE AudioFileReader on this JDK")
+  }
+
+  private def synthWavBytesOnly(id: Long): Array[Byte] = synthWavWith(wavWriter(), id)
+
+  private def synthWavWith(writer: javax.sound.sampled.spi.AudioFileWriter, id: Long): Array[Byte] = {
     val n = (16 + id % 32).toInt
     val data = new Array[Byte](n * 2)
     var i = 0
@@ -172,15 +202,22 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, n.toLong)
     val baos = new java.io.ByteArrayOutputStream(64 + data.length)
-    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
 
-  /** (id) → (id, media = encoded WAV bytes), scan-side. */
+  def synthWav(id: Long): Array[Byte] = synthWavWith(wavWriter(), id)
+
+  /** (id) → (id, media = encoded WAV bytes), scan-side; one SPI writer
+    * per partition.
+    */
   def synthesizeWavs(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map(id => (id, synthWav(id)))))
+      .mapPartitions { it =>
+        val writer = wavWriter()
+        it.grouped(BatchSize).flatMap(_.iterator.map(id => (id, synthWavWith(writer, id))))
+      }
       .toDF(idCol, "media")
   }
 
@@ -197,9 +234,10 @@ object Multimodal {
       media.filter(col("media").isNotNull)
         .select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
     ds.mapPartitions { rows =>
+      val reader = wavReader()
       rows.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          val ais = reader.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
           val fmt = ais.getFormat
           require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
