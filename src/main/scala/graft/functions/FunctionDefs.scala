@@ -178,6 +178,7 @@ object FunctionDefs {
       case "topk_by_score"     => TopKAgg(exprs(0), exprs(1), exprs(2))
       case "topn_rows"         => TopNRowsAgg(exprs(0), exprs(1), exprs(2), exprs(3))
       case "vec_sum"           => VectorSumAgg(exprs.head)
+      case "vec_outer_sum"     => VectorOuterSumAgg(exprs.head)
       case "st_convexhullaggr" => ConvexHullAgg(exprs.head)
       case other               => throw new IllegalArgumentException(s"unknown aggregate $other")
     }

@@ -44,6 +44,10 @@ object FunctionRegistration {
     "vec_sum" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.size == 1, "vec_sum(array<double>)")
       VectorSumAgg(children.head)
+    }),
+    "vec_outer_sum" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 1, "vec_outer_sum(array<double>)")
+      VectorOuterSumAgg(children.head)
     })
   )
 

@@ -244,4 +244,44 @@ object Ann {
         .select("qid", "id", "cos"),
       k)
   }
+
+  /** PCA-reduced ANN — the reduce-then-index recipe: fit a [[Pca]] model
+    * on the corpus (one distributed moment pass), score candidates by
+    * cosine in the `kDim`-dimensional projected space, keep `refine`·k
+    * per query through the bounded-heap aggregate, and re-rank only that
+    * shortlist with exact cosines on the raw vectors (the same
+    * shortlist+refine shape as [[pqTopK]]).
+    *
+    * At 100 TB the projected corpus is what the scoring pass scans —
+    * kDim/dim of the embedding bytes (and the projection itself is
+    * scan-side codegen, so materializing it costs no shuffle); raw
+    * vectors are fetched for refine·k·queries rows only.
+    * Output: (qid, id, rank, cos) — exact cosines on the final ranking.
+    */
+  def pcaTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, kDim: Int = 32, refine: Int = 10): DataFrame = {
+    import graft.functions.FunctionDefs.callAgg
+    val model = Pca.fit(corpus, vecCol, kDim)
+    val raw = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
+    val c = raw.withColumn("__pv", Pca.projectColumn(col("__v"), model))
+    val q = queries.select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
+      .withColumn("__qpv", Pca.projectColumn(col("__qv"), model))
+    val shortlist = c.select("id", "__pv")
+      .crossJoin(broadcast(q.select("qid", "__qpv")))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__pc", Vectors.cosine(col("__qpv"), col("__pv")))
+      .groupBy("qid")
+      .agg(callAgg("topk_by_score", col("id"), col("__pc"), lit(refine * k)).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__t"))
+      .select(col("qid"), col("__t.id").as("id"))
+    rankTopK(
+      shortlist
+        .join(raw, "id")
+        .join(broadcast(q.select("qid", "__qv")), "qid")
+        .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
+        .select("qid", "id", "cos"),
+      k)
+  }
 }

@@ -132,4 +132,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     df.collect().head.getSeq[Double](0).length shouldBe 64
     df.queryExecution.executedPlan.toString should include("partial_vec_sum")
   }
+
+  test("ann_pca_cov: moments reduce map-side — one triangle per partition crosses the shuffle") {
+    val df = queries.Pipeline.annPcaCov(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("partial_vec_outer_sum")
+    plan should include("partial_vec_sum")
+    // and the whole query is a scan + aggregate + generate: no join at all
+    plan should not include "Cartesian"
+    plan should not include "SortMergeJoin"
+  }
 }
