@@ -172,4 +172,54 @@ object Text {
   def fingerprints(text: Column, k: Int = 5, window: Int = 4): Column =
     graft.functions.FunctionDefs.call(
       "winnow_fingerprints", Dedup.shingles(text, k), lit(window))
+
+  /** BM25 ranked retrieval (Robertson/Spärck Jones, the Lucene-variant
+    * idf = ln(1 + (N − df + ½)/(df + ½))): top-k documents per keyword
+    * query. `queries` is a small (qid, term) relation — one row per
+    * query term, distinct per (qid, term).
+    *
+    * Designed for corpus ≫ queries: the exploded token stream is
+    * semi-joined against the BROADCAST query vocabulary BEFORE any
+    * aggregation, so the (id, term) tf pass and everything after it
+    * touch only rows containing a query term — the full-corpus work is
+    * one scan (plus a single (n_docs, avgdl) aggregate broadcast as a
+    * one-row literal). Document frequencies are computed from that same
+    * filtered tf relation (small, per-term) and broadcast back; final
+    * per-query ranking goes through the bounded-heap `topk_by_score`
+    * aggregate, never a window shuffle. Output: (qid, id, rank, score).
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, termCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("__toks"))
+      .select(col("id"), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("term"))
+    val q = queries.select(col(qidCol).as("qid"), col(termCol).as("term"))
+    val tf = toks
+      .join(broadcast(q.select("term").distinct()), "term")
+      .groupBy("id", "term", "__dl").agg(count(lit(1)).as("__tf"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n_docs"),
+      avg(size(split(col(textCol), " "))).as("__avgdl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("__df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n_docs") - col("__df") + 0.5) / (col("__df") + 0.5)))
+      .withColumn("__w",
+        col("__idf") * (col("__tf") * (k1 + 1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .join(broadcast(q), "term")
+      .groupBy("qid", "id").agg(sum("__w").as("score"))
+    scored
+      .groupBy("qid")
+      .agg(graft.functions.FunctionDefs.callAgg("topk_by_score",
+        col("id"), col("score"), lit(k)).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("qid"), col("__t.id").as("id"),
+        (col("__r") + 1).cast("int").as("rank"), col("__t.score").as("score"))
+  }
 }

@@ -297,6 +297,23 @@ object Pipeline {
       .orderBy("vec_id")
   }
 
+  /** BM25 ranked retrieval over `documents` for three fixed keyword
+    * queries — every number (tf, df, avgdl, Lucene-variant idf, the
+    * full saturation formula, tie-break by id) is replayed verbatim by
+    * the SQL oracle.
+    */
+  def txBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Seq(
+      (0L, "join"), (0L, "hash"),
+      (1L, "scan"), (1L, "filter"), (1L, "vector"),
+      (2L, "customer"), (2L, "order"))
+      .toDF("qid", "term")
+    Text.bm25TopK(Tables.documents(s, dir), "doc_id", "text", q, "qid", "term", k = 10)
+      .select(col("qid"), col("id"), col("rank"), round(col("score"), 6).as("score"))
+      .orderBy("qid", "rank")
+  }
+
   /** The distributed half of PCA — the one-pass (n, Σv, Σv·vᵀ) moment
     * aggregation ([[graft.functions.VectorOuterSumAgg]]) — value-checked
     * entry by entry: unpack the packed triangle into every (i ≤ j)
@@ -648,6 +665,7 @@ object Pipeline {
     "tx_fingerprint" -> txFingerprint _,
     "tx_fingerprint_stable" -> txFingerprintStable _,
     "tx_topdocs" -> txTopdocs _,
+    "tx_bm25" -> txBm25 _,
     "tx_pack" -> txPack _,
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,
@@ -970,6 +988,28 @@ object Pipeline {
         | len(list_slice(w, s + 1, s + 16))::INT AS n_chunk_tokens,
         | array_to_string(list_slice(w, s + 1, s + 16), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "tx_bm25" ->
+      """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+        |dl AS (SELECT id, len(toks) AS dl FROM d),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM d),
+        |q(qid, term) AS (VALUES (0, 'join'), (0, 'hash'), (1, 'scan'),
+        |                        (1, 'filter'), (1, 'vector'),
+        |                        (2, 'customer'), (2, 'order')),
+        |tok AS (SELECT id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok
+        |       WHERE term IN (SELECT term FROM q) GROUP BY id, term),
+        |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        |w AS (SELECT tf.id, tf.term,
+        |        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+        |      FROM tf JOIN dfreq USING (term) JOIN dl USING (id), stats),
+        |s AS (SELECT qid, id, sum(w) AS score FROM w JOIN q USING (term)
+        |      GROUP BY qid, id),
+        |r AS (SELECT qid, id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+        |      FROM s)
+        |SELECT qid::BIGINT AS qid, id, rank::INT AS rank, round(score, 6) AS score
+        |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "tx_topdocs" ->
       """WITH t AS (
         |  SELECT doc_id, length(text) AS n_chars,

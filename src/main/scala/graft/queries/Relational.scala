@@ -237,6 +237,24 @@ object Relational {
         Tables.events(s, dir), "props", "ts", "event_id")
       .orderBy("survivor_id")
 
+  /** Stream-stream event-time interval join through the SAME function
+    * the streaming path uses ([[graft.streaming.StreamJoin]]), run in
+    * batch mode: each click correlated with the same user's purchases
+    * within the following hour. The oracle replays the interval
+    * self-join directly.
+    */
+  def evFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    graft.streaming.StreamJoin.correlate(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"),
+        "user_id", "event_id", "ts", horizonSec = 3600L)
+      .select(col("key").as("user_id"),
+        col("trigger_id").as("click_id"), col("follow_id").as("purchase_id"),
+        (unix_timestamp(col("follow_ts")) - unix_timestamp(col("trigger_ts"))).as("lag_s"))
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** Interval join through the cell-bucketed RangeJoin (equi-join on
     * cells, never a nested loop): orders priced inside deterministic
     * per-supplier price bands, counted per band. The oracle replays the
@@ -308,7 +326,8 @@ object Relational {
     q("ev_window")(evWindow),
     q("ev_sessions")(evSessions),
     q("ev_enrich")(evEnrich),
-    q("ev_dedup")(evDedup)
+    q("ev_dedup")(evDedup),
+    q("ev_funnel")(evFunnel)
   )
 
   val oracles: Map[String, String] = Map(
@@ -411,6 +430,13 @@ object Relational {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // keep-first-by-arrival: both engines hash the same UTF-8 bytes with
     // md5 and pick the row with min (ts, event_id) per digest
+    "ev_funnel" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+        | (floor(epoch(b.ts)) - floor(epoch(a.ts)))::BIGINT AS lag_s
+        |FROM events a JOIN events b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'purchase'
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
     "ev_dedup" ->
       """WITH h AS (SELECT event_id, ts, md5(props) AS content_hash FROM events),
         |r AS (SELECT content_hash, event_id,

@@ -151,4 +151,44 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
         chunk should be >= 0L
       }
   }
+
+  test("bm25TopK matches a locally computed BM25 on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffle join join"),
+      (2L, "spark scan"),
+      (3L, "join broadcast join join join"),
+      (4L, "filter filter filter filter filter filter")).toDF("doc_id", "text")
+    val q = Seq((0L, "join"), (0L, "spark")).toDF("qid", "term")
+    val got = Text.bm25TopK(docs, "doc_id", "text", q, "qid", "term", k = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._2)
+
+    // local BM25, same Lucene-variant idf
+    val corpus = Map(
+      1L -> Seq("spark", "shuffle", "join", "join"),
+      2L -> Seq("spark", "scan"),
+      3L -> Seq("join", "broadcast", "join", "join", "join"),
+      4L -> Seq("filter", "filter", "filter", "filter", "filter", "filter"))
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum / n
+    def score(id: Long, terms: Seq[String]): Double = terms.map { t =>
+      val tf = corpus(id).count(_ == t).toDouble
+      if (tf == 0) 0.0
+      else {
+        val df = corpus.values.count(_.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val dl = corpus(id).size.toDouble
+        idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }
+    }.sum
+    val expect = corpus.keys.toSeq
+      .map(id => id -> score(id, Seq("join", "spark")))
+      .filter(_._2 > 0)
+      .sortBy { case (id, sc) => (-sc, id) }
+    got.map(_._1).toSeq shouldBe expect.map(_._1)
+    got.zip(expect).foreach { case ((_, _, g), (_, e)) => g shouldBe e +- 1e-9 }
+    // doc 4 contains no query term and must not appear
+    got.map(_._1) should not contain 4L
+  }
 }

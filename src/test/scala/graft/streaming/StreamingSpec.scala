@@ -209,4 +209,43 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
       got shouldBe Map("gold" -> 4L, "silver" -> 2L, "bronze" -> 2L)
     } finally q.stop()
   }
+
+  test("stream-stream interval join correlates across micro-batches == batch twin") {
+    val spark0 = spark
+    import spark0.implicits._
+    case object Ids { var n = 0L }
+    def id(): Long = { Ids.n += 1; Ids.n }
+    // clicks and purchases for the same users; purchase within 60 min
+    // of a click correlates. Purchases arrive in a LATER micro-batch
+    // than their triggers, so matching exercises buffered join state.
+    val clicks = Seq(ev(0, "click", 1.0, 1), ev(10, "click", 2.0, 2), ev(200, "click", 3.0, 1))
+      .map(e => (1000 + { Ids.n += 1; Ids.n }, e.user_id, e.ts))
+    val purchases = Seq(ev(30, "purchase", 9.0, 1), ev(75, "purchase", 9.0, 2),
+        ev(230, "purchase", 9.0, 1), ev(500, "purchase", 9.0, 2))
+      .map(e => (2000 + { Ids.n += 1; Ids.n }, e.user_id, e.ts))
+    val aIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    val bIn = MemoryStream[(Long, Long, Timestamp)](spark)
+    def named(df: org.apache.spark.sql.DataFrame) = df.toDF("event_id", "user_id", "ts")
+    val joined = StreamJoin.correlate(named(aIn.toDF()), named(bIn.toDF()),
+      "user_id", "event_id", "ts", horizonSec = 3600L)
+    val q = joined.select("trigger_id", "follow_id").writeStream
+      .format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      aIn.addData(clicks)
+      q.processAllAvailable()
+      bIn.addData(purchases) // triggers already buffered in join state
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = StreamJoin.correlate(clicks.toDF("event_id", "user_id", "ts"),
+          purchases.toDF("event_id", "user_id", "ts"),
+          "user_id", "event_id", "ts", horizonSec = 3600L)
+        .select("trigger_id", "follow_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      streamed shouldBe batch
+      // u1: click@0→p@30, click@200→p@230; u2's p@75 is 65 min after
+      // click@10 (outside the horizon) and p@500 even further
+      batch.size shouldBe 2
+    } finally q.stop()
+  }
 }
