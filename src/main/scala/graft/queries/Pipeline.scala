@@ -314,6 +314,17 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** BPE vocabulary learning over the corpus: the 10-merge table, each
+    * row (step, pair, count) fully determined by the data + tie-break.
+    * The oracle re-learns the merges from scratch in SQL — ten unrolled
+    * rounds of pair-count/argmax/rewrite CTEs ([[bpeOracleSql]]) using
+    * the same wrapped-string replace trick, so training itself is
+    * value-checked end to end.
+    */
+  def txBpe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.learn(Tables.documents(s, dir), "text", nMerges = 10)
+      .orderBy("step")
+
   /** The distributed half of PCA — the one-pass (n, Σv, Σv·vᵀ) moment
     * aggregation ([[graft.functions.VectorOuterSumAgg]]) — value-checked
     * entry by entry: unpack the packed triangle into every (i ≤ j)
@@ -665,6 +676,7 @@ object Pipeline {
     "tx_fingerprint" -> txFingerprint _,
     "tx_fingerprint_stable" -> txFingerprintStable _,
     "tx_topdocs" -> txTopdocs _,
+    "tx_bpe" -> txBpe _,
     "tx_bm25" -> txBm25 _,
     "tx_pack" -> txPack _,
     "mm_features" -> mmFeatures _,
@@ -710,6 +722,35 @@ object Pipeline {
     * nprobe=nlist), where the approximate paths must reproduce the exact
     * ranking bit-for-bit.
     */
+  /** Unrolled n-round BPE training in DuckDB SQL: per round, adjacent
+    * pair counts over the distinct-word table, argmax with the (count
+    * desc, pair asc) tie-break, then the same wrapped-string greedy
+    * replace the Spark side uses. chr(1) = the U+0001 separator.
+    */
+  private def bpeOracleSql(n: Int): String = {
+    val base =
+      """w0 AS (
+        |  SELECT cnt, chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1)) || chr(1) AS s
+        |  FROM (SELECT word, count(*) AS cnt
+        |        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |        WHERE word != '' GROUP BY word))""".stripMargin
+    val rounds = (0 until n).map { r =>
+      s"""l$r AS (SELECT cnt, list_filter(string_split(s, chr(1)), x -> x != '') AS l FROM w$r),
+         |p$r AS (SELECT cnt, l, unnest(range(1, len(l))) AS i FROM l$r),
+         |c$r AS (SELECT l[i] AS left_sym, l[i+1] AS right_sym, sum(cnt) AS pc FROM p$r GROUP BY 1, 2),
+         |m$r AS (SELECT $r AS step, left_sym, right_sym, pc FROM c$r ORDER BY pc DESC, left_sym, right_sym LIMIT 1),
+         |w${r + 1} AS (SELECT cnt,
+         |  replace(s, chr(1)||left_sym||chr(1)||chr(1)||right_sym||chr(1),
+         |             chr(1)||left_sym||right_sym||chr(1)) AS s
+         |  FROM w$r, m$r)""".stripMargin
+    }
+    val union = (0 until n).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
+    s"""WITH $base,
+       |${rounds.mkString(",\n")}
+       |SELECT step, left_sym, right_sym, pc::BIGINT AS pair_count
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
   private val bruteTopKSql =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
@@ -988,6 +1029,7 @@ object Pipeline {
         | len(list_slice(w, s + 1, s + 16))::INT AS n_chunk_tokens,
         | array_to_string(list_slice(w, s + 1, s + 16), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "tx_bpe" -> bpeOracleSql(10),
     "tx_bm25" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
         |dl AS (SELECT id, len(toks) AS dl FROM d),
