@@ -29,6 +29,16 @@ object Text {
     graft.functions.FunctionDefs.call("stopword_count",
       split(text, " "), typedlit(stopwords))
 
+  /** Composite quality score in [0,1] as a standalone column (rounded
+    * 4dp — the same value [[quality]] emits), for threshold filters that
+    * must agree bit-for-bit with an external oracle.
+    */
+  def qualityScore(t: Column): Column = {
+    val nWords = size(split(t, " "))
+    val alnumR = length(regexp_replace(t, "[^A-Za-z0-9 ]", "")) * lit(1.0) / length(t)
+    round(least(nWords * lit(1.0) / 50.0, lit(1.0)) * alnumR, 4)
+  }
+
   /** Heuristic quality facets + a composite score in [0,1]; the formulas
     * are plain arithmetic so an external oracle can recompute them.
     */
@@ -45,7 +55,25 @@ object Text {
       round((nChars - nWords + 1) * lit(1.0) / nWords, 4).as("avg_word_len"),
       round(stopR, 4).as("stop_ratio"),
       round(alnumR, 4).as("alnum_ratio"),
-      round(least(nWords * lit(1.0) / 50.0, lit(1.0)) * alnumR, 4).as("quality"))
+      qualityScore(t).as("quality"))
+  }
+
+  /** Duplicated-n-gram fraction as a standalone column (rounded 4dp —
+    * the same value [[repetition]] emits as `dup_<n>gram_frac`), for
+    * oracle-exact threshold filters.
+    */
+  def dupNgramFrac(t: Column, n: Int = 3): Column = {
+    val r = graft.functions.FunctionDefs.call("repetition_stats", split(t, " "), lit(n))
+    round(when(r.getItem(4) === 0, lit(0.0))
+      .otherwise(r.getItem(3) * lit(1.0) / r.getItem(4)), 4)
+  }
+
+  /** Duplicated-word fraction (1 − distinct/total, rounded 4dp — the
+    * same value [[repetition]] emits as `dup_word_frac`).
+    */
+  def dupWordFrac(t: Column): Column = {
+    val r = graft.functions.FunctionDefs.call("repetition_stats", split(t, " "), lit(2))
+    round((r.getItem(2) - r.getItem(1)) * lit(1.0) / r.getItem(2), 4)
   }
 
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A —

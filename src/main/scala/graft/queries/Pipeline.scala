@@ -314,6 +314,43 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** The full curation pipeline, composed: computed-language filter →
+    * quality floor → repetition cap → exact dedup survivors →
+    * deterministic stratified sample, reported as a stage funnel
+    * (stage, stage_name, n_kept). Every signal is a scan-side column
+    * expression, so stages 1–3 are ONE pass over the corpus; dedup adds
+    * its digest aggregate and the sample is an exact-integer-hash
+    * filter. The oracle replays every stage — langid profiles, quality
+    * and repetition formulas, min-id dedup, the multiplicative-hash
+    * sample — in SQL and must reproduce the same funnel counts.
+    * Thresholds compare the 4dp-ROUNDED signal values, so both engines
+    * decide each row identically.
+    */
+  def txCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"), col("text"), col("lang"),
+      Text.langId(col("text")).as("__lang_id"),
+      Text.qualityScore(col("text")).as("__q"),
+      Text.dupNgramFrac(col("text"), 3).as("__d3"),
+      Text.dupWordFrac(col("text")).as("__dw"))
+    val f1 = base.filter(col("__lang_id") === "en")
+    val f2 = f1.filter(col("__q") >= 0.49)
+    val f3 = f2.filter(col("__d3") <= 0.205 && col("__dw") <= 0.62)
+    val f4 = Dedup.exact(f3, "doc_id", "text")
+    val f5 = Text.sampleByStrata(f4, "lang", "doc_id",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0), defaultRate = 0.1)
+    def stage(i: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_kept"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"), col("n_kept"))
+    stage(0, "input", docs)
+      .union(stage(1, "lang_en", f1))
+      .union(stage(2, "quality", f2))
+      .union(stage(3, "repetition", f3))
+      .union(stage(4, "dedup", f4))
+      .union(stage(5, "sample", f5))
+      .orderBy("stage")
+  }
+
   /** BPE vocabulary learning over the corpus: the 10-merge table, each
     * row (step, pair, count) fully determined by the data + tie-break.
     * The oracle re-learns the merges from scratch in SQL — ten unrolled
@@ -676,6 +713,7 @@ object Pipeline {
     "tx_fingerprint" -> txFingerprint _,
     "tx_fingerprint_stable" -> txFingerprintStable _,
     "tx_topdocs" -> txTopdocs _,
+    "tx_curate" -> txCurate _,
     "tx_bpe" -> txBpe _,
     "tx_bm25" -> txBm25 _,
     "tx_pack" -> txPack _,
@@ -749,6 +787,60 @@ object Pipeline {
        |${rounds.mkString(",\n")}
        |SELECT step, left_sym, right_sym, pc::BIGINT AS pair_count
        |FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** The curate funnel replayed stage by stage in SQL (same langid
+    * profiles, quality/repetition formulas, min-id dedup and
+    * multiplicative-hash sample the Spark side runs).
+    */
+  private val curateOracleSql: String = {
+    val profs = graft.ops.Text.langProfiles
+    val hitCols = profs.map { case (l, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(w, x -> list_contains($lst, x))) AS hits_$l"
+    }.mkString(",\n        ")
+    val gr = s"greatest(${profs.map(p => s"hits_${p._1}").mkString(", ")})"
+    val cases = profs.map(_._1).dropRight(1)
+      .map(l => s"WHEN hits_$l = $gr THEN '$l'").mkString(" ")
+    s"""WITH lt AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-záéíóúüñäöß]+') AS w FROM documents),
+       |lh AS (SELECT doc_id, $hitCols FROM lt),
+       |lid AS (SELECT doc_id, CASE WHEN $gr = 0 THEN 'und' $cases ELSE '${profs.last._1}' END AS lang_id FROM lh),
+       |qx AS (SELECT doc_id,
+       |  round(least(len(string_split(text, ' ')) * 1.0 / 50.0, 1.0) *
+       |        (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0 / length(text)), 4) AS q
+       |  FROM documents),
+       |rd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |rg AS (SELECT doc_id, CASE WHEN len(w) >= 3
+       |         THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+       |         ELSE [] END AS grams FROM rd),
+       |rgc AS (SELECT doc_id, gram, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(grams) AS gram FROM rg) GROUP BY 1, 2),
+       |rha AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_pos,
+       |               sum(c) AS n_grams FROM rgc GROUP BY 1),
+       |rr AS (SELECT d.doc_id,
+       |         round(CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+       |               ELSE a.dup_pos * 1.0 / a.n_grams END, 4) AS d3,
+       |         round((len(d.w) - len(list_distinct(d.w))) * 1.0 / len(d.w), 4) AS dw
+       |       FROM rd d LEFT JOIN rha a ON d.doc_id = a.doc_id),
+       |f1 AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN lid USING (doc_id)
+       |       WHERE lang_id = 'en'),
+       |f2 AS (SELECT f1.* FROM f1 JOIN qx USING (doc_id) WHERE q >= 0.49),
+       |f3 AS (SELECT f2.* FROM f2 JOIN rr USING (doc_id) WHERE d3 <= 0.205 AND dw <= 0.62),
+       |f4 AS (SELECT f3.* FROM f3
+       |       JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM f3 GROUP BY 1) s
+       |       ON md5(f3.text) = s.h AND f3.doc_id = s.keep),
+       |f5 AS (SELECT * FROM f4
+       |       WHERE ((doc_id * 2654435761 + 0) % 1000000007)::DOUBLE <
+       |             (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 1.0
+       |              ELSE 0.1 END) * 1000000007.0)
+       |SELECT * FROM (
+       |  SELECT 0 AS stage, 'input' AS stage_name, count(*) AS n_kept FROM documents UNION ALL
+       |  SELECT 1, 'lang_en', count(*) FROM f1 UNION ALL
+       |  SELECT 2, 'quality', count(*) FROM f2 UNION ALL
+       |  SELECT 3, 'repetition', count(*) FROM f3 UNION ALL
+       |  SELECT 4, 'dedup', count(*) FROM f4 UNION ALL
+       |  SELECT 5, 'sample', count(*) FROM f5
+       |) ORDER BY stage""".stripMargin
   }
 
   private val bruteTopKSql =
@@ -1030,6 +1122,7 @@ object Pipeline {
         | array_to_string(list_slice(w, s + 1, s + 16), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "tx_bpe" -> bpeOracleSql(10),
+    "tx_curate" -> curateOracleSql,
     "tx_bm25" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
         |dl AS (SELECT id, len(toks) AS dl FROM d),
