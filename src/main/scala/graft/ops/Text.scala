@@ -250,4 +250,93 @@ object Text {
       .select(col("qid"), col("__t.id").as("id"),
         (col("__r") + 1).cast("int").as("rank"), col("__t.score").as("score"))
   }
+
+  // ------------------------------------------- benchmark decontamination
+
+  /** Benchmark decontamination: flag training documents that share any
+    * word n-gram with an evaluation/benchmark set (the standard public
+    * methodology — n-gram collision against held-out eval suites).
+    *
+    * Shaped for corpus ≫ benchmarks: a real eval suite is megabytes
+    * against a 100 TB corpus, so the distinct eval gram dictionary is
+    * BROADCAST and the train side stays scan + broadcast-hash-semi-join
+    * — the corpus is never shuffled. (If the eval side ever outgrew the
+    * broadcast threshold the same plan works as a shuffled equi-join on
+    * the gram.) Returns one row per train document:
+    * (id, n_hit_grams, contaminated 0/1) where n_hit_grams counts the
+    * doc's DISTINCT n-grams that appear anywhere in the eval set.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    val trainGrams = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__gram"))
+    val hits = trainGrams
+      .join(broadcast(evalGrams), Seq("__gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hit_grams"))
+    train.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        when(coalesce(col("n_hit_grams"), lit(0L)) > 0, 1).otherwise(0)
+          .as("contaminated"))
+  }
+
+  /** Duplicate-span detection — substring-level dedup signal (flags the
+    * boilerplate/duplicated passages exact doc-level dedup misses): a
+    * word n-gram occurring in more than one document is a duplicated
+    * span; each document reports how many of its distinct spans are
+    * globally duplicated. The shuffle carries (span, id) postings like
+    * [[Dedup.jaccardJoin]]'s inverted index, document frequency is a
+    * partial (map-side-combining) aggregate, and the re-join back to
+    * postings is an equi-join on the span. At 100 TB the span key would
+    * be a 128-bit hash instead of the string (same plan, ~10× lighter
+    * shuffle); the string key is kept here so an external oracle can
+    * replay the computation exactly.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    val spans = df.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("__span"))
+    val dupSpans = spans.groupBy("__span")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select("__span")
+    val perDoc = spans
+      .join(dupSpans, Seq("__span"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_spans"))
+    df.select(col(idCol), size(Dedup.shingles(col(textCol), n)).as("n_spans"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
+  // ------------------------------------------------------ PII scrubbing
+
+  /** PII patterns (public formats: simplified RFC-5322 email,
+    * dotted-quad IPv4, +C-NNN-NNNN phone), written in the regex subset
+    * shared by java.util.regex and RE2 (no lookaround, no backrefs) so
+    * external engines replay them byte-for-byte.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** Count of matches of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Redact all three PII classes (emails first, so an address's dotted
+    * domain can never be half-eaten by the IP pass). Pure codegen'd
+    * scan-side column expression — no shuffle, no UDF; at 100 TB this is
+    * one narrow map fused into the scan.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
 }

@@ -667,6 +667,56 @@ object Pipeline {
       .orderBy("lang", "rank")
   }
 
+  /** Benchmark decontamination: every 97th document plays the held-out
+    * eval set, the rest are the training corpus; a train doc is
+    * contaminated iff it shares any 8-word n-gram with any eval doc.
+    * Output covers EVERY train doc (hit count + 0/1 flag) so the oracle
+    * certifies the negatives too; the oracle rebuilds both gram sets
+    * with list_slice in SQL.
+    */
+  def txDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalSet = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    Text.decontaminate(train, evalSet, "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Duplicate-span (substring-level) dedup signal: distinct 12-word
+    * n-grams occurring in ≥2 documents, reported per document. The
+    * oracle replays the posting-list document-frequency computation in
+    * SQL over the same slicing.
+    */
+  def ddSpans(s: SparkSession, dir: String): DataFrame =
+    Text.duplicateSpans(Tables.documents(s, dir), "doc_id", "text", n = 12)
+      .orderBy("doc_id")
+
+  /** PII scrubbing over a deterministically PII-injected corpus: each
+    * doc gets an email, a dotted-quad IP and a phone number derived from
+    * doc_id appended (both engines build the identical string), then the
+    * three shared-regex-subset patterns count and redact them. The
+    * oracle re-runs the same regexes (RE2 side) and md5s the same
+    * scrubbed text.
+    */
+  def txPii(s: SparkSession, dir: String): DataFrame = {
+    val injected = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com from 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+      lit(".4 call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), injected.as("__t"))
+      .select(
+        col("doc_id"),
+        Text.piiCount(col("__t"), Text.emailPattern).cast("int").as("n_email"),
+        Text.piiCount(col("__t"), Text.ipv4Pattern).cast("int").as("n_ip"),
+        Text.piiCount(col("__t"), Text.phonePattern).cast("int").as("n_phone"),
+        md5(Text.scrubPii(col("__t")).cast("binary")).as("scrub_md5"))
+      .orderBy("doc_id")
+  }
+
   def mmFrames(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.sampleFrames(s, media, "doc_id", frameBytes = 32, stride = 4)
@@ -714,6 +764,9 @@ object Pipeline {
     "tx_fingerprint_stable" -> txFingerprintStable _,
     "tx_topdocs" -> txTopdocs _,
     "tx_curate" -> txCurate _,
+    "tx_decontam" -> txDecontam _,
+    "tx_pii" -> txPii _,
+    "dd_spans" -> ddSpans _,
     "tx_bpe" -> txBpe _,
     "tx_bm25" -> txBm25 _,
     "tx_pack" -> txPack _,
@@ -1123,6 +1176,56 @@ object Pipeline {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "tx_bpe" -> bpeOracleSql(10),
     "tx_curate" -> curateOracleSql,
+    // 8-word gram sets with the same distinct/short-text collapse as the
+    // native word_shingles builder; eval = doc_id % 97 = 0
+    "tx_decontam" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 8
+        |             THEN list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
+        |                                 for i in range(1, len(w) - 6)])
+        |             ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM d),
+        |eg AS (SELECT DISTINCT unnest(sh) AS gram FROM s WHERE doc_id % 97 = 0),
+        |tg AS (SELECT doc_id, unnest(sh) AS gram FROM s WHERE doc_id % 97 <> 0),
+        |h AS (SELECT doc_id, count(*) AS n_hit FROM tg JOIN eg USING (gram) GROUP BY 1)
+        |SELECT t.doc_id, coalesce(h.n_hit, 0)::BIGINT AS n_hit_grams,
+        |       CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t
+        |LEFT JOIN h USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // identical injected string on both sides; RE2 'g' replace mirrors
+    // Spark's replace-all; md5 hex agrees across engines
+    "tx_pii" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com from 10.' || (doc_id % 256)
+        |       || '.' || ((doc_id * 7) % 256) || '.4 call +1-555-'
+        |       || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+        | len(regexp_extract_all(s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INT AS n_ip,
+        | len(regexp_extract_all(s, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))::INT AS n_phone,
+        | md5(regexp_replace(regexp_replace(regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // 12-word spans; doc frequency over per-doc-distinct postings
+    "dd_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 12
+        |             THEN list_distinct([array_to_string(list_slice(w, i, i + 11), ' ')
+        |                                 for i in range(1, len(w) - 10)])
+        |             ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM d),
+        |p AS (SELECT doc_id, unnest(sh) AS span FROM s),
+        |dup AS (SELECT span FROM p GROUP BY span HAVING count(*) >= 2),
+        |pd AS (SELECT doc_id, count(*) AS n_dup FROM p JOIN dup USING (span) GROUP BY 1)
+        |SELECT s.doc_id, len(s.sh)::INT AS n_spans,
+        |       coalesce(pd.n_dup, 0)::BIGINT AS n_dup_spans
+        |FROM s LEFT JOIN pd USING (doc_id) ORDER BY s.doc_id""".stripMargin,
     "tx_bm25" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
         |dl AS (SELECT id, len(toks) AS dl FROM d),

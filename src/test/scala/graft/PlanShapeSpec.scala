@@ -142,4 +142,26 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     plan should not include "Cartesian"
     plan should not include "SortMergeJoin"
   }
+
+  test("tx_decontam: the eval gram dictionary broadcasts — the corpus is never shuffled for the hit join") {
+    val p = planOf("tx_decontam")
+    withClue(s"plan:\n$p") {
+      p should include("BroadcastHashJoin")
+      p.contains("CartesianProduct") shouldBe false
+    }
+  }
+
+  test("dd_spans / tx_pii: equi-joins and scan-side regexes only") {
+    val sp = planOf("dd_spans")
+    withClue(s"dd_spans plan:\n$sp") {
+      sp.contains("CartesianProduct") shouldBe false
+      sp.contains("BroadcastNestedLoopJoin") shouldBe false
+    }
+    // PII scrub is a pure narrow map: no exchange before the final sort
+    val pii = planOf("tx_pii")
+    withClue(s"tx_pii plan:\n$pii") {
+      pii.contains("CartesianProduct") shouldBe false
+      pii.linesIterator.count(_.contains("Exchange")) should be <= 2
+    }
+  }
 }

@@ -191,4 +191,73 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     // doc 4 contains no query term and must not appear
     got.map(_._1) should not contain 4L
   }
+
+  private def docs(rows: (Long, String)*) = {
+    import scala.jdk.CollectionConverters._
+    SparkTestSession.session.createDataFrame(
+      rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+  }
+
+  test("decontaminate: flags exactly the train docs sharing an n-gram with the eval set") {
+    val evalSet = docs(100L -> "alpha beta gamma delta")
+    val train = docs(
+      1L -> "zero alpha beta gamma end",        // shares "alpha beta gamma"
+      2L -> "beta gamma delta tail word",       // shares "beta gamma delta"
+      3L -> "alpha gamma beta delta scrambled", // no shared 3-gram
+      4L -> "completely unrelated words here")
+    val r = Text.decontaminate(train, evalSet, "id", "text", n = 3)
+      .orderBy("id").collect()
+    r.map(_.getAs[Long]("n_hit_grams")).toSeq shouldBe Seq(1L, 1L, 0L, 0L)
+    r.map(_.getAs[Int]("contaminated")).toSeq shouldBe Seq(1, 1, 0, 0)
+  }
+
+  test("decontaminate: short texts collapse to a whole-doc gram like word_shingles") {
+    val evalSet = docs(100L -> "tiny doc")
+    val train = docs(1L -> "tiny doc", 2L -> "tiny")
+    val r = Text.decontaminate(train, evalSet, "id", "text", n = 3)
+      .orderBy("id").collect()
+    r.map(_.getAs[Long]("n_hit_grams")).toSeq shouldBe Seq(1L, 0L)
+  }
+
+  test("duplicateSpans: counts per-doc distinct n-grams occurring in >=2 docs") {
+    val d = docs(
+      1L -> "one two three four five",  // spans: 3 distinct 3-grams
+      2L -> "zz one two three yy",      // shares "one two three" with doc 1
+      3L -> "totally different words here now")
+    val r = Text.duplicateSpans(d, "id", "text", n = 3).orderBy("id").collect()
+    r.map(_.getAs[Int]("n_spans")).toSeq shouldBe Seq(3, 3, 3)
+    r.map(_.getAs[Long]("n_dup_spans")).toSeq shouldBe Seq(1L, 1L, 0L)
+  }
+
+  test("duplicateSpans: a span repeated within ONE doc only is not a duplicate") {
+    val d = docs(
+      1L -> "x y z x y z", // "x y z" twice in the same doc → distinct once
+      2L -> "unrelated content entirely")
+    val r = Text.duplicateSpans(d, "id", "text", n = 3).orderBy("id").collect()
+    r.map(_.getAs[Long]("n_dup_spans")).toSeq shouldBe Seq(0L, 0L)
+  }
+
+  test("pii: counts and redaction on known strings, emails before ips") {
+    val d = docs(1L ->
+      "mail a.user+tag@sub.example.org or b@x.co, host 10.0.0.1 and 192.168.1.255, call +1-555-0199")
+    val r = d.select(
+      Text.piiCount(col("text"), Text.emailPattern).as("e"),
+      Text.piiCount(col("text"), Text.ipv4Pattern).as("i"),
+      Text.piiCount(col("text"), Text.phonePattern).as("p"),
+      Text.scrubPii(col("text")).as("s")).head()
+    r.getAs[Int]("e") shouldBe 2
+    r.getAs[Int]("i") shouldBe 2
+    r.getAs[Int]("p") shouldBe 1
+    r.getAs[String]("s") shouldBe
+      "mail <EMAIL> or <EMAIL>, host <IP> and <IP>, call <PHONE>"
+  }
+
+  test("pii: plain text and version-ish dotted pairs are untouched") {
+    val d = docs(1L -> "release v1.2 of the tool at example.com cost 3.50")
+    val r = d.select(Text.scrubPii(col("text")).as("s")).head()
+    r.getAs[String]("s") shouldBe "release v1.2 of the tool at example.com cost 3.50"
+  }
 }

@@ -35,8 +35,12 @@ def normalize(cols, rows):
     out = [tuple(norm(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(out, key=lambda r: tuple(str(x) for x in r))
 
+ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
 fails = 0
 for name in sorted(oracle):
+    if ONLY is not None and name not in ONLY:
+        continue
     files = glob.glob(f"{OUT}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output")
