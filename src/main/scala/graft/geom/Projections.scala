@@ -16,7 +16,8 @@ import org.locationtech.jts.geom.{Coordinate, CoordinateFilter, Geometry}
   * (spatial-index/src/main/scala/com/azavea/hiveless/spatial/index/ST_GeomReproject.scala:1)
   * with an explicitly-supported CRS set instead of a proj4 dependency;
   * proj4 parameter strings for the implemented families (longlat, merc
-  * sphere, utm, tmerc, lcc 2SP, laea, polar stere — see [[parseProj4]])
+  * sphere, utm, tmerc, lcc 2SP, laea, aea 2SP, polar stere — see
+  * [[parseProj4]])
   * are parsed onto the same transforms, so arbitrary national grids in
   * those families work without their EPSG code being listed; anything
   * else fails loudly with the supported list.
@@ -309,6 +310,66 @@ object Projections {
     }
   }
 
+  /** Ellipsoidal Albers equal-area conic, 2 standard parallels (Snyder
+    * pp. 98–102, eqs. 14-3/14-4 + 15-19..15-26 forward; 15-26 + the
+    * authalic-latitude series 3-18 inverse): EPSG:5070 (NAD83 / Conus
+    * Albers, φ1 = 29.5°, φ2 = 45.5°, φ0 = 23°, λ0 = −96°). NAD83
+    * (GRS80) vs WGS84 ellipsoid constants differ by ~0.1 mm; WGS84 is
+    * used throughout, consistent with the rest of this object.
+    */
+  final case class Aea(lat1: Double, lat2: Double, lat0: Double, lon0: Double,
+                       fe: Double, fn: Double, name: String) extends Crs {
+    private val e = math.sqrt(E2)
+
+    /** Snyder 3-12 (same q as [[Laea]]). */
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - E2) * (s / (1.0 - E2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+
+    /** Snyder 14-15: m = cosφ / sqrt(1 − e² sin²φ). */
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - E2 * s * s)
+    }
+
+    private val m1 = mOf(math.toRadians(lat1))
+    private val m2 = mOf(math.toRadians(lat2))
+    private val q1 = qOf(math.toRadians(lat1))
+    private val q2 = qOf(math.toRadians(lat2))
+    private val q0 = qOf(math.toRadians(lat0))
+    private val n = (m1 * m1 - m2 * m2) / (q2 - q1)       // 15-22
+    private val bigC = m1 * m1 + n * q1                   // 15-23
+    private val rho0 = A * math.sqrt(bigC - n * q0) / n   // 15-21a
+    private val qP = qOf(math.Pi / 2.0)
+    // inverse authalic-latitude series coefficients (Snyder 3-18)
+    private val a2 = E2 / 3.0 + 31.0 * E2 * E2 / 180.0 + 517.0 * E2 * E2 * E2 / 5040.0
+    private val a4 = 23.0 * E2 * E2 / 360.0 + 251.0 * E2 * E2 * E2 / 3780.0
+    private val a6 = 761.0 * E2 * E2 * E2 / 45360.0
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val rho = A * math.sqrt(bigC - n * qOf(math.toRadians(lat))) / n // 15-21
+      val theta = n * (math.toRadians(lon) - math.toRadians(lon0))     // 14-4
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))  // 14-1/14-2
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - fe
+      val y = rho0 - (y0 - fn)
+      val rhoSigned = math.sqrt(x * x + y * y)
+      val rho = if (n < 0) -rhoSigned else rhoSigned                   // 14-10
+      val q = (bigC - rho * rho * n * n / (A * A)) / n                 // 15-26
+      val ratio = math.max(-1.0, math.min(1.0, q / qP))
+      val beta = math.asin(ratio)                                      // authalic lat
+      val theta = math.atan2(x, y)                                     // 14-11
+      val lam = math.toRadians(lon0) + theta / n
+      val phi = beta + a2 * math.sin(2.0 * beta) + a4 * math.sin(4.0 * beta) +
+        a6 * math.sin(6.0 * beta)                                      // 3-18
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
 
   // proj4 keys that select/parameterize a projection this object can build
@@ -324,8 +385,8 @@ object Projections {
   /** Parse a proj4 parameter string (`+proj=… +lat_0=… …`) into one of
     * the native transforms — the projection families this object already
     * implements cover the proj4 surface a warehouse actually meets:
-    * longlat, merc (the 3857 sphere), utm, tmerc, lcc (2SP), laea, and
-    * polar stere. The reference hands any proj4 string to proj4j
+    * longlat, merc (the 3857 sphere), utm, tmerc, lcc (2SP), laea, aea
+    * (2SP), and polar stere. The reference hands any proj4 string to proj4j
     * (ST_CrsFromText.scala:1); without that dependency, a supported
     * subset is rebuilt on the same Snyder machinery and everything else
     * — unknown keys included — fails loudly rather than silently
@@ -413,6 +474,15 @@ object Projections {
         val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
         Laea(lat0, lon0, fe, fn,
           mkName("lat_0" -> lat0, "lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn))
+      case "aea" =>
+        require(kv.contains("lat_1") && kv.contains("lat_2"),
+          "+proj=aea requires both standard parallels (+lat_1 and +lat_2)")
+        val (lat1, lat2) = (num("lat_1", 0.0), num("lat_2", 0.0))
+        val (lat0, lon0) = (num("lat_0", 0.0), num("lon_0", 0.0))
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        Aea(lat1, lat2, lat0, lon0, fe, fn,
+          mkName("lat_1" -> lat1, "lat_2" -> lat2, "lat_0" -> lat0, "lon_0" -> lon0,
+            "x_0" -> fe, "y_0" -> fn))
       case "stere" =>
         val lat0 = num("lat_0", 90.0)
         require(math.abs(lat0) == 90.0,
@@ -428,7 +498,7 @@ object Projections {
             "x_0" -> fe, "y_0" -> fn),
           fe = fe, fn = fn)
       case other => throw new IllegalArgumentException(
-        s"Unsupported +proj=$other (supported: longlat, merc (3857 sphere), utm, tmerc, lcc, laea, stere)")
+        s"Unsupported +proj=$other (supported: longlat, merc (3857 sphere), utm, tmerc, lcc, laea, aea, stere)")
     }
   }
 
@@ -468,6 +538,8 @@ object Projections {
     case "EPSG:3035" | "3035" => Laea(lat0 = 52.0, lon0 = 10.0, fe = 4321000.0, fn = 3210000.0, name = "EPSG:3035")
     case "EPSG:2154" | "2154" => Lcc2sp(lat1 = 49.0, lat2 = 44.0, lat0 = 46.5, lon0 = 3.0,
       fe = 700000.0, fn = 6600000.0, name = "EPSG:2154")
+    case "EPSG:5070" | "5070" => Aea(lat1 = 29.5, lat2 = 45.5, lat0 = 23.0, lon0 = -96.0,
+      fe = 0.0, fn = 0.0, name = "EPSG:5070")
     case UtmPattern(hemi, zz) => Utm(zz.toInt, north = hemi == "6")
     case s if s.startsWith("UTM ZONE ") && s.length > 9 =>
       val body = s.drop(9)
@@ -476,7 +548,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/stere)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

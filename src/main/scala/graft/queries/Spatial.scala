@@ -458,6 +458,25 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Albers equal-area conic (EPSG:5070 Conus Albers) forward + inverse
+    * roundtrip: the oracle mirrors the Snyder 15-19..15-26 forward
+    * series op-for-op in SQL (q/m functions, n, C, ρ, θ); rt_ok asserts
+    * the authalic-latitude inverse reproduces lon/lat to 1e-7°.
+    */
+  def spAlbers(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("lon") >= -125.0 && col("lon") <= -67.0 &&
+              col("lat") >= 25.0 && col("lat") <= 49.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit("EPSG:5070")))
+      .withColumn("back", st.geomReproject(col("p"), lit("EPSG:5070"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** st_asLatLonText DMS formatting, value-checked: the oracle rebuilds
     * the identical degree/minute/second decomposition (trunc-based, same
     * IEEE ops) and formats with printf — DuckDB's fmt and Java's
@@ -602,6 +621,7 @@ object Spatial {
     "sp_polar" -> spPolar _,
     "sp_laea" -> spLaea _,
     "sp_lcc" -> spLcc _,
+    "sp_albers" -> spAlbers _,
     "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
@@ -785,6 +805,43 @@ object Spatial {
        |FROM j ORDER BY c_custkey""".stripMargin
   }
 
+  /** Snyder Albers forward series (15-19..15-26) mirrored op-for-op:
+    * same q/m functions, n = (m1²−m2²)/(q2−q1), C = m1²+n·q1,
+    * ρ = a·sqrt(C−n·q)/n, θ = n·Δλ. EPSG:5070 parameters.
+    */
+  private val spAlbersOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    def qOf(phi: String) =
+      s"(1.0 - $e2) * (sin($phi) / (1.0 - $e2 * sin($phi) * sin($phi)) - " +
+        s"(1.0 / (2.0 * e)) * ln((1.0 - e * sin($phi)) / (1.0 + e * sin($phi))))"
+    def mOf(phi: String) =
+      s"cos($phi) / sqrt(1.0 - $e2 * sin($phi) * sin($phi))"
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($lonSql) >= -125.0 AND ($lonSql) <= -67.0
+       |             AND ($latSql) >= 25.0 AND ($latSql) <= 49.0),
+       |c AS (SELECT *, sqrt($e2) AS e FROM b),
+       |g AS (SELECT *,
+       |        ${mOf("radians(29.5)")} AS m1, ${mOf("radians(45.5)")} AS m2,
+       |        ${qOf("radians(29.5)")} AS q1, ${qOf("radians(45.5)")} AS q2,
+       |        ${qOf("radians(23.0)")} AS q0,
+       |        ${qOf("radians(lat)")} AS q
+       |      FROM c),
+       |h AS (SELECT *, (m1 * m1 - m2 * m2) / (q2 - q1) AS n FROM g),
+       |i AS (SELECT *, m1 * m1 + n * q1 AS cc FROM h),
+       |j AS (SELECT *,
+       |        6378137.0 * sqrt(cc - n * q0) / n AS rho0,
+       |        6378137.0 * sqrt(cc - n * q) / n AS rho,
+       |        n * (radians(lon) - radians(-96.0)) AS theta
+       |      FROM i)
+       |SELECT c_custkey,
+       | round(rho * sin(theta), 1) AS easting,
+       | round(rho0 - rho * cos(theta), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM j ORDER BY c_custkey""".stripMargin
+  }
+
   private val xyRoundtripOracle =
     s"""SELECT c_custkey,
        | round($lonSql, 6) AS x,
@@ -960,6 +1017,7 @@ object Spatial {
     "sp_polar" -> spPolarOracle,
     "sp_laea" -> spLaeaOracle,
     "sp_lcc" -> spLccOracle,
+    "sp_albers" -> spAlbersOracle,
     // the layout window replayed as a plain coordinate filter — the
     // layout must neither lose (spill/pruning) nor invent rows
     "sp_z2_layout" ->

@@ -461,6 +461,46 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     sql1("SELECT st_crsFromText('2154')").getString(0) shouldBe "EPSG:2154"
   }
 
+  test("CRS: Conus Albers (EPSG:5070) — standard parallels, equal-area invariant, roundtrip") {
+    import graft.geom.Projections
+    val aea = Projections.parseCrs("EPSG:5070")
+    def scales(lat: Double, lon: Double): (Double, Double) = {
+      val d = 0.01
+      val (x1, y1) = aea.fromGeo(lon, lat)
+      val (x2, y2) = aea.fromGeo(lon + d, lat)
+      val (x3, y3) = aea.fromGeo(lon, lat + d)
+      val s = math.sin(math.toRadians(lat))
+      val w = 1.0 - 0.00669437999014133 * s * s
+      val parallelRadius = 6378137.0 * math.cos(math.toRadians(lat)) / math.sqrt(w)
+      val meridianRadius = 6378137.0 * (1.0 - 0.00669437999014133) / (w * math.sqrt(w))
+      (math.hypot(x2 - x1, y2 - y1) / (math.toRadians(d) * parallelRadius),
+        math.hypot(x3 - x1, y3 - y1) / (math.toRadians(d) * meridianRadius))
+    }
+    // cone scale k = 1 exactly on both standard parallels
+    scales(29.5, -96.0)._1 shouldBe 1.0 +- 1e-6
+    scales(45.5, -80.0)._1 shouldBe 1.0 +- 1e-6
+    // the defining property: area scale h·k = 1 EVERYWHERE
+    for ((lon, lat) <- Seq((-96.0, 23.0), (-120.0, 40.0), (-75.0, 42.0), (-96.0, 37.5), (-85.0, 30.0))) {
+      val (k, h) = scales(lat, lon)
+      withClue(s"($lon,$lat)") { k * h shouldBe 1.0 +- 1e-4 }
+    }
+    // projection origin maps to (0, 0) — EPSG:5070 has no false origin
+    val (ox, oy) = aea.fromGeo(-96.0, 23.0)
+    ox shouldBe 0.0 +- 1e-6
+    oy shouldBe 0.0 +- 1e-6
+    // roundtrip across CONUS
+    // 1e-7°: the inverse goes through the truncated authalic series 3-18
+    for ((lon, lat) <- Seq((-122.4, 37.8), (-74.0, 40.7), (-87.6, 41.9), (-96.0, 23.0), (-105.0, 48.0))) {
+      val (x, y) = aea.fromGeo(lon, lat)
+      val (bl, bp) = aea.toGeo(x, y)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-7
+        bp shouldBe lat +- 1e-7
+      }
+    }
+    sql1("SELECT st_crsFromText('5070')").getString(0) shouldBe "EPSG:5070"
+  }
+
   test("CRS: proj4 strings — EPSG-equivalent params, generic tmerc, rejection") {
     import graft.geom.Projections
     // proj4 spellings of the supported EPSG systems must produce the
@@ -470,6 +510,7 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
       "+proj=utm +zone=19 +south +ellps=WGS84" -> "EPSG:32719",
       "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs" -> "EPSG:2154",
       "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80 +units=m" -> "EPSG:3035",
+      "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs" -> "EPSG:5070",
       "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m" -> "EPSG:3031",
       "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +datum=WGS84" -> "EPSG:3413",
       "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m" -> "EPSG:3857",
@@ -517,7 +558,8 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     viaProj4 shouldBe viaEpsg
     // loud rejection: unsupported projection, ellipsoid, prime meridian,
     // 1SP lcc, oblique stere, unknown parameter keys
-    an[Exception] should be thrownBy Projections.parseCrs("+proj=aea +lat_1=29.5 +lat_2=45.5")
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=cea +lat_ts=30")
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=aea +lat_1=29.5") // aea needs both parallels
     an[Exception] should be thrownBy Projections.parseCrs("+proj=tmerc +ellps=airy")
     an[Exception] should be thrownBy Projections.parseCrs("+proj=utm +zone=33 +pm=paris")
     an[Exception] should be thrownBy Projections.parseCrs("+proj=lcc +lat_1=40 +lat_0=40")
