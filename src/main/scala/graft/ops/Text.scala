@@ -313,6 +313,51 @@ object Text {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
 
+  // ------------------------------------- importance weighting (DSIR-ish)
+
+  /** Importance weights for data selection (after the public DSIR recipe
+    * — Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): per-document log likelihood ratio between
+    * a target distribution (e.g. curated/wiki-like text) and the raw
+    * corpus, under add-1-smoothed unigram models fit on the data itself:
+    *
+    *   logw(doc) = Σ_w c_doc(w) · [ln P̂_t(w) − ln P̂_r(w)],
+    *   P̂(w) = (c(w) + 1) / (N + V).
+    *
+    * DSIR proper buckets features by hashing; the exact word-level form
+    * here is the oracle-replayable variant, and at 100 TB the only
+    * change is hashing `__w` to a fixed bucket count before the counts
+    * (same plan, bounded vocab). Shape: one exploded scan feeds both
+    * model counts (a single partial-aggregating groupBy with a
+    * conditional target count); the per-word weight table is vocab-sized
+    * and BROADCAST back onto the per-doc term counts — the corpus
+    * shuffles once, on (id, word).
+    *
+    * `isTarget` must be a deterministic predicate column over the input
+    * row (e.g. `col("lang") === "en"`).
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column): DataFrame = {
+    val tok = df.select(col(idCol), isTarget.as("__is_t"),
+      explode(split(col(textCol), " ")).as("__w"))
+    val cw = tok.groupBy("__w").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__ct"))
+    val stats = cw.agg(
+      sum("__cr").cast("double").as("__nr"),
+      sum("__ct").cast("double").as("__nt"),
+      count(lit(1)).cast("double").as("__v"))
+    val lw = cw.crossJoin(broadcast(stats)).select(
+      col("__w"),
+      (log((col("__ct") + lit(1)) / (col("__nt") + col("__v"))) -
+        log((col("__cr") + lit(1)) / (col("__nr") + col("__v")))).as("__lw"))
+    val dt = tok.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    dt.join(broadcast(lw), "__w")
+      .groupBy(idCol).agg(
+        sum("__c").as("n_tokens"),
+        round(sum(col("__c") * col("__lw")), 4).as("dsir_logw"))
+  }
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII patterns (public formats: simplified RFC-5322 email,

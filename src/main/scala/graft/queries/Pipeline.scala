@@ -717,6 +717,15 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weights with lang='en' as the target
+    * distribution; the oracle refits both smoothed unigram models and
+    * replays the per-doc log-likelihood-ratio sum in SQL.
+    */
+  def txDsir(s: SparkSession, dir: String): DataFrame =
+    Text.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+
   def mmFrames(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.sampleFrames(s, media, "doc_id", frameBytes = 32, stride = 4)
@@ -765,6 +774,7 @@ object Pipeline {
     "tx_topdocs" -> txTopdocs _,
     "tx_curate" -> txCurate _,
     "tx_decontam" -> txDecontam _,
+    "tx_dsir" -> txDsir _,
     "tx_pii" -> txPii _,
     "dd_spans" -> ddSpans _,
     "tx_bpe" -> txBpe _,
@@ -1211,6 +1221,20 @@ object Pipeline {
         |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
         |FROM t ORDER BY doc_id""".stripMargin,
+    // same add-1-smoothed unigram models refit in SQL; integer counts
+    // divide as DOUBLE once n_t/n_r/v are cast
+    "tx_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cw AS (SELECT w, count(*) AS c_r,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_t
+        |       FROM tok GROUP BY w),
+        |st AS (SELECT sum(c_r)::DOUBLE AS n_r, sum(c_t)::DOUBLE AS n_t,
+        |         count(*)::DOUBLE AS v FROM cw),
+        |lw AS (SELECT w, ln((c_t + 1) / (n_t + v)) - ln((c_r + 1) / (n_r + v)) AS lw
+        |       FROM cw, st),
+        |dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
+        |SELECT doc_id, sum(c)::BIGINT AS n_tokens, round(sum(c * lw), 4) AS dsir_logw
+        |FROM dt JOIN lw USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 12-word spans; doc frequency over per-doc-distinct postings
     "dd_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

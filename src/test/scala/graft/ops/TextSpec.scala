@@ -240,6 +240,40 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     r.map(_.getAs[Long]("n_dup_spans")).toSeq shouldBe Seq(0L, 0L)
   }
 
+  test("dsirWeights: matches a brute-force smoothed log-likelihood ratio") {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      (1L, "the cat sat", true),
+      (2L, "cat cat dog", true),
+      (3L, "der hund dog", false),
+      (4L, "the the dog hund", false))
+    val df = SparkTestSession.session.createDataFrame(
+      rows.map { case (i, t, g) => org.apache.spark.sql.Row(i, t, g) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tgt", org.apache.spark.sql.types.BooleanType))))
+    val got = Text.dsirWeights(df, "id", "text", isTarget = col("tgt"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_tokens"), r.getAs[Double]("dsir_logw")))
+    // brute force
+    val toks = rows.map { case (i, t, g) => (i, t.split(" ").toSeq, g) }
+    val cr = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val ct = toks.filter(_._3).flatMap(_._2).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val v = cr.size.toDouble
+    val nr = cr.values.sum
+    val nt = ct.values.sum
+    def lw(w: String) =
+      math.log((ct.getOrElse(w, 0.0) + 1) / (nt + v)) - math.log((cr(w) + 1) / (nr + v))
+    for ((id, n, w) <- got) {
+      val words = toks.find(_._1 == id).get._2
+      n shouldBe words.size.toLong
+      w shouldBe (math.rint(words.map(lw).sum * 1e4) / 1e4) +- 1e-9
+    }
+    // target-like docs score higher than raw-only docs
+    got.find(_._1 == 2L).get._3 should be > got.find(_._1 == 3L).get._3
+  }
+
   test("pii: counts and redaction on known strings, emails before ips") {
     val d = docs(1L ->
       "mail a.user+tag@sub.example.org or b@x.co, host 10.0.0.1 and 192.168.1.255, call +1-555-0199")
