@@ -157,7 +157,8 @@ object FunctionDefs {
     "repetition_stats"  -> f("repetitionStats", ArrayType(L), ArrayType(S), I),
     "ivf_assign"        -> f("ivfAssign", I, ArrayType(D), ArrayType(ArrayType(D))),
     "pq_adc"            -> f("pqAdc", D, ArrayType(D), ArrayType(I), ArrayType(D), I),
-    "ivf_probes"        -> f("ivfProbes", ArrayType(I), ArrayType(D), ArrayType(ArrayType(D)), I)
+    "ivf_probes"        -> f("ivfProbes", ArrayType(I), ArrayType(D), ArrayType(ArrayType(D)), I),
+    "bloom_contains"    -> f("bloomContains", B, Bin, L, I)
   )
 
   val byName: Map[String, Seq[FnSpec]] = defs.toMap
@@ -178,6 +179,7 @@ object FunctionDefs {
       case "topk_by_score"     => TopKAgg(exprs(0), exprs(1), exprs(2))
       case "topn_rows"         => TopNRowsAgg(exprs(0), exprs(1), exprs(2), exprs(3))
       case "vec_sum"           => VectorSumAgg(exprs.head)
+      case "bloom_agg"         => BloomAgg(exprs(0), exprs(1), exprs(2))
       case "vec_outer_sum"     => VectorOuterSumAgg(exprs.head)
       case "st_convexhullaggr" => ConvexHullAgg(exprs.head)
       case other               => throw new IllegalArgumentException(s"unknown aggregate $other")

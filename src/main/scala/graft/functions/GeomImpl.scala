@@ -110,6 +110,25 @@ object GeomImpl {
   def deflate(b: Array[Byte]): Array[Byte] = Deflate.compress(b)
   def inflate(b: Array[Byte]): Array[Byte] = Deflate.decompress(b)
 
+  /** Bloom-filter membership probe, the scalar pair of
+    * [[BloomAgg]]: same Kirsch–Mitzenmacher double-hashed bit positions
+    * (bit_i = (h1 + i·h2) mod m, h2 odd), with the effective m implied by
+    * the filter's byte length so build and probe share geometry by
+    * construction. A false return is definitive (no false negatives).
+    */
+  def bloomContains(bloom: Array[Byte], hash: Long, k: Int): Boolean = {
+    val m = bloom.length.toLong * 8L
+    if (m == 0L) return false
+    val h2 = (hash >>> 32) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Long.remainderUnsigned(hash + i.toLong * h2, m)
+      if ((bloom((pos >>> 3).toInt) & (1 << (pos & 7L).toInt)) == 0) return false
+      i += 1
+    }
+    true
+  }
+
   /** Point → "35°21'07.128"N 97°40'12.000"W"-style DMS text (lat lon). */
   def asLatLonText(b: Array[Byte]): UTF8String = parse(b) match {
     case p: Point =>

@@ -325,4 +325,52 @@ object Dedup {
     sym.unpersist()
     labels
   }
+
+  // ------------------------------------------- incremental (bloom-gated)
+
+  /** Incremental ingest dedup through a broadcast Bloom gate: flag each
+    * incoming row as novel (1) or already-in-history (0), EXACTLY.
+    *
+    * The 100 TB shape: a full-fidelity answer would shuffle-join every
+    * incoming row's digest against the historical corpus. Instead the
+    * history reduces to one m-bit Bloom filter ([[graft.functions.BloomAgg]]
+    * — partial filters OR together map-side, so the build shuffles one
+    * buffer per partition, not rows), the filter rides the plan as a
+    * binary literal, and a scan-side `bloom_contains` probe splits
+    * incoming into (a) definite-novel rows — a Bloom "no" has no false
+    * negatives — which never shuffle, and (b) the maybe-duplicate
+    * minority (true dups + the configured fp rate) whose md5 digests
+    * alone pay the verification join. Result quality is identical to the
+    * full join; the filter only decides how much work the join sees.
+    * Sized at the default 2^23 bits / 5 hashes, 1 M history docs probe at
+    * fp ≈ 1.7% — tune numBits ≈ 10·|history| for ≲1%.
+    *
+    * Null-safe throughout: null text hashes to a sentinel on both the
+    * build and probe sides, and the verification join compares digests
+    * with `<=>`, so a null-text incoming row deduplicates against a
+    * null-text history row instead of always reading as novel.
+    */
+  def incrementalNovel(history: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String,
+                       numBits: Long = 1L << 23, numHashes: Int = 5): DataFrame = {
+    val contentHash = coalesce(xxhash64(col(textCol)), lit(0L))
+    val bloom = history
+      .agg(graft.functions.FunctionDefs.callAgg("bloom_agg",
+        contentHash, lit(numBits), lit(numHashes)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val flagged = incoming.withColumn("__maybe",
+      graft.functions.FunctionDefs.call("bloom_contains",
+        lit(bloom), contentHash, lit(numHashes)))
+    val certainNew = flagged.filter(!col("__maybe"))
+      .select(col(idCol), lit(1).as("is_new"))
+    val histDigests = history
+      .select(md5(col(textCol)).as("__hh")).distinct()
+      .withColumn("__seen", lit(1))
+    val resolved = flagged.filter(col("__maybe"))
+      .select(col(idCol), md5(col(textCol)).as("__h"))
+      .join(histDigests, col("__h") <=> col("__hh"), "left")
+      .select(col(idCol),
+        when(col("__seen").isNull, 1).otherwise(0).as("is_new"))
+    certainNew.unionByName(resolved)
+  }
 }

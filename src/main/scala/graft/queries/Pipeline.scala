@@ -717,6 +717,21 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Bloom-gated incremental dedup: docs with doc_id % 3 ≠ 0 play the
+    * historical corpus, docs with doc_id % 2 = 0 the incoming batch
+    * (overlapping, plus exact-dup content across ids). The Bloom gate
+    * only routes work — the emitted flags are exact — so the oracle is
+    * the plain membership SQL.
+    */
+  def ddIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalNovel(
+        history = docs.filter(col("doc_id") % 3 =!= 0),
+        incoming = docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance weights with lang='en' as the target
     * distribution; the oracle refits both smoothed unigram models and
     * replays the per-doc log-likelihood-ratio sum in SQL.
@@ -775,6 +790,7 @@ object Pipeline {
     "tx_curate" -> txCurate _,
     "tx_decontam" -> txDecontam _,
     "tx_dsir" -> txDsir _,
+    "dd_incremental" -> ddIncremental _,
     "tx_pii" -> txPii _,
     "dd_spans" -> ddSpans _,
     "tx_bpe" -> txBpe _,
@@ -1221,6 +1237,11 @@ object Pipeline {
         |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
         |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
         |FROM t ORDER BY doc_id""".stripMargin,
+    "dd_incremental" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IN (SELECT text FROM documents WHERE doc_id % 3 <> 0)
+        |       THEN 0 ELSE 1 END AS is_new
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
     // same add-1-smoothed unigram models refit in SQL; integer counts
     // divide as DOUBLE once n_t/n_r/v are cast
     "tx_dsir" ->
