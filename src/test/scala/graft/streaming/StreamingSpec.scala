@@ -42,6 +42,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("bloom-gated ingest dedup runs as a STREAM against static history, equals the batch twin") {
+    val spark0 = spark
+    import spark0.implicits._
+    // incrementalNovel is stream-compatible by construction: the static
+    // history collapses to a driver-built Bloom literal before the query
+    // starts; the gate is a scan-side filter + a stream-static digest
+    // join, no aggregation — append mode, unbounded state nowhere.
+    val history = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val batchIncoming = Seq(
+      (10L, "alpha"), (11L, "novel one"), (12L, "beta"), (13L, "novel two"))
+    val input = MemoryStream[(Long, String)](spark)
+    val gated = graft.ops.Dedup.incrementalNovel(
+      history, input.toDF().toDF("id", "text"), "id", "text")
+    val q = gated.writeStream.format("memory").queryName("bloom_out")
+      .outputMode("append").start()
+    try {
+      input.addData(batchIncoming.take(2))
+      q.processAllAvailable()
+      input.addData(batchIncoming.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("bloom_out")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      val batch = graft.ops.Dedup.incrementalNovel(
+          history, batchIncoming.toDF("id", "text"), "id", "text")
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      streamed shouldBe batch
+      streamed shouldBe Seq((10L, 0), (11L, 1), (12L, 0), (13L, 1))
+    } finally q.stop()
+  }
+
   test("windowed avg is floor-based round-half-up — correct for NEGATIVE sums") {
     val spark0 = spark
     import spark0.implicits._
