@@ -52,6 +52,152 @@ object Ann {
       k)
   }
 
+  /** Hard-negative mining for contrastive training data: for each query,
+    * the k most-similar corpus vectors whose label DIFFERS from the
+    * query's label (the classic in-batch-negatives upgrade — Karpukhin
+    * et al. 2020 (DPR) mine the highest-scoring non-positives as
+    * training negatives). Output: (qid, id, rank, cos, neg_label).
+    *
+    * Shape is [[bruteForce]] with the label inequality fused into the
+    * scan-side filter BEFORE scoring, so mismatched pairs are never
+    * scored; ranking uses the same bounded-heap aggregate (≤k rows per
+    * partition reach the shuffle). At 100 TB the exact pass is for
+    * query batches; swap the candidate generator for [[lshTopK]] /
+    * [[ivfTopK]] shortlists (mine negatives from the top-C candidates,
+    * then apply the same label filter) when the corpus side dominates.
+    */
+  def hardNegatives(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, qlabelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(labelCol).as("__cl"),
+      Vectors.toDouble(col(vecCol)).as("__v"))
+    val q = queries.select(col(qidCol).as("qid"), col(qlabelCol).as("__ql"),
+      Vectors.toDouble(col(qvecCol)).as("__qv"))
+    val ranked = rankTopK(
+      c.crossJoin(broadcast(q))
+        .filter(col("id") =!= col("qid") && !(col("__cl") <=> col("__ql")))
+        .withColumn("cos", Vectors.cosine(col("__qv"), col("__v"))),
+      k)
+    // the ranked set is queries×k rows — broadcast it back onto the
+    // corpus to recover each negative's label without shuffling the corpus
+    corpus.select(col(idCol).as("id"), col(labelCol).as("neg_label"))
+      .join(broadcast(ranked), Seq("id"))
+      .select("qid", "id", "rank", "cos", "neg_label")
+  }
+
+  /** kNN label classification / label-quality audit: majority label over
+    * each query's k cosine-nearest neighbors (the standard kNN vote —
+    * the training-data use is auditing noisy labels: `correct = 0` rows
+    * are candidate mislabels). Tie-break: most votes, then smallest
+    * label — expressed as `max(struct(votes, −label))`, an aggregate
+    * (no window), so the per-query argmax reduces map-side.
+    *
+    * The neighbor pass is [[bruteForce]] (swap in an index path at
+    * scale); labels rejoin by broadcasting the queries×k ranked set onto
+    * the corpus scan. Output: (qid, pred_label, n_votes, correct).
+    */
+  def knnClassify(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, qlabelCol: String,
+      k: Int): DataFrame = {
+    val nn = bruteForce(corpus, idCol, vecCol, queries, qidCol, qvecCol, k)
+    val voted = corpus.select(col(idCol).as("id"), col(labelCol).as("__nl"))
+      .join(broadcast(nn), Seq("id"))
+      .groupBy(col("qid"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"))
+      .groupBy(col("qid"))
+      .agg(max(struct(col("__votes"), (-col("__nl")).as("__neg"), col("__nl"))).as("__best"))
+      .select(col("qid"), col("__best.__nl").as("pred_label"),
+        col("__best.__votes").as("n_votes"))
+    voted.join(
+        broadcast(queries.select(col(qidCol).as("qid"), col(qlabelCol).as("__ql"))),
+        Seq("qid"))
+      .select(col("qid"), col("pred_label"), col("n_votes"),
+        (col("pred_label") === col("__ql")).cast("int").as("correct"))
+  }
+
+  /** MMR (maximal-marginal-relevance) diversified top-k — Carbonell &
+    * Goldstein 1998: greedily pick the candidate maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so the result set trades
+    * relevance against redundancy (the dedup-aware flavor of retrieval a
+    * training-data pipeline wants when many near-identical documents
+    * score equally well).
+    *
+    * Distributed shape: relevance scoring + pool selection is exactly
+    * [[bruteForce]] (broadcast queries, bounded-heap top-`pool`), so the
+    * corpus-sized work is unchanged; the inherently sequential greedy
+    * loop then runs per-query over the ≤`pool` pooled candidates inside
+    * `flatMapGroups` — one task per query, never on the driver, touching
+    * queries×pool rows total. Swap the pool generator for an index path
+    * (LSH/IVF/PQ) at scale; the greedy stage is identical.
+    *
+    * Determinism contract (oracle-replayable): every comparison — pool
+    * cut, greedy argmax — runs on UNROUNDED doubles. The ascending-order
+    * cosine folds are bit-identical between this loop, the vec_cosine
+    * expression, and the oracle's list_dot_product, so both engines make
+    * identical picks (ties between genuinely identical vectors break by
+    * ascending id); scores are rounded to 6 dp only for display. Rounding
+    * before the λ-blend would be WORSE, not safer: λ×(a 6-dp decimal)
+    * lands exactly on 7th-digit decimal ties where Spark's HALF_UP and
+    * a binary-double engine's rounding systematically disagree. Rank 1
+    * is the pure-relevance argmax with score λ·rel (max-sim over the
+    * empty set is 0).
+    *
+    * Output: (qid, id, rank, rel, mmr); ids must be integral.
+    */
+  def mmrTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, lambda: Double = 0.7, pool: Int = 50): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).cast("long").as("id"),
+      Vectors.toDouble(col(vecCol)).as("__v"))
+    val q = queries.select(col(qidCol).cast("long").as("qid"),
+      Vectors.toDouble(col(qvecCol)).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
+    val pooled = rankTopK(scored, pool)
+      .select(col("qid"), col("id"), col("cos").as("rel"))
+    // recover pooled candidates' vectors by broadcasting the tiny pool
+    // back onto the corpus scan (queries×pool rows — no corpus shuffle)
+    val withVec = c.join(broadcast(pooled), Seq("id"))
+      .select(col("qid"), col("id"), col("rel"), col("__v"))
+      .as[(Long, Long, Double, Seq[Double])]
+
+    // ascending-order fold, dot/(sqrt·sqrt) — same order as vec_cosine
+    def cosv(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    withVec.groupByKey(_._1).flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+      val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }.toBuffer
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Double, Double)]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Array[Double])]
+      while (selected.size < k && cands.nonEmpty) {
+        val pick =
+          if (selected.isEmpty)
+            cands.map { case (id, rel, v) => (id, rel, v, lambda * rel) }
+              .minBy { case (id, rel, _, _) => (-rel, id) }
+          else
+            cands.map { case (id, rel, v) =>
+              val ms = selected.iterator.map(s => cosv(v, s._3)).max
+              (id, rel, v, lambda * rel - (1.0 - lambda) * ms)
+            }.minBy { case (id, _, _, mmr) => (-mmr, id) }
+        selected += ((pick._1, pick._2, pick._3))
+        out += ((qid, pick._1, selected.size, pick._2, pick._4))
+        cands.remove(cands.indexWhere(_._1 == pick._1))
+      }
+      out.iterator
+    }.toDF("qid", "id", "rank", "rel", "mmr")
+      .select(col("qid"), col("id"), col("rank").cast("int").as("rank"),
+        round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+  }
+
   /** Random-hyperplane signature: bit i is the sign of v·h_i where h_i is
     * a deterministic Rademacher (±1) vector derived from xxhash64(i*dim+d)
     * — computed scan-side by the native codegen'd lsh_bucket expression,

@@ -26,6 +26,28 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** C4-style text normalization for fuzzy-exact dedup (after the public
+    * C4 recipe — Raffel et al. 2020 normalize before hashing so that
+    * case/punctuation/whitespace variants of the same page collapse):
+    * lowercase, replace every non-[a-z0-9 ] character with a space,
+    * collapse runs of spaces, trim. Pure codegen'd scan-side expression;
+    * spelled in the java.util.regex∩RE2 subset so external engines
+    * (the DuckDB oracle, a downstream Trino reader) replay it
+    * byte-for-byte.
+    */
+  def normalizeText(t: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact dedup over the NORMALIZED text: one row per distinct
+    * normalized content with the keeper (min id) and the copy count.
+    * Same digest-only shuffle as [[exactGroups]] — normalization happens
+    * scan-side inside the md5 argument, so the 16-byte hash is still the
+    * only thing that moves.
+    */
+  def normalizedGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(normalizeText(col(textCol))).as("content_hash"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
   /** The deduplicated frame: keep the min-id row per content hash.
     *
     * Precondition: `idCol` is unique — with duplicate ids, every row

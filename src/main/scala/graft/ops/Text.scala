@@ -141,6 +141,45 @@ object Text {
     df.filter(h.cast("double") < rate * lit(1000000007.0))
   }
 
+  /** Temperature-based mixture sampling rates (the Pile / GPT-3 recipe:
+    * sample source s with weight ∝ n_s^α, α<1 flattens the source
+    * distribution so rare-but-valuable sources are upsampled relative
+    * to their share). Given a total document `budget`, the per-source
+    * keep rate is
+    *
+    *   rate(s) = min(1, budget · n_s^α / Σ_t n_t^α / n_s).
+    *
+    * One partial-aggregated groupBy over the corpus (source cardinality
+    * rows), a one-row total, and pure scalar math — the rates table is
+    * source-cardinality-sized and broadcastable. Returns
+    * (stratum, n, rate).
+    */
+  def mixtureRates(df: DataFrame, strataCol: String,
+                   alpha: Double, budget: Double): DataFrame = {
+    val c = df.groupBy(col(strataCol)).agg(count(lit(1)).cast("double").as("n"))
+    val t = c.agg(sum(pow(col("n"), lit(alpha))).as("__tp"))
+    c.crossJoin(broadcast(t))
+      .select(col(strataCol), col("n"),
+        least(lit(1.0), lit(budget) * pow(col("n"), lit(alpha)) / col("__tp") / col("n"))
+          .as("rate"))
+  }
+
+  /** Deterministic mixture sampling: [[mixtureRates]] broadcast onto the
+    * corpus scan, each row kept by the same exact-integer hash decision
+    * as [[sampleByStrata]] — re-runs, repartitions and incremental
+    * builds all keep the identical row set. The only corpus-sized work
+    * is one scan + one count-shuffle of (source) keys.
+    */
+  def sampleByMixture(df: DataFrame, strataCol: String, idCol: String,
+                      alpha: Double, budget: Double, salt: Long = 0L): DataFrame = {
+    val rates = mixtureRates(df, strataCol, alpha, budget)
+      .select(col(strataCol), col("rate"))
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L) + lit(salt), lit(1000000007L))
+    df.join(broadcast(rates), strataCol)
+      .filter(h.cast("double") < col("rate") * lit(1000000007.0))
+      .drop("rate")
+  }
+
   /** Overlapping token-window chunking for long documents (the standard
     * pre-training shape: windows of `size` tokens every `stride`
     * tokens): one output row per window start 0, stride, 2·stride, …
@@ -356,6 +395,65 @@ object Text {
       .groupBy(idCol).agg(
         sum("__c").as("n_tokens"),
         round(sum(col("__c") * col("__lw")), 4).as("dsir_logw"))
+  }
+
+  // ------------------------------- LM perplexity filter (CCNet-style)
+
+  /** Per-document cross-entropy under an interpolated add-1-smoothed
+    * bigram language model fit on a target slice of the corpus itself
+    * (after the public CCNet recipe — Wenzek et al. 2020 score Common
+    * Crawl against a wiki-trained LM and keep the low-perplexity band;
+    * here the "clean" slice is any deterministic predicate, e.g.
+    * `lang === "en"`).
+    *
+    *   P(w|v) = λ·(c(v,w)+1)/(c(v)+V) + (1−λ)·(c(w)+1)/(N+V)
+    *   nll(doc) = −Σ_{bigrams (v,w)} ln P(w|v)
+    *
+    * Shape at 100 TB: the model is two vocab-sized count tables (unigram
+    * and bigram) built from ONE exploded pass over the target slice with
+    * partial aggregation, then BROADCAST onto the scoring scan — the
+    * corpus itself shuffles once, on doc_id, for the per-doc sum. Docs
+    * with fewer than two tokens have no bigrams and drop out (both
+    * engines agree). At web scale the bigram table is capped by hashing
+    * the pair key to a fixed bucket count (same plan, bounded state),
+    * exactly as DSIR's docstring describes for its vocabulary.
+    */
+  def lmCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, lambda: Double = 0.7): DataFrame = {
+    val base = df.select(col(idCol), isTarget.as("__is_t"),
+      split(col(textCol), " ").as("__toks"))
+    // size>=2 guard: sequence(0, -1) would DESCEND for 1-token docs
+    val bg = base.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), col("__is_t"), explode(expr(
+        "transform(sequence(0, size(__toks) - 2), i -> struct(__toks[i] AS v, __toks[i+1] AS w))"
+      )).as("__b")).select(col(idCol), col("__is_t"),
+        col("__b.v").as("__v"), col("__b.w").as("__w"))
+    // unigram counts over the target slice count every token, so the
+    // last token of each doc is included: count(v of every bigram) +
+    // one trailing token per doc != token count — count from the raw
+    // explode instead
+    val uni = base.filter(col("__is_t"))
+      .select(explode(col("__toks")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__cu"))
+    val bi = bg.filter(col("__is_t"))
+      .groupBy("__v", "__w").agg(count(lit(1)).as("__cb"))
+    val stats = uni.agg(sum("__cu").cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__vo"))
+    val biN = bi.select(col("__v"), col("__w"), col("__cb"))
+    val uniW = uni.select(col("__w"), col("__cu"))
+    val uniV = uni.select(col("__w").as("__v"), col("__cu").as("__cv"))
+    bg.join(broadcast(uniW), Seq("__w"), "left")
+      .join(broadcast(uniV), Seq("__v"), "left")
+      .join(broadcast(biN), Seq("__v", "__w"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("__p",
+        lit(lambda) * (coalesce(col("__cb"), lit(0L)) + lit(1)) /
+          (coalesce(col("__cv"), lit(0L)) + col("__vo")) +
+        lit(1.0 - lambda) * (coalesce(col("__cu"), lit(0L)) + lit(1)) /
+          (col("__n") + col("__vo")))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-sum(log(col("__p"))), 4).as("nll"))
   }
 
   // ------------------------------------------------------ PII scrubbing

@@ -732,6 +732,77 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** C4-style normalized (fuzzy-exact) dedup. The raw corpus has no
+    * case/punct variants by construction, so the query injects one per
+    * doc_id%10==0 doc (uppercased + trailing " !!", shifted id) — the
+    * normalized grouping must collapse every variant back onto its
+    * source while leaving the rest of the corpus exactly as dd_exact
+    * groups it. The oracle replays injection + normalization in SQL.
+    */
+  def ddNormalized(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val variants = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+    Dedup.normalizedGroups(d.unionByName(variants), "doc_id", "text")
+      .select("survivor_id", "n_copies").orderBy("survivor_id")
+  }
+
+  /** Hard-negative mining: top-10 most-similar different-label corpus
+    * vectors per query; the oracle is the brute top-k SQL with the label
+    * inequality in the join condition.
+    */
+  def annHardneg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.hardNegatives(e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 10)
+      .select(col("qid"), col("id"), col("rank"),
+        round(col("cos"), 6).as("cos"), col("neg_label"))
+      .orderBy("qid", "rank")
+  }
+
+  /** MMR diversified top-5 from a relevance pool of 20 at λ=0.7; the
+    * oracle unrolls all five greedy selection rounds in SQL on the same
+    * unrounded doubles with the same id tie-breaks.
+    */
+  def annMmr(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.mmrTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 5, lambda = 0.7, pool = 20)
+      .orderBy("qid", "rank")
+  }
+
+  /** CCNet-style LM filter: per-doc cross-entropy under an interpolated
+    * bigram model fit on the lang='en' slice; the oracle refits both
+    * count tables and replays every per-bigram probability in SQL.
+    */
+  def txPerplexity(s: SparkSession, dir: String): DataFrame =
+    Text.lmCrossEntropy(Tables.documents(s, dir), "doc_id", "text",
+        isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+
+  /** Pile-style temperature mixture sampling (α=0.5, budget 300 docs):
+    * per-source rates derive from the data, the keep decision is the
+    * exact-integer hash; the oracle recomputes rates and replays every
+    * decision.
+    */
+  def txMixture(s: SparkSession, dir: String): DataFrame =
+    Text.sampleByMixture(Tables.documents(s, dir).select("doc_id", "source"),
+        "source", "doc_id", alpha = 0.5, budget = 300.0, salt = 7L)
+      .select("doc_id", "source").orderBy("doc_id")
+
+  /** kNN label audit: majority label over the 10 nearest neighbors for
+    * the first 50 vectors; the oracle replays ranking, vote counts and
+    * the (votes desc, label asc) argmax in SQL.
+    */
+  def annKnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.knnClassify(e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id") < 50), "vec_id", "embedding", "label", k = 10)
+      .orderBy("qid")
+  }
+
   /** DSIR-style importance weights with lang='en' as the target
     * distribution; the oracle refits both smoothed unigram models and
     * replays the per-doc log-likelihood-ratio sum in SQL.
@@ -790,7 +861,13 @@ object Pipeline {
     "tx_curate" -> txCurate _,
     "tx_decontam" -> txDecontam _,
     "tx_dsir" -> txDsir _,
+    "tx_perplexity" -> txPerplexity _,
+    "tx_mixture" -> txMixture _,
+    "ann_knn_label" -> annKnnLabel _,
     "dd_incremental" -> ddIncremental _,
+    "dd_normalized" -> ddNormalized _,
+    "ann_hardneg" -> annHardneg _,
+    "ann_mmr" -> annMmr _,
     "tx_pii" -> txPii _,
     "dd_spans" -> ddSpans _,
     "tx_bpe" -> txBpe _,
@@ -935,6 +1012,52 @@ object Pipeline {
        |  FROM scored)
        |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos
        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** MMR oracle: all five greedy rounds unrolled as CTEs — round n joins
+    * the pool against the union of rounds 1..n−1, takes the max pairwise
+    * cosine to the selected set, and picks the MMR argmax with
+    * ascending-id tie-break, exactly as Ann.mmrTopK's per-query greedy
+    * loop does. Every comparison runs on UNROUNDED doubles (the cosine
+    * folds are bit-identical across engines); 6-dp rounding is display
+    * only — see mmrTopK's determinism contract for why rounding before
+    * the λ-blend would systematically diverge.
+    */
+  private val mmrOracle: String = {
+    def cosAB(a: String, b: String) =
+      s"list_dot_product($a.v, $b.v) / (sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)))"
+    val rounds = (2 to 5).map { n =>
+      val prev = (1 until n).map(i => s"SELECT qid, id, v FROM sel$i").mkString(" UNION ALL ")
+      s"""prev$n AS ($prev),
+         |cand$n AS (
+         |  SELECT c.qid, c.id, c.rel, c.v,
+         |    0.7 * c.rel - (1.0 - 0.7) * max(${cosAB("c", "s")}) AS mmr
+         |  FROM pv c JOIN prev$n s ON s.qid = c.qid
+         |  WHERE NOT EXISTS (SELECT 1 FROM prev$n x WHERE x.qid = c.qid AND x.id = c.id)
+         |  GROUP BY c.qid, c.id, c.rel, c.v),
+         |sel$n AS (
+         |  SELECT qid, id, rel, mmr, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, id) AS rn
+         |    FROM cand$n) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val unioned = (1 to 5)
+      .map(i => s"SELECT qid, id, $i AS rank, rel, mmr FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS rel, b.v
+       |  FROM q a JOIN e b ON b.vec_id != a.vec_id),
+       |pv AS (SELECT qid, id, rel, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+       |    FROM scored) WHERE rn <= 20),
+       |sel1 AS (SELECT qid, id, rel, 0.7 * rel AS mmr, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+       |    FROM pv) WHERE rn = 1),
+       |$rounds,
+       |allsel AS ($unioned)
+       |SELECT qid, id, rank::INT AS rank, round(rel, 6) AS rel, round(mmr, 6) AS mmr
+       |FROM allsel ORDER BY qid, rank""".stripMargin
+  }
 
   private val asofOracleSql =
     """WITH e AS (SELECT event_id, user_id,
@@ -1256,6 +1379,88 @@ object Pipeline {
         |dt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w)
         |SELECT doc_id, sum(c)::BIGINT AS n_tokens, round(sum(c * lw), 4) AS dsir_logw
         |FROM dt JOIN lw USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // injection + C4 normalization replayed; grouping on the normalized
+    // text itself (the Spark side groups its md5 — same partition)
+    "dd_normalized" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, upper(text) || ' !!' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |             '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |      FROM aug)
+        |SELECT min(doc_id) AS survivor_id, count(*)::BIGINT AS n_copies
+        |FROM n GROUP BY nt ORDER BY survivor_id""".stripMargin,
+    // brute top-k with the label inequality fused into the join
+    "ann_hardneg" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS id, b.label AS neg_label, $cosSql AS c
+         |  FROM q a JOIN e b
+         |    ON b.vec_id != a.vec_id AND b.label IS DISTINCT FROM a.label),
+         |ranked AS (
+         |  SELECT qid, id, neg_label, c,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+         |  FROM scored)
+         |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos, neg_label
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "ann_mmr" -> mmrOracle,
+    // per-source α-temperature rates recomputed from the data, then the
+    // exact-integer hash decision replayed per row
+    "tx_mixture" ->
+      """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+        |t AS (SELECT sum(pow(n, 0.5)) AS tp FROM c),
+        |r AS (SELECT source, least(1.0, 300.0 * pow(n, 0.5) / tp / n) AS rate FROM c, t)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+        |WHERE ((d.doc_id * 2654435761 + 7) % 1000000007)::DOUBLE < rate * 1000000007.0
+        |ORDER BY doc_id""".stripMargin,
+    // 10-NN majority vote: ranking, vote counts, (votes desc, label asc)
+    // argmax and the correctness flag all replayed
+    "ann_knn_label" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS id, b.label AS nl, $cosSql AS c
+         |  FROM q a JOIN e b ON b.vec_id != a.vec_id),
+         |ranked AS (
+         |  SELECT qid, id, nl,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+         |  FROM scored),
+         |votes AS (SELECT qid, nl, count(*) AS v FROM ranked WHERE rank <= 10
+         |          GROUP BY qid, nl),
+         |sel AS (SELECT qid, nl, v,
+         |          row_number() OVER (PARTITION BY qid ORDER BY v DESC, nl) AS rn
+         |        FROM votes)
+         |SELECT s.qid, s.nl AS pred_label, s.v::BIGINT AS n_votes,
+         |       (s.nl = q.label)::INT AS correct
+         |FROM sel s JOIN q ON q.vec_id = s.qid WHERE s.rn = 1 ORDER BY s.qid""".stripMargin,
+    // interpolated bigram LM refit in SQL: lockstep-unnested bigram
+    // pairs, add-1 counts from the en slice, identical IEEE probability
+    // expression per bigram
+    "tx_perplexity" ->
+      """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |        unnest([w[i] for i in range(1, len(w))]) AS v,
+        |        unnest([w[i+1] for i in range(1, len(w))]) AS ww
+        |       FROM tok),
+        |uni AS (SELECT ww, count(*) AS cu
+        |        FROM (SELECT unnest(w) AS ww FROM tok WHERE lang = 'en')
+        |        GROUP BY ww),
+        |bi AS (SELECT v, ww, count(*) AS cb FROM bg WHERE lang = 'en' GROUP BY v, ww),
+        |st AS (SELECT sum(cu)::DOUBLE AS n, count(*)::DOUBLE AS vo FROM uni),
+        |sc AS (SELECT g.doc_id,
+        |         0.7 * (coalesce(b.cb, 0) + 1) / (coalesce(uv.cu, 0) + st.vo)
+        |         + (1.0 - 0.7) * (coalesce(uw.cu, 0) + 1) / (st.n + st.vo) AS p
+        |       FROM bg g
+        |       LEFT JOIN uni uw ON uw.ww = g.ww
+        |       LEFT JOIN uni uv ON uv.ww = g.v
+        |       LEFT JOIN bi b ON b.v = g.v AND b.ww = g.ww
+        |       CROSS JOIN st)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(-sum(ln(p)), 4) AS nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // 12-word spans; doc frequency over per-doc-distinct postings
     "dd_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

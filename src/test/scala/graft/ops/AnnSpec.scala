@@ -116,6 +116,85 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     withClue(s"recalls=$recalls") { recalls.sum / recalls.size should be >= 0.4 }
   }
 
+  test("hardNegatives: only different-label neighbors, ranked like a label-filtered brute force") {
+    val labels: Map[Long, Int] = corpus.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ann.hardNegatives(corpus, "vec_id", "embedding", "label",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 10)
+      .collect()
+    got.foreach { r =>
+      val (qid, id) = (r.getLong(0), r.getLong(1))
+      r.getAs[Int]("neg_label") shouldBe labels(id)
+      labels(id) should not be labels(qid)
+      r.getDouble(3) shouldBe cos(localVecs(qid), localVecs(id)) +- 1e-12
+    }
+    val byQ = got.groupBy(_.getLong(0))
+    (0L until 5L).foreach { q =>
+      val ids = byQ(q).sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+      val local = localVecs.toSeq
+        .filter { case (id, _) => id != q && labels(id) != labels(q) }
+        .map { case (id, v) => (id, cos(localVecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      ids shouldBe local
+    }
+  }
+
+  test("knnClassify: majority vote with (votes desc, label asc) tie-break matches a local replay") {
+    val labels: Map[Long, Int] = corpus.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ann.knnClassify(corpus, "vec_id", "embedding", "label",
+        corpus.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Int]("pred_label"), r.getAs[Long]("n_votes"), r.getAs[Int]("correct")))).toMap
+    got.keySet shouldBe (0L until 20L).toSet
+    (0L until 20L).foreach { q =>
+      val votes = localTopK(q, 10).groupBy(labels).view.mapValues(_.size).toMap
+      val (predLabel, nVotes) = votes.toSeq.minBy { case (l, v) => (-v, l) }
+      got(q) shouldBe ((predLabel, nVotes.toLong, if (predLabel == labels(q)) 1 else 0))
+    }
+  }
+
+  test("mmrTopK: λ=1 with a corpus-covering pool reduces to brute-force ranking") {
+    val got = Ann.mmrTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, lambda = 1.0, pool = 1000)
+      .collect().groupBy(_.getLong(0))
+    (0L until 5L).foreach { q =>
+      got(q).sortBy(_.getInt(2)).map(_.getLong(1)).toSeq shouldBe localTopK(q, 10)
+    }
+  }
+
+  test("mmrTopK matches a local greedy replay and diversifies the picks") {
+    val (k, lambda, pool) = (5, 0.5, 20)
+    val got = Ann.mmrTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k, lambda, pool)
+      .collect().groupBy(_.getLong(0))
+    val differs = (0L until 5L).map { q =>
+      // local pool + greedy
+      val p = scala.collection.mutable.ArrayBuffer(
+        localVecs.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (id, cos(localVecs(q), v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(pool): _*)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (sel.size < k) {
+        val pick =
+          if (sel.isEmpty) p.minBy { case (id, rel) => (-rel, id) }
+          else p.map { case (id, rel) =>
+            val ms = sel.map(s => cos(localVecs(id), localVecs(s))).max
+            (id, lambda * rel - (1.0 - lambda) * ms)
+          }.minBy { case (id, m) => (-m, id) }
+        sel += pick._1
+        p.remove(p.indexWhere(_._1 == pick._1))
+      }
+      got(q).sortBy(_.getInt(2)).map(_.getLong(1)).toSeq shouldBe sel.toSeq
+      got(q).map(_.getLong(1)).toSet != localTopK(q, k).toSet
+    }
+    // diversity: at λ=0.5 the redundancy penalty must change at least one
+    // query's pick set vs pure relevance
+    differs.count(identity) should be >= 1
+  }
+
   test("top-k aggregate: partial map-side reduction, identical across partitionings") {
     val narrow = Ann.bruteForce(corpus.repartition(1), "vec_id", "embedding",
         corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)

@@ -18,6 +18,22 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
   }
 
+  test("normalizedGroups: case/punct/whitespace variants collapse, distinct content does not") {
+    val df = docs(
+      1L -> "Hello, World!",
+      2L -> "hello   world",
+      3L -> "HELLO  WORLD.",
+      4L -> "goodbye world")
+    df.select(Dedup.normalizeText(col("text")).as("n"))
+      .collect().map(_.getString(0)).take(3).toSet shouldBe Set("hello world")
+    val groups = Dedup.normalizedGroups(df, "id", "text")
+      .select("survivor_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    groups shouldBe Set((1L, 3L), (4L, 1L))
+    // exact dedup would NOT collapse these — the normalization is the point
+    Dedup.exactGroups(df, "id", "text").count() shouldBe 4L
+  }
+
   test("exact dedup: min-id keeper per content, groups counted") {
     val df = docs(1L -> "a b c", 2L -> "x y z", 3L -> "a b c", 4L -> "a b c")
     val groups = Dedup.exactGroups(df, "id", "text")

@@ -274,6 +274,74 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got.find(_._1 == 2L).get._3 should be > got.find(_._1 == 3L).get._3
   }
 
+  test("mixtureRates: α-temperature rates on a hand corpus; sampling honors them exactly") {
+    import scala.jdk.CollectionConverters._
+    // source a: 4 docs, source b: 1 doc; α=0.5, budget=3
+    // tp = √4 + √1 = 3; rate_a = min(1, 3·2/3/4) = 0.5; rate_b = min(1, 3·1/3/1) = 1
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"))
+    val df = SparkTestSession.session.createDataFrame(
+      rows.map { case (i, s) => org.apache.spark.sql.Row(i, s) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.StringType))))
+    val rates = Text.mixtureRates(df, "src", alpha = 0.5, budget = 3.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    rates("a") shouldBe 0.5 +- 1e-12
+    rates("b") shouldBe 1.0 +- 1e-12
+    // α=1 reproduces proportional sampling: every rate = budget/total
+    Text.mixtureRates(df, "src", alpha = 1.0, budget = 3.0)
+      .collect().foreach(r => r.getDouble(2) shouldBe 0.6 +- 1e-12)
+    val kept = Text.sampleByMixture(df, "src", "id", alpha = 0.5, budget = 3.0, salt = 7L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // replay the exact integer decision locally
+    val expected = rows.filter { case (i, s) =>
+      val h = (i * 2654435761L + 7L) % 1000000007L
+      h.toDouble < rates(s) * 1000000007.0
+    }.map(_._1).toSet
+    kept shouldBe expected
+    // source b (rate 1.0) always survives in full
+    kept should contain(5L)
+  }
+
+  test("lmCrossEntropy: matches a brute-force interpolated bigram model") {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      (1L, "the cat sat on the mat", true),
+      (2L, "the cat sat", true),
+      (3L, "der hund bellt laut", false),
+      (4L, "x", false)) // single token → no bigrams → absent from output
+    val df = SparkTestSession.session.createDataFrame(
+      rows.map { case (i, t, g) => org.apache.spark.sql.Row(i, t, g) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tgt", org.apache.spark.sql.types.BooleanType))))
+    val lambda = 0.7
+    val got = Text.lmCrossEntropy(df, "id", "text", isTarget = col("tgt"), lambda = lambda)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_bigrams"), r.getAs[Double]("nll")))
+    got.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L)
+    // brute force: target-slice counts
+    val toks = rows.map { case (i, t, g) => (i, t.split(" ").toSeq, g) }
+    val tgt = toks.filter(_._3)
+    val cu = tgt.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val cb = tgt.flatMap(_._2.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val n = cu.values.sum
+    val vo = cu.size.toDouble
+    def p(v: String, w: String) =
+      lambda * (cb.getOrElse((v, w), 0.0) + 1) / (cu.getOrElse(v, 0.0) + vo) +
+        (1.0 - lambda) * (cu.getOrElse(w, 0.0) + 1) / (n + vo)
+    for ((id, nb, nll) <- got) {
+      val bgs = toks.find(_._1 == id).get._2.sliding(2).filter(_.size == 2).toSeq
+      nb shouldBe bgs.size.toLong
+      nll shouldBe (math.rint(-bgs.map(b => math.log(p(b(0), b(1)))).sum * 1e4) / 1e4) +- 1e-9
+    }
+    // in-domain text is far less surprising than out-of-domain text
+    val nllPerBg = got.map(g => g._1 -> g._3 / g._2).toMap
+    nllPerBg(2L) should be < nllPerBg(3L)
+  }
+
   test("pii: counts and redaction on known strings, emails before ips") {
     val d = docs(1L ->
       "mail a.user+tag@sub.example.org or b@x.co, host 10.0.0.1 and 192.168.1.255, call +1-555-0199")
