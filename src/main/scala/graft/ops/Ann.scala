@@ -260,13 +260,17 @@ object Ann {
     * a per-dimension explode would collect at dim=1024).
     * Output: (qid, id, rank, cos) — exact cosines over probed candidates.
     */
-  def ivfTopK(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2, seed: Long = 7): DataFrame = {
+  /** Distributed k-means centroids (deterministic hashed-id sample init
+    * plus `iters` Lloyd rounds). Each round is one scan-side assignment
+    * plus a groupBy(cluster) with the native vec_sum aggregate — the
+    * driver collects `nlist` (sum, count) rows per round, never data.
+    * `df` needs (idCol, vecCol); the result is small enough to embed as
+    * a plan literal downstream (nlist×dim doubles).
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int, seed: Long): Array[Seq[Double]] = {
     import graft.functions.FunctionDefs.{call, callAgg}
-    val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
-
+    val c = df.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
     var centroids: Array[Seq[Double]] =
       c.orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(nlist)
         .select("__v").collect().map(_.getSeq[Double](0))
@@ -288,7 +292,16 @@ object Ann {
       }.toArray
       it += 1
     }
+    centroids
+  }
 
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2, seed: Long = 7): DataFrame = {
+    import graft.functions.FunctionDefs.call
+    val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nlist, iters, seed)
     val cent = typedlit(centroids.toSeq)
     val assigned = c.withColumn("__c", call("ivf_assign", col("__v"), cent))
     val q = queries

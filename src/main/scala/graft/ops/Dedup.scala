@@ -323,6 +323,56 @@ object Dedup {
     * so plan size, analysis time and driver memory stay O(1) per round
     * regardless of component diameter.
     */
+  /** SemDeDup (after the public recipe — Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): k-means-cluster the embeddings, compare pairs only
+    * WITHIN a cluster (cosine ≥ threshold), then collapse transitive
+    * near-dup groups and keep the min-id representative of each. Output:
+    * (survivor_id, n_members) — singletons included, exactly like
+    * [[exactGroups]], so downstream keep-joins are interchangeable.
+    *
+    * At 100 TB: centroids come from [[graft.ops.Ann.kmeansCentroids]]
+    * (vec_sum Lloyd rounds, nlist rows to the driver) and ride in the
+    * plan as a literal; assignment is one scan-side expression; the
+    * pair stage is a cluster-keyed self-equi-join — pair cost is
+    * Σ|cluster|² instead of n², and nlist is the knob that bounds it
+    * (the paper runs ~100k clusters at web scale). Recall is exact
+    * WITHIN clusters; cross-cluster near-dups are the documented miss,
+    * shrinking as clustering tightens — at nlist=1 the operator
+    * degrades to the exact all-pairs closure (the oracle regime).
+    * [[connectedComponents]] then shuffles labels only.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 16, iters: Int = 2,
+                    seed: Long = 7): DataFrame =
+    semanticComponents(df, idCol, vecCol, threshold, nlist, iters, seed)
+      .groupBy("group_id")
+      .agg(min(col("id")).as("survivor_id"), count(lit(1)).as("n_members"))
+      .select("survivor_id", "n_members")
+
+  /** Per-id semantic-dup group labels (the row-level view of
+    * [[semanticDedup]]): every input id, labeled with the min id of its
+    * within-cluster cosine component (its own id if unpaired).
+    */
+  def semanticComponents(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nlist: Int = 16, iters: Int = 2,
+                         seed: Long = 7): DataFrame = {
+    val c = df.select(col(idCol).cast("long").as("id"),
+      Vectors.toDouble(col(vecCol)).as("__v"))
+    val cent = typedlit(Ann.kmeansCentroids(df, idCol, vecCol, nlist, iters, seed).toSeq)
+    val assigned = c.withColumn("__c",
+      graft.functions.FunctionDefs.call("ivf_assign", col("__v"), cent))
+    val a = assigned.select(col("__c"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = assigned.select(col("__c"), col("id").as("id_b"), col("__v").as("__vb"))
+    val pairs = a.join(b, Seq("__c"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Vectors.cosine(col("__va"), col("__vb")) >= threshold)
+      .select("id_a", "id_b")
+    val cc = connectedComponents(pairs)
+    c.select(col("id")).join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("group_id"))
+  }
+
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(idACol).cast("long").as("src"), col(idBCol).cast("long").as("dst"))

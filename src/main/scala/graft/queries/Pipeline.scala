@@ -110,6 +110,47 @@ object Pipeline {
         when(col("__found") * 2 >= col("n_high"), 1).otherwise(0).as("recall_floor_ok"))
   }
 
+  /** SemDeDup default regime (nlist=8 clusters): within-cluster recall
+    * is exact but cross-cluster near-dups can be missed, so the group
+    * list is rows-only; [[ddSemanticFull]] is the hash-checked twin.
+    */
+  def ddSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.4, nlist = 8)
+      .orderBy("survivor_id")
+
+  /** SemDeDup in its provably-complete regime: nlist=1 puts every
+    * vector in one cluster, so the operator must produce the EXACT
+    * all-pairs transitive closure the recursive-CTE oracle computes —
+    * clustering, assignment, pair join, components and grouping are all
+    * hash-compared.
+    */
+  def ddSemanticFull(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.4, nlist = 1)
+      .orderBy("survivor_id")
+
+  /** SemDeDup quality contract: clustered pairs are a SUBSET of exact
+    * pairs, so the clustered grouping must REFINE the exact closure —
+    * no clustered group may span two exact components, at any nlist.
+    * n_exact_groups is recomputed by the oracle's recursive CTE;
+    * refinement_ok is deterministic and asserted as a constant.
+    */
+  def ddSemanticRefine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val clu = Dedup.semanticComponents(e, "vec_id", "embedding",
+      threshold = 0.4, nlist = 8).withColumnRenamed("group_id", "g_clu")
+    val full = Dedup.semanticComponents(e, "vec_id", "embedding",
+      threshold = 0.4, nlist = 1).withColumnRenamed("group_id", "g_full")
+    val nExact = full.agg(countDistinct(col("g_full")).as("n_exact_groups"))
+    val viol = clu.join(full, Seq("id"))
+      .groupBy("g_clu").agg(countDistinct(col("g_full")).as("__nf"))
+      .agg(sum(when(col("__nf") > 1, 1).otherwise(0)).as("__nv"))
+    nExact.crossJoin(viol)
+      .select(col("n_exact_groups"),
+        (col("__nv") === 0).cast("int").as("refinement_ok"))
+  }
+
   def ddEmbed(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.4)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -831,6 +872,9 @@ object Pipeline {
     "dd_simhash_recall" -> ddSimhashRecall _,
     "dd_embed" -> ddEmbed _,
     "dd_embed_blocked" -> ddEmbedBlocked _,
+    "dd_semantic" -> ddSemantic _,
+    "dd_semantic_full" -> ddSemanticFull _,
+    "dd_semantic_refine" -> ddSemanticRefine _,
     "dd_embed_recall" -> ddEmbedRecall _,
     "ann_brute" -> annBrute _,
     "ann_lsh" -> annLsh _,
@@ -1408,6 +1452,38 @@ object Pipeline {
          |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos, neg_label
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_mmr" -> mmrOracle,
+    // SemDeDup exhaustive regime: exact all-pairs cosine closure via a
+    // recursive CTE, singletons included, min-id survivor per group
+    "dd_semantic_full" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM e a JOIN e b ON b.vec_id > a.vec_id
+         |      WHERE $cosSql >= 0.4),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b, id_a FROM p),
+         |walk(id, comp) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ed.dst, walk.comp FROM walk JOIN ed ON ed.src = walk.id),
+         |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1)
+         |SELECT comp AS survivor_id, count(*)::BIGINT AS n_members
+         |FROM cc GROUP BY comp ORDER BY survivor_id""".stripMargin,
+    // group count from the same closure; the refinement flag is
+    // deterministic (clustered pairs ⊆ exact pairs) and asserted constant
+    "dd_semantic_refine" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM e a JOIN e b ON b.vec_id > a.vec_id
+         |      WHERE $cosSql >= 0.4),
+         |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+         |       UNION ALL SELECT id_b, id_a FROM p),
+         |walk(id, comp) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT ed.dst, walk.comp FROM walk JOIN ed ON ed.src = walk.id),
+         |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1)
+         |SELECT count(DISTINCT comp)::BIGINT AS n_exact_groups, 1 AS refinement_ok
+         |FROM cc""".stripMargin,
     // per-source α-temperature rates recomputed from the data, then the
     // exact-integer hash decision replayed per row
     "tx_mixture" ->

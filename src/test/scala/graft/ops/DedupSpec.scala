@@ -218,6 +218,38 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .contains("CartesianProduct") shouldBe false
   }
 
+  test("semanticDedup: nlist=1 equals a local closure replay; clustered regime refines it") {
+    val e = graft.sources.Tables.embeddings(spark, sfDir).cache()
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // local exact closure: union-find over all pairs with cos >= 0.4
+    val parent = scala.collection.mutable.Map(vecs.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    val ids = vecs.keys.toSeq.sorted
+    for (i <- ids.indices; j <- (i + 1) until ids.size
+         if cos(vecs(ids(i)), vecs(ids(j))) >= 0.4) {
+      val (a, b) = (find(ids(i)), find(ids(j)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val localGroups = ids.groupBy(find).map { case (g, m) => (m.min, m.size.toLong) }.toSet
+    val got = Dedup.semanticDedup(e, "vec_id", "embedding", threshold = 0.4, nlist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe localGroups
+    // clustered regime: pairs ⊆ exact pairs ⇒ groups refine the closure
+    val gFull = Dedup.semanticComponents(e, "vec_id", "embedding", 0.4, nlist = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byClu = Dedup.semanticComponents(e, "vec_id", "embedding", 0.4, nlist = 4)
+      .collect().groupBy(_.getLong(1))
+    byClu.values.foreach { members =>
+      members.map(m => gFull(m.getLong(0))).toSet.size shouldBe 1
+    }
+  }
+
   test("connectedComponents: transitive closure via min-label propagation") {
     import spark.implicits._
     // A~B~C one component even though A~C was never a pair; disjoint
