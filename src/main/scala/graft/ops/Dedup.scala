@@ -359,9 +359,14 @@ object Dedup {
                          seed: Long = 7): DataFrame = {
     val c = df.select(col(idCol).cast("long").as("id"),
       Vectors.toDouble(col(vecCol)).as("__v"))
-    val cent = typedlit(Ann.kmeansCentroids(df, idCol, vecCol, nlist, iters, seed).toSeq)
-    val assigned = c.withColumn("__c",
-      graft.functions.FunctionDefs.call("ivf_assign", col("__v"), cent))
+    // nlist=1 is the exhaustive regime: every row lands in the single
+    // cluster whatever its centroid — skip the Lloyd rounds entirely
+    val assigned =
+      if (nlist == 1) c.withColumn("__c", lit(0))
+      else {
+        val cent = typedlit(Ann.kmeansCentroids(df, idCol, vecCol, nlist, iters, seed).toSeq)
+        c.withColumn("__c", graft.functions.FunctionDefs.call("ivf_assign", col("__v"), cent))
+      }
     val a = assigned.select(col("__c"), col("id").as("id_a"), col("__v").as("__va"))
     val b = assigned.select(col("__c"), col("id").as("id_b"), col("__v").as("__vb"))
     val pairs = a.join(b, Seq("__c"))

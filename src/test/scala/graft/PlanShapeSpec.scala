@@ -164,4 +164,45 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
       pii.linesIterator.count(_.contains("Exchange")) should be <= 2
     }
   }
+
+  test("dd_semantic: cluster-keyed equi-join for pairs — never a cartesian product") {
+    val p = planOf("dd_semantic")
+    withClue(s"dd_semantic plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      p.contains("BroadcastNestedLoopJoin") shouldBe false
+    }
+  }
+
+  test("ann_knn_label: the vote argmax is an aggregate, not a window") {
+    val p = planOf("ann_knn_label")
+    withClue(s"ann_knn_label plan:\n$p") {
+      p.contains("Window") shouldBe false
+      // the ranked queries×k set broadcasts back onto the corpus scan
+      p should include("BroadcastHashJoin")
+    }
+  }
+
+  test("tx_mixture: the rates table broadcasts — the corpus never shuffles for the keep decision") {
+    val p = planOf("tx_mixture")
+    withClue(s"tx_mixture plan:\n$p") {
+      p should include("BroadcastHashJoin")
+      p.contains("SortMergeJoin") shouldBe false
+      // counts aggregate goes partial→final before the one-row total
+      p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+    }
+  }
+
+  test("dd_normalized / tx_perplexity: digest-only dedup shuffle; LM model tables broadcast") {
+    val n = planOf("dd_normalized")
+    withClue(s"dd_normalized plan:\n$n") {
+      n.contains("Window") shouldBe false
+      n.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+    }
+    val px = planOf("tx_perplexity")
+    withClue(s"tx_perplexity plan:\n$px") {
+      // uni (×2 aliases), bi and stats all broadcast onto the scoring scan
+      px.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 3
+      px.contains("CartesianProduct") shouldBe false
+    }
+  }
 }
