@@ -180,6 +180,37 @@ object Text {
       .drop("rate")
   }
 
+  /** Leakage-safe train/validation split: assign WHOLE near-dup
+    * components to a split, never individual documents — a plain
+    * per-doc split leaks training data into eval whenever near-dups
+    * straddle the boundary (the same failure benchmark decontamination
+    * guards against, applied to one's own held-out set). Components come
+    * from the exact set-similarity join + connected components; the
+    * split decision is the same exact-integer multiplicative hash as
+    * [[sampleByStrata]], applied to the component label, so co-members
+    * get identical verdicts by construction and re-runs are stable.
+    * Output: (idCol, component, split ∈ {train, val}).
+    *
+    * At 100 TB the component stage is the bucketed near-dup path
+    * (MinHash-LSH pairs instead of the exact join — same downstream);
+    * the split itself adds one broadcast-size label join and a
+    * scan-side hash.
+    */
+  def leakSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, threshold: Double = 0.8,
+                    valFrac: Double = 0.1, salt: Long = 0L): DataFrame = {
+    val pairs = Dedup.jaccardJoin(df, idCol, textCol, k, threshold)
+    val cc = Dedup.connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("comp").as("__comp"))
+    val comp = df.select(col(idCol))
+      .join(cc, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("component"))
+    val h = pmod(col("component") * lit(2654435761L) + lit(salt), lit(1000000007L))
+    comp.withColumn("split",
+      when(h.cast("double") < lit(valFrac) * lit(1000000007.0), lit("val"))
+        .otherwise(lit("train")))
+  }
+
   /** Overlapping token-window chunking for long documents (the standard
     * pre-training shape: windows of `size` tokens every `stride`
     * tokens): one output row per window start 0, stride, 2·stride, …

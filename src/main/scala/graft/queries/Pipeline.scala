@@ -823,6 +823,15 @@ object Pipeline {
         isTarget = col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Leakage-safe split at 10% validation: whole near-dup components go
+    * to one side; the oracle recomputes the closure (dd_components'
+    * recursive CTE) and replays the exact-integer hash decision.
+    */
+  def txSplit(s: SparkSession, dir: String): DataFrame =
+    Text.leakSafeSplit(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, threshold = 0.8, valFrac = 0.1, salt = 0L)
+      .orderBy("doc_id")
+
   /** Pile-style temperature mixture sampling (α=0.5, budget 300 docs):
     * per-source rates derive from the data, the keep decision is the
     * exact-integer hash; the oracle recomputes rates and replays every
@@ -907,6 +916,7 @@ object Pipeline {
     "tx_dsir" -> txDsir _,
     "tx_perplexity" -> txPerplexity _,
     "tx_mixture" -> txMixture _,
+    "tx_split" -> txSplit _,
     "ann_knn_label" -> annKnnLabel _,
     "dd_incremental" -> ddIncremental _,
     "dd_normalized" -> ddNormalized _,
@@ -1452,6 +1462,32 @@ object Pipeline {
          |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos, neg_label
          |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "ann_mmr" -> mmrOracle,
+    // dd_components' closure + the exact-integer hash split decision on
+    // the component label
+    "tx_split" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in range(1, len(w) - 1)])
+        |             ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM d),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |      UNION ALL SELECT id_b, id_a FROM p),
+        |walk(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, walk.comp FROM walk JOIN e ON e.src = walk.id),
+        |cc AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY 1)
+        |SELECT doc_id, component,
+        |  CASE WHEN ((component * 2654435761 + 0) % 1000000007)::DOUBLE <
+        |            0.1 * 1000000007.0
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM cc ORDER BY doc_id""".stripMargin,
     // SemDeDup exhaustive regime: exact all-pairs cosine closure via a
     // recursive CTE, singletons included, min-id survivor per group
     "dd_semantic_full" ->

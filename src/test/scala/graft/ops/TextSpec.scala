@@ -274,6 +274,36 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got.find(_._1 == 2L).get._3 should be > got.find(_._1 == 3L).get._3
   }
 
+  test("leakSafeSplit: near-dup components never straddle the split; extremes are total") {
+    import scala.jdk.CollectionConverters._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val rows = Seq(
+      1L -> base,
+      2L -> base, // exact dup of 1 — same component
+      3L -> base.replace("today", "tomorrow"), // near dup of 1/2
+      4L -> "completely different words nothing shared at all here truly",
+      5L -> "another unrelated document with its own private vocabulary set")
+    val df = SparkTestSession.session.createDataFrame(
+      rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val got = Text.leakSafeSplit(df, "id", "text", k = 3, threshold = 0.5, valFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // docs 1,2,3 share one component (transitively) → identical split
+    got(1L)._1 shouldBe 1L
+    got(2L) shouldBe got(1L)
+    got(3L) shouldBe got(1L)
+    // singletons are their own component
+    got(4L)._1 shouldBe 4L
+    got(5L)._1 shouldBe 5L
+    // extremes: every row lands on the designated side
+    Text.leakSafeSplit(df, "id", "text", valFrac = 0.0)
+      .collect().foreach(_.getString(2) shouldBe "train")
+    Text.leakSafeSplit(df, "id", "text", valFrac = 1.0)
+      .collect().foreach(_.getString(2) shouldBe "val")
+  }
+
   test("mixtureRates: α-temperature rates on a hand corpus; sampling honors them exactly") {
     import scala.jdk.CollectionConverters._
     // source a: 4 docs, source b: 1 doc; α=0.5, budget=3
