@@ -167,6 +167,24 @@ object Relational {
         col("n"))
       .orderBy("rf", "ls")
 
+  /** Pivot (wide aggregation): per-linestatus quantity sums pivoted to
+    * one column per return flag. The values list is explicit, so Spark
+    * skips the extra distinct-scan pass and the plan is ONE partial→
+    * final aggregate — a pivot with enumerable keys costs the same as
+    * the plain groupBy at any scale. Sums stay on exact integer cents.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(cents(col("l_quantity")).cast("decimal(38,0)")))
+      .select(
+        col("l_linestatus"),
+        (coalesce(col("A"), lit(0)) / 100.0).cast("double").as("qty_a"),
+        (coalesce(col("N"), lit(0)) / 100.0).cast("double").as("qty_n"),
+        (coalesce(col("R"), lit(0)) / 100.0).cast("double").as("qty_r"))
+      .orderBy("l_linestatus")
+
   /** Sketch aggregates with honest error contracts: HLL++ distinct
     * counts (approx_count_distinct, rsd 5%) checked within ±15% of the
     * exact count, and approx_percentile (rank error ≤ n/accuracy)
@@ -320,6 +338,7 @@ object Relational {
     q("q_avg_filter")(qAvgFilter),
     q("q_date_buckets")(qDateBuckets),
     q("q_rollup")(qRollup),
+    q("q_pivot")(qPivot),
     q("q_sketch")(qSketch),
     q("q_range_join")(qRangeJoin),
     q("q_bucketed")(qBucketed),
@@ -331,6 +350,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // pivot = conditional sums over exact integer cents
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        | coalesce(sum(CASE WHEN l_returnflag = 'A' THEN round(l_quantity*100)::BIGINT END), 0) / 100.0 AS qty_a,
+        | coalesce(sum(CASE WHEN l_returnflag = 'N' THEN round(l_quantity*100)::BIGINT END), 0) / 100.0 AS qty_n,
+        | coalesce(sum(CASE WHEN l_returnflag = 'R' THEN round(l_quantity*100)::BIGINT END), 0) / 100.0 AS qty_r
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // money/quantity math in exact integer cents / micro-units with
     // integer half-up rounding — the bit-identical twin of the Spark side
     "q1_agg" ->

@@ -165,6 +165,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("q_pivot: explicit values list ⇒ one scan, partial→final aggregate, no distinct pass") {
+    // AQE prints the initial plan below the final one — count only the final
+    val p = planOf("q_pivot").split("== Initial Plan ==").head
+    withClue(s"q_pivot plan:\n$p") {
+      p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+      p.linesIterator.count(_.contains("Scan parquet")) shouldBe 1
+      p.contains("Expand") shouldBe false
+    }
+  }
+
   test("dd_semantic: cluster-keyed equi-join for pairs — never a cartesian product") {
     val p = planOf("dd_semantic")
     withClue(s"dd_semantic plan:\n$p") {
