@@ -175,6 +175,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_split: pair generation is the inverted-index equi-join — never a cartesian product") {
+    val p = planOf("tx_split")
+    withClue(s"tx_split plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      p.contains("BroadcastNestedLoopJoin") shouldBe false
+      // the split decision is scan-side: no window anywhere
+      p.contains("Window") shouldBe false
+    }
+  }
+
   test("dd_semantic: cluster-keyed equi-join for pairs — never a cartesian product") {
     val p = planOf("dd_semantic")
     withClue(s"dd_semantic plan:\n$p") {
