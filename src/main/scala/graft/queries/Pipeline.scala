@@ -477,7 +477,13 @@ object Pipeline {
     val eigOk = vars.zip(model.eigenvalues).forall { case (v, l) =>
       math.abs(v - l) <= 1e-6 * math.max(1.0, math.abs(l))
     }
-    val varExplainedOk = model.varianceExplained >= 0.15 // measured ~0.30 on the synthetic corpus
+    // invariant, not calibration: the top-k of dim eigenvalues always
+    // explain >= k/dim of the trace (equality iff perfectly isotropic),
+    // so this holds at EVERY scale factor — the 10x corpus's per-copy
+    // rotations flatten the spectrum and broke the old hand-tuned 0.15
+    // floor, while a bottom-k / unsorted eigensolver bug still fails it
+    val varExplainedOk =
+      model.varianceExplained >= model.k.toDouble / model.dim - 1e-9
     val s2 = s
     import s2.implicits._
     Seq((n, model.dim, model.k,
