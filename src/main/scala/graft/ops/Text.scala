@@ -169,6 +169,10 @@ object Text {
     * as [[sampleByStrata]] — re-runs, repartitions and incremental
     * builds all keep the identical row set. The only corpus-sized work
     * is one scan + one count-shuffle of (source) keys.
+    *
+    * Null-stratum rows are DROPPED (the rates equi-join has no null
+    * key): a row with no source can't be budgeted. Coalesce the
+    * stratum column to a sentinel first if such rows must survive.
     */
   def sampleByMixture(df: DataFrame, strataCol: String, idCol: String,
                       alpha: Double, budget: Double, salt: Long = 0L): DataFrame = {

@@ -71,6 +71,34 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
       k = 2, nlist = 2, nprobe = 1).collect()
   }
 
+  test("round-5 additions tolerate null/empty text and degenerate strata") {
+    // normalized dedup: null normalizes to null (null-safe grouping,
+    // same contract as exactGroups); "" and " " normalize to the SAME
+    // empty string and must collapse
+    val g = Dedup.normalizedGroups(dirty, "id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    g(2L) shouldBe 1L // null group survives alone
+    g(3L) shouldBe 2L // "" and " " collapse
+    g(1L) shouldBe 2L // the two real duplicates
+    // LM scoring: null/empty/1-token docs simply drop out, never throw
+    // (" " splits to two empty tokens → one ("","") bigram, identically
+    // in Spark and DuckDB, so id=4 legitimately scores)
+    val px = Text.lmCrossEntropy(dirty, "id", "text", isTarget = col("id") =!= 2L)
+    noException should be thrownBy px.collect()
+    px.collect().map(_.getLong(0)).sorted shouldBe Array(1L, 4L, 5L)
+    // leak-safe split: every row gets a verdict, null text is its own
+    // singleton component
+    val sp = Text.leakSafeSplit(dirty, "id", "text", valFrac = 0.5)
+    sp.count() shouldBe 5L
+    // mixture sampling over a null stratum: null-keyed rows get the
+    // default equi-join drop (no match → excluded), real strata sampled
+    val src = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "a"), Row(2L, null), Row(3L, "a")),
+      StructType(Seq(StructField("id", LongType), StructField("src", StringType))))
+    noException should be thrownBy
+      Text.sampleByMixture(src, "src", "id", alpha = 0.5, budget = 3.0).collect()
+  }
+
   test("multimodal tolerates empty and null blobs") {
     val media = spark.createDataFrame(
       java.util.Arrays.asList(
