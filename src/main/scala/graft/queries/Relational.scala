@@ -167,6 +167,20 @@ object Relational {
         col("n"))
       .orderBy("rf", "ls")
 
+  /** Set operations: customers active in 1995 INTERSECT / EXCEPT those
+    * active in 1996. Spark plans both as aggregate + left-semi/anti
+    * hash joins over the distinct key sets — set semantics without a
+    * sort, partial aggregation on both sides.
+    */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+    val b = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+    a.intersect(b).withColumn("setop", lit("both"))
+      .unionByName(a.except(b).withColumn("setop", lit("only_first")))
+      .orderBy("setop", "o_custkey")
+  }
+
   /** Pivot (wide aggregation): per-linestatus quantity sums pivoted to
     * one column per return flag. The values list is explicit, so Spark
     * skips the extra distinct-scan pass and the plan is ONE partial→
@@ -339,6 +353,7 @@ object Relational {
     q("q_date_buckets")(qDateBuckets),
     q("q_rollup")(qRollup),
     q("q_pivot")(qPivot),
+    q("q_setops")(qSetOps),
     q("q_sketch")(qSketch),
     q("q_range_join")(qRangeJoin),
     q("q_bucketed")(qBucketed),
@@ -357,6 +372,15 @@ object Relational {
         | coalesce(sum(CASE WHEN l_returnflag = 'N' THEN round(l_quantity*100)::BIGINT END), 0) / 100.0 AS qty_n,
         | coalesce(sum(CASE WHEN l_returnflag = 'R' THEN round(l_quantity*100)::BIGINT END), 0) / 100.0 AS qty_r
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_setops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |SELECT o_custkey, 'both' AS setop
+        |FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_first' AS setop
+        |FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+        |ORDER BY setop, o_custkey""".stripMargin,
     // money/quantity math in exact integer cents / micro-units with
     // integer half-up rounding — the bit-identical twin of the Spark side
     "q1_agg" ->
