@@ -231,6 +231,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Exact quantiles (linear interpolation) per group — the exact twin
+    * of q_sketch's approx_percentile: Spark's `percentile` buffers every
+    * group value, so it is the SMALL-GROUP / verification path; at
+    * 100 TB the one-pass bounded-memory sketch in q_sketch is the
+    * production path, and this query is what certifies its error band.
+    */
+  def qMedian(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("__p50"),
+        expr("percentile(l_quantity, 0.9)").as("__p90"),
+        expr("percentile(l_extendedprice, 0.5)").as("__pp50"))
+      .select(col("l_returnflag"),
+        round(col("__p50"), 4).as("qty_p50"),
+        round(col("__p90"), 4).as("qty_p90"),
+        round(col("__pp50"), 4).as("price_p50"))
+      .orderBy("l_returnflag")
+
   /** Hourly tumbling-window event aggregate — the shared batch/stream
     * transformation ([[graft.streaming.EventAggs]]); the oracle verifies
     * the same logic the streaming path runs behind a watermark.
@@ -354,6 +373,7 @@ object Relational {
     q("q_rollup")(qRollup),
     q("q_pivot")(qPivot),
     q("q_setops")(qSetOps),
+    q("q_median")(qMedian),
     q("q_sketch")(qSketch),
     q("q_range_join")(qRangeJoin),
     q("q_bucketed")(qBucketed),
@@ -381,6 +401,14 @@ object Relational {
         |SELECT o_custkey, 'only_first' AS setop
         |FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
         |ORDER BY setop, o_custkey""".stripMargin,
+    // both engines define the continuous quantile as lower+(upper-lower)
+    // *frac at rank (n-1)*p over identical doubles
+    "q_median" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+        | round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // money/quantity math in exact integer cents / micro-units with
     // integer half-up rounding — the bit-identical twin of the Spark side
     "q1_agg" ->
