@@ -432,6 +432,42 @@ object Text {
         round(sum(col("__c") * col("__lw")), 4).as("dsir_logw"))
   }
 
+  // ----------------------------------------------- TF-IDF keywords
+
+  /** Top-k TF-IDF keywords per document: tfidf(w, d) = tf · ln(N/df),
+    * ranked per doc through the bounded-heap topn_rows aggregate (no
+    * window shuffle), tie-broken by the word's FIRST OCCURRENCE
+    * position — a deterministic long both engines can compute, unlike a
+    * string collation order the heap can't hold. Scores are rounded to
+    * 4 dp BEFORE ranking on both sides: equal-real scores from
+    * different (tf, df) factorizations (2·ln(N/x) = ln(N/x²·N) exactly)
+    * can differ in final ulp between libm implementations, and the
+    * rounding collapses them onto the same value so the position
+    * tie-break decides identically everywhere.
+    *
+    * Shape at 100 TB: one exploded scan → per-(doc, word) partial-agg
+    * counts (the corpus' one shuffle), a vocab-sized df table joined
+    * back on the word key, and the map-side-reducing top-k — no window,
+    * no driver. Hash words to a bounded bucket count first if the raw
+    * vocabulary outgrows the shuffle.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val pw = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+    val tf = pw.groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__tf"), min("__pos").as("__fpos"))
+    val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    tf.join(dfreq, "__w").crossJoin(broadcast(n))
+      .withColumn("__tfidf", round(col("__tf") * log(col("__n") / col("__df")), 4))
+      .groupBy(idCol)
+      .agg(graft.functions.FunctionDefs.callAgg("topn_rows",
+        col("__fpos"), struct(col("__w"), col("__tfidf")), col("__tfidf"), lit(k)).as("__top"))
+      .select(col(idCol), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col(idCol), (col("__r") + 1).cast("int").as("rank"),
+        col("__t.payload.__w").as("word"), col("__t.payload.__tfidf").as("tfidf"))
+  }
+
   // ------------------------------- LM perplexity filter (CCNet-style)
 
   /** Per-document cross-entropy under an interpolated add-1-smoothed

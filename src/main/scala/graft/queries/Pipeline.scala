@@ -838,6 +838,13 @@ object Pipeline {
         k = 3, threshold = 0.8, valFrac = 0.1, salt = 0L)
       .orderBy("doc_id")
 
+  /** Top-5 TF-IDF keywords per doc; the oracle recomputes tf/df/N and
+    * replays the rounded score with the first-occurrence tie-break.
+    */
+  def txKeywords(s: SparkSession, dir: String): DataFrame =
+    Text.tfidfKeywords(Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank")
+
   /** Pile-style temperature mixture sampling (α=0.5, budget 300 docs):
     * per-source rates derive from the data, the keep decision is the
     * exact-integer hash; the oracle recomputes rates and replays every
@@ -922,6 +929,7 @@ object Pipeline {
     "tx_dsir" -> txDsir _,
     "tx_perplexity" -> txPerplexity _,
     "tx_mixture" -> txMixture _,
+    "tx_keywords" -> txKeywords _,
     "tx_split" -> txSplit _,
     "ann_knn_label" -> annKnnLabel _,
     "dd_incremental" -> ddIncremental _,
@@ -1526,6 +1534,26 @@ object Pipeline {
          |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY 1)
          |SELECT count(DISTINCT comp)::BIGINT AS n_exact_groups, 1 AS refinement_ok
          |FROM cc""".stripMargin,
+    // tf/df/N refit; 0-based lockstep positions mirror posexplode; the
+    // 4-dp-rounded score and first-occurrence tie-break replayed
+    "tx_keywords" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |pw AS (SELECT doc_id,
+        |         unnest(w) AS word,
+        |         unnest(range(0, len(w))) AS pos
+        |       FROM t),
+        |tf AS (SELECT doc_id, word, count(*) AS tf, min(pos) AS fpos
+        |       FROM pw GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |sc AS (SELECT doc_id, word, fpos,
+        |         round(tf * ln(n.n / df), 4) AS tfidf
+        |       FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |r AS (SELECT doc_id, word, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, fpos) AS rank
+        |      FROM sc)
+        |SELECT doc_id, rank::INT AS rank, word, tfidf
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     // per-source α-temperature rates recomputed from the data, then the
     // exact-integer hash decision replayed per row
     "tx_mixture" ->

@@ -274,6 +274,29 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got.find(_._1 == 2L).get._3 should be > got.find(_._1 == 3L).get._3
   }
 
+  test("tfidfKeywords: scores match a local replay; equal-real scores tie-break by first position") {
+    import scala.jdk.CollectionConverters._
+    // N=4: in doc 1, 'b' (tf=2, df=2) scores 2·ln(2) and 'a' (tf=1, df=1)
+    // scores ln(4) — EQUAL reals from different factorizations; the
+    // 4-dp round + first-occurrence tie-break must put 'b' (pos 0)
+    // ahead of 'a' (pos 2) deterministically
+    val rows = Seq((1L, "b b a c"), (2L, "b c"), (3L, "d d d"), (4L, "e"))
+    val df = SparkTestSession.session.createDataFrame(
+      rows.map { case (i, t) => org.apache.spark.sql.Row(i, t) }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    val got = Text.tfidfKeywords(df, "id", "text", k = 3)
+      .collect().groupBy(_.getLong(0))
+    def kw(id: Long) = got(id).sortBy(_.getInt(1)).map(r => (r.getString(2), r.getDouble(3))).toSeq
+    kw(1L).map(_._1) shouldBe Seq("b", "a", "c")
+    kw(1L)(0)._2 shouldBe (math.rint(2 * math.log(2) * 1e4) / 1e4) +- 1e-9
+    kw(1L)(1)._2 shouldBe (math.rint(math.log(4) * 1e4) / 1e4) +- 1e-9
+    kw(1L)(2)._2 shouldBe (math.rint(math.log(2) * 1e4) / 1e4) +- 1e-9
+    kw(3L) shouldBe Seq(("d", math.rint(3 * math.log(4) * 1e4) / 1e4))
+    kw(4L).map(_._1) shouldBe Seq("e")
+  }
+
   test("leakSafeSplit: near-dup components never straddle the split; extremes are total") {
     import scala.jdk.CollectionConverters._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
