@@ -185,6 +185,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_keywords: per-doc top-k is the bounded-heap aggregate, not a window") {
+    val p = planOf("tx_keywords")
+    withClue(s"tx_keywords plan:\n$p") {
+      p.contains("Window") shouldBe false
+      p should include("partial_topn_rows")
+    }
+  }
+
   test("dd_semantic: cluster-keyed equi-join for pairs — never a cartesian product") {
     val p = planOf("dd_semantic")
     withClue(s"dd_semantic plan:\n$p") {
