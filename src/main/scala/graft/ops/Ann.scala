@@ -86,6 +86,33 @@ object Ann {
       .select("qid", "id", "rank", "cos", "neg_label")
   }
 
+  /** Per-label prototype centroids: one vec_sum-aggregated mean vector
+    * per label — label-cardinality rows to the driver/broadcast, never
+    * data. Output: (label, n, centroid).
+    */
+  def labelCentroids(corpus: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    import graft.functions.FunctionDefs.callAgg
+    corpus.select(col(labelCol).as("label"), Vectors.toDouble(col(vecCol)).as("__v"))
+      .groupBy("label")
+      .agg(callAgg("vec_sum", col("__v")).as("__sum"), count(lit(1)).as("n"))
+      .select(col("label"), col("n"), expr("transform(__sum, x -> x / n)").as("centroid"))
+  }
+
+  /** Prototype-cosine audit: every vector's cosine to its OWN label's
+    * centroid (the SemDeDup-paper-style prototype distance; low scores
+    * are candidate mislabels/outliers — the geometric complement of
+    * [[knnClassify]]'s vote-based audit). The centroid table is
+    * label-cardinality-sized and broadcasts onto the scan; the corpus
+    * never shuffles. Output: (id, label, proto_cos).
+    */
+  def prototypeCos(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"), col(labelCol).as("label"),
+        Vectors.toDouble(col(vecCol)).as("__v"))
+      .join(broadcast(labelCentroids(corpus, vecCol, labelCol)), Seq("label"))
+      .select(col("id"), col("label"),
+        Vectors.cosine(col("__v"), col("centroid")).as("proto_cos"))
+
   /** kNN label classification / label-quality audit: majority label over
     * each query's k cosine-nearest neighbors (the standard kNN vote —
     * the training-data use is auditing noisy labels: `correct = 0` rows

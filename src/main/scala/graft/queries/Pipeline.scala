@@ -866,6 +866,18 @@ object Pipeline {
       .orderBy("qid")
   }
 
+  /** Prototype-cosine label audit: every vector scored against its own
+    * label's centroid; the oracle refits all ten centroids per-dimension
+    * in SQL and recomputes every cosine.
+    */
+  def annCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.prototypeCos(e, "vec_id", "embedding", "label")
+      .select(col("id").as("vec_id"), col("label"),
+        round(col("proto_cos"), 6).as("proto_cos"))
+      .orderBy("vec_id")
+  }
+
   /** DSIR-style importance weights with lang='en' as the target
     * distribution; the oracle refits both smoothed unigram models and
     * replays the per-doc log-likelihood-ratio sum in SQL.
@@ -932,6 +944,7 @@ object Pipeline {
     "tx_keywords" -> txKeywords _,
     "tx_split" -> txSplit _,
     "ann_knn_label" -> annKnnLabel _,
+    "ann_centroid" -> annCentroid _,
     "dd_incremental" -> ddIncremental _,
     "dd_normalized" -> ddNormalized _,
     "ann_hardneg" -> annHardneg _,
@@ -1563,6 +1576,17 @@ object Pipeline {
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
         |WHERE ((d.doc_id * 2654435761 + 7) % 1000000007)::DOUBLE < rate * 1000000007.0
         |ORDER BY doc_id""".stripMargin,
+    // centroids refit per (label, dim) via lockstep unnest, reassembled
+    // ordered, every cosine recomputed
+    "ann_centroid" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |d AS (SELECT label, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |m AS (SELECT label, i, sum(x) / count(*) AS c FROM d GROUP BY label, i),
+        |cl AS (SELECT label, list(c ORDER BY i) AS cv FROM m GROUP BY label)
+        |SELECT e.vec_id, e.label,
+        |  round(list_dot_product(e.v, cl.cv) /
+        |        (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cl.cv, cl.cv))), 6) AS proto_cos
+        |FROM e JOIN cl USING (label) ORDER BY e.vec_id""".stripMargin,
     // 10-NN majority vote: ranking, vote counts, (votes desc, label asc)
     // argmax and the correctness flag all replayed
     "ann_knn_label" ->

@@ -139,6 +139,25 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("prototypeCos: centroids and cosines match a local replay; outliers score lowest") {
+    val labels: Map[Long, Int] = corpus.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Ann.prototypeCos(corpus, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.size shouldBe localVecs.size
+    // local centroids per label
+    val byLabel = localVecs.toSeq.groupBy { case (id, _) => labels(id) }
+    val cents = byLabel.map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val c = new Array[Double](dim)
+      vs.foreach { case (_, v) => var i = 0; while (i < dim) { c(i) += v(i); i += 1 } }
+      l -> c.map(_ / vs.size)
+    }
+    localVecs.foreach { case (id, v) =>
+      got(id) shouldBe cos(v, cents(labels(id))) +- 1e-9
+    }
+  }
+
   test("knnClassify: majority vote with (votes desc, label asc) tie-break matches a local replay") {
     val labels: Map[Long, Int] = corpus.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
