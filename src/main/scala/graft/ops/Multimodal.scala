@@ -152,6 +152,110 @@ object Multimodal {
     }.toDF(idCol, "img_w", "img_h", "px_sum")
   }
 
+  /** Deterministic multi-frame test video: a 2 + id % 3 frame animated
+    * GIF (the one multi-frame container the JDK encodes/decodes without
+    * external codecs), frame size (1 + id % 6) × (1 + id % 4), pixel
+    * (f, x, y) = (id·31 + f·97 + y·w + x) mod 256 as a 256-gray indexed
+    * palette. GIF's LZW is lossless over indexed data and palettes are
+    * stored exactly, so every decoded frame property is pure arithmetic
+    * an oracle replays — the real-codec contract of [[synthPng]],
+    * extended to the frame-sampling shape.
+    */
+  def synthGif(id: Long): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val frames = (2 + id % 3).toInt
+    val w = (1 + id % 6).toInt
+    val h = (1 + id % 4).toInt
+    val gray = new Array[Byte](256 * 3)
+    var i = 0
+    while (i < 256) {
+      gray(3 * i) = i.toByte; gray(3 * i + 1) = i.toByte; gray(3 * i + 2) = i.toByte
+      i += 1
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, 0, false)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream(512)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    // the JDK GIF writer interlaces by default and writes corrupt row
+    // data for small frames (rows land at interlace positions with the
+    // tail truncated) — force sequential scan order
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var yy = 0
+        while (yy < h) {
+          var xx = 0
+          while (xx < w) {
+            raster.setSample(xx, yy, 0, ((id * 31 + f * 97 + yy * w + xx) % 256).toInt)
+            xx += 1
+          }
+          yy += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    baos.toByteArray
+  }
+
+  /** (id) → (id, media = animated GIF bytes). Scan-side, no shuffle. */
+  def synthesizeGifs(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map(id => (id, synthGif(id)))))
+      .toDF(idCol, "media")
+  }
+
+  /** REAL video-frame sampling: decode every `stride`-th frame of each
+    * multi-frame GIF through one per-partition ImageReader (same SPI
+    * amortization as [[decodeImages]]), emitting
+    * (id, frame_idx, frame_w, frame_h, px_sum). Gray values are read
+    * back through the reconstructed palette color (getRGB & 0xFF) so the
+    * roundtrip is exact even if the encoder permutes palette indices.
+    * flatMap explode at the scan — frames fan out before any wide
+    * operator, the production frame-sampling shape with a real codec.
+    */
+  def decodeFrames(spark: SparkSession, media: DataFrame, idCol: String,
+                   stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.filter(col("media").isNotNull)
+        .select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.flatMap { case (id, bytes) =>
+          val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(stream)
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { f =>
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var yy = 0
+              while (yy < h) {
+                var xx = 0
+                while (xx < w) { sum += (img.getRGB(xx, yy) & 0xff); xx += 1 }
+                yy += 1
+              }
+              (id, f, w, h, sum)
+            }.toVector
+          } finally stream.close()
+        }
+      }
+    }.toDF(idCol, "frame_idx", "frame_w", "frame_h", "px_sum")
+  }
+
   /** Deterministic test audio: 16-bit mono PCM at 8 kHz, 16 + id % 32
     * samples, sample(i) = ((id·131 + i·17) mod 65536) − 32768 — every
     * decoded property is recomputable from id alone (WAV PCM is

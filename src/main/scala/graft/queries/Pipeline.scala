@@ -689,6 +689,16 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Real multi-frame decode: every 2nd frame of per-doc animated GIFs;
+    * GIF is lossless indexed, so the oracle replays frame indices,
+    * dimensions and per-frame pixel sums arithmetically.
+    */
+  def mmVideo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    Multimodal.decodeFrames(s, Multimodal.synthesizeGifs(s, docs, "doc_id"), "doc_id", stride = 2)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.features(s, media, "doc_id")
@@ -958,7 +968,8 @@ object Pipeline {
     "mm_resize" -> mmResize _,
     "mm_frames" -> mmFrames _,
     "mm_decode" -> mmDecode _,
-    "mm_audio" -> mmAudio _
+    "mm_audio" -> mmAudio _,
+    "mm_video" -> mmVideo _
   )
 
   private val cosSql =
@@ -1701,6 +1712,20 @@ object Pipeline {
         | list_sum([(doc_id * 31 + i) % 256
         |           for i in range(0, ((1 + doc_id % 8) * (1 + doc_id % 5))::INT)])::BIGINT AS px_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the GIF synthesis formula replayed arithmetically: indexed GIF is
+    // lossless, so the real multi-frame decode must reproduce every
+    // sampled frame's dimensions and pixel sum exactly
+    "mm_video" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, (2 + doc_id % 3)::INT, 2))::INT AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        | (1 + doc_id % 6)::INT AS frame_w,
+        | (1 + doc_id % 4)::INT AS frame_h,
+        | list_sum([(doc_id * 31 + frame_idx * 97 + p) % 256
+        |           for p in range(0, ((1 + doc_id % 6) * (1 + doc_id % 4))::INT)])::BIGINT AS px_sum
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     // the WAV synthesis formula replayed arithmetically: WAV PCM is
     // lossless, so the real javax.sound decode must reproduce it exactly
     "mm_audio" ->

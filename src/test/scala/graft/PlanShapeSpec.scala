@@ -117,6 +117,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("mm_video: frame decode is a narrow flatMap — no shuffle before the frame stage") {
+    val p = planOf("mm_video")
+    withClue(s"plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      // frames fan out inside the scan-side flatMap, not via a Generate/explode
+      p.linesIterator.count(_.contains("Exchange")) should be <= 2
+    }
+  }
+
   test("mm_audio: decode is a narrow map — no shuffle before the audio stage") {
     val p = planOf("mm_audio")
     withClue(s"plan:\n$p") {

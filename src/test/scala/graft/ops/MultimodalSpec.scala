@@ -128,6 +128,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("real GIF frame sampling: javax.imageio roundtrips every strided frame exactly") {
+    import spark.implicits._
+    // direct: encode then decode one animation, compare frame count + every sample
+    val bytes = Multimodal.synthGif(42L)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    reader.setInput(stream)
+    reader.getNumImages(true) shouldBe (2 + 42 % 3)
+    val (w, h) = (1 + 42 % 6, 1 + 42 % 4)
+    for (f <- 0 until reader.getNumImages(true)) {
+      val img = reader.read(f)
+      img.getWidth shouldBe w
+      img.getHeight shouldBe h
+      for (y <- 0 until h; x <- 0 until w)
+        (img.getRGB(x, y) & 0xff) shouldBe ((42 * 31 + f * 97 + y * w + x) % 256)
+    }
+    stream.close(); reader.dispose()
+    // through the batched operator: strided frame indices + dims + pixel sums
+    val ids = spark.range(40).select(col("id").as("doc_id"))
+    val out = Multimodal.decodeFrames(
+      spark, Multimodal.synthesizeGifs(spark, ids, "doc_id"), "doc_id", stride = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    out.length shouldBe (0L until 40L).map(id => (2 + id % 3 + 1) / 2).sum
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val f = r.getInt(1)
+      val (ww, hh) = (1 + id % 6, 1 + id % 4)
+      f % 2 shouldBe 0
+      r.getInt(2).toLong shouldBe ww
+      r.getInt(3).toLong shouldBe hh
+      r.getLong(4) shouldBe (0L until ww * hh).map(p => (id * 31 + f * 97 + p) % 256).sum
+    }
+  }
+
   test("batch grouping handles partitions larger than BatchSize") {
     import spark.implicits._
     val big = spark.range(3 * Multimodal.BatchSize + 17).select(
