@@ -180,6 +180,7 @@ object FunctionDefs {
       case "topn_rows"         => TopNRowsAgg(exprs(0), exprs(1), exprs(2), exprs(3))
       case "vec_sum"           => VectorSumAgg(exprs.head)
       case "bloom_agg"         => BloomAgg(exprs(0), exprs(1), exprs(2))
+      case "cms_agg"           => CmsAgg(exprs(0), exprs(1), exprs(2))
       case "vec_outer_sum"     => VectorOuterSumAgg(exprs.head)
       case "st_convexhullaggr" => ConvexHullAgg(exprs.head)
       case other               => throw new IllegalArgumentException(s"unknown aggregate $other")

@@ -49,6 +49,10 @@ object FunctionRegistration {
       require(children.size == 3, "bloom_agg(hash, numBits, numHashes)")
       BloomAgg(children(0), children(1), children(2))
     }),
+    "cms_agg" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 3, "cms_agg(key, depth, width)")
+      CmsAgg(children(0), children(1), children(2))
+    }),
     "vec_outer_sum" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.size == 1, "vec_outer_sum(array<double>)")
       VectorOuterSumAgg(children.head)

@@ -230,6 +230,67 @@ object Ann {
     * — computed scan-side by the native codegen'd lsh_bucket expression,
     * no shuffle, no stored hyperplane matrix.
     */
+  /** Per-corpus-row maximum cosine against a SMALL broadcast reference
+    * set — the semantic twin of n-gram benchmark decontamination
+    * (reference = the eval suite's embeddings; a train item too close to
+    * any eval item is flagged), also usable as a nearest-centroid /
+    * nearest-exemplar audit. All |ref| candidates are scored scan-side
+    * off the broadcast and reduced by a map-side
+    * max(struct(cos, −ref_id)) — complete before the shuffle, so the
+    * corpus contributes one row per id to the exchange regardless of
+    * reference size. Ties break toward the LOWER reference id. Output:
+    * (id, ref_id, cos).
+    */
+  def maxSimToSet(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      ref: DataFrame, refIdCol: String, refVecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
+    val r = ref.select(col(refIdCol).as("__rid"), Vectors.toDouble(col(refVecCol)).as("__rv"))
+    c.crossJoin(broadcast(r))
+      .select(col("id"),
+        struct(Vectors.cosine(col("__v"), col("__rv")).as("c"),
+          (-col("__rid")).as("nrid")).as("__s"))
+      .groupBy("id")
+      .agg(max(col("__s")).as("__m"))
+      .select(col("id"), (-col("__m.nrid")).as("ref_id"), col("__m.c").as("cos"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    * heterogeneous rankings — the standard hybrid-retrieval combiner
+    * (sparse BM25 + dense cosine, or any mix): each system's rank list
+    * contributes 1/(c + rank) and the fused score is the sum, so
+    * systems never need score calibration, only ranks. Input rankings
+    * each carry (qid, id, rank); output (qid, id, rank, rrf) is the
+    * fused top-k per query. `excludeSelf` drops id == qid rows before
+    * fusion (query-by-example retrieval).
+    *
+    * Scale shape: each input ranking is already ≤k·queries rows (built
+    * by bounded-heap rankers), so the union + partial-agg sum is tiny
+    * regardless of corpus size; the final per-query top-k reuses the
+    * same bounded-heap aggregate — no window shuffle anywhere. Fusion
+    * sums are order-safe across engines: with ≤2 systems the sum is one
+    * commutative IEEE add of exact dyadic-free terms computed
+    * identically from integer ranks.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60,
+              excludeSelf: Boolean = false): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val u = rankings
+      .map(_.select(col("qid"), col("id"), col("rank")))
+      .reduce(_ unionByName _)
+    val filtered = if (excludeSelf) u.filter(col("id") =!= col("qid")) else u
+    val fused = filtered
+      .groupBy("qid", "id")
+      .agg(sum(lit(1.0) / (lit(c) + col("rank"))).as("__rrf"))
+    fused
+      .groupBy("qid")
+      .agg(graft.functions.FunctionDefs.callAgg("topk_by_score",
+        col("id"), col("__rrf"), lit(k)).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__t")))
+      .select(col("qid"), col("__t.id").as("id"),
+        (col("__r") + 1).cast("int").as("rank"), col("__t.score").as("rrf"))
+  }
+
   def lshBucket(vecCol: String, nBits: Int, seed: Long = 7): org.apache.spark.sql.Column =
     graft.functions.FunctionDefs.call("lsh_bucket",
       Vectors.toDouble(col(vecCol)), lit(nBits), lit(seed))

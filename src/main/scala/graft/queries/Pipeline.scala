@@ -193,6 +193,32 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  /** Hybrid retrieval: sparse BM25 over document text and dense cosine
+    * over embeddings, fused with reciprocal-rank fusion (query-by-example:
+    * each query doc's first 5 distinct tokens are its keyword query, its
+    * embedding its dense query; the self doc is excluded from the fused
+    * list). Both base rankings use bounded-heap top-k aggregates and the
+    * fusion is a tiny union + partial agg — the corpus is scanned once
+    * per system and never shuffled whole. The oracle replays both
+    * rankings and the 1/(60+rank) fusion arithmetic end-to-end.
+    */
+  def annHybrid(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // dense side restricted to ids that exist as documents, so both
+    // systems rank the same id space
+    val e = Tables.embeddings(s, dir)
+      .join(docs.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val qTerms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(slice(split(col("text"), " "), 1, 5))).as("term"))
+    val textRank = Text.bm25TopK(docs, "doc_id", "text", qTerms, "qid", "term", k = 20)
+    val denseRank = Ann.bruteForce(e, "vec_id", "embedding",
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+    Ann.rrfFuse(Seq(textRank, denseRank), k = 10, excludeSelf = true)
+      .select(col("qid"), col("id"), col("rank"), round(col("rrf"), 6).as("rrf"))
+      .orderBy("qid", "rank")
+  }
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Ann.lshTopK(e, "vec_id", "embedding",
@@ -402,6 +428,30 @@ object Pipeline {
   def txBpe(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.learn(Tables.documents(s, dir), "text", nMerges = 10)
       .orderBy("step")
+
+  /** The BPE APPLY path: tokenize every document with the learned merge
+    * table (collected to the driver — 10 rows, the tokenizer artifact a
+    * pipeline ships) entirely scan-side: per-word encode is `nMerges`
+    * chained literal replaces inside a `transform` lambda, token counts
+    * and the lossless-roundtrip flag fold over the nested arrays — no
+    * shuffle, no UDF, whole-stage codegen. The oracle RE-LEARNS the
+    * merges in SQL (the tx_bpe CTEs) and replays the encode word-for-
+    * word, so n_tokens and roundtrip_ok are value-equal, not just flags.
+    */
+  def txBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges: Seq[(String, String)] =
+      graft.ops.Bpe.learn(docs, "text", nMerges = 10)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = filter(split(col("text"), " "), w => w =!= "")
+    val encs = transform(words, w => graft.ops.Bpe.encode(w, merges))
+    docs.select(col("doc_id"),
+        size(words).cast("int").as("n_words"),
+        aggregate(encs, lit(0), (acc, t) => acc + size(t)).cast("int").as("n_tokens"),
+        (transform(encs, t => array_join(t, "")) === words).cast("int").as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
 
   /** The distributed half of PCA — the one-pass (n, Σv, Σv·vᵀ) moment
     * aggregation ([[graft.functions.VectorOuterSumAgg]]) — value-checked
@@ -739,6 +789,23 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Semantic benchmark decontamination — the embedding-space twin of
+    * `tx_decontam`'s n-gram check: every train vector's max cosine to
+    * the (broadcast) eval set, the eval item that attains it (lower-id
+    * tie-break), and a contamination flag at 0.95. The flag compares on
+    * the UNROUNDED cosine in both engines; rounding is display-only.
+    */
+  def txDecontamVec(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val evalSet = e.filter(col("vec_id") % 97 === 0)
+    val train = e.filter(col("vec_id") % 97 =!= 0)
+    Ann.maxSimToSet(train, "vec_id", "embedding", evalSet, "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("ref_id").as("eval_id"),
+        round(col("cos"), 6).as("max_cos"),
+        when(col("cos") >= 0.95, 1).otherwise(0).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
   /** Duplicate-span (substring-level) dedup signal: distinct 12-word
     * n-grams occurring in ≥2 documents, reported per document. The
     * oracle replays the posting-list document-frequency computation in
@@ -921,6 +988,7 @@ object Pipeline {
     "dd_semantic_refine" -> ddSemanticRefine _,
     "dd_embed_recall" -> ddEmbedRecall _,
     "ann_brute" -> annBrute _,
+    "ann_hybrid" -> annHybrid _,
     "ann_lsh" -> annLsh _,
     "ann_ivf" -> annIvf _,
     "ann_lsh_exhaustive" -> annLshExhaustive _,
@@ -948,6 +1016,7 @@ object Pipeline {
     "tx_topdocs" -> txTopdocs _,
     "tx_curate" -> txCurate _,
     "tx_decontam" -> txDecontam _,
+    "tx_decontam_vec" -> txDecontamVec _,
     "tx_dsir" -> txDsir _,
     "tx_perplexity" -> txPerplexity _,
     "tx_mixture" -> txMixture _,
@@ -962,6 +1031,7 @@ object Pipeline {
     "tx_pii" -> txPii _,
     "dd_spans" -> ddSpans _,
     "tx_bpe" -> txBpe _,
+    "tx_bpe_apply" -> txBpeApply _,
     "tx_bm25" -> txBm25 _,
     "tx_pack" -> txPack _,
     "mm_features" -> mmFeatures _,
@@ -1013,7 +1083,11 @@ object Pipeline {
     * desc, pair asc) tie-break, then the same wrapped-string greedy
     * replace the Spark side uses. chr(1) = the U+0001 separator.
     */
-  private def bpeOracleSql(n: Int): String = {
+  /** The BPE learning loop as shared CTEs (w0 + per-round l/p/c/m/w):
+    * both the learn oracle (tx_bpe) and the apply oracle (tx_bpe_apply)
+    * re-derive the merges from scratch in SQL.
+    */
+  private def bpeCtes(n: Int): String = {
     val base =
       """w0 AS (
         |  SELECT cnt, chr(1) || array_to_string(string_split(word, ''), chr(1)||chr(1)) || chr(1) AS s
@@ -1030,11 +1104,42 @@ object Pipeline {
          |             chr(1)||left_sym||right_sym||chr(1)) AS s
          |  FROM w$r, m$r)""".stripMargin
     }
+    s"$base,\n${rounds.mkString(",\n")}"
+  }
+
+  private def bpeOracleSql(n: Int): String = {
     val union = (0 until n).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ")
-    s"""WITH $base,
-       |${rounds.mkString(",\n")}
+    s"""WITH ${bpeCtes(n)}
        |SELECT step, left_sym, right_sym, pc::BIGINT AS pair_count
        |FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** The encode replayed per word: the re-learned merge patterns are
+    * pivoted into one (p0..p{n-1}, q0..q{n-1}) row, each word is wrapped
+    * exactly like w0 and run through the same n chained replaces, and
+    * token counts / roundtrip concatenation are value-compared.
+    */
+  private def bpeApplyOracleSql(n: Int): String = {
+    val pqCols = (0 until n).map(r =>
+      s"(SELECT chr(1)||left_sym||chr(1)||chr(1)||right_sym||chr(1) FROM m$r) AS p$r, " +
+        s"(SELECT chr(1)||left_sym||right_sym||chr(1) FROM m$r) AS q$r").mkString(",\n  ")
+    val wrapped = "chr(1) || array_to_string(string_split(w, ''), chr(1)||chr(1)) || chr(1)"
+    val encoded = (0 until n).foldLeft(wrapped) { case (s, r) => s"replace($s, p$r, q$r)" }
+    s"""WITH ${bpeCtes(n)},
+       |pq AS (SELECT
+       |  $pqCols),
+       |d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w != '') AS words FROM documents),
+       |enc AS (SELECT doc_id, words,
+       |    list_transform(words, w -> $encoded) AS encs
+       |  FROM d CROSS JOIN pq),
+       |tok AS (SELECT doc_id, words,
+       |    list_transform(encs, s -> list_filter(string_split(s, chr(1)), x -> x != '')) AS toks
+       |  FROM enc)
+       |SELECT doc_id, len(words)::INT AS n_words,
+       |  CASE WHEN words IS NULL THEN NULL
+       |       ELSE coalesce(list_sum(list_transform(toks, t -> len(t))), 0) END::INT AS n_tokens,
+       |  (list_transform(toks, t -> array_to_string(t, '')) = words)::INT AS roundtrip_ok
+       |FROM tok ORDER BY doc_id""".stripMargin
   }
 
   /** The curate funnel replayed stage by stage in SQL (same langid
@@ -1090,6 +1195,48 @@ object Pipeline {
        |  SELECT 5, 'sample', count(*) FROM f5
        |) ORDER BY stage""".stripMargin
   }
+
+  /** Both base rankings (the tx_bm25 formula with per-doc derived query
+    * terms; the ann_brute cosine restricted to the document id space) and
+    * the 1/(60+rank) fusion replayed end-to-end; fusion terms are exact
+    * IEEE doubles from integer ranks, so the sum is engine-independent.
+    */
+  private val rrfHybridSql =
+    s"""WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
+       |dl AS (SELECT id, len(toks) AS dl FROM d),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(len(toks)) AS avgdl FROM d),
+       |q AS (SELECT id AS qid, unnest(list_distinct(toks[1:5])) AS term
+       |      FROM d WHERE id < 5),
+       |tok AS (SELECT id, unnest(toks) AS term FROM d),
+       |tf AS (SELECT id, term, count(*)::DOUBLE AS tf FROM tok
+       |       WHERE term IN (SELECT term FROM q) GROUP BY id, term),
+       |dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |w AS (SELECT tf.id, q.qid,
+       |        ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |        (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+       |      FROM tf JOIN dfreq USING (term) JOIN dl USING (id)
+       |      JOIN q USING (term), stats),
+       |sbm AS (SELECT qid, id, sum(w) AS score FROM w GROUP BY qid, id),
+       |rbm AS (SELECT qid, id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, id) AS rank
+       |       FROM sbm),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |      WHERE vec_id IN (SELECT doc_id FROM documents)),
+       |qv AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |sc AS (SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS c
+       |       FROM qv a JOIN e b ON b.vec_id != a.vec_id),
+       |rc AS (SELECT qid, id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+       |       FROM sc),
+       |u AS (SELECT qid, id, rank FROM rbm WHERE rank <= 20
+       |      UNION ALL SELECT qid, id, rank FROM rc WHERE rank <= 20),
+       |f AS (SELECT qid, id, sum(1.0 / (60 + rank)) AS rrf FROM u
+       |      WHERE id <> qid GROUP BY qid, id),
+       |rf AS (SELECT qid, id, rrf,
+       |         row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, id) AS rank
+       |       FROM f)
+       |SELECT qid, id, rank::INT AS rank, round(rrf, 6) AS rrf
+       |FROM rf WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
   private val bruteTopKSql =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1282,6 +1429,7 @@ object Pipeline {
         | octet_length(encode(text))::INT AS orig_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ann_brute" -> bruteTopKSql,
+    "ann_hybrid" -> rrfHybridSql,
     "ann_lsh_exhaustive" -> bruteTopKSql,
     "ann_ivf_full" -> bruteTopKSql,
     // recall contracts for the DEFAULT approximate regimes: n_brute is
@@ -1416,6 +1564,7 @@ object Pipeline {
         | array_to_string(list_slice(w, s + 1, s + 16), ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "tx_bpe" -> bpeOracleSql(10),
+    "tx_bpe_apply" -> bpeApplyOracleSql(10),
     "tx_curate" -> curateOracleSql,
     // 8-word gram sets with the same distinct/short-text collapse as the
     // native word_shingles builder; eval = doc_id % 97 = 0
@@ -1435,6 +1584,20 @@ object Pipeline {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t
         |LEFT JOIN h USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // all-pairs train×eval cosine with the lower-eval-id argmax tie-break;
+    // the 0.95 flag compares on the unrounded double in both engines
+    "tx_decontam_vec" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT vec_id, v FROM e WHERE vec_id % 97 = 0),
+         |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0),
+         |sc AS (SELECT a.vec_id AS id, b.vec_id AS rid, $cosSql AS c
+         |       FROM tr a CROSS JOIN ev b),
+         |r AS (SELECT id, rid, c,
+         |        row_number() OVER (PARTITION BY id ORDER BY c DESC, rid) AS rn
+         |      FROM sc)
+         |SELECT id AS vec_id, rid AS eval_id, round(c, 6) AS max_cos,
+         |  CASE WHEN c >= 0.95 THEN 1 ELSE 0 END AS contaminated
+         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // identical injected string on both sides; RE2 'g' replace mirrors
     // Spark's replace-all; md5 hex agrees across engines
     "tx_pii" ->

@@ -306,6 +306,42 @@ object Relational {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Count-min-sketch heavy hitters over the event stream: ONE pass of
+    * the `cms_agg` aggregate (4×256 counters; each input partition
+    * reduces to a single 8 KB counter array before the shuffle — at
+    * 100 TB the shuffle is KBs per partition where an exact
+    * `groupBy(user_id)` would move one row per distinct user), then the
+    * top-20 users by exact count get their sketch estimate looked up
+    * scan-side from the collected sketch literal. The exact counts are
+    * the verification twin; `over_ok` asserts the CMS one-sided error
+    * bound (estimates never underestimate). The hash rows are fixed
+    * public affine functions, so the oracle rebuilds the IDENTICAL
+    * sketch in SQL and replays every estimate bucket-for-bucket.
+    */
+  def evHeavy(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CmsAgg.{A, B}
+    val depth = 4
+    val width = 256
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    // one aggregate row: depth·width longs — trivially driver-safe
+    val sketch: Seq[Long] = ev
+      .agg(graft.functions.FunctionDefs.callAgg(
+        "cms_agg", col("user_id"), lit(depth), lit(width)).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    val skLit = typedlit(sketch)
+    val est = least((0 until depth).map { d =>
+      element_at(skLit,
+        (lit(d.toLong * width + 1L) +
+          (col("user_id") * A(d) + B(d)) % width).cast("int"))
+    }: _*)
+    ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("user_id"))
+      .limit(20)
+      .withColumn("cms_est", est)
+      .withColumn("over_ok", when(col("cms_est") >= col("cnt"), 1).otherwise(0))
+      .orderBy(col("cnt").desc, col("user_id"))
+  }
+
   /** Interval join through the cell-bucketed RangeJoin (equi-join on
     * cells, never a nested loop): orders priced inside deterministic
     * per-supplier price bands, counted per band. The oracle replays the
@@ -381,8 +417,37 @@ object Relational {
     q("ev_sessions")(evSessions),
     q("ev_enrich")(evEnrich),
     q("ev_dedup")(evDedup),
-    q("ev_funnel")(evFunnel)
+    q("ev_funnel")(evFunnel),
+    q("ev_heavy")(evHeavy)
   )
+
+  /** The CMS rebuilt in SQL from the SAME `CmsAgg.A`/`CmsAgg.B` affine
+    * hash constants the aggregate uses (single source of truth, like the
+    * langid oracle): bucket sums per hash row over the exact per-key
+    * counts equal the sketch counters exactly, and each top-key estimate
+    * is the min over its depth buckets.
+    */
+  private val evHeavyOracle: String = {
+    val rows = (0 until 4).map(d =>
+      s"(${d}, ${graft.functions.CmsAgg.A(d)}, ${graft.functions.CmsAgg.B(d)})").mkString(", ")
+    s"""WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+       |           WHERE user_id IS NOT NULL GROUP BY 1),
+       |hh AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 20),
+       |hashes(d, a, b) AS (VALUES $rows),
+       |buckets AS (
+       |  SELECT hashes.d, (c.user_id * hashes.a + hashes.b) % 256 AS bucket,
+       |         sum(c.cnt)::BIGINT AS bsum
+       |  FROM c CROSS JOIN hashes GROUP BY 1, 2),
+       |est AS (
+       |  SELECT hh.user_id, min(b.bsum) AS cms_est
+       |  FROM hh CROSS JOIN hashes
+       |  JOIN buckets b ON b.d = hashes.d
+       |    AND b.bucket = (hh.user_id * hashes.a + hashes.b) % 256
+       |  GROUP BY 1)
+       |SELECT hh.user_id, hh.cnt, est.cms_est,
+       |  CASE WHEN est.cms_est >= hh.cnt THEN 1 ELSE 0 END AS over_ok
+       |FROM hh JOIN est USING (user_id) ORDER BY cnt DESC, user_id""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // pivot = conditional sums over exact integer cents
@@ -522,6 +587,7 @@ object Relational {
         |        count(*) OVER (PARTITION BY content_hash) AS n_copies
         |      FROM h)
         |SELECT content_hash, event_id AS survivor_id, n_copies
-        |FROM r WHERE rn = 1 ORDER BY survivor_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY survivor_id""".stripMargin,
+    "ev_heavy" -> evHeavyOracle
   )
 }

@@ -134,6 +134,40 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("ann_hybrid: fused ranking is aggregates end-to-end — no window, no cartesian beyond the broadcast query side") {
+    val p = planOf("ann_hybrid")
+    withClue(s"plan:\n$p") {
+      p.contains("Window") shouldBe false // both top-k stages are bounded-heap aggregates
+      p should include("partial_topk_by_score")
+    }
+  }
+
+  test("ev_heavy: the sketch is one partial-agg pass — KBs per partition cross the shuffle") {
+    val p = planOf("ev_heavy")
+    withClue(s"plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      p.contains("Window") shouldBe false
+    }
+  }
+
+  test("tx_bpe_apply: the encode is scan-side — no explode, no shuffle before the final sort") {
+    val p = planOf("tx_bpe_apply")
+    withClue(s"plan:\n$p") {
+      p.contains("Generate") shouldBe false // transform/aggregate HOFs, not explode
+      p.contains("Window") shouldBe false
+      p.linesIterator.count(_.contains("Exchange")) should be <= 2
+    }
+  }
+
+  test("tx_decontam_vec: eval set broadcasts; the max is a partial aggregate, not a window") {
+    val p = planOf("tx_decontam_vec")
+    withClue(s"plan:\n$p") {
+      p should include("Broadcast") // eval side rides a broadcast join
+      p.contains("Window") shouldBe false
+      p should include("partial_max")
+    }
+  }
+
   test("vec_sum resolves from SQL and plans a partial aggregate") {
     sources.Tables.embeddings(spark, sfDir).limit(50).createOrReplaceTempView("vs_emb")
     val df = spark.sql(

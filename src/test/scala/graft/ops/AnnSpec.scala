@@ -214,6 +214,45 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     differs.count(identity) should be >= 1
   }
 
+  test("maxSimToSet: matches a local max-cosine replay with lower-ref-id tie-break") {
+    val ref = corpus.filter(col("vec_id") % 97 === 0)
+    val train = corpus.filter(col("vec_id") % 97 =!= 0).filter(col("vec_id") < 100)
+    val refVecs = localVecs.filter { case (id, _) => id % 97 == 0 }
+    val got = Ann.maxSimToSet(train, "vec_id", "embedding", ref, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.size shouldBe train.count()
+    got.foreach { case (id, (rid, c)) =>
+      val best = refVecs.toSeq
+        .map { case (r, v) => (r, cos(localVecs(id), v)) }
+        .sortBy { case (r, s) => (-s, r) }.head
+      rid shouldBe best._1
+      c shouldBe best._2 +- 1e-12
+    }
+  }
+
+  test("rrfFuse: matches a local 1/(c+rank) replay, excludes self, tie-breaks by id") {
+    import spark.implicits._
+    // two hand-built rankings with partial overlap and a self hit
+    val sys1 = Seq((0L, 0L, 1), (0L, 10L, 2), (0L, 11L, 3), (0L, 12L, 4)).toDF("qid", "id", "rank")
+    val sys2 = Seq((0L, 11L, 1), (0L, 13L, 2), (0L, 10L, 3)).toDF("qid", "id", "rank")
+    val got = Ann.rrfFuse(Seq(sys1, sys2), k = 10, c = 60, excludeSelf = true)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val expect = Map( // local replay of the fusion arithmetic
+      10L -> (1.0 / 62 + 1.0 / 63), 11L -> (1.0 / 63 + 1.0 / 61),
+      12L -> 1.0 / 64, 13L -> 1.0 / 62)
+      .toSeq.sortBy { case (id, s) => (-s, id) }
+    got.map(_._1).toSeq shouldBe expect.map(_._1) // self (id 0) gone
+    got.zip(expect).foreach { case ((_, rank, rrf), (_, s)) =>
+      rrf shouldBe s +- 1e-12
+    }
+    got.map(_._2).toSeq shouldBe (1 to expect.size)
+    // ties: ids 20 < 21 fused from identical single ranks order by id
+    val t1 = Seq((1L, 21L, 5)).toDF("qid", "id", "rank")
+    val t2 = Seq((1L, 20L, 5)).toDF("qid", "id", "rank")
+    Ann.rrfFuse(Seq(t1, t2), k = 2).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq shouldBe Seq(20L, 21L)
+  }
+
   test("top-k aggregate: partial map-side reduction, identical across partitionings") {
     val narrow = Ann.bruteForce(corpus.repartition(1), "vec_id", "embedding",
         corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)

@@ -53,6 +53,22 @@ class BpeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got("aaaa") shouldBe List("aa", "aa")
   }
 
+  test("encode is lossless: token concatenation restores every word under any merge list") {
+    val spark0 = spark
+    import spark0.implicits._
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("t", "h"))
+    val words = Seq("newest", "low", "lower", "the", "a", "", "ésta").toDF("word")
+    val got = words
+      .select(col("word"),
+        array_join(Bpe.encode(col("word"), merges), "").as("back"),
+        org.apache.spark.sql.functions.size(Bpe.encode(col("word"), merges)).as("n"))
+      .collect()
+    got.foreach { r =>
+      r.getString(1) shouldBe r.getString(0) // lossless roundtrip
+      r.getInt(2) should be <= r.getString(0).length.max(0) // never more tokens than chars
+    }
+  }
+
   test("learning is deterministic across partitionings") {
     val a = Bpe.learn(corpus.repartition(1), "text", nMerges = 4)
       .orderBy("step").collect().map(_.toSeq).toSeq
