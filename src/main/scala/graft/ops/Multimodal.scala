@@ -162,18 +162,31 @@ object Multimodal {
     * extended to the frame-sampling shape.
     */
   def synthGif(id: Long): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false)
-    val frames = (2 + id % 3).toInt
-    val w = (1 + id % 6).toInt
-    val h = (1 + id % 4).toInt
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try synthGifWith(id, writer) finally writer.dispose()
+  }
+
+  private val gifGrayModel: java.awt.image.IndexColorModel = {
     val gray = new Array[Byte](256 * 3)
     var i = 0
     while (i < 256) {
       gray(3 * i) = i.toByte; gray(3 * i + 1) = i.toByte; gray(3 * i + 2) = i.toByte
       i += 1
     }
-    val icm = new java.awt.image.IndexColorModel(8, 256, gray, 0, false)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    new java.awt.image.IndexColorModel(8, 256, gray, 0, false)
+  }
+
+  /** Encode one animation through a caller-owned writer so partitions
+    * resolve the ImageIO SPI ONCE, not per row — the same amortization
+    * that fixed the 18.9× mm_audio scaling (AudioSystem's provider cache
+    * serializes on a JDK-wide lock under 32 threads; ImageIO's registry
+    * costs the same shape).
+    */
+  private def synthGifWith(id: Long, writer: javax.imageio.ImageWriter): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val frames = (2 + id % 3).toInt
+    val w = (1 + id % 6).toInt
+    val h = (1 + id % 4).toInt
     val baos = new java.io.ByteArrayOutputStream(512)
     val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     // the JDK GIF writer interlaces by default and writes corrupt row
@@ -187,7 +200,7 @@ object Multimodal {
       var f = 0
       while (f < frames) {
         val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, gifGrayModel)
         val raster = img.getRaster
         var yy = 0
         while (yy < h) {
@@ -202,15 +215,20 @@ object Multimodal {
         f += 1
       }
       writer.endWriteSequence()
-    } finally { ios.close(); writer.dispose() }
+    } finally ios.close()
     baos.toByteArray
   }
 
-  /** (id) → (id, media = animated GIF bytes). Scan-side, no shuffle. */
+  /** (id) → (id, media = animated GIF bytes). Scan-side, no shuffle;
+    * one SPI-resolved writer per partition (see [[synthGifWith]]).
+    */
   def synthesizeGifs(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map(id => (id, synthGif(id)))))
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        it.grouped(BatchSize).flatMap(_.iterator.map(id => (id, synthGifWith(id, writer))))
+      }
       .toDF(idCol, "media")
   }
 

@@ -99,6 +99,38 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
       Text.sampleByMixture(src, "src", "id", alpha = 0.5, budget = 3.0).collect()
   }
 
+  test("retrieval additions tolerate empty rankings, zero vectors and null words") {
+    val spark0 = spark
+    import spark0.implicits._
+    // rrfFuse: an empty ranking contributes nothing; fusing with one
+    // empty system degrades to the other system's ranking order
+    val sys = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("qid", "id", "rank")
+    val none = sys.filter(col("rank") < 0)
+    Ann.rrfFuse(Seq(sys, none), k = 5).orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq shouldBe Seq(10L, 11L)
+    Ann.rrfFuse(Seq(none), k = 5).count() shouldBe 0L
+    // maxSimToSet: zero vectors (NaN cosine) never throw; empty ref set
+    // → no rows rather than a crash
+    val vecs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.0f, 0.0f)), Row(97L * 0, Seq(0.5f, 0.5f))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    noException should be thrownBy Ann.maxSimToSet(
+      vecs.filter(col("vec_id") > 0), "vec_id", "embedding",
+      vecs.filter(col("vec_id") === 0), "vec_id", "embedding").collect()
+    Ann.maxSimToSet(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") < 0), "vec_id", "embedding").count() shouldBe 0L
+    // BPE encode: null word → null tokens (no throw), empty word → []
+    val enc = Seq[(java.lang.Long, String)]((1L, "ab"), (2L, null), (3L, ""))
+      .toDF("id", "word")
+      .select(col("id"), Bpe.encode(col("word"), Seq(("a", "b"))).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    enc(1L).get.asInstanceOf[scala.collection.Seq[String]].toSeq shouldBe Seq("ab")
+    enc(2L) shouldBe None
+    enc(3L).get.asInstanceOf[scala.collection.Seq[String]].toSeq shouldBe Seq.empty
+  }
+
   test("multimodal tolerates empty and null blobs") {
     val media = spark.createDataFrame(
       java.util.Arrays.asList(
