@@ -224,6 +224,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("cms_agg runs unchanged as a streaming aggregate and converges to the batch sketch") {
+    val spark0 = spark
+    import spark0.implicits._
+    val keys = (0L until 200L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k))
+    val input = MemoryStream[Long](spark)
+    // the SAME aggregate the oracle-verified ev_heavy runs in batch,
+    // as an incremental streaming sketch (complete mode: the counter
+    // array is the whole state — depth·width longs, never the rows)
+    val sketched = input.toDF().toDF("k")
+      .agg(graft.functions.FunctionDefs.callAgg(
+        "cms_agg", col("k"), lit(4), lit(64)).as("sk"))
+    val q = sketched.writeStream
+      .format("memory").queryName("cms_stream").outputMode("complete").start()
+    try {
+      val (a, b) = keys.splitAt(keys.size / 2)
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").head().getSeq[Long](0)
+      val batch = keys.toDF("k")
+        .agg(graft.functions.FunctionDefs.callAgg(
+          "cms_agg", col("k"), lit(4), lit(64)).as("sk"))
+        .head().getSeq[Long](0)
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     val spark0 = spark
     import spark0.implicits._
