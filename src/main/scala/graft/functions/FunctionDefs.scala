@@ -158,7 +158,8 @@ object FunctionDefs {
     "ivf_assign"        -> f("ivfAssign", I, ArrayType(D), ArrayType(ArrayType(D))),
     "pq_adc"            -> f("pqAdc", D, ArrayType(D), ArrayType(I), ArrayType(D), I),
     "ivf_probes"        -> f("ivfProbes", ArrayType(I), ArrayType(D), ArrayType(ArrayType(D)), I),
-    "bloom_contains"    -> f("bloomContains", B, Bin, L, I)
+    "bloom_contains"    -> f("bloomContains", B, Bin, L, I),
+    "nfc_normalize"     -> f("nfcNormalize", S, S)
   )
 
   val byName: Map[String, Seq[FnSpec]] = defs.toMap

@@ -498,6 +498,18 @@ object GeomImpl {
     new GenericArrayData(sig)
   }
 
+  /** Unicode NFC normalization (java.text.Normalizer, the JDK's public
+    * UAX #15 implementation): canonical composition, so visually
+    * identical strings (precomposed é vs e + COMBINING ACUTE) produce
+    * identical dedup keys and hashes. Run BEFORE exact/normalized dedup
+    * — byte-level digests treat the two encodings as different
+    * documents. DuckDB's `nfc_normalize` implements the same standard,
+    * which is what makes the cross-engine oracle possible.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
   /** 64-bit SimHash: per-bit ±1 votes from each token's xxhash64, packed
     * MSB-first (bit 0's vote ends in the top bit — same packing as the
     * (packed << 1) | vote fold).

@@ -325,6 +325,34 @@ object Text {
         (col("__r") + 1).cast("int").as("rank"), col("__t.score").as("score"))
   }
 
+  /** Fuzzy dictionary canonicalization: match a dirty string column
+    * against a SMALL broadcast dictionary by minimum Levenshtein edit
+    * distance, ties broken lexicographically — the classic
+    * metadata/entity normalization step (source labels, model names,
+    * license strings) before stratified sampling or mixture weighting.
+    *
+    * Scale shape: the dictionary broadcasts, the codegen'd builtin
+    * `levenshtein` scores all |dict| candidates scan-side, and the
+    * argmin is a map-side-complete min(struct(dist, entry)) — one row
+    * per input id crosses the shuffle regardless of dictionary size.
+    * Edit distances are small integers computed by the same textbook DP
+    * in every engine, so an oracle replays them exactly.
+    * Output: (idCol, dirty, matched, dist).
+    */
+  def fuzzyMatch(df: DataFrame, idCol: String, dirtyCol: String,
+                 dict: DataFrame, dictCol: String): DataFrame = {
+    val d = dict.select(col(dictCol).as("__cand")).distinct()
+    df.select(col(idCol), col(dirtyCol).as("__dirty"))
+      .crossJoin(broadcast(d))
+      .select(col(idCol), col("__dirty"),
+        struct(levenshtein(col("__dirty"), col("__cand")).cast("int").as("dist"),
+          col("__cand").as("entry")).as("__s"))
+      .groupBy(idCol, "__dirty")
+      .agg(min(col("__s")).as("__m"))
+      .select(col(idCol), col("__dirty").as("dirty"),
+        col("__m.entry").as("matched"), col("__m.dist").as("dist"))
+  }
+
   // ------------------------------------------- benchmark decontamination
 
   /** Benchmark decontamination: flag training documents that share any

@@ -789,6 +789,44 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Unicode NFC canonicalization ahead of dedup keys: a deterministic
+    * DECOMPOSED suffix (1 + doc_id % 3 copies of e + COMBINING ACUTE) is
+    * appended to every doc, normalized with the native `nfc_normalize`,
+    * and the composed length drop + the md5 of the normalized text are
+    * value-compared against DuckDB's nfc_normalize (both implement
+    * UAX #15, so the bytes must agree exactly).
+    */
+  def txNfc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // the suffix literal is DECOMPOSED on purpose: e (U+0065) followed by
+    // COMBINING ACUTE (U+0301); NFC composes each pair to one code point
+    val dirty = expr("concat(text, ' ', repeat('é', cast(doc_id % 3 + 1 as int)))")
+    val nfc = graft.functions.FunctionDefs.call("nfc_normalize", dirty)
+    docs.select(col("doc_id"),
+        length(dirty).cast("int").as("len_raw"),
+        length(nfc).cast("int").as("len_nfc"),
+        md5(nfc).as("nfc_md5"),
+        when(length(nfc) =!= length(dirty), 1).otherwise(0).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  /** Fuzzy source-label canonicalization: delete one deterministic char
+    * from every doc's source tag, then re-match it against the distinct
+    * source dictionary by minimum edit distance (lexicographic
+    * tie-break). Every distance, match and tie-break is replayed by the
+    * oracle with DuckDB's levenshtein — identical integers by
+    * construction.
+    */
+  def txFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dirty = docs.select(col("doc_id"),
+      expr("""concat(substring(source, 1, cast(doc_id % length(source) as int)),
+             |       substring(source, cast(doc_id % length(source) as int) + 2))""".stripMargin)
+        .as("dirty_source"))
+    Text.fuzzyMatch(dirty, "doc_id", "dirty_source", docs.select("source"), "source")
+      .orderBy("doc_id")
+  }
+
   /** Semantic benchmark decontamination — the embedding-space twin of
     * `tx_decontam`'s n-gram check: every train vector's max cosine to
     * the (broadcast) eval set, the eval item that attains it (lower-id
@@ -1017,6 +1055,8 @@ object Pipeline {
     "tx_curate" -> txCurate _,
     "tx_decontam" -> txDecontam _,
     "tx_decontam_vec" -> txDecontamVec _,
+    "tx_nfc" -> txNfc _,
+    "tx_fuzzy" -> txFuzzy _,
     "tx_dsir" -> txDsir _,
     "tx_perplexity" -> txPerplexity _,
     "tx_mixture" -> txMixture _,
@@ -1598,6 +1638,33 @@ object Pipeline {
          |SELECT id AS vec_id, rid AS eval_id, round(c, 6) AS max_cos,
          |  CASE WHEN c >= 0.95 THEN 1 ELSE 0 END AS contaminated
          |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // both engines implement UAX #15 NFC; chr(769) = U+0301 COMBINING
+    // ACUTE, so each injected 'e'+chr(769) pair composes to one code
+    // point and the md5 of the normalized bytes must agree exactly
+    "tx_nfc" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' ' || repeat('e' || chr(769), (doc_id % 3 + 1)::INT) AS dirty
+        |  FROM documents),
+        |n AS (SELECT doc_id, dirty, nfc_normalize(dirty) AS nfc FROM t)
+        |SELECT doc_id, length(dirty)::INT AS len_raw, length(nfc)::INT AS len_nfc,
+        |  md5(nfc) AS nfc_md5,
+        |  CASE WHEN length(nfc) <> length(dirty) THEN 1 ELSE 0 END AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
+    // same textbook Levenshtein DP in both engines — integer distances;
+    // argmin tie-break is (dist, entry) lexicographic on ASCII labels
+    "tx_fuzzy" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(source, 1, (doc_id % length(source))::INT) ||
+        |    substr(source, (doc_id % length(source))::INT + 2) AS dirty
+        |  FROM documents),
+        |dict AS (SELECT DISTINCT source FROM documents),
+        |sc AS (SELECT doc_id, dirty, source, levenshtein(dirty, source) AS dist
+        |       FROM d CROSS JOIN dict),
+        |r AS (SELECT doc_id, dirty, source, dist,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY dist, source) AS rn
+        |      FROM sc)
+        |SELECT doc_id, dirty, source AS matched, dist::INT AS dist
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // identical injected string on both sides; RE2 'g' replace mirrors
     // Spark's replace-all; md5 hex agrees across engines
     "tx_pii" ->

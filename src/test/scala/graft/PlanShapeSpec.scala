@@ -168,6 +168,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_nfc: normalization is scan-side — no shuffle before the final sort") {
+    val p = planOf("tx_nfc")
+    withClue(s"plan:\n$p") {
+      p.contains("Window") shouldBe false
+      p.linesIterator.count(_.contains("Exchange")) should be <= 2
+    }
+  }
+
+  test("tx_fuzzy: the dictionary broadcasts; the argmin is a partial aggregate, not a window") {
+    val p = planOf("tx_fuzzy")
+    withClue(s"plan:\n$p") {
+      p should include("Broadcast")
+      p.contains("Window") shouldBe false
+      p should include("partial_min")
+    }
+  }
+
   test("vec_sum resolves from SQL and plans a partial aggregate") {
     sources.Tables.embeddings(spark, sfDir).limit(50).createOrReplaceTempView("vs_emb")
     val df = spark.sql(

@@ -201,6 +201,52 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
   }
 
+  test("fuzzyMatch: minimum edit distance with lexicographic tie-break, exact matches at dist 0") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dict = Seq("alpha", "beta", "gamma").toDF("name")
+    val dirty = Seq(
+      (1L, "alpha"),  // exact → dist 0
+      (2L, "alph"),   // deletion → alpha, dist 1
+      (3L, "betta"),  // insertion → beta, dist 1
+      (4L, "gxmma"),  // substitution → gamma, dist 1
+      (5L, "zzzzz")   // nothing close: all three at dist 5 → lexicographic tie-break
+    ).toDF("id", "s")
+    val got = Text.fuzzyMatch(dirty, "id", "s", dict, "name")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getInt(3))).toMap
+    got(1L) shouldBe ("alpha", 0)
+    got(2L) shouldBe ("alpha", 1)
+    got(3L) shouldBe ("beta", 1)
+    got(4L) shouldBe ("gamma", 1)
+    got(5L) shouldBe ("alpha", 5)
+    // tie at equal distance breaks to the lexicographically smaller entry
+    val tie = Text.fuzzyMatch(Seq((9L, "aeta")).toDF("id", "s"),
+      "id", "s", Seq("aeta1", "aeta2").toDF("name"), "name")
+      .collect().head
+    tie.getString(2) shouldBe "aeta1"
+    tie.getInt(3) shouldBe 1
+  }
+
+  test("nfc_normalize: composes decomposed sequences, idempotent, resolves from SQL") {
+    val spark0 = spark
+    import spark0.implicits._
+    val decomposed = "e\u0301cole" // e + COMBINING ACUTE
+    val composed = "\u00e9cole"    // precomposed e-acute
+    val df = Seq(decomposed).toDF("s").select(
+      graft.functions.FunctionDefs.call("nfc_normalize", col("s")).as("n"),
+      org.apache.spark.sql.functions.length(col("s")).as("raw_len"))
+    val row = df.collect().head
+    row.getString(0) shouldBe composed
+    row.getInt(1) shouldBe composed.length + 1 // the decomposed form is one code point longer
+    // idempotent on already-composed text
+    Seq(composed).toDF("s")
+      .select(graft.functions.FunctionDefs.call("nfc_normalize", col("s")))
+      .collect().head.getString(0) shouldBe composed
+    // resolves through the SQL registry too
+    spark.sql(s"SELECT nfc_normalize('$decomposed') AS n")
+      .collect().head.getString(0) shouldBe composed
+  }
+
   test("decontaminate: flags exactly the train docs sharing an n-gram with the eval set") {
     val evalSet = docs(100L -> "alpha beta gamma delta")
     val train = docs(
