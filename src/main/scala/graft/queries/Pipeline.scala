@@ -64,6 +64,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Canonical-survivor selection over near-dup components — the policy
+    * a real curation pipeline runs instead of keep-min-id: per
+    * component, keep the HIGHEST-quality member (4-dp contract score,
+    * ties to the lower doc_id). The argmax is a map-side
+    * max(struct(quality, −doc_id)) aggregate, never a window; the
+    * oracle recomputes the transitive closure recursively AND the
+    * quality argmax per component.
+    */
+  def ddCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.8)
+    val cc = Dedup.connectedComponents(pairs)
+    val comp = docs
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("__q"))
+      .join(cc, docs("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"), col("__q"))
+    comp.groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("__q").as("q"), (-col("doc_id")).as("nid"))).as("__m"))
+      .select(col("component"), col("n_members"),
+        (-col("__m.nid")).as("canonical_id"), col("__m.q").as("canonical_q"))
+      .orderBy("component")
+  }
+
   /** MinHash-vs-exact quality contract: n_exact from [[ddJaccardJoin]]'s
     * ground truth, zero precision misses (candidates are verified with
     * the same exact jaccard, so found ⊆ exact by construction), and —
@@ -1015,6 +1040,7 @@ object Pipeline {
     "dd_jaccard" -> ddJaccard _,
     "dd_jaccard_join" -> ddJaccardJoin _,
     "dd_components" -> ddComponents _,
+    "dd_canonical" -> ddCanonical _,
     "dd_minhash" -> ddMinhash _,
     "dd_minhash_recall" -> ddMinhashRecall _,
     "dd_simhash" -> ddSimhash _,
@@ -1409,6 +1435,39 @@ object Pipeline {
          |FROM cc JOIN (SELECT component, count(*) AS n_members FROM cc GROUP BY 1) n
          |  USING (component)
          |ORDER BY cc.doc_id""".stripMargin,
+    // the dd_components closure + the 4-dp quality contract score, with
+    // the per-component argmax replayed as (q DESC, doc_id) rank 1
+    "dd_canonical" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) >= 3
+         |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                 for i in range(1, len(w) - 1)])
+         |             ELSE [array_to_string(w, ' ')] END AS sh
+         |      FROM d),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |walk(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, walk.comp FROM walk JOIN e ON e.src = walk.id),
+         |cc AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY 1),
+         |q AS (SELECT doc_id,
+         |        round(least(len(string_split(text, ' ')) * 1.0 / 50.0, 1.0) *
+         |              (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0 /
+         |               length(text)), 4) AS q
+         |      FROM documents),
+         |m AS (SELECT cc.component, cc.doc_id, q.q,
+         |        row_number() OVER (PARTITION BY cc.component
+         |                           ORDER BY q.q DESC NULLS LAST, cc.doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY cc.component) AS n_members
+         |      FROM cc JOIN q USING (doc_id))
+         |SELECT component, n_members, doc_id AS canonical_id, q AS canonical_q
+         |FROM m WHERE rn = 1 ORDER BY component""".stripMargin,
     "dd_minhash_recall" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,

@@ -168,6 +168,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("dd_canonical: the survivor argmax is an aggregate, not a window; pairs stay equi-joined") {
+    val p = planOf("dd_canonical")
+    withClue(s"plan:\n$p") {
+      p.contains("Window") shouldBe false
+      p.contains("CartesianProduct") shouldBe false
+      p should include("partial_max")
+    }
+  }
+
   test("tx_nfc: normalization is scan-side — no shuffle before the final sort") {
     val p = planOf("tx_nfc")
     withClue(s"plan:\n$p") {
