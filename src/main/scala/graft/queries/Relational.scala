@@ -342,6 +342,30 @@ object Relational {
       .orderBy(col("cnt").desc, col("user_id"))
   }
 
+  /** Cohort retention analysis — the classic event-analytics matrix:
+    * users bucketed by their FIRST active day (integer day index,
+    * floor(epoch/86400) — pure arithmetic on both engines, no
+    * calendar-truncation semantics to disagree on), and for each cohort
+    * the count of users active k days later (k ≤ 14). Shapes: distinct
+    * (user, day) reduces map-side before any join; the first-day
+    * aggregate and the re-join are co-partitioned equi-joins on
+    * user_id; the final (cohort, k) count is a partial aggregate. No
+    * window anywhere.
+    */
+  def evRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val uw = ev
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400L).cast("long").as("w"))
+      .distinct()
+    val first = uw.groupBy("user_id").agg(min("w").as("w0"))
+    uw.join(first, "user_id")
+      .select(col("w0").as("cohort_day"), (col("w") - col("w0")).as("k"))
+      .filter(col("k") <= 14)
+      .groupBy("cohort_day", "k").agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "k")
+  }
+
   /** Interval join through the cell-bucketed RangeJoin (equi-join on
     * cells, never a nested loop): orders priced inside deterministic
     * per-supplier price bands, counted per band. The oracle replays the
@@ -418,7 +442,8 @@ object Relational {
     q("ev_enrich")(evEnrich),
     q("ev_dedup")(evDedup),
     q("ev_funnel")(evFunnel),
-    q("ev_heavy")(evHeavy)
+    q("ev_heavy")(evHeavy),
+    q("ev_retention")(evRetention)
   )
 
   /** The CMS rebuilt in SQL from the SAME `CmsAgg.A`/`CmsAgg.B` affine
@@ -588,6 +613,16 @@ object Relational {
         |      FROM h)
         |SELECT content_hash, event_id AS survivor_id, n_copies
         |FROM r WHERE rn = 1 ORDER BY survivor_id""".stripMargin,
-    "ev_heavy" -> evHeavyOracle
+    "ev_heavy" -> evHeavyOracle,
+    // integer day arithmetic (floor(epoch/86400)) on both engines —
+    // no calendar truncation semantics to disagree on
+    "ev_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id, floor(epoch(ts) / 86400)::BIGINT AS w
+        |            FROM events WHERE user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1)
+        |SELECT f.w0 AS cohort_day, (uw.w - f.w0) AS k, count(*) AS n_users
+        |FROM uw JOIN f USING (user_id)
+        |WHERE uw.w - f.w0 <= 14
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -142,6 +142,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("ev_retention: cohort matrix is aggregates + equi-joins — no window, no cartesian") {
+    val p = planOf("ev_retention")
+    withClue(s"plan:\n$p") {
+      p.contains("Window") shouldBe false
+      p.contains("CartesianProduct") shouldBe false
+      p should include("partial_min") // first-active-day reduces map-side
+    }
+  }
+
   test("ev_heavy: the sketch is one partial-agg pass — KBs per partition cross the shuffle") {
     val p = planOf("ev_heavy")
     withClue(s"plan:\n$p") {
