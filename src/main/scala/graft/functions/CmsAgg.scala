@@ -53,6 +53,13 @@ case class CmsAgg(
       TypeCheckResult.TypeCheckFailure("cms_agg expects a bigint/int key as input")
     else if (!depthE.foldable || !widthE.foldable)
       TypeCheckResult.TypeCheckFailure("cms_agg depth/width must be literals")
+    else if (!Seq(depthE, widthE).forall(e => e.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }))
+      TypeCheckResult.TypeCheckFailure(
+        "cms_agg depth/width must be integral literals, got " +
+          s"(${depthE.dataType.simpleString}, ${widthE.dataType.simpleString})")
     else TypeCheckResult.TypeCheckSuccess
 
   @transient private lazy val depth: Int = {

@@ -65,6 +65,10 @@ object Ann {
     * query batches; swap the candidate generator for [[lshTopK]] /
     * [[ivfTopK]] shortlists (mine negatives from the top-C candidates,
     * then apply the same label filter) when the corpus side dominates.
+    * Ids must be integral: `topk_by_score` type-checks its id argument
+    * (long/int) at analysis, so a non-numeric id fails loudly rather
+    * than silently reordering. Labels are only compared for equality
+    * here, so any label type works.
     */
   def hardNegatives(
       corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
@@ -117,8 +121,11 @@ object Ann {
     * each query's k cosine-nearest neighbors (the standard kNN vote —
     * the training-data use is auditing noisy labels: `correct = 0` rows
     * are candidate mislabels). Tie-break: most votes, then smallest
-    * label — expressed as `max(struct(votes, −label))`, an aggregate
-    * (no window), so the per-query argmax reduces map-side.
+    * label — expressed as `min(struct(−votes, label))`, an aggregate
+    * (no window), so the per-query argmax reduces map-side. The label
+    * is compared RAW (not negated), so any orderable label type works —
+    * negating a string label would silently cast to null-double and
+    * invert the documented smallest-label contract.
     *
     * The neighbor pass is [[bruteForce]] (swap in an index path at
     * scale); labels rejoin by broadcasting the queries×k ranked set onto
@@ -134,9 +141,9 @@ object Ann {
       .groupBy(col("qid"), col("__nl"))
       .agg(count(lit(1)).as("__votes"))
       .groupBy(col("qid"))
-      .agg(max(struct(col("__votes"), (-col("__nl")).as("__neg"), col("__nl"))).as("__best"))
+      .agg(min(struct((-col("__votes")).as("__negv"), col("__nl"))).as("__best"))
       .select(col("qid"), col("__best.__nl").as("pred_label"),
-        col("__best.__votes").as("n_votes"))
+        (-col("__best.__negv")).as("n_votes"))
     voted.join(
         broadcast(queries.select(col(qidCol).as("qid"), col(qlabelCol).as("__ql"))),
         Seq("qid"))
@@ -236,10 +243,12 @@ object Ann {
     * any eval item is flagged), also usable as a nearest-centroid /
     * nearest-exemplar audit. All |ref| candidates are scored scan-side
     * off the broadcast and reduced by a map-side
-    * max(struct(cos, −ref_id)) — complete before the shuffle, so the
-    * corpus contributes one row per id to the exchange regardless of
-    * reference size. Ties break toward the LOWER reference id. Output:
-    * (id, ref_id, cos).
+    * min(struct(−cos, ref_id, cos)) — complete before the shuffle, so
+    * the corpus contributes one row per id to the exchange regardless of
+    * reference size. Ties break toward the LOWER reference id; the id is
+    * compared RAW (negating it would null-cast non-numeric ids), and the
+    * un-negated cosine rides along so the reported score keeps its exact
+    * bits. Output: (id, ref_id, cos).
     */
   def maxSimToSet(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -247,12 +256,12 @@ object Ann {
     val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
     val r = ref.select(col(refIdCol).as("__rid"), Vectors.toDouble(col(refVecCol)).as("__rv"))
     c.crossJoin(broadcast(r))
+      .withColumn("__c", Vectors.cosine(col("__v"), col("__rv")))
       .select(col("id"),
-        struct(Vectors.cosine(col("__v"), col("__rv")).as("c"),
-          (-col("__rid")).as("nrid")).as("__s"))
+        struct((-col("__c")).as("nc"), col("__rid"), col("__c")).as("__s"))
       .groupBy("id")
-      .agg(max(col("__s")).as("__m"))
-      .select(col("id"), (-col("__m.nrid")).as("ref_id"), col("__m.c").as("cos"))
+      .agg(min(col("__s")).as("__m"))
+      .select(col("id"), col("__m.__rid").as("ref_id"), col("__m.__c").as("cos"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of

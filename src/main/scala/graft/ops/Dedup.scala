@@ -353,6 +353,14 @@ object Dedup {
   /** Per-id semantic-dup group labels (the row-level view of
     * [[semanticDedup]]): every input id, labeled with the min id of its
     * within-cluster cosine component (its own id if unpaired).
+    *
+    * Determinism caveat (same as [[graft.ops.Ann.kmeansCentroids]]'s
+    * callers): with nlist>1 the centroids come from vec_sum float
+    * aggregation, whose summation order varies with partitioning —
+    * borderline cosine/assignment ties can flip, so the output is
+    * partitioning-sensitive. Keep driver checks rows-only (or use the
+    * nlist=1 exhaustive regime, which skips Lloyd entirely); do NOT
+    * promote dd_semantic to a hash-compared oracle.
     */
   def semanticComponents(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nlist: Int = 16, iters: Int = 2,

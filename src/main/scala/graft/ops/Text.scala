@@ -151,12 +151,16 @@ object Text {
     *
     * One partial-aggregated groupBy over the corpus (source cardinality
     * rows), a one-row total, and pure scalar math — the rates table is
-    * source-cardinality-sized and broadcastable. Returns
-    * (stratum, n, rate).
+    * source-cardinality-sized and broadcastable. Null strata are
+    * EXCLUDED from the Σ n^α normalizer: [[sampleByMixture]] drops
+    * null-stratum rows at its equi-join, so counting them here would
+    * deflate every real source's rate and leave the kept count short of
+    * `budget`. Returns (stratum, n, rate).
     */
   def mixtureRates(df: DataFrame, strataCol: String,
                    alpha: Double, budget: Double): DataFrame = {
-    val c = df.groupBy(col(strataCol)).agg(count(lit(1)).cast("double").as("n"))
+    val c = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).cast("double").as("n"))
     val t = c.agg(sum(pow(col("n"), lit(alpha))).as("__tp"))
     c.crossJoin(broadcast(t))
       .select(col(strataCol), col("n"),

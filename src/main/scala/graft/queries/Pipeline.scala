@@ -1870,7 +1870,8 @@ object Pipeline {
     // per-source α-temperature rates recomputed from the data, then the
     // exact-integer hash decision replayed per row
     "tx_mixture" ->
-      """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+      """WITH c AS (SELECT source, count(*)::DOUBLE AS n FROM documents
+        |           WHERE source IS NOT NULL GROUP BY source),
         |t AS (SELECT sum(pow(n, 0.5)) AS tp FROM c),
         |r AS (SELECT source, least(1.0, 300.0 * pow(n, 0.5) / tp / n) AS rate FROM c, t)
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)

@@ -173,7 +173,9 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     withClue(s"plan:\n$p") {
       p should include("Broadcast") // eval side rides a broadcast join
       p.contains("Window") shouldBe false
-      p should include("partial_max")
+      // argmax is min(struct(-cos, ref_id, cos)) — raw-id tie-break, see
+      // Ann.maxSimToSet — still a map-side partial aggregate, not a window
+      p should include("partial_min")
     }
   }
 
