@@ -19,8 +19,10 @@ import org.locationtech.jts.geom.{Coordinate, CoordinateFilter, Geometry}
   * sphere, utm, tmerc, lcc 2SP, laea, aea 2SP, polar stere — see
   * [[parseProj4]])
   * are parsed onto the same transforms, so arbitrary national grids in
-  * those families work without their EPSG code being listed; anything
-  * else fails loudly with the supported list.
+  * those families work without their EPSG code being listed — including
+  * legacy-datum grids (NAD27/OSGB36/ED50-class) via `+ellps=` +
+  * `+towgs84=` 7-parameter Helmert ties ([[Helmert]], [[DatumShifted]]);
+  * anything else fails loudly with the supported list.
   */
 object Projections {
 
@@ -37,6 +39,120 @@ object Projections {
   private val FalseEasting = 500000.0
   private val FalseNorthingSouth = 10000000.0
 
+  /** Reference ellipsoid (semi-major axis + flattening). The projection
+    * classes below are parameterized by one (default WGS84, whose
+    * constants are the exact module-level doubles, so default instances
+    * compute bit-identical results to the pre-datum-shift code — the
+    * sp_utm/sp_lcc SQL oracles depend on that).
+    */
+  final case class Ellipsoid(a: Double, f: Double, id: String) {
+    val e2: Double = f * (2.0 - f)
+    val ep2: Double = e2 / (1.0 - e2)
+    val b: Double = a * (1.0 - f)
+  }
+
+  object Ellipsoid {
+    val Wgs84: Ellipsoid = Ellipsoid(A, F, "WGS84")
+    // proj4 +ellps ids for the ellipsoids legacy datums are built on
+    // (public defining parameters; NAD27 = clrk66, OSGB36 = airy,
+    // ED50 = intl, Tokyo = bessel, Pulkovo = krass)
+    val ByProj4Id: Map[String, Ellipsoid] = Map(
+      "WGS84"  -> Wgs84,
+      "GRS80"  -> Wgs84, // sub-0.1 mm from WGS84 — same policy as the EPSG entries
+      "CLRK66" -> Ellipsoid(6378206.4, 1.0 - 6356583.8 / 6378206.4, "clrk66"),
+      "AIRY"   -> Ellipsoid(6377563.396, 1.0 / 299.3249646, "airy"),
+      "INTL"   -> Ellipsoid(6378388.0, 1.0 / 297.0, "intl"),
+      "BESSEL" -> Ellipsoid(6377397.155, 1.0 / 299.1528128, "bessel"),
+      "KRASS"  -> Ellipsoid(6378245.0, 1.0 / 298.3, "krass"))
+  }
+
+  /** 7-parameter Helmert datum transformation in geocentric coordinates,
+    * position-vector rotation convention (EPSG method 9606 — the
+    * convention proj4 `+towgs84=dx,dy,dz,rx,ry,rz,ds` uses): translations
+    * in meters, rotations in arc-seconds, scale in ppm.
+    *
+    * [[toWgs]] is the published direction (local datum → WGS84):
+    * v' = d + (1+ds·1e−6)·R·v with R the linearized position-vector
+    * rotation matrix. [[fromWgs]] inverts it EXACTLY via the adjugate
+    * inverse of the actual 3×3 matrix (not the usual negated-parameter
+    * approximation, which drops O(r·ds) cross terms), so
+    * fromWgs∘toWgs is identity to FP rounding.
+    */
+  final case class Helmert(dx: Double, dy: Double, dz: Double,
+                           rxSec: Double, rySec: Double, rzSec: Double,
+                           dsPpm: Double) {
+    val isIdentity: Boolean =
+      dx == 0.0 && dy == 0.0 && dz == 0.0 &&
+        rxSec == 0.0 && rySec == 0.0 && rzSec == 0.0 && dsPpm == 0.0
+
+    private val s = 1.0 + dsPpm * 1e-6
+    private val rx = math.toRadians(rxSec / 3600.0)
+    private val ry = math.toRadians(rySec / 3600.0)
+    private val rz = math.toRadians(rzSec / 3600.0)
+    // M = s · [[1, −rz, ry], [rz, 1, −rx], [−ry, rx, 1]]
+    private val m11 = s; private val m12 = -s * rz; private val m13 = s * ry
+    private val m21 = s * rz; private val m22 = s; private val m23 = -s * rx
+    private val m31 = -s * ry; private val m32 = s * rx; private val m33 = s
+    // exact inverse (adjugate / determinant)
+    private val det = m11 * (m22 * m33 - m23 * m32) -
+      m12 * (m21 * m33 - m23 * m31) + m13 * (m21 * m32 - m22 * m31)
+    private val i11 = (m22 * m33 - m23 * m32) / det
+    private val i12 = (m13 * m32 - m12 * m33) / det
+    private val i13 = (m12 * m23 - m13 * m22) / det
+    private val i21 = (m23 * m31 - m21 * m33) / det
+    private val i22 = (m11 * m33 - m13 * m31) / det
+    private val i23 = (m13 * m21 - m11 * m23) / det
+    private val i31 = (m21 * m32 - m22 * m31) / det
+    private val i32 = (m12 * m31 - m11 * m32) / det
+    private val i33 = (m11 * m22 - m12 * m21) / det
+
+    def toWgs(x: Double, y: Double, z: Double): (Double, Double, Double) =
+      (dx + m11 * x + m12 * y + m13 * z,
+       dy + m21 * x + m22 * y + m23 * z,
+       dz + m31 * x + m32 * y + m33 * z)
+
+    def fromWgs(x: Double, y: Double, z: Double): (Double, Double, Double) = {
+      val u = x - dx; val v = y - dy; val w = z - dz
+      (i11 * u + i12 * v + i13 * w,
+       i21 * u + i22 * v + i23 * w,
+       i31 * u + i32 * v + i33 * w)
+    }
+  }
+
+  /** Geodetic (lon/lat degrees, h = 0) → geocentric XYZ meters on `ell`. */
+  def geodToGeoc(ell: Ellipsoid, lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+    val lam = math.toRadians(lonDeg)
+    val phi = math.toRadians(latDeg)
+    val sinPhi = math.sin(phi)
+    val n = ell.a / math.sqrt(1.0 - ell.e2 * sinPhi * sinPhi)
+    (n * math.cos(phi) * math.cos(lam),
+     n * math.cos(phi) * math.sin(lam),
+     n * (1.0 - ell.e2) * sinPhi)
+  }
+
+  /** Geocentric XYZ → geodetic lon/lat degrees on `ell` (height
+    * discarded — the 2D CRS surface carries no h). Bowring's method with
+    * a FIXED 3-iteration schedule rather than a convergence loop:
+    * deterministic and exactly replayable operation-for-operation in a
+    * SQL oracle (sp_datum), and already ~1e−12 rad past the first
+    * refinement for terrestrial |h| < 10 km.
+    */
+  def geocToGeod(ell: Ellipsoid, x: Double, y: Double, z: Double): (Double, Double) = {
+    val lam = math.atan2(y, x)
+    val p = math.sqrt(x * x + y * y)
+    var u = math.atan2(z * ell.a, p * ell.b)
+    var phi = 0.0
+    var i = 0
+    while (i < 3) {
+      val su = math.sin(u); val cu = math.cos(u)
+      phi = math.atan2(z + ell.ep2 * ell.b * su * su * su,
+                       p - ell.e2 * ell.a * cu * cu * cu)
+      u = math.atan2(ell.b * math.sin(phi), ell.a * math.cos(phi))
+      i += 1
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
   /** A supported coordinate reference system: transforms to/from
     * geographic lon/lat degrees.
     */
@@ -44,6 +160,34 @@ object Projections {
     def name: String
     def fromGeo(lon: Double, lat: Double): (Double, Double)
     def toGeo(x: Double, y: Double): (Double, Double)
+  }
+
+  /** A CRS whose datum is tied to WGS84 by a Helmert transform: `base`
+    * is the projection built ON the source ellipsoid, and the
+    * geographic side of the [[Crs]] contract stays WGS84 lon/lat —
+    * fromGeo runs WGS84 geodetic → geocentric → inverse Helmert →
+    * source-datum geodetic → projection, toGeo the reverse. Mirrors the
+    * reference's proj4j datum handling for `+towgs84` CRSs
+    * (spatial-index/.../index/ST_CrsFromText.scala:1). Heights are
+    * dropped at the geodetic step (2D surface), which makes the full
+    * roundtrip approximate at the centimeter–decimeter level (h′·Δnormal
+    * — the standard 2D-Helmert caveat), while [[Helmert]] itself inverts
+    * exactly.
+    */
+  final case class DatumShifted(base: Crs, ell: Ellipsoid, helmert: Helmert,
+                                name: String) extends Crs {
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val (x, y, z) = geodToGeoc(Ellipsoid.Wgs84, lon, lat)
+      val (xs, ys, zs) = helmert.fromWgs(x, y, z)
+      val (l, p) = geocToGeod(ell, xs, ys, zs)
+      base.fromGeo(l, p)
+    }
+    def toGeo(x: Double, y: Double): (Double, Double) = {
+      val (l, p) = base.toGeo(x, y)
+      val (gx, gy, gz) = geodToGeoc(ell, l, p)
+      val (wx, wy, wz) = helmert.toWgs(gx, gy, gz)
+      geocToGeod(Ellipsoid.Wgs84, wx, wy, wz)
+    }
   }
 
   case object LonLat extends Crs {
@@ -68,7 +212,14 @@ object Projections {
     * millimeter within ±3° of the central meridian.
     */
   final case class Tmerc(lat0: Double, lon0: Double, k0: Double,
-                         fe: Double, fn: Double, name: String) extends Crs {
+                         fe: Double, fn: Double, name: String,
+                         ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    // shadow the module-level WGS84 constants with this instance's
+    // ellipsoid (identical doubles for the default, so default
+    // instances stay bit-identical to the pre-parameterized code)
+    private val A = ell.a
+    private val E2 = ell.e2
+    private val Ep2 = ell.ep2
     private val lam0 = math.toRadians(lon0)
     private val m0 = if (lat0 == 0.0) 0.0 else meridianArc(math.toRadians(lat0))
 
@@ -142,7 +293,10 @@ object Projections {
     * λ0, x and y reversed (Snyder p. 161).
     */
   final case class PolarStereo(north: Boolean, latTs: Double, lon0: Double, name: String,
-                               fe: Double = 0.0, fn: Double = 0.0) extends Crs {
+                               fe: Double = 0.0, fn: Double = 0.0,
+                               ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A = ell.a
+    private val E2 = ell.e2
     private val e = math.sqrt(E2)
     // t and m at the standard parallel, in north-aspect terms (φc = |lat_ts|)
     private val phiC = math.toRadians(math.abs(latTs))
@@ -195,7 +349,10 @@ object Projections {
     * ellipsoids differ by ~0.1 mm in semi-minor axis — WGS84 constants
     * are used throughout, consistent with the rest of this object.
     */
-  final case class Laea(lat0: Double, lon0: Double, fe: Double, fn: Double, name: String) extends Crs {
+  final case class Laea(lat0: Double, lon0: Double, fe: Double, fn: Double, name: String,
+                        ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A = ell.a
+    private val E2 = ell.e2
     private val e = math.sqrt(E2)
 
     /** Snyder 3-12: q(φ) = (1−e²)[sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e sinφ)/(1+e sinφ))]. */
@@ -260,7 +417,10 @@ object Projections {
     * inverse roundtrip.
     */
   final case class Lcc2sp(lat1: Double, lat2: Double, lat0: Double, lon0: Double,
-                          fe: Double, fn: Double, name: String) extends Crs {
+                          fe: Double, fn: Double, name: String,
+                          ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A = ell.a
+    private val E2 = ell.e2
     private val e = math.sqrt(E2)
 
     /** Snyder 15-9: t = tan(π/4 − φ/2) / [(1 − e sinφ)/(1 + e sinφ)]^(e/2). */
@@ -318,7 +478,10 @@ object Projections {
     * used throughout, consistent with the rest of this object.
     */
   final case class Aea(lat1: Double, lat2: Double, lat0: Double, lon0: Double,
-                       fe: Double, fn: Double, name: String) extends Crs {
+                       fe: Double, fn: Double, name: String,
+                       ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A = ell.a
+    private val E2 = ell.e2
     private val e = math.sqrt(E2)
 
     /** Snyder 3-12 (same q as [[Laea]]). */
@@ -390,9 +553,18 @@ object Projections {
     * (ST_CrsFromText.scala:1); without that dependency, a supported
     * subset is rebuilt on the same Snyder machinery and everything else
     * — unknown keys included — fails loudly rather than silently
-    * misprojecting. Datum guard: WGS84/GRS80 only (sub-mm apart), same
-    * policy as the EPSG entries; non-zero towgs84, exotic ellipsoids,
-    * non-meter units and non-Greenwich prime meridians are rejected.
+    * misprojecting.
+    *
+    * Datums: WGS84/GRS80 work as before (no shift). Legacy datums are
+    * supported through `+ellps=` (clrk66/airy/intl/bessel/krass, or a
+    * custom `+a=`/`+rf=`/`+b=` pair) combined with an explicit 3- or
+    * 7-parameter `+towgs84=` Helmert tie ([[Helmert]], position-vector
+    * convention) — the projection then runs on the source ellipsoid and
+    * the geographic side of the CRS stays WGS84, matching the
+    * reference's proj4j behavior for NAD27-class grids. A non-WGS84
+    * ellipsoid WITHOUT `+towgs84` is rejected (the datum tie would be a
+    * silent guess); non-meter units and non-Greenwich prime meridians
+    * are rejected as before.
     */
   private def parseProj4(raw: String): Crs = {
     val kv = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -411,40 +583,75 @@ object Projections {
     val proj = kv.getOrElse("proj", throw new IllegalArgumentException(
       s"proj4 string '$raw' has no +proj"))
 
-    // datum / ellipsoid / unit guard
-    val ellps = kv.getOrElse("ellps", kv.getOrElse("datum", "WGS84")).toUpperCase
-    require(ellps == "WGS84" || ellps == "GRS80",
-      s"Unsupported ellipsoid/datum '$ellps' (WGS84 and GRS80 only)")
+    // ellipsoid: named +ellps/+datum, or custom +a with +rf/+b
     val sphere = kv.contains("a") && kv.get("a") == kv.get("b")
-    if (kv.contains("a")) {
-      require(num("a", A) == A, s"Unsupported semi-major axis ${kv("a")} (WGS84 a=$A only)")
-      if (!sphere && kv.contains("b"))
-        require(math.abs(num("b", 0) - A * (1.0 - F)) < 1e-3,
-          s"Unsupported semi-minor axis ${kv("b")}")
-      if (kv.contains("rf"))
-        require(math.abs(num("rf", 0) - 1.0 / F) < 1e-6, s"Unsupported 1/f ${kv("rf")}")
+    val ell: Ellipsoid = {
+      val named = kv.get("ellps").orElse(kv.get("datum")).map(_.toUpperCase)
+      named match {
+        case Some(id) =>
+          Ellipsoid.ByProj4Id.getOrElse(id, throw new IllegalArgumentException(
+            s"Unsupported ellipsoid/datum '$id' (supported: ${Ellipsoid.ByProj4Id.keys.toSeq.sorted.mkString(", ")}, or explicit +a= with +rf=/+b=)"))
+        case None if kv.contains("a") && !sphere =>
+          val a = num("a", A)
+          val f =
+            if (kv.contains("rf")) 1.0 / num("rf", 1.0 / F)
+            else if (kv.contains("b")) 1.0 - num("b", A * (1.0 - F)) / a
+            else F
+          require(a > 6e6 && a < 7e6 && f >= 0.0 && f < 0.01,
+            s"Implausible ellipsoid +a=$a 1/f=${if (f == 0.0) "inf" else (1.0 / f).toString}")
+          // near-WGS84 spellings (+a/+b/+rf within rounding, incl. GRS80's
+          // 1.6e-11 flattening difference) collapse to the exact WGS84
+          // instance, preserving the pre-datum-shift acceptance of those
+          if (math.abs(a - A) < 1e-3 && math.abs(f - F) < 1e-9) Ellipsoid.Wgs84
+          else Ellipsoid(a, f, s"a=${kv("a")},1/f=${1.0 / f}")
+        case None => Ellipsoid.Wgs84
+      }
     }
     require(sphere || proj != "merc",
       s"+proj=merc is supported only as the EPSG:3857 sphere (+a=$A +b=$A)")
-    kv.get("towgs84").foreach(v => require(v.split(",").forall(_.toDouble == 0.0),
-      s"Non-zero +towgs84=$v not supported (WGS84-family datums only)"))
+    if (sphere)
+      require(num("a", A) == A, s"Unsupported sphere radius ${kv("a")} (EPSG:3857 R=$A only)")
+
+    // datum tie: +towgs84 (3 or 7 comma-separated values)
+    val helmert: Helmert = kv.get("towgs84") match {
+      case Some(v) =>
+        val ps = v.split(",").map(_.trim.toDouble)
+        require(ps.length == 3 || ps.length == 7,
+          s"+towgs84=$v must have 3 or 7 parameters")
+        val p = ps.padTo(7, 0.0)
+        Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
+      case None =>
+        require(ell eq Ellipsoid.Wgs84,
+          s"+ellps=${ell.id} requires an explicit +towgs84 datum tie to WGS84 " +
+            "(a legacy-ellipsoid CRS without one would silently guess the datum)")
+        Helmert(0, 0, 0, 0, 0, 0, 0)
+    }
     kv.get("units").foreach(u => require(u == "m", s"Unsupported +units=$u (meters only)"))
     kv.get("to_meter").foreach(v => require(v.toDouble == 1.0, s"Unsupported +to_meter=$v"))
     kv.get("pm").foreach(v => require(v == "0" || v.equalsIgnoreCase("greenwich"),
       s"Unsupported prime meridian +pm=$v"))
+    // a shifted datum wraps the base projection (built on the source
+    // ellipsoid); identity shift on WGS84 keeps the unwrapped transform
+    val shifted = !helmert.isIdentity || !(ell eq Ellipsoid.Wgs84)
 
     // canonical name: the parameters that define the transform, fixed order
     def fmt(d: Double): String =
       if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString else d.toString
     def mkName(params: (String, Double)*): String =
       s"+proj=$proj " + params.map { case (k, v) => s"+$k=${fmt(v)}" }.mkString(" ") +
-        " +ellps=WGS84"
+        (if (shifted)
+           s" +ellps=${ell.id} +towgs84=${Seq(helmert.dx, helmert.dy, helmert.dz,
+             helmert.rxSec, helmert.rySec, helmert.rzSec, helmert.dsPpm).map(fmt).mkString(",")}"
+         else " +ellps=WGS84")
+    def datumWrap(base: Crs): Crs =
+      if (shifted) DatumShifted(base, ell, helmert, base.name) else base
 
     proj match {
       case "longlat" | "latlong" =>
         require(num("lon_0", 0.0) == 0.0, "+proj=longlat with a shifted +lon_0 is not supported")
-        LonLat
+        if (shifted) DatumShifted(LonLat, ell, helmert, mkName()) else LonLat
       case "merc" =>
+        require(!shifted, "+proj=merc is supported only on the WGS84/EPSG:3857 sphere")
         require(num("k", num("k_0", 1.0)) == 1.0 && num("lat_ts", 0.0) == 0.0 &&
           num("lon_0", 0.0) == 0.0 && num("x_0", 0.0) == 0.0 && num("y_0", 0.0) == 0.0,
           s"+proj=merc supported only with EPSG:3857 parameters")
@@ -454,35 +661,46 @@ object Projections {
           "+proj=utm requires +zone")).toInt
         require(num("x_0", FalseEasting) == FalseEasting && num("k", K0) == K0,
           "+proj=utm with non-UTM +x_0/+k is not supported (use +proj=tmerc)")
-        Utm(zone, north = !kv.contains("south"))
+        val north = !kv.contains("south")
+        if (!shifted) Utm(zone, north)
+        else { // e.g. ED50 / NAD27 UTM: the same zone grid on the legacy ellipsoid
+          require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range 1–60")
+          val nm = mkName("zone" -> zone.toDouble) + (if (north) "" else " +south")
+          DatumShifted(Tmerc(0.0, -183.0 + 6.0 * zone, K0, FalseEasting,
+            if (north) 0.0 else FalseNorthingSouth, nm, ell), ell, helmert, nm)
+        }
       case "tmerc" =>
         val (lat0, lon0, k0) = (num("lat_0", 0.0), num("lon_0", 0.0), num("k", num("k_0", 1.0)))
         val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
-        Tmerc(lat0, lon0, k0, fe, fn,
-          mkName("lat_0" -> lat0, "lon_0" -> lon0, "k_0" -> k0, "x_0" -> fe, "y_0" -> fn))
+        datumWrap(Tmerc(lat0, lon0, k0, fe, fn,
+          mkName("lat_0" -> lat0, "lon_0" -> lon0, "k_0" -> k0, "x_0" -> fe, "y_0" -> fn),
+          ell))
       case "lcc" =>
         require(kv.contains("lat_1") && kv.contains("lat_2"),
           "+proj=lcc is supported in the 2-standard-parallel form (+lat_1 and +lat_2)")
         val (lat1, lat2) = (num("lat_1", 0.0), num("lat_2", 0.0))
         val (lat0, lon0) = (num("lat_0", lat1), num("lon_0", 0.0))
         val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
-        Lcc2sp(lat1, lat2, lat0, lon0, fe, fn,
+        datumWrap(Lcc2sp(lat1, lat2, lat0, lon0, fe, fn,
           mkName("lat_1" -> lat1, "lat_2" -> lat2, "lat_0" -> lat0, "lon_0" -> lon0,
-            "x_0" -> fe, "y_0" -> fn))
+            "x_0" -> fe, "y_0" -> fn),
+          ell))
       case "laea" =>
         val (lat0, lon0) = (num("lat_0", 0.0), num("lon_0", 0.0))
         val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
-        Laea(lat0, lon0, fe, fn,
-          mkName("lat_0" -> lat0, "lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn))
+        datumWrap(Laea(lat0, lon0, fe, fn,
+          mkName("lat_0" -> lat0, "lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn),
+          ell))
       case "aea" =>
         require(kv.contains("lat_1") && kv.contains("lat_2"),
           "+proj=aea requires both standard parallels (+lat_1 and +lat_2)")
         val (lat1, lat2) = (num("lat_1", 0.0), num("lat_2", 0.0))
         val (lat0, lon0) = (num("lat_0", 0.0), num("lon_0", 0.0))
         val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
-        Aea(lat1, lat2, lat0, lon0, fe, fn,
+        datumWrap(Aea(lat1, lat2, lat0, lon0, fe, fn,
           mkName("lat_1" -> lat1, "lat_2" -> lat2, "lat_0" -> lat0, "lon_0" -> lon0,
-            "x_0" -> fe, "y_0" -> fn))
+            "x_0" -> fe, "y_0" -> fn),
+          ell))
       case "stere" =>
         val lat0 = num("lat_0", 90.0)
         require(math.abs(lat0) == 90.0,
@@ -493,10 +711,10 @@ object Projections {
             "(variant B; the +k_0 variant A form is not supported)")
         val lon0 = num("lon_0", 0.0)
         val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
-        PolarStereo(north = lat0 > 0, latTs = latTs, lon0 = lon0,
+        datumWrap(PolarStereo(north = lat0 > 0, latTs = latTs, lon0 = lon0,
           name = mkName("lat_0" -> lat0, "lat_ts" -> latTs, "lon_0" -> lon0,
             "x_0" -> fe, "y_0" -> fn),
-          fe = fe, fn = fn)
+          fe = fe, fn = fn, ell = ell))
       case other => throw new IllegalArgumentException(
         s"Unsupported +proj=$other (supported: longlat, merc (3857 sphere), utm, tmerc, lcc, laea, aea, stere)")
     }
@@ -548,7 +766,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

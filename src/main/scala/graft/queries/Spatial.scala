@@ -458,6 +458,35 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** NAD27-class legacy-datum grid: EPSG:4326 → a CONUS Lambert on the
+    * Clarke 1866 ellipsoid tied to WGS84 by the classic 3-parameter
+    * +towgs84=(−8,160,176) Helmert — the geom/Projections.DatumShifted
+    * chain (WGS84 geodetic → geocentric → inverse Helmert → Bowring
+    * geodetic on clrk66 → Snyder LCC forward). The oracle replays every
+    * leg op-for-op in SQL, including the FIXED 3-iteration Bowring
+    * schedule, value-checking at 0.1 m; rt_ok asserts the full inverse
+    * chain closes to 1e-6° (the drop-height 2D-Helmert closure is
+    * centimeter-class, see DatumShifted's scaladoc, so 1e-6° ≈ 11 cm
+    * holds with margin).
+    */
+  private val Nad27ConusLcc =
+    "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 " +
+      "+ellps=clrk66 +towgs84=-8,160,176"
+
+  def spDatum(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("lon") >= -125.0 && col("lon") <= -67.0 &&
+              col("lat") >= 25.0 && col("lat") <= 49.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(Nad27ConusLcc)))
+      .withColumn("back", st.geomReproject(col("p"), lit(Nad27ConusLcc), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-6 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-6, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** Albers equal-area conic (EPSG:5070 Conus Albers) forward + inverse
     * roundtrip: the oracle mirrors the Snyder 15-19..15-26 forward
     * series op-for-op in SQL (q/m functions, n, C, ρ, θ); rt_ok asserts
@@ -622,6 +651,7 @@ object Spatial {
     "sp_laea" -> spLaea _,
     "sp_lcc" -> spLcc _,
     "sp_albers" -> spAlbers _,
+    "sp_datum" -> spDatum _,
     "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
@@ -842,6 +872,95 @@ object Spatial {
        |FROM j ORDER BY c_custkey""".stripMargin
   }
 
+  /** The full legacy-datum chain as DuckDB SQL, mirroring
+    * geom/Projections.DatumShifted.fromGeo op-for-op: WGS84 geodetic →
+    * geocentric (ν, then the three products in Scala's order) → inverse
+    * 3-param Helmert (translation subtraction — the rotation/scale
+    * matrix is exactly identity for a 3-param tie, so the adjugate
+    * inverse reduces to it bit-for-bit) → Bowring geodetic on Clarke
+    * 1866 with the SAME fixed 3-iteration schedule (u₀ = atan2(z·a, p·b),
+    * then φᵢ/uᵢ unrolled) → degrees→radians round-trip (Scala's
+    * toDegrees∘toRadians seam, kept so both sides take the identical
+    * 1-ulp wobble) → Snyder LCC-2SP forward on clrk66. All ellipsoid
+    * constants are interpolated as shortest-roundtrip literals of the
+    * exact Scala doubles (same IEEE expressions as Projections.Ellipsoid).
+    */
+  private val spDatumOracle: String = {
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    // WGS84 (source geodetic side)
+    val fw = 1.0 / 298.257223563
+    val e2w = dlit(fw * (2.0 - fw))
+    // Clarke 1866 (target datum), the same IEEE ops as Ellipsoid(a, f)
+    val fcD = 1.0 - 6356583.8 / 6378206.4
+    val ac = dlit(6378206.4)
+    val e2cD = fcD * (2.0 - fcD)
+    val e2c = dlit(e2cD)
+    val ep2c = dlit(e2cD / (1.0 - e2cD))
+    val bc = dlit(6378206.4 * (1.0 - fcD))
+    def tOf(phi: String) =
+      s"tan(pi() / 4.0 - ($phi) / 2.0) / pow((1.0 - e * sin($phi)) / (1.0 + e * sin($phi)), e / 2.0)"
+    def mOf(phi: String) =
+      s"cos($phi) / sqrt(1.0 - $e2c * sin($phi) * sin($phi))"
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($lonSql) >= -125.0 AND ($lonSql) <= -67.0
+       |             AND ($latSql) >= 25.0 AND ($latSql) <= 49.0),
+       |c AS (SELECT *, sqrt($e2c) AS e FROM b),
+       |w AS (SELECT *, sin(radians(lat)) AS sp,
+       |        6378137.0 / sqrt(1.0 - $e2w * sin(radians(lat)) * sin(radians(lat))) AS nw
+       |      FROM c),
+       |g AS (SELECT *,
+       |        nw * cos(radians(lat)) * cos(radians(lon)) AS gx,
+       |        nw * cos(radians(lat)) * sin(radians(lon)) AS gy,
+       |        nw * (1.0 - $e2w) * sp AS gz
+       |      FROM w),
+       |h AS (SELECT *,
+       |        gx - (-8.0) AS hx, gy - 160.0 AS hy, gz - 176.0 AS hz
+       |      FROM g),
+       |p0 AS (SELECT *,
+       |        atan2(hy, hx) AS lam,
+       |        sqrt(hx * hx + hy * hy) AS pp
+       |      FROM h),
+       |u0 AS (SELECT *, atan2(hz * $ac, pp * $bc) AS u FROM p0),
+       |i1 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u0),
+       |f1 AS (SELECT *,
+       |        atan2(hz + $ep2c * $bc * su * su * su,
+       |              pp - $e2c * $ac * cu * cu * cu) AS phi
+       |      FROM i1),
+       |u1 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bc * sin(phi), $ac * cos(phi)) AS u FROM f1),
+       |i2 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u1),
+       |f2 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2c * $bc * su * su * su,
+       |              pp - $e2c * $ac * cu * cu * cu) AS phi
+       |      FROM i2),
+       |u2 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bc * sin(phi), $ac * cos(phi)) AS u FROM f2),
+       |i3 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u2),
+       |f3 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2c * $bc * su * su * su,
+       |              pp - $e2c * $ac * cu * cu * cu) AS phi
+       |      FROM i3),
+       |d27 AS (SELECT *, degrees(lam) AS lon27, degrees(phi) AS lat27 FROM f3),
+       |lc AS (SELECT *,
+       |        ${mOf("radians(33.0)")} AS m1, ${mOf("radians(45.0)")} AS m2,
+       |        ${tOf("radians(33.0)")} AS t1, ${tOf("radians(45.0)")} AS t2,
+       |        ${tOf("radians(23.0)")} AS t0,
+       |        ${tOf("radians(lat27)")} AS t
+       |      FROM d27),
+       |ln_ AS (SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n FROM lc),
+       |ff AS (SELECT *, m1 / (n * pow(t1, n)) AS bigf FROM ln_),
+       |rr AS (SELECT *,
+       |        $ac * bigf * pow(t0, n) AS rho0,
+       |        $ac * bigf * pow(t, n) AS rho,
+       |        n * (radians(lon27) - radians(-96.0)) AS theta
+       |      FROM ff)
+       |SELECT c_custkey,
+       | round(0.0 + rho * sin(theta), 1) AS easting,
+       | round(0.0 + rho0 - rho * cos(theta), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM rr ORDER BY c_custkey""".stripMargin
+  }
+
   private val xyRoundtripOracle =
     s"""SELECT c_custkey,
        | round($lonSql, 6) AS x,
@@ -1018,6 +1137,7 @@ object Spatial {
     "sp_laea" -> spLaeaOracle,
     "sp_lcc" -> spLccOracle,
     "sp_albers" -> spAlbersOracle,
+    "sp_datum" -> spDatumOracle,
     // the layout window replayed as a plain coordinate filter — the
     // layout must neither lose (spill/pruning) nor invent rows
     "sp_z2_layout" ->

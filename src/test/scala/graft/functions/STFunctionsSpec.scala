@@ -567,6 +567,105 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     an[Exception] should be thrownBy Projections.parseCrs("+proj=tmerc +azi=20")
   }
 
+  test("CRS: Helmert datum shift — EPSG worked example, exact inverse, OSGB36/NAD27 grids") {
+    import graft.geom.Projections
+    import graft.geom.Projections.{Ellipsoid, Helmert}
+    // EPSG Guidance Note 7-2, coordinate-frame/position-vector method
+    // 9606 worked example: WGS 72 → WGS 84 (EPSG transformation 1238),
+    // tz = +4.5 m, rz = +0.554″, ds = +0.219 ppm
+    val wgs72 = Helmert(0.0, 0.0, 4.5, 0.0, 0.0, 0.554, 0.219)
+    val (xt, yt, zt) = wgs72.toWgs(3657660.66, 255768.55, 5201382.11)
+    xt shouldBe 3657660.78 +- 0.015
+    yt shouldBe 255778.43 +- 0.015
+    zt shouldBe 5201387.75 +- 0.015
+    // the inverse is the exact matrix inverse, not the negated-parameter
+    // approximation: roundtrip closes to FP rounding, not to O(r·ds)
+    val osgbH = Helmert(446.448, -125.157, 542.06, 0.1502, 0.247, 0.8421, -20.4894)
+    val (ix, iy, iz) = osgbH.fromWgs _ tupled osgbH.toWgs(3874938.849, 116218.624, 5047168.208)
+    ix shouldBe 3874938.849 +- 1e-8
+    iy shouldBe 116218.624 +- 1e-8
+    iz shouldBe 5047168.208 +- 1e-8
+    // geodetic ↔ geocentric on a legacy ellipsoid closes to FP rounding
+    val clrk66 = Ellipsoid.ByProj4Id("CLRK66")
+    for ((lon, lat) <- Seq((-99.5, 31.2), (-70.1, 44.9), (179.9, -45.0), (0.0, 0.0))) {
+      val (gx, gy, gz) = Projections.geodToGeoc(clrk66, lon, lat)
+      val (bl, bp) = Projections.geocToGeod(clrk66, gx, gy, gz)
+      withClue(s"($lon,$lat)") { bl shouldBe lon +- 1e-11; bp shouldBe lat +- 1e-11 }
+    }
+    // the projection leg on the legacy ellipsoid, anchored to a published
+    // pair: OS "A guide to coordinate systems in Great Britain" worked
+    // example (Caister water tower) — OSGB36 geodetic 52°39'27.2531"N
+    // 1°43'4.5177"E → National Grid E 651409.903 N 313177.270. This is a
+    // pure Airy-1830 transverse-mercator computation (no datum step), so
+    // it pins Tmerc-on-a-legacy-ellipsoid at the millimeter level.
+    val airy = Ellipsoid.ByProj4Id("AIRY")
+    val ngAiry = Projections.Tmerc(49.0, -2.0, 0.9996012717, 400000.0, -100000.0, "osgb36ng", airy)
+    val (lonC, latC) = (1.0 + 43.0 / 60 + 4.5177 / 3600, 52.0 + 39.0 / 60 + 27.2531 / 3600)
+    val (e36, n36) = ngAiry.fromGeo(lonC, latC)
+    e36 shouldBe 651409.903 +- 0.005
+    n36 shouldBe 313177.270 +- 0.005
+    // the full datum chain, anchored to the best-known public OSGB36 vs
+    // WGS84 fact: the WGS84/ETRS89 longitude of the Greenwich prime
+    // meridian (Airy transit circle, OSGB36 λ = 0 by definition) is
+    // 0°00'05.31"W — so shifting that WGS84 point into OSGB36 must land
+    // near λ = 0. Held at 1": the single national Helmert is ~0.2"-class
+    // and OSGB36's realized (vs nominal) Greenwich longitude adds a few
+    // tenths more — while a convention/direction error would miss by
+    // 5"–10", which is what this anchor exists to catch.
+    val osgb = Projections.parseCrs(
+      "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 " +
+        "+ellps=airy +towgs84=446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894")
+    val (gx0, gy0) = osgb.fromGeo(-5.31 / 3600.0, 51.4779)
+    val (lamOsgb, _) = ngAiry.toGeo(gx0, gy0) // grid → OSGB36 geodetic, datum-free
+    (lamOsgb * 3600.0) shouldBe 0.0 +- 1.0
+    // and the full-chain grid offset at Caister is the famous ~120 m
+    // OSGB36-vs-GPS shift (east-positive, north-negative in East Anglia)
+    val (eC, nC) = osgb.fromGeo(lonC, latC)
+    (eC - e36) should (be > 80.0 and be < 180.0)
+    (n36 - nC) should (be > 10.0 and be < 110.0)
+    // 2D roundtrip: exact Helmert inverse + drop-h ⇒ centimeter-class
+    // closure (the documented 2D-Helmert caveat), well inside 1e-5°
+    for ((lon, lat) <- Seq((-5.7, 50.07), (1.29, 52.63), (-2.0, 54.0))) {
+      val (x, y) = osgb.fromGeo(lon, lat)
+      val (bl, bp) = osgb.toGeo(x, y)
+      withClue(s"($lon,$lat)") { bl shouldBe lon +- 1e-6; bp shouldBe lat +- 1e-6 }
+    }
+    // NAD27 CONUS Lambert (clrk66 + the classic 3-param −8,160,176):
+    // parses, shifts by a plausible datum offset, roundtrips
+    val nad27 = Projections.parseCrs(
+      "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 " +
+        "+ellps=clrk66 +towgs84=-8,160,176")
+    val wgsLcc = Projections.parseCrs(
+      "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=WGS84")
+    val (nx, ny) = nad27.fromGeo(-99.5, 31.2)
+    val (wx, wy) = wgsLcc.fromGeo(-99.5, 31.2)
+    val shift = math.hypot(nx - wx, ny - wy)
+    shift should (be > 20.0 and be < 400.0)
+    val (rl, rp) = nad27.toGeo(nx, ny)
+    rl shouldBe -99.5 +- 1e-6
+    rp shouldBe 31.2 +- 1e-6
+    // ED50 UTM (intl ellipsoid, 3-param) — the shifted-UTM spelling
+    val ed50 = Projections.parseCrs("+proj=utm +zone=32 +ellps=intl +towgs84=-87,-98,-121")
+    val wgsUtm = Projections.parseCrs("EPSG:32632")
+    val (ex, ey) = ed50.fromGeo(9.0, 48.0)
+    val (ux, uy) = wgsUtm.fromGeo(9.0, 48.0)
+    math.hypot(ex - ux, ey - uy) should (be > 50.0 and be < 300.0)
+    // canonical names reparse to the same transform (Helmert included)
+    Projections.parseCrs(nad27.name).fromGeo(-99.5, 31.2) shouldBe nad27.fromGeo(-99.5, 31.2)
+    // identity tie on WGS84 stays the unwrapped base (existing behavior)
+    Projections.parseCrs("+proj=utm +zone=33 +ellps=WGS84 +towgs84=0,0,0") shouldBe
+      Projections.parseCrs("EPSG:32633")
+    // SQL end-to-end with a legacy-datum target CRS
+    val sqlShift = sql1(
+      """SELECT round(st_x(st_geomReproject(st_makePoint(-99.5, 31.2), 'EPSG:4326',
+        |  '+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=clrk66 +towgs84=-8,160,176')), 3) AS x""".stripMargin).getDouble(0)
+    sqlShift shouldBe BigDecimal(nx).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+    // loud rejection: a legacy ellipsoid with no datum tie, bad towgs84 arity
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=lcc +lat_1=33 +lat_2=45 +ellps=clrk66")
+    an[Exception] should be thrownBy
+      Projections.parseCrs("+proj=utm +zone=10 +ellps=clrk66 +towgs84=-8,160")
+  }
+
   test("lengthSphere sums haversine segment lengths") {
     val df = spark.sql("SELECT st_lengthSphere(st_geomFromWKT('LINESTRING (0 0, 1 0, 1 1)')) AS l")
     val expected = Sphere.haversine(0, 0, 1, 0) + Sphere.haversine(1, 0, 1, 1)
