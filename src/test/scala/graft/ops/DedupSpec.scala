@@ -250,7 +250,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
-  test("connectedComponents: transitive closure via min-label propagation") {
+  test("connectedComponents: transitive closure via large-star/small-star") {
     import spark.implicits._
     // A~B~C one component even though A~C was never a pair; disjoint
     // pairs stay separate; component label = min member id
@@ -262,11 +262,34 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     Seq(10L, 11L).foreach(i => cc(i) shouldBe 10L)
     Seq(20L, 21L, 22L, 23L).foreach(i => cc(i) shouldBe 20L)
     cc.size shouldBe 9
-    // a pure chain needs diameter-many propagation rounds and still
-    // converges to the single min label
+    // a pure chain (worst case for plain min-label propagation, whose
+    // round count is the DIAMETER) still converges to the min label
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val c2 = Dedup.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L to 12L).foreach(i => c2(i) shouldBe 0L)
+  }
+
+  test("connectedComponents: a 10k-node path graph converges in O(log n) rounds") {
+    import spark.implicits._
+    // the adversarial long-chain shape: one component of diameter 9999.
+    // Plain min-label propagation would need 9999 sequential shuffle
+    // rounds; the alternating-star algorithm's contract is ~log2(n).
+    val n = 10000L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, "id_a", "id_b", maxIter = 25)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.length shouldBe n
+    all(got.map(_._2)) shouldBe 0L
+    // 2·log2(10000) ≈ 27 would already beat diameter by 370×; the
+    // two-phase algorithm lands well under even that
+    rounds should be <= (2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 2)
+    // ids shifted so the min is NOT an endpoint (star center mid-chain)
+    val mid = (0L until 500L).map(i => (i + 600L, i + 601L)) :+ ((650L, 300L))
+    val cc2 = Dedup.connectedComponents(mid.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc2(600L) shouldBe 300L
+    cc2(1100L) shouldBe 300L
+    cc2(300L) shouldBe 300L
   }
 }
