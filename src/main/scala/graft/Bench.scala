@@ -59,7 +59,21 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"iterations":$iters,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"iterations":$iters,"sf":"$sfDir"}"""
+    println(json)
+    // also persist to a file: the driver's stdout capture truncates long
+    // tails (BENCH_r05.json lost half its per-query timings), so the
+    // full artifact must live somewhere a 2000-char window can't cut
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $outPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

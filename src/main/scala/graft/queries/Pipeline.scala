@@ -774,6 +774,25 @@ object Pipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** The §2.11 blob/metadata schema contract as a driver entry: the
+    * typed media column (binary) plus every metadata-struct field,
+    * each replayed by the oracle — mime literal, char-count (the
+    * struct's n_bytes field counts characters), channel = id mod 3 —
+    * and the blob itself certified byte-for-byte via octet_length +
+    * md5 over the UTF-8 bytes.
+    */
+  def mmSchema(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
+    media.select(
+      col("doc_id"),
+      col("media_meta.mime").as("mime"),
+      col("media_meta.n_bytes").as("n_chars"),
+      col("media_meta.channel").as("channel"),
+      length(col("media")).as("blob_bytes"),
+      md5(col("media")).as("blob_md5"))
+      .orderBy("doc_id")
+  }
+
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.withBlob(Tables.documents(s, dir), "doc_id", "text")
     Multimodal.features(s, media, "doc_id")
@@ -1100,6 +1119,7 @@ object Pipeline {
     "tx_bpe_apply" -> txBpeApply _,
     "tx_bm25" -> txBm25 _,
     "tx_pack" -> txPack _,
+    "mm_schema" -> mmSchema _,
     "mm_features" -> mmFeatures _,
     "mm_resize" -> mmResize _,
     "mm_frames" -> mmFrames _,
@@ -1987,6 +2007,16 @@ object Pipeline {
         |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, 16 AS feat_dim
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the blob/metadata contract replayed field by field; md5 of the
+    // UTF-8 bytes certifies the binary column itself, not just lengths
+    "mm_schema" ->
+      """SELECT doc_id,
+        | 'application/octet-stream' AS mime,
+        | length(text)::INT AS n_chars,
+        | (doc_id % 3)::INT AS channel,
+        | octet_length(encode(text))::INT AS blob_bytes,
+        | md5(text) AS blob_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """SELECT doc_id,

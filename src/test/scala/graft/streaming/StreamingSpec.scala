@@ -190,6 +190,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("sessionize TTL expires idle keys; re-arrival starts a fresh session") {
+    val spark0 = spark
+    import spark0.implicits._
+    val input = MemoryStream[TestEvent](spark)
+    // 1h TTL, zero-delay watermark: watermark == max event time seen
+    val q = Sessionize.withTtl(input.toDF(), ttlSeconds = 3600, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_ttl").outputMode("update").start()
+    try {
+      // user 1: two sessions' worth of activity (gap 65 min > 30-min rule)
+      input.addData(ev(0, "click", 1.0, 1), ev(5, "click", 2.0, 1), ev(65, "click", 3.0, 1))
+      q.processAllAvailable()
+      val first = spark.table("sess_ttl").filter(col("user_id") === 1)
+        .orderBy(col("n_events").desc).limit(1)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      first shouldBe ((2L, 3L)) // 2 sessions, 3 events — same as the NoTimeout path
+      // user 2 far in the future pushes the watermark past user 1's TTL
+      input.addData(ev(60 * 24, "view", 4.0, 2))
+      q.processAllAvailable()
+      // one more trigger so the timeout for user 1 actually fires
+      input.addData(ev(60 * 24 + 1, "view", 5.0, 2))
+      q.processAllAvailable()
+      // user 1 returns after expiry: counters restart from zero — NOT 3/4
+      input.addData(ev(60 * 24 + 5, "click", 6.0, 1))
+      q.processAllAvailable()
+      val rows = spark.table("sess_ttl").filter(col("user_id") === 1)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      rows should contain((1L, 1L))
+      rows should not contain ((3L, 4L))
+    } finally q.stop()
+  }
+
   test("batch sessionize on the corpus matches the window-lag formulation") {
     val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("ts")
     val lagBased = Tables.events(spark, sfDir)
