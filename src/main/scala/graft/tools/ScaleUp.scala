@@ -30,19 +30,26 @@ object ScaleUp {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dest = if (args.length > 1) args(1) else "/root/repo/localdata/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional 4th arg: comma-separated table subset (e.g. a 100× corpus
+    // of just documents,embeddings for the dedup/ANN scaling decade,
+    // without paying for 60M lineitem rows nothing there reads)
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    def wanted(t: String): Boolean = only.isEmpty || only.contains(t)
     val spark = graft.GraftSession.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def copyUnion(table: String, outParts: Int)(xform: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$table.parquet")
-      val out = (0 until copies).map(c => xform(base, c)).reduce(_ unionByName _)
-      out.repartition(outParts).write.mode("overwrite").parquet(s"$dest/$table.parquet")
-      println(s"[scaleup] $table -> ${copies}x")
-    }
+    def copyUnion(table: String, outParts: Int)(xform: (DataFrame, Int) => DataFrame): Unit =
+      if (wanted(table)) {
+        val base = spark.read.parquet(s"$src/$table.parquet")
+        val out = (0 until copies).map(c => xform(base, c)).reduce(_ unionByName _)
+        out.repartition(outParts).write.mode("overwrite").parquet(s"$dest/$table.parquet")
+        println(s"[scaleup] $table -> ${copies}x")
+      }
     def off(c: Int) = lit(c * Stride)
 
     // fixed-size dimensions pass through unchanged
-    for (t <- Seq("nation", "region"))
+    for (t <- Seq("nation", "region") if wanted(t))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dest/$t.parquet")
 
@@ -58,7 +65,7 @@ object ScaleUp {
       .withColumn("l_suppkey", col("l_suppkey") + off(c)))
     // read through Tables.events so ts lands as a real µs TimestampType
     // (the raw nanos-long would make the sf1 parquet BIGINT for DuckDB)
-    locally {
+    if (wanted("events")) {
       val base = graft.sources.Tables.events(spark, src)
       val out = (0 until copies).map(c => base
         .withColumn("event_id", col("event_id") + off(c))
