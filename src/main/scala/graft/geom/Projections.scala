@@ -533,6 +533,100 @@ object Projections {
     }
   }
 
+  /** Sinusoidal (Sanson–Flamsteed), ellipsoidal form — the equal-area
+    * pseudocylindrical the MODIS/land-product grids use (`+proj=sinu`).
+    * Snyder PP 1395 eq. 30-8/30-9 forward: y is the meridian arc M(φ)
+    * (the same 3-21 series Tmerc uses), x = a·Δλ·cosφ/√(1−e²sin²φ).
+    * Inverse 30-10/30-11 recovers φ from M via the rectifying-latitude
+    * series (3-26) and λ in closed form. With e = 0 the formulas
+    * degrade exactly to the textbook sphere (x = RΔλcosφ, y = Rφ).
+    */
+  final case class Sinusoidal(lon0: Double, fe: Double, fn: Double, name: String,
+                              ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A = ell.a
+    private val E2 = ell.e2
+    private val lam0 = math.toRadians(lon0)
+
+    private def meridianArc(phi: Double): Double =                     // 3-21
+      A * ((1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0) * phi -
+        (3.0 * E2 / 8.0 + 3.0 * E2 * E2 / 32.0 + 45.0 * E2 * E2 * E2 / 1024.0) * math.sin(2.0 * phi) +
+        (15.0 * E2 * E2 / 256.0 + 45.0 * E2 * E2 * E2 / 1024.0) * math.sin(4.0 * phi) -
+        (35.0 * E2 * E2 * E2 / 3072.0) * math.sin(6.0 * phi))
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val sinPhi = math.sin(phi)
+      val x = A * (math.toRadians(lon) - lam0) * math.cos(phi) /
+        math.sqrt(1.0 - E2 * sinPhi * sinPhi)                          // 30-8
+      (x + fe, meridianArc(phi) + fn)                                  // 30-9
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val m = y0 - fn
+      val mu = m / (A * (1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0))
+      val e1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
+      val phi = mu +                                                   // 3-26
+        (3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0) * math.sin(2.0 * mu) +
+        (21.0 * e1 * e1 / 16.0 - 55.0 * math.pow(e1, 4) / 32.0) * math.sin(4.0 * mu) +
+        (151.0 * e1 * e1 * e1 / 96.0) * math.sin(6.0 * mu) +
+        (1097.0 * math.pow(e1, 4) / 512.0) * math.sin(8.0 * mu)
+      val sinPhi = math.sin(phi)
+      val cosPhi = math.cos(phi)
+      // at the pole every x maps to λ0 (the parallel has zero length)
+      val lam =
+        if (math.abs(cosPhi) < 1e-12) lam0
+        else lam0 + (x0 - fe) * math.sqrt(1.0 - E2 * sinPhi * sinPhi) / (A * cosPhi) // 30-11
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Mollweide, spherical with R = a — PROJ's `+proj=moll` semantics
+    * (the projection is defined on the sphere; PROJ substitutes the
+    * semi-major axis). Snyder PP 1395 eq. 31-1..31-7: θ solves
+    * 2θ + sin 2θ = π sin φ by a FIXED 8-step Newton schedule from
+    * θ₀ = φ — fixed, like DatumShifted's Bowring schedule, so an oracle
+    * can replay the identical float sequence; quadratic convergence puts
+    * the fixed-schedule residual far below double rounding for
+    * |φ| ≤ 85° (the poles short-circuit to θ = ±π/2, where the Newton
+    * denominator 4cos²θ vanishes).
+    */
+  final case class Mollweide(lon0: Double, fe: Double, fn: Double, name: String,
+                             ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val R = ell.a
+    private val lam0 = math.toRadians(lon0)
+    private val Cx = math.sqrt(8.0) / math.Pi * R                      // 2√2·R/π
+    private val Cy = math.sqrt(2.0) * R
+
+    private[graft] def theta(phi: Double): Double =
+      if (math.abs(phi) >= math.Pi / 2.0 - 1e-9) math.copySign(math.Pi / 2.0, phi)
+      else {
+        val c = math.Pi * math.sin(phi)
+        var t = phi
+        var i = 0
+        while (i < 8) {
+          t -= (2.0 * t + math.sin(2.0 * t) - c) / (2.0 + 2.0 * math.cos(2.0 * t))
+          i += 1
+        }
+        t
+      }
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val th = theta(math.toRadians(lat))
+      (Cx * (math.toRadians(lon) - lam0) * math.cos(th) + fe,          // 31-1
+        Cy * math.sin(th) + fn)                                        // 31-2
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val s = math.max(-1.0, math.min(1.0, (y0 - fn) / Cy))
+      val th = math.asin(s)                                            // 31-6
+      val phiArg = math.max(-1.0, math.min(1.0, (2.0 * th + math.sin(2.0 * th)) / math.Pi))
+      val phi = math.asin(phiArg)                                      // 31-7
+      val cosTh = math.cos(th)
+      val lam = if (cosTh < 1e-12) lam0 else lam0 + (x0 - fe) / (Cx * cosTh)
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
 
   // proj4 keys that select/parameterize a projection this object can build
@@ -549,7 +643,8 @@ object Projections {
     * the native transforms — the projection families this object already
     * implements cover the proj4 surface a warehouse actually meets:
     * longlat, merc (the 3857 sphere), utm, tmerc, lcc (2SP), laea, aea
-    * (2SP), and polar stere. The reference hands any proj4 string to proj4j
+    * (2SP), polar stere, sinu (the MODIS/land-product family) and moll.
+    * The reference hands any proj4 string to proj4j
     * (ST_CrsFromText.scala:1); without that dependency, a supported
     * subset is rebuilt on the same Snyder machinery and everything else
     * — unknown keys included — fails loudly rather than silently
@@ -701,6 +796,16 @@ object Projections {
           mkName("lat_1" -> lat1, "lat_2" -> lat2, "lat_0" -> lat0, "lon_0" -> lon0,
             "x_0" -> fe, "y_0" -> fn),
           ell))
+      case "sinu" =>
+        val lon0 = num("lon_0", 0.0)
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        datumWrap(Sinusoidal(lon0, fe, fn,
+          mkName("lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn), ell))
+      case "moll" =>
+        val lon0 = num("lon_0", 0.0)
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        datumWrap(Mollweide(lon0, fe, fn,
+          mkName("lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn), ell))
       case "stere" =>
         val lat0 = num("lat_0", 90.0)
         require(math.abs(lat0) == 90.0,
@@ -716,7 +821,7 @@ object Projections {
             "x_0" -> fe, "y_0" -> fn),
           fe = fe, fn = fn, ell = ell))
       case other => throw new IllegalArgumentException(
-        s"Unsupported +proj=$other (supported: longlat, merc (3857 sphere), utm, tmerc, lcc, laea, aea, stere)")
+        s"Unsupported +proj=$other (supported: longlat, merc (3857 sphere), utm, tmerc, lcc, laea, aea, stere, sinu, moll)")
     }
   }
 
@@ -766,7 +871,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

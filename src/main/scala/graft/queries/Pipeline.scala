@@ -47,10 +47,12 @@ object Pipeline {
       .orderBy("id_a", "id_b")
 
   /** Near-dup groups through connected components: jaccardJoin pairs →
-    * min-label propagation → every document labeled with its component
-    * (singletons label themselves) + the component size. Transitive
-    * closure is the semantics a dedup survivor pass actually needs; the
-    * oracle recomputes it with a recursive CTE over the same pair SQL.
+    * alternating large-star/small-star closure (O(log n) rounds even on
+    * chain-shaped components) → every document labeled with its
+    * component (singletons label themselves) + the component size.
+    * Transitive closure is the semantics a dedup survivor pass actually
+    * needs; the oracle recomputes it with a recursive CTE over the same
+    * pair SQL.
     */
   def ddComponents(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)

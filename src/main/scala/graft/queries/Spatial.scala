@@ -487,6 +487,50 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-6, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Sinusoidal (the MODIS/land-product grid family, `+proj=sinu` on
+    * WGS84) over the full lat window: the oracle re-derives the Snyder
+    * 30-8/30-9 ellipsoidal forward op-for-op in SQL (x from the local
+    * parallel radius, y = the same 3-21 meridian-arc series the UTM
+    * oracle already proves out), value-checking at 0.1 m; the
+    * rectifying-latitude inverse is asserted through the rt_ok bit
+    * (< 1e-7° ≈ 1 cm).
+    */
+  private val SinuWgs84 = "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
+
+  def spSinu(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(SinuWgs84)))
+      .withColumn("back", st.geomReproject(col("p"), lit(SinuWgs84), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
+  /** Mollweide (`+proj=moll`, spherical with R = a per PROJ semantics)
+    * inside |lat| ≤ 80°: the Newton solve for 2θ + sin 2θ = π sin φ runs
+    * a FIXED 8-step schedule from θ₀ = φ precisely so the oracle can
+    * unroll the identical float sequence in SQL (eight chained CTEs);
+    * x/y then value-check at 0.1 m and the closed-form inverse through
+    * the rt_ok bit (< 1e-7°).
+    */
+  private val MollWgs84 = "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
+
+  def spMoll(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(abs(col("lat")) <= 80.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(MollWgs84)))
+      .withColumn("back", st.geomReproject(col("p"), lit(MollWgs84), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** Albers equal-area conic (EPSG:5070 Conus Albers) forward + inverse
     * roundtrip: the oracle mirrors the Snyder 15-19..15-26 forward
     * series op-for-op in SQL (q/m functions, n, C, ρ, θ); rt_ok asserts
@@ -652,6 +696,8 @@ object Spatial {
     "sp_lcc" -> spLcc _,
     "sp_albers" -> spAlbers _,
     "sp_datum" -> spDatum _,
+    "sp_sinu" -> spSinu _,
+    "sp_moll" -> spMoll _,
     "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
@@ -885,6 +931,58 @@ object Spatial {
     * constants are interpolated as shortest-roundtrip literals of the
     * exact Scala doubles (same IEEE expressions as Projections.Ellipsoid).
     */
+  /** Snyder ellipsoidal sinusoidal forward as DuckDB SQL, mirroring
+    * geom/Projections.Sinusoidal.fromGeo op-for-op: x = a·λ·cosφ/√(1−e²sin²φ)
+    * (30-8, λ0 = 0 so the λ−λ0 subtraction is exact), y = the identical
+    * 3-21 meridian-arc series the UTM oracle proves out. libm 1-ulp
+    * sin/cos differences are absorbed by the 0.1 m rounding.
+    */
+  private val spSinuOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+       |g AS (SELECT c_custkey, lon, lat,
+       |        radians(lat) AS phi,
+       |        sin(radians(lat)) AS sphi
+       |      FROM b)
+       |SELECT c_custkey,
+       | round(6378137.0 * radians(lon) * cos(phi) / sqrt(1.0 - $e2 * sphi * sphi), 1) AS easting,
+       | round(6378137.0 * ((1.0 - $e2 / 4.0 - 3.0 * $e2 * $e2 / 64.0 - 5.0 * $e2 * $e2 * $e2 / 256.0) * phi
+       |   - (3.0 * $e2 / 8.0 + 3.0 * $e2 * $e2 / 32.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(2.0 * phi)
+       |   + (15.0 * $e2 * $e2 / 256.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(4.0 * phi)
+       |   - (35.0 * $e2 * $e2 * $e2 / 3072.0) * sin(6.0 * phi)), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM g ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Mollweide forward as DuckDB SQL, mirroring
+    * geom/Projections.Mollweide.fromGeo: the FIXED 8-step Newton schedule
+    * for 2θ + sin 2θ = π sin φ unrolled as eight chained CTEs with the
+    * identical update expression, then x = (2√2R/π)·λ·cosθ,
+    * y = √2R·sinθ (31-1/31-2), both with the implementation's constant
+    * grouping so the float sequences match to libm's 1 ulp.
+    */
+  private val spMollOracle: String = {
+    // chained CTEs, each adding the next Newton iterate t1..t8
+    val steps = (1 to 8).map { i =>
+      val (p, t) = (s"t${i - 1}", s"t$i")
+      s"s$i AS (SELECT *, $p - (2.0 * $p + sin(2.0 * $p) - c) / (2.0 + 2.0 * cos(2.0 * $p)) AS $t FROM s${i - 1})"
+    }.mkString(",\n|")
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE abs($latSql) <= 80.0),
+       |s0 AS (SELECT c_custkey, lon, lat,
+       |        radians(lat) AS t0,
+       |        pi() * sin(radians(lat)) AS c
+       |      FROM b),
+       |$steps
+       |SELECT c_custkey,
+       | round((sqrt(8.0) / pi() * 6378137.0) * radians(lon) * cos(t8), 1) AS easting,
+       | round((sqrt(2.0) * 6378137.0) * sin(t8), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM s8 ORDER BY c_custkey""".stripMargin
+  }
+
   private val spDatumOracle: String = {
     def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
     // WGS84 (source geodetic side)
@@ -1138,6 +1236,8 @@ object Spatial {
     "sp_lcc" -> spLccOracle,
     "sp_albers" -> spAlbersOracle,
     "sp_datum" -> spDatumOracle,
+    "sp_sinu" -> spSinuOracle,
+    "sp_moll" -> spMollOracle,
     // the layout window replayed as a plain coordinate filter — the
     // layout must neither lose (spill/pruning) nor invent rows
     "sp_z2_layout" ->

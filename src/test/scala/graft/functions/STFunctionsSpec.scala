@@ -501,6 +501,98 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     sql1("SELECT st_crsFromText('5070')").getString(0) shouldBe "EPSG:5070"
   }
 
+  test("CRS: sinusoidal — equal-area invariant, equator/meridian exactness, roundtrip") {
+    import graft.geom.Projections
+    val sinu = Projections.parseCrs("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+    // central meridian: x = 0 exactly; equator: y = 0 exactly and
+    // x = a·λ (the sqrt term is exactly 1 at sinφ = 0)
+    sinu.fromGeo(0.0, 47.3)._1 shouldBe 0.0 +- 1e-9
+    val (xe, ye) = sinu.fromGeo(90.0, 0.0)
+    ye shouldBe 0.0 +- 1e-9
+    xe shouldBe 6378137.0 * math.Pi / 2.0 +- 1e-6
+    // the defining property: area scale = 1 everywhere (Jacobian of the
+    // map equals the ellipsoidal surface element M·N·cosφ)
+    def areaScale(lon: Double, lat: Double): Double = {
+      val d = 0.01
+      val (x1, y1) = sinu.fromGeo(lon, lat)
+      val (x2, y2) = sinu.fromGeo(lon + d, lat)
+      val (x3, y3) = sinu.fromGeo(lon, lat + d)
+      val jac = math.abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) /
+        (math.toRadians(d) * math.toRadians(d))
+      val s = math.sin(math.toRadians(lat))
+      val w = 1.0 - 0.00669437999014133 * s * s
+      val n = 6378137.0 / math.sqrt(w)
+      val m = 6378137.0 * (1.0 - 0.00669437999014133) / (w * math.sqrt(w))
+      jac / (m * n * math.cos(math.toRadians(lat)))
+    }
+    for ((lon, lat) <- Seq((0.0, 0.0), (77.0, 28.6), (-100.0, 45.0), (140.0, -33.9), (10.0, 78.0)))
+      withClue(s"($lon,$lat)") { areaScale(lon, lat) shouldBe 1.0 +- 1e-4 }
+    // roundtrip through the rectifying-latitude inverse (1e-7°: the
+    // truncated 3-26 series, same tolerance as the UTM/Albers inverses)
+    for ((lon, lat) <- Seq((-122.4, 37.8), (151.2, -33.9), (0.0, 80.0), (-179.5, -85.0), (45.0, 0.0))) {
+      val (x, y) = sinu.fromGeo(lon, lat)
+      val (bl, bp) = sinu.toGeo(x, y)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-7
+        bp shouldBe lat +- 1e-7
+      }
+    }
+    // SQL surface + a legacy-datum sinu grid (datumWrap applies generically)
+    val p = sql1("SELECT st_x(st_geomReproject(st_makePoint(90.0, 0.0), 'EPSG:4326', " +
+      "'+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84'))")
+    p.getDouble(0) shouldBe xe +- 1e-6
+    val shifted = Projections.parseCrs("+proj=sinu +lon_0=0 +ellps=clrk66 +towgs84=-8,160,176")
+    val (sx, sy) = shifted.fromGeo(-100.0, 40.0)
+    val (bl2, bp2) = shifted.toGeo(sx, sy)
+    bl2 shouldBe -100.0 +- 1e-6
+    bp2 shouldBe 40.0 +- 1e-6
+  }
+
+  test("CRS: Mollweide — Newton residual, pole/edge geometry, equal-area, roundtrip") {
+    import graft.geom.Projections
+    val moll = Projections.Mollweide(0.0, 0.0, 0.0, "moll", Projections.Ellipsoid.Wgs84)
+    val R = 6378137.0
+    // the fixed 8-step schedule actually solves 2θ + sin 2θ = π sin φ
+    for (lat <- (-85 to 85 by 5).map(_.toDouble)) {
+      val th = moll.theta(math.toRadians(lat))
+      val resid = 2.0 * th + math.sin(2.0 * th) - math.Pi * math.sin(math.toRadians(lat))
+      withClue(s"lat=$lat") { math.abs(resid) should be < 1e-12 }
+    }
+    // origin exact; pole at y = √2·R with x = 0; equator edge at x = 2√2·R
+    moll.fromGeo(0.0, 0.0) shouldBe ((0.0, 0.0))
+    val (px, py) = moll.fromGeo(0.0, 90.0)
+    px shouldBe 0.0 +- 1e-9
+    py shouldBe math.sqrt(2.0) * R +- 1e-6
+    moll.fromGeo(180.0, 0.0)._1 shouldBe 2.0 * math.sqrt(2.0) * R +- 1e-6
+    // equal-area on the sphere: Jacobian = R²·cosφ (d = 0.001°: the
+    // finite-difference truncation error grows with dθ/dφ near the pole
+    // and at 0.01° already exceeds 1e-4 by lat 75)
+    def areaScale(lon: Double, lat: Double): Double = {
+      val d = 0.001
+      val (x1, y1) = moll.fromGeo(lon, lat)
+      val (x2, y2) = moll.fromGeo(lon + d, lat)
+      val (x3, y3) = moll.fromGeo(lon, lat + d)
+      val jac = math.abs((x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)) /
+        (math.toRadians(d) * math.toRadians(d))
+      jac / (R * R * math.cos(math.toRadians(lat)))
+    }
+    for ((lon, lat) <- Seq((0.0, 0.0), (120.0, 50.0), (-60.0, -35.0), (20.0, 75.0)))
+      withClue(s"($lon,$lat)") { areaScale(lon, lat) shouldBe 1.0 +- 1e-4 }
+    // roundtrip incl. far-from-center points
+    for ((lon, lat) <- Seq((-122.4, 37.8), (151.2, -33.9), (179.0, 60.0), (-179.0, -80.0), (0.0, 85.0))) {
+      val (x, y) = moll.fromGeo(lon, lat)
+      val (bl, bp) = moll.toGeo(x, y)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-9
+        bp shouldBe lat +- 1e-9
+      }
+    }
+    // SQL surface
+    val q = sql1("SELECT st_y(st_geomReproject(st_makePoint(0.0, 50.0), 'EPSG:4326', " +
+      "'+proj=moll +lon_0=0'))")
+    q.getDouble(0) shouldBe moll.fromGeo(0.0, 50.0)._2 +- 1e-6
+  }
+
   test("CRS: proj4 strings — EPSG-equivalent params, generic tmerc, rejection") {
     import graft.geom.Projections
     // proj4 spellings of the supported EPSG systems must produce the
