@@ -274,6 +274,18 @@ object Dedup {
     * carries (table, bucket, id, vec) instead of the n² cross product.
     * Reported cosines are exact; recall follows the LSH S-curve
     * (high-cosine pairs collide in some table with high probability).
+    *
+    * `nBits` is the cost knob and must scale with the corpus: expected
+    * bucket size is n/2^nBits, so candidate-pair cost is
+    * Σ|bucket|² ≈ n²/2^nBits per table — with nBits FIXED each data
+    * decade costs ~100× in candidates (measured in SCALE_r06: 103×
+    * candidate pairs and ~11× wall for the sf1→sf10 decade at nBits=8,
+    * vs 2.8×/decade holding bucket size with nBits=12). Raising nBits
+    * also lowers the per-table collision probability p = (1−θ/π)^nBits,
+    * so recall at the threshold drops unless `tables` rises with it —
+    * pick the (nBits, tables) operating point with a recall contract
+    * (dd_embed_recall's pattern) and hold n/2^nBits roughly constant
+    * as the corpus grows.
     */
   def embeddingNearDupBlocked(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
@@ -295,34 +307,6 @@ object Dedup {
 
   // ------------------------------------------------ component clustering
 
-  /** Connected components over a near-duplicate pair list — the step
-    * between pair generation (minhashLsh / jaccardJoin /
-    * embeddingNearDupBlocked) and survivor selection: transitive
-    * near-dups A~B~C must dedup as ONE group even when A~C was never
-    * emitted as a pair. Returns (id, component) with component = the
-    * minimum id in each component; ids absent from `pairs` are the
-    * caller's singletons.
-    *
-    * Algorithm: min-label propagation to a fixpoint — labels start as
-    * the id, every iteration each node takes the min of its own and its
-    * neighbors' labels (one shuffle per iteration on the symmetrized
-    * edge list). Iterations = component diameter, and near-dup clusters
-    * are shallow (pair generators emit most intra-cluster edges, so
-    * diameters are single-digit); maxIter bounds the pathological
-    * chain. Each round materializes only (id, label) — never the
-    * transitive closure, which is what makes this safe at 100 TB where
-    * a recursive-CTE-style expansion would explode.
-    *
-    * Each round is cut from its predecessor's lineage with an eager
-    * `localCheckpoint` (the GraphFrames pattern): caching alone keeps
-    * the full logical plan, which references the previous round's plan
-    * three times (propagate, union, convergence check) and therefore
-    * grows exponentially in the iteration count — a 12-hop chain
-    * produced a ~2^12-node plan whose analysis/explain alone OOMed the
-    * driver. With the checkpoint every round plans against a leaf RDD,
-    * so plan size, analysis time and driver memory stay O(1) per round
-    * regardless of component diameter.
-    */
   /** SemDeDup (after the public recipe — Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication"): k-means-cluster the embeddings, compare pairs only
@@ -336,7 +320,9 @@ object Dedup {
     * plan as a literal; assignment is one scan-side expression; the
     * pair stage is a cluster-keyed self-equi-join — pair cost is
     * Σ|cluster|² instead of n², and nlist is the knob that bounds it
-    * (the paper runs ~100k clusters at web scale). Recall is exact
+    * (the paper runs ~100k clusters at web scale; SCALE_r06 measures
+    * the knob: fixed nlist=8 cost 46× wall for the sf1→sf10 decade,
+    * nlist scaled with n held the same decade to 2.2×). Recall is exact
     * WITHIN clusters; cross-cluster near-dups are the documented miss,
     * shrinking as clustering tightens — at nlist=1 the operator
     * degrades to the exact all-pairs closure (the oracle regime).

@@ -131,15 +131,24 @@ object Text {
     * unlike `df.sample`, whose per-partition RNG reshuffles the kept set
     * whenever partitioning changes. Scan-side filter, no shuffle.
     */
-  def sampleByStrata(df: DataFrame, strataCol: String, idCol: String,
-                     rates: Map[String, Double], defaultRate: Double = 0.0,
-                     salt: Long = 0L): DataFrame = {
+  /** The deterministic keep predicate [[sampleByStrata]] filters by,
+    * exposed as a Column so funnel queries can count it in the same
+    * aggregation pass instead of re-running the filter as its own scan.
+    */
+  def sampleKeep(strataCol: String, idCol: String,
+                 rates: Map[String, Double], defaultRate: Double = 0.0,
+                 salt: Long = 0L): Column = {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
     val h = pmod(col(idCol).cast("long") * lit(2654435761L) + lit(salt), lit(1000000007L))
-    df.filter(h.cast("double") < rate * lit(1000000007.0))
+    h.cast("double") < rate * lit(1000000007.0)
   }
+
+  def sampleByStrata(df: DataFrame, strataCol: String, idCol: String,
+                     rates: Map[String, Double], defaultRate: Double = 0.0,
+                     salt: Long = 0L): DataFrame =
+    df.filter(sampleKeep(strataCol, idCol, rates, defaultRate, salt))
 
   /** Temperature-based mixture sampling rates (the Pile / GPT-3 recipe:
     * sample source s with weight ∝ n_s^α, α<1 flattens the source
