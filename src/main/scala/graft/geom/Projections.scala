@@ -533,6 +533,104 @@ object Projections {
     }
   }
 
+  /** Hotine oblique Mercator (`+proj=omerc`, azimuth form — the
+    * Swiss/Malaysia/Alaska-zone-1 family), Snyder PP 1395 ch. 9,
+    * eqs. 9-11..9-19 constants, 9-25..9-34 forward, 9-42..9-48 inverse
+    * (EPSG method 9815 variant B: grid coordinates are relative to the
+    * PROJECTION CENTER, i.e. the natural-origin u is reduced by u_c;
+    * `noOff = true` gives variant A / Hotine's original natural-origin
+    * coordinates, PROJ's `+no_off`). Conformal along the initial line
+    * (azimuth `alphaC` through (lat0, lonC)) with scale `k0` there; the
+    * rectification angle `gammaC` defaults to the azimuth. The inverse
+    * recovers φ through the same Snyder 3-5 chi series the polar
+    * stereographic inverse uses.
+    *
+    * Quadrants: u uses atan2(S·cosγ0 + V·sinγ0, cos(B·Δλ)) so points
+    * beyond 90° of arc from the center stay on the correct branch —
+    * the printed Snyder form divides and loses the quadrant.
+    */
+  final case class Omerc(lat0: Double, lonC: Double, alphaC: Double,
+                         gammaC: Double, k0: Double, fe: Double, fn: Double,
+                         noOff: Boolean, name: String,
+                         ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A0 = ell.a
+    private val E2 = ell.e2
+    private val e = math.sqrt(E2)
+    private val phi0 = math.toRadians(lat0)
+    private val alc = math.toRadians(alphaC)
+    private val gc = math.toRadians(gammaC)
+    require(math.abs(lat0) > 1e-9 && math.abs(math.abs(lat0) - 90.0) > 1e-9,
+      "omerc needs 0 < |lat_0| < 90 (the equatorial/polar limits degenerate)")
+
+    private def tOf(phi: Double): Double =
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2.0)
+
+    private val sin0 = math.sin(phi0)
+    private val cos0 = math.cos(phi0)
+    private val B = math.sqrt(1.0 + E2 * cos0 * cos0 * cos0 * cos0 / (1.0 - E2)) // 9-11
+    private val Ap = A0 * B * k0 * math.sqrt(1.0 - E2) / (1.0 - E2 * sin0 * sin0) // 9-12
+    private val t0 = tOf(phi0)                                                    // 9-13
+    private val D = B * math.sqrt(1.0 - E2) / (cos0 * math.sqrt(1.0 - E2 * sin0 * sin0)) // 9-14
+    private val D2 = math.max(D * D, 1.0) // D can dip below 1 by rounding near the equator
+    private val F = D + math.copySign(math.sqrt(D2 - 1.0), phi0)                  // 9-15
+    private val Ecst = F * math.pow(t0, B)                                        // 9-16
+    private val G = (F - 1.0 / F) / 2.0                                           // 9-17
+    private val gamma0 = math.asin(math.sin(alc) / D)                             // 9-18
+    private val lam0 = math.toRadians(lonC) -
+      math.asin(G * math.tan(gamma0)) / B                                         // 9-19
+    private val sinG0 = math.sin(gamma0)
+    private val cosG0 = math.cos(gamma0)
+    // u of the projection center measured from the natural origin (9-39)
+    private val uC =
+      if (math.abs(alphaC) == 90.0) Ap * (math.toRadians(lonC) - lam0)
+      else math.copySign(Ap / B * math.atan2(math.sqrt(D2 - 1.0), math.cos(alc)), phi0)
+    private val uOff = if (noOff) 0.0 else uC
+    // chi series coefficients (Snyder 3-5), same as PolarStereo's
+    private val c2 = E2 / 2.0 + 5.0 * E2 * E2 / 24.0 + E2 * E2 * E2 / 12.0 + 13.0 * E2 * E2 * E2 * E2 / 360.0
+    private val c4 = 7.0 * E2 * E2 / 48.0 + 29.0 * E2 * E2 * E2 / 240.0 + 811.0 * E2 * E2 * E2 * E2 / 11520.0
+    private val c6 = 7.0 * E2 * E2 * E2 / 120.0 + 81.0 * E2 * E2 * E2 * E2 / 1120.0
+    private val c8 = 4279.0 * E2 * E2 * E2 * E2 / 161280.0
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dlamRaw = math.toRadians(lon) - lam0
+      // wrap Δλ to (−π, π] so grids straddling the antimeridian work
+      val dlam = dlamRaw - 2.0 * math.Pi * math.floor((dlamRaw + math.Pi) / (2.0 * math.Pi))
+      val t = tOf(phi)
+      val q = Ecst / math.pow(t, B)                                               // 9-25
+      val sS = (q - 1.0 / q) / 2.0                                                // 9-26
+      val tT = (q + 1.0 / q) / 2.0                                                // 9-27
+      val vV = math.sin(B * dlam)                                                 // 9-28
+      val uU = (-vV * cosG0 + sS * sinG0) / tT                                    // 9-29
+      val v = Ap * math.log((1.0 - uU) / (1.0 + uU)) / (2.0 * B)                  // 9-30
+      val u = Ap * math.atan2(sS * cosG0 + vV * sinG0, math.cos(B * dlam)) / B -
+        uOff                                                                      // 9-34 (atan2 quadrant form)
+      (v * math.cos(gc) + u * math.sin(gc) + fe,                                  // 9-35
+        u * math.cos(gc) - v * math.sin(gc) + fn)                                 // 9-36
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val xp = x0 - fe
+      val yp = y0 - fn
+      val v = xp * math.cos(gc) - yp * math.sin(gc)                               // 9-42
+      val u = xp * math.sin(gc) + yp * math.cos(gc) + uOff                        // 9-43
+      val qp = math.exp(-B * v / Ap)                                              // 9-44
+      val sp = (qp - 1.0 / qp) / 2.0                                              // 9-45
+      val vp = math.sin(B * u / Ap)
+      val up = (vp * cosG0 + sp * sinG0) / ((qp + 1.0 / qp) / 2.0)                // 9-46
+      val clamped = math.max(-1.0, math.min(1.0, up))
+      val t = math.pow(Ecst / math.sqrt((1.0 + clamped) / (1.0 - clamped)), 1.0 / B) // 9-47
+      val chi = math.Pi / 2.0 - 2.0 * math.atan(t)
+      val phi = chi + c2 * math.sin(2.0 * chi) + c4 * math.sin(4.0 * chi) +
+        c6 * math.sin(6.0 * chi) + c8 * math.sin(8.0 * chi)                       // 3-5
+      val lam = lam0 - math.atan2(sp * cosG0 - vp * sinG0, math.cos(B * u / Ap)) / B // 9-48
+      val lonOut = math.toDegrees(lam)
+      val lonNorm = lonOut - 360.0 * math.floor((lonOut + 180.0) / 360.0)
+      (lonNorm, math.toDegrees(phi))
+    }
+  }
+
   /** Sinusoidal (Sanson–Flamsteed), ellipsoidal form — the equal-area
     * pseudocylindrical the MODIS/land-product grids use (`+proj=sinu`).
     * Snyder PP 1395 eq. 30-8/30-9 forward: y is the meridian arc M(φ)
@@ -632,6 +730,7 @@ object Projections {
   // proj4 keys that select/parameterize a projection this object can build
   private val Proj4ParamKeys = Set(
     "proj", "zone", "south", "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0",
+    "lonc", "alpha", "gamma", "no_off", "no_uoff",
     "k", "k_0", "x_0", "y_0")
   // keys that pin the datum/ellipsoid/units — validated, not stored
   private val Proj4GuardKeys = Set(
@@ -643,7 +742,8 @@ object Projections {
     * the native transforms — the projection families this object already
     * implements cover the proj4 surface a warehouse actually meets:
     * longlat, merc (the 3857 sphere), utm, tmerc, lcc (2SP), laea, aea
-    * (2SP), polar stere, sinu (the MODIS/land-product family) and moll.
+    * (2SP), polar stere, omerc (azimuth form), sinu (the MODIS/
+    * land-product family) and moll.
     * The reference hands any proj4 string to proj4j
     * (ST_CrsFromText.scala:1); without that dependency, a supported
     * subset is rebuilt on the same Snyder machinery and everything else
@@ -796,6 +896,22 @@ object Projections {
           mkName("lat_1" -> lat1, "lat_2" -> lat2, "lat_0" -> lat0, "lon_0" -> lon0,
             "x_0" -> fe, "y_0" -> fn),
           ell))
+      case "omerc" =>
+        require(kv.contains("alpha"),
+          "+proj=omerc is supported in the azimuth form (+lat_0 +lonc +alpha " +
+            "[+gamma] [+no_off]); the two-point form (+lat_1/+lon_1/+lat_2/+lon_2) is not")
+        val lat0 = num("lat_0", 0.0)
+        val lonc = num("lonc", 0.0)
+        val alpha = num("alpha", 0.0)
+        val gamma = num("gamma", alpha)
+        val k0 = num("k", num("k_0", 1.0))
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        val noOff = kv.contains("no_off") || kv.contains("no_uoff")
+        datumWrap(Omerc(lat0, lonc, alpha, gamma, k0, fe, fn, noOff,
+          mkName("lat_0" -> lat0, "lonc" -> lonc, "alpha" -> alpha,
+            "gamma" -> gamma, "k_0" -> k0, "x_0" -> fe, "y_0" -> fn) +
+            (if (noOff) " +no_off" else ""),
+          ell))
       case "sinu" =>
         val lon0 = num("lon_0", 0.0)
         val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
@@ -821,7 +937,7 @@ object Projections {
             "x_0" -> fe, "y_0" -> fn),
           fe = fe, fn = fn, ell = ell))
       case other => throw new IllegalArgumentException(
-        s"Unsupported +proj=$other (supported: longlat, merc (3857 sphere), utm, tmerc, lcc, laea, aea, stere, sinu, moll)")
+        s"Unsupported +proj=$other (supported: longlat, merc (3857 sphere), utm, tmerc, lcc, laea, aea, stere, omerc, sinu, moll)")
     }
   }
 
@@ -871,7 +987,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

@@ -487,6 +487,35 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-6, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Hotine oblique Mercator (EPSG method 9815 variant B — the
+    * Swiss/Borneo/Alaska-zone-1 family) on a Borneo-like centerline
+    * (azimuth 53° through (4°N, 115°E), k0 = 0.99984), over a ±30°-ish
+    * window around it. The oracle replays the Snyder ch. 9 forward
+    * op-for-op in SQL — the CRS constants (B, A′, E, γ0, λ0, u_c) are
+    * row-independent and interpolated as shortest-roundtrip literals of
+    * the exact Scala doubles; the per-row chain (t, Q, S, T, V, U → v,
+    * u → rectification) is spelled with the same IEEE associativity,
+    * value-checking at 0.1 m. The chi-series inverse is asserted through
+    * the rt_ok bit; conformality/center/rectification invariants anchor
+    * the implementation independently in STFunctionsSpec.
+    */
+  private val OmercBorneo =
+    "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +gamma=53 +k_0=0.99984 +x_0=0 +y_0=0 +ellps=WGS84"
+
+  def spOmerc(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("lon") >= 85.0 && col("lon") <= 145.0 &&
+              col("lat") >= -20.0 && col("lat") <= 28.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(OmercBorneo)))
+      .withColumn("back", st.geomReproject(col("p"), lit(OmercBorneo), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** Sinusoidal (the MODIS/land-product grid family, `+proj=sinu` on
     * WGS84) over the full lat window: the oracle re-derives the Snyder
     * 30-8/30-9 ellipsoidal forward op-for-op in SQL (x from the local
@@ -696,6 +725,7 @@ object Spatial {
     "sp_lcc" -> spLcc _,
     "sp_albers" -> spAlbers _,
     "sp_datum" -> spDatum _,
+    "sp_omerc" -> spOmerc _,
     "sp_sinu" -> spSinu _,
     "sp_moll" -> spMoll _,
     "sp_latlon" -> spLatLonText _,
@@ -931,6 +961,70 @@ object Spatial {
     * constants are interpolated as shortest-roundtrip literals of the
     * exact Scala doubles (same IEEE expressions as Projections.Ellipsoid).
     */
+  /** Snyder ch. 9 Hotine oblique Mercator forward as DuckDB SQL,
+    * mirroring geom/Projections.Omerc.fromGeo: the row-independent CRS
+    * constants (B, A′, E, γ0, λ0, u_c — pure functions of the fixed
+    * grid parameters, re-derived here with the identical IEEE
+    * expressions) ride as shortest-roundtrip literals; the per-row
+    * chain (t, Q, S, T, V, U → v, u via atan2 → γ-rectification) is
+    * spelled op-for-op. libm 1-ulp differences absorbed by the 0.1 m
+    * rounding.
+    */
+  private val spOmercOracle: String = {
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    // the OmercBorneo parameters, constants derived exactly as Omerc does
+    val (lat0, lonC, alphaC, gammaC, k0) = (4.0, 115.0, 53.0, 53.0, 0.99984)
+    val a = 6378137.0
+    val f = 1.0 / 298.257223563
+    val e2 = f * (2.0 - f)
+    val e = math.sqrt(e2)
+    val phi0 = math.toRadians(lat0)
+    val sin0 = math.sin(phi0); val cos0 = math.cos(phi0)
+    val bB = math.sqrt(1.0 + e2 * cos0 * cos0 * cos0 * cos0 / (1.0 - e2))
+    val aP = a * bB * k0 * math.sqrt(1.0 - e2) / (1.0 - e2 * sin0 * sin0)
+    val t0 = math.tan(math.Pi / 4.0 - phi0 / 2.0) /
+      math.pow((1.0 - e * sin0) / (1.0 + e * sin0), e / 2.0)
+    val dD = bB * math.sqrt(1.0 - e2) / (cos0 * math.sqrt(1.0 - e2 * sin0 * sin0))
+    val d2 = math.max(dD * dD, 1.0)
+    val fF = dD + math.copySign(math.sqrt(d2 - 1.0), phi0)
+    val eCst = fF * math.pow(t0, bB)
+    val gG = (fF - 1.0 / fF) / 2.0
+    val gamma0 = math.asin(math.sin(math.toRadians(alphaC)) / dD)
+    val lam0 = math.toRadians(lonC) - math.asin(gG * math.tan(gamma0)) / bB
+    val uC = math.copySign(aP / bB * math.atan2(math.sqrt(d2 - 1.0),
+      math.cos(math.toRadians(alphaC))), phi0)
+    val gc = math.toRadians(gammaC)
+    val (bL, apL, eL, ecL) = (dlit(bB), dlit(aP), dlit(e), dlit(eCst))
+    val (sg0, cg0) = (dlit(math.sin(gamma0)), dlit(math.cos(gamma0)))
+    val (sgc, cgc) = (dlit(math.sin(gc)), dlit(math.cos(gc)))
+    val (lam0L, ucL) = (dlit(lam0), dlit(uC))
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($lonSql) >= 85.0 AND ($lonSql) <= 145.0
+       |             AND ($latSql) >= -20.0 AND ($latSql) <= 28.0),
+       |g AS (SELECT c_custkey, lon, lat,
+       |        radians(lat) AS phi,
+       |        radians(lon) - $lam0L AS dlraw
+       |      FROM b),
+       |w AS (SELECT *, dlraw - 2.0 * pi() * floor((dlraw + pi()) / (2.0 * pi())) AS dlam FROM g),
+       |h AS (SELECT *,
+       |        tan(pi() / 4.0 - phi / 2.0)
+       |          / pow((1.0 - $eL * sin(phi)) / (1.0 + $eL * sin(phi)), $eL / 2.0) AS t
+       |      FROM w),
+       |i AS (SELECT *, $ecL / pow(t, $bL) AS q FROM h),
+       |j AS (SELECT *, (q - 1.0 / q) / 2.0 AS ss, (q + 1.0 / q) / 2.0 AS tt,
+       |        sin($bL * dlam) AS vv FROM i),
+       |k AS (SELECT *, (-vv * $cg0 + ss * $sg0) / tt AS uu FROM j),
+       |l AS (SELECT *,
+       |        $apL * ln((1.0 - uu) / (1.0 + uu)) / (2.0 * $bL) AS v,
+       |        $apL * atan2(ss * $cg0 + vv * $sg0, cos($bL * dlam)) / $bL - $ucL AS u
+       |      FROM k)
+       |SELECT c_custkey,
+       | round(v * $cgc + u * $sgc, 1) AS easting,
+       | round(u * $cgc - v * $sgc, 1) AS northing,
+       | 1 AS rt_ok
+       |FROM l ORDER BY c_custkey""".stripMargin
+  }
+
   /** Snyder ellipsoidal sinusoidal forward as DuckDB SQL, mirroring
     * geom/Projections.Sinusoidal.fromGeo op-for-op: x = a·λ·cosφ/√(1−e²sin²φ)
     * (30-8, λ0 = 0 so the λ−λ0 subtraction is exact), y = the identical
@@ -1236,6 +1330,7 @@ object Spatial {
     "sp_lcc" -> spLccOracle,
     "sp_albers" -> spAlbersOracle,
     "sp_datum" -> spDatumOracle,
+    "sp_omerc" -> spOmercOracle,
     "sp_sinu" -> spSinuOracle,
     "sp_moll" -> spMollOracle,
     // the layout window replayed as a plain coordinate filter — the

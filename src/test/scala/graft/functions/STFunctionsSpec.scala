@@ -501,6 +501,85 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     sql1("SELECT st_crsFromText('5070')").getString(0) shouldBe "EPSG:5070"
   }
 
+  test("CRS: Hotine oblique Mercator — conformality, center geometry, rectification, roundtrip") {
+    import graft.geom.Projections
+    val om = Projections.parseCrs(
+      "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +gamma=53 +k_0=0.99984 +x_0=0 +y_0=0 +ellps=WGS84")
+    // variant B: the projection CENTER maps to the false origin —
+    // independently validates the u_c (9-39) constant
+    val (cx, cy) = om.fromGeo(115.0, 4.0)
+    cx shouldBe 0.0 +- 1e-6
+    cy shouldBe 0.0 +- 1e-6
+    // conformality: the defining property — local scale is ISOTROPIC
+    // (east-step scale == north-step scale) everywhere; most formula
+    // errors (wrong constant, wrong sign, series slip) break this
+    def scales(lon: Double, lat: Double): (Double, Double) = {
+      val d = 0.001
+      val (x1, y1) = om.fromGeo(lon, lat)
+      val (x2, y2) = om.fromGeo(lon + d, lat)
+      val (x3, y3) = om.fromGeo(lon, lat + d)
+      val s = math.sin(math.toRadians(lat))
+      val w = 1.0 - 0.00669437999014133 * s * s
+      val parallelRadius = 6378137.0 * math.cos(math.toRadians(lat)) / math.sqrt(w)
+      val meridianRadius = 6378137.0 * (1.0 - 0.00669437999014133) / (w * math.sqrt(w))
+      (math.hypot(x2 - x1, y2 - y1) / (math.toRadians(d) * parallelRadius),
+        math.hypot(x3 - x1, y3 - y1) / (math.toRadians(d) * meridianRadius))
+    }
+    for ((lon, lat) <- Seq((115.0, 4.0), (110.0, 1.0), (120.0, 7.0), (100.0, -10.0), (135.0, 20.0))) {
+      val (k, h) = scales(lon, lat)
+      withClue(s"($lon,$lat)") { k / h shouldBe 1.0 +- 1e-6 }
+    }
+    // scale on the initial line at the center is k0, and grows off-line
+    scales(115.0, 4.0)._1 shouldBe 0.99984 +- 1e-6
+    scales(100.0, -10.0)._1 should be > 0.99984
+    // rectification: a small step from the center must map to the grid
+    // direction equal to its TRUE initial bearing (the flat lat/lon step
+    // below has ellipsoidal bearing atan2(N·cosφ·Δλ, M·Δφ) ≈ 53.18°,
+    // not 53° — N/M ≈ 1.0067 tilts it); conformal maps preserve angles,
+    // so grid angle minus bearing must vanish as the step shrinks
+    val d = 0.002
+    val (dlam, dphi) = (math.toRadians(d * math.sin(math.toRadians(53.0)) / math.cos(math.toRadians(4.0))),
+      math.toRadians(d * math.cos(math.toRadians(53.0))))
+    val s4 = math.sin(math.toRadians(4.0))
+    val w4 = 1.0 - 0.00669437999014133 * s4 * s4
+    val n4 = 6378137.0 / math.sqrt(w4)
+    val m4 = 6378137.0 * (1.0 - 0.00669437999014133) / (w4 * math.sqrt(w4))
+    val trueBearing = math.toDegrees(math.atan2(n4 * math.cos(math.toRadians(4.0)) * dlam, m4 * dphi))
+    val (sx, sy) = om.fromGeo(115.0 + d * math.sin(math.toRadians(53.0)) / math.cos(math.toRadians(4.0)),
+      4.0 + d * math.cos(math.toRadians(53.0)))
+    math.toDegrees(math.atan2(sx - cx, sy - cy)) shouldBe trueBearing +- 0.01
+    // roundtrip across the window (chi-series inverse)
+    for ((lon, lat) <- Seq((115.0, 4.0), (109.5, 1.5), (118.0, 6.0), (95.0, -15.0), (140.0, 25.0))) {
+      val (x, y) = om.fromGeo(lon, lat)
+      val (bl, bp) = om.toGeo(x, y)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-7
+        bp shouldBe lat +- 1e-7
+      }
+    }
+    // variant A (+no_off) differs from variant B by exactly the constant
+    // (u_c sin gamma, u_c cos gamma) rectified offset — i.e. the same
+    // transform anchored at the natural origin
+    val omA = Projections.parseCrs(
+      "+proj=omerc +lat_0=4 +lonc=115 +alpha=53 +gamma=53 +k_0=0.99984 +no_off +ellps=WGS84")
+    val (ax, ay) = omA.fromGeo(115.0, 4.0)
+    val (bx, by) = omA.fromGeo(118.0, 6.0)
+    val (vx, vy) = om.fromGeo(118.0, 6.0)
+    bx - ax shouldBe vx +- 1e-6
+    by - ay shouldBe vy +- 1e-6
+    // southern-hemisphere centerline roundtrips too (copySign branches)
+    val omS = Projections.parseCrs(
+      "+proj=omerc +lat_0=-20 +lonc=45 +alpha=-35 +gamma=-35 +k_0=1 +ellps=WGS84")
+    for ((lon, lat) <- Seq((45.0, -20.0), (40.0, -25.0), (50.0, -12.0))) {
+      val (x, y) = omS.fromGeo(lon, lat)
+      val (bl, bp) = omS.toGeo(x, y)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-7
+        bp shouldBe lat +- 1e-7
+      }
+    }
+  }
+
   test("CRS: sinusoidal — equal-area invariant, equator/meridian exactness, roundtrip") {
     import graft.geom.Projections
     val sinu = Projections.parseCrs("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
