@@ -734,7 +734,8 @@ object Projections {
     "k", "k_0", "x_0", "y_0")
   // keys that pin the datum/ellipsoid/units — validated, not stored
   private val Proj4GuardKeys = Set(
-    "a", "b", "rf", "ellps", "datum", "towgs84", "units", "to_meter", "pm")
+    "a", "b", "rf", "r", "ellps", "datum", "towgs84", "nadgrids",
+    "units", "to_meter", "pm")
   // decorative flags with no numeric effect
   private val Proj4NoiseKeys = Set("no_defs", "wktext", "type")
 
@@ -778,14 +779,28 @@ object Projections {
     val proj = kv.getOrElse("proj", throw new IllegalArgumentException(
       s"proj4 string '$raw' has no +proj"))
 
-    // ellipsoid: named +ellps/+datum, or custom +a with +rf/+b
+    // ellipsoid: named +ellps/+datum, custom +a with +rf/+b, or a +R
+    // sphere (MODIS-class authalic grids, e.g. +proj=sinu +R=6371007.181:
+    // per PROJ practice — usually spelled with +nadgrids=@null — sphere
+    // geographic coordinates pass through as WGS84 lon/lat with NO datum
+    // transformation, so +R composes with the projection math at e = 0
+    // and never wraps in a Helmert chain)
     val sphere = kv.contains("a") && kv.get("a") == kv.get("b")
+    val rSphere = kv.contains("r")
+    require(!(rSphere && kv.contains("towgs84")),
+      "+R (sphere) and +towgs84 cannot combine — a sphere radius carries no datum tie")
+    kv.get("nadgrids").foreach(v => require(v == "@null",
+      s"Unsupported +nadgrids=$v (only @null — the identity tie — is supported)"))
     val ell: Ellipsoid = {
       val named = kv.get("ellps").orElse(kv.get("datum")).map(_.toUpperCase)
       named match {
         case Some(id) =>
           Ellipsoid.ByProj4Id.getOrElse(id, throw new IllegalArgumentException(
             s"Unsupported ellipsoid/datum '$id' (supported: ${Ellipsoid.ByProj4Id.keys.toSeq.sorted.mkString(", ")}, or explicit +a= with +rf=/+b=)"))
+        case None if rSphere =>
+          val r = num("r", A)
+          require(r > 6e6 && r < 7e6, s"Implausible sphere radius +R=$r")
+          Ellipsoid(r, 0.0, s"R=${kv("r")}")
         case None if kv.contains("a") && !sphere =>
           val a = num("a", A)
           val f =
@@ -816,7 +831,7 @@ object Projections {
         val p = ps.padTo(7, 0.0)
         Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
       case None =>
-        require(ell eq Ellipsoid.Wgs84,
+        require((ell eq Ellipsoid.Wgs84) || rSphere,
           s"+ellps=${ell.id} requires an explicit +towgs84 datum tie to WGS84 " +
             "(a legacy-ellipsoid CRS without one would silently guess the datum)")
         Helmert(0, 0, 0, 0, 0, 0, 0)
@@ -826,8 +841,9 @@ object Projections {
     kv.get("pm").foreach(v => require(v == "0" || v.equalsIgnoreCase("greenwich"),
       s"Unsupported prime meridian +pm=$v"))
     // a shifted datum wraps the base projection (built on the source
-    // ellipsoid); identity shift on WGS84 keeps the unwrapped transform
-    val shifted = !helmert.isIdentity || !(ell eq Ellipsoid.Wgs84)
+    // ellipsoid); identity shift on WGS84 keeps the unwrapped transform;
+    // +R spheres are identity-tied by definition (see above)
+    val shifted = !helmert.isIdentity || (!(ell eq Ellipsoid.Wgs84) && !rSphere)
 
     // canonical name: the parameters that define the transform, fixed order
     def fmt(d: Double): String =
@@ -837,6 +853,7 @@ object Projections {
         (if (shifted)
            s" +ellps=${ell.id} +towgs84=${Seq(helmert.dx, helmert.dy, helmert.dz,
              helmert.rxSec, helmert.rySec, helmert.rzSec, helmert.dsPpm).map(fmt).mkString(",")}"
+         else if (rSphere) s" +R=${fmt(ell.a)}"
          else " +ellps=WGS84")
     def datumWrap(base: Crs): Crs =
       if (shifted) DatumShifted(base, ell, helmert, base.name) else base

@@ -625,6 +625,20 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     val (bl2, bp2) = shifted.toGeo(sx, sy)
     bl2 shouldBe -100.0 +- 1e-6
     bp2 shouldBe 40.0 +- 1e-6
+    // the ACTUAL MODIS grid: +R authalic sphere (nadgrids=@null practice:
+    // no datum wrap, e = 0 collapses the ellipsoidal form to x = RΔλcosφ,
+    // y = Rφ exactly)
+    val modis = Projections.parseCrs("+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181 +nadgrids=@null +wktext")
+    val rM = 6371007.181
+    val (mx, my) = modis.fromGeo(-93.0, 45.0)
+    mx shouldBe rM * math.toRadians(-93.0) * math.cos(math.toRadians(45.0)) +- 1e-6
+    my shouldBe rM * math.toRadians(45.0) +- 1e-6
+    val (mbl, mbp) = modis.toGeo(mx, my)
+    mbl shouldBe -93.0 +- 1e-9
+    mbp shouldBe 45.0 +- 1e-9
+    // sphere + towgs84 is ambiguous and must fail loudly
+    an[IllegalArgumentException] should be thrownBy
+      Projections.parseCrs("+proj=sinu +R=6371007.181 +towgs84=1,2,3")
   }
 
   test("CRS: Mollweide — Newton residual, pole/edge geometry, equal-area, roundtrip") {
