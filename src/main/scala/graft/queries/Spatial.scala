@@ -538,6 +538,28 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** The ACTUAL MODIS land-product grid — sinusoidal on the authalic
+    * sphere, spelled exactly as the products ship it
+    * (`+R=6371007.181 +nadgrids=@null`): at e = 0 the ellipsoidal form
+    * collapses to x = R·Δλ·cosφ, y = R·φ, which the oracle replays
+    * directly — so the +R sphere path is driver-verified end to end,
+    * not just spec-pinned.
+    */
+  private val ModisSinu =
+    "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 +R=6371007.181 +nadgrids=@null +wktext"
+
+  def spModis(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(ModisSinu)))
+      .withColumn("back", st.geomReproject(col("p"), lit(ModisSinu), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** Mollweide (`+proj=moll`, spherical with R = a per PROJ semantics)
     * inside |lat| ≤ 80°: the Newton solve for 2θ + sin 2θ = π sin φ runs
     * a FIXED 8-step schedule from θ₀ = φ precisely so the oracle can
@@ -727,6 +749,7 @@ object Spatial {
     "sp_datum" -> spDatum _,
     "sp_omerc" -> spOmerc _,
     "sp_sinu" -> spSinu _,
+    "sp_modis" -> spModis _,
     "sp_moll" -> spMoll _,
     "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
@@ -1332,6 +1355,14 @@ object Spatial {
     "sp_datum" -> spDatumOracle,
     "sp_omerc" -> spOmercOracle,
     "sp_sinu" -> spSinuOracle,
+    // the sphere collapse replayed literally: x = R·Δλ·cosφ, y = R·φ
+    "sp_modis" ->
+      s"""SELECT c_custkey,
+         | round(6371007.181e0 * radians(lon) * cos(radians(lat)), 1) AS easting,
+         | round(6371007.181e0 * radians(lat), 1) AS northing,
+         | 1 AS rt_ok
+         |FROM (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer)
+         |ORDER BY c_custkey""".stripMargin,
     "sp_moll" -> spMollOracle,
     // the layout window replayed as a plain coordinate filter — the
     // layout must neither lose (spill/pruning) nor invent rows

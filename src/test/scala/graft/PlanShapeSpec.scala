@@ -300,6 +300,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_curate: the funnel reads the corpus exactly twice — flags pass + dedup pass") {
+    val p = planOf("tx_curate")
+    withClue(s"plan:\n$p") {
+      // the round-6 rewrite: stages 0-3 are conditional counters over ONE
+      // scan, stages 4-5 one grouped pass over the filtered rows — a
+      // regression to the per-stage-union shape shows up as extra scans
+      // re-running the expensive text signals (14.6x at the sf10 decade).
+      // 2 real scans, each printed twice (AQE initial + final sections)
+      p.linesIterator.count(_.contains("FileScan parquet")) should be <= 4
+      p.contains("Window") shouldBe false
+      p.contains("CartesianProduct") shouldBe false
+      // both count passes aggregate partial->final
+      p.linesIterator.count(_.contains("HashAggregate")) should be >= 4
+    }
+  }
+
   test("dd_normalized / tx_perplexity: digest-only dedup shuffle; LM model tables broadcast") {
     val n = planOf("dd_normalized")
     withClue(s"dd_normalized plan:\n$n") {
