@@ -725,6 +725,126 @@ object Projections {
     }
   }
 
+  /** Ellipsoidal Mercator (Snyder pp. 41–44, eqs. 7-6..7-10; EPSG
+    * methods 9804 "1SP" via k₀ and 9805 "2SP" via lat_ts): EPSG:3395
+    * (WGS 84 / World Mercator) and the navigation-chart grids. The
+    * standard parallel composes with the explicit scale exactly as PROJ
+    * does — k₀ = k·cosφₜₛ/√(1−e²sin²φₜₛ), so lat_ts = 0 reduces to the
+    * plain 1SP form. y uses the isometric latitude
+    * ψ = ln tan(π/4+φ/2) + (e/2)·ln((1−e sinφ)/(1+e sinφ)) (7-7);
+    * with e = 0 (a +R sphere) ψ collapses to the spherical
+    * ln tan(π/4+φ/2), so spherical Mercator grids ride the same code.
+    * Inverse via the conformal-latitude series (7-13 + 3-5), the same
+    * machinery as [[PolarStereo]].
+    */
+  final case class Mercator(latTs: Double, k: Double, lon0: Double,
+                            fe: Double, fn: Double, name: String,
+                            ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A = ell.a
+    private val E2 = ell.e2
+    private val e = math.sqrt(E2)
+    private val k0 = {
+      val phiTs = math.toRadians(latTs)
+      val s = math.sin(phiTs)
+      k * math.cos(phiTs) / math.sqrt(1.0 - E2 * s * s)   // Snyder 14-15 at φts
+    }
+    // inverse conformal-latitude series coefficients (Snyder 3-5)
+    private val c2 = E2 / 2.0 + 5.0 * E2 * E2 / 24.0 + E2 * E2 * E2 / 12.0 + 13.0 * E2 * E2 * E2 * E2 / 360.0
+    private val c4 = 7.0 * E2 * E2 / 48.0 + 29.0 * E2 * E2 * E2 / 240.0 + 811.0 * E2 * E2 * E2 * E2 / 11520.0
+    private val c6 = 7.0 * E2 * E2 * E2 / 120.0 + 81.0 * E2 * E2 * E2 * E2 / 1120.0
+    private val c8 = 4279.0 * E2 * E2 * E2 * E2 / 161280.0
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      require(math.abs(lat) < 90.0 - 1e-9, s"Mercator is undefined at the poles (lat=$lat)")
+      val phi = math.toRadians(lat)
+      val s = math.sin(phi)
+      val psi = math.log(math.tan(math.Pi / 4.0 + phi / 2.0)) +
+        (if (e == 0.0) 0.0
+         else (e / 2.0) * math.log((1.0 - e * s) / (1.0 + e * s)))      // 7-7
+      (A * k0 * (math.toRadians(lon) - math.toRadians(lon0)) + fe,      // 7-6
+        A * k0 * psi + fn)
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val t = math.exp(-(y0 - fn) / (A * k0))                           // 7-10
+      val chi = math.Pi / 2.0 - 2.0 * math.atan(t)                      // 7-13
+      val phi = chi + c2 * math.sin(2.0 * chi) + c4 * math.sin(4.0 * chi) +
+        c6 * math.sin(6.0 * chi) + c8 * math.sin(8.0 * chi)             // 3-5
+      (math.toDegrees(math.toRadians(lon0) + (x0 - fe) / (A * k0)), math.toDegrees(phi))
+    }
+  }
+
+  /** Ellipsoidal cylindrical equal-area (Snyder pp. 76–79, eqs. 10-1,
+    * 10-2; EPSG method 9835): the EASE-Grid 2.0 family — EPSG:6933
+    * (global, lat_ts = 30°) and the polar/land variants — plus Gall–
+    * Peters-class grids. x = a·k₀·Δλ, y = a·q(φ)/(2k₀) with the same
+    * authalic q as [[Laea]]/[[Aea]] (3-12) and
+    * k₀ = cosφₜₛ/√(1−e²sin²φₜₛ); inverse through the authalic-latitude
+    * series (3-18).
+    */
+  final case class Cea(latTs: Double, lon0: Double, fe: Double, fn: Double,
+                       name: String, ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A = ell.a
+    private val E2 = ell.e2
+    private val e = math.sqrt(E2)
+
+    /** Snyder 3-12 — identical expression to Laea.qOf (e = 0 collapses to 2 sinφ). */
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      if (e == 0.0) 2.0 * s
+      else (1.0 - E2) * (s / (1.0 - E2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+
+    private val qP = qOf(math.Pi / 2.0)
+    private val k0 = {
+      val phiTs = math.toRadians(latTs)
+      val s = math.sin(phiTs)
+      math.cos(phiTs) / math.sqrt(1.0 - E2 * s * s)                     // 10-13
+    }
+    // inverse authalic-latitude series coefficients (Snyder 3-18)
+    private val a2 = E2 / 3.0 + 31.0 * E2 * E2 / 180.0 + 517.0 * E2 * E2 * E2 / 5040.0
+    private val a4 = 23.0 * E2 * E2 / 360.0 + 251.0 * E2 * E2 * E2 / 3780.0
+    private val a6 = 761.0 * E2 * E2 * E2 / 45360.0
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val x = A * k0 * (math.toRadians(lon) - math.toRadians(lon0))     // 10-1
+      val y = A * qOf(math.toRadians(lat)) / (2.0 * k0)                 // 10-2
+      (x + fe, y + fn)
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val sinB = math.max(-1.0, math.min(1.0, 2.0 * (y0 - fn) * k0 / (A * qP))) // 10-26
+      val beta = math.asin(sinB)
+      val phi = beta + a2 * math.sin(2.0 * beta) + a4 * math.sin(4.0 * beta) +
+        a6 * math.sin(6.0 * beta)                                       // 3-18
+      (math.toDegrees(math.toRadians(lon0) + (x0 - fe) / (A * k0)), math.toDegrees(phi))
+    }
+  }
+
+  /** Equidistant cylindrical / equirectangular (`+proj=eqc`), PROJ
+    * semantics: the projection is spherical — x = a·cosφₜₛ·Δλ,
+    * y = a·(φ − φ₀) — and PROJ substitutes the semi-major axis on an
+    * ellipsoid rather than using the EPSG-1028 meridian arc (same
+    * sphere-substitution policy as [[Mollweide]]). Covers EPSG:4087
+    * (WGS 84 / World Equidistant Cylindrical) and EPSG:32662 (Plate
+    * Carrée) as PROJ computes them.
+    */
+  final case class Eqc(latTs: Double, lat0: Double, lon0: Double,
+                       fe: Double, fn: Double, name: String,
+                       ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val R = ell.a
+    private val k0 = math.cos(math.toRadians(latTs))
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) =
+      (R * k0 * (math.toRadians(lon) - math.toRadians(lon0)) + fe,
+        R * (math.toRadians(lat) - math.toRadians(lat0)) + fn)
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) =
+      (math.toDegrees(math.toRadians(lon0) + (x0 - fe) / (R * k0)),
+        math.toDegrees(math.toRadians(lat0) + (y0 - fn) / R))
+  }
+
   private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
 
   // proj4 keys that select/parameterize a projection this object can build
@@ -742,9 +862,11 @@ object Projections {
   /** Parse a proj4 parameter string (`+proj=… +lat_0=… …`) into one of
     * the native transforms — the projection families this object already
     * implements cover the proj4 surface a warehouse actually meets:
-    * longlat, merc (the 3857 sphere), utm, tmerc, lcc (2SP), laea, aea
-    * (2SP), polar stere, omerc (azimuth form), sinu (the MODIS/
-    * land-product family) and moll.
+    * longlat, merc (ellipsoidal 1SP/2SP — EPSG:3395-class — plus the
+    * 3857 sphere spelling), webmerc, utm, tmerc, lcc (2SP), laea,
+    * aea (2SP), polar stere, omerc (azimuth form), sinu (the MODIS/
+    * land-product family), moll, cea (the EASE-Grid 2.0 family) and
+    * eqc.
     * The reference hands any proj4 string to proj4j
     * (ST_CrsFromText.scala:1); without that dependency, a supported
     * subset is rebuilt on the same Snyder machinery and everything else
@@ -817,8 +939,6 @@ object Projections {
         case None => Ellipsoid.Wgs84
       }
     }
-    require(sphere || proj != "merc",
-      s"+proj=merc is supported only as the EPSG:3857 sphere (+a=$A +b=$A)")
     if (sphere)
       require(num("a", A) == A, s"Unsupported sphere radius ${kv("a")} (EPSG:3857 R=$A only)")
 
@@ -863,10 +983,27 @@ object Projections {
         require(num("lon_0", 0.0) == 0.0, "+proj=longlat with a shifted +lon_0 is not supported")
         if (shifted) DatumShifted(LonLat, ell, helmert, mkName()) else LonLat
       case "merc" =>
-        require(!shifted, "+proj=merc is supported only on the WGS84/EPSG:3857 sphere")
-        require(num("k", num("k_0", 1.0)) == 1.0 && num("lat_ts", 0.0) == 0.0 &&
-          num("lon_0", 0.0) == 0.0 && num("x_0", 0.0) == 0.0 && num("y_0", 0.0) == 0.0,
-          s"+proj=merc supported only with EPSG:3857 parameters")
+        val latTs = num("lat_ts", 0.0)
+        val k0 = num("k", num("k_0", 1.0))
+        val lon0 = num("lon_0", 0.0)
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        if (sphere) {
+          // the legacy +a=+b spelling of the web-mercator sphere keeps the
+          // named EPSG:3857 fast path (radius pinned to A above)
+          require(!shifted && k0 == 1.0 && latTs == 0.0 && lon0 == 0.0 && fe == 0.0 && fn == 0.0,
+            "+proj=merc on the +a=+b sphere is supported only with EPSG:3857 parameters")
+          WebMercator
+        } else {
+          // ellipsoidal Mercator (EPSG:3395-class) — or spherical via +R (e = 0)
+          datumWrap(Mercator(latTs, k0, lon0, fe, fn,
+            mkName("lat_ts" -> latTs, "k_0" -> k0, "lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn),
+            ell))
+        }
+      case "webmerc" =>
+        // PROJ 6+ canonical spelling of EPSG:3857 (+proj=webmerc +datum=WGS84)
+        require(!shifted && num("lon_0", 0.0) == 0.0 &&
+          num("x_0", 0.0) == 0.0 && num("y_0", 0.0) == 0.0,
+          "+proj=webmerc is supported only with EPSG:3857 parameters")
         WebMercator
       case "utm" =>
         val zone = kv.getOrElse("zone", throw new IllegalArgumentException(
@@ -939,6 +1076,22 @@ object Projections {
         val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
         datumWrap(Mollweide(lon0, fe, fn,
           mkName("lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn), ell))
+      case "cea" =>
+        require(!kv.contains("k") && !kv.contains("k_0"),
+          "+proj=cea with an explicit scale is not supported (parameterize via +lat_ts)")
+        val latTs = num("lat_ts", 0.0)
+        val lon0 = num("lon_0", 0.0)
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        datumWrap(Cea(latTs, lon0, fe, fn,
+          mkName("lat_ts" -> latTs, "lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn), ell))
+      case "eqc" =>
+        val latTs = num("lat_ts", 0.0)
+        val lat0 = num("lat_0", 0.0)
+        val lon0 = num("lon_0", 0.0)
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        datumWrap(Eqc(latTs, lat0, lon0, fe, fn,
+          mkName("lat_ts" -> latTs, "lat_0" -> lat0, "lon_0" -> lon0,
+            "x_0" -> fe, "y_0" -> fn), ell))
       case "stere" =>
         val lat0 = num("lat_0", 90.0)
         require(math.abs(lat0) == 90.0,
@@ -954,7 +1107,7 @@ object Projections {
             "x_0" -> fe, "y_0" -> fn),
           fe = fe, fn = fn, ell = ell))
       case other => throw new IllegalArgumentException(
-        s"Unsupported +proj=$other (supported: longlat, merc (3857 sphere), utm, tmerc, lcc, laea, aea, stere, omerc, sinu, moll)")
+        s"Unsupported +proj=$other (supported: longlat, merc, webmerc, utm, tmerc, lcc, laea, aea, stere, omerc, sinu, moll, cea, eqc)")
     }
   }
 

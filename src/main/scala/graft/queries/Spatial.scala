@@ -582,6 +582,66 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Ellipsoidal Mercator — EPSG:3395 (WGS 84 / World Mercator) spelled
+    * as its proj4 string: the oracle replays the closed-form Snyder
+    * 7-6/7-7 forward in SQL (x = a·λ, y = a·[ln tan(π/4+φ/2) +
+    * (e/2)·ln((1−e sinφ)/(1+e sinφ))]); rt_ok asserts the
+    * conformal-latitude inverse (7-13 + 3-5) reproduces lon/lat to
+    * 1e-7°. The customer grid tops out at |lat| ≈ 85°, inside the
+    * projection's domain.
+    */
+  private val Merc3395 = "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m"
+
+  def spMerc(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(Merc3395)))
+      .withColumn("back", st.geomReproject(col("p"), lit(Merc3395), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
+  /** Cylindrical equal-area — EASE-Grid 2.0 global (EPSG:6933,
+    * lat_ts = 30°) spelled as its proj4 string: the oracle replays
+    * Snyder 10-1/10-2 with the authalic q (3-12) op-for-op in SQL;
+    * rt_ok asserts the authalic-latitude inverse (3-18) to 1e-7°.
+    */
+  private val Cea6933 = "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m"
+
+  def spCea(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(Cea6933)))
+      .withColumn("back", st.geomReproject(col("p"), lit(Cea6933), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
+  /** Equidistant cylindrical — EPSG:4087 (WGS 84 / World Equidistant
+    * Cylindrical) spelled as its proj4 string, PROJ's spherical
+    * semantics (R = a): x = a·λ, y = a·φ, replayed literally in SQL;
+    * the inverse is exact, so rt_ok is identically 1.
+    */
+  private val Eqc4087 = "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m"
+
+  def spEqc(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(Eqc4087)))
+      .withColumn("back", st.geomReproject(col("p"), lit(Eqc4087), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** Albers equal-area conic (EPSG:5070 Conus Albers) forward + inverse
     * roundtrip: the oracle mirrors the Snyder 15-19..15-26 forward
     * series op-for-op in SQL (q/m functions, n, C, ρ, θ); rt_ok asserts
@@ -751,6 +811,9 @@ object Spatial {
     "sp_sinu" -> spSinu _,
     "sp_modis" -> spModis _,
     "sp_moll" -> spMoll _,
+    "sp_merc" -> spMerc _,
+    "sp_cea" -> spCea _,
+    "sp_eqc" -> spEqc _,
     "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
@@ -1100,6 +1163,57 @@ object Spatial {
        |FROM s8 ORDER BY c_custkey""".stripMargin
   }
 
+  /** Ellipsoidal Mercator forward as DuckDB SQL, mirroring
+    * geom/Projections.Mercator.fromGeo for EPSG:3395 — k₀ = 1 exactly
+    * (lat_ts = 0, k = 1), so the a·k₀ products drop out and the forward
+    * is x = a·radians(lon), y = a·(ln tan(π/4+φ/2) +
+    * (e/2)·ln((1−e sinφ)/(1+e sinφ))), with the implementation's
+    * constant grouping.
+    */
+  private val spMercOracle: String = {
+    val f = 1.0 / 298.257223563
+    val e = math.sqrt(f * (2.0 - f))
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val el = dlit(e)
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+       |g AS (SELECT c_custkey, lon,
+       |        radians(lat) AS phi,
+       |        sin(radians(lat)) AS sphi
+       |      FROM b)
+       |SELECT c_custkey,
+       | round(6378137.0 * radians(lon), 1) AS easting,
+       | round(6378137.0 * (ln(tan(pi() / 4.0 + phi / 2.0)) + ($el / 2.0) * ln((1.0 - $el * sphi) / (1.0 + $el * sphi))), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM g ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Cylindrical equal-area forward as DuckDB SQL, mirroring
+    * geom/Projections.Cea.fromGeo for EPSG:6933: the authalic
+    * q(φ) (Snyder 3-12) replayed op-for-op, k₀ = cos 30°/√(1−e²sin²30°)
+    * embedded as the exact double the implementation computes, then
+    * x = a·k₀·λ, y = a·q/(2k₀).
+    */
+  private val spCeaOracle: String = {
+    val f = 1.0 / 298.257223563
+    val e2 = f * (2.0 - f)
+    val e = math.sqrt(e2)
+    val phiTs = math.toRadians(30.0)
+    val sTs = math.sin(phiTs)
+    val k0 = math.cos(phiTs) / math.sqrt(1.0 - e2 * sTs * sTs)
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val (e2l, el, k0l) = (dlit(e2), dlit(e), dlit(k0))
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+       |g AS (SELECT c_custkey, lon, sin(radians(lat)) AS sphi FROM b),
+       |q AS (SELECT c_custkey, lon,
+       |        (1.0 - $e2l) * (sphi / (1.0 - $e2l * sphi * sphi) - (1.0 / (2.0 * $el)) * ln((1.0 - $el * sphi) / (1.0 + $el * sphi))) AS qphi
+       |      FROM g)
+       |SELECT c_custkey,
+       | round(6378137.0 * $k0l * radians(lon), 1) AS easting,
+       | round(6378137.0 * qphi / (2.0 * $k0l), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM q ORDER BY c_custkey""".stripMargin
+  }
+
   private val spDatumOracle: String = {
     def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
     // WGS84 (source geodetic side)
@@ -1364,6 +1478,17 @@ object Spatial {
          |FROM (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer)
          |ORDER BY c_custkey""".stripMargin,
     "sp_moll" -> spMollOracle,
+    "sp_merc" -> spMercOracle,
+    "sp_cea" -> spCeaOracle,
+    // PROJ eqc spherical semantics (R = a) replayed literally:
+    // x = a·radians(lon), y = a·radians(lat); the inverse is exact
+    "sp_eqc" ->
+      s"""SELECT c_custkey,
+         | round(6378137.0 * radians(lon), 1) AS easting,
+         | round(6378137.0 * radians(lat), 1) AS northing,
+         | 1 AS rt_ok
+         |FROM (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer)
+         |ORDER BY c_custkey""".stripMargin,
     // the layout window replayed as a plain coordinate filter — the
     // layout must neither lose (spill/pruning) nor invent rows
     "sp_z2_layout" ->

@@ -686,6 +686,138 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     q.getDouble(0) shouldBe moll.fromGeo(0.0, 50.0)._2 +- 1e-6
   }
 
+  test("CRS: ellipsoidal Mercator (EPSG:3395) — conformality, lat_ts scale, sphere collapse, roundtrip") {
+    import graft.geom.Projections
+    val merc = Projections.parseCrs("+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84 +units=m")
+    // equator exactness: x = a·λ, y = 0 (k0 = 1 exactly at lat_ts = 0)
+    val (xe, ye) = merc.fromGeo(90.0, 0.0)
+    xe shouldBe 6378137.0 * math.Pi / 2.0 +- 1e-6
+    ye shouldBe 0.0 +- 1e-9
+    // the defining property set: conformality (meridian scale == parallel
+    // scale) AND the point scale equals the closed form
+    // k(φ) = k0·√(1−e²sin²φ)/cosφ (Snyder 7-8)
+    def pointScales(crs: Projections.Crs, lon: Double, lat: Double): (Double, Double) = {
+      // central differences: the forward-difference truncation error
+      // (Δφ/2)·k′/k ≈ 5e-6 at mid-latitudes would swamp a 1e-6 bound
+      val d = 1e-3
+      val (x1, y1) = crs.fromGeo(lon - d / 2, lat)
+      val (x2, y2) = crs.fromGeo(lon + d / 2, lat)
+      val (x3, y3) = crs.fromGeo(lon, lat + d / 2)
+      val (x4, y4) = crs.fromGeo(lon, lat - d / 2)
+      val s = math.sin(math.toRadians(lat))
+      val w = 1.0 - 0.00669437999014133 * s * s
+      val n = 6378137.0 / math.sqrt(w)                              // prime-vertical radius
+      val m = 6378137.0 * (1.0 - 0.00669437999014133) / (w * math.sqrt(w)) // meridian radius
+      (math.hypot(x2 - x1, y2 - y1) / (math.toRadians(d) * n * math.cos(math.toRadians(lat))),
+        math.hypot(x3 - x4, y3 - y4) / (math.toRadians(d) * m))
+    }
+    for ((lon, lat) <- Seq((0.0, 0.0), (77.0, 28.6), (-100.0, 45.0), (140.0, -33.9), (10.0, 70.0))) {
+      val (kPar, kMer) = pointScales(merc, lon, lat)
+      val s = math.sin(math.toRadians(lat))
+      val kClosed = math.sqrt(1.0 - 0.00669437999014133 * s * s) / math.cos(math.toRadians(lat))
+      withClue(s"($lon,$lat)") {
+        kPar shouldBe kClosed +- 1e-6 * kClosed
+        kMer shouldBe kClosed +- 1e-6 * kClosed   // conformal: isotropic scale
+      }
+    }
+    // lat_ts = 45 (2SP form): the standard parallel is true to scale
+    val merc45 = Projections.parseCrs("+proj=merc +lat_ts=45 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+    val (kp45, km45) = pointScales(merc45, 20.0, 45.0)
+    kp45 shouldBe 1.0 +- 1e-6
+    km45 shouldBe 1.0 +- 1e-6
+    // conformal-latitude inverse roundtrips (1e-7° — same series as the
+    // polar-stereo inverse), including near the grid's 85° edge
+    for ((lon, lat) <- Seq((-122.4, 37.8), (151.2, -33.9), (0.0, 84.9), (-179.5, -84.9), (45.0, 0.0))) {
+      val (x, y) = merc.fromGeo(lon, lat)
+      val (bl, bp) = merc.toGeo(x, y)
+      withClue(s"($lon,$lat)") { bl shouldBe lon +- 1e-7; bp shouldBe lat +- 1e-7 }
+    }
+    // +R sphere: e = 0 collapses y to the exact spherical R·ln tan(π/4+φ/2)
+    val sphMerc = Projections.parseCrs("+proj=merc +R=6371000 +lon_0=0")
+    val (sx, sy) = sphMerc.fromGeo(30.0, 50.0)
+    sx shouldBe 6371000.0 * math.toRadians(30.0) +- 1e-6
+    sy shouldBe 6371000.0 * math.log(math.tan(math.Pi / 4.0 + math.toRadians(50.0) / 2.0)) +- 1e-6
+    // legacy datum rides the generic wrap: ED50-class Mercator roundtrips
+    val ed50 = Projections.parseCrs("+proj=merc +lon_0=0 +ellps=intl +towgs84=-87,-98,-121")
+    val (dx, dy) = ed50.fromGeo(12.0, 45.0)
+    val (dl, dp) = ed50.toGeo(dx, dy)
+    dl shouldBe 12.0 +- 1e-6
+    dp shouldBe 45.0 +- 1e-6
+    // the EPSG:3857 sphere spelling still resolves to the named fast path,
+    // and non-3857 parameters on the +a=+b sphere still fail loudly
+    Projections.parseCrs("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m")
+      .fromGeo(12.5, 47.3) shouldBe Projections.parseCrs("EPSG:3857").fromGeo(12.5, 47.3)
+    an[Exception] should be thrownBy
+      Projections.parseCrs("+proj=merc +a=6378137 +b=6378137 +lat_ts=30")
+    // poles are outside the domain
+    an[Exception] should be thrownBy merc.fromGeo(0.0, 90.0)
+    // SQL surface
+    sql1("SELECT st_y(st_geomReproject(st_makePoint(90.0, 0.0), 'EPSG:4326', " +
+      "'+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84'))")
+      .getDouble(0) shouldBe 0.0 +- 1e-9
+  }
+
+  test("CRS: cylindrical equal-area (EASE-Grid 2.0) and eqc — equal-area invariant, lat_ts, roundtrip") {
+    import graft.geom.Projections
+    val cea = Projections.parseCrs("+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84 +units=m")
+    // equal-area: the map Jacobian equals the ellipsoidal surface element
+    // M·N·cosφ everywhere (same invariant as the sinusoidal test)
+    def areaScale(crs: Projections.Crs, lon: Double, lat: Double): Double = {
+      // central differences: y′ ∝ cosφ makes the forward-difference error
+      // (Δφ/2)·tanφ ≈ 4e-4 at 78°, past the 1e-4 bound
+      val d = 0.01
+      val (x1, y1) = crs.fromGeo(lon - d / 2, lat)
+      val (x2, y2) = crs.fromGeo(lon + d / 2, lat)
+      val (x3, y3) = crs.fromGeo(lon, lat + d / 2)
+      val (x4, y4) = crs.fromGeo(lon, lat - d / 2)
+      val jac = math.abs((x2 - x1) * (y3 - y4) - (x3 - x4) * (y2 - y1)) /
+        (math.toRadians(d) * math.toRadians(d))
+      val s = math.sin(math.toRadians(lat))
+      val w = 1.0 - 0.00669437999014133 * s * s
+      val n = 6378137.0 / math.sqrt(w)
+      val m = 6378137.0 * (1.0 - 0.00669437999014133) / (w * math.sqrt(w))
+      jac / (m * n * math.cos(math.toRadians(lat)))
+    }
+    for ((lon, lat) <- Seq((0.0, 0.0), (77.0, 28.6), (-100.0, 45.0), (140.0, -33.9), (10.0, 78.0)))
+      withClue(s"($lon,$lat)") { areaScale(cea, lon, lat) shouldBe 1.0 +- 1e-4 }
+    // the standard parallel is true to scale: dx/dλ = N·cos(30°) at φ = 30
+    val d = 1e-3
+    val (p1, _) = cea.fromGeo(20.0, 30.0)
+    val (p2, _) = cea.fromGeo(20.0 + d, 30.0)
+    val s30 = math.sin(math.toRadians(30.0))
+    val n30 = 6378137.0 / math.sqrt(1.0 - 0.00669437999014133 * s30 * s30)
+    (p2 - p1) / (math.toRadians(d) * n30 * math.cos(math.toRadians(30.0))) shouldBe 1.0 +- 1e-9
+    // hemispheric symmetry and the EASE-Grid half-height y(90°) = a·qP/(2k0)
+    val (_, yN) = cea.fromGeo(0.0, 50.0)
+    val (_, yS) = cea.fromGeo(0.0, -50.0)
+    yN shouldBe -yS +- 1e-6   // q's log terms don't negate bit-exactly
+    // authalic-latitude inverse roundtrips (1e-7°, same series as LAEA/Albers)
+    for ((lon, lat) <- Seq((-122.4, 37.8), (151.2, -33.9), (0.0, 84.9), (-179.5, -84.9), (45.0, 0.0))) {
+      val (x, y) = cea.fromGeo(lon, lat)
+      val (bl, bp) = cea.toGeo(x, y)
+      withClue(s"($lon,$lat)") { bl shouldBe lon +- 1e-7; bp shouldBe lat +- 1e-7 }
+    }
+    // eqc (EPSG:4087): PROJ's spherical semantics on R = a, exact both ways
+    val eqc = Projections.parseCrs("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+    val (qx, qy) = eqc.fromGeo(-93.0, 45.0)
+    qx shouldBe 6378137.0 * math.toRadians(-93.0) +- 1e-6
+    qy shouldBe 6378137.0 * math.toRadians(45.0) +- 1e-6
+    val (ql, qp) = eqc.toGeo(qx, qy)
+    ql shouldBe -93.0 +- 1e-12
+    qp shouldBe 45.0 +- 1e-12
+    // a lat_ts-compressed eqc: x shrinks by cos(φts), y unchanged
+    val eqc60 = Projections.parseCrs("+proj=eqc +lat_ts=60 +lon_0=0 +ellps=WGS84")
+    val (cx, cy) = eqc60.fromGeo(-93.0, 45.0)
+    cx shouldBe qx * math.cos(math.toRadians(60.0)) +- 1e-6
+    cy shouldBe qy +- 1e-9
+    // explicit-scale cea is rejected (parameterize via lat_ts)
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=cea +k_0=0.9")
+    // SQL surface
+    sql1("SELECT st_x(st_geomReproject(st_makePoint(-93.0, 45.0), 'EPSG:4326', " +
+      "'+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84'))")
+      .getDouble(0) shouldBe qx +- 1e-6
+  }
+
   test("CRS: proj4 strings — EPSG-equivalent params, generic tmerc, rejection") {
     import graft.geom.Projections
     // proj4 spellings of the supported EPSG systems must produce the
@@ -699,6 +831,7 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
       "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m" -> "EPSG:3031",
       "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +datum=WGS84" -> "EPSG:3413",
       "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m" -> "EPSG:3857",
+      "+proj=webmerc +datum=WGS84 +units=m +no_defs" -> "EPSG:3857",
       "+proj=longlat +datum=WGS84 +no_defs" -> "EPSG:4326")
     for ((p4, epsg) <- pairs; (lon, lat) <- Seq((12.5, 47.3), (-63.2, -33.7))) {
       withClue(s"$p4 vs $epsg @($lon,$lat)") {
@@ -743,7 +876,7 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     viaProj4 shouldBe viaEpsg
     // loud rejection: unsupported projection, ellipsoid, prime meridian,
     // 1SP lcc, oblique stere, unknown parameter keys
-    an[Exception] should be thrownBy Projections.parseCrs("+proj=cea +lat_ts=30")
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=robin +lon_0=0")
     an[Exception] should be thrownBy Projections.parseCrs("+proj=aea +lat_1=29.5") // aea needs both parallels
     an[Exception] should be thrownBy Projections.parseCrs("+proj=tmerc +ellps=airy")
     an[Exception] should be thrownBy Projections.parseCrs("+proj=utm +zone=33 +pm=paris")
