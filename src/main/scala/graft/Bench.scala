@@ -61,10 +61,10 @@ object Bench {
     val total = results.collect { case (_, v, true) => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"iterations":$iters,"sf":"$sfDir"}"""
-    println(json)
-    // also persist to a file: the driver's stdout capture truncates long
-    // tails (BENCH_r05.json lost half its per-query timings), so the
-    // full artifact must live somewhere a 2000-char window can't cut
+    // Persist the FULL per-query sweep to a file: the driver's stdout
+    // capture keeps only a 2000-char tail, which a 132-query JSON line
+    // (~4 KB) overflows — BENCH_r04–r06 all lost the line start and
+    // recorded parsed:null.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/bench_last.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
@@ -74,6 +74,28 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
+    // Stdout gets ONE COMPACT line as the final output: `value` is still
+    // the full-suite total, but `queries` is limited to a fixed headline
+    // subset (one-per-family heavies) at 3-decimal precision so the line
+    // stays well under the 2000-char tail window even after sbt's
+    // trailing "[success]" line. The complete sweep lives in `full`.
+    val headline = Seq(
+      "q1_agg", "q3_shipping", "q5_local_supplier", "q_window_topn",
+      "q_asof_join", "q_range_join", "q_median",
+      "ev_heavy", "ev_sessions", "ev_retention",
+      "sp_spatial_join", "sp_knn_join", "sp_z2_layout", "sp_predicates",
+      "sp_reproject",
+      "dd_exact", "dd_minhash", "dd_jaccard_join", "dd_components",
+      "dd_semantic",
+      "ann_brute", "ann_ivf", "ann_pq", "ann_hybrid",
+      "tx_quality", "tx_curate", "tx_bpe_apply", "tx_split", "tx_decontam",
+      "mm_decode", "mm_features")
+    val byName = results.map { case (k, v, ok) => k -> (if (ok) v else -1.0) }.toMap
+    val qsCompact = headline.flatMap(k => byName.get(k).map(v => f""""$k":$v%.3f"""))
+      .mkString("{", ",", "}")
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"errors":$errors,"iterations":$iters,"sf":"$sfDir","full":"$outPath"}"""
+    println(compact)
     spark.stop()
   }
 }
