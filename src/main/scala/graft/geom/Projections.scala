@@ -845,6 +845,167 @@ object Projections {
         math.toDegrees(math.toRadians(lat0) + (y0 - fn) / R))
   }
 
+  /** Oblique Stereographic, double-projection form (EPSG method 9809;
+    * proj4 `+proj=sterea`): ellipsoid → conformal sphere → spherical
+    * oblique stereographic. The Netherlands RD New grid (EPSG:28992,
+    * Bessel) is the canonical user; also Ireland, some Scandinavian
+    * legacy grids. Derivation follows the EPSG Guidance Note 7-2 §3.2.5
+    * worked formulas (public). Mirrors reference behavior of
+    * ST_GeomReproject/ST_CrsFromText (spatial-index/src/main/scala/com/
+    * azavea/hiveless/spatial/index/ST_CrsFromText.scala:1 delegating to
+    * proj4j's ObliqueStereographicAzimuthalProjection).
+    *
+    * Inverse: closed spherical inverse, then isometric-latitude Newton
+    * iteration with a FIXED 4-step schedule — deterministic, oracle-
+    * replayable, and sub-nanoradian for |φ| < 89°.
+    */
+  final case class Sterea(lat0: Double, lon0: Double, k0: Double,
+                          fe: Double, fn: Double, name: String,
+                          ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val e2 = ell.e2
+    private val e = math.sqrt(e2)
+    private val phi0 = math.toRadians(lat0)
+    private val lam0 = math.toRadians(lon0)
+    private val s0 = math.sin(phi0)
+    private val c0 = math.cos(phi0)
+    // conformal-sphere radius and exponent
+    private val bigR = ell.a * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    private val n = math.sqrt(1.0 + e2 * c0 * c0 * c0 * c0 / (1.0 - e2))
+    private val s1 = (1.0 + s0) / (1.0 - s0)
+    private val s2 = (1.0 - e * s0) / (1.0 + e * s0)
+    private val w1 = math.pow(s1 * math.pow(s2, e), n)
+    private val sinChi00 = (w1 - 1.0) / (w1 + 1.0)
+    private val c = (n + s0) * (1.0 - sinChi00) / ((n - s0) * (1.0 + sinChi00))
+    private val w2 = c * w1
+    private val chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    private val sinChi0 = math.sin(chi0)
+    private val cosChi0 = math.cos(chi0)
+
+    /** Conformal latitude χ and sphere longitude Λ of (φ, λ). */
+    private def conformal(phi: Double, lam: Double): (Double, Double) = {
+      val sp = math.sin(phi)
+      val sa = (1.0 + sp) / (1.0 - sp)
+      val sb = (1.0 - e * sp) / (1.0 + e * sp)
+      val w = c * math.pow(sa * math.pow(sb, e), n)
+      (math.asin((w - 1.0) / (w + 1.0)), n * (lam - lam0) + lam0)
+    }
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val (chi, bigLam) = conformal(math.toRadians(lat), math.toRadians(lon))
+      val dl = bigLam - lam0
+      val b = 1.0 + math.sin(chi) * sinChi0 + math.cos(chi) * cosChi0 * math.cos(dl)
+      (fe + 2.0 * bigR * k0 * math.cos(chi) * math.sin(dl) / b,
+        fn + 2.0 * bigR * k0 * (math.sin(chi) * cosChi0 -
+          math.cos(chi) * sinChi0 * math.cos(dl)) / b)
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val de = x0 - fe
+      val dn = y0 - fn
+      val g = 2.0 * bigR * k0 * math.tan(math.Pi / 4.0 - chi0 / 2.0)
+      val h = 4.0 * bigR * k0 * math.tan(chi0) + g
+      val i = math.atan2(de, h + dn)
+      val j = math.atan2(de, g - dn) - i
+      val chi = chi0 + 2.0 * math.atan((dn - de * math.tan(j / 2.0)) / (2.0 * bigR * k0))
+      val bigLam = j + 2.0 * i + lam0
+      val lam = (bigLam - lam0) / n + lam0
+      // isometric latitude of the conformal sphere point, then the fixed
+      // 4-iteration Newton recovery of the ellipsoidal φ
+      val psi = 0.5 * math.log((1.0 + math.sin(chi)) / (c * (1.0 - math.sin(chi)))) / n
+      var phi = 2.0 * math.atan(math.exp(psi)) - math.Pi / 2.0
+      var it = 0
+      while (it < 4) {
+        val sp = math.sin(phi)
+        val psiI = math.log(math.tan(phi / 2.0 + math.Pi / 4.0) *
+          math.pow((1.0 - e * sp) / (1.0 + e * sp), e / 2.0))
+        phi = phi - (psiI - psi) * math.cos(phi) * (1.0 - e2 * sp * sp) / (1.0 - e2)
+        it += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** Krovak oblique conformal conic (EPSG method 9819; proj4
+    * `+proj=krovak`): the S-JTSK grid of the Czech and Slovak republics,
+    * EPSG:5514 (Krovak East North — easting = −westing Y, northing =
+    * −southing X, matching PROJ's axis convention for the code). Bessel
+    * ellipsoid; formulas from EPSG Guidance Note 7-2 §3.2.9 (public):
+    * Gaussian sphere latitude U, rotation to the oblique pole (T, D),
+    * conformal cone of pseudo-standard parallel φP with n = sin φP.
+    *
+    * Inverse: closed except the Gaussian-to-geodetic latitude step,
+    * which uses a FIXED 4-iteration schedule (deterministic, oracle-
+    * replayable).
+    */
+  final case class Krovak(latC: Double, lonO: Double, alphaC: Double,
+                          latP: Double, kP: Double, fe: Double, fn: Double,
+                          name: String,
+                          ell: Ellipsoid = Ellipsoid.ByProj4Id("BESSEL")) extends Crs {
+    private val e2 = ell.e2
+    private val e = math.sqrt(e2)
+    private val phiC = math.toRadians(latC)
+    private val lam0 = math.toRadians(lonO)
+    private val aC = math.toRadians(alphaC)
+    private val phiP = math.toRadians(latP)
+    private val sC = math.sin(phiC)
+    private val cC = math.cos(phiC)
+    private val bigA = ell.a * math.sqrt(1.0 - e2) / (1.0 - e2 * sC * sC)
+    private val bigB = math.sqrt(1.0 + e2 * cC * cC * cC * cC / (1.0 - e2))
+    private val gamma0 = math.asin(sC / bigB)
+    private val t0 = math.tan(math.Pi / 4.0 + gamma0 / 2.0) *
+      math.pow((1.0 + e * sC) / (1.0 - e * sC), e * bigB / 2.0) /
+      math.pow(math.tan(math.Pi / 4.0 + phiC / 2.0), bigB)
+    private val nK = math.sin(phiP)
+    private val r0 = kP * bigA / math.tan(phiP)
+    private val tanPhalf = math.tan(phiP / 2.0 + math.Pi / 4.0)
+    private val tanP = math.pow(tanPhalf, nK)
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val lam = math.toRadians(lon)
+      val sp = math.sin(phi)
+      val u = 2.0 * (math.atan(t0 * math.pow(math.tan(phi / 2.0 + math.Pi / 4.0), bigB) /
+        math.pow((1.0 + e * sp) / (1.0 - e * sp), e * bigB / 2.0)) - math.Pi / 4.0)
+      val v = bigB * (lam0 - lam)
+      val t = math.asin(math.cos(aC) * math.sin(u) + math.sin(aC) * math.cos(u) * math.cos(v))
+      // full-range rotated longitude (atan2, not the EPSG asin spelling):
+      // identical in the S-JTSK service area, but also correct for
+      // far-field points whose azimuth from the oblique pole exceeds 90°
+      // (the asin form folds there and the projection stops being
+      // invertible)
+      val d = math.atan2(math.cos(u) * math.sin(v),
+        math.cos(aC) * math.cos(u) * math.cos(v) - math.sin(aC) * math.sin(u))
+      val theta = nK * d
+      val r = r0 * tanP / math.pow(math.tan(t / 2.0 + math.Pi / 4.0), nK)
+      val xp = r * math.cos(theta) // southing
+      val yp = r * math.sin(theta) // westing
+      (-yp + fe, -xp + fn) // Krovak East North (EPSG:5514): E = −Y, N = −X
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val yp = -(x0 - fe) // westing
+      val xp = -(y0 - fn) // southing
+      val r = math.sqrt(xp * xp + yp * yp)
+      val theta = math.atan2(yp, xp)
+      val d = theta / nK
+      val t = 2.0 * (math.atan(math.pow(r0 / r, 1.0 / nK) * tanPhalf) - math.Pi / 4.0)
+      val u = math.asin(math.cos(aC) * math.sin(t) - math.sin(aC) * math.cos(t) * math.cos(d))
+      val v = math.atan2(math.cos(t) * math.sin(d),
+        math.cos(aC) * math.cos(t) * math.cos(d) + math.sin(aC) * math.sin(t))
+      // Gaussian U → geodetic φ, fixed 4-iteration schedule
+      var phi = u
+      var it = 0
+      while (it < 4) {
+        val sp = math.sin(phi)
+        phi = 2.0 * (math.atan(math.pow(1.0 / t0, 1.0 / bigB) *
+          math.pow(math.tan(u / 2.0 + math.Pi / 4.0), 1.0 / bigB) *
+          math.pow((1.0 + e * sp) / (1.0 - e * sp), e / 2.0)) - math.Pi / 4.0)
+        it += 1
+      }
+      (math.toDegrees(lam0 - v / bigB), math.toDegrees(phi))
+    }
+  }
+
   private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
 
   // proj4 keys that select/parameterize a projection this object can build
@@ -1066,6 +1227,32 @@ object Projections {
             "gamma" -> gamma, "k_0" -> k0, "x_0" -> fe, "y_0" -> fn) +
             (if (noOff) " +no_off" else ""),
           ell))
+      case "sterea" =>
+        val (lat0, lon0) = (num("lat_0", 0.0), num("lon_0", 0.0))
+        val k0 = num("k", num("k_0", 1.0))
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        datumWrap(Sterea(lat0, lon0, k0, fe, fn,
+          mkName("lat_0" -> lat0, "lon_0" -> lon0, "k_0" -> k0,
+            "x_0" -> fe, "y_0" -> fn),
+          ell))
+      case "krovak" =>
+        // PROJ defaults krovak to the Bessel ellipsoid; silently building
+        // it on WGS84 here would misproject by ~100 m, so the ellipsoid
+        // must be spelled out (with its datum tie, per the usual guard)
+        require(kv.contains("ellps") || kv.contains("datum") || kv.contains("a"),
+          "+proj=krovak requires an explicit ellipsoid (PROJ defaults it to " +
+            "bessel — spell +ellps=bessel +towgs84=...)")
+        val latC = num("lat_0", 49.5)
+        val lonO = num("lon_0", 24.833333333333332)
+        val alphaC = num("alpha", 30.28813972222222)
+        val k0 = num("k", num("k_0", 0.9999))
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        // the pseudo-standard parallel is a fixed 78.5° in PROJ (not a
+        // parameter); EPSG method 9819 lists it explicitly
+        datumWrap(Krovak(latC, lonO, alphaC, 78.5, k0, fe, fn,
+          mkName("lat_0" -> latC, "lon_0" -> lonO, "alpha" -> alphaC,
+            "k_0" -> k0, "x_0" -> fe, "y_0" -> fn),
+          ell))
       case "sinu" =>
         val lon0 = num("lon_0", 0.0)
         val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
@@ -1149,6 +1336,21 @@ object Projections {
       fe = 700000.0, fn = 6600000.0, name = "EPSG:2154")
     case "EPSG:5070" | "5070" => Aea(lat1 = 29.5, lat2 = 45.5, lat0 = 23.0, lon0 = -96.0,
       fe = 0.0, fn = 0.0, name = "EPSG:5070")
+    case "EPSG:28992" | "28992" => // Amersfoort / RD New (Netherlands)
+      val bessel = Ellipsoid.ByProj4Id("BESSEL")
+      val base = Sterea(lat0 = 52.15616055555555, lon0 = 5.38763888888889,
+        k0 = 0.9999079, fe = 155000.0, fn = 463000.0, name = "EPSG:28992",
+        ell = bessel)
+      DatumShifted(base, bessel,
+        Helmert(565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725),
+        "EPSG:28992")
+    case "EPSG:5514" | "5514" => // S-JTSK / Krovak East North (CZ + SK)
+      val bessel = Ellipsoid.ByProj4Id("BESSEL")
+      val base = Krovak(latC = 49.5, lonO = 24.833333333333332,
+        alphaC = 30.28813972222222, latP = 78.5, kP = 0.9999,
+        fe = 0.0, fn = 0.0, name = "EPSG:5514", ell = bessel)
+      DatumShifted(base, bessel, Helmert(589.0, 76.0, 480.0, 0, 0, 0, 0),
+        "EPSG:5514")
     case UtmPattern(hemi, zz) => Utm(zz.toInt, north = hemi == "6")
     case s if s.startsWith("UTM ZONE ") && s.length > 9 =>
       val body = s.drop(9)
@@ -1157,7 +1359,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:5514, EPSG:28992, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sterea/krovak/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

@@ -497,4 +497,36 @@ object Dedup {
         when(col("__seen").isNull, 1).otherwise(0).as("is_new"))
     certainNew.unionByName(resolved)
   }
+
+  /** Cross-source duplication matrix — the provenance diagnostic a
+    * multi-crawl merge runs before choosing survivor policy: for every
+    * unordered source pair (a < b), how many DISTINCT content keys
+    * appear in both, and what fraction of each side's distinct keys that
+    * overlap is. `keyed` is any (keyCol, sourceCol) frame — md5 digests
+    * for exact-content overlap, exploded shingles for phrase-level
+    * overlap — so the shuffle carries only the key + a small source tag.
+    *
+    * Scale shape: one map-side-combining distinct over (key, source),
+    * a self-equi-join ON THE KEY (shared keys cluster by join key; no
+    * source pair ever cross-joins — a key present in m sources expands
+    * to m·(m−1)/2 pair rows, bounded by |sources|²), then a
+    * source-pair-sized aggregate. Output is ≤ |sources|² rows — a driver
+    * artifact.
+    */
+  def sourceOverlap(keyed: DataFrame, keyCol: String, sourceCol: String): DataFrame = {
+    val hs = keyed.select(col(keyCol).as("__h"), col(sourceCol).as("__s")).distinct()
+    val perSource = hs.groupBy(col("__s")).agg(count(lit(1)).as("__n"))
+    val pairs = hs.as("x").join(hs.as("y"),
+        col("x.__h") === col("y.__h") && col("x.__s") < col("y.__s"))
+      .groupBy(col("x.__s").as("source_a"), col("y.__s").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(perSource).withColumnRenamed("__s", "source_a")
+        .withColumnRenamed("__n", "__na"), "source_a")
+      .join(broadcast(perSource).withColumnRenamed("__s", "source_b")
+        .withColumnRenamed("__n", "__nb"), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared") * lit(1.0) / col("__na"), 6).as("frac_of_a"),
+        round(col("n_shared") * lit(1.0) / col("__nb"), 6).as("frac_of_b"))
+  }
 }

@@ -594,4 +594,147 @@ object Text {
         regexp_replace(text, emailPattern, "<EMAIL>"),
         ipv4Pattern, "<IP>"),
       phonePattern, "<PHONE>")
+
+  // ------------------------------------- adaptive quality thresholding
+
+  /** Per-stratum adaptive quality filtering (the FineWeb / CCNet
+    * pattern: a single global cutoff over-prunes low-resource strata, so
+    * each language/source gets its own percentile cutoff). Keeps rows
+    * whose [[qualityScore]] is ≥ their stratum's q-th DISCRETE
+    * percentile (the smallest observed score s with
+    * |{score ≤ s}| ≥ ceil(q·n) — integer semantics, no interpolation, so
+    * an external engine replays the decision bit-for-bit on the 4-dp
+    * contract scores).
+    *
+    * Scale shape: the quantile is computed on the HISTOGRAM, not by
+    * sorting rows — one partial-aggregated groupBy(stratum, score) whose
+    * result is |strata| × |distinct 4-dp scores| rows (≤ 10k·strata,
+    * driver-independent), a small-table window for the cumulative count,
+    * and a broadcast join of the per-stratum cutoffs back onto the scan.
+    * No corpus-sized sort, no corpus-sized window, no skewed-stratum
+    * pinning.
+    *
+    * Returns the kept rows as (idCol, stratum, score, cutoff).
+    */
+  def adaptiveQualityFilter(df: DataFrame, idCol: String, textCol: String,
+                            strataCol: String, q: Double): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"quantile q=$q must be in (0,1)")
+    val scored = df.select(col(idCol), col(strataCol),
+      qualityScore(col(textCol)).as("score"))
+    val hist = scored.groupBy(col(strataCol), col("score"))
+      .agg(count(lit(1)).as("__c"))
+    // cumulative count in score order within each stratum: the window
+    // runs over the histogram (thousands of rows), never the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy("score")
+    val cum = hist.select(col(strataCol), col("score"),
+      sum(col("__c")).over(w).as("__cum"),
+      sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(strataCol))
+        .as("__n"))
+    val cutoffs = cum
+      .filter(col("__cum") >= ceil(lit(q) * col("__n")))
+      .groupBy(col(strataCol)).agg(min(col("score")).as("cutoff"))
+    scored.join(broadcast(cutoffs), strataCol)
+      .filter(col("score") >= col("cutoff"))
+      .select(col(idCol), col(strataCol), col("score"), col("cutoff"))
+  }
+
+  // ------------------------- weighted sampling without replacement
+
+  /** Efraimidis–Spirakis A-ES weighted sampling WITHOUT replacement:
+    * each row gets key = ln(u) / w (u ∈ (0,1) uniform, w > 0 the row's
+    * weight) and the k LARGEST keys are the sample — provably equivalent
+    * to sequential weighted draws without replacement (Efraimidis &
+    * Spirakis 2006, IPL 97(5); the ln form is the monotone transform of
+    * their u^(1/w)). u comes from the same exact-integer multiplicative
+    * hash as [[sampleByStrata]], so the draw is deterministic under
+    * re-runs and repartitioning.
+    *
+    * Scale shape: scan-side key computation + one distributed
+    * TakeOrdered top-k — ≤ k rows per partition cross the wire, no
+    * global sort. k is a driver-sized artifact (a sample, not a corpus).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+                     k: Int, salt: Long = 0L): DataFrame = {
+    val h = pmod(col(idCol).cast("long") * lit(2654435761L) + lit(salt),
+      lit(1000000007L))
+    // map hash 0..p-1 into (0,1): (h+1)/(p+1) keeps u strictly positive
+    // so ln(u) is finite
+    val u = (h + lit(1.0)) / lit(1000000008.0)
+    df.withColumn("__es_key", log(u) / weightCol)
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+  }
+
+  // --------------------------------------- vocabulary / Zipf coverage
+
+  /** Token-frequency head with cumulative corpus coverage — the
+    * tokenizer-design diagnostic (what fraction of all token occurrences
+    * do the top-N types cover?). One explode + partial-aggregated
+    * groupBy(token); the top-N cut is a distributed TakeOrdered (count
+    * desc, token asc — total order, deterministic); the cumulative sum
+    * runs over N rows on a single partition (N is driver-sized).
+    * Returns (rank, token, n_occurrences, coverage) with coverage =
+    * cumulative occurrences / total occurrences rounded 6dp.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val tokens = df.select(explode(split(col(textCol), " ")).as("token"))
+    val counts = tokens.groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+    val total = counts.agg(sum(col("n_occurrences")).as("__total"))
+    val top = counts.orderBy(col("n_occurrences").desc, col("token")).limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("token"))
+    top.crossJoin(broadcast(total))
+      .select(
+        row_number().over(w).as("rank"),
+        col("token"), col("n_occurrences"),
+        round(sum(col("n_occurrences")).over(w) / col("__total"), 6)
+          .as("coverage"))
+  }
+
+  // ------------------------------------------- URL canonicalization
+
+  /** Canonical URL key for web-corpus dedup/grouping (the Common-Crawl
+    * curation normalizations, each spelled as codegen'd builtins so an
+    * external engine replays them): lowercase scheme+host, strip a
+    * leading `www.`, drop default ports (:80/:443), drop the fragment,
+    * drop tracking params (utm_*, fbclid, gclid, ref), sort surviving
+    * query params byte-wise, strip one trailing `/` from the path.
+    * Malformed inputs (no `://`) pass through lowercased-trimmed — a
+    * dedup key must never throw. Pure scan-side expression: split /
+    * array_sort / regexp in the java.util.regex∩RE2 subset, no UDF.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val trimmed = trim(url)
+    val scheme = lower(regexp_extract(trimmed, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(trimmed, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    // authority = up to first '/', '?' or '#'; remainder keeps its marker
+    val authority = regexp_extract(rest, "^([^/?#]*)", 1)
+    val afterAuth = rest.substr(length(authority) + 1, length(rest))
+    val host0 = lower(authority)
+    val host1 = regexp_replace(host0, "^www\\.", "")
+    val host = regexp_replace(host1, ":(80|443)$", "")
+    val noFrag = regexp_replace(afterAuth, "#.*$", "")
+    val path0 = regexp_extract(noFrag, "^([^?]*)", 1)
+    val path = when(path0 === "" || path0 === "/", lit(""))
+      .otherwise(regexp_replace(path0, "/$", ""))
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val keptParams = array_sort(filter(split(query, "&"), p =>
+      !(p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=") || p === "")))
+    val queryCanon = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    when(scheme === "", lower(trimmed))
+      .otherwise(concat(scheme, lit("://"), host, path, queryCanon))
+  }
+
+  /** Registrable host of a canonical URL (the per-site grouping key for
+    * host-level stats/blocklists); empty string when no scheme parses.
+    */
+  def urlHost(url: Column): Column = {
+    val canon = canonicalUrl(url)
+    when(canon.rlike("^[a-z][a-z0-9+.-]*://"),
+      regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
+      .otherwise(lit(""))
+  }
 }

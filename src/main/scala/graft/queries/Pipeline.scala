@@ -1074,6 +1074,79 @@ object Pipeline {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Per-source adaptive quality threshold (FineWeb/CCNet pattern): keep
+    * docs at or above their source's 25th-percentile quality. The oracle
+    * replays the histogram quantile (discrete, integer semantics) and
+    * the keep decision on the 4-dp contract scores.
+    */
+  def txThreshold(s: SparkSession, dir: String): DataFrame =
+    Text.adaptiveQualityFilter(Tables.documents(s, dir), "doc_id", "text",
+        "source", q = 0.25)
+      .orderBy("doc_id")
+
+  /** Efraimidis–Spirakis weighted sample without replacement, weight =
+    * n_chars (longer docs proportionally likelier): the oracle replays
+    * the exact-integer hash draw and the ln(u)/w key ordering in SQL.
+    */
+  def txWsample(s: SparkSession, dir: String): DataFrame =
+    Text.weightedSample(Tables.documents(s, dir), "doc_id", col("n_chars"),
+        k = 100)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("__es_key"), 6).as("es_key"))
+      .orderBy("doc_id")
+
+  /** Top-100 token types with cumulative corpus coverage (Zipf head —
+    * the tokenizer-design diagnostic); exact integer counts, coverage
+    * rounded 6dp.
+    */
+  def txVocab(s: SparkSession, dir: String): DataFrame =
+    Text.vocabCoverage(Tables.documents(s, dir), "text", topN = 100)
+      .withColumn("n_occurrences", col("n_occurrences").cast("long"))
+      .orderBy("rank")
+
+  /** Cross-source phrase-level duplication matrix over distinct 3-word
+    * shingles (exact-content overlap is vacuous on this corpus — all
+    * texts are distinct); the oracle recomputes every pairwise shingle
+    * intersection from the same shingle SQL as dd_jaccard_join.
+    */
+  def ddOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keyed = docs.select(explode(Dedup.shingles(col("text"), 3)).as("shingle"),
+      col("source"))
+    Dedup.sourceOverlap(keyed, "shingle", "source")
+      .orderBy("source_a", "source_b")
+  }
+
+  /** URL canonicalization + host extraction over deterministically
+    * derived messy URLs (scheme/host case, www, default and explicit
+    * ports, trailing slash, tracking params, unsorted params, fragments
+    * — the corpus has no URL column, so both sides derive the SAME raw
+    * string from doc_id/source and then canonicalize independently).
+    */
+  def txUrl(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val raw = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 4 === 0, lit(":80"))
+        .when(col("doc_id") % 4 === 1, lit(":443"))
+        .when(col("doc_id") % 4 === 2, lit(":8080"))
+        .otherwise(lit("")),
+      lit("/Docs/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("?utm_source=feed&b=2&ref=x&a=1"))
+        .when(col("doc_id") % 3 === 1, lit("?b=2&a=1"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 2 === 1,
+        concat(lit("#Sec"), (col("doc_id") % 7).cast("string")))
+        .otherwise(lit("")))
+    docs.select(col("doc_id"),
+        Text.canonicalUrl(raw).as("url_canon"),
+        Text.urlHost(raw).as("host"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
@@ -1145,7 +1218,12 @@ object Pipeline {
     "mm_frames" -> mmFrames _,
     "mm_decode" -> mmDecode _,
     "mm_audio" -> mmAudio _,
-    "mm_video" -> mmVideo _
+    "mm_video" -> mmVideo _,
+    "tx_threshold" -> txThreshold _,
+    "tx_wsample" -> txWsample _,
+    "tx_vocab" -> txVocab _,
+    "dd_overlap" -> ddOverlap _,
+    "tx_url" -> txUrl _
   )
 
   private val cosSql =
@@ -2075,7 +2153,117 @@ object Pipeline {
         | (16 + doc_id % 32)::BIGINT AS n_samples,
         | list_sum([(doc_id * 131 + i * 17) % 65536 - 32768
         |           for i in range(0, (16 + doc_id % 32)::INT)])::BIGINT AS sample_sum
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-source discrete 25th-percentile cutoff on the 4-dp contract
+    // quality score, replayed on the histogram exactly as the operator
+    // computes it (smallest score whose cumulative count reaches
+    // ceil(q*n))
+    "tx_threshold" ->
+      """WITH s AS (SELECT doc_id, source,
+        |    round(least(len(string_split(text, ' ')) * 1.0 / 50.0, 1.0) *
+        |          (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0
+        |           / length(text)), 4) AS score
+        |  FROM documents),
+        |hist AS (SELECT source, score, count(*) AS c FROM s GROUP BY 1, 2),
+        |cum AS (SELECT source, score,
+        |        sum(c) OVER (PARTITION BY source ORDER BY score) AS cum,
+        |        sum(c) OVER (PARTITION BY source) AS n
+        |        FROM hist),
+        |cut AS (SELECT source, min(score) AS cutoff FROM cum
+        |        WHERE cum >= ceil(0.25 * n) GROUP BY 1)
+        |SELECT s.doc_id, s.source, s.score, c.cutoff
+        |FROM s JOIN cut c USING (source)
+        |WHERE s.score >= c.cutoff ORDER BY s.doc_id""".stripMargin,
+    // the A-ES draw replayed exactly: u from the same integer hash,
+    // key = ln(u)/n_chars, top-100 by (key DESC, doc_id)
+    "tx_wsample" ->
+      """WITH s AS (SELECT doc_id, source, n_chars,
+        |    ln(((doc_id * 2654435761 + 0) % 1000000007 + 1.0) / 1000000008.0)
+        |      / n_chars AS k
+        |  FROM documents),
+        |top AS (SELECT * FROM s ORDER BY k DESC, doc_id LIMIT 100)
+        |SELECT doc_id, source, n_chars, round(k, 6) AS es_key
+        |FROM top ORDER BY doc_id""".stripMargin,
+    // Zipf head with cumulative coverage: total-ordered by
+    // (count DESC, token), rank and running sum over the 100-row head
+    "tx_vocab" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n_occurrences FROM t GROUP BY 1),
+        |tot AS (SELECT sum(n_occurrences) AS total FROM c),
+        |top AS (SELECT token, n_occurrences FROM c
+        |        ORDER BY n_occurrences DESC, token LIMIT 100)
+        |SELECT row_number() OVER (ORDER BY n_occurrences DESC, token)::INT AS rank,
+        |  token, n_occurrences,
+        |  round(sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, token)
+        |        * 1.0 / (SELECT total FROM tot), 6) AS coverage
+        |FROM top ORDER BY rank""".stripMargin,
+    // every pairwise source intersection of distinct 3-word shingle sets
+    // (same shingle SQL as dd_jaccard_join, keyed by source not doc)
+    "dd_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |s0 AS (SELECT source, unnest(
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in range(1, len(w) - 1)])
+        |             ELSE [array_to_string(w, ' ')] END) AS sh
+        |      FROM d),
+        |s AS (SELECT DISTINCT source, sh FROM s0),
+        |n AS (SELECT source, count(*) AS n_sh FROM s GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        count(*) AS n_shared
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT p.source_a, p.source_b, p.n_shared,
+        |  round(p.n_shared * 1.0 / na.n_sh, 6) AS frac_of_a,
+        |  round(p.n_shared * 1.0 / nb.n_sh, 6) AS frac_of_b
+        |FROM p JOIN n na ON p.source_a = na.source
+        |       JOIN n nb ON p.source_b = nb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    // raw URL derived with the SAME doc_id/source arithmetic as the
+    // Spark side, then canonicalized step-for-step: lowercase
+    // scheme+host, strip www., strip :80/:443, drop fragment, drop
+    // tracking params, sort survivors, strip one trailing slash
+    "tx_url" ->
+      """WITH r AS (SELECT doc_id,
+        |   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+        |   (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |   source || '.Example.COM' ||
+        |   (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+        |        WHEN 2 THEN ':8080' ELSE '' END) ||
+        |   '/Docs/' || doc_id ||
+        |   (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&ref=x&a=1'
+        |         WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 2 = 1 THEN '#Sec' || (doc_id % 7) ELSE '' END)
+        |   AS url
+        | FROM documents),
+        |p AS (SELECT doc_id,
+        |   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        | FROM r),
+        |q AS (SELECT doc_id, scheme, rest,
+        |   regexp_extract(rest, '^([^/?#]*)', 1) AS auth FROM p),
+        |h AS (SELECT doc_id, scheme,
+        |   regexp_replace(regexp_replace(lower(auth), '^www\.', ''),
+        |                  ':(80|443)$', '') AS host,
+        |   regexp_replace(substring(rest, length(auth) + 1), '#.*$', '') AS nofrag
+        | FROM q),
+        |pa AS (SELECT doc_id, scheme, host,
+        |   regexp_extract(nofrag, '^([^?]*)', 1) AS path0,
+        |   regexp_extract(nofrag, '\?(.*)$', 1) AS qs FROM h),
+        |fin AS (SELECT doc_id, scheme, host,
+        |   CASE WHEN path0 = '' OR path0 = '/' THEN ''
+        |        ELSE regexp_replace(path0, '/$', '') END AS path,
+        |   list_sort(list_filter(string_split(qs, '&'), x ->
+        |     NOT (regexp_matches(x, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=')
+        |          OR x = ''))) AS params
+        | FROM pa)
+        |SELECT doc_id,
+        |  scheme || '://' || host || path ||
+        |  (CASE WHEN len(params) > 0
+        |        THEN '?' || array_to_string(params, '&') ELSE '' END) AS url_canon,
+        |  host
+        |FROM fin ORDER BY doc_id""".stripMargin
     // dd_minhash / dd_simhash / dd_embed_blocked / ann_lsh / ann_ivf /
     // tx_langid / tx_fingerprint: probabilistic or non-SQL-expressible →
     // rows-only + specs (dd_embed_blocked's quality is value-checked by

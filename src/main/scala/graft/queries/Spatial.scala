@@ -487,6 +487,53 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-6, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Oblique stereographic double projection (EPSG method 9809 — the
+    * Netherlands RD New grid, EPSG:28992: Bessel ellipsoid tied to WGS84
+    * by the classic 7-parameter +towgs84) over the wide European window.
+    * This is the first SEVEN-parameter oracle: the inverse Helmert here
+    * has a real rotation/scale matrix, replayed in SQL via the exact
+    * adjugate-inverse entries (row-independent constants). The
+    * conformal-sphere forward (w, χ, Λ, B) is spelled per-row; the
+    * fixed-schedule Newton inverse is asserted through rt_ok; the EPSG
+    * worked example anchors the projection in STFunctionsSpec.
+    */
+  def spSterea(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("lon") >= -30.0 && col("lon") <= 36.0 &&
+              col("lat") >= 20.0 && col("lat") <= 70.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit("EPSG:28992")))
+      .withColumn("back", st.geomReproject(col("p"), lit("EPSG:28992"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-6 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-6, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
+  /** Krovak oblique conformal conic (EPSG method 9819 — S-JTSK /
+    * Krovak East North, EPSG:5514: Bessel + 3-param +towgs84) over the
+    * same European window. The oracle replays the Gaussian-sphere
+    * forward (U, V, T, D, θ, r) per-row with the CRS constants
+    * interpolated as exact literals, including the negative East-North
+    * axis convention; the fixed-schedule inverse is asserted through
+    * rt_ok; the EPSG worked example anchors the projection in
+    * STFunctionsSpec.
+    */
+  def spKrovak(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("lon") >= -30.0 && col("lon") <= 36.0 &&
+              col("lat") >= 20.0 && col("lat") <= 70.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit("EPSG:5514")))
+      .withColumn("back", st.geomReproject(col("p"), lit("EPSG:5514"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-6 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-6, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** Hotine oblique Mercator (EPSG method 9815 variant B — the
     * Swiss/Borneo/Alaska-zone-1 family) on a Borneo-like centerline
     * (azimuth 53° through (4°N, 115°E), k0 = 0.99984), over a ±30°-ish
@@ -808,6 +855,8 @@ object Spatial {
     "sp_albers" -> spAlbers _,
     "sp_datum" -> spDatum _,
     "sp_omerc" -> spOmerc _,
+    "sp_sterea" -> spSterea _,
+    "sp_krovak" -> spKrovak _,
     "sp_sinu" -> spSinu _,
     "sp_modis" -> spModis _,
     "sp_moll" -> spMoll _,
@@ -1109,6 +1158,222 @@ object Spatial {
        | round(u * $cgc - v * $sgc, 1) AS northing,
        | 1 AS rt_ok
        |FROM l ORDER BY c_custkey""".stripMargin
+  }
+
+  /** The RD New chain as DuckDB SQL, mirroring DatumShifted.fromGeo with
+    * the Sterea base op-for-op: WGS84 geodetic → geocentric → inverse
+    * 7-PARAM Helmert (the full adjugate-inverse matrix — rotation and
+    * scale are non-trivial here, unlike sp_datum's 3-param translation)
+    * → Bowring on Bessel (fixed 3-iteration schedule) → degrees→radians
+    * seam → conformal-sphere oblique stereographic forward. CRS-level
+    * constants (matrix entries, R, n, c, χ0) are re-derived with the
+    * identical IEEE expressions and ride as shortest-roundtrip literals.
+    */
+  private val spStereaOracle: String = {
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    // WGS84 source side
+    val fw = 1.0 / 298.257223563
+    val e2w = dlit(fw * (2.0 - fw))
+    // Bessel (target datum), same IEEE ops as Ellipsoid(a, f)
+    val ab = 6377397.155
+    val fb = 1.0 / 299.1528128
+    val e2bD = fb * (2.0 - fb)
+    val e2b = dlit(e2bD)
+    val ep2b = dlit(e2bD / (1.0 - e2bD))
+    val bbD = ab * (1.0 - fb)
+    val abL = dlit(ab); val bbL = dlit(bbD)
+    // 7-param Helmert (EPSG:28992 tie), inverse matrix exactly as
+    // Projections.Helmert computes it
+    val (dx, dy, dz) = (565.417, 50.3319, 465.552)
+    val (rxS, ryS, rzS, dsP) = (-0.398957, 0.343988, -1.8774, 4.0725)
+    val sH = 1.0 + dsP * 1e-6
+    val rx = math.toRadians(rxS / 3600.0)
+    val ry = math.toRadians(ryS / 3600.0)
+    val rz = math.toRadians(rzS / 3600.0)
+    val m11 = sH; val m12 = -sH * rz; val m13 = sH * ry
+    val m21 = sH * rz; val m22 = sH; val m23 = -sH * rx
+    val m31 = -sH * ry; val m32 = sH * rx; val m33 = sH
+    val det = m11 * (m22 * m33 - m23 * m32) -
+      m12 * (m21 * m33 - m23 * m31) + m13 * (m21 * m32 - m22 * m31)
+    val i11 = dlit((m22 * m33 - m23 * m32) / det)
+    val i12 = dlit((m13 * m32 - m12 * m33) / det)
+    val i13 = dlit((m12 * m23 - m13 * m22) / det)
+    val i21 = dlit((m23 * m31 - m21 * m33) / det)
+    val i22 = dlit((m11 * m33 - m13 * m31) / det)
+    val i23 = dlit((m13 * m21 - m11 * m23) / det)
+    val i31 = dlit((m21 * m32 - m22 * m31) / det)
+    val i32 = dlit((m12 * m31 - m11 * m32) / det)
+    val i33 = dlit((m11 * m22 - m12 * m21) / det)
+    // Sterea constants on Bessel, exactly as Projections.Sterea computes
+    val e2 = e2bD
+    val e = math.sqrt(e2)
+    val phi0 = math.toRadians(52.15616055555555)
+    val lam0 = math.toRadians(5.38763888888889)
+    val s0 = math.sin(phi0); val c0 = math.cos(phi0)
+    val bigR = ab * math.sqrt(1.0 - e2) / (1.0 - e2 * s0 * s0)
+    val n = math.sqrt(1.0 + e2 * c0 * c0 * c0 * c0 / (1.0 - e2))
+    val s1 = (1.0 + s0) / (1.0 - s0)
+    val s2 = (1.0 - e * s0) / (1.0 + e * s0)
+    val w1 = math.pow(s1 * math.pow(s2, e), n)
+    val sinChi00 = (w1 - 1.0) / (w1 + 1.0)
+    val cCst = (n + s0) * (1.0 - sinChi00) / ((n - s0) * (1.0 + sinChi00))
+    val w2 = cCst * w1
+    val chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    val c2rk = dlit(2.0 * bigR * 0.9999079)
+    val (eL, nL, cL) = (dlit(e), dlit(n), dlit(cCst))
+    val (schi0, cchi0) = (dlit(math.sin(chi0)), dlit(math.cos(chi0)))
+    val lam0L = dlit(lam0)
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($lonSql) >= -30.0 AND ($lonSql) <= 36.0
+       |             AND ($latSql) >= 20.0 AND ($latSql) <= 70.0),
+       |w AS (SELECT *, sin(radians(lat)) AS spw,
+       |        6378137.0 / sqrt(1.0 - $e2w * sin(radians(lat)) * sin(radians(lat))) AS nw
+       |      FROM b),
+       |g AS (SELECT *,
+       |        nw * cos(radians(lat)) * cos(radians(lon)) AS gx,
+       |        nw * cos(radians(lat)) * sin(radians(lon)) AS gy,
+       |        nw * (1.0 - $e2w) * spw AS gz
+       |      FROM w),
+       |hm AS (SELECT *, gx - $dx AS ux, gy - $dy AS uy, gz - $dz AS uz FROM g),
+       |h AS (SELECT *,
+       |        $i11 * ux + $i12 * uy + $i13 * uz AS hx,
+       |        $i21 * ux + $i22 * uy + $i23 * uz AS hy,
+       |        $i31 * ux + $i32 * uy + $i33 * uz AS hz
+       |      FROM hm),
+       |p0 AS (SELECT *, atan2(hy, hx) AS lam, sqrt(hx * hx + hy * hy) AS pp FROM h),
+       |u0 AS (SELECT *, atan2(hz * $abL, pp * $bbL) AS u FROM p0),
+       |i1 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u0),
+       |f1 AS (SELECT *,
+       |        atan2(hz + $ep2b * $bbL * su * su * su,
+       |              pp - $e2b * $abL * cu * cu * cu) AS phi
+       |      FROM i1),
+       |u1 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bbL * sin(phi), $abL * cos(phi)) AS u FROM f1),
+       |i2 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u1),
+       |f2 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2b * $bbL * su * su * su,
+       |              pp - $e2b * $abL * cu * cu * cu) AS phi
+       |      FROM i2),
+       |u2 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bbL * sin(phi), $abL * cos(phi)) AS u FROM f2),
+       |i3 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u2),
+       |f3 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2b * $bbL * su * su * su,
+       |              pp - $e2b * $abL * cu * cu * cu) AS phi
+       |      FROM i3),
+       |dB AS (SELECT *, degrees(lam) AS lonB, degrees(phi) AS latB FROM f3),
+       |pr AS (SELECT *, sin(radians(latB)) AS sp FROM dB),
+       |cw AS (SELECT *,
+       |        $cL * pow((1.0 + sp) / (1.0 - sp) *
+       |                  pow((1.0 - $eL * sp) / (1.0 + $eL * sp), $eL), $nL) AS ww
+       |      FROM pr),
+       |ch AS (SELECT *, asin((ww - 1.0) / (ww + 1.0)) AS chi,
+       |        $nL * (radians(lonB) - $lam0L) + $lam0L AS lams
+       |      FROM cw),
+       |dl AS (SELECT *, lams - $lam0L AS dlam FROM ch),
+       |bd AS (SELECT *,
+       |        1.0 + sin(chi) * $schi0 + cos(chi) * $cchi0 * cos(dlam) AS bden
+       |      FROM dl)
+       |SELECT c_custkey,
+       | round(155000.0 + $c2rk * cos(chi) * sin(dlam) / bden, 1) AS easting,
+       | round(463000.0 + $c2rk * (sin(chi) * $cchi0 - cos(chi) * $schi0 * cos(dlam)) / bden, 1) AS northing,
+       | 1 AS rt_ok
+       |FROM bd ORDER BY c_custkey""".stripMargin
+  }
+
+  /** The S-JTSK chain as DuckDB SQL, mirroring DatumShifted.fromGeo with
+    * the Krovak base op-for-op: WGS84 geodetic → geocentric → inverse
+    * 3-param Helmert (translation subtraction) → Bowring on Bessel →
+    * degrees→radians seam → Gaussian-sphere Krovak forward with the
+    * negative East-North axis convention (E = −r sinθ, N = −r cosθ).
+    */
+  private val spKrovakOracle: String = {
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val fw = 1.0 / 298.257223563
+    val e2w = dlit(fw * (2.0 - fw))
+    val ab = 6377397.155
+    val fb = 1.0 / 299.1528128
+    val e2bD = fb * (2.0 - fb)
+    val e2b = dlit(e2bD)
+    val ep2b = dlit(e2bD / (1.0 - e2bD))
+    val bbD = ab * (1.0 - fb)
+    val abL = dlit(ab); val bbL = dlit(bbD)
+    // Krovak constants on Bessel, exactly as Projections.Krovak computes
+    val e2 = e2bD
+    val e = math.sqrt(e2)
+    val phiC = math.toRadians(49.5)
+    val lam0 = math.toRadians(24.833333333333332)
+    val aC = math.toRadians(30.28813972222222)
+    val phiP = math.toRadians(78.5)
+    val sC = math.sin(phiC); val cC = math.cos(phiC)
+    val bigA = ab * math.sqrt(1.0 - e2) / (1.0 - e2 * sC * sC)
+    val bigB = math.sqrt(1.0 + e2 * cC * cC * cC * cC / (1.0 - e2))
+    val gamma0 = math.asin(sC / bigB)
+    val t0 = math.tan(math.Pi / 4.0 + gamma0 / 2.0) *
+      math.pow((1.0 + e * sC) / (1.0 - e * sC), e * bigB / 2.0) /
+      math.pow(math.tan(math.Pi / 4.0 + phiC / 2.0), bigB)
+    val nK = math.sin(phiP)
+    val r0 = 0.9999 * bigA / math.tan(phiP)
+    val tanPhalf = math.tan(phiP / 2.0 + math.Pi / 4.0)
+    val tanP = math.pow(tanPhalf, nK)
+    val (eL, bL, t0L, nKL) = (dlit(e), dlit(bigB), dlit(t0), dlit(nK))
+    val eB2 = dlit(e * bigB / 2.0)
+    val (cAL, sAL) = (dlit(math.cos(aC)), dlit(math.sin(aC)))
+    val (r0L, tanPL, lam0L) = (dlit(r0), dlit(tanP), dlit(lam0))
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($lonSql) >= -30.0 AND ($lonSql) <= 36.0
+       |             AND ($latSql) >= 20.0 AND ($latSql) <= 70.0),
+       |w AS (SELECT *, sin(radians(lat)) AS spw,
+       |        6378137.0 / sqrt(1.0 - $e2w * sin(radians(lat)) * sin(radians(lat))) AS nw
+       |      FROM b),
+       |g AS (SELECT *,
+       |        nw * cos(radians(lat)) * cos(radians(lon)) AS gx,
+       |        nw * cos(radians(lat)) * sin(radians(lon)) AS gy,
+       |        nw * (1.0 - $e2w) * spw AS gz
+       |      FROM w),
+       |h AS (SELECT *, gx - 589.0 AS hx, gy - 76.0 AS hy, gz - 480.0 AS hz FROM g),
+       |p0 AS (SELECT *, atan2(hy, hx) AS lam, sqrt(hx * hx + hy * hy) AS pp FROM h),
+       |u0 AS (SELECT *, atan2(hz * $abL, pp * $bbL) AS u FROM p0),
+       |i1 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u0),
+       |f1 AS (SELECT *,
+       |        atan2(hz + $ep2b * $bbL * su * su * su,
+       |              pp - $e2b * $abL * cu * cu * cu) AS phi
+       |      FROM i1),
+       |u1 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bbL * sin(phi), $abL * cos(phi)) AS u FROM f1),
+       |i2 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u1),
+       |f2 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2b * $bbL * su * su * su,
+       |              pp - $e2b * $abL * cu * cu * cu) AS phi
+       |      FROM i2),
+       |u2 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bbL * sin(phi), $abL * cos(phi)) AS u FROM f2),
+       |i3 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u2),
+       |f3 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2b * $bbL * su * su * su,
+       |              pp - $e2b * $abL * cu * cu * cu) AS phi
+       |      FROM i3),
+       |dB AS (SELECT *, degrees(lam) AS lonB, degrees(phi) AS latB FROM f3),
+       |pr AS (SELECT *, radians(latB) AS phiB, sin(radians(latB)) AS sp FROM dB),
+       |uu AS (SELECT *,
+       |        2.0 * (atan($t0L * pow(tan(phiB / 2.0 + pi() / 4.0), $bL) /
+       |                    pow((1.0 + $eL * sp) / (1.0 - $eL * sp), $eB2)) - pi() / 4.0) AS gu,
+       |        $bL * ($lam0L - radians(lonB)) AS gv
+       |      FROM pr),
+       |tt AS (SELECT *,
+       |        asin($cAL * sin(gu) + $sAL * cos(gu) * cos(gv)) AS gt
+       |      FROM uu),
+       |dd AS (SELECT *, atan2(cos(gu) * sin(gv),
+       |                       $cAL * cos(gu) * cos(gv) - $sAL * sin(gu)) AS gd FROM tt),
+       |rr AS (SELECT *,
+       |        $nKL * gd AS theta,
+       |        $r0L * $tanPL / pow(tan(gt / 2.0 + pi() / 4.0), $nKL) AS r
+       |      FROM dd)
+       |SELECT c_custkey,
+       | round(-(r * sin(theta)) + 0.0, 1) AS easting,
+       | round(-(r * cos(theta)) + 0.0, 1) AS northing,
+       | 1 AS rt_ok
+       |FROM rr ORDER BY c_custkey""".stripMargin
   }
 
   /** Snyder ellipsoidal sinusoidal forward as DuckDB SQL, mirroring
@@ -1468,6 +1733,8 @@ object Spatial {
     "sp_albers" -> spAlbersOracle,
     "sp_datum" -> spDatumOracle,
     "sp_omerc" -> spOmercOracle,
+    "sp_sterea" -> spStereaOracle,
+    "sp_krovak" -> spKrovakOracle,
     "sp_sinu" -> spSinuOracle,
     // the sphere collapse replayed literally: x = R·Δλ·cosφ, y = R·φ
     "sp_modis" ->

@@ -42,6 +42,16 @@ object Tables {
       // TIMESTAMP(NANOS) surfaced as raw nano longs by the legacy conf
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark 4 surfaces it
+      // as TIMESTAMP_NTZ, which rejects numeric casts (Sessionize's
+      // seconds math) and diverges from the TimestampType the rest of
+      // the engine and the oracle contract assume. The session zone is
+      // pinned to UTC, so this cast maps wall-clock to the same instant
+      // the old nano feed produced.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       // already a native TimestampType column (µs-precision feeds)
       case _ => df
     }

@@ -329,4 +329,43 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
       px.contains("CartesianProduct") shouldBe false
     }
   }
+
+  test("tx_threshold: cutoffs broadcast onto the scan; the quantile window runs on the histogram, not the corpus") {
+    val p = planOf("tx_threshold")
+    withClue(s"tx_threshold plan:\n$p") {
+      // the per-stratum cutoff table joins back as a broadcast
+      p should include("BroadcastHashJoin")
+      p.contains("CartesianProduct") shouldBe false
+      // the histogram aggregate goes partial->final before the window
+      p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+    }
+  }
+
+  test("tx_wsample: the k-cut is a distributed TakeOrdered, never a global sort of the corpus") {
+    val p = planOf("tx_wsample")
+    withClue(s"tx_wsample plan:\n$p") {
+      p should include("TakeOrderedAndProject")
+      p.contains("Window") shouldBe false
+    }
+  }
+
+  test("dd_overlap: source pairing happens via the shingle equi-join — never a cartesian product") {
+    val p = planOf("dd_overlap")
+    withClue(s"dd_overlap plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      p.contains("BroadcastNestedLoopJoin") shouldBe false
+      // per-source totals broadcast back onto the pair-sized aggregate
+      p.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 2
+    }
+  }
+
+  test("tx_url: canonicalization is pure scan-side codegen — no join, no aggregate, no window") {
+    val p = planOf("tx_url")
+    withClue(s"tx_url plan:\n$p") {
+      p.contains("Join") shouldBe false
+      p.contains("HashAggregate") shouldBe false
+      p.contains("Window") shouldBe false
+      p should include("*(") // stays inside whole-stage codegen
+    }
+  }
 }

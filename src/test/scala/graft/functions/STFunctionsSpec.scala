@@ -885,6 +885,97 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     an[Exception] should be thrownBy Projections.parseCrs("+proj=tmerc +azi=20")
   }
 
+  test("CRS: oblique stereographic (sterea) — EPSG RD New worked example, roundtrip, full 28992 chain") {
+    import graft.geom.Projections
+    import graft.geom.Projections.{Ellipsoid, Sterea}
+    // EPSG guidance note 7-2 §oblique-stereographic worked example
+    // (Amersfoort / RD New, Bessel): phi=53N, lam=6E (Amersfoort
+    // geographic) must project to E 196105.283, N 557057.739
+    val rd = Sterea(lat0 = 52.15616055555555, lon0 = 5.38763888888889,
+      k0 = 0.9999079, fe = 155000.0, fn = 463000.0, name = "RD",
+      ell = Ellipsoid.ByProj4Id("BESSEL"))
+    val (x, y) = rd.fromGeo(6.0, 53.0)
+    x shouldBe 196105.283 +- 0.01
+    y shouldBe 557057.739 +- 0.01
+    // projection origin maps to the false origin
+    val (x0, y0) = rd.fromGeo(5.38763888888889, 52.15616055555555)
+    x0 shouldBe 155000.0 +- 1e-6
+    y0 shouldBe 463000.0 +- 1e-6
+    // inverse closes over the Dutch window
+    for ((lon, lat) <- Seq((3.3, 50.75), (7.2, 53.55), (5.4, 52.16), (6.0, 53.0))) {
+      val (px, py) = rd.fromGeo(lon, lat)
+      val (bl, bp) = rd.toGeo(px, py)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-9
+        bp shouldBe lat +- 1e-9
+      }
+    }
+    // the full named CRS (Bessel + 7-param towgs84) roundtrips WGS84 input
+    val full = Projections.parseCrs("EPSG:28992")
+    val (fx, fy) = full.fromGeo(5.387639, 52.156161)
+    // WGS84 coordinates of the Amersfoort origin land within ~120 m of the
+    // false origin (the datum shift), not on it
+    math.hypot(fx - 155000.0, fy - 463000.0) should be < 200.0
+    val (bl, bp) = full.toGeo(fx, fy)
+    bl shouldBe 5.387639 +- 1e-6
+    bp shouldBe 52.156161 +- 1e-6
+    // proj4 spelling resolves to the same transform
+    val p4 = Projections.parseCrs(
+      "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 " +
+        "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel " +
+        "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725")
+    val (px, py) = p4.fromGeo(5.387639, 52.156161)
+    px shouldBe fx +- 1e-6
+    py shouldBe fy +- 1e-6
+  }
+
+  test("CRS: Krovak — EPSG worked example, axis convention, roundtrip, 5514 chain") {
+    import graft.geom.Projections
+    import graft.geom.Projections.{Ellipsoid, Krovak}
+    // EPSG guidance note 7-2 / IOGP 373-7-2 §krovak worked example
+    // (S-JTSK, Bessel): phi=50°12'32.4416"N, lam=16°50'59.1790"E of
+    // Greenwich → southing X=1050538.63, westing Y=568991.00 → East-North
+    // axes E=−568991.00, N=−1050538.63. (The note's final figures carry
+    // ~2 cm of print-rounding: recomputing Y from its OWN published
+    // intermediates r=1194731.014, θ=0.496385389 gives 568990.997, which
+    // this implementation matches to 0.1 mm — every intermediate
+    // A/B/γ0/t0/n/r0/U/V/T/D agrees with the note at its printed
+    // precision.)
+    val kr = Krovak(latC = 49.5, lonO = 24.833333333333332,
+      alphaC = 30.28813972222222, latP = 78.5, kP = 0.9999,
+      fe = 0.0, fn = 0.0, name = "KR", ell = Ellipsoid.ByProj4Id("BESSEL"))
+    val lat = 50.0 + 12.0 / 60.0 + 32.4416 / 3600.0
+    val lon = 16.0 + 50.0 / 60.0 + 59.1790 / 3600.0
+    val (x, y) = kr.fromGeo(lon, lat)
+    x shouldBe -568991.00 +- 0.03
+    y shouldBe -1050538.63 +- 0.03
+    // the intermediates-consistent figures, at implementation precision
+    x shouldBe -568990.9967 +- 0.001
+    y shouldBe -1050538.6465 +- 0.001
+    // inverse closes over the Czech/Slovak window
+    for ((lo, la) <- Seq((12.1, 50.1), (18.9, 49.2), (14.42, 50.09), (17.1, 48.15))) {
+      val (px, py) = kr.fromGeo(lo, la)
+      val (bl, bp) = kr.toGeo(px, py)
+      withClue(s"($lo,$la)") {
+        bl shouldBe lo +- 1e-9
+        bp shouldBe la +- 1e-9
+      }
+    }
+    // full 5514 chain (3-param tie) roundtrips WGS84 input; Prague lands
+    // in the plausible S-JTSK quadrant (negative E/N, |E| < |N|)
+    val full = Projections.parseCrs("EPSG:5514")
+    val (fx, fy) = full.fromGeo(14.4208, 50.0875)
+    fx should be < 0.0
+    fy should be < 0.0
+    fx shouldBe -743100.0 +- 500.0 // Prague city center, CUZK published grid
+    fy shouldBe -1043100.0 +- 500.0
+    val (bl, bp) = full.toGeo(fx, fy)
+    bl shouldBe 14.4208 +- 1e-6
+    bp shouldBe 50.0875 +- 1e-6
+    // bare krovak without an ellipsoid is rejected (PROJ would default bessel)
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=krovak")
+  }
+
   test("CRS: Helmert datum shift — EPSG worked example, exact inverse, OSGB36/NAD27 grids") {
     import graft.geom.Projections
     import graft.geom.Projections.{Ellipsoid, Helmert}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-7 curation operators: adaptive quality thresholding, weighted
+  * sampling without replacement, vocabulary coverage, cross-source
+  * overlap, URL canonicalization.
+  */
+class CurationSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+  import scala.jdk.CollectionConverters._
+
+  private def urls(us: String*) =
+    SparkTestSession.session.createDataFrame(
+      us.zipWithIndex.map { case (u, i) => Row(i.toLong, u) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("url", StringType))))
+
+  private def canon(u: String): String =
+    urls(u).select(Text.canonicalUrl(col("url"))).head().getString(0)
+
+  test("canonicalUrl: scheme+host lowercase, www/default-port/fragment/tracking stripped, params sorted") {
+    canon("HTTP://WWW.Example.COM:80/Path/X?utm_source=a&b=2&a=1#frag") shouldBe
+      "http://example.com/Path/X?a=1&b=2"
+    // path case preserved, non-default port kept, empty query dropped
+    canon("https://Example.com:8080/A/B/?utm_campaign=x") shouldBe
+      "https://example.com:8080/A/B"
+    // root path collapses, :443 stripped
+    canon("HTTPS://example.com:443/") shouldBe "https://example.com"
+    // ref/fbclid/gclid are tracking params; repeated & runs survive as empties and are dropped
+    canon("http://a.io/p?ref=x&&fbclid=1&gclid=2&z=9&y=8") shouldBe
+      "http://a.io/p?y=8&z=9"
+    // malformed (no scheme): lowercased passthrough, never a throw
+    canon("  Not A Url  ") shouldBe "not a url"
+  }
+
+  test("urlHost: canonical host; empty for schemeless input") {
+    val r = urls("HTTP://WWW.Foo.ORG:80/x", "garbage")
+      .select(Text.urlHost(col("url"))).collect().map(_.getString(0))
+    r shouldBe Array("foo.org", "")
+  }
+
+  test("adaptiveQualityFilter: per-stratum discrete-percentile cutoff keeps >= ceil(q*n) semantics") {
+    // stratum A: 4 docs with distinct scores; q=0.5 → cutoff = 2nd-smallest score
+    // texts sized so qualityScore orders them deterministically
+    val rows = Seq(
+      (0L, "a", "x x"), (1L, "a", "x x x x"), (2L, "a", "x x x x x x"),
+      (3L, "a", "x x x x x x x x"),
+      (4L, "b", "y y"), (5L, "b", "y y y y"))
+    val df = spark.createDataFrame(rows.map { case (i, s, t) => Row(i, s, t) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("src", StringType),
+        StructField("text", StringType))))
+    val kept = Text.adaptiveQualityFilter(df, "id", "text", "src", q = 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted
+    // a: scores rise with word count; ceil(0.5*4)=2 → cutoff = score of id 1 → keep 1,2,3
+    // b: ceil(0.5*2)=1 → cutoff = smaller score (id 4) → keep both
+    kept shouldBe Array(1L, 2L, 3L, 4L, 5L)
+  }
+
+  test("weightedSample: deterministic, without replacement, k caps at n, heavier rows win expectation") {
+    val df = spark.range(200).select(col("id"),
+      (col("id") % 10 + 1).cast("double").as("w"))
+    val s1 = Text.weightedSample(df, "id", col("w"), k = 50)
+      .select("id").collect().map(_.getLong(0))
+    val s2 = Text.weightedSample(df, "id", col("w"), k = 50)
+      .select("id").collect().map(_.getLong(0))
+    s1 shouldBe s2                       // deterministic under re-run
+    s1.distinct.length shouldBe 50       // without replacement
+    Text.weightedSample(df, "id", col("w"), k = 500).count() shouldBe 200
+    // weight-monotone in expectation: the top-weight decile should be
+    // overrepresented vs the bottom decile in a 50/200 draw
+    val byW = df.filter(col("id").isin(s1.map(Long.box): _*))
+      .groupBy("w").count().collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    byW.getOrElse(10.0, 0L) should be > byW.getOrElse(1.0, 0L)
+  }
+
+  test("vocabCoverage: ranks total-ordered, counts exact, coverage reaches 1 when topN >= vocab") {
+    val df = spark.createDataFrame(
+      Seq(Row(0L, "a a a b b c"), Row(1L, "a b d")).asJava,
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val r = Text.vocabCoverage(df, "text", topN = 10)
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    r.map(_._2) shouldBe Array("a", "b", "c", "d") // count desc, token asc
+    r.map(_._3) shouldBe Array(4L, 3L, 1L, 1L)
+    r.last._4 shouldBe 1.0
+    // head-only cut keeps the same prefix
+    Text.vocabCoverage(df, "text", topN = 2).collect().map(_.getString(1)) shouldBe
+      Array("a", "b")
+  }
+
+  test("sourceOverlap: hand-computed matrix on a 3-source key table") {
+    // A={k1,k2,k3}, B={k2,k3,k4}, C={k9}: A∩B=2, A∩C=B∩C=0 (absent rows)
+    val keyed = spark.createDataFrame(
+      Seq(("k1", "A"), ("k2", "A"), ("k3", "A"), ("k2", "A"), // dup collapses
+        ("k2", "B"), ("k3", "B"), ("k4", "B"), ("k9", "C"))
+        .map { case (k, s) => Row(k, s) }.asJava,
+      StructType(Seq(StructField("k", StringType), StructField("s", StringType))))
+    val m = Dedup.sourceOverlap(keyed, "k", "s").collect()
+    m.length shouldBe 1
+    val r = m.head
+    (r.getString(0), r.getString(1), r.getLong(2)) shouldBe ("A", "B", 2L)
+    r.getDouble(3) shouldBe (2.0 / 3.0 +- 1e-6) // frac_of_a
+    r.getDouble(4) shouldBe (2.0 / 3.0 +- 1e-6) // frac_of_b
+  }
+}
