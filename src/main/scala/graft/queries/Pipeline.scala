@@ -1147,6 +1147,77 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // One ingest fixture per (JVM, sf dir): JSONL shards with a planted
+  // malformed-line minority, written once, read by every verify/bench
+  // iteration — the write-once-read-many ingest shape.
+  private val jsonlReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** JSONL ingest with corrupt-record quarantine
+    * ([[graft.sources.Jsonl]]): the documents corpus is serialized to
+    * newline-delimited JSON (canonical `to_json`), every doc_id ≡ 3
+    * (mod 7) line is truncated mid-record (an unterminated object — the
+    * torn-shard failure a 100 TB crawl ingest must survive), and read
+    * back through the explicit-schema PERMISSIVE reader. Parsed rows
+    * surface their fields with ok=1; quarantined lines surface as
+    * all-null + ok=0 — never an exception. The oracle replays both
+    * populations from the base table.
+    */
+  def srcJsonl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = jsonlReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+      val lines = Tables.documents(s, d)
+        .select(col("doc_id"),
+          to_json(struct(col("doc_id"), col("lang"), col("source"),
+            col("n_chars"))).as("value"))
+      lines.select(
+          when(col("doc_id") % 7 === 3,
+            expr("substring(value, 1, length(value) - 2)"))
+            .otherwise(col("value")).as("value"))
+        .write.mode("overwrite").text(p)
+      p
+    })
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    graft.sources.Jsonl.read(s, path, schema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        when(col("_corrupt").isNull, 1).otherwise(0).as("ok"))
+      .orderBy("ok", "doc_id")
+  }
+
+  private val compactReady = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Small-file compaction ([[graft.sources.Compaction]]): documents
+    * scattered round-robin across 64 tiny parquet files, compacted into
+    * ceil(n/200) doc_id-range-clustered files. The output certifies the
+    * op the only way that matters — row count, distinct-content count
+    * and an order-independent content checksum (md5-prefix integer sum)
+    * are IDENTICAL before and after, while the file count drops to the
+    * computed target; the oracle recomputes all three from the base
+    * table and the file counts from the fixed layout arithmetic.
+    */
+  def srcCompact(s: SparkSession, dir: String): DataFrame = {
+    val (smallP, bigP) = compactReady.computeIfAbsent(dir, { d =>
+      val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      val small = base + "/small"; val big = base + "/compacted"
+      Tables.documents(s, d).repartition(64).write.mode("overwrite").parquet(small)
+      graft.sources.Compaction.compactByRows(s, small, big, "doc_id", targetRows = 200L)
+      (small, big)
+    })
+    def summary(path: String, label: String): DataFrame =
+      s.read.parquet(path).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(md5(col("text"))).as("n_distinct_text"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("content_sum"))
+        .select(lit(label).as("stage"), col("n_rows"), col("n_distinct_text"),
+          col("content_sum"),
+          lit(graft.sources.Compaction.partFileCount(path).toLong).as("n_files"))
+    summary(smallP, "before").unionByName(summary(bigP, "after"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
@@ -1223,7 +1294,9 @@ object Pipeline {
     "tx_wsample" -> txWsample _,
     "tx_vocab" -> txVocab _,
     "dd_overlap" -> ddOverlap _,
-    "tx_url" -> txUrl _
+    "tx_url" -> txUrl _,
+    "src_jsonl" -> srcJsonl _,
+    "src_compact" -> srcCompact _
   )
 
   private val cosSql =
@@ -2263,7 +2336,29 @@ object Pipeline {
         |  (CASE WHEN len(params) > 0
         |        THEN '?' || array_to_string(params, '&') ELSE '' END) AS url_canon,
         |  host
-        |FROM fin ORDER BY doc_id""".stripMargin
+        |FROM fin ORDER BY doc_id""".stripMargin,
+    // parsed rows carry their fields; quarantined (doc_id ≡ 3 mod 7)
+    // lines carry all-null + ok=0 — one row per planted corruption
+    "src_jsonl" ->
+      """SELECT doc_id, lang, source, n_chars, 1 AS ok
+        |FROM documents WHERE doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT NULL, NULL, NULL, NULL, 0 AS ok
+        |FROM documents WHERE doc_id % 7 = 3
+        |ORDER BY ok, doc_id""".stripMargin,
+    // row count, distinct-content count and the md5-prefix content sum
+    // must survive compaction bit-for-bit; file counts follow the fixed
+    // layout arithmetic (64 round-robin shards in, ceil(n/200) out)
+    "src_compact" ->
+      """WITH c AS (SELECT count(*) AS n,
+        |    count(DISTINCT md5(text)) AS nd,
+        |    sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS cs
+        |  FROM documents)
+        |SELECT 'after' AS stage, n AS n_rows, nd AS n_distinct_text,
+        |  cs AS content_sum, ceil(n / 200.0)::BIGINT AS n_files FROM c
+        |UNION ALL
+        |SELECT 'before', n, nd, cs, 64::BIGINT FROM c
+        |ORDER BY stage""".stripMargin
     // dd_minhash / dd_simhash / dd_embed_blocked / ann_lsh / ann_ivf /
     // tx_langid / tx_fingerprint: probabilistic or non-SQL-expressible →
     // rows-only + specs (dd_embed_blocked's quality is value-checked by

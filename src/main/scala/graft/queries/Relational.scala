@@ -422,6 +422,129 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Single-pass data profiling (the ANALYZE-TABLE surface): per-column
+    * n / nulls / exact distinct / min / max / sum / mean / sample-stddev
+    * for the lineitem measures, computed in ONE aggregate over ONE scan
+    * — never a per-column job loop. Moments accumulate as exact integer
+    * cents (sum as decimal(38,0), sum-of-squares in cents² — headroom
+    * to ~1e38 covers 1e9+ rows at warehouse scale), so the profile is
+    * order-independent and engine-replayable; the only float ops are the
+    * final divisions/sqrt on exact integers, mirrored op-for-op in the
+    * oracle. The multi-column count-distincts plan via Catalyst's
+    * expand — still one shuffle, partial-agg friendly. The wide
+    * one-row aggregate is unpivoted to long form scan-free.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val colsP = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = colsP.flatMap { c =>
+      val cc = cents(col(c))
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        sum(cc.cast("decimal(38,0)")).as(s"${c}__sum_c"),
+        sum((cc * cc).cast("decimal(38,0)")).as(s"${c}__sumsq_c"))
+    }
+    val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = colsP.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n_rows"),
+        col(s"${c}__nnull").cast("long").as("n_null"),
+        col(s"${c}__nd").as("n_distinct"),
+        round(col(s"${c}__min"), 4).as("min_v"),
+        round(col(s"${c}__max"), 4).as("max_v"),
+        (col(s"${c}__sum_c").cast("double") / 100.0).as("sum_v"),
+        round(col(s"${c}__sum_c").cast("double") / 100.0 / col(s"${c}__n"), 6)
+          .as("mean_v"),
+        // sample stddev from the exact integer moments: the numerator
+        // n·Σx² − (Σx)² is computed in exact decimal, converted to
+        // double ONCE, then one division and one sqrt — both engines
+        // run the identical IEEE sequence
+        round(
+          sqrt((col(s"${c}__n").cast("decimal(38,0)") * col(s"${c}__sumsq_c") -
+                col(s"${c}__sum_c") * col(s"${c}__sum_c")).cast("double") /
+               (col(s"${c}__n").cast("double") * (col(s"${c}__n") - 1).cast("double")) /
+               10000.0), 6).as("std_v"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("col_name")
+  }
+
+  /** Snapshot diff (the CDC / incremental-corpus-update primitive):
+    * classify every key as added / removed / changed between two table
+    * versions, dropping the unchanged majority. Versions are derived
+    * deterministically from orders (v1 drops keys ≡7 mod 10; v2 drops
+    * keys ≡3 mod 10 and bumps the price of keys ≡0 mod 5 by exactly
+    * 100 cents — integer-cents arithmetic, no float rounding to
+    * diverge on). Row content is compared via md5 over a canonical
+    * "cents|status" string, so the wide payload never crosses the
+    * shuffle — only (key, 32-byte digest) does. Shape: one full outer
+    * shuffle join co-partitioned on the unique key — at 100 TB both
+    * snapshots hash-partition once and stream; no skew (keys unique),
+    * no broadcast needed, output ∝ churn not table size.
+    */
+  def qDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def hashed(df: DataFrame) = df.select(col("o_orderkey"),
+      md5(concat_ws("|", col("__cents").cast("string"), col("o_orderstatus")))
+        .as("row_hash"))
+    val v1 = hashed(o.filter(col("o_orderkey") % 10 =!= 7)
+      .withColumn("__cents", cents(col("o_totalprice"))))
+    val v2 = hashed(o.filter(col("o_orderkey") % 10 =!= 3)
+      .withColumn("__cents",
+        cents(col("o_totalprice")) +
+          when(col("o_orderkey") % 5 === 0, 100L).otherwise(0L)))
+    v1.as("a").join(v2.as("b"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("a.row_hash").isNull, "added")
+          .when(col("b.row_hash").isNull, "removed")
+          .when(col("a.row_hash") =!= col("b.row_hash"), "changed")
+          .as("change"))
+      .filter(col("change").isNotNull)
+      .orderBy("change", "o_orderkey")
+  }
+
+  /** Per-key anomaly detection over the event stream: daily event-type
+    * counts, z-scored against that type's own day-count distribution,
+    * flagging |z| > 2 days. All moments are exact integers (counts;
+    * n·Σc² − (Σc)² in longs), floats appear only in the final mirrored
+    * division/sqrt. Shape: partial-agg groupBy(type, day) bounds the
+    * first shuffle at |types|·|days| rows; the per-type stats table is
+    * tiny and broadcasts back — the raw stream is never windowed or
+    * re-shuffled. Degenerate strata (n_days < 2 or zero variance)
+    * produce no flags by construction.
+    */
+  def evAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_start"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("cnt")).as("sum_c"),
+      // cnt² in exact decimal: a 1e10-events/day key at 100 TB would
+      // overflow long; decimal(38,0) gives the same headroom the
+      // profile moments use
+      sum((col("cnt").cast("decimal(38,0)") * col("cnt")).cast("decimal(38,0)"))
+        .as("sumsq_c"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("__var",
+        (col("n_days") * col("sumsq_c") -
+          col("sum_c").cast("decimal(38,0)") * col("sum_c")).cast("double") /
+          (col("n_days").cast("double") * (col("n_days") - 1).cast("double")))
+      .filter(col("n_days") > 1 && col("__var") > 0.0)
+      .withColumn("z",
+        (col("cnt").cast("double") - col("sum_c").cast("double") / col("n_days")) /
+          sqrt(col("__var")))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("day_start"), col("cnt"),
+        round(col("z"), 4).as("z"))
+      .orderBy("event_type", "day_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -443,7 +566,10 @@ object Relational {
     q("ev_dedup")(evDedup),
     q("ev_funnel")(evFunnel),
     q("ev_heavy")(evHeavy),
-    q("ev_retention")(evRetention)
+    q("ev_retention")(evRetention),
+    q("q_profile")(qProfile),
+    q("q_diff")(qDiff),
+    q("ev_anomaly")(evAnomaly)
   )
 
   /** The CMS rebuilt in SQL from the SAME `CmsAgg.A`/`CmsAgg.B` affine
@@ -623,6 +749,63 @@ object Relational {
         |SELECT f.w0 AS cohort_day, (uw.w - f.w0) AS k, count(*) AS n_users
         |FROM uw JOIN f USING (user_id)
         |WHERE uw.w - f.w0 <= 14
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-column exact moments on integer cents, unpivoted; the only
+    // float ops (final divisions + sqrt) mirror the Spark side op-for-op
+    "q_profile" -> {
+      val one = (c: String) =>
+        s"""SELECT '$c' AS col_name, count($c) AS n_rows,
+           | sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           | count(DISTINCT $c) AS n_distinct,
+           | round(min($c), 4) AS min_v, round(max($c), 4) AS max_v,
+           | sum(round($c*100)::BIGINT)::DOUBLE / 100.0 AS sum_v,
+           | round(sum(round($c*100)::BIGINT)::DOUBLE / 100.0 / count($c), 6) AS mean_v,
+           | round(sqrt(
+           |   (count($c) * sum(round($c*100)::BIGINT * round($c*100)::BIGINT)
+           |      - sum(round($c*100)::BIGINT) * sum(round($c*100)::BIGINT))::DOUBLE
+           |   / (count($c)::DOUBLE * (count($c) - 1)::DOUBLE) / 10000.0), 6) AS std_v
+           |FROM lineitem""".stripMargin
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
+    // the same two derived snapshots, diffed with the same canonical
+    // "cents|status" md5 — output is the churn only
+    "q_diff" ->
+      """WITH v1 AS (SELECT o_orderkey,
+        |    md5(round(o_totalprice*100)::BIGINT || '|' || o_orderstatus) AS h
+        |  FROM orders WHERE o_orderkey % 10 <> 7),
+        |v2 AS (SELECT o_orderkey,
+        |    md5((round(o_totalprice*100)::BIGINT +
+        |         CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END)
+        |        || '|' || o_orderstatus) AS h
+        |  FROM orders WHERE o_orderkey % 10 <> 3)
+        |SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        |  CASE WHEN v1.h IS NULL THEN 'added'
+        |       WHEN v2.h IS NULL THEN 'removed'
+        |       WHEN v1.h <> v2.h THEN 'changed' END AS change
+        |FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+        |WHERE (CASE WHEN v1.h IS NULL THEN 'added'
+        |            WHEN v2.h IS NULL THEN 'removed'
+        |            WHEN v1.h <> v2.h THEN 'changed' END) IS NOT NULL
+        |ORDER BY change, o_orderkey""".stripMargin,
+    // daily counts z-scored per type from exact integer moments; the
+    // mirrored float sequence is one conversion, two divisions, one sqrt
+    "ev_anomaly" ->
+      """WITH d AS (SELECT event_type,
+        |    epoch(date_trunc('day', ts))::BIGINT AS day_start, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n_days,
+        |    sum(cnt)::BIGINT AS sum_c, sum(cnt::HUGEINT * cnt) AS sumsq_c
+        |  FROM d GROUP BY 1),
+        |j AS (SELECT d.*, st.n_days, st.sum_c,
+        |    (st.n_days * st.sumsq_c - st.sum_c::HUGEINT * st.sum_c)::DOUBLE
+        |      / (st.n_days::DOUBLE * (st.n_days - 1)::DOUBLE) AS var_s
+        |  FROM d JOIN st USING (event_type)
+        |  WHERE st.n_days > 1)
+        |SELECT event_type, day_start, cnt,
+        |  round((cnt::DOUBLE - sum_c::DOUBLE / n_days) / sqrt(var_s), 4) AS z
+        |FROM j WHERE var_s > 0.0
+        |  AND abs((cnt::DOUBLE - sum_c::DOUBLE / n_days) / sqrt(var_s)) > 2.0
+        |ORDER BY event_type, day_start""".stripMargin
   )
 }

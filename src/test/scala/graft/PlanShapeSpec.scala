@@ -359,6 +359,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("q_profile: one aggregate pass over one scan — never a per-column job loop") {
+    // AQE prints Final + Initial plan; count scans in the final section only
+    val p = planOf("q_profile").split("== Initial Plan ==")(0)
+    withClue(s"q_profile plan:\n$p") {
+      // a single scan of lineitem feeds every column's moments
+      p.linesIterator.count(_.contains("FileScan parquet")) shouldBe 1
+      // multi-column count-distinct plans via Expand, still partial->final
+      p should include("Expand")
+      p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+    }
+  }
+
+  test("q_diff: the snapshot diff is one co-partitioned shuffle join, no broadcast of a snapshot") {
+    val p = planOf("q_diff")
+    withClue(s"q_diff plan:\n$p") {
+      (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")) shouldBe true
+      p.contains("FullOuter") shouldBe true
+      // neither 100 TB snapshot may be broadcast-built
+      p.contains("BroadcastHashJoin") shouldBe false
+    }
+  }
+
+  test("ev_anomaly: daily counts partial-agg before the shuffle; the stats table broadcasts back") {
+    val p = planOf("ev_anomaly")
+    withClue(s"ev_anomaly plan:\n$p") {
+      p should include("BroadcastHashJoin")
+      p.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+      p.contains("Window") shouldBe false // never a corpus-wide window
+    }
+  }
+
   test("tx_url: canonicalization is pure scan-side codegen — no join, no aggregate, no window") {
     val p = planOf("tx_url")
     withClue(s"tx_url plan:\n$p") {

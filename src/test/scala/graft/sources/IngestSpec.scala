@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import scala.jdk.CollectionConverters._
+
+/** JSONL ingest/egress and small-file compaction (the lakehouse
+  * maintenance surface behind src_jsonl / src_compact).
+  */
+class IngestSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val docSchema = StructType(Seq(
+    StructField("id", LongType), StructField("txt", StringType)))
+
+  test("Jsonl: write→read roundtrips every row, including escaped newlines/quotes/unicode") {
+    val rows = Seq(
+      Row(1L, "plain text"),
+      Row(2L, "line\nbreak and \"quotes\" and tab\t"),
+      Row(3L, "unicode: čžß→𝒳 and backslash \\"),
+      Row(4L, null))
+    val df = spark.createDataFrame(rows.asJava, docSchema)
+    val p = tmp("graft-jsonl-spec") + "/d"
+    Jsonl.write(df, p)
+    // reference data columns alongside _corrupt (SPARK-21610: a plan
+    // touching only the corrupt column is rejected)
+    val back = Jsonl.read(spark, p, docSchema).select("id", "txt", "_corrupt").collect()
+    back.count(r => !r.isNullAt(2)) shouldBe 0
+    back.map(r => (r.get(0), r.get(1))).toSet shouldBe
+      rows.map(r => (r.get(0), r.get(1))).toSet
+  }
+
+  test("Jsonl: malformed lines are quarantined with the raw line, parsed rows unaffected") {
+    val p = tmp("graft-jsonl-bad") + "/d"
+    import spark.implicits._
+    Seq(
+      """{"id":1,"txt":"good"}""",
+      """{"id":2,"txt":"truncated""",   // unterminated string+object
+      """not json at all""",
+      """{"id":3,"txt":"also good"}""")
+      .toDF("value").repartition(1).write.text(p)
+    val back = Jsonl.read(spark, p, docSchema).select("id", "txt", "_corrupt").collect()
+    back.filter(_.isNullAt(2)).map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    // the raw line is preserved for the quarantine sink; data fields null
+    val bad = back.filter(r => !r.isNullAt(2))
+    bad.length shouldBe 2
+    bad.foreach(r => r.isNullAt(0) shouldBe true)
+    bad.map(_.getString(2)).toSet shouldBe
+      Set("""{"id":2,"txt":"truncated""", "not json at all")
+  }
+
+  test("Compaction: row-preserving, hits ceil(n/target) files, restores key clustering") {
+    val base = tmp("graft-compact-spec")
+    val small = base + "/small"; val big = base + "/big"
+    val df = spark.range(1000).select(col("id"), (col("id") * 7 % 100).as("v"))
+    df.repartition(32).write.parquet(small)
+    Compaction.partFileCount(small) shouldBe 32
+    val nOut = Compaction.compactByRows(spark, small, big, "id", targetRows = 400L)
+    nOut shouldBe 3 // ceil(1000/400)
+    val back = spark.read.parquet(big)
+    back.count() shouldBe 1000L
+    back.agg(sum("id")).head().getLong(0) shouldBe (0L until 1000L).sum
+    // range clustering: per-file id ranges must not overlap (the property
+    // that re-enables min/max row-group pruning after compaction)
+    val spans = back
+      .select(input_file_name().as("f"), col("id"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spans.length shouldBe 3
+    spans.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      hi1 should be < lo2
+    }
+  }
+
+  test("Compaction: never fewer than one file; tiny inputs collapse to a single file") {
+    val base = tmp("graft-compact-tiny")
+    val small = base + "/small"; val big = base + "/big"
+    spark.range(5).write.parquet(small)
+    Compaction.compactByRows(spark, small, big, "id", targetRows = 1000L) shouldBe 1
+    spark.read.parquet(big).count() shouldBe 5L
+  }
+}
