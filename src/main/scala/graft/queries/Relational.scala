@@ -545,6 +545,40 @@ object Relational {
       .orderBy("event_type", "day_start")
   }
 
+  private val dppReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dynamic partition pruning over a month-partitioned orders layout
+    * ([[graft.sources.PartitionedLayout]]): the fact table is written
+    * Hive-partitioned by order month; the query joins it to a FILTERED
+    * month dimension (Q1-1995). Catalyst injects the dim's surviving
+    * keys into the fact scan as a runtime `dynamicpruning` subquery
+    * (broadcast-reuse), so only the three matching month directories
+    * are ever read — at 100 TB, a quarter filter skips years of fact
+    * data with no user annotation. PlanShapeSpec pins the
+    * `dynamicpruning` PartitionFilter; this entry certifies the values.
+    */
+  def srcDpp(s: SparkSession, dir: String): DataFrame = {
+    val path = dppReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/orders_by_month"
+      graft.sources.PartitionedLayout.writeByKey(
+        Tables.orders(s, d)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+        p, "o_month")
+      p
+    })
+    val fact = graft.sources.PartitionedLayout.read(s, path)
+    val dim = graft.sources.PartitionedLayout.read(s, path)
+      .select("o_month").distinct()
+      .filter(col("o_month") >= "1995-01" && col("o_month") <= "1995-03")
+    fact.join(broadcast(dim), "o_month")
+      .groupBy("o_month")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice")).cast("decimal(38,0)")).as("__rev_c"))
+      .select(col("o_month"), col("n_orders"),
+        (col("__rev_c") / 100.0).cast("double").as("revenue"))
+      .orderBy("o_month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -569,7 +603,8 @@ object Relational {
     q("ev_retention")(evRetention),
     q("q_profile")(qProfile),
     q("q_diff")(qDiff),
-    q("ev_anomaly")(evAnomaly)
+    q("ev_anomaly")(evAnomaly),
+    q("src_dpp")(srcDpp)
   )
 
   /** The CMS rebuilt in SQL from the SAME `CmsAgg.A`/`CmsAgg.B` affine
@@ -806,6 +841,14 @@ object Relational {
         |  round((cnt::DOUBLE - sum_c::DOUBLE / n_days) / sqrt(var_s), 4) AS z
         |FROM j WHERE var_s > 0.0
         |  AND abs((cnt::DOUBLE - sum_c::DOUBLE / n_days) / sqrt(var_s)) > 2.0
-        |ORDER BY event_type, day_start""".stripMargin
+        |ORDER BY event_type, day_start""".stripMargin,
+    // the DPP-pruned quarter replayed as a static month filter
+    "src_dpp" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+        | count(*) AS n_orders,
+        | sum(round(o_totalprice*100)::BIGINT) / 100.0 AS revenue
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-03'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

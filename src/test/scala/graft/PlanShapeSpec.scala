@@ -390,6 +390,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("src_dpp: the fact scan carries a runtime dynamicpruning PartitionFilter") {
+    val p = planOf("src_dpp")
+    withClue(s"src_dpp plan:\n$p") {
+      p.toLowerCase should include("dynamicpruning")
+      p should include("BroadcastHashJoin")
+    }
+  }
+
   test("tx_url: canonicalization is pure scan-side codegen — no join, no aggregate, no window") {
     val p = planOf("tx_url")
     withClue(s"tx_url plan:\n$p") {
