@@ -607,12 +607,19 @@ object Text {
     * contract scores).
     *
     * Scale shape: the quantile is computed on the HISTOGRAM, not by
-    * sorting rows — one partial-aggregated groupBy(stratum, score) whose
-    * result is |strata| × |distinct 4-dp scores| rows (≤ 10k·strata,
+    * sorting rows — one groupBy(stratum, score) whose result is
+    * |strata| × |distinct 4-dp scores| rows (≤ 10k·strata,
     * driver-independent), a small-table window for the cumulative count,
     * and a broadcast join of the per-stratum cutoffs back onto the scan.
     * No corpus-sized sort, no corpus-sized window, no skewed-stratum
-    * pinning.
+    * pinning. Two-pass by construction (the cutoff depends on the full
+    * histogram), and each pass evaluates the regex-heavy score EXACTLY
+    * once: the keep decision compares through `coalesce`, which is not
+    * null-intolerant, so constraint propagation cannot infer an
+    * `isnotnull(score)` and push the whole scoring expression down into
+    * the probe scan's row filter (measured: that pushdown makes the
+    * probe pass evaluate the score twice — 3 total — for ~5× wall at
+    * sf1).
     *
     * Returns the kept rows as (idCol, stratum, score, cutoff).
     */
@@ -636,7 +643,9 @@ object Text {
       .filter(col("__cum") >= ceil(lit(q) * col("__n")))
       .groupBy(col(strataCol)).agg(min(col("score")).as("cutoff"))
     scored.join(broadcast(cutoffs), strataCol)
-      .filter(col("score") >= col("cutoff"))
+      // coalesce = the pushdown guard documented above (a null score —
+      // null text — never passes either way)
+      .filter(coalesce(col("score"), lit(Double.MinValue)) >= col("cutoff"))
       .select(col(idCol), col(strataCol), col("score"), col("cutoff"))
   }
 
