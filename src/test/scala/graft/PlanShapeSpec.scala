@@ -390,6 +390,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("no regex-heavy expression is optimizer-duplicated into a scan filter") {
+    // Regression guard for the tx_threshold round-7 defect: a filter on
+    // a computed column lets constraint propagation / predicate pushdown
+    // inline the FULL scoring expression into the scan's row filter, so
+    // the regex runs twice per row (measured ~5x wall at sf1). Cheap
+    // split()-level guards pushed for early pruning are fine; regexes
+    // are not.
+    for (q <- Seq("tx_threshold", "tx_quality", "tx_url", "tx_curate", "tx_pii", "dd_normalized")) {
+      val fin = planOf(q).split("== Initial Plan ==")(0)
+      val offending = fin.linesIterator.filter(l =>
+        (l.contains("DataFilters: [") && !l.contains("DataFilters: []") ||
+          l.trim.startsWith("+- Filter") || l.trim.startsWith(":- Filter")) &&
+          l.contains("regexp_replace")).toSeq
+      withClue(s"$q has regexp_replace inside a filter:\n${offending.mkString("\n")}\n") {
+        offending shouldBe empty
+      }
+    }
+  }
+
   test("src_dpp: the fact scan carries a runtime dynamicpruning PartitionFilter") {
     val p = planOf("src_dpp")
     withClue(s"src_dpp plan:\n$p") {
