@@ -131,6 +131,54 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
     enc(3L).get.asInstanceOf[scala.collection.Seq[String]].toSeq shouldBe Seq.empty
   }
 
+  test("round-7 curation ops tolerate null/empty text, urls and strata") {
+    // canonicalUrl / urlHost: null in → null / empty out, never a throw
+    val urls = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "HTTP://WWW.A.io:80/x?b=2&a=1#f"), Row(2L, null), Row(3L, ""), Row(4L, "   ")),
+      StructType(Seq(StructField("id", LongType), StructField("u", StringType))))
+    val cu = urls.select(col("id"), Text.canonicalUrl(col("u")).as("c"),
+        Text.urlHost(col("u")).as("h")).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    cu(1L) shouldBe (Some("http://a.io/x?a=1&b=2"), Some("a.io"))
+    cu(2L)._1 shouldBe None
+    cu(3L) shouldBe (Some(""), Some(""))
+    cu(4L) shouldBe (Some(""), Some(""))
+
+    // adaptiveQualityFilter: null text (null score) and null stratum
+    // rows are dropped, never a throw; real strata unaffected
+    val strat = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "a", "w w w w"), Row(2L, "a", "w w w w w w w w"),
+        Row(3L, "a", null), Row(4L, null, "w w w w")),
+      StructType(Seq(StructField("id", LongType), StructField("src", StringType),
+        StructField("text", StringType))))
+    val kept = Text.adaptiveQualityFilter(strat, "id", "text", "src", q = 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 2L) // ceil(0.5*2)=1 → cutoff = min score of the 2 scored rows
+
+    // weightedSample: zero/negative weights yield -inf/NaN-free keys?
+    // ln(u) < 0 so w <= 0 flips/zeroes the key — op contract: weights
+    // must be > 0; null weights must not throw, they sort deterministic
+    noException should be thrownBy
+      Text.weightedSample(dirty.withColumn("w", lit(null).cast("double")),
+        "id", col("w"), k = 2).collect()
+
+    // vocabCoverage: null text contributes nothing, never a throw
+    Text.vocabCoverage(dirty, "text", topN = 100)
+      .agg(sum("n_occurrences")).head().getLong(0) should be > 0L
+
+    // sourceOverlap: null keys/sources fall out of the distinct+join
+    val keyed = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("k1", "s1"), Row("k1", "s2"), Row(null, "s1"), Row("k2", null)),
+      StructType(Seq(StructField("k", StringType), StructField("s", StringType))))
+    val ov = Dedup.sourceOverlap(keyed, "k", "s").collect()
+    ov.length shouldBe 1
+    ov.head.getString(0) shouldBe "s1"
+    ov.head.getString(1) shouldBe "s2"
+  }
+
   test("multimodal tolerates empty and null blobs") {
     val media = spark.createDataFrame(
       java.util.Arrays.asList(
