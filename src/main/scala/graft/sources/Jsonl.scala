@@ -49,4 +49,21 @@ object Jsonl {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corruptCol)
       .json(path)
+
+  /** Streaming twin of [[read]]: the SAME explicit-schema PERMISSIVE
+    * parse as an unbounded file source — new JSONL shards landing in
+    * `path` flow through with malformed lines quarantined per
+    * micro-batch instead of killing the query (append mode, no state).
+    * This is the continuous-ingest front door of a training-data
+    * pipeline: a crawler drops shards, the stream parses + quarantines,
+    * downstream dedup/curation consumes. `maxFilesPerTrigger` is the
+    * ingest-rate knob at fleet scale.
+    */
+  def readStream(s: SparkSession, path: String, schema: StructType,
+                 corruptCol: String = "_corrupt"): DataFrame =
+    s.readStream
+      .schema(StructType(schema.fields :+ StructField(corruptCol, StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
 }

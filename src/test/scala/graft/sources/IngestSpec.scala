@@ -79,6 +79,33 @@ class IngestSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("Jsonl.readStream: quarantining ingest equals the batch twin across arriving shards") {
+    val p = tmp("graft-jsonl-stream") + "/in"
+    new java.io.File(p).mkdirs()
+    def shard(name: String, lines: Seq[String]): Unit = {
+      val f = java.nio.file.Paths.get(p, name)
+      java.nio.file.Files.write(f, lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    shard("s0.jsonl", Seq("""{"id":1,"txt":"a"}""", """{"id":2,"txt":"torn"""))
+    val q = Jsonl.readStream(spark, p, docSchema)
+      .writeStream.format("memory").queryName("jsonl_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a second shard lands mid-stream — new files picked up, torn line quarantined
+      shard("s1.jsonl", Seq("""{"id":3,"txt":"b"}""", """garbage"""))
+      q.processAllAvailable()
+      val got = spark.table("jsonl_stream").collect()
+      got.length shouldBe 4
+      got.filter(_.isNullAt(2)).map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+      got.filter(r => !r.isNullAt(2)).map(_.getString(2)).toSet shouldBe
+        Set("""{"id":2,"txt":"torn""", "garbage")
+      // bit-identical to the batch reader over the same dir
+      val batch = Jsonl.read(spark, p, docSchema).select("id", "txt", "_corrupt").collect()
+      got.map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet shouldBe
+        batch.map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    } finally q.stop()
+  }
+
   test("Compaction: never fewer than one file; tiny inputs collapse to a single file") {
     val base = tmp("graft-compact-tiny")
     val small = base + "/small"; val big = base + "/big"
