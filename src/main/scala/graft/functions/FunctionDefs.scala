@@ -150,6 +150,8 @@ object FunctionDefs {
     "word_shingles"     -> f("wordShingles", ArrayType(S), ArrayType(S), I),
     "minhash_sig"       -> f("minhashSig", ArrayType(L), ArrayType(S), I, L),
     "simhash64"         -> f("simhashNative", L, ArrayType(S)),
+    "alnum_space_count" -> f("alnumSpaceCount", I, S), // graft extension (quality-score hot path)
+    "space_token_count" -> f("spaceTokenCount", I, S), // graft extension (size(split(t,' ')) twin)
     "winnow_fingerprints" -> f("winnowFingerprints", ArrayType(L), ArrayType(S), I),
     "lsh_bucket"        -> f("lshBucketNative", L, ArrayType(D), I, L),
     "lang_id"           -> f("langIdNative", S, ArrayType(S), ArrayType(S), ArrayType(ArrayType(S))),

@@ -510,6 +510,45 @@ object GeomImpl {
     UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.NFC))
 
+  /** Count of [A-Za-z0-9 ] characters — the codegen'd one-byte-pass twin
+    * of `length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))`: the class is
+    * pure ASCII so every matching character is exactly one UTF-8 byte,
+    * and non-matching multi-byte characters contribute no matching
+    * bytes — the byte count IS the character count, with no regex
+    * engine and no 2 KB replacement-string allocation per row. The
+    * quality-score hot path over 100 TB of text is this loop.
+    */
+  def alnumSpaceCount(t: UTF8String): Int = {
+    val n = t.numBytes
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val b = t.getByte(i)
+      if ((b >= '0'.toByte && b <= '9'.toByte) ||
+          (b >= 'A'.toByte && b <= 'Z'.toByte) ||
+          (b >= 'a'.toByte && b <= 'z'.toByte) || b == ' '.toByte) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** `size(split(t, " "))` without materializing the array: Spark's
+    * split with the default -1 limit keeps trailing empties, so the
+    * size is exactly (number of single-space separators) + 1 — a byte
+    * scan (the space byte cannot occur inside a UTF-8 multi-byte
+    * sequence).
+    */
+  def spaceTokenCount(t: UTF8String): Int = {
+    val n = t.numBytes
+    var i = 0
+    var c = 1
+    while (i < n) {
+      if (t.getByte(i) == ' '.toByte) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash: per-bit ±1 votes from each token's xxhash64, packed
     * MSB-first (bit 0's vote ends in the top bit — same packing as the
     * (packed << 1) | vote fold).

@@ -23,6 +23,36 @@ class CurationSpec extends AnyFunSuite with SparkTestSession with Matchers {
   private def canon(u: String): String =
     urls(u).select(Text.canonicalUrl(col("url"))).head().getString(0)
 
+  test("native alnum_space_count / space_token_count equal their regex/split twins on adversarial strings") {
+    // the SQL oracles keep the regexp_replace / split spellings — these
+    // native one-byte-pass twins must agree on EVERY input class:
+    // multi-byte unicode, runs of spaces, leading/trailing spaces,
+    // punctuation-only, empty, tabs/newlines (NOT in the class)
+    val cases = Seq(
+      "hello world", "  doubled  spaces  ", "čžß→𝒳 mixed ascii123",
+      "", " ", "tabs\tand\nnewlines", "!@#$%^&*()", "a",
+      "ünïcödé wörds", "𝒳𝒴𝒵", "trailing space ", " leading")
+    val df = SparkTestSession.session.createDataFrame(
+      cases.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("t", StringType))))
+    val rows = df.select(
+      graft.functions.FunctionDefs.call("alnum_space_count", col("t")).as("na"),
+      org.apache.spark.sql.functions.length(
+        regexp_replace(col("t"), "[^A-Za-z0-9 ]", "")).as("ra"),
+      graft.functions.FunctionDefs.call("space_token_count", col("t")).as("nw"),
+      org.apache.spark.sql.functions.size(split(col("t"), " ")).as("rw")).collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      withClue(s"input '$c': ") {
+        r.getInt(0) shouldBe r.getInt(1)
+        r.getInt(2) shouldBe r.getInt(3)
+      }
+    }
+    // null in, null out
+    val nr = df.select(graft.functions.FunctionDefs.call("alnum_space_count",
+      lit(null).cast("string"))).head()
+    nr.isNullAt(0) shouldBe true
+  }
+
   test("canonicalUrl: scheme+host lowercase, www/default-port/fragment/tracking stripped, params sorted") {
     canon("HTTP://WWW.Example.COM:80/Path/X?utm_source=a&b=2&a=1#frag") shouldBe
       "http://example.com/Path/X?a=1&b=2"
