@@ -152,6 +152,9 @@ object FunctionDefs {
     "simhash64"         -> f("simhashNative", L, ArrayType(S)),
     "alnum_space_count" -> f("alnumSpaceCount", I, S), // graft extension (quality-score hot path)
     "space_token_count" -> f("spaceTokenCount", I, S), // graft extension (size(split(t,' ')) twin)
+    "byte_entropy"        -> f("byteEntropy", D, S),       // graft extension (repetition/low-entropy signal)
+    "distinct_byte_count" -> f("distinctByteCount", I, S), // graft extension
+    "top_byte_count"      -> f("topByteCount", I, S),      // graft extension
     "winnow_fingerprints" -> f("winnowFingerprints", ArrayType(L), ArrayType(S), I),
     "lsh_bucket"        -> f("lshBucketNative", L, ArrayType(D), I, L),
     "lang_id"           -> f("langIdNative", S, ArrayType(S), ArrayType(S), ArrayType(ArrayType(S))),

@@ -549,6 +549,62 @@ object GeomImpl {
     c
   }
 
+  /** Shannon entropy (bits/byte) of the byte distribution — the
+    * low-entropy/repetitive-document curation signal, one 256-bucket
+    * histogram pass, no allocation beyond the histogram. Terms are
+    * summed in ASCENDING byte order and converted to bits by a single
+    * final /ln(2), so an external engine replays the identical IEEE
+    * sequence by summing its per-character terms in character order (on
+    * ASCII text, bytes ≡ characters; the spec pins non-ASCII behavior
+    * natively). Empty input → 0.0.
+    */
+  def byteEntropy(t: UTF8String): Double = {
+    val n = t.numBytes
+    if (n == 0) return 0.0
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < n) { hist(t.getByte(i) & 0xff) += 1; i += 1 }
+    var sum = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = hist(b)
+      if (c > 0) {
+        val p = c.toDouble / n
+        sum += -(p * math.log(p))
+      }
+      b += 1
+    }
+    sum / math.log(2.0)
+  }
+
+  /** Number of distinct bytes (alphabet size — tiny for degenerate
+    * machine-generated text).
+    */
+  def distinctByteCount(t: UTF8String): Int = {
+    val n = t.numBytes
+    val hist = new Array[Boolean](256)
+    var i = 0
+    while (i < n) { hist(t.getByte(i) & 0xff) = true; i += 1 }
+    var c = 0
+    var b = 0
+    while (b < 256) { if (hist(b)) c += 1; b += 1 }
+    c
+  }
+
+  /** Count of the most frequent byte (top-char dominance — near n for
+    * padding/filler documents).
+    */
+  def topByteCount(t: UTF8String): Int = {
+    val n = t.numBytes
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < n) { hist(t.getByte(i) & 0xff) += 1; i += 1 }
+    var m = 0
+    var b = 0
+    while (b < 256) { if (hist(b) > m) m = hist(b); b += 1 }
+    m
+  }
+
   /** 64-bit SimHash: per-bit ±1 votes from each token's xxhash64, packed
     * MSB-first (bit 0's vote ends in the top bit — same packing as the
     * (packed << 1) | vote fold).

@@ -711,6 +711,46 @@ object Text {
           .as("coverage"))
   }
 
+  // -------------------------------------- entropy / repetition signals
+
+  /** Byte-distribution curation signals — the "is this text actually
+    * language" battery (filler, padding, base64 blobs, template spam):
+    * Shannon entropy in bits/byte, alphabet size, top-byte dominance.
+    * All scan-side native one-pass expressions
+    * ([[graft.functions.GeomImpl.byteEntropy]] family), no explode, no
+    * shuffle — the 100 TB cost is exactly one read of the text column.
+    */
+  def entropySignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    import graft.functions.FunctionDefs.call
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      call("distinct_byte_count", t).as("n_distinct_chars"),
+      round(call("top_byte_count", t) * lit(1.0) / length(t), 6)
+        .as("top_char_frac"),
+      round(call("byte_entropy", t), 4).as("entropy_bits"))
+  }
+
+  /** Deflate compression ratio (compressed/raw bytes) — the classic
+    * repetitive-content detector: boilerplate and templated spam
+    * compress far below prose. zlib output is deterministic for a fixed
+    * level but NOT SQL-replayable, so this signal is spec-verified
+    * (ordering + bounds), not oracle-verified; pure scan-side map.
+    */
+  def compressionRatio(t: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val raw = s.getBytes("UTF-8")
+        if (raw.isEmpty) java.lang.Double.valueOf(1.0)
+        else java.lang.Double.valueOf(
+          graft.geom.Deflate.compress(raw).length.toDouble / raw.length)
+      }
+    }
+    f(t)
+  }
+
   // ------------------------------------------- URL canonicalization
 
   /** Canonical URL key for web-corpus dedup/grouping (the Common-Crawl

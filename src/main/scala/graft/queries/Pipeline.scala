@@ -1238,6 +1238,17 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  /** Byte-distribution entropy/repetition signals over documents —
+    * every column replayed in SQL: the oracle recomputes per-character
+    * frequencies (characters ≡ bytes on this ASCII corpus; non-ASCII
+    * behavior is pinned natively in the spec), sums the entropy terms
+    * in the same ascending order and converts to bits with the same
+    * final /ln(2).
+    */
+  def txEntropy(s: SparkSession, dir: String): DataFrame =
+    Text.entropySignals(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
@@ -1316,7 +1327,8 @@ object Pipeline {
     "dd_overlap" -> ddOverlap _,
     "tx_url" -> txUrl _,
     "src_jsonl" -> srcJsonl _,
-    "src_compact" -> srcCompact _
+    "src_compact" -> srcCompact _,
+    "tx_entropy" -> txEntropy _
   )
 
   private val cosSql =
@@ -2366,6 +2378,26 @@ object Pipeline {
         |SELECT NULL, NULL, NULL, NULL, 0 AS ok
         |FROM documents WHERE doc_id % 7 = 3
         |ORDER BY ok, doc_id""".stripMargin,
+    // per-character frequencies (chars ≡ bytes on ASCII), entropy terms
+    // summed in character order, one final /ln(2) — the identical IEEE
+    // sequence the native byte_entropy expression runs
+    "tx_entropy" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+        |    unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |f AS (SELECT doc_id, n, c, count(*) AS cnt
+        |      FROM ch GROUP BY 1, 2, 3),
+        |agg AS (SELECT doc_id, n,
+        |    count(*) AS nd,
+        |    max(cnt) AS topc,
+        |    list_sum(list_transform(
+        |      list(cnt * 1.0 / n ORDER BY c),
+        |      p -> -(p * ln(p)))) / ln(2.0) AS ent
+        |  FROM f GROUP BY 1, 2)
+        |SELECT doc_id, n AS n_chars, nd::INT AS n_distinct_chars,
+        |  round(topc * 1.0 / n, 6) AS top_char_frac,
+        |  round(ent, 4) AS entropy_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // row count, distinct-content count and the md5-prefix content sum
     // must survive compaction bit-for-bit; file counts follow the fixed
     // layout arithmetic (64 round-robin shards in, ceil(n/200) out)

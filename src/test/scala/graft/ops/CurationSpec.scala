@@ -53,6 +53,47 @@ class CurationSpec extends AnyFunSuite with SparkTestSession with Matchers {
     nr.isNullAt(0) shouldBe true
   }
 
+  test("entropy signals: hand-computed values, non-ASCII byte semantics, compression-ratio ordering") {
+    val rows = Seq(
+      (1L, "aaaa"),           // 1 symbol: entropy 0, top frac 1
+      (2L, "abab"),           // 2 symbols equal: entropy 1 bit
+      (3L, "abcd"),           // 4 symbols equal: entropy 2 bits
+      (4L, "ß"))              // U+00DF = 2 UTF-8 bytes (0xC3 0x9F): BYTE semantics
+    val df = SparkTestSession.session.createDataFrame(
+      rows.map { case (i, t) => Row(i, t) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val out = Text.entropySignals(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    out(1L).getDouble(4) shouldBe 0.0
+    out(1L).getDouble(3) shouldBe 1.0
+    out(2L).getDouble(4) shouldBe 1.0
+    out(3L).getDouble(4) shouldBe 2.0
+    out(3L).getInt(2) shouldBe 4
+    // ß: one CHARACTER (n_chars = length = 1) but two distinct BYTES,
+    // each once → byte entropy 1 bit; documents the byte-level contract
+    out(4L).getLong(1) shouldBe 1L
+    out(4L).getInt(2) shouldBe 2
+    out(4L).getDouble(4) shouldBe 1.0
+
+    // compression ratio: repetitive text compresses far below prose,
+    // incompressible-ish random hex sits highest; empty → 1.0, null → null
+    val texts = Seq(
+      (1L, "spam " * 400),
+      (2L, "the quick brown fox jumps over the lazy dog and then discusses " +
+        "varied topics at considerable length with many distinct words " * 8),
+      (3L, (1 to 200).map(i => (i * 2654435761L % 4096).toHexString).mkString(" ")),
+      (4L, ""), (5L, null.asInstanceOf[String]))
+    val cdf = SparkTestSession.session.createDataFrame(
+      texts.map { case (i, t) => Row(i, t) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val cr = cdf.select(col("id"), Text.compressionRatio(col("text")).as("r")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    cr(1L).get should be < cr(2L).get
+    cr(2L).get should be < cr(3L).get
+    cr(4L).get shouldBe 1.0
+    cr(5L) shouldBe None
+  }
+
   test("canonicalUrl: scheme+host lowercase, www/default-port/fragment/tracking stripped, params sorted") {
     canon("HTTP://WWW.Example.COM:80/Path/X?utm_source=a&b=2&a=1#frag") shouldBe
       "http://example.com/Path/X?a=1&b=2"
