@@ -447,7 +447,15 @@ object Relational {
         sum(cc.cast("decimal(38,0)")).as(s"${c}__sum_c"),
         sum((cc * cc).cast("decimal(38,0)")).as(s"${c}__sumsq_c"))
     }
-    val wide = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    // A single-row-group input (small-SF single-file parquet) collapses
+    // the scan to one task, and the Expand×(k+1) pipeline is CPU-bound —
+    // fan the narrow 4-column projection out to the session's
+    // parallelism when the scan yields fewer splits than cores. A no-op
+    // on real multi-file warehouse layouts, where splits >> cores.
+    val l0 = Tables.lineitem(s, dir).select(colsP.map(col): _*)
+    val l = if (l0.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+      l0.repartition(s.sparkContext.defaultParallelism) else l0
+    val wide = l.agg(aggs.head, aggs.tail: _*)
     val rows = colsP.map { c =>
       struct(
         lit(c).as("col_name"),
