@@ -587,6 +587,43 @@ object Relational {
       .orderBy("o_month")
   }
 
+  /** Data-quality constraint suite (the Deequ/Great-Expectations
+    * surface): completeness, range, positivity and set-membership rules
+    * evaluate as conditional counters in ONE aggregate over ONE scan;
+    * key uniqueness rides the same pass as a count-vs-exact-distinct
+    * pair; referential integrity is one anti-join against the parent
+    * keys (shuffle on the key — the unavoidable shape; at 100 TB the
+    * parent side reduces to distinct keys first). Output is one row
+    * per rule: (rule, n_violations, pass) — a driver-sized report.
+    */
+  def qDq(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val rowRules = l.agg(
+      sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("v_null_qty"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.08, 1L)
+        .otherwise(0L)).as("v_discount_range"),
+      sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L)).as("v_nonpos_price"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("v_flag_domain"),
+      count(lit(1)).as("__n"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("__nd"))
+    val orphans = l.select(col("l_orderkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("v_orphan"))
+    val wide = rowRules.crossJoin(orphans)
+    def rule(name: String, viol: Column) =
+      wide.select(lit(name).as("rule"), viol.cast("long").as("n_violations"),
+        when(viol === 0, 1).otherwise(0).as("pass"))
+    rule("complete_quantity", col("v_null_qty"))
+      .unionByName(rule("discount_in_0_008", col("v_discount_range")))
+      .unionByName(rule("positive_price", col("v_nonpos_price")))
+      .unionByName(rule("returnflag_domain", col("v_flag_domain")))
+      .unionByName(rule("unique_orderline", col("__n") - col("__nd")))
+      .unionByName(rule("orders_ref_integrity", col("v_orphan")))
+      .orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -612,7 +649,8 @@ object Relational {
     q("q_profile")(qProfile),
     q("q_diff")(qDiff),
     q("ev_anomaly")(evAnomaly),
-    q("src_dpp")(srcDpp)
+    q("src_dpp")(srcDpp),
+    q("q_dq")(qDq)
   )
 
   /** The CMS rebuilt in SQL from the SAME `CmsAgg.A`/`CmsAgg.B` affine
@@ -850,6 +888,29 @@ object Relational {
         |FROM j WHERE var_s > 0.0
         |  AND abs((cnt::DOUBLE - sum_c::DOUBLE / n_days) / sqrt(var_s)) > 2.0
         |ORDER BY event_type, day_start""".stripMargin,
+    // one row per constraint, violations recomputed rule-for-rule
+    "q_dq" ->
+      """WITH r AS (SELECT
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS v_null_qty,
+        |  sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.08 THEN 1 ELSE 0 END)::BIGINT AS v_discount_range,
+        |  sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END)::BIGINT AS v_nonpos_price,
+        |  sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END)::BIGINT AS v_flag_domain,
+        |  count(*) AS n,
+        |  count(DISTINCT (l_orderkey, l_linenumber)) AS nd
+        |  FROM lineitem),
+        |o AS (SELECT count(*)::BIGINT AS v_orphan FROM lineitem
+        |      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |w AS (SELECT * FROM r CROSS JOIN o)
+        |SELECT rule, n_violations,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM (
+        |  SELECT 'complete_quantity' AS rule, v_null_qty AS n_violations FROM w
+        |  UNION ALL SELECT 'discount_in_0_008', v_discount_range FROM w
+        |  UNION ALL SELECT 'positive_price', v_nonpos_price FROM w
+        |  UNION ALL SELECT 'returnflag_domain', v_flag_domain FROM w
+        |  UNION ALL SELECT 'unique_orderline', n - nd FROM w
+        |  UNION ALL SELECT 'orders_ref_integrity', v_orphan FROM w)
+        |ORDER BY rule""".stripMargin,
     // the DPP-pruned quarter replayed as a static month filter
     "src_dpp" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
