@@ -90,7 +90,8 @@ object Bench {
       "ann_brute", "ann_ivf", "ann_pq", "ann_hybrid",
       "tx_quality", "tx_curate", "tx_bpe_apply", "tx_split", "tx_decontam",
       "mm_decode", "mm_features",
-      "q_profile", "q_diff", "src_dpp", "tx_threshold", "dd_overlap")
+      "q_profile", "q_diff", "src_dpp", "tx_threshold", "dd_overlap",
+      "q_dq", "tx_entropy")
     val byName = results.map { case (k, v, ok) => k -> (if (ok) v else -1.0) }.toMap
     val qsCompact = headline.flatMap(k => byName.get(k).map(v => f""""$k":$v%.3f"""))
       .mkString("{", ",", "}")
