@@ -501,6 +501,118 @@ object Ann {
       k)
   }
 
+  /** IVF-PQ with residual quantization — the composition FAISS ships as
+    * its production index (Jégou et al. 2011 §IV, public): a coarse
+    * k-means quantizer routes each (L2-normalized) vector to a list,
+    * and PQ codebooks are trained on the RESIDUALS v̂ − c (residuals
+    * concentrate near the origin, so the same ksub spends its codewords
+    * on a far smaller cell — the reason the combination beats flat PQ).
+    * Search scores q·v̂ ≈ q·c + ADC(q, codes): the exact query-centroid
+    * dot rides the probe pairs (one per query×probed-list, computed
+    * BEFORE the corpus join), the ADC term is the native `pq_adc` over
+    * the coded rows of probed lists only.
+    *
+    * Scale shape: the corpus side of the scoring join is (list, m
+    * codes) — with the coded corpus laid out partitioned by list id,
+    * probing IS partition pruning, and the scan reads m bytes per row
+    * of nprobe/nlist of the data; raw vectors are fetched for the
+    * refine·k·queries shortlist only. Probe pairs (queries × nprobe)
+    * broadcast; candidate generation is the list-id equi-join, never a
+    * cross join.
+    *
+    * Provably-complete regime (value-checked by ann_ivfpq_full + spec):
+    * ksub ≥ corpus size makes every residual its own codeword (zero
+    * quantization error), so with nprobe = nlist the ADC ranking equals
+    * the exact one and the output must EQUAL brute force.
+    * Output: (qid, id, rank, cos) — exact cosines on the final ranking.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
+      iters: Int = 2, refine: Int = 10, seed: Long = 7): DataFrame = {
+    import graft.functions.FunctionDefs.{call, callAgg}
+    val raw = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
+    val c = raw
+      .withColumn("__n", call("vec_norm", col("__v")))
+      .withColumn("__vn", when(col("__n") === 0.0, col("__v"))
+        .otherwise(expr("transform(__v, x -> x / __n)")))
+      .select("id", "__vn")
+    val dim = c.select(size(col("__vn"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val subdim = dim / m
+
+    // coarse quantizer on the normalized vectors
+    val centroids = kmeansCentroids(c, "id", "__vn", nlist, iters, seed)
+    val cent = typedlit(centroids.toSeq)
+    val assigned = c
+      .withColumn("__c", call("ivf_assign", col("__vn"), cent))
+      .withColumn("__r",
+        zip_with(col("__vn"), element_at(cent, col("__c") + 1), (x, y) => x - y))
+
+    // per-subspace codebooks trained on residual subvectors (same
+    // deterministic sample-init + Lloyd as pqTopK)
+    val codebooks: Array[Array[Seq[Double]]] = (0 until m).map { j =>
+      val sub = assigned.select(col("id"), slice(col("__r"), j * subdim + 1, subdim).as("__s"))
+      var cents: Array[Seq[Double]] =
+        sub.orderBy(xxhash64(col("id"), lit(seed + 31 * (j + 1))), col("id")).limit(ksub)
+          .select("__s").collect().map(_.getSeq[Double](0))
+      var it = 0
+      while (it < iters) {
+        val centLit = typedlit(cents.toSeq)
+        val sums = sub.select(call("ivf_assign", col("__s"), centLit).as("__sc"), col("__s"))
+          .groupBy("__sc")
+          .agg(callAgg("vec_sum", col("__s")).as("__sum"), count(lit(1)).as("__cnt"))
+          .collect()
+        val byC = sums.map(r => r.getInt(0) -> r).toMap
+        cents = cents.indices.map { ci =>
+          byC.get(ci) match {
+            case Some(row) =>
+              val n = row.getLong(2).toDouble
+              row.getSeq[Double](1).map(_ / n)
+            case None => cents(ci)
+          }
+        }.toArray
+        it += 1
+      }
+      cents
+    }.toArray
+    val codeCols = (0 until m).map(j =>
+      call("ivf_assign", slice(col("__r"), j * subdim + 1, subdim), typedlit(codebooks(j).toSeq)))
+    val coded = assigned.select(col("id"), col("__c"), array(codeCols: _*).as("__codes"))
+    val flatLit = typedlit(codebooks.flatMap(_.flatMap(_.toArray)).toSeq)
+
+    // probe pairs: one row per query × probed list, carrying the exact
+    // q·centroid term so the corpus-side scan only pays the ADC sum
+    val q = queries.select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
+      .withColumn("__qn", call("vec_norm", col("__qv")))
+      .withColumn("__qvn", when(col("__qn") === 0.0, col("__qv"))
+        .otherwise(expr("transform(__qv, x -> x / __qn)")))
+      .select("qid", "__qv", "__qvn")
+    val probes = q.select(col("qid"), col("__qvn"))
+      .withColumn("__c", explode(call("ivf_probes", col("__qvn"), cent, lit(nprobe))))
+      .withColumn("__qdotc",
+        aggregate(
+          zip_with(col("__qvn"), element_at(cent, col("__c") + 1), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x))
+
+    val shortlist = coded.join(broadcast(probes), "__c")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__score",
+        col("__qdotc") + call("pq_adc", col("__qvn"), col("__codes"), flatLit, lit(m)))
+      .groupBy("qid")
+      .agg(callAgg("topk_by_score", col("id"), col("__score"), lit(refine * k)).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__t"))
+      .select(col("qid"), col("__t.id").as("id"))
+    rankTopK(
+      shortlist
+        .join(raw, "id")
+        .join(broadcast(q.select("qid", "__qv")), "qid")
+        .withColumn("cos", Vectors.cosine(col("__qv"), col("__v")))
+        .select("qid", "id", "cos"),
+      k)
+  }
+
   /** PCA-reduced ANN — the reduce-then-index recipe: fit a [[Pca]] model
     * on the corpus (one distributed moment pass), score candidates by
     * cosine in the `kDim`-dimensional projected space, keep `refine`·k

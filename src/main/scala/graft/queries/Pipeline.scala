@@ -291,6 +291,58 @@ object Pipeline {
     annRecallOf(brute, approx, floorPct = 40)
   }
 
+  /** IVF-PQ residual quantization at the default operating point
+    * (nlist=16, nprobe=4, m=8, ksub=32, 10× refine) — rows-only like
+    * ann_pq/ann_ivf; the machinery is value-checked by ann_ivfpq_full
+    * and the operating point by ann_ivfpq_recall.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.ivfPqTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 32, refine = 10)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** IVF-PQ in its provably-complete regime: on a ≤256-vector corpus
+    * with ksub=256, every residual subvector is its own codeword (zero
+    * quantization error — the deterministic sample init covers the
+    * whole corpus), and nprobe=nlist probes every list, so the ADC
+    * ranking equals the exact one and the output must EQUAL the
+    * brute-force ranking — value-checking coarse assignment, residual
+    * computation, per-subspace codebooks, the q·c + ADC score
+    * decomposition, probe generation and the shortlist/refine path in
+    * one go.
+    */
+  def annIvfPqFull(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 256)
+    Ann.ivfPqTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 8, m = 8, ksub = 256, iters = 1, refine = 3)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Recall@10 contract for the IVF-PQ default operating point against
+    * the brute ranking (deterministic — seeded coarse and subspace
+    * codebook init); floor 40% like ann_pq_recall. Measured recall@10:
+    * 50% at sf0.001, 46% at sf0.01 — lower than flat PQ's because the
+    * compound index pays BOTH the probe miss rate and the quantization
+    * error; that compounding is the documented trade the recall
+    * contract exists to keep honest (raise nprobe to buy it back).
+    */
+  def annIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Ann.bruteForce(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+      .select("qid", "id")
+    val approx = Ann.ivfPqTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 32, refine = 10)
+      .select("qid", "id")
+    annRecallOf(brute, approx, floorPct = 40)
+  }
+
   /** LSH in its provably-complete regime: at nBits=1 the 1-bit multiprobe
     * covers both buckets, so candidates = the whole corpus and the output
     * must EQUAL the brute-force ranking — value-checking the entire LSH
@@ -1274,6 +1326,9 @@ object Pipeline {
     "ann_lsh_recall" -> annLshRecall _,
     "ann_pq" -> annPq _,
     "ann_pq_recall" -> annPqRecall _,
+    "ann_ivfpq" -> annIvfPq _,
+    "ann_ivfpq_full" -> annIvfPqFull _,
+    "ann_ivfpq_recall" -> annIvfPqRecall _,
     "ann_ivf_recall" -> annIvfRecall _,
     "ann_int8" -> annInt8 _,
     "ann_pca" -> annPca _,
@@ -1754,6 +1809,25 @@ object Pipeline {
     "ann_hybrid" -> rrfHybridSql,
     "ann_lsh_exhaustive" -> bruteTopKSql,
     "ann_ivf_full" -> bruteTopKSql,
+    // the zero-quantization-error regime must equal brute force on the
+    // 256-vector subset — the same brute SQL over the restricted corpus
+    "ann_ivfpq_full" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |           WHERE vec_id < 256),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS c
+         |  FROM (SELECT vec_id, v FROM q) a
+         |  JOIN e b ON b.vec_id != a.vec_id),
+         |ranked AS (
+         |  SELECT qid, id, c,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+         |  FROM scored)
+         |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+    "ann_ivfpq_recall" ->
+      s"""SELECT count(*)::BIGINT AS n_brute, 1 AS recall_floor_ok
+         |FROM ($bruteTopKSql)""".stripMargin,
     // recall contracts for the DEFAULT approximate regimes: n_brute is
     // recomputed from the brute ranking; the floor flag is deterministic
     // (seeded hashes) and asserted as a constant

@@ -116,6 +116,42 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     withClue(s"recalls=$recalls") { recalls.sum / recalls.size should be >= 0.4 }
   }
 
+  test("ivfPqTopK: true cosines, deterministic, useful recall; zero-error regime equals brute") {
+    def run() = Ann.ivfPqTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 4, m = 8, ksub = 32, refine = 10)
+      .collect()
+    val approx = run()
+    // exact re-rank: reported cosines are true cosines on raw vectors
+    approx.foreach { r =>
+      r.getDouble(3) shouldBe cos(localVecs(r.getLong(0)), localVecs(r.getLong(1))) +- 1e-12
+    }
+    // deterministic: seeded coarse + per-subspace codebook init
+    run().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq shouldBe
+      approx.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val brute = Ann.bruteForce(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val byQ = approx.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = (0L until 5L).map { q =>
+      brute(q).intersect(byQ.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }
+    withClue(s"recalls=$recalls") { recalls.sum / recalls.size should be >= 0.4 }
+
+    // provably-complete regime: ksub >= corpus => every residual is its
+    // own codeword; nprobe = nlist => the ADC ranking is exact and the
+    // output must EQUAL brute force on the subset
+    val sub = corpus.filter(col("vec_id") < 40)
+    val full = Ann.ivfPqTopK(sub, "vec_id", "embedding",
+        sub.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 4, m = 8, ksub = 40, iters = 1, refine = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val bruteSub = Ann.bruteForce(sub, "vec_id", "embedding",
+        sub.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    full shouldBe bruteSub
+  }
+
   test("hardNegatives: only different-label neighbors, ranked like a label-filtered brute force") {
     val labels: Map[Long, Int] = corpus.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
