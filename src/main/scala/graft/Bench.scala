@@ -74,11 +74,25 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
-    // Stdout gets ONE COMPACT line as the final output: `value` is still
-    // the full-suite total, but `queries` is limited to a fixed headline
-    // subset (one-per-family heavies) at 3-decimal precision so the line
-    // stays well under the 2000-char tail window even after sbt's
-    // trailing "[success]" line. The complete sweep lives in `full`.
+    // Locale-independent 3-decimal formatting: the f-interpolator uses
+    // the JVM default locale, which on comma-decimal locales emits 0,123
+    // and breaks the JSON — the exact parsed:null failure class the
+    // compact line exists to fix.
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Stdout strategy: TWO JSON lines, complete map first, compact
+    // headline LAST. A tail-window capture that only keeps the end of
+    // stdout always gets the intact compact line (as in r7); a capture
+    // wide enough for both gets the full 150-query map without needing
+    // the committed sweep file. A multiline scan for lines starting
+    // '{"metric"' matches both; a last-line parse gets the compact one.
+    val qsFull = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) fmt(v) else "-1") }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"n_queries":${results.size},"errors":$errors,"iterations":$iters,"sf":"$sfDir"}""")
+    // The final compact line: `value` is still the full-suite total, but
+    // `queries` is limited to a fixed headline subset (one-per-family
+    // heavies) at 3-decimal precision so the line stays well under a
+    // 2000-char tail window even after sbt's trailing "[success]" line.
+    // The complete sweep lives in `full` (and the first line above).
     val headline = Seq(
       "q1_agg", "q3_shipping", "q5_local_supplier", "q_window_topn",
       "q_asof_join", "q_range_join", "q_median",
@@ -93,10 +107,10 @@ object Bench {
       "q_profile", "q_diff", "src_dpp", "tx_threshold", "dd_overlap",
       "q_dq", "tx_entropy")
     val byName = results.map { case (k, v, ok) => k -> (if (ok) v else -1.0) }.toMap
-    val qsCompact = headline.flatMap(k => byName.get(k).map(v => f""""$k":$v%.3f"""))
+    val qsCompact = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"errors":$errors,"iterations":$iters,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"errors":$errors,"iterations":$iters,"sf":"$sfDir","full":"$outPath"}"""
     println(compact)
     spark.stop()
   }

@@ -349,47 +349,110 @@ object Ann {
     * At 100 TB: centroids are nlist×dim doubles (a literal in the plan, no
     * broadcast join needed); assignment is one scan-side native expression;
     * the clustered corpus is written once and reused across query batches;
-    * a query scans ~nprobe/nlist of the data. Each Lloyd round is one
-    * groupBy(cluster) with the native vec_sum aggregate
-    * ([[graft.functions.VectorSumAgg]]) — partitions pre-reduce to one
-    * dim-length array per cluster map-side, and the driver collects nlist
-    * (sum, count) rows per round (65 k rows at nlist=65536, vs the 67 M
-    * a per-dimension explode would collect at dim=1024).
+    * a query scans ~nprobe/nlist of the data. Training is sample-bounded
+    * ([[kmeansCentroids]]): one hash-ordered TakeOrdered collects ≤
+    * [[trainCap]] rows and every Lloyd round runs driver-side, so the
+    * corpus is scanned once for training however many rounds run.
     * Output: (qid, id, rank, cos) — exact cosines over probed candidates.
     */
-  /** Distributed k-means centroids (deterministic hashed-id sample init
-    * plus `iters` Lloyd rounds). Each round is one scan-side assignment
-    * plus a groupBy(cluster) with the native vec_sum aggregate — the
-    * driver collects `nlist` (sum, count) rows per round, never data.
-    * `df` needs (idCol, vecCol); the result is small enough to embed as
-    * a plan literal downstream (nlist×dim doubles).
+  /** Effective training-sample bound: explicit `maxTrain` wins; 0 means
+    * the FAISS-style auto bound of 256 points per centroid (floored at
+    * 4096 so tiny k still trains on a meaningful slice, capped at 2^17
+    * rows so the driver-side sample stays tens of MB at typical dims).
     */
-  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
-                      nlist: Int, iters: Int, seed: Long): Array[Seq[Double]] = {
-    import graft.functions.FunctionDefs.{call, callAgg}
-    val c = df.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
-    var centroids: Array[Seq[Double]] =
-      c.orderBy(xxhash64(col("id"), lit(seed)), col("id")).limit(nlist)
-        .select("__v").collect().map(_.getSeq[Double](0))
+  private def trainCap(maxTrain: Int, k: Int): Int =
+    if (maxTrain > 0) maxTrain
+    else math.min(math.max(256 * k, 4096), 1 << 17)
+
+  /** Driver-side mirror of the scan-side `ivf_assign` expression
+    * (GeomImpl.ivfNearest): argmax cosine, accumulated in index order
+    * with the identical IEEE expression `dot / sqrt(nv·nc)` and the
+    * same -2.0 zero-norm sentinel and first-max tie-break — so a
+    * residual trained here and re-assigned by the scan lands on the
+    * same codeword bit-for-bit (the zero-error `_full` regimes rely on
+    * that agreement).
+    */
+  private[graft] def localCosNearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = -1; var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      val cd = math.min(v.length, cent.length)
+      var dot = 0.0; var nv = 0.0; var ncn = 0.0
+      var d = 0
+      while (d < cd) {
+        val x = v(d); val y = cent(d)
+        dot += x * y; nv += x * x; ncn += y * y
+        d += 1
+      }
+      val sim = if (nv == 0.0 || ncn == 0.0) -2.0 else dot / math.sqrt(nv * ncn)
+      if (sim > bestSim) { best = c; bestSim = sim }
+      c += 1
+    }
+    best
+  }
+
+  /** Local Lloyd rounds over a driver-side training sample: assignment
+    * via [[localCosNearest]], centroid update = arithmetic mean in
+    * sample order (fully deterministic — unlike a distributed float sum,
+    * whose order varies with partitioning), empty clusters keep their
+    * centroid. The sample is bounded by [[trainCap]], so this is
+    * microseconds-to-milliseconds of driver CPU — the FAISS shape:
+    * codebooks are write-once artifacts trained on a fixed-size sample
+    * however big the corpus is.
+    */
+  private[graft] def lloydLocal(points: Array[Array[Double]],
+                                init: Array[Array[Double]], iters: Int): Array[Array[Double]] = {
+    var cents = init
     var it = 0
     while (it < iters) {
-      val cent = typedlit(centroids.toSeq)
-      val sums = c.select(call("ivf_assign", col("__v"), cent).as("__c"), col("__v"))
-        .groupBy("__c")
-        .agg(callAgg("vec_sum", col("__v")).as("__sum"), count(lit(1)).as("__n"))
-        .collect() // nlist rows: (cluster, sum vector, count)
-      val byCluster = sums.map(r => r.getInt(0) -> r).toMap
-      centroids = centroids.indices.map { ci =>
-        byCluster.get(ci) match {
-          case Some(row) =>
-            val n = row.getLong(2).toDouble
-            row.getSeq[Double](1).map(_ / n)
-          case None => centroids(ci) // empty list keeps its centroid
+      val dim = if (points.isEmpty) 0 else points(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var i = 0
+      while (i < points.length) {
+        val p = points(i)
+        val ci = localCosNearest(p, cents)
+        if (ci >= 0) {
+          val s = sums(ci)
+          var d = 0
+          while (d < p.length) { s(d) += p(d); d += 1 }
+          counts(ci) += 1
         }
-      }.toArray
+        i += 1
+      }
+      cents = Array.tabulate(cents.length) { ci =>
+        if (counts(ci) == 0L) cents(ci)
+        else {
+          val n = counts(ci).toDouble
+          sums(ci).map(_ / n)
+        }
+      }
       it += 1
     }
-    centroids
+    cents
+  }
+
+  /** k-means centroids trained on a bounded deterministic sample
+    * (deterministic hashed-id order, first `nlist` rows as init, `iters`
+    * local Lloyd rounds via [[lloydLocal]]). The corpus pays exactly ONE
+    * distributed job — the hash-ordered TakeOrdered that collects the
+    * sample (≤ [[trainCap]] rows) — however many Lloyd rounds run;
+    * the previous formulation re-scanned the full corpus once per round
+    * (correct, but at 100 TB a write-once artifact costing `iters`
+    * corpus scans is the wrong trade; FAISS trains on ≤256·k points for
+    * the same reason). `df` needs (idCol, vecCol); the result is small
+    * enough to embed as a plan literal downstream (nlist×dim doubles).
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int, seed: Long,
+                      maxTrain: Int = 0): Array[Seq[Double]] = {
+    val c = df.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
+    val sample: Array[Array[Double]] =
+      c.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+        .limit(trainCap(maxTrain, nlist))
+        .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    lloydLocal(sample, sample.take(nlist), iters).map(_.toSeq)
   }
 
   def ivfTopK(
@@ -415,8 +478,8 @@ object Ann {
     * for Nearest Neighbor Search" — public): vectors are L2-normalized,
     * split into `m` subspaces, and each subvector is replaced by the id
     * of its nearest codeword from a per-subspace `ksub`-entry codebook
-    * (trained with the same vec_sum Lloyd machinery as [[ivfTopK]], on
-    * sliced vectors). A coded vector is m small ints instead of dim
+    * (trained with the same sample-bounded local Lloyd as [[ivfTopK]],
+    * on sliced vectors). A coded vector is m small ints instead of dim
     * doubles — at dim=64/m=8 a 32× shrink; the codebook itself is a plan
     * literal.
     *
@@ -434,7 +497,7 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      refine: Int = 4, seed: Long = 7): DataFrame = {
+      refine: Int = 4, seed: Long = 7, maxTrain: Int = 0): DataFrame = {
     import graft.functions.FunctionDefs.{call, callAgg}
     val raw = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
     val c = raw
@@ -442,36 +505,33 @@ object Ann {
       .withColumn("__vn", when(col("__n") === 0.0, col("__v"))
         .otherwise(expr("transform(__v, x -> x / __n)")))
       .select("id", "__v", "__vn")
-    val dim = c.select(size(col("__v"))).head().getInt(0)
+
+    // ONE corpus job for ALL training: a hash-ordered bounded sample
+    // carrying the per-subspace init-order hashes; every codebook (all m
+    // subspaces × all Lloyd rounds) then trains driver-side on it —
+    // the previous formulation was m loops of `iters` collect-jobs each,
+    // every one a full corpus re-scan.
+    val sampleRows = c
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(trainCap(maxTrain, ksub))
+      .select(col("__vn"),
+        array((0 until m).map(j => xxhash64(col("id"), lit(seed + j))): _*).as("__h"))
+      .collect()
+    require(sampleRows.nonEmpty, "pqTopK: empty corpus")
+    val sampleVecs = sampleRows.map(_.getSeq[Double](0).toArray)
+    val sampleHash = sampleRows.map(_.getSeq[Long](1).toArray)
+    val dim = sampleVecs(0).length
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val subdim = dim / m
 
-    // per-subspace codebooks: deterministic hashed-id sample init + Lloyd
-    val codebooks: Array[Array[Seq[Double]]] = (0 until m).map { j =>
-      val sub = c.select(col("id"), slice(col("__vn"), j * subdim + 1, subdim).as("__s"))
-      var cents: Array[Seq[Double]] =
-        sub.orderBy(xxhash64(col("id"), lit(seed + j)), col("id")).limit(ksub)
-          .select("__s").collect().map(_.getSeq[Double](0))
-      var it = 0
-      while (it < iters) {
-        val centLit = typedlit(cents.toSeq)
-        val sums = sub.select(call("ivf_assign", col("__s"), centLit).as("__c"), col("__s"))
-          .groupBy("__c")
-          .agg(callAgg("vec_sum", col("__s")).as("__sum"), count(lit(1)).as("__cnt"))
-          .collect()
-        val byC = sums.map(r => r.getInt(0) -> r).toMap
-        cents = cents.indices.map { ci =>
-          byC.get(ci) match {
-            case Some(row) =>
-              val n = row.getLong(2).toDouble
-              row.getSeq[Double](1).map(_ / n)
-            case None => cents(ci)
-          }
-        }.toArray
-        it += 1
-      }
-      cents
-    }.toArray
+    // per-subspace codebooks: deterministic hashed-id sample init +
+    // local Lloyd (assignment mirrors ivf_assign bit-for-bit)
+    val codebooks: Array[Array[Seq[Double]]] = Array.tabulate(m) { j =>
+      val slices = sampleVecs.map(v => java.util.Arrays.copyOfRange(v, j * subdim, (j + 1) * subdim))
+      val order = slices.indices.sortBy(i => (sampleHash(i)(j), i))
+      val init = order.take(ksub).map(slices(_)).toArray
+      lloydLocal(slices, init, iters).map(_.toSeq)
+    }
 
     // scan-side encode: m nearest-codeword ids per row; at scale the
     // coded corpus (and only it) is what the ADC pass reads
@@ -530,7 +590,7 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
-      iters: Int = 2, refine: Int = 10, seed: Long = 7): DataFrame = {
+      iters: Int = 2, refine: Int = 10, seed: Long = 7, maxTrain: Int = 0): DataFrame = {
     import graft.functions.FunctionDefs.{call, callAgg}
     val raw = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
     val c = raw
@@ -538,45 +598,66 @@ object Ann {
       .withColumn("__vn", when(col("__n") === 0.0, col("__v"))
         .otherwise(expr("transform(__v, x -> x / __n)")))
       .select("id", "__vn")
-    val dim = c.select(size(col("__vn"))).head().getInt(0)
+
+    // ONE corpus job for ALL training (coarse + every PQ codebook): a
+    // hash-ordered bounded sample carrying the per-subspace init-order
+    // hashes. Coarse Lloyd, residual computation and all m residual
+    // codebooks run driver-side on the sample — the previous
+    // formulation cost ~19 full-corpus scans (coarse Lloyd rounds + m
+    // codebook loops × iters collects, each re-deriving the
+    // un-checkpointed assignment); at 100 TB that many corpus passes
+    // for a write-once artifact is the scale-killer, and FAISS's answer
+    // is exactly this: train on a fixed ≤256·k sample regardless of
+    // corpus size. The search path still touches the full corpus
+    // exactly once (assign + residual + encode are scan-side
+    // expressions of the SAME job that feeds the probe join).
+    val sampleRows = c
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(trainCap(maxTrain, math.max(ksub, nlist)))
+      .select(col("__vn"),
+        array((0 until m).map(j => xxhash64(col("id"), lit(seed + 31 * (j + 1)))): _*).as("__h"))
+      .collect()
+    require(sampleRows.nonEmpty, "ivfPqTopK: empty corpus")
+    val sampleVecs = sampleRows.map(_.getSeq[Double](0).toArray)
+    val sampleHash = sampleRows.map(_.getSeq[Long](1).toArray)
+    val dim = sampleVecs(0).length
     require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
     val subdim = dim / m
 
-    // coarse quantizer on the normalized vectors
-    val centroids = kmeansCentroids(c, "id", "__vn", nlist, iters, seed)
+    // coarse quantizer: init = first nlist sample rows (the same
+    // hashed-id order the distributed version used), local Lloyd
+    val centArr = lloydLocal(sampleVecs, sampleVecs.take(nlist), iters)
+    val centroids = centArr.map(_.toSeq)
     val cent = typedlit(centroids.toSeq)
+
+    // sample residuals, with the assignment mirroring scan-side
+    // ivf_assign bit-for-bit so a trained codeword re-assigns to itself
+    // in the zero-error regime
+    val residuals = sampleVecs.map { v =>
+      val ci = localCosNearest(v, centArr)
+      if (ci < 0) v
+      else {
+        val cv = centArr(ci)
+        val out = new Array[Double](v.length)
+        var d = 0
+        while (d < v.length) { out(d) = v(d) - cv(d); d += 1 }
+        out
+      }
+    }
+
+    // per-subspace codebooks trained on residual subvectors (same
+    // deterministic per-subspace sample-init order as before)
+    val codebooks: Array[Array[Seq[Double]]] = Array.tabulate(m) { j =>
+      val slices = residuals.map(r => java.util.Arrays.copyOfRange(r, j * subdim, (j + 1) * subdim))
+      val order = slices.indices.sortBy(i => (sampleHash(i)(j), i))
+      val init = order.take(ksub).map(slices(_)).toArray
+      lloydLocal(slices, init, iters).map(_.toSeq)
+    }
+
     val assigned = c
       .withColumn("__c", call("ivf_assign", col("__vn"), cent))
       .withColumn("__r",
         zip_with(col("__vn"), element_at(cent, col("__c") + 1), (x, y) => x - y))
-
-    // per-subspace codebooks trained on residual subvectors (same
-    // deterministic sample-init + Lloyd as pqTopK)
-    val codebooks: Array[Array[Seq[Double]]] = (0 until m).map { j =>
-      val sub = assigned.select(col("id"), slice(col("__r"), j * subdim + 1, subdim).as("__s"))
-      var cents: Array[Seq[Double]] =
-        sub.orderBy(xxhash64(col("id"), lit(seed + 31 * (j + 1))), col("id")).limit(ksub)
-          .select("__s").collect().map(_.getSeq[Double](0))
-      var it = 0
-      while (it < iters) {
-        val centLit = typedlit(cents.toSeq)
-        val sums = sub.select(call("ivf_assign", col("__s"), centLit).as("__sc"), col("__s"))
-          .groupBy("__sc")
-          .agg(callAgg("vec_sum", col("__s")).as("__sum"), count(lit(1)).as("__cnt"))
-          .collect()
-        val byC = sums.map(r => r.getInt(0) -> r).toMap
-        cents = cents.indices.map { ci =>
-          byC.get(ci) match {
-            case Some(row) =>
-              val n = row.getLong(2).toDouble
-              row.getSeq[Double](1).map(_ / n)
-            case None => cents(ci)
-          }
-        }.toArray
-        it += 1
-      }
-      cents
-    }.toArray
     val codeCols = (0 until m).map(j =>
       call("ivf_assign", slice(col("__r"), j * subdim + 1, subdim), typedlit(codebooks(j).toSeq)))
     val coded = assigned.select(col("id"), col("__c"), array(codeCols: _*).as("__codes"))

@@ -386,10 +386,17 @@ object Dedup {
     * plus an equi-join on the same key, never a collect_set — so a hot
     * node's neighborhood reduces map-side instead of materializing as
     * one array (hot-key-safe), and each round localCheckpoints to keep
-    * the plan lineage flat. Convergence is the exact edge-set fixpoint
-    * (count equality + empty except — not a hashed signature, so a
-    * collision can never stop a round early). At the fixpoint the edge
-    * set is one star per component centered on its minimum id.
+    * the plan lineage flat. Convergence is detected from ONE aggregate
+    * per round — edge count plus two independent order-independent
+    * 64-bit xor digests of the pair hashes — computed on the SAME job
+    * that materializes the round's lazy checkpoint, so each alternation
+    * costs exactly one job launch (count + except cost three, and the
+    * except was a full extra shuffle; at ~14 rounds the job launches
+    * were the dominant driver latency). A premature stop would need two
+    * DIFFERENT edge sets agreeing on count and both digests (~2^-128);
+    * maxIter still bounds the loop if a digest collision ever masked a
+    * change. At the fixpoint the edge set is one star per component
+    * centered on its minimum id.
     */
   def connectedComponents(pairs: DataFrame, idACol: String = "id_a",
                           idBCol: String = "id_b", maxIter: Int = 25): DataFrame =
@@ -403,8 +410,10 @@ object Dedup {
       maxIter: Int = 25): (DataFrame, Int) = {
     val raw = pairs.select(col(idACol).cast("long").as("src"),
       col(idBCol).cast("long").as("dst"))
+    // lazy: materializes inside the final labels join, no dedicated job
     val nodes = raw.select(col("src").as("id"))
-      .union(raw.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .union(raw.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(eager = false)
 
     // large-star: for each node u, hang every LARGER neighbor off
     // min(Γ(u) ∪ {u}) — emitted edges always point big → small
@@ -432,16 +441,30 @@ object Dedup {
         .distinct()
     }
 
-    var edges = raw.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
-    var nEdges = edges.count()
+    // edge-set signature: count + two independent xor digests, all
+    // partial-aggregable (one row per partition through the shuffle);
+    // running it against a LAZY localCheckpoint makes the signature job
+    // double as the checkpoint materialization — one job per round
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(src, dst))").as("x1"),
+        expr("bit_xor(xxhash64(dst, src, 7))").as("x2")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var edges = raw.filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = false)
+    var prevSig = sig(edges)
     var rounds = 0
-    var converged = nEdges == 0L
+    var converged = prevSig._1 == 0L
     while (rounds < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nNext = next.count()
-      converged = nNext == nEdges && next.except(edges).isEmpty
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
       edges = next
-      nEdges = nNext
+      prevSig = nextSig
       rounds += 1
     }
     val labels = nodes

@@ -140,6 +140,20 @@ object Text {
     * unlike `df.sample`, whose per-partition RNG reshuffles the kept set
     * whenever partitioning changes. Scan-side filter, no shuffle.
     */
+  /** The shared sampling-family draw: (id·2654435761 + salt) mod p with
+    * p = 1000000007, spelled with each factor pre-reduced mod p —
+    * `((id mod p)·(2654435761 mod p) + salt) mod p` — which is the same
+    * value for every id (mod distributes over the product) but keeps the
+    * product under 2^60, so it never wraps 64-bit. The naive spelling
+    * silently wraps in Spark (non-ANSI multiply) for ids above ~3.5e9
+    * while a replaying oracle engine raises a BIGINT overflow — at
+    * 100 TB id ranges the two would diverge; the reduced spelling is the
+    * one BOTH engines compute exactly.
+    */
+  private[graft] def detDraw(id: Column, salt: Long): Column =
+    pmod(pmod(id.cast("long"), lit(1000000007L)) * lit(2654435761L % 1000000007L) +
+      lit(salt % 1000000007L), lit(1000000007L))
+
   /** The deterministic keep predicate [[sampleByStrata]] filters by,
     * exposed as a Column so funnel queries can count it in the same
     * aggregation pass instead of re-running the filter as its own scan.
@@ -150,8 +164,7 @@ object Text {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
-    val h = pmod(col(idCol).cast("long") * lit(2654435761L) + lit(salt), lit(1000000007L))
-    h.cast("double") < rate * lit(1000000007.0)
+    detDraw(col(idCol), salt).cast("double") < rate * lit(1000000007.0)
   }
 
   def sampleByStrata(df: DataFrame, strataCol: String, idCol: String,
@@ -200,9 +213,8 @@ object Text {
                       alpha: Double, budget: Double, salt: Long = 0L): DataFrame = {
     val rates = mixtureRates(df, strataCol, alpha, budget)
       .select(col(strataCol), col("rate"))
-    val h = pmod(col(idCol).cast("long") * lit(2654435761L) + lit(salt), lit(1000000007L))
     df.join(broadcast(rates), strataCol)
-      .filter(h.cast("double") < col("rate") * lit(1000000007.0))
+      .filter(detDraw(col(idCol), salt).cast("double") < col("rate") * lit(1000000007.0))
       .drop("rate")
   }
 
@@ -210,30 +222,36 @@ object Text {
     * components to a split, never individual documents — a plain
     * per-doc split leaks training data into eval whenever near-dups
     * straddle the boundary (the same failure benchmark decontamination
-    * guards against, applied to one's own held-out set). Components come
-    * from the exact set-similarity join + connected components; the
-    * split decision is the same exact-integer multiplicative hash as
+    * guards against, applied to one's own held-out set). The split
+    * decision is the same exact-integer multiplicative hash as
     * [[sampleByStrata]], applied to the component label, so co-members
     * get identical verdicts by construction and re-runs are stable.
     * Output: (idCol, component, split ∈ {train, val}).
     *
-    * At 100 TB the component stage is the bucketed near-dup path
-    * (MinHash-LSH pairs instead of the exact join — same downstream);
-    * the split itself adds one broadcast-size label join and a
-    * scan-side hash.
+    * Pair generation is pluggable because it is the only corpus-scale
+    * stage: the DEFAULT is the MinHash-LSH banded path
+    * ([[graft.ops.Dedup.minhashLsh]] at the given k/threshold) whose
+    * candidate cost is bounded by band buckets — a hot boilerplate
+    * shingle cannot go quadratic the way an uncapped exact posting
+    * self-join does. Callers wanting the exact closure (small corpora,
+    * oracle replays) pass `pairs = Some(Dedup.jaccardJoin(...))`; any
+    * (id_a, id_b) pair frame with the same id domain works. The split
+    * itself adds one broadcast-size label join and a scan-side hash.
     */
   def leakSafeSplit(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, threshold: Double = 0.8,
-                    valFrac: Double = 0.1, salt: Long = 0L): DataFrame = {
-    val pairs = Dedup.jaccardJoin(df, idCol, textCol, k, threshold)
-    val cc = Dedup.connectedComponents(pairs)
+                    valFrac: Double = 0.1, salt: Long = 0L,
+                    pairs: Option[DataFrame] = None): DataFrame = {
+    val pairFrame = pairs.getOrElse(
+      Dedup.minhashLsh(df, idCol, textCol, k = k, threshold = threshold))
+    val cc = Dedup.connectedComponents(pairFrame)
       .select(col("id").as("__cc_id"), col("comp").as("__comp"))
     val comp = df.select(col(idCol))
       .join(cc, col(idCol) === col("__cc_id"), "left")
       .select(col(idCol), coalesce(col("__comp"), col(idCol)).as("component"))
-    val h = pmod(col("component") * lit(2654435761L) + lit(salt), lit(1000000007L))
     comp.withColumn("split",
-      when(h.cast("double") < lit(valFrac) * lit(1000000007.0), lit("val"))
+      when(detDraw(col("component"), salt).cast("double") <
+            lit(valFrac) * lit(1000000007.0), lit("val"))
         .otherwise(lit("train")))
   }
 
@@ -637,7 +655,14 @@ object Text {
     require(q > 0.0 && q < 1.0, s"quantile q=$q must be in (0,1)")
     val scored = df.select(col(idCol), col(strataCol),
       qualityScore(col(textCol)).as("score"))
-    val hist = scored.groupBy(col(strataCol), col("score"))
+    // null scores (null text) are excluded from the histogram — Spark's
+    // window default is NULLS FIRST, an external engine's is NULLS LAST,
+    // so letting nulls into the cumulative counts would give the two
+    // engines different per-stratum cutoffs; a null score can never be
+    // kept anyway (the keep comparison below is null-rejecting), so
+    // dropping it here keeps __n and __cum meaning "scored rows" in both.
+    val hist = scored.filter(col("score").isNotNull)
+      .groupBy(col(strataCol), col("score"))
       .agg(count(lit(1)).as("__c"))
     // cumulative count in score order within each stratum: the window
     // runs over the histogram (thousands of rows), never the corpus
@@ -675,11 +700,9 @@ object Text {
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
                      k: Int, salt: Long = 0L): DataFrame = {
-    val h = pmod(col(idCol).cast("long") * lit(2654435761L) + lit(salt),
-      lit(1000000007L))
     // map hash 0..p-1 into (0,1): (h+1)/(p+1) keeps u strictly positive
     // so ln(u) is finite
-    val u = (h + lit(1.0)) / lit(1000000008.0)
+    val u = (detDraw(col(idCol), salt) + lit(1.0)) / lit(1000000008.0)
     df.withColumn("__es_key", log(u) / weightCol)
       .orderBy(col("__es_key").desc, col(idCol))
       .limit(k)

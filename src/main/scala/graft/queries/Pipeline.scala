@@ -1082,12 +1082,20 @@ object Pipeline {
 
   /** Leakage-safe split at 10% validation: whole near-dup components go
     * to one side; the oracle recomputes the closure (dd_components'
-    * recursive CTE) and replays the exact-integer hash decision.
+    * recursive CTE) and replays the exact-integer hash decision. The
+    * EXACT pair join is passed explicitly because that is what the
+    * oracle replays — the operator's default pair path is the banded
+    * MinHash-LSH generator (scale-safe; TextSpec pins that the two
+    * paths agree on this corpus shape).
     */
-  def txSplit(s: SparkSession, dir: String): DataFrame =
-    Text.leakSafeSplit(Tables.documents(s, dir), "doc_id", "text",
-        k = 3, threshold = 0.8, valFrac = 0.1, salt = 0L)
+  def txSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Text.leakSafeSplit(docs, "doc_id", "text",
+        k = 3, threshold = 0.8, valFrac = 0.1, salt = 0L,
+        pairs = Some(graft.ops.Dedup.jaccardJoin(docs, "doc_id", "text",
+          k = 3, threshold = 0.8)))
       .orderBy("doc_id")
+  }
 
   /** Top-5 TF-IDF keywords per doc; the oracle recomputes tf/df/N and
     * replays the rounded score with the first-occurrence tie-break.
@@ -1527,7 +1535,7 @@ object Pipeline {
        |       JOIN (SELECT md5(text) AS h, min(doc_id) AS keep FROM f3 GROUP BY 1) s
        |       ON md5(f3.text) = s.h AND f3.doc_id = s.keep),
        |f5 AS (SELECT * FROM f4
-       |       WHERE ((doc_id * 2654435761 + 0) % 1000000007)::DOUBLE <
+       |       WHERE (((doc_id % 1000000007) * 654435747 + 0) % 1000000007)::DOUBLE <
        |             (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 1.0
        |              ELSE 0.1 END) * 1000000007.0)
        |SELECT * FROM (
@@ -1948,7 +1956,7 @@ object Pipeline {
         |ORDER BY a.doc_id""".stripMargin,
     "tx_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE ((doc_id * 2654435761 + 0) % 1000000007)::DOUBLE <
+        |WHERE (((doc_id % 1000000007) * 654435747 + 0) % 1000000007)::DOUBLE <
         |      (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 1.0
         |            ELSE 0.1 END) * 1000000007.0
         |ORDER BY doc_id""".stripMargin,
@@ -2108,7 +2116,7 @@ object Pipeline {
         |  SELECT e.dst, walk.comp FROM walk JOIN e ON e.src = walk.id),
         |cc AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY 1)
         |SELECT doc_id, component,
-        |  CASE WHEN ((component * 2654435761 + 0) % 1000000007)::DOUBLE <
+        |  CASE WHEN (((component % 1000000007) * 654435747 + 0) % 1000000007)::DOUBLE <
         |            0.1 * 1000000007.0
         |       THEN 'val' ELSE 'train' END AS split
         |FROM cc ORDER BY doc_id""".stripMargin,
@@ -2172,7 +2180,7 @@ object Pipeline {
         |t AS (SELECT sum(pow(n, 0.5)) AS tp FROM c),
         |r AS (SELECT source, least(1.0, 300.0 * pow(n, 0.5) / tp / n) AS rate FROM c, t)
         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
-        |WHERE ((d.doc_id * 2654435761 + 7) % 1000000007)::DOUBLE < rate * 1000000007.0
+        |WHERE (((d.doc_id % 1000000007) * 654435747 + 7) % 1000000007)::DOUBLE < rate * 1000000007.0
         |ORDER BY doc_id""".stripMargin,
     // centroids refit per (label, dim) via lockstep unnest, reassembled
     // ordered, every cosine recomputed
@@ -2343,7 +2351,8 @@ object Pipeline {
         |          (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0
         |           / length(text)), 4) AS score
         |  FROM documents),
-        |hist AS (SELECT source, score, count(*) AS c FROM s GROUP BY 1, 2),
+        |hist AS (SELECT source, score, count(*) AS c FROM s
+        |         WHERE score IS NOT NULL GROUP BY 1, 2),
         |cum AS (SELECT source, score,
         |        sum(c) OVER (PARTITION BY source ORDER BY score) AS cum,
         |        sum(c) OVER (PARTITION BY source) AS n
@@ -2357,7 +2366,7 @@ object Pipeline {
     // key = ln(u)/n_chars, top-100 by (key DESC, doc_id)
     "tx_wsample" ->
       """WITH s AS (SELECT doc_id, source, n_chars,
-        |    ln(((doc_id * 2654435761 + 0) % 1000000007 + 1.0) / 1000000008.0)
+        |    ln(((((doc_id % 1000000007) * 654435747 + 0) % 1000000007 + 1.0)) / 1000000008.0)
         |      / n_chars AS k
         |  FROM documents),
         |top AS (SELECT * FROM s ORDER BY k DESC, doc_id LIMIT 100)
@@ -2483,7 +2492,7 @@ object Pipeline {
         |SELECT 'after' AS stage, n AS n_rows, nd AS n_distinct_text,
         |  cs AS content_sum, ceil(n / 200.0)::BIGINT AS n_files FROM c
         |UNION ALL
-        |SELECT 'before', n, nd, cs, 64::BIGINT FROM c
+        |SELECT 'before', n, nd, cs, least(n, 64)::BIGINT FROM c
         |ORDER BY stage""".stripMargin
     // dd_minhash / dd_simhash / dd_embed_blocked / ann_lsh / ann_ivf /
     // tx_langid / tx_fingerprint: probabilistic or non-SQL-expressible →

@@ -37,8 +37,16 @@ object Compaction {
     partFileCount(outPath)
   }
 
-  /** Number of data part-files in a parquet dir (metadata-only listing). */
-  def partFileCount(path: String): Int =
-    new java.io.File(path).listFiles()
-      .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+  /** Number of data part-files in a parquet dir (metadata-only listing).
+    * Local-filesystem listing by design (the layout fixtures live on
+    * local disk); a missing or non-directory path fails with a clear
+    * message instead of the bare NullPointerException `listFiles`
+    * returns null for — production object-store layouts would list via
+    * Hadoop `FileSystem.listStatus` with the session's configuration.
+    */
+  def partFileCount(path: String): Int = {
+    val files = new java.io.File(path).listFiles()
+    require(files != null, s"not a listable directory: $path")
+    files.count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+  }
 }

@@ -373,6 +373,26 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .collect().foreach(_.getString(2) shouldBe "val")
   }
 
+  test("leakSafeSplit: default LSH pair path agrees with the exact pair path on the fixture") {
+    // the DEFAULT pair generator is banded MinHash-LSH (scale-safe: a
+    // hot shingle can't go quadratic); the oracle-replayed path passes
+    // the exact jaccardJoin explicitly. On the documents fixture —
+    // near-dups are templated rewrites well above the 0.8 threshold —
+    // the banded candidates recover every exact pair, so the component
+    // labels and split verdicts are IDENTICAL. This pins the txSplit
+    // correctness entry's documented claim that using the exact join
+    // there tests the same downstream the default runs.
+    val docs = graft.sources.Tables.documents(SparkTestSession.session, sfDir)
+    val exact = Text.leakSafeSplit(docs, "doc_id", "text",
+        k = 3, threshold = 0.8, valFrac = 0.1, salt = 0L,
+        pairs = Some(Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.8)))
+      .orderBy("doc_id").collect()
+    val viaLsh = Text.leakSafeSplit(docs, "doc_id", "text",
+        k = 3, threshold = 0.8, valFrac = 0.1, salt = 0L)
+      .orderBy("doc_id").collect()
+    viaLsh should contain theSameElementsInOrderAs exact
+  }
+
   test("mixtureRates: α-temperature rates on a hand corpus; sampling honors them exactly") {
     import scala.jdk.CollectionConverters._
     // source a: 4 docs, source b: 1 doc; α=0.5, budget=3
