@@ -408,8 +408,12 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
       maxIter: Int = 25): (DataFrame, Int) = {
+    // lazy-checkpoint the pair frame itself: `nodes` and the edge seed
+    // both read it, and pair generation is typically the most expensive
+    // upstream stage (a similarity join) — without this it would be
+    // computed twice
     val raw = pairs.select(col(idACol).cast("long").as("src"),
-      col(idBCol).cast("long").as("dst"))
+      col(idBCol).cast("long").as("dst")).localCheckpoint(eager = false)
     // lazy: materializes inside the final labels join, no dedicated job
     val nodes = raw.select(col("src").as("id"))
       .union(raw.select(col("dst").as("id"))).distinct()
