@@ -523,35 +523,14 @@ object Relational {
     * first shuffle at |types|·|days| rows; the per-type stats table is
     * tiny and broadcasts back — the raw stream is never windowed or
     * re-shuffled. Degenerate strata (n_days < 2 or zero variance)
-    * produce no flags by construction.
+    * produce no flags by construction. The transformation lives in
+    * [[graft.streaming.Anomaly]], shared with the streaming twin
+    * (StreamingSpec: streamed daily moments == this batch path).
     */
-  def evAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(col("event_type"),
-        unix_timestamp(date_trunc("day", col("ts"))).as("day_start"))
-      .agg(count(lit(1)).as("cnt"))
-    val stats = daily.groupBy("event_type").agg(
-      count(lit(1)).as("n_days"),
-      sum(col("cnt")).as("sum_c"),
-      // cnt² in exact decimal: a 1e10-events/day key at 100 TB would
-      // overflow long; decimal(38,0) gives the same headroom the
-      // profile moments use
-      sum((col("cnt").cast("decimal(38,0)") * col("cnt")).cast("decimal(38,0)"))
-        .as("sumsq_c"))
-    daily.join(broadcast(stats), "event_type")
-      .withColumn("__var",
-        (col("n_days") * col("sumsq_c") -
-          col("sum_c").cast("decimal(38,0)") * col("sum_c")).cast("double") /
-          (col("n_days").cast("double") * (col("n_days") - 1).cast("double")))
-      .filter(col("n_days") > 1 && col("__var") > 0.0)
-      .withColumn("z",
-        (col("cnt").cast("double") - col("sum_c").cast("double") / col("n_days")) /
-          sqrt(col("__var")))
-      .filter(abs(col("z")) > 2.0)
-      .select(col("event_type"), col("day_start"), col("cnt"),
-        round(col("z"), 4).as("z"))
+  def evAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Anomaly.flags(
+        graft.streaming.Anomaly.dailyCounts(Tables.events(s, dir)))
       .orderBy("event_type", "day_start")
-  }
 
   private val dppReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

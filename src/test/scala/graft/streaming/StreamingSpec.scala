@@ -283,6 +283,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("anomaly daily moments run as a streaming aggregate; z-flags equal the batch twin") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 9 calm days of one click each, a spike day of 5 clicks (z ≈ 3.5 —
+    // must flag), and a single-day type that must stay degenerate
+    val events: Seq[TestEvent] =
+      ((0 until 9).map(d => ev(d * 1440L, "click", 1.0, d.toLong)) ++
+        (0 until 5).map(i => ev(9 * 1440L + i, "click", 1.0, 100L + i)) :+
+        ev(3 * 1440L, "solo", 1.0, 999L))
+    val input = MemoryStream[TestEvent](spark)
+    // the SAME stage-1 aggregate the oracle-verified ev_anomaly runs in
+    // batch, accumulating incrementally (complete mode: state is the
+    // |types|·|days| daily-count table, never the events) — the spike
+    // day is split across triggers so its count must accumulate
+    val q = Anomaly.dailyCounts(input.toDF())
+      .writeStream.format("memory").queryName("anom_daily").outputMode("complete").start()
+    try {
+      val (a, b) = events.splitAt(11) // 9 calm + 2 spike | 3 spike + solo
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      // snapshot the sink into a fresh frame: flags() self-joins its
+      // input, and the memory-sink View resolves to the same attribute
+      // ids on both sides (analyzer conflict) — a real pipeline would
+      // hand flags() a sink table read, which re-resolves cleanly
+      val snap = spark.table("anom_daily")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("event_type", "day_start", "cnt")
+      val streamed = Anomaly.flags(snap)
+        .orderBy("event_type", "day_start").collect().map(_.toSeq).toSeq
+      val batch = Anomaly.flags(Anomaly.dailyCounts(events.toDF()))
+        .orderBy("event_type", "day_start").collect().map(_.toSeq).toSeq
+      streamed shouldBe batch
+      // the contract is non-vacuous: the spike day actually flags, and
+      // the degenerate single-day type does not
+      streamed.map(_.head) shouldBe Seq("click")
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     val spark0 = spark
     import spark0.implicits._
