@@ -190,6 +190,28 @@ object Projections {
     }
   }
 
+  /** A CRS whose datum is tied to WGS84 by an NTv2 grid-shift file
+    * (`+nadgrids=…`): the projection runs on the source ellipsoid and
+    * the geographic side stays WGS84 — fromGeo runs WGS84 lon/lat →
+    * iterative inverse grid shift → source-datum lon/lat → projection,
+    * toGeo the reverse with the direct (forward) interpolation. This is
+    * the distortion-modelling half of the reference's proj4j datum
+    * machinery (ST_GeomReproject.scala:1, `+nadgrids` NTv2 registry);
+    * unlike [[DatumShifted]] there is no geocentric leg — the grid IS
+    * the geographic-domain mapping, per the NTv2 spec.
+    */
+  final case class GridShifted(base: Crs, grid: NTv2.Grid,
+                               name: String) extends Crs {
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val (l, p) = grid.inverse(lon, lat)
+      base.fromGeo(l, p)
+    }
+    def toGeo(x: Double, y: Double): (Double, Double) = {
+      val (l, p) = base.toGeo(x, y)
+      grid.forward(l, p)
+    }
+  }
+
   case object LonLat extends Crs {
     val name = "EPSG:4326"
     def fromGeo(lon: Double, lat: Double): (Double, Double) = (lon, lat)
@@ -1072,8 +1094,27 @@ object Projections {
     val rSphere = kv.contains("r")
     require(!(rSphere && kv.contains("towgs84")),
       "+R (sphere) and +towgs84 cannot combine — a sphere radius carries no datum tie")
-    kv.get("nadgrids").foreach(v => require(v == "@null",
-      s"Unsupported +nadgrids=$v (only @null — the identity tie — is supported)"))
+    // +nadgrids: '@null' alone is the identity tie (sphere grids, see
+    // above). Anything else is a comma list of NTv2 .gsb paths — the
+    // grids are concatenated and the densest sub-grid containing a
+    // point wins (PROJ's parent/child refinement semantics). An '@'
+    // prefix marks a grid optional (silently skipped when unreadable,
+    // per PROJ); a missing non-optional file throws with a ship-the-
+    // file hint.
+    val nadGrid: Option[NTv2.Grid] = kv.get("nadgrids").filterNot(_ == "@null").map { v =>
+      require(!kv.contains("towgs84"),
+        "+nadgrids and +towgs84 cannot combine (two competing datum ties)")
+      val loaded = v.split(",").toVector.flatMap { g0 =>
+        val optional = g0.startsWith("@")
+        val path = if (optional) g0.drop(1) else g0
+        if (path == "null") Vector.empty
+        else if (optional &&
+          !java.nio.file.Files.isReadable(java.nio.file.Paths.get(path))) Vector.empty
+        else Vector(NTv2.load(path))
+      }
+      require(loaded.nonEmpty, s"+nadgrids=$v resolved to no usable grid")
+      if (loaded.size == 1) loaded.head else NTv2.Grid(loaded.flatMap(_.subs))
+    }
     val ell: Ellipsoid = {
       val named = kv.get("ellps").orElse(kv.get("datum")).map(_.toUpperCase)
       named match {
@@ -1112,9 +1153,9 @@ object Projections {
         val p = ps.padTo(7, 0.0)
         Helmert(p(0), p(1), p(2), p(3), p(4), p(5), p(6))
       case None =>
-        require((ell eq Ellipsoid.Wgs84) || rSphere,
-          s"+ellps=${ell.id} requires an explicit +towgs84 datum tie to WGS84 " +
-            "(a legacy-ellipsoid CRS without one would silently guess the datum)")
+        require((ell eq Ellipsoid.Wgs84) || rSphere || nadGrid.nonEmpty,
+          s"+ellps=${ell.id} requires an explicit datum tie to WGS84 — +towgs84 " +
+            "or +nadgrids — (a legacy-ellipsoid CRS without one would silently guess the datum)")
         Helmert(0, 0, 0, 0, 0, 0, 0)
     }
     kv.get("units").foreach(u => require(u == "m", s"Unsupported +units=$u (meters only)"))
@@ -1123,26 +1164,37 @@ object Projections {
       s"Unsupported prime meridian +pm=$v"))
     // a shifted datum wraps the base projection (built on the source
     // ellipsoid); identity shift on WGS84 keeps the unwrapped transform;
-    // +R spheres are identity-tied by definition (see above)
-    val shifted = !helmert.isIdentity || (!(ell eq Ellipsoid.Wgs84) && !rSphere)
+    // +R spheres are identity-tied by definition (see above); a grid
+    // tie supersedes the Helmert wrap entirely (the grid is the whole
+    // geographic-domain mapping — no geocentric leg)
+    val shifted = nadGrid.isEmpty &&
+      (!helmert.isIdentity || (!(ell eq Ellipsoid.Wgs84) && !rSphere))
 
     // canonical name: the parameters that define the transform, fixed order
     def fmt(d: Double): String =
       if (d == d.toLong && math.abs(d) < 1e15) d.toLong.toString else d.toString
     def mkName(params: (String, Double)*): String =
       s"+proj=$proj " + params.map { case (k, v) => s"+$k=${fmt(v)}" }.mkString(" ") +
-        (if (shifted)
+        (if (nadGrid.nonEmpty)
+           s" +ellps=${ell.id} +nadgrids=${kv("nadgrids")}"
+         else if (shifted)
            s" +ellps=${ell.id} +towgs84=${Seq(helmert.dx, helmert.dy, helmert.dz,
              helmert.rxSec, helmert.rySec, helmert.rzSec, helmert.dsPpm).map(fmt).mkString(",")}"
          else if (rSphere) s" +R=${fmt(ell.a)}"
          else " +ellps=WGS84")
-    def datumWrap(base: Crs): Crs =
-      if (shifted) DatumShifted(base, ell, helmert, base.name) else base
+    def datumWrap(base: Crs): Crs = nadGrid match {
+      case Some(g) => GridShifted(base, g, base.name)
+      case None    => if (shifted) DatumShifted(base, ell, helmert, base.name) else base
+    }
 
     proj match {
       case "longlat" | "latlong" =>
         require(num("lon_0", 0.0) == 0.0, "+proj=longlat with a shifted +lon_0 is not supported")
-        if (shifted) DatumShifted(LonLat, ell, helmert, mkName()) else LonLat
+        nadGrid match {
+          case Some(g) => GridShifted(LonLat, g, mkName())
+          case None =>
+            if (shifted) DatumShifted(LonLat, ell, helmert, mkName()) else LonLat
+        }
       case "merc" =>
         val latTs = num("lat_ts", 0.0)
         val k0 = num("k", num("k_0", 1.0))
@@ -1151,7 +1203,8 @@ object Projections {
         if (sphere) {
           // the legacy +a=+b spelling of the web-mercator sphere keeps the
           // named EPSG:3857 fast path (radius pinned to A above)
-          require(!shifted && k0 == 1.0 && latTs == 0.0 && lon0 == 0.0 && fe == 0.0 && fn == 0.0,
+          require(!shifted && nadGrid.isEmpty && k0 == 1.0 && latTs == 0.0 &&
+            lon0 == 0.0 && fe == 0.0 && fn == 0.0,
             "+proj=merc on the +a=+b sphere is supported only with EPSG:3857 parameters")
           WebMercator
         } else {
@@ -1162,7 +1215,7 @@ object Projections {
         }
       case "webmerc" =>
         // PROJ 6+ canonical spelling of EPSG:3857 (+proj=webmerc +datum=WGS84)
-        require(!shifted && num("lon_0", 0.0) == 0.0 &&
+        require(!shifted && nadGrid.isEmpty && num("lon_0", 0.0) == 0.0 &&
           num("x_0", 0.0) == 0.0 && num("y_0", 0.0) == 0.0,
           "+proj=webmerc is supported only with EPSG:3857 parameters")
         WebMercator
@@ -1172,12 +1225,16 @@ object Projections {
         require(num("x_0", FalseEasting) == FalseEasting && num("k", K0) == K0,
           "+proj=utm with non-UTM +x_0/+k is not supported (use +proj=tmerc)")
         val north = !kv.contains("south")
-        if (!shifted) Utm(zone, north)
+        if (!shifted && nadGrid.isEmpty) Utm(zone, north)
         else { // e.g. ED50 / NAD27 UTM: the same zone grid on the legacy ellipsoid
           require(zone >= 1 && zone <= 60, s"UTM zone $zone out of range 1–60")
           val nm = mkName("zone" -> zone.toDouble) + (if (north) "" else " +south")
-          DatumShifted(Tmerc(0.0, -183.0 + 6.0 * zone, K0, FalseEasting,
-            if (north) 0.0 else FalseNorthingSouth, nm, ell), ell, helmert, nm)
+          val base = Tmerc(0.0, -183.0 + 6.0 * zone, K0, FalseEasting,
+            if (north) 0.0 else FalseNorthingSouth, nm, ell)
+          nadGrid match {
+            case Some(g) => GridShifted(base, g, nm)
+            case None    => DatumShifted(base, ell, helmert, nm)
+          }
         }
       case "tmerc" =>
         val (lat0, lon0, k0) = (num("lat_0", 0.0), num("lon_0", 0.0), num("k", num("k_0", 1.0)))
@@ -1359,7 +1416,7 @@ object Projections {
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:5514, EPSG:28992, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sterea/krovak/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:5514, EPSG:28992, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sterea/krovak/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84 or an NTv2 +nadgrids=file.gsb)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

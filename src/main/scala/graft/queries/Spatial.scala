@@ -487,6 +487,63 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-6, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** NTv2 grid-shift datum tie (`+nadgrids=file.gsb`) — the public
+    * binary format national agencies publish NAD27→NAD83-class
+    * distortion grids in, and the distortion-modelling half of the
+    * reference's geotrellis-proj4 datum registry
+    * (spatial-index/.../index/ST_GeomReproject.scala:1). The fixture is
+    * written driver-side as REAL NTv2 bytes (big-endian spec layout,
+    * CONUS window, 1° cells) and read back through the full parser +
+    * bilinear interpolator; its shift field is exactly bilinear in the
+    * node indices with float32-exact node values (integer/1024), so the
+    * DuckDB oracle can replay the whole forward chain — positive-west
+    * seconds, cell lookup with the same floor/clamp, bilinear weights in
+    * the same association order, +lat / −lon(east) application —
+    * op-for-op in EXACT IEEE arithmetic (no transcendentals anywhere in
+    * this path), making the hash match bit-for-bit rather than to a
+    * rounding gate. rt_ok asserts the fixed-4-step iterative inverse
+    * closes to 1e-9°; the sign conventions (the classic NTv2 failure
+    * mode) are independently anchored against the already-verified NAD27
+    * Helmert chain in NTv2Spec.
+    */
+  private lazy val nadgridsPath: String = {
+    val fixDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_fixtures")
+    java.nio.file.Files.createDirectories(fixDir)
+    val p = fixDir.resolve("conus_bilinear.gsb")
+    val (rows, cols) = (25, 59)
+    val latA = Array.tabulate(rows * cols) { idx =>
+      val (i, j) = (idx / cols, idx % cols)
+      (1024 + 8 * i + 4 * j + i * j).toFloat / 1024.0f
+    }
+    val lonA = Array.tabulate(rows * cols) { idx =>
+      val (i, j) = (idx / cols, idx % cols)
+      (2048 + 4 * i + 8 * j + i * j).toFloat / 1024.0f
+    }
+    val grid = graft.geom.NTv2.Grid(Vector(graft.geom.NTv2.SubGrid(
+      "CONUS", "NONE", sLat = 25 * 3600.0, nLat = 49 * 3600.0,
+      eLong = 67 * 3600.0, wLong = 125 * 3600.0,
+      latInc = 3600.0, longInc = 3600.0, latShift = latA, lonShift = lonA)))
+    java.nio.file.Files.write(p, graft.geom.NTv2.write(grid))
+    p.toString
+  }
+
+  def spNadgrids(s: SparkSession, dir: String): DataFrame = {
+    val crs = s"+proj=longlat +ellps=clrk66 +nadgrids=$nadgridsPath"
+    customerPoints(s, dir)
+      .filter(col("lon") >= -124.0 && col("lon") <= -68.0 &&
+              col("lat") >= 26.0 && col("lat") <= 48.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit(crs), lit("EPSG:4326")))
+      .withColumn("back", st.geomReproject(col("p"), lit("EPSG:4326"), lit(crs)))
+      .select(
+        col("c_custkey"),
+        st.x(col("p")).as("lon83"),
+        st.y(col("p")).as("lat83"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-9 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-9, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+  }
+
   /** Oblique stereographic double projection (EPSG method 9809 — the
     * Netherlands RD New grid, EPSG:28992: Bessel ellipsoid tied to WGS84
     * by the classic 7-parameter +towgs84) over the wide European window.
@@ -854,6 +911,7 @@ object Spatial {
     "sp_lcc" -> spLcc _,
     "sp_albers" -> spAlbers _,
     "sp_datum" -> spDatum _,
+    "sp_nadgrids" -> spNadgrids _,
     "sp_omerc" -> spOmerc _,
     "sp_sterea" -> spSterea _,
     "sp_krovak" -> spKrovak _,
@@ -1555,6 +1613,48 @@ object Spatial {
        |FROM rr ORDER BY c_custkey""".stripMargin
   }
 
+  /** The sp_nadgrids forward replayed op-for-op: positive-west seconds,
+    * fractional cell coordinates with the identical floor/clamp, the
+    * four bilinear terms in the implementation's association order, and
+    * the +lat / −lon(east) application. Every node value is an exact
+    * float32 (integer/1024) so the double formulas below equal the
+    * promoted floats the Scala side multiplies — the whole chain is
+    * exact IEEE +,−,×,÷ and floor, hence bit-identical, no rounding
+    * gate needed.
+    */
+  private val spNadgridsOracle: String = {
+    def nLat(i: String, j: String) =
+      s"((1024.0 + 8.0 * ($i) + 4.0 * ($j) + ($i) * ($j)) / 1024.0)"
+    def nLon(i: String, j: String) =
+      s"((2048.0 + 4.0 * ($i) + 8.0 * ($j) + ($i) * ($j)) / 1024.0)"
+    def bil(f: (String, String) => String) =
+      s"""${f("i0", "j0")} * (1.0 - u) * (1.0 - v)
+         |      + ${f("i0", "j0 + 1")} * u * (1.0 - v)
+         |      + ${f("i0 + 1", "j0")} * (1.0 - u) * v
+         |      + ${f("i0 + 1", "j0 + 1")} * u * v""".stripMargin
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($lonSql) >= -124.0 AND ($lonSql) <= -68.0
+       |             AND ($latSql) >= 26.0 AND ($latSql) <= 48.0),
+       |c AS (SELECT *,
+       |        ((-lon * 3600.0) - 241200.0) / 3600.0 AS x,
+       |        ((lat * 3600.0) - 90000.0) / 3600.0 AS y
+       |      FROM b),
+       |d AS (SELECT *,
+       |        least(greatest(floor(x)::BIGINT, 0), 57) AS j0,
+       |        least(greatest(floor(y)::BIGINT, 0), 23) AS i0
+       |      FROM c),
+       |e AS (SELECT *, x - j0 AS u, y - i0 AS v FROM d),
+       |f AS (SELECT *,
+       |        ${bil(nLat)} AS blat,
+       |        ${bil(nLon)} AS blon
+       |      FROM e)
+       |SELECT c_custkey,
+       | lon + ((-blon) / 3600.0) AS lon83,
+       | lat + (blat / 3600.0) AS lat83,
+       | 1 AS rt_ok
+       |FROM f ORDER BY c_custkey""".stripMargin
+  }
+
   private val xyRoundtripOracle =
     s"""SELECT c_custkey,
        | round($lonSql, 6) AS x,
@@ -1732,6 +1832,7 @@ object Spatial {
     "sp_lcc" -> spLccOracle,
     "sp_albers" -> spAlbersOracle,
     "sp_datum" -> spDatumOracle,
+    "sp_nadgrids" -> spNadgridsOracle,
     "sp_omerc" -> spOmercOracle,
     "sp_sterea" -> spStereaOracle,
     "sp_krovak" -> spKrovakOracle,
