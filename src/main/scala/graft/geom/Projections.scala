@@ -1028,13 +1028,280 @@ object Projections {
     }
   }
 
+  /** Azimuthal equidistant on the sphere (Snyder pp. 195–197, eqs.
+    * 25-1..25-4 forward, 25-15..25-18 inverse) — the range-ring /
+    * "distances from here are true" projection, any aspect. PROJ's
+    * ellipsoidal oblique aeqd needs full geodesics (Karney), so this
+    * family is supported where closed forms exist: a sphere (`+R=…`,
+    * this class) for any center, or an ellipsoid in the polar aspect
+    * ([[AeqdPolar]]); the ellipsoidal-oblique spelling is rejected
+    * with that guidance rather than silently run on a sphere. The
+    * antipode (c = π, where every direction is correct and none is
+    * unique) and its 1e-6 rad (~6 m) neighborhood throw — the guard
+    * must sit above acos's resolution near −1 (acos(−1+ulp) ≈ π−1.5e-8)
+    * or the exact antipode would slip through as a numerically huge
+    * c/sin c.
+    */
+  final case class AeqdSphere(lat0: Double, lon0: Double, fe: Double, fn: Double,
+                              name: String, r: Double) extends Crs {
+    private val phi1 = math.toRadians(lat0)
+    private val lam0 = math.toRadians(lon0)
+    private val s1 = math.sin(phi1)
+    private val c1 = math.cos(phi1)
+
+    private def wrap(l: Double): Double =
+      if (l > math.Pi) l - 2.0 * math.Pi else if (l < -math.Pi) l + 2.0 * math.Pi else l
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val phi = math.toRadians(lat)
+      val dl = wrap(math.toRadians(lon) - lam0)
+      val cosC = math.max(-1.0, math.min(1.0,
+        s1 * math.sin(phi) + c1 * math.cos(phi) * math.cos(dl)))      // 5-3
+      val c = math.acos(cosC)
+      require(c < math.Pi - 1e-6,
+        s"aeqd: point ($lon, $lat) is the antipode of the projection center")
+      val k = if (c < 1e-12) 1.0 else c / math.sin(c)                 // 25-2
+      (r * k * math.cos(phi) * math.sin(dl) + fe,                     // 22-4
+        r * k * (c1 * math.sin(phi) - s1 * math.cos(phi) * math.cos(dl)) + fn) // 22-5
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - fe
+      val y = y0 - fn
+      val rho = math.hypot(x, y)                                      // 20-18
+      if (rho < 1e-9) (lon0, lat0)
+      else {
+        val c = rho / r                                               // 25-15
+        val sinC = math.sin(c)
+        val cosC = math.cos(c)
+        val phi = math.asin(math.max(-1.0, math.min(1.0,
+          cosC * s1 + y * sinC * c1 / rho)))                          // 20-14
+        val lam = lam0 + math.atan2(x * sinC,
+          rho * c1 * cosC - y * s1 * sinC)                            // 20-15
+        (math.toDegrees(wrap(lam)), math.toDegrees(phi))
+      }
+    }
+  }
+
+  /** Azimuthal equidistant, ellipsoidal POLAR aspect (Snyder p. 197,
+    * eq. 25-16: ρ = Mp ∓ M(φ) with the 3-21 meridian-arc series, the
+    * same machinery [[Sinusoidal]] proves out) — the EPSG
+    * "North/South Pole Azimuthal Equidistant" grids. Inverse recovers
+    * φ from the arc by the standard rectifying-latitude series (3-26).
+    */
+  final case class AeqdPolar(north: Boolean, lon0: Double, fe: Double, fn: Double,
+                             name: String, ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A = ell.a
+    private val E2 = ell.e2
+    private val lam0 = math.toRadians(lon0)
+
+    private def meridianArc(phi: Double): Double =                     // 3-21
+      A * ((1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0) * phi -
+        (3.0 * E2 / 8.0 + 3.0 * E2 * E2 / 32.0 + 45.0 * E2 * E2 * E2 / 1024.0) * math.sin(2.0 * phi) +
+        (15.0 * E2 * E2 / 256.0 + 45.0 * E2 * E2 * E2 / 1024.0) * math.sin(4.0 * phi) -
+        (35.0 * E2 * E2 * E2 / 3072.0) * math.sin(6.0 * phi))
+    private val mp = meridianArc(math.Pi / 2.0)
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val dl = math.toRadians(lon) - lam0
+      val rho =
+        if (north) mp - meridianArc(math.toRadians(lat))               // 25-16
+        else mp + meridianArc(math.toRadians(lat))
+      if (north) (rho * math.sin(dl) + fe, -rho * math.cos(dl) + fn)   // 21-30/31
+      else (rho * math.sin(dl) + fe, rho * math.cos(dl) + fn)
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val x = x0 - fe
+      val y = y0 - fn
+      val rho = math.hypot(x, y)
+      val m = if (north) mp - rho else rho - mp
+      val mu = m / (A * (1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0))
+      val e1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
+      val phi = mu +                                                   // 3-26
+        (3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0) * math.sin(2.0 * mu) +
+        (21.0 * e1 * e1 / 16.0 - 55.0 * math.pow(e1, 4) / 32.0) * math.sin(4.0 * mu) +
+        (151.0 * e1 * e1 * e1 / 96.0) * math.sin(6.0 * mu) +
+        (1097.0 * math.pow(e1, 4) / 512.0) * math.sin(8.0 * mu)
+      val lam =
+        if (rho < 1e-9) lam0
+        else if (north) lam0 + math.atan2(x, -y)                       // 20-16
+        else lam0 + math.atan2(x, y)                                   // 20-17
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
+  /** The Robinson projection's defining table (Robinson 1974; reproduced
+    * in Snyder & Voxland, "An Album of Map Projections", USGS PP 1453):
+    * per 5° of latitude, X = length of the parallel relative to the
+    * equator, Y = distance of the parallel from the equator normalized
+    * so Y(90°) = 1. The projection is DEFINED by this table plus an
+    * interpolation rule — graft interpolates with a Catmull-Rom cubic
+    * Hermite (central-difference knot slopes, one-sided at the ends),
+    * which passes through every knot exactly and is C¹ and monotone on
+    * this data; coefficients are closed-form functions of the knots, so
+    * a SQL oracle can replay the identical arithmetic from a VALUES
+    * list. (PROJ fits its own spline to the same table; the two
+    * interpolants agree at every knot and differ by < 3×10⁻⁵ between
+    * knots — far below cartographic relevance for a compromise
+    * projection.)
+    */
+  object RobinsonTable {
+    val X: Array[Double] = Array(
+      1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427,
+      0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732,
+      0.6213, 0.5722, 0.5322)
+    val Y: Array[Double] = Array(
+      0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340,
+      0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936,
+      0.9394, 0.9761, 1.0000)
+    val Fxc = 0.8487 // x scale: x = Fxc · R · X(φ) · λ
+    val Fyc = 1.3523 // y scale: y = Fyc · R · Y(φ) · sign(φ)
+
+    /** Knot slope d(value)/d(degree) at knot i (central differences,
+      * one-sided at the ends).
+      */
+    def slope(t: Array[Double], i: Int): Double =
+      if (i == 0) (t(1) - t(0)) / 5.0
+      else if (i == 18) (t(18) - t(17)) / 5.0
+      else (t(i + 1) - t(i - 1)) / 10.0
+
+    /** Hermite cubic value at absolute latitude `ad` ∈ [0, 90] degrees. */
+    def interp(t: Array[Double], ad: Double): Double = {
+      val i = math.min((ad / 5.0).toInt, 17)
+      val u = (ad - 5.0 * i) / 5.0
+      val u2 = u * u
+      val u3 = u2 * u
+      (2.0 * u3 - 3.0 * u2 + 1.0) * t(i) +
+        (u3 - 2.0 * u2 + u) * (5.0 * slope(t, i)) +
+        (-2.0 * u3 + 3.0 * u2) * t(i + 1) +
+        (u3 - u2) * (5.0 * slope(t, i + 1))
+    }
+  }
+
+  /** Robinson (`+proj=robin`) — the compromise world-map projection,
+    * spherical with R = a per PROJ semantics (the table is defined on a
+    * sphere; PROJ substitutes the semi-major axis). Forward is the
+    * table interpolation above; the inverse recovers |φ| from the
+    * monotone Y interpolant by 60 bisection steps (deterministic,
+    * resolves |φ| to 90/2⁶⁰ ≈ 8×10⁻¹⁷ degrees — below double rounding),
+    * then λ from the X interpolant at that latitude.
+    */
+  final case class Robinson(lon0: Double, fe: Double, fn: Double, name: String,
+                            ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    import RobinsonTable._
+    private val R = ell.a
+    private val lam0 = math.toRadians(lon0)
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val ad = math.min(math.abs(lat), 90.0)
+      (Fxc * R * interp(X, ad) * (math.toRadians(lon) - lam0) + fe,
+        Fyc * R * interp(Y, ad) * math.signum(lat) + fn)
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val yf = (y0 - fn) / (Fyc * R)
+      val ayf = math.min(math.abs(yf), 1.0)
+      // bisection on the strictly-increasing Y interpolant
+      var lo = 0.0
+      var hi = 90.0
+      var it = 0
+      while (it < 60) {
+        val mid = (lo + hi) / 2.0
+        if (interp(Y, mid) < ayf) lo = mid else hi = mid
+        it += 1
+      }
+      val ad = (lo + hi) / 2.0
+      val lam = lam0 + (x0 - fe) / (Fxc * R * interp(X, ad))
+      (math.toDegrees(lam), math.copySign(ad, yf))
+    }
+  }
+
+  /** Geostationary satellite view (`+proj=geos`) — the native grid of
+    * GOES/Meteosat/Himawari level-1 imagery, from the public CGMS
+    * LRIT/HRIT normalized-geostationary-projection spec: coordinates
+    * are satellite scan angles × satellite height. Geometry is derived
+    * from first principles (no series): the ground point's geocentric
+    * position (geodetic→geocentric latitude, geocentric radius of the
+    * ellipsoid), viewed from the satellite at (1 + h/a, 0, 0) in
+    * a-normalized units; `+sweep=x` (GOES-R) vs `+sweep=y` (Meteosat,
+    * PROJ default) selects which scan axis rotates first, i.e. which
+    * angle gets the hypot-compensated denominator. Points behind the
+    * limb (satellite→point ray not clearing the ellipsoid horizon)
+    * throw; the inverse solves the quadratic ray–ellipsoid
+    * intersection and takes the near root.
+    */
+  final case class Geos(h: Double, sweepX: Boolean, lon0: Double,
+                        fe: Double, fn: Double, name: String,
+                        ell: Ellipsoid = Ellipsoid.Wgs84) extends Crs {
+    private val A = ell.a
+    private val E2 = ell.e2
+    private val radiusP = math.sqrt(1.0 - E2)     // polar radius, a-normalized
+    private val radiusP2 = 1.0 - E2
+    private val radiusPInv2 = 1.0 / radiusP2
+    private val radiusG1 = h / A                  // satellite height, a-normalized
+    private val radiusG = 1.0 + radiusG1          // satellite geocentric distance
+    private val cBig = radiusG * radiusG - 1.0    // |sat|² − 1 (horizon constant)
+    private val lam0 = math.toRadians(lon0)
+
+    private def wrap(l: Double): Double =
+      if (l > math.Pi) l - 2.0 * math.Pi else if (l < -math.Pi) l + 2.0 * math.Pi else l
+
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val lam = wrap(math.toRadians(lon) - lam0)
+      val phiC = math.atan(radiusP2 * math.tan(math.toRadians(lat))) // geocentric lat
+      // geocentric radius of the ellipsoid at φc (a-normalized)
+      val r = radiusP / math.hypot(radiusP * math.cos(phiC), math.sin(phiC))
+      val vx = r * math.cos(lam) * math.cos(phiC)
+      val vy = r * math.sin(lam) * math.cos(phiC)
+      val vz = r * math.sin(phiC)
+      // visibility: the satellite→point ray must hit the near side —
+      // (sat−P)·n̂(P) ≥ 0 with the ellipsoid normal ∝ (vx, vy, vz/(1−e²))
+      require((radiusG - vx) * vx - vy * vy - vz * vz * radiusPInv2 >= 0.0,
+        s"geos: point ($lon, $lat) is behind the limb as seen from the satellite")
+      val tmp = radiusG - vx
+      val (sx, sy) =
+        if (sweepX) (math.atan(vy / math.hypot(vz, tmp)), math.atan(vz / tmp))
+        else (math.atan(vy / tmp), math.atan(vz / math.hypot(vy, tmp)))
+      (h * sx + fe, h * sy + fn)
+    }
+
+    def toGeo(x0: Double, y0: Double): (Double, Double) = {
+      val xa = (x0 - fe) / h
+      val ya = (y0 - fn) / h
+      val vx = -1.0
+      val (vy, vz) =
+        if (sweepX) {
+          val z = math.tan(ya)
+          (math.tan(xa) * math.hypot(1.0, z), z)
+        } else {
+          val y = math.tan(xa)
+          (y, math.tan(ya) * math.hypot(1.0, y))
+        }
+      // ray–ellipsoid intersection: |(radius_g + t·vx, t·vy, t·vz/p)| = 1
+      val zp = vz / radiusP
+      val aa = vy * vy + zp * zp + vx * vx
+      val bb = 2.0 * radiusG * vx
+      val det = bb * bb - 4.0 * aa * cBig
+      require(det >= 0.0, s"geos: scan angle ($x0, $y0) misses the earth disk")
+      val k = (-bb - math.sqrt(det)) / (2.0 * aa)
+      val px = radiusG + k * vx
+      val py = k * vy
+      val pz = k * vz
+      val lam = math.atan2(py, px)
+      val phiC = math.atan(pz * math.cos(lam) / px)
+      val phi = math.atan(radiusPInv2 * math.tan(phiC))
+      (math.toDegrees(wrap(lam + lam0)), math.toDegrees(phi))
+    }
+  }
+
   private val UtmPattern = "EPSG:32([67])([0-9]{2})".r
 
   // proj4 keys that select/parameterize a projection this object can build
   private val Proj4ParamKeys = Set(
     "proj", "zone", "south", "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0",
     "lonc", "alpha", "gamma", "no_off", "no_uoff",
-    "k", "k_0", "x_0", "y_0")
+    "k", "k_0", "x_0", "y_0", "h", "sweep")
   // keys that pin the datum/ellipsoid/units — validated, not stored
   private val Proj4GuardKeys = Set(
     "a", "b", "rf", "r", "ellps", "datum", "towgs84", "nadgrids",
@@ -1047,9 +1314,11 @@ object Projections {
     * implements cover the proj4 surface a warehouse actually meets:
     * longlat, merc (ellipsoidal 1SP/2SP — EPSG:3395-class — plus the
     * 3857 sphere spelling), webmerc, utm, tmerc, lcc (2SP), laea,
-    * aea (2SP), polar stere, omerc (azimuth form), sinu (the MODIS/
-    * land-product family), moll, cea (the EASE-Grid 2.0 family) and
-    * eqc.
+    * aea (2SP), polar stere, sterea, krovak, omerc (azimuth form),
+    * sinu (the MODIS/land-product family), moll, cea (the EASE-Grid
+    * 2.0 family), eqc, aeqd (sphere any-aspect / ellipsoid polar),
+    * robin (Robinson world maps) and geos (geostationary satellite
+    * imagery grids).
     * The reference hands any proj4 string to proj4j
     * (ST_CrsFromText.scala:1); without that dependency, a supported
     * subset is rebuilt on the same Snyder machinery and everything else
@@ -1350,8 +1619,41 @@ object Projections {
           name = mkName("lat_0" -> lat0, "lat_ts" -> latTs, "lon_0" -> lon0,
             "x_0" -> fe, "y_0" -> fn),
           fe = fe, fn = fn, ell = ell))
+      case "aeqd" =>
+        val lat0 = num("lat_0", 0.0)
+        val lon0 = num("lon_0", 0.0)
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        if (ell.e2 == 0.0) // a +R sphere: any aspect, closed form
+          datumWrap(AeqdSphere(lat0, lon0, fe, fn,
+            mkName("lat_0" -> lat0, "lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn),
+            ell.a))
+        else if (math.abs(lat0) == 90.0) // ellipsoidal polar: meridian-arc form
+          datumWrap(AeqdPolar(north = lat0 > 0, lon0, fe, fn,
+            mkName("lat_0" -> lat0, "lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn),
+            ell))
+        else throw new IllegalArgumentException(
+          "+proj=aeqd on an ellipsoid is supported in the polar aspect only " +
+            "(+lat_0=90 or -90); the oblique ellipsoidal form needs full geodesics — " +
+            "spell a sphere (+R=6371008.8) for range-ring use-cases")
+      case "robin" =>
+        val lon0 = num("lon_0", 0.0)
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        datumWrap(Robinson(lon0, fe, fn,
+          mkName("lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn), ell))
+      case "geos" =>
+        val hSat = kv.getOrElse("h", throw new IllegalArgumentException(
+          "+proj=geos requires the satellite height +h (e.g. +h=35785831)")).toDouble
+        require(hSat > 1e6, s"Implausible satellite height +h=$hSat")
+        val sweep = kv.getOrElse("sweep", "y")
+        require(sweep == "x" || sweep == "y", s"+sweep=$sweep must be x or y")
+        val lon0 = num("lon_0", 0.0)
+        val (fe, fn) = (num("x_0", 0.0), num("y_0", 0.0))
+        datumWrap(Geos(hSat, sweepX = sweep == "x", lon0, fe, fn,
+          mkName("h" -> hSat, "lon_0" -> lon0, "x_0" -> fe, "y_0" -> fn) +
+            s" +sweep=$sweep",
+          ell))
       case other => throw new IllegalArgumentException(
-        s"Unsupported +proj=$other (supported: longlat, merc, webmerc, utm, tmerc, lcc, laea, aea, stere, omerc, sinu, moll, cea, eqc)")
+        s"Unsupported +proj=$other (supported: longlat, merc, webmerc, utm, tmerc, lcc, laea, aea, stere, sterea, krovak, omerc, sinu, moll, cea, eqc, aeqd, robin, geos)")
     }
   }
 

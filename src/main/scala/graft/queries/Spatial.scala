@@ -746,6 +746,74 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Azimuthal equidistant on the mean-radius sphere, centered
+    * mid-continent (`+proj=aeqd +R=…` — the range-ring / coverage-map
+    * composition, where planar distance from the center IS great-circle
+    * distance): the oracle replays the Snyder 25-1..25-4 spherical
+    * forward op-for-op in SQL — wrapped Δλ, clamped acos, the
+    * c/sin c scale with its small-angle guard — value-checking at
+    * 0.1 m; the closed-form 20-14/20-15 inverse is asserted through
+    * rt_ok (< 1e-7°).
+    */
+  private val AeqdCrs = "+proj=aeqd +lat_0=40 +lon_0=-100 +x_0=0 +y_0=0 +R=6371008.8"
+
+  def spAeqd(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(AeqdCrs)))
+      .withColumn("back", st.geomReproject(col("p"), lit(AeqdCrs), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
+  /** Robinson (`+proj=robin`, R = a per PROJ semantics) over the full
+    * lat window: the projection is DEFINED by its 19-knot table plus an
+    * interpolation rule (geom/Projections.RobinsonTable), so the oracle
+    * carries the knot values and precomputed Hermite slopes as a
+    * VALUES list and replays the identical cubic — bucket select,
+    * u-powers, the four basis terms — in SQL, value-checking at 0.1 m;
+    * the bisection inverse is asserted through rt_ok (< 1e-7°).
+    */
+  private val RobinCrs = "+proj=robin +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84"
+
+  def spRobinson(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(RobinCrs)))
+      .withColumn("back", st.geomReproject(col("p"), lit(RobinCrs), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
+  /** Geostationary satellite view (`+proj=geos +sweep=y`, the Meteosat
+    * full-disk grid) inside the ±55° window (well inside the ~81°
+    * visibility limb for h = 35 786 km): the oracle replays the
+    * CGMS scan-angle forward op-for-op in SQL — geocentric latitude,
+    * geocentric ellipsoid radius, the satellite→point vector and both
+    * atan view angles — value-checking at 0.1 m; the quadratic
+    * ray–ellipsoid inverse is asserted through rt_ok (< 1e-7°).
+    */
+  private val GeosCrs = "+proj=geos +h=35785831 +lon_0=0 +sweep=y +x_0=0 +y_0=0 +ellps=WGS84"
+
+  def spGeos(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(abs(col("lon")) <= 55.0 && abs(col("lat")) <= 55.0)
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), lit(GeosCrs)))
+      .withColumn("back", st.geomReproject(col("p"), lit(GeosCrs), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+             abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** Albers equal-area conic (EPSG:5070 Conus Albers) forward + inverse
     * roundtrip: the oracle mirrors the Snyder 15-19..15-26 forward
     * series op-for-op in SQL (q/m functions, n, C, ρ, θ); rt_ok asserts
@@ -921,6 +989,9 @@ object Spatial {
     "sp_merc" -> spMerc _,
     "sp_cea" -> spCea _,
     "sp_eqc" -> spEqc _,
+    "sp_aeqd" -> spAeqd _,
+    "sp_robinson" -> spRobinson _,
+    "sp_geos" -> spGeos _,
     "sp_latlon" -> spLatLonText _,
     "sp_overlay" -> spOverlay _,
     "sp_extent_prune" -> spExtentPrune _,
@@ -1537,6 +1608,96 @@ object Spatial {
        |FROM q ORDER BY c_custkey""".stripMargin
   }
 
+  /** Spherical azimuthal-equidistant forward as DuckDB SQL, mirroring
+    * geom/Projections.AeqdSphere.fromGeo op-for-op: the wrapped Δλ, the
+    * clamped-acos central angle, the c/sin c scale with its 1e-12
+    * small-angle guard, then x/y from 22-4/22-5 — sin/cos of the center
+    * embedded as the exact doubles the constructor computes.
+    */
+  private val spAeqdOracle: String = {
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val s1 = dlit(math.sin(math.toRadians(40.0)))
+    val c1 = dlit(math.cos(math.toRadians(40.0)))
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+       |g AS (SELECT c_custkey, radians(lat) AS phi,
+       |        radians(lon) - radians(-100.0) AS dl0 FROM b),
+       |w AS (SELECT c_custkey, phi,
+       |        CASE WHEN dl0 > pi() THEN dl0 - 2.0 * pi()
+       |             WHEN dl0 < -pi() THEN dl0 + 2.0 * pi() ELSE dl0 END AS dl
+       |      FROM g),
+       |t AS (SELECT *, acos(greatest(-1.0, least(1.0,
+       |        $s1 * sin(phi) + $c1 * cos(phi) * cos(dl)))) AS c FROM w),
+       |k AS (SELECT *, CASE WHEN c < 1e-12 THEN 1.0 ELSE c / sin(c) END AS kk FROM t)
+       |SELECT c_custkey,
+       | round(6371008.8e0 * kk * cos(phi) * sin(dl), 1) AS easting,
+       | round(6371008.8e0 * kk * ($c1 * sin(phi) - $s1 * cos(phi) * cos(dl)), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM k ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Robinson forward as DuckDB SQL, mirroring
+    * geom/Projections.Robinson.fromGeo: the 19-knot defining table with
+    * its precomputed Hermite slopes (5·central-difference, the exact
+    * doubles RobinsonTable.slope produces) carried as a VALUES list,
+    * bucket-joined on floor(|φ|/5), then the identical cubic basis
+    * expression and the Fxc/Fyc world-frame scaling.
+    */
+  private val spRobinsonOracle: String = {
+    import graft.geom.Projections.RobinsonTable._
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    def m(t: Array[Double], j: Int): String = dlit(5.0 * slope(t, j))
+    val rows = (0 until 18).map { i =>
+      s"(${i}, ${dlit(X(i))}, ${dlit(X(i + 1))}, ${m(X, i)}, ${m(X, i + 1)}, " +
+        s"${dlit(Y(i))}, ${dlit(Y(i + 1))}, ${m(Y, i)}, ${m(Y, i + 1)})"
+    }.mkString(",\n|      ")
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+       |kt(i, x0, x1, mx0, mx1, y0, y1, my0, my1) AS (VALUES
+       |      $rows),
+       |g AS (SELECT c_custkey, lon, lat, abs(lat) AS ad,
+       |        least(cast(floor(abs(lat) / 5.0) AS INTEGER), 17) AS bi FROM b),
+       |j AS (SELECT g.*, x0, x1, mx0, mx1, y0, y1, my0, my1,
+       |        (ad - 5.0 * bi) / 5.0 AS u FROM g JOIN kt ON g.bi = kt.i),
+       |p AS (SELECT *, u * u AS u2, u * u * u AS u3 FROM j)
+       |SELECT c_custkey,
+       | round(0.8487e0 * 6378137.0 * ((2.0 * u3 - 3.0 * u2 + 1.0) * x0 + (u3 - 2.0 * u2 + u) * mx0 + (-2.0 * u3 + 3.0 * u2) * x1 + (u3 - u2) * mx1) * radians(lon), 1) AS easting,
+       | round(1.3523e0 * 6378137.0 * ((2.0 * u3 - 3.0 * u2 + 1.0) * y0 + (u3 - 2.0 * u2 + u) * my0 + (-2.0 * u3 + 3.0 * u2) * y1 + (u3 - u2) * my1) * sign(lat), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM p ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Geostationary scan-angle forward as DuckDB SQL, mirroring
+    * geom/Projections.Geos.fromGeo for the Meteosat grid (+sweep=y,
+    * lon_0 = 0 so Δλ never wraps inside the ±55° window): geocentric
+    * latitude, the a-normalized geocentric ellipsoid radius, the
+    * satellite→point components and both view angles — constants
+    * embedded as the exact doubles the constructor computes (hypot
+    * replayed as √(a²+b²); the ≤1-ulp difference is absorbed by the
+    * 0.1 m rounding).
+    */
+  private val spGeosOracle: String = {
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val f = 1.0 / 298.257223563
+    val e2 = f * (2.0 - f)
+    val p = dlit(math.sqrt(1.0 - e2))  // radius_p
+    val p2 = dlit(1.0 - e2)            // radius_p2
+    val g = dlit(1.0 + 35785831.0 / 6378137.0) // radius_g
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE abs($lonSql) <= 55.0 AND abs($latSql) <= 55.0),
+       |g0 AS (SELECT c_custkey, radians(lon) AS lam,
+       |        atan($p2 * tan(radians(lat))) AS phic FROM b),
+       |r AS (SELECT *, $p / sqrt(($p * cos(phic)) * ($p * cos(phic)) + sin(phic) * sin(phic)) AS rr FROM g0),
+       |v AS (SELECT c_custkey,
+       |        rr * cos(lam) * cos(phic) AS vx,
+       |        rr * sin(lam) * cos(phic) AS vy,
+       |        rr * sin(phic) AS vz FROM r),
+       |t AS (SELECT *, $g - vx AS tmp FROM v)
+       |SELECT c_custkey,
+       | round(35785831.0 * atan(vy / tmp), 1) AS easting,
+       | round(35785831.0 * atan(vz / sqrt(vy * vy + tmp * tmp)), 1) AS northing,
+       | 1 AS rt_ok
+       |FROM t ORDER BY c_custkey""".stripMargin
+  }
+
   private val spDatumOracle: String = {
     def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
     // WGS84 (source geodetic side)
@@ -1857,6 +2018,9 @@ object Spatial {
          | 1 AS rt_ok
          |FROM (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer)
          |ORDER BY c_custkey""".stripMargin,
+    "sp_aeqd" -> spAeqdOracle,
+    "sp_robinson" -> spRobinsonOracle,
+    "sp_geos" -> spGeosOracle,
     // the layout window replayed as a plain coordinate filter — the
     // layout must neither lose (spill/pruning) nor invent rows
     "sp_z2_layout" ->

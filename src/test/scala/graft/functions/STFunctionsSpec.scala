@@ -876,7 +876,7 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     viaProj4 shouldBe viaEpsg
     // loud rejection: unsupported projection, ellipsoid, prime meridian,
     // 1SP lcc, oblique stere, unknown parameter keys
-    an[Exception] should be thrownBy Projections.parseCrs("+proj=robin +lon_0=0")
+    an[Exception] should be thrownBy Projections.parseCrs("+proj=igh +lon_0=0")
     an[Exception] should be thrownBy Projections.parseCrs("+proj=aea +lat_1=29.5") // aea needs both parallels
     an[Exception] should be thrownBy Projections.parseCrs("+proj=tmerc +ellps=airy")
     an[Exception] should be thrownBy Projections.parseCrs("+proj=utm +zone=33 +pm=paris")
@@ -1148,5 +1148,157 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     a shouldBe (r.getLong(3) >> 8)
     // deterministic across calls
     sql1("SELECT st_partitionCentroid(st_makePoint(10.0, 45.0), 8) AS a").getLong(0) shouldBe a
+  }
+
+  test("CRS: azimuthal equidistant — true distance/azimuth from center, polar arc anchor, roundtrip") {
+    import graft.geom.Projections
+    val R = 6371008.8
+    val aeqd = Projections.parseCrs(s"+proj=aeqd +lat_0=40 +lon_0=-100 +x_0=0 +y_0=0 +R=$R")
+    // center maps to the origin
+    aeqd.fromGeo(-100.0, 40.0) shouldBe ((0.0, 0.0))
+    // the DEFINING property: planar distance from the center equals
+    // R × the great-circle central angle, for every point and aspect
+    def centralAngle(lo1: Double, la1: Double, lo2: Double, la2: Double): Double = {
+      val (p1, p2) = (math.toRadians(la1), math.toRadians(la2))
+      val dl = math.toRadians(lo2 - lo1)
+      math.acos(math.max(-1.0, math.min(1.0,
+        math.sin(p1) * math.sin(p2) + math.cos(p1) * math.cos(p2) * math.cos(dl))))
+    }
+    for ((lon, lat) <- Seq((-122.4, 37.8), (2.35, 48.85), (151.2, -33.9), (18.4, -33.9), (-100.0, -40.0), (79.9, 6.9))) {
+      val (x, y) = aeqd.fromGeo(lon, lat)
+      withClue(s"($lon,$lat)") {
+        math.hypot(x, y) shouldBe R * centralAngle(-100.0, 40.0, lon, lat) +- 1e-6
+        // roundtrip
+        val (bl, bp) = aeqd.toGeo(x, y)
+        bl shouldBe lon +- 1e-9
+        bp shouldBe lat +- 1e-9
+      }
+    }
+    // due-north point lands on +y, due-east on +x
+    val (xn, yn) = aeqd.fromGeo(-100.0, 60.0)
+    xn shouldBe 0.0 +- 1e-6
+    yn shouldBe R * math.toRadians(20.0) +- 1e-6
+    // the antipode is undefined and must fail loudly
+    an[IllegalArgumentException] should be thrownBy aeqd.fromGeo(80.0, -40.0)
+    // ellipsoidal polar aspect: distance from the pole = meridian arc;
+    // pole→equator is the WGS84 quarter meridian, 10 001 965.729 m
+    val polar = Projections.parseCrs("+proj=aeqd +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+    val (px, py) = polar.fromGeo(0.0, 0.0)
+    px shouldBe 0.0 +- 1e-6
+    -py shouldBe 1.0001965729e7 +- 1.0 // published quarter-meridian, ±1 m
+    for ((lon, lat) <- Seq((45.0, 80.0), (-120.0, 55.0), (179.0, 30.0))) {
+      val (x, y) = polar.fromGeo(lon, lat)
+      val (bl, bp) = polar.toGeo(x, y)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-9
+        bp shouldBe lat +- 1e-7 // arc series inverse: ~mm-level
+      }
+    }
+    // oblique ellipsoidal aspect is rejected with guidance, not guessed
+    val err = intercept[IllegalArgumentException](
+      Projections.parseCrs("+proj=aeqd +lat_0=40 +lon_0=-100 +ellps=WGS84"))
+    err.getMessage should include("polar aspect")
+    // SQL surface
+    val q = sql1("SELECT st_x(st_geomReproject(st_makePoint(-100.0, 60.0), 'EPSG:4326', " +
+      s"'+proj=aeqd +lat_0=40 +lon_0=-100 +R=$R'))")
+    q.getDouble(0) shouldBe 0.0 +- 1e-6
+  }
+
+  test("CRS: Robinson — knot exactness, world-frame anchors, monotone interpolant, roundtrip") {
+    import graft.geom.Projections
+    import Projections.RobinsonTable
+    val robin = Projections.parseCrs("+proj=robin +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84")
+    val R = 6378137.0
+    // at every 5° knot the projection reproduces the published Robinson
+    // table EXACTLY (the interpolant passes through the knots)
+    for (i <- 0 to 18) {
+      val lat = 5.0 * i
+      val (x, y) = robin.fromGeo(100.0, lat)
+      withClue(s"lat=$lat") {
+        x shouldBe RobinsonTable.Fxc * R * RobinsonTable.X(i) * math.toRadians(100.0) +- 1e-6
+        y shouldBe RobinsonTable.Fyc * R * RobinsonTable.Y(i) +- 1e-6
+      }
+    }
+    // world-frame anchors: the map is ~0.8487·π·R wide at the equator
+    // and ±1.3523·R·1.0 tall at the poles; south is the mirror of north
+    robin.fromGeo(180.0, 0.0)._1 shouldBe RobinsonTable.Fxc * R * math.Pi +- 1e-6
+    robin.fromGeo(0.0, 90.0)._2 shouldBe RobinsonTable.Fyc * R +- 1e-6
+    robin.fromGeo(30.0, -47.3)._2 shouldBe -robin.fromGeo(30.0, 47.3)._2 +- 1e-9
+    // y is strictly monotone in latitude (no spline overshoot)
+    val ys = (0 to 900).map(i => robin.fromGeo(0.0, i / 10.0)._2)
+    ys.zip(ys.tail).foreach { case (a, b) => a should be < b }
+    // parallels stay straight horizontal lines (y independent of λ)
+    robin.fromGeo(-160.0, 37.3)._2 shouldBe robin.fromGeo(85.0, 37.3)._2 +- 1e-9
+    // roundtrip on off-knot latitudes
+    for ((lon, lat) <- Seq((-122.4, 37.8), (151.2, -33.9), (179.0, 88.6), (-179.0, -2.1), (13.4, 52.52))) {
+      val (x, y) = robin.fromGeo(lon, lat)
+      val (bl, bp) = robin.toGeo(x, y)
+      withClue(s"($lon,$lat)") {
+        bl shouldBe lon +- 1e-9
+        bp shouldBe lat +- 1e-9
+      }
+    }
+    // SQL surface
+    val q = sql1("SELECT st_y(st_geomReproject(st_makePoint(0.0, 45.0), 'EPSG:4326', " +
+      "'+proj=robin +lon_0=0'))")
+    q.getDouble(0) shouldBe robin.fromGeo(0.0, 45.0)._2 +- 1e-6
+  }
+
+  test("CRS: geostationary (geos) — ECEF scan-angle cross-check, sweep axes, limb, roundtrip") {
+    import graft.geom.Projections
+    val h = 35785831.0
+    val msg = Projections.parseCrs(s"+proj=geos +h=$h +lon_0=0 +sweep=y +ellps=WGS84") // Meteosat
+    val goes = Projections.parseCrs(s"+proj=geos +h=$h +lon_0=0 +sweep=x +ellps=WGS84")
+    // sub-satellite point is the origin
+    msg.fromGeo(0.0, 0.0) shouldBe ((0.0, 0.0))
+    // independent cross-check: compute the ground point's ECEF via the
+    // prime-vertical radius N(φ) (a DIFFERENT parametrization than the
+    // implementation's geocentric-radius form) and re-derive the scan
+    // angles from the satellite→point vector directly
+    val a = 6378137.0
+    val e2 = {
+      val f = 1.0 / 298.257223563; f * (2.0 - f)
+    }
+    def ecef(lon: Double, lat: Double): (Double, Double, Double) = {
+      val (la, lo) = (math.toRadians(lat), math.toRadians(lon))
+      val n = a / math.sqrt(1.0 - e2 * math.sin(la) * math.sin(la))
+      (n * math.cos(la) * math.cos(lo), n * math.cos(la) * math.sin(lo),
+        n * (1.0 - e2) * math.sin(la))
+    }
+    for ((lon, lat) <- Seq((10.0, 0.0), (0.0, 35.0), (-40.0, 20.0), (45.0, -50.0), (55.0, 55.0))) {
+      val (px, py, pz) = ecef(lon, lat)
+      val along = (a + h) - px // satellite at (a+h, 0, 0), lon_0 = 0
+      val expSweepY = (h * math.atan(py / along), h * math.atan(pz / math.hypot(py, along)))
+      val expSweepX = (h * math.atan(py / math.hypot(pz, along)), h * math.atan(pz / along))
+      val (mx, my) = msg.fromGeo(lon, lat)
+      val (gx, gy) = goes.fromGeo(lon, lat)
+      withClue(s"($lon,$lat)") {
+        mx shouldBe expSweepY._1 +- 1e-4 // 0.1 mm: two ellipsoid parametrizations
+        my shouldBe expSweepY._2 +- 1e-4
+        gx shouldBe expSweepX._1 +- 1e-4
+        gy shouldBe expSweepX._2 +- 1e-4
+        // roundtrip both sweeps
+        val (bl, bp) = msg.toGeo(mx, my)
+        bl shouldBe lon +- 1e-9
+        bp shouldBe lat +- 1e-9
+        val (cl, cp) = goes.toGeo(gx, gy)
+        cl shouldBe lon +- 1e-9
+        cp shouldBe lat +- 1e-9
+      }
+    }
+    // on the axes the two sweep conventions agree
+    msg.fromGeo(12.0, 0.0) shouldBe goes.fromGeo(12.0, 0.0)
+    msg.fromGeo(0.0, 33.0)._2 shouldBe goes.fromGeo(0.0, 33.0)._2 +- 1e-9
+    // behind the limb → loud failure (90° away is never visible)
+    an[IllegalArgumentException] should be thrownBy msg.fromGeo(90.0, 0.0)
+    // scan angles that miss the disk → loud failure on the inverse
+    an[IllegalArgumentException] should be thrownBy msg.toGeo(h, h)
+    // +h is required
+    an[IllegalArgumentException] should be thrownBy
+      Projections.parseCrs("+proj=geos +lon_0=0 +ellps=WGS84")
+    // SQL surface
+    val q = sql1("SELECT st_x(st_geomReproject(st_makePoint(10.0, 0.0), 'EPSG:4326', " +
+      s"'+proj=geos +h=$h +lon_0=0 +sweep=y +ellps=WGS84'))")
+    q.getDouble(0) shouldBe msg.fromGeo(10.0, 0.0)._1 +- 1e-6
   }
 }
