@@ -27,7 +27,7 @@ object Ann {
     * BEFORE the shuffle, instead of shuffling every scored row into a few
     * hot query partitions.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy("qid")
       .agg(graft.functions.FunctionDefs.callAgg("topk_by_score",

@@ -373,6 +373,48 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  // One persisted IVF index per (JVM, sf dir) — the build-once/
+  // read-many serving shape AnnLayout exists for.
+  private val annLayoutReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def annLayoutPath(s: SparkSession, dir: String): String =
+    annLayoutReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-annlayout").toString + "/ivf"
+      graft.sources.AnnLayout.build(Tables.embeddings(s, d), "vec_id", "embedding",
+        p, nlist = 8, iters = 2, seed = 7)
+      p
+    })
+
+  /** Top-k over the PERSISTED IVF layout ([[graft.sources.AnnLayout]]):
+    * the index is built once (train + assign + partitioned write) and
+    * the query path reads only the probed `list=` directories via
+    * dynamic partition pruning. Default regime (nprobe=4 of nlist=8)
+    * is recall-probabilistic → rows-only; [[annIvfLayoutFull]] is the
+    * hash-checked twin.
+    */
+  def annIvfLayout(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.sources.AnnLayout.topK(s, annLayoutPath(s, dir),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, nprobe = 4)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The layout in its provably-complete regime: nprobe = nlist probes
+    * every cell, so the pruned scan must recover the ENTIRE corpus and
+    * the result must EQUAL brute force (the same all-cells contract
+    * ann_ivf_full proves for the in-memory build) — which makes the
+    * persisted assignment, the DPP probe join and the ranking all
+    * hash-checked against the SQL oracle.
+    */
+  def annIvfLayoutFull(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    graft.sources.AnnLayout.topK(s, annLayoutPath(s, dir),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, nprobe = 8)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Shared recall@k contract: count how many of the brute-force top-k
     * pairs the approximate ranking also returned, and assert a
     * deterministic floor (hashes are seeded, so the hit count is a
@@ -1266,6 +1308,71 @@ object Pipeline {
       .orderBy("ok", "doc_id")
   }
 
+  private val csvReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** CSV ingest with corrupt-record quarantine ([[graft.sources.Csv]]):
+    * the documents metadata is serialized as headerless CSV, every
+    * doc_id ≡ 3 (mod 7) row gets its numeric n_chars replaced by a
+    * non-numeric token (the vendor-export typo class), and read back
+    * through the explicit-schema PERMISSIVE reader. CSV's quarantine
+    * semantics differ from JSONL's and the oracle pins them: a bad
+    * FIELD nulls only itself — the row's other parsed fields survive
+    * alongside the raw line in the corrupt column (ok=0), so triage can
+    * key on what did parse; fully-parsed rows carry ok=1.
+    */
+  def srcCsv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = csvReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/docs"
+      Tables.documents(s, d)
+        .select(concat_ws(",", col("doc_id"), col("lang"), col("source"),
+          when(col("doc_id") % 7 === 3, lit("n/a"))
+            .otherwise(col("n_chars").cast("string"))).as("value"))
+        .write.mode("overwrite").text(p)
+      p
+    })
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    graft.sources.Csv.read(s, path, schema)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        when(col("_corrupt").isNull, 1).otherwise(0).as("ok"))
+      .orderBy("ok", "doc_id")
+  }
+
+  private val orcReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** ORC interchange: the documents corpus written once to ORC (Spark's
+    * second native columnar format — the Hive-ecosystem interchange the
+    * reference's deployment world speaks) and read back; the content
+    * certificate is the same row-count / distinct-content /
+    * order-independent md5-prefix checksum triple src_compact proves,
+    * recomputed by the oracle from the parquet base table — so the ORC
+    * write+read path is verified value-for-value, not just rows. A
+    * doc_id-range branch is read through a filter so the summary also
+    * witnesses ORC predicate pushdown output (the plan-shape spec pins
+    * the PushedFilters).
+    */
+  def srcOrc(s: SparkSession, dir: String): DataFrame = {
+    val path = orcReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
+      Tables.documents(s, d).write.mode("overwrite").orc(p)
+      p
+    })
+    val orc = s.read.orc(path)
+    def summary(df: DataFrame, label: String): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(md5(col("text"))).as("n_distinct_text"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("content_sum"))
+        .select(lit(label).as("stage"), col("n_rows"), col("n_distinct_text"),
+          col("content_sum"))
+    summary(orc, "all")
+      .unionByName(summary(orc.filter(col("doc_id") < 100), "doc_id_lt_100"))
+      .orderBy("stage")
+  }
+
   private val compactReady = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Small-file compaction ([[graft.sources.Compaction]]): documents
@@ -1329,6 +1436,8 @@ object Pipeline {
     "ann_hybrid" -> annHybrid _,
     "ann_lsh" -> annLsh _,
     "ann_ivf" -> annIvf _,
+    "ann_ivf_layout" -> annIvfLayout _,
+    "ann_ivf_layout_full" -> annIvfLayoutFull _,
     "ann_lsh_exhaustive" -> annLshExhaustive _,
     "ann_ivf_full" -> annIvfFull _,
     "ann_lsh_recall" -> annLshRecall _,
@@ -1390,6 +1499,8 @@ object Pipeline {
     "dd_overlap" -> ddOverlap _,
     "tx_url" -> txUrl _,
     "src_jsonl" -> srcJsonl _,
+    "src_csv" -> srcCsv _,
+    "src_orc" -> srcOrc _,
     "src_compact" -> srcCompact _,
     "tx_entropy" -> txEntropy _
   )
@@ -1817,6 +1928,9 @@ object Pipeline {
     "ann_hybrid" -> rrfHybridSql,
     "ann_lsh_exhaustive" -> bruteTopKSql,
     "ann_ivf_full" -> bruteTopKSql,
+    // the persisted layout probing EVERY cell must equal brute force —
+    // pins the on-disk assignment, the DPP probe join and the ranking
+    "ann_ivf_layout_full" -> bruteTopKSql,
     // the zero-quantization-error regime must equal brute force on the
     // 256-vector subset — the same brute SQL over the restricted corpus
     "ann_ivfpq_full" ->
@@ -2461,6 +2575,30 @@ object Pipeline {
         |SELECT NULL, NULL, NULL, NULL, 0 AS ok
         |FROM documents WHERE doc_id % 7 = 3
         |ORDER BY ok, doc_id""".stripMargin,
+    // CSV quarantine semantics: a bad FIELD (n_chars → 'n/a') nulls only
+    // itself — the row keeps its parsed doc_id/lang/source with ok=0,
+    // unlike JSONL's all-null torn-line rows
+    "src_csv" ->
+      """SELECT doc_id, lang, source, n_chars, 1 AS ok
+        |FROM documents WHERE doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT doc_id, lang, source, NULL, 0 AS ok
+        |FROM documents WHERE doc_id % 7 = 3
+        |ORDER BY ok, doc_id""".stripMargin,
+    // the ORC write+read path must preserve content value-for-value:
+    // row count, distinct-content count and the order-independent
+    // md5-prefix checksum, full-table and through a pushed-down filter
+    "src_orc" ->
+      """WITH s AS (SELECT doc_id, md5(text) AS h FROM documents)
+        |SELECT 'all' AS stage, count(*) AS n_rows,
+        |  count(DISTINCT h) AS n_distinct_text,
+        |  sum(('0x' || substr(h, 1, 8))::BIGINT)::BIGINT AS content_sum
+        |FROM s
+        |UNION ALL
+        |SELECT 'doc_id_lt_100', count(*), count(DISTINCT h),
+        |  sum(('0x' || substr(h, 1, 8))::BIGINT)::BIGINT
+        |FROM s WHERE doc_id < 100
+        |ORDER BY stage""".stripMargin,
     // per-character frequencies (chars ≡ bytes on ASCII), entropy terms
     // summed in character order, one final /ln(2) — the identical IEEE
     // sequence the native byte_entropy expression runs

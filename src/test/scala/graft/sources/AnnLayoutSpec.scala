@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.SparkTestSession
+import graft.ops.Ann
+import graft.sources.Tables
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The persisted IVF layout: identical results to the in-memory build
+  * (same seeds → same centroids → same assignment), brute-force
+  * equality when probing every cell, and the scan actually pruned to
+  * the probed `list=` directories at query time.
+  */
+class AnnLayoutSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  private lazy val path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-annlayout-spec").toString + "/ivf"
+    AnnLayout.build(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      p, nlist = 8, iters = 2, seed = 7)
+    p
+  }
+  private def queries = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("qid"), col("id"), col("rank"), round(col("cos"), 9).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+
+  test("layout topK equals the in-memory ivfTopK at every nprobe (same seeds, same centroids)") {
+    for (nprobe <- Seq(1, 4, 8)) {
+      val fromLayout = AnnLayout.topK(spark, path, queries, "vec_id", "embedding",
+        k = 10, nprobe = nprobe)
+      val inMemory = Ann.ivfTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10, nlist = 8, nprobe = nprobe)
+      withClue(s"nprobe=$nprobe") { canon(fromLayout) shouldBe canon(inMemory) }
+    }
+  }
+
+  test("probing every cell recovers brute force exactly (the persisted assignment loses nothing)") {
+    val full = AnnLayout.topK(spark, path, queries, "vec_id", "embedding", k = 10, nprobe = 8)
+    val brute = Ann.bruteForce(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    canon(full) shouldBe canon(brute)
+  }
+
+  test("the query scan is partition-pruned to the probed cells (runtime dynamicpruning filter)") {
+    val df = AnnLayout.topK(spark, path, queries, "vec_id", "embedding", k = 10, nprobe = 2)
+    df.collect() // AQE finalizes the plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    withClue(s"layout plan:\n$plan") {
+      plan.toLowerCase should include("dynamicpruning")
+      plan should include("BroadcastHashJoin")
+    }
+  }
+
+  test("streaming append: new vectors land in their cells and serve immediately, exactly like a batch rebuild") {
+    // a private copy of the layout so the append doesn't perturb the shared fixture
+    val p2 = java.nio.file.Files.createTempDirectory("graft-annlayout-app").toString + "/ivf"
+    val base = Tables.embeddings(spark, sfDir)
+    AnnLayout.build(base, "vec_id", "embedding", p2, nlist = 8, iters = 2, seed = 7)
+    val spark0 = spark
+    import spark0.implicits._
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    val ck = java.nio.file.Files.createTempDirectory("graft-annlayout-ck").toString
+    val q = AnnLayout.appendStream(spark, p2, stream, "vec_id", "embedding", ck)
+    try {
+      // two arriving micro-batches of new vectors (ids far above the corpus)
+      val dim = base.select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0)
+      def mkVec(seed: Int): Seq[Double] =
+        (0 until dim).map(j => math.sin(seed * 31.0 + j).abs + 0.01)
+      input.addData((900001L, mkVec(1)), (900002L, mkVec(2)))
+      q.processAllAvailable()
+      input.addData((900003L, mkVec(3)))
+      q.processAllAvailable()
+      // the appended rows are served by the next scan
+      val grown = spark.read.parquet(p2 + "/vectors")
+      grown.filter(col("id") >= 900001L).count() shouldBe 3L
+      // full-probe over the grown layout == brute force over the grown corpus
+      // (holds for ANY consistent assignment — pins that appended rows
+      //  joined the right cells and are ranked with everyone else)
+      val newRows = Seq((900001L, mkVec(1)), (900002L, mkVec(2)), (900003L, mkVec(3)))
+        .toDF("vec_id", "embedding")
+      val union = base.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .unionByName(newRows)
+      val full = AnnLayout.topK(spark, p2, queries, "vec_id", "embedding", k = 10, nprobe = 8)
+      val brute = Ann.bruteForce(union, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10)
+      canon(full) shouldBe canon(brute)
+    } finally q.stop()
+  }
+
+  test("the layout directory really is hive-partitioned by cell id") {
+    val dirs = new java.io.File(path + "/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list=")).sorted
+    dirs.length shouldBe 8
+    // centroid table row per cell, ids 0..7
+    spark.read.parquet(path + "/centroids").select("list")
+      .collect().map(_.getInt(0)).sorted shouldBe (0 until 8).toArray
+  }
+}

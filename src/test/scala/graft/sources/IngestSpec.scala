@@ -113,4 +113,76 @@ class IngestSpec extends AnyFunSuite with SparkTestSession with Matchers {
     Compaction.compactByRows(spark, small, big, "id", targetRows = 1000L) shouldBe 1
     spark.read.parquet(big).count() shouldBe 5L
   }
+
+  test("Csv: write→read roundtrips rows needing quotes; commas/quotes/nulls survive") {
+    val rows = Seq(
+      Row(1L, "plain"),
+      Row(2L, "has,comma"),
+      Row(3L, "has \"quotes\" inside"),
+      Row(4L, null))
+    val df = spark.createDataFrame(rows.asJava, docSchema)
+    val p = tmp("graft-csv-spec") + "/d"
+    Csv.write(df, p)
+    val back = Csv.read(spark, p, docSchema).select("id", "txt", "_corrupt").collect()
+    back.count(r => !r.isNullAt(2)) shouldBe 0
+    back.map(r => (r.get(0), r.get(1))).toSet shouldBe
+      rows.map(r => (r.get(0), r.get(1))).toSet
+  }
+
+  test("Csv: a bad FIELD nulls only itself — the row's other fields survive with the raw line") {
+    val p = tmp("graft-csv-bad") + "/d"
+    import spark.implicits._
+    Seq("1,good", "notanumber,alsotext", "3,fine").toDF("value")
+      .repartition(1).write.text(p)
+    val back = Csv.read(spark, p, docSchema).select("id", "txt", "_corrupt").collect()
+    back.filter(_.isNullAt(2)).map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    val bad = back.filter(r => !r.isNullAt(2))
+    bad.length shouldBe 1
+    // CSV partial-row quarantine: id (the bad field) is null, but txt
+    // parsed — unlike JSONL's all-null torn rows
+    bad.head.isNullAt(0) shouldBe true
+    bad.head.getString(1) shouldBe "alsotext"
+    bad.head.getString(2) shouldBe "notanumber,alsotext"
+  }
+
+  test("Csv.readStream: quarantining ingest equals the batch twin across arriving shards") {
+    val p = tmp("graft-csv-stream") + "/in"
+    new java.io.File(p).mkdirs()
+    def shard(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(p, name),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    shard("s0.csv", Seq("1,a", "x,bad"))
+    val q = Csv.readStream(spark, p, docSchema)
+      .writeStream.format("memory").queryName("csv_stream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      shard("s1.csv", Seq("3,b"))
+      q.processAllAvailable()
+      val got = spark.table("csv_stream").collect()
+      got.length shouldBe 3
+      got.filter(_.isNullAt(2)).map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+      val batch = Csv.read(spark, p, docSchema).select("id", "txt", "_corrupt").collect()
+      got.map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet shouldBe
+        batch.map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)))).toSet
+    } finally q.stop()
+  }
+
+  test("ORC: write→read preserves values; filters reach the ORC scan as PushedFilters") {
+    import spark.implicits._
+    val p = tmp("graft-orc-spec") + "/d"
+    val df = (0L until 1000L).map(i => (i, s"row$i", i % 7)).toDF("id", "txt", "grp")
+    df.write.orc(p)
+    val back = spark.read.orc(p)
+    back.count() shouldBe 1000L
+    back.agg(sum("id")).head.getLong(0) shouldBe (0L until 1000L).sum
+    // predicate pushdown: the range filter must reach the ORC scan
+    val plan = back.filter(col("id") < 100).select("id", "txt")
+      .queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("LessThan(id,100)")
+    // and column pruning: txt-free aggregation reads a txt-free schema
+    val pruned = back.filter(col("id") < 100).groupBy("grp").count()
+      .queryExecution.executedPlan.toString
+    pruned should not include ("txt")
+  }
 }
