@@ -586,31 +586,31 @@ object Ann {
     * the exact one and the output must EQUAL brute force.
     * Output: (qid, id, rank, cos) — exact cosines on the final ranking.
     */
-  def ivfPqTopK(
-      corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
-      iters: Int = 2, refine: Int = 10, seed: Long = 7, maxTrain: Int = 0): DataFrame = {
-    import graft.functions.FunctionDefs.{call, callAgg}
-    val raw = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
-    val c = raw
-      .withColumn("__n", call("vec_norm", col("__v")))
-      .withColumn("__vn", when(col("__n") === 0.0, col("__v"))
-        .otherwise(expr("transform(__v, x -> x / __n)")))
-      .select("id", "__vn")
+  /** A trained IVF-PQ model: coarse centroids + m residual codebooks.
+    * Produced by [[trainIvfPq]]; consumed by [[ivfPqTopK]] and by
+    * [[graft.sources.AnnLayout]]'s persisted PQ build, so the on-disk
+    * index trains through the identical float sequence as the
+    * in-memory one.
+    */
+  private[graft] final case class IvfPqModel(
+      centroids: Array[Seq[Double]], codebooks: Array[Array[Seq[Double]]],
+      dim: Int, subdim: Int) {
+    def flatCodebooks: Seq[Double] = codebooks.flatMap(_.flatMap(_.toArray)).toSeq
+  }
 
-    // ONE corpus job for ALL training (coarse + every PQ codebook): a
-    // hash-ordered bounded sample carrying the per-subspace init-order
-    // hashes. Coarse Lloyd, residual computation and all m residual
-    // codebooks run driver-side on the sample — the previous
-    // formulation cost ~19 full-corpus scans (coarse Lloyd rounds + m
-    // codebook loops × iters collects, each re-deriving the
-    // un-checkpointed assignment); at 100 TB that many corpus passes
-    // for a write-once artifact is the scale-killer, and FAISS's answer
-    // is exactly this: train on a fixed ≤256·k sample regardless of
-    // corpus size. The search path still touches the full corpus
-    // exactly once (assign + residual + encode are scan-side
-    // expressions of the SAME job that feeds the probe join).
+  /** ONE corpus job for ALL training (coarse + every PQ codebook): a
+    * hash-ordered bounded sample carrying the per-subspace init-order
+    * hashes. Coarse Lloyd, residual computation and all m residual
+    * codebooks run driver-side on the sample — the previous
+    * formulation cost ~19 full-corpus scans (coarse Lloyd rounds + m
+    * codebook loops × iters collects, each re-deriving the
+    * un-checkpointed assignment); at 100 TB that many corpus passes
+    * for a write-once artifact is the scale-killer, and FAISS's answer
+    * is exactly this: train on a fixed ≤256·k sample regardless of
+    * corpus size. `c` must carry (id, __vn) with __vn L2-normalized.
+    */
+  private[graft] def trainIvfPq(c: DataFrame, nlist: Int, m: Int, ksub: Int,
+                                iters: Int, seed: Long, maxTrain: Int): IvfPqModel = {
     val sampleRows = c
       .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
       .limit(trainCap(maxTrain, math.max(ksub, nlist)))
@@ -627,8 +627,6 @@ object Ann {
     // coarse quantizer: init = first nlist sample rows (the same
     // hashed-id order the distributed version used), local Lloyd
     val centArr = lloydLocal(sampleVecs, sampleVecs.take(nlist), iters)
-    val centroids = centArr.map(_.toSeq)
-    val cent = typedlit(centroids.toSeq)
 
     // sample residuals, with the assignment mirroring scan-side
     // ivf_assign bit-for-bit so a trained codeword re-assigns to itself
@@ -653,6 +651,26 @@ object Ann {
       val init = order.take(ksub).map(slices(_)).toArray
       lloydLocal(slices, init, iters).map(_.toSeq)
     }
+    IvfPqModel(centArr.map(_.toSeq), codebooks, dim, subdim)
+  }
+
+  def ivfPqTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
+      iters: Int = 2, refine: Int = 10, seed: Long = 7, maxTrain: Int = 0): DataFrame = {
+    import graft.functions.FunctionDefs.{call, callAgg}
+    val raw = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
+    val c = raw
+      .withColumn("__n", call("vec_norm", col("__v")))
+      .withColumn("__vn", when(col("__n") === 0.0, col("__v"))
+        .otherwise(expr("transform(__v, x -> x / __n)")))
+      .select("id", "__vn")
+
+    val model = trainIvfPq(c, nlist, m, ksub, iters, seed, maxTrain)
+    val codebooks = model.codebooks
+    val subdim = model.subdim
+    val cent = typedlit(model.centroids.toSeq)
 
     val assigned = c
       .withColumn("__c", call("ivf_assign", col("__vn"), cent))

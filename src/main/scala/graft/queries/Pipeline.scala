@@ -415,6 +415,50 @@ object Pipeline {
       .orderBy("qid", "rank")
   }
 
+  // PQ layouts: one default-regime index + one zero-error-regime index
+  // per (JVM, sf dir)
+  private val annPqLayoutReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Top-k over the PERSISTED IVF-PQ layout ([[graft.sources.AnnLayout
+    * .buildPq]]): codes-only ADC scan over probed cells, exact re-rank
+    * of the shortlist. Default regime is recall-probabilistic →
+    * rows-only; [[annPqLayoutFull]] is the hash-checked twin.
+    */
+  def annPqLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = annPqLayoutReady.computeIfAbsent(dir + "#default", { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-pqlayout").toString + "/ivfpq"
+      graft.sources.AnnLayout.buildPq(Tables.embeddings(s, dir), "vec_id", "embedding",
+        p, nlist = 16, m = 8, ksub = 32, iters = 2, seed = 7)
+      p
+    })
+    val e = Tables.embeddings(s, dir)
+    graft.sources.AnnLayout.pqTopK(s, path,
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, nprobe = 4, refine = 10)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The persisted PQ layout in the zero-quantization-error regime
+    * (ksub ≥ corpus so every residual subvector is its own codeword,
+    * nprobe = nlist so every cell is probed — the same regime
+    * [[annIvfPqFull]] proves for the in-memory build): the on-disk
+    * codes, the ADC scan and the refine join must together EQUAL brute
+    * force, hash-checked against the SQL oracle.
+    */
+  def annPqLayoutFull(s: SparkSession, dir: String): DataFrame = {
+    val e256 = Tables.embeddings(s, dir).filter(col("vec_id") < 256)
+    val path = annPqLayoutReady.computeIfAbsent(dir + "#full", { _ =>
+      val p = java.nio.file.Files.createTempDirectory("graft-pqlayout-full").toString + "/ivfpq"
+      graft.sources.AnnLayout.buildPq(e256, "vec_id", "embedding",
+        p, nlist = 8, m = 8, ksub = 256, iters = 1, seed = 7)
+      p
+    })
+    graft.sources.AnnLayout.pqTopK(s, path,
+        e256.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, nprobe = 8, refine = 3)
+      .select(col("qid"), col("id"), col("rank"), round(col("cos"), 6).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   /** Shared recall@k contract: count how many of the brute-force top-k
     * pairs the approximate ranking also returned, and assert a
     * deterministic floor (hashes are seeded, so the hit count is a
@@ -1438,6 +1482,8 @@ object Pipeline {
     "ann_ivf" -> annIvf _,
     "ann_ivf_layout" -> annIvfLayout _,
     "ann_ivf_layout_full" -> annIvfLayoutFull _,
+    "ann_pq_layout" -> annPqLayout _,
+    "ann_pq_layout_full" -> annPqLayoutFull _,
     "ann_lsh_exhaustive" -> annLshExhaustive _,
     "ann_ivf_full" -> annIvfFull _,
     "ann_lsh_recall" -> annLshRecall _,
@@ -1950,6 +1996,22 @@ object Pipeline {
     "ann_ivfpq_recall" ->
       s"""SELECT count(*)::BIGINT AS n_brute, 1 AS recall_floor_ok
          |FROM ($bruteTopKSql)""".stripMargin,
+    // the PERSISTED PQ index in the same zero-error regime: on-disk
+    // codes + ADC scan + refine join must equal brute force
+    "ann_pq_layout_full" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |           WHERE vec_id < 256),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS id, $cosSql AS c
+         |  FROM (SELECT vec_id, v FROM q) a
+         |  JOIN e b ON b.vec_id != a.vec_id),
+         |ranked AS (
+         |  SELECT qid, id, c,
+         |    row_number() OVER (PARTITION BY qid ORDER BY c DESC, id) AS rank
+         |  FROM scored)
+         |SELECT qid, id, rank::INT AS rank, round(c, 6) AS cos
+         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     // recall contracts for the DEFAULT approximate regimes: n_brute is
     // recomputed from the brute ranking; the floor flag is deterministic
     // (seeded hashes) and asserted as a constant

@@ -53,6 +53,101 @@ object AnnLayout {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Persisted IVF-PQ layout — [[build]]'s cells plus PQ code columns,
+    * the FAISS `IndexIVFPQ` on-disk shape: training (coarse + all m
+    * residual codebooks) runs through [[Ann.trainIvfPq]]'s single
+    * sample job, the corpus pays ONE assign+encode pass at write time,
+    * and the layout stores (id, vec, codes) partitioned by cell. The
+    * serving economics follow from parquet column pruning + DPP
+    * together: the ADC scoring scan projects only (id, codes) — m
+    * small ints per row, never the dim-float vector — over only the
+    * probed `list=` directories, and the exact re-rank fetches raw
+    * vectors for the refine·k shortlist rows alone. Centroids AND
+    * codebooks persist alongside, so query time never trains.
+    */
+  def buildPq(df: DataFrame, idCol: String, vecCol: String, path: String,
+              nlist: Int = 16, m: Int = 8, ksub: Int = 32,
+              iters: Int = 2, seed: Long = 7): Unit = {
+    import graft.functions.FunctionDefs.call
+    val spark = df.sparkSession
+    val raw = df.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("vec"))
+    val c = raw
+      .withColumn("__n", call("vec_norm", col("vec")))
+      .withColumn("__vn", when(col("__n") === 0.0, col("vec"))
+        .otherwise(expr("transform(vec, x -> x / __n)")))
+      .select("id", "vec", "__vn")
+    val model = Ann.trainIvfPq(
+      c.select("id", "__vn"), nlist, m, ksub, iters, seed, maxTrain = 0)
+    val cent = typedlit(model.centroids.toSeq)
+    val assigned = c
+      .withColumn("list", call("ivf_assign", col("__vn"), cent))
+      .withColumn("__r",
+        zip_with(col("__vn"), element_at(cent, col("list") + 1), (x, y) => x - y))
+    val codeCols = (0 until m).map(j =>
+      call("ivf_assign", slice(col("__r"), j * model.subdim + 1, model.subdim),
+        typedlit(model.codebooks(j).toSeq)))
+    assigned
+      .select(col("id"), col("vec"), array(codeCols: _*).as("codes"), col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/vectors")
+    import spark.implicits._
+    model.centroids.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((m, ksub, model.subdim, model.flatCodebooks))
+      .toDF("m", "ksub", "subdim", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** ADC probe-and-refine over the persisted PQ layout, mirroring
+    * [[Ann.ivfPqTopK]]'s search arithmetic exactly (same probe q·c
+    * term, same native pq_adc scoring, same bounded-heap shortlist and
+    * exact-cosine re-rank) — with identical build params the results
+    * are identical, so the zero-error regime over the PERSISTED index
+    * still equals brute force (ann_pq_layout_full). The scoring scan
+    * reads (id, codes) of probed cells only; raw vectors are fetched
+    * for the shortlist join alone.
+    */
+  def pqTopK(s: SparkSession, path: String,
+             queries: DataFrame, qidCol: String, qvecCol: String,
+             k: Int, nprobe: Int = 4, refine: Int = 10): DataFrame = {
+    import graft.functions.FunctionDefs.{call, callAgg}
+    val centRows = s.read.parquet(s"$path/centroids").orderBy("list").collect()
+    val cent = typedlit(centRows.map(_.getSeq[Double](1)).toSeq)
+    val cb = s.read.parquet(s"$path/codebooks").head()
+    val m = cb.getInt(0)
+    val flatLit = typedlit(cb.getSeq[Double](3))
+
+    val q = queries.select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
+      .withColumn("__qn", call("vec_norm", col("__qv")))
+      .withColumn("__qvn", when(col("__qn") === 0.0, col("__qv"))
+        .otherwise(expr("transform(__qv, x -> x / __qn)")))
+      .select("qid", "__qv", "__qvn")
+    val probes = q.select(col("qid"), col("__qvn"))
+      .withColumn("list", explode(call("ivf_probes", col("__qvn"), cent, lit(nprobe))))
+      .withColumn("__qdotc",
+        aggregate(
+          zip_with(col("__qvn"), element_at(cent, col("list") + 1), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x))
+
+    val vectors = s.read.parquet(s"$path/vectors")
+    val shortlist = vectors.select("id", "codes", "list")
+      .join(broadcast(probes), "list")
+      .filter(col("id") =!= col("qid"))
+      .withColumn("__score",
+        col("__qdotc") + call("pq_adc", col("__qvn"), col("codes"), flatLit, lit(m)))
+      .groupBy("qid")
+      .agg(callAgg("topk_by_score", col("id"), col("__score"), lit(refine * k)).as("__top"))
+      .select(col("qid"), explode(col("__top")).as("__t"))
+      .select(col("qid"), col("__t.id").as("id"))
+    Ann.rankTopK(
+      shortlist
+        .join(vectors.select("id", "vec"), "id")
+        .join(broadcast(q.select("qid", "__qv")), "qid")
+        .withColumn("cos", Vectors.cosine(col("__qv"), col("vec")))
+        .select("qid", "id", "cos"),
+      k)
+  }
+
   /** Streaming index maintenance: newly-arriving vectors are assigned
     * to the EXISTING centroids (an append keeps the index geometry —
     * retraining is a rebuild, not an append, exactly as FAISS `add`

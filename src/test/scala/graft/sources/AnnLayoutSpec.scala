@@ -91,6 +91,32 @@ class AnnLayoutSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("PQ layout: persisted codes reproduce the in-memory ivfPqTopK exactly; codes-only ADC scan") {
+    val p2 = java.nio.file.Files.createTempDirectory("graft-pqlayout-spec").toString + "/ivfpq"
+    val base = Tables.embeddings(spark, sfDir)
+    AnnLayout.buildPq(base, "vec_id", "embedding", p2,
+      nlist = 8, m = 8, ksub = 16, iters = 2, seed = 7)
+    for (nprobe <- Seq(2, 8)) {
+      val fromLayout = AnnLayout.pqTopK(spark, p2, queries, "vec_id", "embedding",
+        k = 10, nprobe = nprobe, refine = 5)
+      val inMemory = Ann.ivfPqTopK(base, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = nprobe, m = 8, ksub = 16, iters = 2, refine = 5)
+      withClue(s"nprobe=$nprobe") { canon(fromLayout) shouldBe canon(inMemory) }
+    }
+    // the ADC scoring scan projects codes, never the vector column: its
+    // parquet ReadSchema must not contain `vec` (the refine join's scan
+    // does — assert on the scoring branch by schema text)
+    val df = AnnLayout.pqTopK(spark, p2, queries, "vec_id", "embedding",
+      k = 10, nprobe = 2, refine = 5)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    withClue(scans.mkString("\n")) {
+      scans.exists(s => s.contains("codes") && !s.contains("vec:")) shouldBe true
+    }
+  }
+
   test("the layout directory really is hive-partitioned by cell id") {
     val dirs = new java.io.File(path + "/vectors").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list=")).sorted
