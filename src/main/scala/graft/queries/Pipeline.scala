@@ -1417,6 +1417,34 @@ object Pipeline {
       .orderBy("stage")
   }
 
+  private val zorderReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Generic multi-column Z-order layout
+    * ([[graft.sources.ZOrderLayout]], the OPTIMIZE-ZORDER primitive):
+    * lineitem re-laid z-ordered by (l_orderkey, l_partkey), then a
+    * rectangle predicate on BOTH axes read back through the layout.
+    * The layout must neither lose nor invent rows — the oracle replays
+    * the same rectangle as a plain filter on the base table (the same
+    * certificate sp_z2_layout gives the spatial curve); the pruning
+    * value (every file covers a tight span on EVERY axis, unlike a
+    * linear sort) is pinned by ZOrderLayoutSpec on footer statistics.
+    */
+  def srcZorder(s: SparkSession, dir: String): DataFrame = {
+    val path = zorderReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/li"
+      graft.sources.ZOrderLayout.writeZOrdered(
+        Tables.lineitem(s, d).select("l_orderkey", "l_partkey", "l_quantity"),
+        p, Seq("l_orderkey", "l_partkey"), parts = 16)
+      p
+    })
+    graft.sources.ZOrderLayout.read(s, path)
+      .filter(col("l_orderkey") >= 1000L && col("l_orderkey") <= 5000L &&
+        col("l_partkey") >= 200L && col("l_partkey") <= 900L)
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .orderBy("l_orderkey", "l_partkey", "qty")
+  }
+
   private val compactReady = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Small-file compaction ([[graft.sources.Compaction]]): documents
@@ -1547,6 +1575,7 @@ object Pipeline {
     "src_jsonl" -> srcJsonl _,
     "src_csv" -> srcCsv _,
     "src_orc" -> srcOrc _,
+    "src_zorder" -> srcZorder _,
     "src_compact" -> srcCompact _,
     "tx_entropy" -> txEntropy _
   )
@@ -2647,6 +2676,14 @@ object Pipeline {
         |SELECT doc_id, lang, source, NULL, 0 AS ok
         |FROM documents WHERE doc_id % 7 = 3
         |ORDER BY ok, doc_id""".stripMargin,
+    // the z-order re-layout must neither lose nor invent rows — the
+    // rectangle replayed as a plain base-table filter
+    "src_zorder" ->
+      """SELECT l_orderkey, l_partkey, l_quantity::BIGINT AS qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 5000
+        |  AND l_partkey BETWEEN 200 AND 900
+        |ORDER BY l_orderkey, l_partkey, qty""".stripMargin,
     // the ORC write+read path must preserve content value-for-value:
     // row count, distinct-content count and the order-independent
     // md5-prefix checksum, full-table and through a pushed-down filter

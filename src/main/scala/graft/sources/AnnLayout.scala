@@ -185,6 +185,30 @@ object AnnLayout {
       .start()
   }
 
+  /** Cell-preserving compaction — the maintenance op that closes the
+    * [[appendStream]] lifecycle: every micro-batch append drops small
+    * files into `list=` directories, and at 100 TB the per-file
+    * open/footer cost would come to dominate the probed-cell scans.
+    * One `repartitionByRange` on (list, id) restores target-sized,
+    * id-clustered files while `partitionBy` keeps the cell directory
+    * structure (files never span cells, so DPP pruning is unaffected);
+    * centroids/codebooks copy through untouched — compaction moves
+    * bytes, never changes the index. Same design contract as
+    * [[Compaction.compactByRows]], applied under a partition layout.
+    */
+  def compactCells(s: SparkSession, src: String, dest: String,
+                   targetRows: Long): Unit = {
+    val df = s.read.parquet(s"$src/vectors")
+    val n = df.count()
+    val parts = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    df.repartitionByRange(parts, col("list"), col("id"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$dest/vectors")
+    for (t <- Seq("centroids", "codebooks")
+         if new java.io.File(s"$src/$t").exists())
+      s.read.parquet(s"$src/$t")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dest/$t")
+  }
+
   /** Probe-and-rank over the persisted layout: per query, the nprobe
     * nearest cells from the stored centroid table, then an exact-cosine
     * top-k over ONLY those cells' directories (DPP prunes the rest).

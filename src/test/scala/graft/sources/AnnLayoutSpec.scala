@@ -117,6 +117,42 @@ class AnnLayoutSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("compactCells: stream-append litter compacts away, cells and results unchanged") {
+    val base = Tables.embeddings(spark, sfDir)
+    val p2 = java.nio.file.Files.createTempDirectory("graft-annlayout-cpt").toString + "/ivf"
+    AnnLayout.build(base, "vec_id", "embedding", p2, nlist = 8, iters = 2, seed = 7)
+    // litter the cells with three tiny appended batches (the streaming
+    // aftermath compaction exists for)
+    val spark0 = spark
+    import spark0.implicits._
+    val dim = base.select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0)
+    def mkVec(seed: Int): Seq[Double] = (0 until dim).map(j => math.sin(seed * 17.0 + j).abs + 0.01)
+    for (b <- 0 until 3) {
+      Seq((910000L + b, mkVec(b))).toDF("id", "vec")
+        .withColumn("list", graft.functions.FunctionDefs.call("ivf_assign", col("vec"),
+          typedlit(spark.read.parquet(p2 + "/centroids").orderBy("list")
+            .collect().map(_.getSeq[Double](1)).toSeq)))
+        .write.mode("append").partitionBy("list").parquet(p2 + "/vectors")
+    }
+    def partFiles(root: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("part-") && !f.getName.endsWith(".crc")) 1 else 0
+      walk(new java.io.File(root))
+    }
+    val before = partFiles(p2 + "/vectors")
+    val dest = java.nio.file.Files.createTempDirectory("graft-annlayout-cptd").toString + "/ivf"
+    AnnLayout.compactCells(spark, p2, dest, targetRows = 200L)
+    val after = partFiles(dest + "/vectors")
+    after should be < before
+    // the cell directory structure survives (DPP pruning unaffected)
+    new java.io.File(dest + "/vectors").listFiles()
+      .filter(_.isDirectory).count(_.getName.startsWith("list=")) shouldBe 8
+    // and the index answers identically
+    canon(AnnLayout.topK(spark, dest, queries, "vec_id", "embedding", k = 10, nprobe = 4)) shouldBe
+      canon(AnnLayout.topK(spark, p2, queries, "vec_id", "embedding", k = 10, nprobe = 4))
+  }
+
   test("the layout directory really is hive-partitioned by cell id") {
     val dirs = new java.io.File(path + "/vectors").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list=")).sorted
