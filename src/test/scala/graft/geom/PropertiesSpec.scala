@@ -95,6 +95,58 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("projections: randomized roundtrip within each family's domain") {
+    val r = rng
+    val families: Seq[(String, Projections.Crs, () => (Double, Double), Double)] = Seq(
+      // (name, crs, point generator inside the domain, tolerance in degrees)
+      ("aeqd-sphere",
+        Projections.parseCrs("+proj=aeqd +lat_0=40 +lon_0=-100 +R=6371008.8"),
+        // anywhere except a 5° antipode margin
+        () => {
+          var p = (r.nextDouble() * 360 - 180, r.nextDouble() * 170 - 85)
+          while (math.abs(p._1 - 80.0) < 5 && math.abs(p._2 + 40.0) < 5)
+            p = (r.nextDouble() * 360 - 180, r.nextDouble() * 170 - 85)
+          p
+        }, 1e-9),
+      ("aeqd-polar",
+        Projections.parseCrs("+proj=aeqd +lat_0=90 +lon_0=0 +ellps=WGS84"),
+        () => (r.nextDouble() * 360 - 180, r.nextDouble() * 80 + 5), 1e-6),
+      ("robinson",
+        Projections.parseCrs("+proj=robin +lon_0=0 +ellps=WGS84"),
+        () => (r.nextDouble() * 360 - 180, r.nextDouble() * 178 - 89), 1e-9),
+      ("geos-sweep-y",
+        Projections.parseCrs("+proj=geos +h=35785831 +lon_0=0 +sweep=y +ellps=WGS84"),
+        () => (r.nextDouble() * 110 - 55, r.nextDouble() * 110 - 55), 1e-9),
+      ("geos-sweep-x",
+        Projections.parseCrs("+proj=geos +h=35785831 +lon_0=0 +sweep=x +ellps=WGS84"),
+        () => (r.nextDouble() * 110 - 55, r.nextDouble() * 110 - 55), 1e-9))
+    for ((name, crs, gen, tol) <- families; _ <- 1 to 300) {
+      val (lon, lat) = gen()
+      val (x, y) = crs.fromGeo(lon, lat)
+      val (bl, bp) = crs.toGeo(x, y)
+      withClue(s"$name ($lon,$lat)→($x,$y)→($bl,$bp)") {
+        bl shouldBe lon +- tol
+        bp shouldBe lat +- tol
+      }
+    }
+  }
+
+  test("aeqd sphere: planar distance from center IS great-circle distance, everywhere") {
+    val r = rng
+    val R = 6371008.8
+    val crs = Projections.parseCrs(s"+proj=aeqd +lat_0=23 +lon_0=57 +R=$R")
+    (1 to 300).foreach { _ =>
+      val lon = r.nextDouble() * 360 - 180
+      val lat = r.nextDouble() * 178 - 89
+      val (x, y) = crs.fromGeo(lon, lat)
+      val (p1, p2) = (math.toRadians(23.0), math.toRadians(lat))
+      val c = math.acos(math.max(-1.0, math.min(1.0,
+        math.sin(p1) * math.sin(p2) +
+          math.cos(p1) * math.cos(p2) * math.cos(math.toRadians(lon - 57.0)))))
+      withClue(s"($lon,$lat)") { math.hypot(x, y) shouldBe R * c +- 1e-5 }
+    }
+  }
+
   test("TopKBuffer: equals reference sort under random inserts, merges and NaN-free input") {
     val r = rng
     (1 to 100).foreach { _ =>
