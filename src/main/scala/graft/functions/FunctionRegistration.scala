@@ -53,6 +53,10 @@ object FunctionRegistration {
       require(children.size == 3, "cms_agg(key, depth, width)")
       CmsAgg(children(0), children(1), children(2))
     }),
+    "kmv_agg" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 2, "kmv_agg(hash, k)")
+      KmvAgg(children(0), children(1))
+    }),
     "vec_outer_sum" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.size == 1, "vec_outer_sum(array<double>)")
       VectorOuterSumAgg(children.head)

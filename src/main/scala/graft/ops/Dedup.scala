@@ -556,4 +556,47 @@ object Dedup {
         round(col("n_shared") * lit(1.0) / col("__na"), 6).as("frac_of_a"),
         round(col("n_shared") * lit(1.0) / col("__nb"), 6).as("frac_of_b"))
   }
+
+  /** Sketch-based cross-source overlap — the 100 TB path for
+    * [[sourceOverlap]]. The exact matrix must shuffle the distinct
+    * (key, source) pairs and self-join them; this replaces both with ONE
+    * scan-side `kmv_agg` whose state is ≤ k longs per source (map-side
+    * partials are k-bounded, the shuffle carries |sources|·k values,
+    * never the keys), then estimates pairwise Jaccard from the tiny
+    * sketches alone: among the k smallest distinct values of the merged
+    * pair, the fraction present in BOTH sketches (Beyer et al., SIGMOD
+    * 2007's bottom-k coordinated sample).
+    *
+    * The hash is the 52-bit md5-prefix value — chosen over xxhash64
+    * because an external engine orders the same 13-hex-char prefix
+    * identically (lexicographic = numeric on fixed-width lowercase hex),
+    * so the sketch, the merged bottom-k and the estimate are all exactly
+    * replayable: the estimator is DETERMINISTIC, only its error vs the
+    * true Jaccard is probabilistic. With k ≥ the true distinct count the
+    * sketch IS the full hash set and the estimate is exact (the spec's
+    * convergence pin).
+    *
+    * The |sources|² pair enumeration is a broadcast nested-loop join of
+    * the sketch table with itself — |sources| rows of ≤ k longs, a
+    * driver-scale frame by construction.
+    */
+  def kmvOverlap(keyed: DataFrame, keyCol: String, sourceCol: String,
+                 k: Int): DataFrame = {
+    val h = conv(substring(md5(col(keyCol)), 1, 13), 16, 10).cast("long")
+    val sk = keyed.select(col(sourceCol).as("__s"), h.as("__h"))
+      .groupBy(col("__s"))
+      .agg(graft.functions.FunctionDefs.callAgg("kmv_agg", col("__h"), lit(k)).as("__sk"))
+    val merged = slice(array_sort(array_union(col("x.__sk"), col("y.__sk"))), 1, k)
+    sk.as("x").join(sk.as("y"), col("x.__s") < col("y.__s"))
+      .select(col("x.__s").as("source_a"), col("y.__s").as("source_b"),
+        col("x.__sk").as("__ska"), col("y.__sk").as("__skb"),
+        merged.as("__mg"))
+      .select(col("source_a"), col("source_b"),
+        size(col("__mg")).cast("long").as("k_used"),
+        size(filter(col("__mg"), v =>
+          array_contains(col("__ska"), v) && array_contains(col("__skb"), v)))
+          .cast("long").as("n_shared_sk"))
+      .select(col("source_a"), col("source_b"), col("k_used"), col("n_shared_sk"),
+        round(col("n_shared_sk") * lit(1.0) / col("k_used"), 6).as("jaccard_est"))
+  }
 }

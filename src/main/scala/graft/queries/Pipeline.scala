@@ -1283,6 +1283,21 @@ object Pipeline {
       .orderBy("source_a", "source_b")
   }
 
+  /** Sketch-path twin of [[ddOverlap]]: pairwise source Jaccard
+    * ESTIMATED from k-minimum-values sketches — one k-bounded aggregate
+    * over the shingle scan instead of the exact matrix's distinct-pair
+    * shuffle + self-join. The estimator is deterministic (md5-prefix
+    * hash order), so the oracle replays sketch construction, the merged
+    * bottom-k and the estimate bit-for-bit in SQL.
+    */
+  def ddOverlapKmv(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keyed = docs.select(explode(Dedup.shingles(col("text"), 3)).as("shingle"),
+      col("source"))
+    Dedup.kmvOverlap(keyed, "shingle", "source", 256)
+      .orderBy("source_a", "source_b")
+  }
+
   /** URL canonicalization + host extraction over deterministically
     * derived messy URLs (scheme/host case, www, default and explicit
     * ports, trailing slash, tracking params, unsorted params, fragments
@@ -1571,6 +1586,7 @@ object Pipeline {
     "tx_wsample" -> txWsample _,
     "tx_vocab" -> txVocab _,
     "dd_overlap" -> ddOverlap _,
+    "dd_overlap_kmv" -> ddOverlapKmv _,
     "tx_url" -> txUrl _,
     "src_jsonl" -> srcJsonl _,
     "src_csv" -> srcCsv _,
@@ -2612,6 +2628,37 @@ object Pipeline {
         |FROM p JOIN n na ON p.source_a = na.source
         |       JOIN n nb ON p.source_b = nb.source
         |ORDER BY source_a, source_b""".stripMargin,
+    // the KMV estimator replayed end-to-end: same shingles, 13-hex-char
+    // md5-prefix hash (lexicographic = numeric on fixed-width lowercase
+    // hex, so string order here == the engine's 52-bit integer order),
+    // per-source bottom-256 distinct, merged bottom-256, shared fraction
+    "dd_overlap_kmv" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |s0 AS (SELECT source, unnest(
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in range(1, len(w) - 1)])
+        |             ELSE [array_to_string(w, ' ')] END) AS sh
+        |      FROM d),
+        |hv AS (SELECT DISTINCT source, substr(md5(sh), 1, 13) AS h FROM s0),
+        |rn AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |      FROM hv),
+        |sk AS (SELECT source, list(h ORDER BY h) AS sk
+        |      FROM rn WHERE r <= 256 GROUP BY source),
+        |p AS (SELECT x.source AS source_a, y.source AS source_b,
+        |        x.sk AS ska, y.sk AS skb
+        |      FROM sk x JOIN sk y ON x.source < y.source),
+        |m AS (SELECT source_a, source_b, ska, skb,
+        |        list_sort(list_distinct(list_concat(ska, skb)))[1:256] AS mg
+        |      FROM p)
+        |SELECT source_a, source_b, len(mg) AS k_used,
+        |  len(list_filter(mg, v -> list_contains(ska, v)
+        |                       AND list_contains(skb, v))) AS n_shared_sk,
+        |  round(len(list_filter(mg, v -> list_contains(ska, v)
+        |                             AND list_contains(skb, v))) * 1.0
+        |        / len(mg), 6) AS jaccard_est
+        |FROM m ORDER BY source_a, source_b""".stripMargin,
     // raw URL derived with the SAME doc_id/source arithmetic as the
     // Spark side, then canonicalized step-for-step: lowercase
     // scheme+host, strip www., strip :80/:443, drop fragment, drop
