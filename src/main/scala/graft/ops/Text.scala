@@ -172,6 +172,36 @@ object Text {
                      salt: Long = 0L): DataFrame =
     df.filter(sampleKeep(strataCol, idCol, rates, defaultRate, salt))
 
+  /** Exact-k deterministic reservoir per stratum: the k rows with the
+    * SMALLEST [[detDraw]] values in each stratum — a uniform without-
+    * replacement sample (the draw is a fixed hash of the id, so order
+    * statistics over it are exchangeable), unlike [[sampleByStrata]]
+    * which fixes the RATE and lets the count float. Deterministic in
+    * (id, salt): re-runs, repartitioning and incremental rebuilds keep
+    * the same rows, and an external engine replays the selection as
+    * `row_number() OVER (PARTITION BY stratum ORDER BY draw, id) <= k`
+    * — the bounded heap breaks draw ties by id ASC, matching exactly.
+    *
+    * Scale shape: ONE `topk_by_score` aggregate — map-side partials are
+    * ≤ k rows per partition per stratum, the shuffle carries
+    * |strata|·k (id, draw) pairs, never the corpus; no global or
+    * per-stratum sort. Draw collisions (ids equal mod p) only engage
+    * the id tie-break; for id ranges within one salt period (< p) the
+    * draw is injective.
+    */
+  def reservoirByStrata(df: DataFrame, strataCol: String, idCol: String,
+                        k: Int, salt: Long = 0L): DataFrame = {
+    val draw = detDraw(col(idCol), salt)
+    df.select(col(strataCol).as("stratum"), col(idCol).cast("long").as("__id"),
+        draw.as("__d"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.FunctionDefs.callAgg("topk_by_score",
+        col("__id"), -col("__d").cast("double"), lit(k)).as("__top"))
+      .select(col("stratum"), explode(col("__top")).as("__t"))
+      .select(col("stratum"), col("__t.id").as(idCol),
+        (-col("__t.score")).cast("long").as("draw"))
+  }
+
   /** Temperature-based mixture sampling rates (the Pile / GPT-3 recipe:
     * sample source s with weight ∝ n_s^α, α<1 flattens the source
     * distribution so rare-but-valuable sources are upsampled relative

@@ -865,6 +865,14 @@ object Pipeline {
         rates = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0), defaultRate = 0.1)
       .select("doc_id", "lang").orderBy("doc_id")
 
+  /** Exact-10-per-source deterministic reservoir — the selection (hash
+    * order statistics through the bounded heap) replayed by the oracle
+    * as a row_number window over the same integer draw.
+    */
+  def txReservoir(s: SparkSession, dir: String): DataFrame =
+    Text.reservoirByStrata(Tables.documents(s, dir), "source", "doc_id", k = 10)
+      .orderBy("stratum", "doc_id")
+
   /** Overlapping 16-token windows every 12 tokens; the oracle rebuilds
     * every window with list_slice over the same token split.
     */
@@ -1548,6 +1556,7 @@ object Pipeline {
     "tx_quality" -> txQuality _,
     "tx_repetition" -> txRepetition _,
     "tx_sample" -> txSample _,
+    "tx_reservoir" -> txReservoir _,
     "tx_chunks" -> txChunks _,
     "tx_langid" -> txLangid _,
     "tx_fingerprint" -> txFingerprint _,
@@ -2181,6 +2190,17 @@ object Pipeline {
         |      (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 1.0
         |            ELSE 0.1 END) * 1000000007.0
         |ORDER BY doc_id""".stripMargin,
+    // the reservoir selection replayed as a window: same integer draw
+    // (the reduced-mod spelling), k smallest per stratum, id tie-break
+    "tx_reservoir" ->
+      """WITH d AS (SELECT source AS stratum, doc_id,
+        |    ((doc_id % 1000000007) * 654435747 + 0) % 1000000007 AS draw
+        |  FROM documents),
+        |r AS (SELECT stratum, doc_id, draw,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY draw, doc_id) AS rn
+        |  FROM d)
+        |SELECT stratum, doc_id, draw FROM r WHERE rn <= 10
+        |ORDER BY stratum, doc_id""".stripMargin,
     "tx_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w, unnest(range(0, len(w), 12)) AS s FROM d)

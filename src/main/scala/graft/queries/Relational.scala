@@ -167,6 +167,25 @@ object Relational {
         col("n"))
       .orderBy("rf", "ls")
 
+  /** CUBE grouping — all four grouping sets (rf×ls, rf, ls, grand
+    * total) in ONE scan: Catalyst plans cube as a single Expand +
+    * hash aggregate, and partial aggregation applies per grouping set,
+    * so the shuffle carries pre-combined (set, key) rows — the
+    * expansion factor is the set count, never a second scan per set.
+    * Quantities go through the integer-cents convention so the sums
+    * are exact on both engines.
+    */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("l_quantity") * 100, 0).cast("long")) / lit(100.0)).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("qty"))
+      .orderBy("rf", "ls")
+
   /** Set operations: customers active in 1995 INTERSECT / EXCEPT those
     * active in 1996. Spark plans both as aggregate + left-semi/anti
     * hash joins over the distinct key sets — set semantics without a
@@ -612,6 +631,7 @@ object Relational {
     q("q_avg_filter")(qAvgFilter),
     q("q_date_buckets")(qDateBuckets),
     q("q_rollup")(qRollup),
+    q("q_cube")(qCube),
     q("q_pivot")(qPivot),
     q("q_setops")(qSetOps),
     q("q_median")(qMedian),
@@ -751,6 +771,12 @@ object Relational {
       """SELECT coalesce(l_returnflag,'ALL') AS rf,
         | coalesce(l_linestatus,'ALL') AS ls, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf,
+        | coalesce(l_linestatus,'ALL') AS ls, count(*) AS n,
+        | sum(round(l_quantity*100)::BIGINT) / 100.0 AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "q_sketch" ->
       """SELECT l_returnflag, count(*) AS n,

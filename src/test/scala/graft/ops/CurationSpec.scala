@@ -177,4 +177,28 @@ class CurationSpec extends AnyFunSuite with SparkTestSession with Matchers {
     r.getDouble(3) shouldBe (2.0 / 3.0 +- 1e-6) // frac_of_a
     r.getDouble(4) shouldBe (2.0 / 3.0 +- 1e-6) // frac_of_b
   }
+
+  test("reservoirByStrata: exact k, local window replay, repartition-invariant, short strata kept whole") {
+    val rows = (1L to 300L).map(i => (i, if (i <= 290) "big" else "small")) // small has 10 < k
+    val df = spark.createDataFrame(
+      rows.map { case (i, s) => Row(i, s) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("src", StringType))))
+    val out = Text.reservoirByStrata(df, "src", "id", k = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.count(_._1 == "big") shouldBe 25
+    out.count(_._1 == "small") shouldBe 10 // fewer rows than k → all kept
+    // local replay: k smallest draws per stratum, draw = (id*A') mod p
+    def draw(i: Long): Long = (i % 1000000007L) * (2654435761L % 1000000007L) % 1000000007L
+    val expectBig = rows.filter(_._2 == "big").map(_._1)
+      .sortBy(i => (draw(i), i)).take(25).toSet
+    out.filter(_._1 == "big").map(_._2).toSet shouldBe expectBig
+    out.foreach { case (_, i, d) => d shouldBe draw(i) }
+    // partitioning must not change the sample
+    val re = Text.reservoirByStrata(df.repartition(7), "src", "id", k = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    re shouldBe out.map(t => (t._1, t._2)).toSet
+    // the heap is map-side: partial_topk before the stratum shuffle
+    Text.reservoirByStrata(df, "src", "id", k = 25)
+      .queryExecution.executedPlan.toString should include("partial_topk_by_score")
+  }
 }
