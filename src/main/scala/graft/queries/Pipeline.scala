@@ -1468,6 +1468,29 @@ object Pipeline {
       .orderBy("l_orderkey", "l_partkey", "qty")
   }
 
+  private val skipReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Manifest-based file skipping: documents range-clustered on doc_id
+    * into 16 files with a per-file min/max manifest; the band query
+    * plans its file list from the manifest alone (driver-scale metadata)
+    * and re-applies the exact filter. The oracle is the plain band
+    * filter — pruning must be invisible to results; the spec pins that
+    * files were actually skipped.
+    */
+  def srcSkip(s: SparkSession, dir: String): DataFrame = {
+    val path = skipReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-skip").toString + "/docs"
+      graft.sources.StatsManifest.write(
+        Tables.documents(s, d).select("doc_id", "source", "lang", "text"),
+        p, "doc_id", nFiles = 16)
+      p
+    })
+    graft.sources.StatsManifest.prunedRead(s, path, "doc_id", lit(100L), lit(299L))
+      .select(col("doc_id"), col("source"), col("lang"),
+        length(col("text")).cast("long").as("text_len"))
+      .orderBy("doc_id")
+  }
+
   private val compactReady = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Small-file compaction ([[graft.sources.Compaction]]): documents
@@ -1601,6 +1624,7 @@ object Pipeline {
     "src_csv" -> srcCsv _,
     "src_orc" -> srcOrc _,
     "src_zorder" -> srcZorder _,
+    "src_skip" -> srcSkip _,
     "src_compact" -> srcCompact _,
     "tx_entropy" -> txEntropy _
   )
@@ -2751,6 +2775,13 @@ object Pipeline {
         |WHERE l_orderkey BETWEEN 1000 AND 5000
         |  AND l_partkey BETWEEN 200 AND 900
         |ORDER BY l_orderkey, l_partkey, qty""".stripMargin,
+    // manifest-pruned band read == the plain band filter (file skipping
+    // must be invisible to results)
+    "src_skip" ->
+      """SELECT doc_id, source, lang, length(text)::BIGINT AS text_len
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 299
+        |ORDER BY doc_id""".stripMargin,
     // the ORC write+read path must preserve content value-for-value:
     // row count, distinct-content count and the order-independent
     // md5-prefix checksum, full-table and through a pushed-down filter

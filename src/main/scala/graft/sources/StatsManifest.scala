@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max statistics manifest + driver-side file skipping —
+  * the Delta/Iceberg data-skipping mechanism without a table format.
+  *
+  * Directory partitioning ([[PartitionedLayout]]) prunes on LOW-
+  * cardinality columns only; parquet row-group stats prune INSIDE a
+  * file but only after the file is opened and its footer fetched. At
+  * 100 TB / millions of files the footer round-trips are themselves the
+  * bottleneck (one remote read per file per query), which is exactly why
+  * the lakehouse formats keep per-file min/max in a separate manifest:
+  * the planner consults metadata that is FILE-COUNT-sized — driver
+  * scale, like Delta's log — and hands the scan only the files whose
+  * [min,max] intersects the predicate. With the data range-clustered on
+  * the stat column (one repartitionByRange at write time) file ranges
+  * are disjoint, so a point/band query touches O(band/filesize) files
+  * no matter how large the table grows.
+  *
+  * Correctness does not depend on the pruning: the residual filter is
+  * re-applied to the surviving files, so a stale or lossy manifest can
+  * only cost performance (extra files read), never rows — the spec pins
+  * pruned == unpruned row-for-row.
+  */
+object StatsManifest {
+
+  /** Write `df` range-clustered into `nFiles` by `statCol`, then write
+    * the per-file (file, lo, hi, n_rows) manifest under `path/_manifest`
+    * (underscore prefix = invisible to data-path directory listings).
+    * The stats pass is one partial-aggregated scan of the fresh layout,
+    * grouped by `input_file_name()` — paid once at write time, the same
+    * trade every table format makes.
+    */
+  def write(df: DataFrame, path: String, statCol: String, nFiles: Int): Unit = {
+    df.repartitionByRange(nFiles, col(statCol))
+      .sortWithinPartitions(statCol)
+      .write.mode("overwrite").parquet(path)
+    val s = df.sparkSession
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("lo"), max(col(statCol)).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest")
+  }
+
+  def manifest(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/_manifest")
+
+  /** The files whose [lo, hi] intersects [from, to] — a driver-side
+    * filter over file-count-sized metadata, mirroring a format
+    * planner's manifest scan.
+    */
+  def prunedFiles(s: SparkSession, path: String, from: Column, to: Column): Array[String] =
+    manifest(s, path)
+      .filter(col("hi") >= from && col("lo") <= to)
+      .select("file").collect().map(_.getString(0))
+
+  /** Band read through the manifest: list only intersecting files, scan
+    * them, and re-apply the exact predicate (pruning is a performance
+    * contract, the filter is the correctness contract).
+    */
+  def prunedRead(s: SparkSession, path: String, statCol: String,
+                 from: Column, to: Column): DataFrame = {
+    val files = prunedFiles(s, path, from, to)
+    val base =
+      if (files.isEmpty) s.read.parquet(path).filter(lit(false))
+      else s.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(statCol) >= from && col(statCol) <= to)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.sources
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Manifest-based file skipping: stats cover the layout exactly, band
+  * reads skip files but never rows, and the degenerate bands behave.
+  */
+class StatsManifestSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  import scala.jdk.CollectionConverters._
+
+  private lazy val (path, df) = {
+    val rows = (0L until 1000L).map(i => org.apache.spark.sql.Row(i, s"payload $i"))
+    val d = spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType))))
+    val p = java.nio.file.Files.createTempDirectory("graft-skip-spec").toString + "/t"
+    StatsManifest.write(d, p, "id", nFiles = 10)
+    (p, d)
+  }
+
+  test("manifest covers every file, ranges disjoint, rows accounted") {
+    val m = StatsManifest.manifest(spark, path)
+      .collect().map(r => (r.getAs[String]("file"), r.getAs[Long]("lo"),
+        r.getAs[Long]("hi"), r.getAs[Long]("n_rows")))
+    m.length should be >= 8 // repartitionByRange targets 10 files
+    m.map(_._4).sum shouldBe 1000L
+    // range-clustered layout → file ranges must not overlap
+    val spans = m.map(t => (t._2, t._3)).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => lo2 should be > hi1
+      case _ =>
+    }
+  }
+
+  test("band read: fewer files scanned, identical rows to the full filter") {
+    val pruned = StatsManifest.prunedFiles(spark, path, lit(250L), lit(349L))
+    val total = StatsManifest.manifest(spark, path).count()
+    pruned.length.toLong should be < total
+    val got = StatsManifest.prunedRead(spark, path, "id", lit(250L), lit(349L))
+      .collect().map(_.getLong(0)).sorted
+    got shouldBe (250L to 349L).toArray
+  }
+
+  test("degenerate bands: out-of-range is empty, full-range reads everything") {
+    StatsManifest.prunedRead(spark, path, "id", lit(5000L), lit(6000L)).count() shouldBe 0L
+    StatsManifest.prunedFiles(spark, path, lit(5000L), lit(6000L)) shouldBe empty
+    StatsManifest.prunedRead(spark, path, "id", lit(0L), lit(999L)).count() shouldBe 1000L
+  }
+}
