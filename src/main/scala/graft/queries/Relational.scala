@@ -167,6 +167,27 @@ object Relational {
         col("n"))
       .orderBy("rf", "ls")
 
+  /** Revenue by order priority through the SALTED join — the manual
+    * hot-key escape hatch ([[graft.ops.SkewJoin]]) run against the
+    * plain-join oracle: salting must be invisible to results. The salt
+    * spreads lineitem rows by xxhash64(orderkey, linenumber); orders
+    * replicates ×8.
+    */
+  def qSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.SkewJoin.saltedJoin(li, ord, "l_orderkey",
+        Seq(col("l_orderkey"), col("l_linenumber")), nSalt = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(discPriceMicro).as("__rev_m"))
+      .select(col("o_orderpriority"), col("n"),
+        (expr(floorDivSql("__rev_m + 5000", "10000")) / 100.0).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** CUBE grouping — all four grouping sets (rf×ls, rf, ls, grand
     * total) in ONE scan: Catalyst plans cube as a single Expand +
     * hash aggregate, and partial aggregation applies per grouping set,
@@ -632,6 +653,7 @@ object Relational {
     q("q_date_buckets")(qDateBuckets),
     q("q_rollup")(qRollup),
     q("q_cube")(qCube),
+    q("q_salted")(qSalted),
     q("q_pivot")(qPivot),
     q("q_setops")(qSetOps),
     q("q_median")(qMedian),
@@ -778,6 +800,11 @@ object Relational {
         | sum(round(l_quantity*100)::BIGINT) / 100.0 AS qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "q_salted" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | ((sum(round(l_extendedprice*100)::BIGINT * (10000 - round(l_discount*10000)::BIGINT)) + 5000) // 10000) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sketch" ->
       """SELECT l_returnflag, count(*) AS n,
         | count(DISTINCT l_suppkey) AS exact_distinct,
