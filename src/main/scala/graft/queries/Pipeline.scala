@@ -1491,6 +1491,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** MERGE/CDC-apply: a deterministic changeset (deletes for doc_id%10=0,
+    * a stale+final update pair for %10=1 — exercising latest-wins — and
+    * inserts keyed above the base range for %10=2) applied to documents;
+    * the oracle replays the whole merge relationally. Content is pinned
+    * by md5 prefix so updated text must actually land.
+    */
+  def srcMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val m = col("doc_id") % 10
+    val dels = base.filter(m === 0).select(lit("D").as("op"), col("doc_id"),
+      col("source"), col("text"), lit(1L).as("seq"))
+    val stale = base.filter(m === 1).select(lit("U").as("op"), col("doc_id"),
+      col("source"), concat(lit("stale "), col("doc_id")).as("text"), lit(1L).as("seq"))
+    val upd = base.filter(m === 1).select(lit("U").as("op"), col("doc_id"),
+      col("source"), concat(lit("updated "), col("doc_id")).as("text"), lit(2L).as("seq"))
+    val ins = base.filter(m === 2).select(lit("I").as("op"),
+      (col("doc_id") + 10000000L).as("doc_id"), col("source"),
+      concat(lit("inserted "), col("doc_id") + 10000000L).as("text"), lit(1L).as("seq"))
+    val changes = dels.unionByName(stale).unionByName(upd).unionByName(ins)
+    graft.ops.MergeInto.applyChanges(base, changes, "doc_id", "op", "seq")
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("text")), 1, 8).as("content"))
+      .orderBy("doc_id")
+  }
+
   private val compactReady = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Small-file compaction ([[graft.sources.Compaction]]): documents
@@ -1625,6 +1650,7 @@ object Pipeline {
     "src_orc" -> srcOrc _,
     "src_zorder" -> srcZorder _,
     "src_skip" -> srcSkip _,
+    "src_merge" -> srcMerge _,
     "src_compact" -> srcCompact _,
     "tx_entropy" -> txEntropy _
   )
@@ -2775,6 +2801,35 @@ object Pipeline {
         |WHERE l_orderkey BETWEEN 1000 AND 5000
         |  AND l_partkey BETWEEN 200 AND 900
         |ORDER BY l_orderkey, l_partkey, qty""".stripMargin,
+    // the MERGE replayed relationally: latest change per key by seq,
+    // anti-join survivors + non-delete upserts
+    "src_merge" ->
+      """WITH base AS (SELECT doc_id, source, text FROM documents),
+        |ch AS (
+        |  SELECT 'D' AS op, doc_id, source, text, 1::BIGINT AS seq
+        |    FROM base WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'U', doc_id, source, 'stale ' || doc_id, 1::BIGINT
+        |    FROM base WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT 'U', doc_id, source, 'updated ' || doc_id, 2::BIGINT
+        |    FROM base WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT 'I', doc_id + 10000000, source,
+        |         'inserted ' || (doc_id + 10000000), 1::BIGINT
+        |    FROM base WHERE doc_id % 10 = 2),
+        |latest AS (
+        |  SELECT op, doc_id, source, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                 ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |merged AS (
+        |  SELECT b.doc_id, b.source, b.text FROM base b
+        |  LEFT JOIN latest l ON b.doc_id = l.doc_id WHERE l.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM latest WHERE op != 'D')
+        |SELECT doc_id, source, substr(md5(text), 1, 8) AS content
+        |FROM merged ORDER BY doc_id""".stripMargin,
     // manifest-pruned band read == the plain band filter (file skipping
     // must be invisible to results)
     "src_skip" ->

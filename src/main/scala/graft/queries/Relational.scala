@@ -167,6 +167,28 @@ object Relational {
         col("n"))
       .orderBy("rf", "ls")
 
+  /** Materialized-view incremental refresh: the pre-cutoff aggregate is
+    * "maintained" state, the post-cutoff rows are the delta, and
+    * [[graft.ops.Incremental.refreshSums]] folds them — the refresh
+    * shuffles |groups| rows, never history. The oracle recomputes from
+    * scratch over all orders: maintenance must be invisible to results.
+    * Sums are kept in integer cents (mergeable AND exact); avg-style
+    * metrics would derive from (n, cents) at read time.
+    */
+  def qMvDelta(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val ord = Tables.orders(s, dir)
+    val maintained = agg(ord.filter(col("o_orderdate") < cutoff))
+    val deltaAgg = agg(ord.filter(col("o_orderdate") >= cutoff))
+    graft.ops.Incremental.refreshSums(maintained, deltaAgg, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n"), (col("cents") / 100.0).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Revenue by order priority through the SALTED join — the manual
     * hot-key escape hatch ([[graft.ops.SkewJoin]]) run against the
     * plain-join oracle: salting must be invisible to results. The salt
@@ -654,6 +676,7 @@ object Relational {
     q("q_rollup")(qRollup),
     q("q_cube")(qCube),
     q("q_salted")(qSalted),
+    q("q_mv_delta")(qMvDelta),
     q("q_pivot")(qPivot),
     q("q_setops")(qSetOps),
     q("q_median")(qMedian),
@@ -805,6 +828,10 @@ object Relational {
         | ((sum(round(l_extendedprice*100)::BIGINT * (10000 - round(l_discount*10000)::BIGINT)) + 5000) // 10000) / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mv_delta" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | sum(round(o_totalprice*100)::BIGINT) / 100.0 AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sketch" ->
       """SELECT l_returnflag, count(*) AS n,
         | count(DISTINCT l_suppkey) AS exact_distinct,

@@ -283,6 +283,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("kmv_agg runs unchanged as a streaming aggregate and equals the batch sketch") {
+    val spark0 = spark
+    import spark0.implicits._
+    // duplicated + shuffled inserts across two triggers: the bottom-k
+    // distinct state must dedupe and keep the global minima regardless
+    // of arrival order (complete mode: state is ≤ k longs, never rows)
+    val vals = (0L until 300L).map(i => i * 2654435761L % 1000003L)
+    val keys = vals ++ vals.take(150) // re-inserts must not change the sketch
+    val input = MemoryStream[Long](spark)
+    val sketched = input.toDF().toDF("h")
+      .agg(graft.functions.FunctionDefs.callAgg(
+        "kmv_agg", col("h"), lit(24)).as("sk"))
+    val q = sketched.writeStream
+      .format("memory").queryName("kmv_stream").outputMode("complete").start()
+    try {
+      val (a, b) = keys.splitAt(keys.size / 3)
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").head().getSeq[Long](0)
+      streamed shouldBe vals.distinct.sorted.take(24)
+    } finally q.stop()
+  }
+
   test("anomaly daily moments run as a streaming aggregate; z-flags equal the batch twin") {
     val spark0 = spark
     import spark0.implicits._
