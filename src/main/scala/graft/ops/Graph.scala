@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames. Companion to
+  * [[Dedup.connectedComponents]] (which answers reachability); PageRank
+  * answers AUTHORITY — the web-corpus curation signal (Common Crawl
+  * publishes exactly this as host-level harmonic/PageRank centrality
+  * for source-quality weighting).
+  */
+object Graph {
+
+  /** Fixed-iteration PageRank over a (possibly multi-)edge list:
+    * p'(v) = (1−d)/n + d·Σ_{(u,v)∈E} p(u)/outdeg(u), `iters` rounds
+    * from the uniform start. Each parallel edge contributes — a host
+    * linked twice passes twice the mass, the standard multigraph
+    * treatment. Nodes with no out-edges leak their mass (the original
+    * Spark-example simplification, documented contract): ranking is
+    * unaffected for authority use; use a teleport-complete variant if
+    * absolute mass conservation matters.
+    *
+    * Scale shape per round: ranks (|V| rows) equi-join edges on src —
+    * shuffle keyed by src — then a partial-aggregated groupBy on dst;
+    * nothing corpus-sized beyond |E|, and the rank state never exceeds
+    * |V| rows. Deterministic given the edge list (the only float
+    * nondeterminism is summation order, sub-ulp). The per-round lineage
+    * is cut with localCheckpoint every `checkpointEvery` rounds so deep
+    * iteration counts do not replay the whole chain (same discipline as
+    * connectedComponents).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, d: Double = 0.85,
+               checkpointEvery: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+    val nodes = e.select(col("__s").as("__v"))
+      .union(e.select(col("__t").as("__v"))).distinct()
+    val deg = e.groupBy(col("__s")).agg(count(lit(1)).as("__dg"))
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = lit((1.0 - d) / n)
+    var ranks = nodes.select(col("__v"), lit(1.0 / n).as("__p"))
+    for (i <- 1 to iters) {
+      val contrib = e.join(ranks, e("__s") === ranks("__v"))
+        .join(deg, "__s")
+        .groupBy(col("__t"))
+        .agg(sum(col("__p") / col("__dg")).as("__c"))
+      ranks = nodes.join(contrib, nodes("__v") === contrib("__t"), "left")
+        .select(col("__v"), (base + lit(d) * coalesce(col("__c"), lit(0.0))).as("__p"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(eager = true)
+    }
+    ranks.select(col("__v").as("node"), col("__p").as("rank"))
+  }
+}

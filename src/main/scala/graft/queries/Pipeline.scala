@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Ann, Dedup, Multimodal, Text}
+import graft.ops.{Ann, Dedup, Graph, Multimodal, Text}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1491,6 +1491,47 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Source-authority PageRank over the adjacency-derived source graph
+    * (doc i's source links to doc i+1's source when they differ — a
+    * deterministic citation-graph stand-in; the corpus has no link
+    * column). 3 rounds, d=0.85, multigraph semantics; every round
+    * replayed in unrolled SQL CTEs.
+    */
+  def grPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source")
+    val edges = docs.as("a").join(docs.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 &&
+          col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("src"), col("b.source").as("dst"))
+    Graph.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy("node")
+  }
+
+  private val evolveReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Schema evolution: a v1 batch (doc_id, source) and a v2 batch that
+    * added `lang` land in the same directory; the union-schema read
+    * backfills nulls for v1 rows. The oracle replays the column
+    * availability rule (lang exists only for the v2 half) from the base
+    * table.
+    */
+  def srcEvolve(s: SparkSession, dir: String): DataFrame = {
+    val path = evolveReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/docs"
+      val docs = Tables.documents(s, d)
+      graft.sources.EvolvingLayout.append(
+        docs.filter(col("doc_id") % 2 === 0).select("doc_id", "source"), p)
+      graft.sources.EvolvingLayout.append(
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "source", "lang"), p)
+      p
+    })
+    graft.sources.EvolvingLayout.read(s, path)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), count(col("lang")).as("n_lang"))
+      .orderBy("source")
+  }
+
   /** MERGE/CDC-apply: a deterministic changeset (deletes for doc_id%10=0,
     * a stale+final update pair for %10=1 — exercising latest-wins — and
     * inserts keyed above the base range for %10=2) applied to documents;
@@ -1651,6 +1692,8 @@ object Pipeline {
     "src_zorder" -> srcZorder _,
     "src_skip" -> srcSkip _,
     "src_merge" -> srcMerge _,
+    "src_evolve" -> srcEvolve _,
+    "gr_pagerank" -> grPagerank _,
     "src_compact" -> srcCompact _,
     "tx_entropy" -> txEntropy _
   )
@@ -2801,6 +2844,38 @@ object Pipeline {
         |WHERE l_orderkey BETWEEN 1000 AND 5000
         |  AND l_partkey BETWEEN 200 AND 900
         |ORDER BY l_orderkey, l_partkey, qty""".stripMargin,
+    // 3 PageRank rounds unrolled: same edge derivation, same multigraph
+    // contributions, same leaky-dangling simplification
+    "gr_pagerank" ->
+      """WITH e AS (SELECT a.source AS s, b.source AS t
+        |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |      WHERE a.source != b.source),
+        |nodes AS (SELECT DISTINCT v FROM
+        |      (SELECT s AS v FROM e UNION SELECT t AS v FROM e)),
+        |nn AS (SELECT count(*)::DOUBLE AS cnt FROM nodes),
+        |deg AS (SELECT s, count(*) AS dg FROM e GROUP BY s),
+        |r0 AS (SELECT v, 1.0 / (SELECT cnt FROM nn) AS p FROM nodes),
+        |c1 AS (SELECT e.t AS v, sum(r0.p / deg.dg) AS c
+        |      FROM e JOIN r0 ON e.s = r0.v JOIN deg ON e.s = deg.s GROUP BY e.t),
+        |r1 AS (SELECT nodes.v, 0.15 / (SELECT cnt FROM nn)
+        |        + 0.85 * coalesce(c1.c, 0) AS p
+        |      FROM nodes LEFT JOIN c1 ON nodes.v = c1.v),
+        |c2 AS (SELECT e.t AS v, sum(r1.p / deg.dg) AS c
+        |      FROM e JOIN r1 ON e.s = r1.v JOIN deg ON e.s = deg.s GROUP BY e.t),
+        |r2 AS (SELECT nodes.v, 0.15 / (SELECT cnt FROM nn)
+        |        + 0.85 * coalesce(c2.c, 0) AS p
+        |      FROM nodes LEFT JOIN c2 ON nodes.v = c2.v),
+        |c3 AS (SELECT e.t AS v, sum(r2.p / deg.dg) AS c
+        |      FROM e JOIN r2 ON e.s = r2.v JOIN deg ON e.s = deg.s GROUP BY e.t),
+        |r3 AS (SELECT nodes.v, 0.15 / (SELECT cnt FROM nn)
+        |        + 0.85 * coalesce(c3.c, 0) AS p
+        |      FROM nodes LEFT JOIN c3 ON nodes.v = c3.v)
+        |SELECT v AS node, round(p, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+    // union-schema read: lang exists only for the v2 (odd doc_id) half
+    "src_evolve" ->
+      """SELECT source, count(*) AS n,
+        | count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_lang
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // the MERGE replayed relationally: latest change per key by seq,
     // anti-join survivors + non-delete upserts
     "src_merge" ->

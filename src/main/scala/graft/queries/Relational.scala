@@ -167,6 +167,26 @@ object Relational {
         col("n"))
       .orderBy("rf", "ls")
 
+  /** Bloom semi-join reduction: urgent-recent orders are a selective dim,
+    * so the lineitem scan is pre-filtered by a Bloom filter over the dim
+    * key set before any shuffle ([[graft.ops.BloomJoin]]) — at 100 TB
+    * the fact side ships ~selectivity of its bytes instead of all of
+    * them. The oracle is the plain filtered join: the filter may pass
+    * false positives into the exact join, never into results.
+    */
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1997-07-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    graft.ops.BloomJoin.reducedJoin(li, ord, "l_orderkey", "o_orderkey")
+      .agg(count(lit(1)).as("n"), sum(discPriceMicro).as("__rev_m"))
+      .select(col("n"),
+        (expr(floorDivSql("__rev_m + 5000", "10000")) / 100.0).as("revenue"))
+  }
+
   /** Materialized-view incremental refresh: the pre-cutoff aggregate is
     * "maintained" state, the post-cutoff rows are the delta, and
     * [[graft.ops.Incremental.refreshSums]] folds them — the refresh
@@ -677,6 +697,7 @@ object Relational {
     q("q_cube")(qCube),
     q("q_salted")(qSalted),
     q("q_mv_delta")(qMvDelta),
+    q("q_bloom_join")(qBloomJoin),
     q("q_pivot")(qPivot),
     q("q_setops")(qSetOps),
     q("q_median")(qMedian),
@@ -832,6 +853,12 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n,
         | sum(round(o_totalprice*100)::BIGINT) / 100.0 AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT count(*) AS n,
+        | ((sum(round(l_extendedprice*100)::BIGINT * (10000 - round(l_discount*10000)::BIGINT)) + 5000) // 10000) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01'""".stripMargin,
     "q_sketch" ->
       """SELECT l_returnflag, count(*) AS n,
         | count(DISTINCT l_suppkey) AS exact_distinct,
