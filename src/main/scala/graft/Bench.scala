@@ -106,7 +106,8 @@ object Bench {
       "mm_decode", "mm_features",
       "q_profile", "q_diff", "src_dpp", "tx_threshold", "dd_overlap",
       "q_dq", "tx_entropy",
-      "ann_ivf_layout", "ann_pq_layout", "src_zorder", "src_csv", "sp_geos")
+      "ann_ivf_layout", "ann_pq_layout", "src_zorder", "src_csv", "sp_geos",
+      "q_scd2_pit", "src_timetravel")
     val byName = results.map { case (k, v, ok) => k -> (if (ok) v else -1.0) }.toMap
     val qsCompact = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")

@@ -1695,8 +1695,90 @@ object Pipeline {
     "src_evolve" -> srcEvolve _,
     "gr_pagerank" -> grPagerank _,
     "src_compact" -> srcCompact _,
-    "tx_entropy" -> txEntropy _
+    "tx_entropy" -> txEntropy _,
+    "tx_probe" -> txProbe _,
+    "src_bloomskip" -> srcBloomskip _,
+    "src_timetravel" -> srcTimetravel _
   )
+
+  /** Closed-form linear probe ([[graft.ops.Probe.ols2]]): OLS of
+    * document length on two byte-count features (spaces, letter 'e')
+    * from ONE partial-aggregated scan; the Cramer solve runs as column
+    * arithmetic on the 1-row stats frame. Every sufficient statistic is
+    * an exact long, so the oracle replays the identical solve.
+    */
+  def txProbe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    graft.ops.Probe.ols2(docs,
+      length(col("text")) - length(expr("replace(text, ' ', '')")),
+      length(col("text")) - length(expr("replace(text, 'e', '')")),
+      length(col("text")))
+  }
+
+  private val bloomskipReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-file Bloom-index point lookup ([[graft.sources.BloomManifest]]):
+    * documents clustered on doc_id, bloom-indexed on the CONTENT hash —
+    * a column the layout can't range-prune — then five content probes
+    * plan their file list from the manifest alone. The oracle is the
+    * plain IN filter (pruning must be invisible); BloomManifestSpec pins
+    * that files were actually skipped.
+    */
+  def srcBloomskip(s: SparkSession, dir: String): DataFrame = {
+    val path = bloomskipReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-bloomskip").toString + "/docs"
+      graft.sources.BloomManifest.write(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            substring(md5(col("text")), 1, 16).as("content_key")),
+        p, clusterCol = "doc_id", lookupCol = "content_key", nFiles = 16)
+      p
+    })
+    val probes = Tables.documents(s, dir)
+      .filter(col("doc_id").isin(7L, 123L, 251L, 384L, 449L))
+      .select(substring(md5(col("text")), 1, 16).as("k"))
+      .collect().map(_.getString(0)).toIndexedSeq
+    graft.sources.BloomManifest.lookupRead(s, path, "content_key", probes)
+      .select(col("doc_id"), col("source"), col("content_key"))
+      .orderBy("doc_id")
+  }
+
+  private val timetravelReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Snapshot time travel ([[graft.sources.TimeTravel]]): v0 = the
+    * documents table, v1 = a CDC batch (deletes + updates), v2 = an
+    * insert batch. All three snapshots read back through their
+    * manifests CONCURRENTLY — time travel is a manifest choice, not a
+    * data copy (commits rewrite only touched buckets). The oracle
+    * recomputes each version's state from the base table and the
+    * deterministic changesets.
+    */
+  def srcTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val path = timetravelReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-timetravel").toString + "/docs"
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+      graft.sources.TimeTravel.init(base, p, "doc_id", nBuckets = 16)
+      val m = col("doc_id") % 10
+      val b1 = base.filter(m === 0).select(lit("D").as("op"), col("doc_id"),
+          col("source"), col("text"), lit(1L).as("seq"))
+        .unionByName(base.filter(m === 1).select(lit("U").as("op"), col("doc_id"),
+          col("source"), concat(lit("rev1 "), col("doc_id")).as("text"), lit(1L).as("seq")))
+      graft.sources.TimeTravel.commit(s, p, b1, "doc_id", "op", "seq")
+      val b2 = base.filter(m === 2).select(lit("I").as("op"),
+        (col("doc_id") + 20000000L).as("doc_id"), col("source"),
+        concat(lit("new "), col("doc_id") + 20000000L).as("text"), lit(1L).as("seq"))
+      graft.sources.TimeTravel.commit(s, p, b2, "doc_id", "op", "seq")
+      p
+    })
+    def summary(v: Int): DataFrame =
+      graft.sources.TimeTravel.readVersion(s, path, v).agg(
+          count(lit(1)).as("n_rows"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+            .as("content_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("content_sum"))
+    summary(0).unionByName(summary(1)).unionByName(summary(2))
+      .orderBy("version")
+  }
 
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -1966,6 +2048,76 @@ object Pipeline {
       |ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the identical Cramer solve over the identical exact-integer
+    // sufficient statistics — expression trees mirrored term for term
+    "tx_probe" ->
+      """WITH f AS (
+        |  SELECT (length(text) - length(replace(text, ' ', '')))::BIGINT AS x1,
+        |         (length(text) - length(replace(text, 'e', '')))::BIGINT AS x2,
+        |         length(text)::BIGINT AS y
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2, sum(y)::BIGINT AS sy,
+        |    sum(x1 * x1)::BIGINT AS s11, sum(x1 * x2)::BIGINT AS s12,
+        |    sum(x2 * x2)::BIGINT AS s22, sum(x1 * y)::BIGINT AS s1y,
+        |    sum(x2 * y)::BIGINT AS s2y, sum(y * y)::BIGINT AS syy
+        |  FROM f),
+        |d AS (
+        |  SELECT n::DOUBLE AS n, s1::DOUBLE AS s1, s2::DOUBLE AS s2,
+        |    sy::DOUBLE AS sy, s11::DOUBLE AS s11, s12::DOUBLE AS s12,
+        |    s22::DOUBLE AS s22, s1y::DOUBLE AS s1y, s2y::DOUBLE AS s2y,
+        |    syy::DOUBLE AS syy
+        |  FROM st),
+        |dets AS (
+        |  SELECT *,
+        |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det,
+        |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y) AS det0,
+        |    n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS det1,
+        |    n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2) AS det2
+        |  FROM d),
+        |b AS (SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM dets),
+        |fit AS (SELECT *,
+        |    syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse,
+        |    syy - sy * sy / n AS sst
+        |  FROM b)
+        |SELECT n::BIGINT AS n_docs,
+        |  round(b0, 6) + 0.0 AS b0, round(b1, 6) + 0.0 AS b1,
+        |  round(b2, 6) + 0.0 AS b2,
+        |  round(1.0 - sse / sst, 6) + 0.0 AS r2,
+        |  round(sqrt(greatest(sse, 0.0) / n), 6) + 0.0 AS rmse
+        |FROM fit""".stripMargin,
+    // bloom pruning must be invisible to results — the oracle is the
+    // plain content-key IN filter over the whole table
+    "src_bloomskip" ->
+      """WITH d AS (SELECT doc_id, source, substr(md5(text), 1, 16) AS content_key
+        |           FROM documents),
+        |k AS (SELECT content_key FROM d WHERE doc_id IN (7, 123, 251, 384, 449))
+        |SELECT doc_id, source, content_key FROM d
+        |WHERE content_key IN (SELECT content_key FROM k)
+        |ORDER BY doc_id""".stripMargin,
+    // each snapshot's state recomputed from the base table + the
+    // deterministic changesets (delete m0 / rewrite m1, then insert m2)
+    "src_timetravel" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |v1 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 1 THEN 'rev1 ' || doc_id ELSE text END AS text
+        |       FROM base WHERE doc_id % 10 <> 0),
+        |v2 AS (SELECT * FROM v1
+        |       UNION ALL
+        |       SELECT doc_id + 20000000, 'new ' || (doc_id + 20000000)
+        |       FROM base WHERE doc_id % 10 = 2),
+        |s0 AS (SELECT 0 AS version, count(*)::BIGINT AS n_rows,
+        |         sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS content_sum
+        |       FROM base),
+        |s1 AS (SELECT 1, count(*)::BIGINT,
+        |         sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
+        |       FROM v1),
+        |s2 AS (SELECT 2, count(*)::BIGINT,
+        |         sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT
+        |       FROM v2)
+        |SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |ORDER BY version""".stripMargin,
     "dd_exact" ->
       """SELECT min(doc_id) AS survivor_id, count(*)::BIGINT AS n_copies
         |FROM documents GROUP BY text ORDER BY survivor_id""".stripMargin,

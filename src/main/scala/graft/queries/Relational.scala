@@ -685,6 +685,134 @@ object Relational {
       .orderBy("rule")
   }
 
+  /** The SCD2 observation stream shared by the dimension build and the
+    * point-in-time probe: signup events set the user's plan tier (a
+    * deterministic bucket of the payload's k field — the corpus has no
+    * real attribute feed, so the tier IS the observation).
+    */
+  private def tierObs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "signup" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        concat(lit("tier"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("int") % 4)
+          .as("tier"))
+
+  /** SCD Type-2 dimension build ([[graft.ops.Scd.buildType2]]): the
+    * signup stream collapses to versioned (user, tier) rows with
+    * contiguous [valid_from, valid_to) intervals — one key shuffle, two
+    * window passes over the same sort. Interval bounds surface as epoch
+    * micros so the oracle compares exact integers.
+    */
+  def qScd2(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd.buildType2(tierObs(s, dir), "user_id", "ts",
+        Seq("tier"), "event_id")
+      .select(col("user_id"), col("tier"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"),
+        col("version"),
+        col("is_current").cast("int").as("is_current"))
+      .orderBy("user_id", "version")
+
+  /** Point-in-time (as-of) fact resolution against the SCD2 dimension
+    * ([[graft.ops.Scd.pointInTime]]): every purchase picks up the tier
+    * version current at its timestamp; purchases before the user's
+    * first signup keep null attributes (left semantics).
+    */
+  def qScd2Pit(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.ops.Scd.buildType2(tierObs(s, dir), "user_id", "ts",
+      Seq("tier"), "event_id")
+    val purchases = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").as("revenue"))
+    graft.ops.Scd.pointInTime(purchases, "ts", dim, "user_id", Seq("tier"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("revenue"),
+        col("tier"), unix_micros(col("valid_from")).as("tier_since_us"))
+      .orderBy("event_id")
+  }
+
+  /** Incremental SCD2 maintenance ([[graft.ops.Scd.applyIncrement]]):
+    * the dimension is built from the first 20 days of signups, then the
+    * remaining days fold in incrementally — broadcast key-set probe,
+    * batch-sized rebuild, history never re-windowed. The oracle is the
+    * FULL-stream rebuild (same SQL as q_scd2): incremental maintenance
+    * must be invisible to results, bit for bit.
+    */
+  def qScd2Inc(s: SparkSession, dir: String): DataFrame = {
+    val obs = tierObs(s, dir)
+    val cut = lit("2024-01-21").cast("timestamp")
+    val dim0 = graft.ops.Scd.buildType2(
+      obs.filter(col("ts") < cut), "user_id", "ts", Seq("tier"), "event_id")
+    graft.ops.Scd.applyIncrement(dim0,
+        obs.filter(col("ts") >= cut), "user_id", "ts", Seq("tier"), "event_id")
+      .select(col("user_id"), col("tier"),
+        unix_micros(col("valid_from")).as("from_us"),
+        unix_micros(col("valid_to")).as("to_us"),
+        col("version"),
+        col("is_current").cast("int").as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** Marketing-style attribution over the event stream: each purchase
+    * credits its user's most recent preceding touch (last-touch: click
+    * or view, as-of semantics) and the user's first touch ever
+    * (first-touch: one tiny per-user aggregate, broadcast back).
+    * Channels derive deterministically from the touch payload. Revenue
+    * rolls up per (model, channel) — exact integer cents.
+    *
+    * Shape at 100 TB: last-touch is the union-window as-of (one key
+    * shuffle); first-touch is a map-side min(struct) per user — no
+    * window over the raw stream, no self-join.
+    */
+  def evAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+    val touches = ev
+      .filter(col("event_type").isin("click", "view") && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        concat(lit("ch"),
+          regexp_extract(col("props"), "([0-9]+)", 1).cast("int") % 3)
+          .as("channel"))
+    val purchases = ev
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    // last-touch: latest touch at or before the purchase. As-of ties on
+    // equal timestamps are unspecified in BOTH engines, so collapse to
+    // one row per (user, ts) first (argmax by event_id) — determinism
+    // by construction, mirrored in the oracle.
+    val touchByTs = touches
+      .groupBy(col("user_id"), col("ts").as("touch_ts"))
+      .agg(max(struct(col("event_id"), col("channel"))).as("__t"))
+      .select(col("user_id"), col("touch_ts"),
+        col("__t.channel").as("channel"))
+    val lastTouch = graft.ops.AsofJoin.asof(
+      purchases, "ts", touchByTs, "touch_ts", Seq("user_id"))
+    // first-touch: per-user argmin by (ts, event_id) — partial-agg min
+    val firstTouch = touches
+      .groupBy("user_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("channel")))
+        .as("__f"))
+      .select(col("user_id"), col("__f.channel").as("channel"))
+    val cts = round(col("value") * 100).cast("long")
+    val last = lastTouch
+      .select(col("user_id"), coalesce(col("channel"), lit("none")).as("channel"), col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum(cts).as("__c"))
+      .select(lit("last_touch").as("model"), col("channel"),
+        col("n_purchases"), (col("__c") / 100.0).as("revenue"))
+    val first = purchases
+      .join(broadcast(firstTouch), Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("channel"), lit("none")).as("channel"), col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum(cts).as("__c"))
+      .select(lit("first_touch").as("model"), col("channel"),
+        col("n_purchases"), (col("__c") / 100.0).as("revenue"))
+    last.unionByName(first).orderBy("model", "channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -715,8 +843,35 @@ object Relational {
     q("q_diff")(qDiff),
     q("ev_anomaly")(evAnomaly),
     q("src_dpp")(srcDpp),
-    q("q_dq")(qDq)
+    q("q_dq")(qDq),
+    q("q_scd2")(qScd2),
+    q("q_scd2_pit")(qScd2Pit),
+    q("q_scd2_inc")(qScd2Inc),
+    q("ev_attribution")(evAttribution)
   )
+
+  /** The SCD2 dimension expressed in SQL, shared by both oracle entries:
+    * identical change-collapse and interval windows over the identical
+    * (ts, event_id) sort.
+    */
+  private val scd2DimSql =
+    """obs AS (
+      |  SELECT user_id, ts, event_id,
+      |    'tier' || (regexp_extract(props, '([0-9]+)', 1)::INT % 4) AS tier
+      |  FROM events
+      |  WHERE event_type = 'signup' AND user_id IS NOT NULL AND ts IS NOT NULL),
+      |ch AS (
+      |  SELECT user_id, ts, event_id, tier,
+      |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM obs),
+      |surv AS (
+      |  SELECT user_id, ts, event_id, tier FROM ch
+      |  WHERE prev IS NULL OR prev <> tier),
+      |dim AS (
+      |  SELECT user_id, tier, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+      |  FROM surv)""".stripMargin
 
   /** The CMS rebuilt in SQL from the SAME `CmsAgg.A`/`CmsAgg.B` affine
     * hash constants the aggregate uses (single source of truth, like the
@@ -747,6 +902,72 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      s"""WITH $scd2DimSql
+         |SELECT user_id, tier,
+         |  epoch_us(valid_from) AS from_us,
+         |  epoch_us(valid_to) AS to_us,
+         |  version::INT AS version,
+         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+         |FROM dim ORDER BY user_id, version""".stripMargin,
+    // incremental maintenance must equal the full-stream rebuild bit
+    // for bit — the oracle IS the q_scd2 oracle
+    "q_scd2_inc" ->
+      s"""WITH $scd2DimSql
+         |SELECT user_id, tier,
+         |  epoch_us(valid_from) AS from_us,
+         |  epoch_us(valid_to) AS to_us,
+         |  version::INT AS version,
+         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+         |FROM dim ORDER BY user_id, version""".stripMargin,
+    // DuckDB's native ASOF resolves the point-in-time lookup the engine
+    // runs as the union-window as-of — inclusive on equal timestamps,
+    // left semantics for pre-first-version purchases, both matching
+    "q_scd2_pit" ->
+      s"""WITH $scd2DimSql,
+         |p AS (SELECT event_id, user_id, ts, value AS revenue FROM events
+         |      WHERE event_type = 'purchase'
+         |        AND user_id IS NOT NULL AND ts IS NOT NULL)
+         |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.revenue,
+         |  d.tier, epoch_us(d.valid_from) AS tier_since_us
+         |FROM p ASOF LEFT JOIN dim d
+         |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
+         |ORDER BY p.event_id""".stripMargin,
+    "ev_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    'ch' || (regexp_extract(props, '([0-9]+)', 1)::INT % 3) AS channel
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IN ('click', 'view')),
+        |tb AS (
+        |  SELECT user_id, ts AS touch_ts, arg_max(channel, event_id) AS channel
+        |  FROM t GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |lt AS (
+        |  SELECT p.value, coalesce(tb.channel, 'none') AS channel
+        |  FROM p ASOF LEFT JOIN tb
+        |    ON p.user_id = tb.user_id AND p.ts >= tb.touch_ts),
+        |ft0 AS (
+        |  SELECT user_id, channel,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM t),
+        |ft AS (SELECT user_id, channel FROM ft0 WHERE rn = 1),
+        |f AS (
+        |  SELECT p.value, coalesce(ft.channel, 'none') AS channel
+        |  FROM p LEFT JOIN ft USING (user_id))
+        |SELECT 'last_touch' AS model, channel,
+        |  count(*)::BIGINT AS n_purchases,
+        |  sum(round(value * 100)::BIGINT) / 100.0 AS revenue
+        |FROM lt GROUP BY 2
+        |UNION ALL
+        |SELECT 'first_touch', channel, count(*)::BIGINT,
+        |  sum(round(value * 100)::BIGINT) / 100.0
+        |FROM f GROUP BY 2
+        |ORDER BY model, channel""".stripMargin,
     // pivot = conditional sums over exact integer cents
     "q_pivot" ->
       """SELECT l_linestatus,

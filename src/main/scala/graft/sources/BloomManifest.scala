@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{FunctionDefs, GeomImpl}
+
+/** Per-file Bloom-filter manifest + driver-side file skipping for point
+  * lookups on a column the layout is NOT clustered by — the Delta/Iceberg
+  * bloom-index mechanism without a table format, and the needle-in-a-
+  * haystack complement of [[StatsManifest]] (whose min/max stats only
+  * help on the clustering column: on any other column every file's
+  * [lo, hi] spans the domain and nothing prunes).
+  *
+  * Write side: one partial-aggregated pass over the fresh layout builds
+  * one [[graft.functions.BloomAgg]] filter per file over
+  * `xxhash64(lookupCol)` — the merge is a byte-OR, so the shuffle
+  * carries one m-bit buffer per (file, partition) pair, never rows. The
+  * manifest is FILE-COUNT-sized metadata (a few KB per file), i.e.
+  * driver scale at 100 TB, exactly like a format's puffin/bloom blobs.
+  *
+  * Read side: hash the probe values (a tiny local job so build and
+  * probe share Spark's own xxhash64 — no reimplementation to drift),
+  * test every (file, probe) pair against the manifest ON THE DRIVER,
+  * and hand the scan only files where some probe MIGHT be present. A
+  * Bloom "no" is definitive, so skipped files provably hold no matches;
+  * the exact `IN` filter is re-applied to survivors, so false positives
+  * cost only bytes read, never wrong rows — pruning is a performance
+  * contract, the residual filter is the correctness contract.
+  *
+  * At 100 TB with k point probes this reads O(k · filesize · fp-rate)
+  * instead of the full table — the difference between a lookup and a
+  * table scan.
+  */
+object BloomManifest {
+
+  /** Write `df` into `nFiles` files clustered by `clusterCol` (any
+    * convenient layout — the bloom index is what serves the lookups),
+    * plus a `_bloom` manifest of (file, nnz-sized bloom over
+    * xxhash64(lookupCol)).
+    */
+  def write(df: DataFrame, path: String, clusterCol: String,
+            lookupCol: String, nFiles: Int,
+            numBits: Int = 1 << 16, numHashes: Int = 5): Unit = {
+    df.repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
+    val s = df.sparkSession
+    s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(FunctionDefs.callAgg("bloom_agg",
+        xxhash64(col(lookupCol)),
+        lit(numBits), lit(numHashes)).as("bloom"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("num_hashes", lit(numHashes))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_bloom")
+  }
+
+  def manifest(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/_bloom")
+
+  /** The files whose bloom admits AT LEAST ONE of the probe values —
+    * a driver-side loop over file-count-sized metadata. Probe hashes
+    * come from a one-row-per-value local Spark job so the hash function
+    * is BY CONSTRUCTION the same xxhash64 the write side aggregated.
+    */
+  def candidateFiles(s: SparkSession, path: String, probes: Seq[String]): Array[String] = {
+    import s.implicits._
+    val hashes: Array[Long] = probes.toDF("v")
+      .select(xxhash64(col("v"))).as[Long].collect()
+    manifest(s, path)
+      .select("file", "bloom", "num_hashes").collect()
+      .collect { case r if hashes.exists(h =>
+          GeomImpl.bloomContains(r.getAs[Array[Byte]]("bloom"), h, r.getInt(2))) =>
+        r.getString(0)
+      }
+  }
+
+  /** Point-lookup read: scan only the bloom-admitted files and re-apply
+    * the exact IN filter.
+    */
+  def lookupRead(s: SparkSession, path: String, lookupCol: String,
+                 probes: Seq[String]): DataFrame = {
+    val files = candidateFiles(s, path, probes)
+    val base =
+      if (files.isEmpty) s.read.parquet(path).filter(lit(false))
+      else s.read.parquet(files.toIndexedSeq: _*)
+    base.filter(col(lookupCol).isin(probes.map(lit): _*))
+  }
+}
