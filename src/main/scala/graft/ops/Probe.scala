@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.{FunctionDefs, Vectors}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -72,4 +73,124 @@ object Probe {
       (round(lit(1.0) - col("sse") / col("sst"), 6) + lit(0.0)).as("r2"),
       (round(sqrt(greatest(col("sse"), lit(0.0)) / col("n")), 6) + lit(0.0)).as("rmse"))
   }
+
+  /** A trained ridge probe: intercept + weights over the embedding,
+    * plus the fit's sufficient-statistic by-products. `optResidual` is
+    * ‖(G + λI')β − Xᵀy‖∞ over the AUGMENTED system (intercept
+    * unpenalized) — the ridge optimality condition, ~0 for a correct
+    * solve regardless of the data.
+    */
+  final case class RidgeModel(
+      b0: Double, w: Array[Double], n: Long,
+      sy: Double, optResidual: Double) {
+    def dim: Int = w.length
+  }
+
+  /** Closed-form ridge-regression probe over an embedding column — the
+    * "train a tiny linear classifier on frozen embeddings" primitive
+    * (quality probes, one-vs-rest label probes, representation audits).
+    *
+    * Spark-first shape, mirroring [[Pca.fit]]: ONE partial-aggregated
+    * pass collects the augmented normal-equation moments — n, Σv
+    * ([[graft.functions.VectorSumAgg]]), the Gram triangle Σv·vᵀ
+    * ([[graft.functions.VectorOuterSumAgg]]), Σy·v (the same vec_sum
+    * over a scan-side y-scaled copy), Σy, Σy² — a single ~dim²/2-double
+    * row to the driver, never the data. The (dim+1)² solve (Gaussian
+    * elimination, partial pivoting — deterministic) is driver-side
+    * microseconds, exactly like PCA's Jacobi. Scoring is scan-side
+    * codegen: b0 + vec_dot(v, w).
+    *
+    * λ penalizes weights only, not the intercept (standard ridge).
+    */
+  def ridgeFit(corpus: DataFrame, vecCol: String, y: Column,
+               lambda: Double): RidgeModel = {
+    require(lambda >= 0, "ridge: lambda must be non-negative")
+    val f = corpus
+      .select(Vectors.toDouble(col(vecCol)).as("__v"), y.cast("double").as("__y"))
+      .filter(col("__v").isNotNull && col("__y").isNotNull)
+    val row = f.agg(
+      count(lit(1)).as("n"),
+      FunctionDefs.callAgg("vec_sum", col("__v")).as("sv"),
+      FunctionDefs.callAgg("vec_outer_sum", col("__v")).as("g"),
+      FunctionDefs.callAgg("vec_sum", expr("transform(__v, x -> x * __y)")).as("syv"),
+      sum(col("__y")).as("sy")).head()
+    val n = row.getLong(0)
+    require(n > 0, "ridge: empty corpus")
+    val sv = row.getSeq[Double](1).toArray
+    val tri = row.getSeq[Double](2).toArray
+    val syv = row.getSeq[Double](3).toArray
+    val sy = row.getDouble(4)
+    val d = sv.length
+    // augmented system A β = b, A = [[n, Σvᵀ], [Σv, G + λI]], b = [Σy, Σyv]
+    val m = d + 1
+    val a = Array.ofDim[Double](m, m)
+    val b = new Array[Double](m)
+    a(0)(0) = n.toDouble; b(0) = sy
+    var i = 0
+    while (i < d) {
+      a(0)(i + 1) = sv(i); a(i + 1)(0) = sv(i); b(i + 1) = syv(i); i += 1
+    }
+    var p = 0
+    i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        a(i + 1)(j + 1) = tri(p); a(j + 1)(i + 1) = tri(p); j += 1; p += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < d) { a(i + 1)(i + 1) += lambda; i += 1 }
+    val a0 = a.map(_.clone()) // keep A for the optimality residual
+    val b0v = b.clone()
+    val beta = solveInPlace(a, b)
+    var resid = 0.0
+    i = 0
+    while (i < m) {
+      var acc = 0.0
+      var j = 0
+      while (j < m) { acc += a0(i)(j) * beta(j); j += 1 }
+      resid = math.max(resid, math.abs(acc - b0v(i)))
+      i += 1
+    }
+    RidgeModel(beta(0), beta.drop(1), n, sy, resid)
+  }
+
+  /** Gaussian elimination with partial pivoting; mutates its args. */
+  private def solveInPlace(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val m = b.length
+    var k = 0
+    while (k < m) {
+      var piv = k
+      var i = k + 1
+      while (i < m) { if (math.abs(a(i)(k)) > math.abs(a(piv)(k))) piv = i; i += 1 }
+      require(math.abs(a(piv)(k)) > 1e-12, "ridge: singular system (raise lambda)")
+      if (piv != k) { val t = a(piv); a(piv) = a(k); a(k) = t
+        val tb = b(piv); b(piv) = b(k); b(k) = tb }
+      i = k + 1
+      while (i < m) {
+        val fct = a(i)(k) / a(k)(k)
+        var j = k
+        while (j < m) { a(i)(j) -= fct * a(k)(j); j += 1 }
+        b(i) -= fct * b(k)
+        i += 1
+      }
+      k += 1
+    }
+    val x = new Array[Double](m)
+    k = m - 1
+    while (k >= 0) {
+      var acc = b(k)
+      var j = k + 1
+      while (j < m) { acc -= a(k)(j) * x(j); j += 1 }
+      x(k) = acc / a(k)(k)
+      k -= 1
+    }
+    x
+  }
+
+  /** Scan-side scoring column for a trained probe: b0 + w·v. */
+  def score(model: RidgeModel, vecCol: Column): Column =
+    lit(model.b0) + Vectors.dot(Vectors.toDouble(vecCol),
+      typedlit(model.w.toSeq))
 }

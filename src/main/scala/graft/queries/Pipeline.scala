@@ -1698,8 +1698,58 @@ object Pipeline {
     "tx_entropy" -> txEntropy _,
     "tx_probe" -> txProbe _,
     "src_bloomskip" -> srcBloomskip _,
-    "src_timetravel" -> srcTimetravel _
+    "src_timetravel" -> srcTimetravel _,
+    "ann_probe" -> annProbe _,
+    "ann_probe_xty" -> annProbeXty _
   )
+
+  /** Ridge linear probe over frozen embeddings ([[graft.ops.Probe
+    * .ridgeFit]]): one-vs-rest classifier for label 0, trained from ONE
+    * aggregated pass (augmented Gram + XᵀY moments, dim²/2 doubles to
+    * the driver — the PCA trade), scored scan-side with codegen vec_dot.
+    * Oracle-checkable facts: n/dim/positive fraction; the solve itself
+    * certifies via the ridge optimality residual (‖Aβ−b‖∞ ≈ 0, data-
+    * independent) and the trained score must SEPARATE the classes —
+    * mean positive score > mean negative score, which least squares
+    * guarantees whenever the embeddings carry any linear label signal
+    * (cov(ŷ, y) = var(ŷ) > 0 for a non-constant fit); ProbeSpec pins
+    * recovery/shrinkage/OLS-parity.
+    */
+  def annProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val y = (col("label") === 0).cast("double")
+    val model = graft.ops.Probe.ridgeFit(e, "embedding", y, lambda = 1.0)
+    e.select(
+        graft.ops.Probe.score(model, col("embedding")).as("score"),
+        (col("label") === 0).cast("int").as("yy"))
+      .agg(
+        avg(when(col("yy") === 1, col("score"))).as("pos_score"),
+        avg(when(col("yy") === 0, col("score"))).as("neg_score"),
+        avg(col("yy").cast("double")).as("pos"))
+      .select(lit(model.n).as("n_vecs"), lit(model.dim).as("dim"),
+        (round(col("pos"), 6) + lit(0.0)).as("pos_frac_r"),
+        lit(if (model.optResidual < 1e-6) 1 else 0).as("optimality_ok"),
+        (col("pos_score") > col("neg_score")).cast("int").as("separates_classes"))
+  }
+
+  /** The probe's XᵀY moment path replayed value-for-value: per
+    * dimension, Σ y·vᵢ (the y-scaled vec_sum — the one aggregate
+    * ann_pca_cov doesn't already certify) and Σ vᵢ, rounded.
+    */
+  def annProbeXty(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(
+      graft.functions.Vectors.toDouble(col("embedding")).as("__v"),
+      (col("label") === 0).cast("double").as("__y"))
+    e.agg(
+        graft.functions.FunctionDefs.callAgg("vec_sum",
+          expr("transform(__v, x -> x * __y)")).as("syv"),
+        graft.functions.FunctionDefs.callAgg("vec_sum", col("__v")).as("sv"))
+      .select(col("sv"), posexplode(col("syv")).as(Seq("i0", "xty")))
+      .select((col("i0") + 1).cast("int").as("i"),
+        (round(col("xty"), 6) + lit(0.0)).as("xty_r"),
+        (round(element_at(col("sv"), (col("i0") + 1).cast("int")), 6) + lit(0.0)).as("sv_r"))
+      .orderBy("i")
+  }
 
   /** Closed-form linear probe ([[graft.ops.Probe.ols2]]): OLS of
     * document length on two byte-count features (spaces, letter 'e')
@@ -2048,6 +2098,25 @@ object Pipeline {
       |ORDER BY event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // n/dim/positive-fraction recomputed; optimality and beats-majority
+    // are the probe's model contracts (the ann_pca_flags pattern)
+    "ann_probe" ->
+      """SELECT count(*)::BIGINT AS n_vecs,
+        | (SELECT len(embedding) FROM embeddings LIMIT 1)::INT AS dim,
+        | round(avg(CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS pos_frac_r,
+        | 1 AS optimality_ok, 1 AS separates_classes
+        |FROM embeddings""".stripMargin,
+    // the y-scaled moment path value-for-value per dimension
+    "ann_probe_xty" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v,
+        |    CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+        |  FROM embeddings),
+        |d AS (SELECT len(v) AS d FROM e LIMIT 1),
+        |ix AS (SELECT unnest(range(1, d + 1)) AS i FROM d)
+        |SELECT i::INT AS i,
+        |  round(sum(y * v[i]), 6) + 0.0 AS xty_r,
+        |  round(sum(v[i]), 6) + 0.0 AS sv_r
+        |FROM e, ix GROUP BY i ORDER BY i""".stripMargin,
     // the identical Cramer solve over the identical exact-integer
     // sufficient statistics — expression trees mirrored term for term
     "tx_probe" ->

@@ -813,6 +813,49 @@ object Relational {
     last.unionByName(first).orderBy("model", "channel")
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic warehouse cohorting op, built WITHOUT a global sort: the
+    * per-user rollup is one partial-agg shuffle, the three quartile
+    * cutpoint sets are ONE exact-percentile aggregate over the (already
+    * user-sized) rollup, and segmenting is a broadcast of that 1-row
+    * cutpoint frame back over the rollup — at 100 TB no ntile-style
+    * single-partition window ever appears. Monetary sums in exact
+    * integer cents; recency in whole days against the corpus max ts.
+    * Quartile rule: q = 1 + (x > p25) + (x > p50) + (x > p75), mirrored
+    * verbatim (percentile ↔ quantile_cont is the proven q_median pair).
+    */
+  def evRfm(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val per = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("value") * 100).cast("long")).as("__mc"))
+    val ref = e.agg(max(col("ts")).as("__ref"))
+    val rfm = per.crossJoin(broadcast(ref)).select(
+      col("user_id"),
+      // both micros positive and last ≤ ref: truncation == floor
+      ((unix_micros(col("__ref")) - unix_micros(col("__last"))) / lit(86400000000L))
+        .cast("long").as("recency_days"),
+      col("frequency"),
+      (col("__mc") / 100.0).as("monetary"))
+    val cuts = rfm.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("__rc"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("__fc"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("__mcut"))
+    def seg(x: Column, c: Column): Column =
+      (lit(1) + (x > element_at(c, 1)).cast("int")
+        + (x > element_at(c, 2)).cast("int")
+        + (x > element_at(c, 3)).cast("int")).as("__s")
+    rfm.crossJoin(broadcast(cuts)).select(
+        col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        seg(col("recency_days"), col("__rc")).as("r_q"),
+        seg(col("frequency"), col("__fc")).as("f_q"),
+        seg(col("monetary"), col("__mcut")).as("m_q"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -847,7 +890,8 @@ object Relational {
     q("q_scd2")(qScd2),
     q("q_scd2_pit")(qScd2Pit),
     q("q_scd2_inc")(qScd2Inc),
-    q("ev_attribution")(evAttribution)
+    q("ev_attribution")(evAttribution),
+    q("ev_rfm")(evRfm)
   )
 
   /** The SCD2 dimension expressed in SQL, shared by both oracle entries:
@@ -933,6 +977,32 @@ object Relational {
          |FROM p ASOF LEFT JOIN dim d
          |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
          |ORDER BY p.event_id""".stripMargin,
+    "ev_rfm" ->
+      """WITH e AS (SELECT * FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |per AS (
+        |  SELECT user_id, max(ts) AS last_p, count(*)::BIGINT AS frequency,
+        |    sum(round(value * 100)::BIGINT) AS mc
+        |  FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |ref AS (SELECT max(ts) AS ref_ts FROM e),
+        |rfm AS (
+        |  SELECT user_id,
+        |    ((epoch_us(ref_ts) - epoch_us(last_p)) // 86400000000)::BIGINT AS recency_days,
+        |    frequency, mc / 100.0 AS monetary
+        |  FROM per, ref),
+        |cuts AS (
+        |  SELECT quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2,
+        |    quantile_cont(recency_days, 0.75) AS r3,
+        |    quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+        |    quantile_cont(frequency, 0.75) AS f3,
+        |    quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+        |    quantile_cont(monetary, 0.75) AS m3
+        |  FROM rfm)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  (1 + (recency_days > r1)::INT + (recency_days > r2)::INT + (recency_days > r3)::INT) AS r_q,
+        |  (1 + (frequency > f1)::INT + (frequency > f2)::INT + (frequency > f3)::INT) AS f_q,
+        |  (1 + (monetary > m1)::INT + (monetary > m2)::INT + (monetary > m3)::INT) AS m_q
+        |FROM rfm, cuts ORDER BY user_id""".stripMargin,
     "ev_attribution" ->
       """WITH t AS (
         |  SELECT user_id, ts, event_id,

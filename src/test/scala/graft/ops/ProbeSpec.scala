@@ -36,6 +36,58 @@ class ProbeSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .head().getAs[Long]("n_docs") shouldBe 4L
   }
 
+  test("ridgeFit recovers a planted linear relation at tiny lambda; optimality holds") {
+    import spark.implicits._
+    // y = 2 + 1·v0 − 3·v1 + 0.5·v2 over a deterministic 3-d grid
+    val rows = for (a <- 0 until 5; b <- 0 until 5; c <- 0 until 5)
+      yield (Array(a.toFloat, b.toFloat, c.toFloat),
+        2.0 + 1.0 * a - 3.0 * b + 0.5 * c)
+    val df = rows.toDF("v", "y")
+    val m = Probe.ridgeFit(df, "v", col("y"), lambda = 1e-9)
+    m.n shouldBe 125L
+    m.optResidual should be < 1e-6
+    m.b0 shouldBe 2.0 +- 1e-5
+    m.w(0) shouldBe 1.0 +- 1e-5
+    m.w(1) shouldBe -3.0 +- 1e-5
+    m.w(2) shouldBe 0.5 +- 1e-5
+    // scan-side scoring reproduces y
+    val maxErr = df.select(max(abs(
+      Probe.score(m, col("v")) - col("y")))).head.getDouble(0)
+    maxErr should be < 1e-4
+  }
+
+  test("larger lambda shrinks the weight norm, never the optimality") {
+    import spark.implicits._
+    val rows = (0 until 200).map { i =>
+      (Array((i % 7).toFloat, (i % 11).toFloat), ((i % 7) * 2 - (i % 11) * 0.5))
+    }
+    val df = rows.toDF("v", "y")
+    val m0 = Probe.ridgeFit(df, "v", col("y"), lambda = 0.01)
+    val m1 = Probe.ridgeFit(df, "v", col("y"), lambda = 100.0)
+    def norm(w: Array[Double]) = math.sqrt(w.map(x => x * x).sum)
+    norm(m1.w) should be < norm(m0.w)
+    m0.optResidual should be < 1e-6
+    m1.optResidual should be < 1e-6
+  }
+
+  test("lambda→0 ridge agrees with the sufficient-statistics OLS solve (two independent paths)") {
+    import spark.implicits._
+    // integer features so ols2's exact-long path applies
+    val data = (0 until 100).map { i =>
+      val x1 = (i * 13) % 17; val x2 = (i * 7) % 23
+      (x1.toLong, x2.toLong, (3 * x1 - 2 * x2 + 11 + (i % 5)).toLong)
+    }
+    val df = data.toDF("x1", "x2", "y")
+    val ols = Probe.ols2(df, col("x1"), col("x2"), col("y")).head()
+    val ridge = Probe.ridgeFit(
+      df.select(array(col("x1").cast("double"), col("x2").cast("double")).as("v"),
+        col("y").cast("double").as("y")),
+      "v", col("y"), lambda = 1e-10)
+    ridge.b0 shouldBe ols.getAs[Double]("b0") +- 1e-4
+    ridge.w(0) shouldBe ols.getAs[Double]("b1") +- 1e-4
+    ridge.w(1) shouldBe ols.getAs[Double]("b2") +- 1e-4
+  }
+
   test("the stats scan is one partial-aggregated pass (no second exchange beyond the agg)") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i.toLong, (i * 7 % 13).toLong, (i * 3 % 11).toLong))

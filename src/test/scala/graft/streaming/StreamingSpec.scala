@@ -348,6 +348,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("streaming last-touch attribution carries one-row state == the as-of batch twin") {
+    val spark0 = spark
+    import spark0.implicits._
+    def at(m: Long, id: Long, typ: String, user: Long, ch: String, v: Double) =
+      Attribution.Ev(user, new Timestamp(1700000000000L + m * 60000L), id, typ, v, ch)
+    val feed = Seq(
+      at(0, 1, "click", 1, "ads", 0),
+      at(5, 2, "view", 1, "search", 0),
+      at(5, 3, "view", 1, "social", 0),   // same-ts tie → higher id wins
+      at(6, 4, "purchase", 1, null, 10.0), // credits social (id 3)
+      at(7, 5, "purchase", 2, null, 4.0),  // no touch → none
+      // second trigger: state must carry across micro-batches
+      at(20, 6, "purchase", 1, null, 6.0), // still social
+      at(25, 7, "click", 1, "email", 0),
+      at(25, 8, "purchase", 1, null, 2.0), // inclusive: same-instant touch counts
+      at(30, 9, "view", 2, "ads", 0),
+      at(31, 10, "purchase", 2, null, 9.0))
+    val split = 5
+    val input = MemoryStream[Attribution.Ev](spark)
+    val q = Attribution.lastTouch(input.toDF())
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    val streamed =
+      try {
+        input.addData(feed.take(split)); q.processAllAvailable()
+        input.addData(feed.drop(split)); q.processAllAvailable()
+        spark.table("attr_out").orderBy("event_id")
+          .collect().map(r => (r.getLong(0), r.getString(4))).toSeq
+      } finally q.stop()
+    streamed shouldBe Seq((4L, "social"), (5L, "none"), (6L, "social"),
+      (8L, "email"), (10L, "ads"))
+    // the batch mode of the SAME transformation agrees
+    val batched = Attribution.lastTouch(feed.toDF()).orderBy("event_id")
+      .collect().map(c => (c.event_id, c.channel)).toSeq
+    batched shouldBe streamed
+    // and both agree with the oracle-verified as-of formulation
+    val touches = feed.filter(e => Set("click", "view")(e.event_type)).toDF()
+      .groupBy(col("user_id"), col("ts").as("touch_ts"))
+      .agg(max(struct(col("event_id"), col("channel"))).as("t"))
+      .select(col("user_id"), col("touch_ts"), col("t.channel").as("channel"))
+    val purchases = feed.filter(_.event_type == "purchase").toDF()
+      .select("event_id", "user_id", "ts")
+    val asof = graft.ops.AsofJoin.asof(purchases, "ts", touches, "touch_ts", Seq("user_id"))
+      .select(col("event_id"), coalesce(col("channel"), lit("none")).as("channel"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    asof shouldBe streamed
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     val spark0 = spark
     import spark0.implicits._
