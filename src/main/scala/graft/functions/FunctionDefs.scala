@@ -152,6 +152,7 @@ object FunctionDefs {
     "simhash64"         -> f("simhashNative", L, ArrayType(S)),
     "alnum_space_count" -> f("alnumSpaceCount", I, S), // graft extension (quality-score hot path)
     "space_token_count" -> f("spaceTokenCount", I, S), // graft extension (size(split(t,' ')) twin)
+    "byte_count"        -> f("byteOccurrences", I, S, I), // graft extension (ASCII-char occurrence count)
     "byte_entropy"        -> f("byteEntropy", D, S),       // graft extension (repetition/low-entropy signal)
     "distinct_byte_count" -> f("distinctByteCount", I, S), // graft extension
     "top_byte_count"      -> f("topByteCount", I, S),      // graft extension

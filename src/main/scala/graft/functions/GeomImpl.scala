@@ -549,6 +549,24 @@ object GeomImpl {
     c
   }
 
+  /** Occurrences of the ASCII byte `b` (0..127) in `t`'s UTF-8 bytes —
+    * the allocation-free twin of `length(t) - length(replace(t, chr(b),
+    * ''))` for ASCII targets (UTF-8 continuation/lead bytes are ≥ 0x80,
+    * so they can never collide with an ASCII value): one byte pass, no
+    * copy of the document.
+    */
+  def byteOccurrences(t: UTF8String, b: Int): Int = {
+    val target = b.toByte
+    val n = t.numBytes
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (t.getByte(i) == target) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Shannon entropy (bits/byte) of the byte distribution — the
     * low-entropy/repetitive-document curation signal, one 256-bucket
     * histogram pass, no allocation beyond the histogram. Terms are

@@ -1759,10 +1759,12 @@ object Pipeline {
     */
   def txProbe(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
-    graft.ops.Probe.ols2(docs,
-      length(col("text")) - length(expr("replace(text, ' ', '')")),
-      length(col("text")) - length(expr("replace(text, 'e', '')")),
-      length(col("text")))
+    // native one-byte-pass occurrence counts (the oracle keeps the
+    // length(replace(...)) spelling — identical values for ASCII
+    // targets, no per-row document copies)
+    def cnt(ch: Char) = graft.functions.FunctionDefs.call(
+      "byte_count", col("text"), lit(ch.toInt))
+    graft.ops.Probe.ols2(docs, cnt(' '), cnt('e'), length(col("text")))
   }
 
   private val bloomskipReady = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -426,4 +426,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
       p should include("*(") // stays inside whole-stage codegen
     }
   }
+
+  test("ev_rfm: cutpoints broadcast back — no window, no single-partition sort of the rollup") {
+    val p = planOf("ev_rfm")
+    withClue(s"ev_rfm plan:\n$p") {
+      p.contains("Window") shouldBe false // the whole point vs ntile
+      p should include("BroadcastNestedLoopJoin") // the 1-row cutpoint frames
+      // the only non-broadcast exchanges are the rollup + final orderBy
+      p.contains("CartesianProduct") shouldBe false
+    }
+  }
+
+  test("q_scd2_inc: the batch key set broadcasts for both the anti and semi probes") {
+    val p = planOf("q_scd2_inc")
+    withClue(s"q_scd2_inc plan:\n$p") {
+      p should include("BroadcastHashJoin")
+      p should include("LeftAnti")
+      p should include("LeftSemi")
+    }
+  }
+
+  test("ev_attribution: first-touch argmin is an aggregate broadcast back, last-touch is the union-window as-of") {
+    val p = planOf("ev_attribution")
+    withClue(s"ev_attribution plan:\n$p") {
+      p should include("BroadcastHashJoin") // per-user first-touch joined broadcast
+      p.contains("CartesianProduct") shouldBe false
+      p should include("Window") // the as-of union-window pass
+    }
+  }
+
+  test("tx_probe / ann_probe_xty: one partial-aggregated stats pass, no join, no window") {
+    val p = planOf("tx_probe")
+    withClue(s"tx_probe plan:\n$p") {
+      p.contains("Join") shouldBe false
+      p.contains("Window") shouldBe false
+      p should include("HashAggregate")
+    }
+    val p2 = planOf("ann_probe_xty")
+    withClue(s"ann_probe_xty plan:\n$p2") {
+      p2.contains("Join") shouldBe false
+      p2.contains("Window") shouldBe false
+    }
+  }
 }
