@@ -153,6 +153,7 @@ object FunctionDefs {
     "alnum_space_count" -> f("alnumSpaceCount", I, S), // graft extension (quality-score hot path)
     "space_token_count" -> f("spaceTokenCount", I, S), // graft extension (size(split(t,' ')) twin)
     "byte_count"        -> f("byteOccurrences", I, S, I), // graft extension (ASCII-char occurrence count)
+    "delete_variant_hashes" -> f("deleteVariantHashes", ArrayType(L), S, I), // graft extension (SymSpell neighborhood)
     "byte_entropy"        -> f("byteEntropy", D, S),       // graft extension (repetition/low-entropy signal)
     "distinct_byte_count" -> f("distinctByteCount", I, S), // graft extension
     "top_byte_count"      -> f("topByteCount", I, S),      // graft extension

@@ -549,6 +549,62 @@ object GeomImpl {
     c
   }
 
+  /** 64-bit signatures of every ≤k-character-deletion variant of `t` —
+    * the SymSpell/symmetric-delete neighborhood (public technique): if
+    * ed(a,b) ≤ k then deleting the edited positions yields a COMMON
+    * variant, so two strings within distance k always share a
+    * signature. Variants are never materialized: a polynomial rolling
+    * hash over the char sequence with precomputed prefix hashes and
+    * base powers gives each spliced variant's signature in O(1) after
+    * O(n) prep — O(n²) per string for k=2, no allocation beyond the
+    * tables. Signature collisions only ADD candidates (the exact
+    * verify removes them); equal variants always collide, so the
+    * no-false-negative guarantee survives hashing. Char-level (UTF-16
+    * units), matching `levenshtein`'s unit for BMP text.
+    */
+  def deleteVariantHashes(t: UTF8String, k: Int): ArrayData = {
+    val s = t.toString
+    val n = s.length
+    val B = 1000003L
+    // p(i) = hash of prefix s[0,i); pow(i) = B^i (mod 2^64)
+    val p = new Array[Long](n + 1)
+    val pw = new Array[Long](n + 1)
+    pw(0) = 1L
+    var i = 0
+    while (i < n) {
+      p(i + 1) = p(i) * B + s.charAt(i).toLong + 1L
+      pw(i + 1) = pw(i) * B
+      i += 1
+    }
+    def seg(a: Int, b: Int): Long = p(b) - p(a) * pw(b - a) // hash of s[a,b)
+    val nOut = 1 + (if (k >= 1) n else 0) + (if (k >= 2) n * (n - 1) / 2 else 0)
+    val out = new Array[Long](nOut)
+    var o = 0
+    out(o) = p(n); o += 1
+    if (k >= 1) {
+      i = 0
+      while (i < n) { // delete position i
+        out(o) = seg(0, i) * pw(n - i - 1) + seg(i + 1, n); o += 1
+        i += 1
+      }
+    }
+    if (k >= 2) {
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { // delete positions i < j
+          val mid = seg(i + 1, j)
+          val len2 = (j - i - 1) + (n - j - 1)
+          out(o) = seg(0, i) * pw(len2) + mid * pw(n - j - 1) + seg(j + 1, n)
+          o += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
   /** Occurrences of the ASCII byte `b` (0..127) in `t`'s UTF-8 bytes —
     * the allocation-free twin of `length(t) - length(replace(t, chr(b),
     * ''))` for ASCII targets (UTF-8 continuation/lead bytes are ≥ 0x80,

@@ -1700,8 +1700,68 @@ object Pipeline {
     "src_bloomskip" -> srcBloomskip _,
     "src_timetravel" -> srcTimetravel _,
     "ann_probe" -> annProbe _,
-    "ann_probe_xty" -> annProbeXty _
+    "ann_probe_xty" -> annProbeXty _,
+    "dd_editdist" -> ddEditdist _,
+    "src_invidx" -> srcInvidx _,
+    "src_timetravel_cdf" -> srcTimetravelCdf _
   )
+
+  private val invidxReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Inverted-index point lookup ([[graft.sources.InvertedIndex]]):
+    * documents containing BOTH query terms, resolved from the
+    * range-clustered postings layout — covering files from the
+    * driver-side manifest, AND via one distinct-term count. The oracle
+    * is the full-scan tokenize-and-filter; InvertedIndexSpec pins that
+    * files were skipped.
+    */
+  def srcInvidx(s: SparkSession, dir: String): DataFrame = {
+    val path = invidxReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-invidx").toString + "/ix"
+      graft.sources.InvertedIndex.write(
+        Tables.documents(s, d), p, "doc_id", "text", nFiles = 16)
+      p
+    })
+    graft.sources.InvertedIndex.docsWithAll(s, path, Seq("join", "vector"))
+      .orderBy("doc_id")
+  }
+
+  /** Change data feed between snapshots: TimeTravel v0 → v2 diffed with
+    * the snapshot-diff digest join (qDiff's shape) over the SAME
+    * layout src_timetravel reads — added/removed/changed must replay
+    * the committed changesets exactly.
+    */
+  def srcTimetravelCdf(s: SparkSession, dir: String): DataFrame = {
+    srcTimetravel(s, dir).count() // ensure the versioned fixture exists
+    val path = timetravelReady.get(dir)
+    // null-safe digest (sentinel for null text) so row_hash is null
+    // exactly when the key is ABSENT from the snapshot
+    def hashed(v: Int) =
+      graft.sources.TimeTravel.readVersion(s, path, v)
+        .select(col("doc_id"),
+          md5(coalesce(col("text"), lit(" null"))).as("row_hash"))
+    hashed(0).as("a").join(hashed(2).as("b"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("a.row_hash").isNull, "added")
+          .when(col("b.row_hash").isNull, "removed")
+          .when(col("a.row_hash") =!= col("b.row_hash"), "changed")
+          .as("change"))
+      .filter(col("change").isNotNull)
+      .orderBy("change", "doc_id")
+  }
+
+  /** Exact Levenshtein-≤2 join over 40-char document prefixes
+    * ([[graft.ops.Dedup.editDistanceJoin]]): q-gram count filtering
+    * prunes candidates (necessary condition — pruning can't lose a
+    * pair), exact levenshtein verifies. The oracle is the plain
+    * all-pairs formulation with the same length precondition.
+    */
+  def ddEditdist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.editDistanceJoin(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("p")),
+        "doc_id", "p", maxDist = 2, minLen = 30)
+      .orderBy("id_a", "id_b")
 
   /** Ridge linear probe over frozen embeddings ([[graft.ops.Probe
     * .ridgeFit]]): one-vs-rest classifier for label 0, trained from ONE
@@ -2119,6 +2179,35 @@ object Pipeline {
         |  round(sum(y * v[i]), 6) + 0.0 AS xty_r,
         |  round(sum(v[i]), 6) + 0.0 AS sv_r
         |FROM e, ix GROUP BY i ORDER BY i""".stripMargin,
+    // the index lookup must equal the full-scan tokenize-and-filter
+    "src_invidx" ->
+      """SELECT doc_id, 2::BIGINT AS n_terms FROM documents
+        |WHERE text IS NOT NULL
+        |  AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'join')
+        |  AND list_contains(regexp_split_to_array(lower(text), '[^a-z0-9]+'), 'vector')
+        |ORDER BY doc_id""".stripMargin,
+    // the diff must replay the committed changesets: m0 deleted in v1,
+    // m1 rewritten in v1 (text changed), m2 inserted in v2
+    "src_timetravel_cdf" ->
+      """SELECT doc_id + 20000000 AS doc_id, 'added' AS change
+        |FROM documents WHERE doc_id % 10 = 2
+        |UNION ALL
+        |SELECT doc_id, 'changed' FROM documents WHERE doc_id % 10 = 1
+        |UNION ALL
+        |SELECT doc_id, 'removed' FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY change, doc_id""".stripMargin,
+    // pruning (q-gram count filter) must be invisible — the oracle is
+    // the all-pairs edit-distance join with the same length filter
+    "dd_editdist" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents
+        |           WHERE text IS NOT NULL AND length(substr(text, 1, 40)) >= 30)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.p, b.p)::INT AS dist
+        |FROM d a JOIN d b
+        |  ON a.doc_id < b.doc_id
+        |  AND abs(length(a.p) - length(b.p)) <= 2
+        |  AND levenshtein(a.p, b.p) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // the identical Cramer solve over the identical exact-integer
     // sufficient statistics — expression trees mirrored term for term
     "tx_probe" ->

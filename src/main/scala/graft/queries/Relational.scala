@@ -856,6 +856,39 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Robust per-stratum outlier detection via MAD (median absolute
+    * deviation): per event type, med = median(value), mad =
+    * median(|value − med|), outlier ⇔ |value − med| > 3·1.4826·mad
+    * (the Gaussian-consistent robust z-score — immune to the very
+    * outliers a mean/stddev rule would absorb, the evAnomaly
+    * complement). Shape: two broadcast-back passes (the per-type
+    * stats tables are |types| rows); the stream itself never windows
+    * or re-shuffles. Exact medians here mirror the oracle; at 100 TB
+    * swap percentile→approx_percentile, the decision rule unchanged.
+    */
+  def evMad(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select("event_type", "value")
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("absdev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("__med"), max(col("mad")).as("__mad"),
+        sum((col("absdev") > lit(3) * lit(1.4826) * col("mad")).cast("long"))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"),
+        (round(col("__med"), 6) + lit(0.0)).as("med_r"),
+        (round(col("__mad"), 6) + lit(0.0)).as("mad_r"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -891,7 +924,8 @@ object Relational {
     q("q_scd2_pit")(qScd2Pit),
     q("q_scd2_inc")(qScd2Inc),
     q("ev_attribution")(evAttribution),
-    q("ev_rfm")(evRfm)
+    q("ev_rfm")(evRfm),
+    q("ev_mad")(evMad)
   )
 
   /** The SCD2 dimension expressed in SQL, shared by both oracle entries:
@@ -977,6 +1011,23 @@ object Relational {
          |FROM p ASOF LEFT JOIN dim d
          |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
          |ORDER BY p.event_id""".stripMargin,
+    // the identical two-stage median construction and the identical
+    // unrounded decision rule (3 · 1.4826 · mad), rounded only on output
+    "ev_mad" ->
+      """WITH e AS (SELECT event_type, value FROM events
+        |           WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |        FROM e GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.value, abs(e.value - med.med) AS absdev, med.med
+        |        FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT dev.event_type, count(*)::BIGINT AS n,
+        |  round(max(dev.med), 6) + 0.0 AS med_r,
+        |  round(max(mad.mad), 6) + 0.0 AS mad_r,
+        |  sum((dev.absdev > 3 * 1.4826 * mad.mad)::BIGINT)::BIGINT AS n_outliers
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_rfm" ->
       """WITH e AS (SELECT * FROM events
         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),

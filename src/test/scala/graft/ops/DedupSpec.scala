@@ -292,4 +292,44 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     cc2(1100L) shouldBe 300L
     cc2(300L) shouldBe 300L
   }
+
+  test("editDistanceJoin finds exactly the pairs a local levenshtein replay finds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumpd"),  // 1 sub of 1
+      (3L, "the quick brown fox jump"),   // 1 del of 1, ed 2 of 2
+      (4L, "the quick brown cat jumps"),  // ed 3 of 1 (fox→cat)
+      (5L, "a completely different line"),
+      (6L, "the quick brown fox jumps"),  // exact dup of 1
+      (7L, "xhe quick brown fox jumpsyz") // ins+ins+sub of 1 → ed 3
+    ).toDF("id", "s")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb))).toSet
+    val got = Dedup.editDistanceJoin(docs, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe expected
+    got should contain((1L, 2L, 1))
+    got should contain((1L, 6L, 0))
+    got.map(p => (p._1, p._2)) should not contain ((1L, 4L)) // ed 3 excluded
+  }
+
+  test("editDistanceJoin maxBucket drops over-cap signature buckets (documented exactness trade)") {
+    import spark.implicits._
+    // 5 identical strings: every signature bucket has 5 members
+    val docs = (1L to 5L).map(i => (i, "same same same")).toDF("id", "s")
+    Dedup.editDistanceJoin(docs, "id", "s", maxDist = 1).count() shouldBe 10 // all pairs
+    Dedup.editDistanceJoin(docs, "id", "s", maxDist = 1, maxBucket = 4).count() shouldBe 0
+  }
 }
