@@ -889,6 +889,52 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Event-time RANGE-frame rolling aggregate: per user, the trailing
+    * 7-day purchase revenue and count at every purchase — the frame is
+    * a TIME RANGE (all rows within 7 days), not a row count, so
+    * burst-y users and quiet users get the same temporal semantics.
+    * One key shuffle; the frame bound is per-row O(1) amortized (the
+    * window slides forward). Revenue in exact integer cents; the frame
+    * ordering key is epoch seconds on both engines.
+    */
+  def evRolling(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        // whole-second frame key from exact integer micros (floor —
+        // DuckDB's epoch()::BIGINT ROUNDS fractional seconds, so the
+        // oracle uses the same micros floor-division spelling)
+        expr("unix_micros(ts) div 1000000").as("__sec"),
+        round(col("value") * 100).cast("long").as("__c"))
+    val w = Window.partitionBy("user_id").orderBy(col("__sec"))
+      .rangeBetween(-7L * 86400L, 0L)
+    p.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        count(lit(1)).over(w).as("n_7d"),
+        (sum(col("__c")).over(w) / 100.0).as("rev_7d"))
+      .orderBy("event_id")
+  }
+
+  /** Explicit GROUPING SETS (the general form rollup/cube specialize):
+    * three chosen granularities of the order aggregate — (status,
+    * priority), (status), () — in ONE pass via Expand, with
+    * grouping_id disambiguating the null-vs-missing-dimension cases.
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.createOrReplaceTempView("__gs_orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  cast(grouping(o_orderstatus) AS int) AS g_status,
+        |  cast(grouping(o_orderpriority) AS int) AS g_prio,
+        |  count(*) AS n_orders,
+        |  sum(cast(round(o_totalprice * 100) AS bigint)) / 100.0D AS revenue
+        |FROM __gs_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -925,7 +971,9 @@ object Relational {
     q("q_scd2_inc")(qScd2Inc),
     q("ev_attribution")(evAttribution),
     q("ev_rfm")(evRfm),
-    q("ev_mad")(evMad)
+    q("ev_mad")(evMad),
+    q("ev_rolling")(evRolling),
+    q("q_grouping_sets")(qGroupingSets)
   )
 
   /** The SCD2 dimension expressed in SQL, shared by both oracle entries:
@@ -1011,6 +1059,32 @@ object Relational {
          |FROM p ASOF LEFT JOIN dim d
          |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
          |ORDER BY p.event_id""".stripMargin,
+    // identical RANGE frame over identical epoch-second ordering;
+    // revenue summed in exact integer cents inside the frame
+    "ev_rolling" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) // 1000000 AS sec,
+        |    round(value * 100)::BIGINT AS c
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND user_id IS NOT NULL AND ts IS NOT NULL)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w AS n_7d,
+        |  sum(c) OVER w / 100.0 AS rev_7d
+        |FROM p
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // same three granularities; DuckDB GROUPING SETS + GROUPING()
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus)::INT AS g_status,
+        |  grouping(o_orderpriority)::INT AS g_prio,
+        |  count(*)::BIGINT AS n_orders,
+        |  sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
     // the identical two-stage median construction and the identical
     // unrounded decision rule (3 · 1.4826 · mad), rounded only on output
     "ev_mad" ->
