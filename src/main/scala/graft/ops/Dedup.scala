@@ -276,6 +276,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Generic Hamming near-dup pairs over ANY 64-bit signature column
+    * (SimHash, perceptual image hashes, audio fingerprints): pigeonhole
+    * banding — split the word into `pieces` chunks; hamming ≤ maxDist <
+    * pieces forces ≥ 1 shared (position, chunk) — then the exact
+    * popcount verify. One shuffle: (position, chunk) buckets collect
+    * (id, hash) members and emit within-bucket pairs, the
+    * editDistanceJoin shape (hashes ride along, so the verify needs no
+    * re-join). `maxBucket` caps hot buckets with the usual exactness
+    * trade (a signature shared by m docs is m² pairs — real duplicate
+    * mass; cap only when over-cap buckets are acceptable losses).
+    */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   maxDist: Int, pieces: Int = 8,
+                   maxBucket: Int = 0): DataFrame = {
+    require(pieces >= 2 && 64 % pieces == 0, "pieces must divide 64")
+    require(maxDist >= 0 && maxDist < pieces,
+      "pigeonhole banding needs maxDist < pieces")
+    val width = 64 / pieces
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val posts = df
+      .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"))
+      .filter(col("__h").isNotNull)
+      .select(col("__id"), col("__h"), posexplode(expr(
+        s"transform(sequence(0, ${pieces - 1}), " +
+          s"j -> shiftright(__h, cast(j * $width AS int)) & ${mask}L)"))
+        .as(Seq("__p", "__k")))
+    val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
+    posts.groupBy("__p", "__k")
+      .agg(collect_list(struct(col("__id"), col("__h"))).as("__m"))
+      .filter(size(col("__m")) >= 2 && size(col("__m")) <= cap)
+      .select(explode(col("__m")).as("__a"), col("__m"))
+      .select(col("__a"), explode(col("__m")).as("__b"))
+      .filter(col("__a.__id") < col("__b.__id"))
+      .select(col("__a.__id").as("id_a"), col("__b.__id").as("id_b"),
+        bit_count(col("__a.__h").bitwiseXOR(col("__b.__h"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   // ------------------------------------------------------------ simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each

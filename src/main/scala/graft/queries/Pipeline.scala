@@ -1703,8 +1703,28 @@ object Pipeline {
     "ann_probe_xty" -> annProbeXty _,
     "dd_editdist" -> ddEditdist _,
     "src_invidx" -> srcInvidx _,
-    "src_timetravel_cdf" -> srcTimetravelCdf _
+    "src_timetravel_cdf" -> srcTimetravelCdf _,
+    "mm_phash" -> mmPhash _
   )
+
+  /** Image near-dup via perceptual hash: REAL PNG decode → aHash
+    * ([[graft.ops.Multimodal.imagePhash]]) → pigeonhole-banded Hamming
+    * pairs ([[graft.ops.Dedup.hammingPairs]], dist ≤ 2 over 8 bands).
+    * The synthetic frames are deterministic arithmetic, so the oracle
+    * replays hash bits AND the full pair set in SQL — the whole
+    * decode→fingerprint→bucket→verify image-dedup pipeline certified
+    * end to end. Images below 30 samples are excluded (a tiny frame's
+    * hash has too few bits to mean anything — the resample-to-8×8
+    * production path has no such floor).
+    */
+  def mmPhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+      .filter((lit(1) + col("doc_id") % 8) * (lit(1) + col("doc_id") % 5) >= 30)
+    val media = graft.ops.Multimodal.synthesizePngs(s, docs, "doc_id")
+    val hashed = graft.ops.Multimodal.imagePhash(s, media, "doc_id")
+    graft.ops.Dedup.hammingPairs(hashed, "doc_id", "phash", maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
 
   private val invidxReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2179,6 +2199,29 @@ object Pipeline {
         |  round(sum(y * v[i]), 6) + 0.0 AS xty_r,
         |  round(sum(v[i]), 6) + 0.0 AS sv_r
         |FROM e, ix GROUP BY i ORDER BY i""".stripMargin,
+    // the PNG synthesis formula → aHash bits → banded Hamming pairs,
+    // replayed arithmetically end to end (PNG decode is lossless)
+    "mm_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id, (1 + doc_id % 8)::INT AS w, (1 + doc_id % 5)::INT AS h
+        |  FROM documents
+        |  WHERE (1 + doc_id % 8) * (1 + doc_id % 5) >= 30),
+        |px AS (SELECT doc_id, w, h,
+        |         [(doc_id * 31 + i) % 256 for i in range(0, (w * h)::INT)] AS pix
+        |       FROM d),
+        |hs AS (SELECT doc_id, w * h AS n,
+        |         list_sum(pix) / (w * h) AS mean, pix
+        |       FROM px),
+        |hb AS (SELECT doc_id,
+        |         list_sum([CASE WHEN pix[i + 1] > mean THEN (1::BIGINT << i)
+        |                        ELSE 0 END
+        |                   for i in range(0, n::INT)])::BIGINT AS ph
+        |       FROM hs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.ph, b.ph))::INT AS dist
+        |FROM hb a JOIN hb b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.ph, b.ph)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // the index lookup must equal the full-scan tokenize-and-filter
     "src_invidx" ->
       """SELECT doc_id, 2::BIGINT AS n_terms FROM documents

@@ -293,6 +293,31 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     cc2(300L) shouldBe 300L
   }
 
+  test("hammingPairs == brute-force popcount pairs (pigeonhole complete for dist < pieces)") {
+    import spark.implicits._
+    // deterministic 64-bit signatures with planted near-collisions
+    val sigs = (0L until 200L).map { i =>
+      val base = i % 7 match {
+        case 0 => 0x0123456789abcdefL
+        case 1 => 0x0123456789abcdeeL // dist 1 from case 0
+        case 2 => 0x0123456789abcdccL // dist ~3
+        case _ => i * 0x9E3779B97F4A7C15L // scattered
+      }
+      (i, base)
+    }
+    val df = sigs.toDF("id", "h")
+    val got = Dedup.hammingPairs(df, "id", "h", maxDist = 3, pieces = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+    got shouldBe expected
+    expected should not be empty
+  }
+
   test("editDistanceJoin finds exactly the pairs a local levenshtein replay finds") {
     import spark.implicits._
     val docs = Seq(
