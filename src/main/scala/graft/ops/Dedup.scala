@@ -230,12 +230,14 @@ object Dedup {
     * strings that really are within-k collide. The trade is write-side
     * fan-out — 1 + n + n(n−1)/2 signatures per string for k=2 — which
     * is why the operator runs on bounded keys (titles, normalized
-    * prefixes), the SymSpell deployment shape. A corpus of IDENTICAL
-    * strings still pairs quadratically, but then the OUTPUT is
-    * quadratic; run [[exact]] first, as with every near-dup path.
+    * prefixes), the SymSpell deployment shape. IDENTICAL strings are
+    * collapsed before any signature work (see below), so duplicate
+    * mass costs output size, never bucket blowup.
     *
-    * `maxBucket` caps residual hot signatures (exactness trade as
-    * usual, default off — this IS the ground-truth operator).
+    * `maxBucket` caps residual hot signature buckets — counted in
+    * DISTINCT strings — with the exactness trade as usual (default
+    * off — this IS the ground-truth operator; exact-dup pairs are
+    * always found regardless of the cap).
     */
   def editDistanceJoin(
       df: DataFrame, idCol: String, strCol: String,
@@ -243,37 +245,65 @@ object Dedup {
       maxBucket: Int = 0): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       "editDistanceJoin: maxDist must be 1 or 2 (deletion-neighborhood size)")
-    val base = df
+    // EXACT-DUP COLLAPSE FIRST: identical strings (boilerplate, mirror
+    // crawls) would otherwise multiply every signature bucket — a
+    // 2,000-copy prefix is 2,000 members in all ~800 of its buckets
+    // (measured 118 s on the adversarial-skew corpus). Collapsed, the
+    // expensive stages (neighborhood signatures, bucket join, verify)
+    // run over DISTINCT strings only; the id groups expand back at
+    // output, where the pair count is the answer's own size.
+    // materialized once (localCheckpoint): four consumers — the
+    // within-group expansion, the signature postings and both candidate
+    // string joins — would otherwise each replay the collapse shuffle
+    val groups = df
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull && length(col("__s")) >= minLen)
-    // ids-only postings: the signature shuffle carries 2 longs per row,
-    // never the strings — candidate ids re-acquire their strings later
-    // via a broadcast of the (tiny) candidate set against the base scan
-    val posts = base.select(col("__id"),
+      .groupBy("__s").agg(collect_list(col("__id")).as("__ids"))
+      .withColumn("__gid", array_min(col("__ids")))
+      .localCheckpoint()
+    // identical strings are dist-0 pairs by definition
+    val within = groups.filter(size(col("__ids")) >= 2)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    // gid-only postings: the signature shuffle carries 2 longs per row,
+    // never the strings; ONE shuffle groups by signature and emits
+    // within-bucket group pairs (a self-join would recompute the whole
+    // neighborhood expansion per side)
+    val posts = groups.select(col("__gid"),
       explode(array_distinct(graft.functions.FunctionDefs.call(
         "delete_variant_hashes", col("__s"), lit(maxDist)))).as("__sig"))
-    // ONE shuffle: group postings by signature and emit within-bucket
-    // pairs from the collected member list — the signature computation
-    // runs once (a self-join would recompute the whole neighborhood
-    // expansion for each side). Buckets track true near-dup
-    // multiplicity, so the collected lists are small by construction.
     val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
-    val pairs = posts.groupBy("__sig")
-      .agg(collect_list(col("__id")).as("__m"))
+    // the signature aggregate sees len²/2 × strings rows, nearly all
+    // singleton groups — size its partitioning to the POSTING count,
+    // not the session default (38M rows into 32 partitions spills every
+    // hash map; 8× partitions measured 71 → 29 s at sf1). AQE can
+    // coalesce small post-shuffle partitions but never split a
+    // pre-aggregation map that is already too big.
+    val sigParts = math.max(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt * 8, 64)
+    val gidPairs = posts.repartition(sigParts, col("__sig")).groupBy("__sig")
+      .agg(collect_list(col("__gid")).as("__m"))
       .filter(size(col("__m")) >= 2 && size(col("__m")) <= cap)
-      .select(explode(col("__m")).as("id_a"), col("__m"))
-      .select(col("id_a"), explode(col("__m")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    // (the |len(a)−len(b)| ≤ k band is implied by levenshtein ≤ k —
-    // no separate prefilter needed once strings are only fetched for
-    // the surviving candidate pairs)
-    pairs
-      .join(base.select(col("__id").as("id_a"), col("__s").as("__sa")), "id_a")
-      .join(base.select(col("__id").as("id_b"), col("__s").as("__sb")), "id_b")
+      .select(explode(col("__m")).as("__ga"), col("__m"))
+      .select(col("__ga"), explode(col("__m")).as("__gb"))
+      .filter(col("__ga") < col("__gb"))
+      .select("__ga", "__gb").distinct()
+    // strings + member lists re-acquired only for surviving candidates
+    val sides = groups.select(col("__gid"), col("__s"), col("__ids"))
+    val cross = gidPairs
+      .join(sides.select(col("__gid").as("__ga"), col("__s").as("__sa"),
+        col("__ids").as("__ia")), "__ga")
+      .join(sides.select(col("__gid").as("__gb"), col("__s").as("__sb"),
+        col("__ids").as("__ib")), "__gb")
       .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .filter(col("dist") <= maxDist) // distinct strings ⇒ dist ≥ 1
+      .select(explode(col("__ia")).as("__a"), col("__ib"), col("dist"))
+      .select(col("__a"), explode(col("__ib")).as("__b"), col("dist"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"), col("dist"))
+    within.unionByName(cross)
   }
 
   /** Generic Hamming near-dup pairs over ANY 64-bit signature column

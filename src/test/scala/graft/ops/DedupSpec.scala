@@ -350,11 +350,28 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got.map(p => (p._1, p._2)) should not contain ((1L, 4L)) // ed 3 excluded
   }
 
-  test("editDistanceJoin maxBucket drops over-cap signature buckets (documented exactness trade)") {
+  test("identical strings collapse before signature work but still pair exhaustively") {
     import spark.implicits._
-    // 5 identical strings: every signature bucket has 5 members
+    // 5 identical strings: dist-0 pairs come from the exact-dup
+    // collapse, immune to any signature-bucket cap
     val docs = (1L to 5L).map(i => (i, "same same same")).toDF("id", "s")
-    Dedup.editDistanceJoin(docs, "id", "s", maxDist = 1).count() shouldBe 10 // all pairs
-    Dedup.editDistanceJoin(docs, "id", "s", maxDist = 1, maxBucket = 4).count() shouldBe 0
+    Dedup.editDistanceJoin(docs, "id", "s", maxDist = 1).count() shouldBe 10
+    Dedup.editDistanceJoin(docs, "id", "s", maxDist = 1, maxBucket = 1).count() shouldBe 10
+    // and cross-group pairs expand over BOTH dup groups' members
+    val two = Seq((1L, "aaaa aaaa"), (2L, "aaaa aaaa"),
+      (3L, "aaaa aaab"), (4L, "aaaa aaab")).toDF("id", "s")
+    val got = Dedup.editDistanceJoin(two, "id", "s", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    got shouldBe Set((1L, 2L, 0), (3L, 4L, 0),
+      (1L, 3L, 1), (1L, 4L, 1), (2L, 3L, 1), (2L, 4L, 1))
+  }
+
+  test("editDistanceJoin maxBucket drops over-cap DISTINCT-string buckets (documented trade)") {
+    import spark.implicits._
+    // 5 distinct strings pairwise within dist 2 (last char varies) —
+    // they share the delete-last-char variant, one bucket of 5 groups
+    val docs = (0L until 5L).map(i => (i, s"abcdefgh$i")).toDF("id", "s")
+    Dedup.editDistanceJoin(docs, "id", "s", maxDist = 2).count() shouldBe 10
+    Dedup.editDistanceJoin(docs, "id", "s", maxDist = 2, maxBucket = 4).count() shouldBe 0
   }
 }
