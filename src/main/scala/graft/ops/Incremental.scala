@@ -31,4 +31,30 @@ object Incremental {
       .agg(sum(col(valueCols.head)).as(valueCols.head),
         valueCols.tail.map(c => sum(col(c)).as(c)).toIndexedSeq: _*)
   }
+
+  /** Incremental maintenance of an inner equi-JOIN view under
+    * insert-only deltas — the other half of view maintenance (joins,
+    * not aggregates). Algebra: (A∪ΔA) ⋈ (B∪ΔB) =
+    * V_old ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ B_new) — exact, each view row
+    * produced exactly once.
+    *
+    * Scale shape: V_old is NEVER recomputed; the two delta joins
+    * broadcast the (CDC-small) deltas, so refresh cost is two
+    * one-scan-with-hash-probe passes over the base tables plus the
+    * delta sizes — independent of the view's history, the same trade
+    * as [[MergeInto]]. Updates/deletes route through
+    * [[MergeInto.applyChanges]] on the bases first, then a key-scoped
+    * rebuild (delete-and-reinsert of affected keys), the standard
+    * DBToaster-style decomposition.
+    */
+  def refreshJoin(viewOld: DataFrame,
+                  aOld: DataFrame, deltaA: DataFrame,
+                  bOld: DataFrame, deltaB: DataFrame,
+                  keys: Seq[String]): DataFrame = {
+    val bNew = bOld.unionByName(deltaB)
+    viewOld
+      .unionByName(aOld.join(broadcast(deltaB), keys))
+      .unionByName(broadcast(deltaA).join(bNew, keys)
+        .select(viewOld.columns.map(col).toIndexedSeq: _*))
+  }
 }

@@ -935,6 +935,31 @@ object Relational {
         |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
   }
 
+  /** Incremental JOIN-view maintenance ([[graft.ops.Incremental
+    * .refreshJoin]]): the orders⋈customer view refreshed with an order
+    * delta AND a customer delta — V_old never recomputed, both delta
+    * joins broadcast. The oracle is the full join over the complete
+    * tables: maintenance must be invisible, row for row.
+    */
+  def qMvJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      cents(col("o_totalprice")).as("__c"))
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey").as("custkey"), col("c_mktsegment"))
+    val aOld = o.filter(col("o_orderkey") % 10 =!= 4)
+    val deltaA = o.filter(col("o_orderkey") % 10 === 4)
+    val bOld = c.filter(col("custkey") % 20 =!= 3)
+    val deltaB = c.filter(col("custkey") % 20 === 3)
+    val viewOld = aOld.join(bOld, Seq("custkey"))
+    graft.ops.Incremental.refreshJoin(
+        viewOld, aOld, deltaA, bOld, deltaB, Seq("custkey"))
+      .select(col("o_orderkey"), col("custkey"),
+        col("c_mktsegment").as("segment"),
+        (col("__c") / 100.0).as("revenue"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     q("q1_agg")(q1Agg),
     q("q3_shipping")(q3Shipping),
@@ -973,7 +998,8 @@ object Relational {
     q("ev_rfm")(evRfm),
     q("ev_mad")(evMad),
     q("ev_rolling")(evRolling),
-    q("q_grouping_sets")(qGroupingSets)
+    q("q_grouping_sets")(qGroupingSets),
+    q("q_mv_join")(qMvJoin)
   )
 
   /** The SCD2 dimension expressed in SQL, shared by both oracle entries:
@@ -1059,6 +1085,13 @@ object Relational {
          |FROM p ASOF LEFT JOIN dim d
          |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
          |ORDER BY p.event_id""".stripMargin,
+    // refresh must be invisible: the oracle is the straight full join
+    "q_mv_join" ->
+      """SELECT o.o_orderkey, o.o_custkey AS custkey,
+        |  c.c_mktsegment AS segment,
+        |  round(o.o_totalprice * 100)::BIGINT / 100.0 AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     // identical RANGE frame over identical epoch-second ordering;
     // revenue summed in exact integer cents inside the frame
     "ev_rolling" ->

@@ -395,6 +395,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     asof shouldBe streamed
   }
 
+  test("streaming SCD2 emits exactly the batch build's CLOSED versions, state carries the open one") {
+    val spark0 = spark
+    import spark0.implicits._
+    def ob(m: Long, id: Long, key: Long, attr: String) =
+      ScdStream.Obs(key, new Timestamp(1700000000000L + m * 60000L), id, attr)
+    val feed = Seq(
+      ob(0, 1, 1, "a"), ob(5, 2, 1, "a"),   // absorb
+      ob(10, 3, 1, "b"),                     // closes v1
+      ob(12, 4, 2, "x"),
+      // trigger split here — state must carry across
+      ob(20, 5, 1, "b"),                     // absorb across batches
+      ob(30, 6, 1, "c"),                     // closes v2
+      ob(35, 7, 2, "y"))                     // closes key 2's v1
+    val input = MemoryStream[ScdStream.Obs](spark)
+    val q = ScdStream.closedVersions(input.toDF())
+      .writeStream.format("memory").queryName("scd_out").outputMode("append").start()
+    val streamed =
+      try {
+        input.addData(feed.take(4)); q.processAllAvailable()
+        input.addData(feed.drop(4)); q.processAllAvailable()
+        spark.table("scd_out").orderBy("key", "version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(4))).toSeq
+      } finally q.stop()
+    streamed shouldBe Seq((1L, "a", 1), (1L, "b", 2), (2L, "x", 1))
+    // the batch mode of the SAME transformation emits the same closed set
+    val batched = ScdStream.closedVersions(feed.toDF()).orderBy("key", "version")
+      .collect().map(c => (c.key, c.attr, c.version)).toSeq
+    batched shouldBe streamed
+    // and the closed set matches the oracle-verified window build's
+    // non-current rows exactly (interval bounds included)
+    val dim = graft.ops.Scd.buildType2(
+      feed.toDF().withColumnRenamed("key", "k"), "k", "ts", Seq("attr"), "tie")
+    val closedBatch = dim.filter(!col("is_current"))
+      .select(col("k"), col("attr"), col("valid_from"), col("valid_to"), col("version"))
+      .orderBy("k", "version").collect().map(_.toSeq).toSeq
+    val closedStream = ScdStream.closedVersions(feed.toDF())
+      .toDF().select(col("key"), col("attr"), col("valid_from"), col("valid_to"),
+        col("version")).orderBy("key", "version").collect().map(_.toSeq).toSeq
+    closedStream shouldBe closedBatch
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     val spark0 = spark
     import spark0.implicits._
