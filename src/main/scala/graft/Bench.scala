@@ -107,7 +107,8 @@ object Bench {
       "q_profile", "q_diff", "src_dpp", "tx_threshold", "dd_overlap",
       "q_dq", "tx_entropy",
       "ann_ivf_layout", "ann_pq_layout", "src_zorder", "src_csv", "sp_geos",
-      "q_scd2_pit", "src_timetravel")
+      "q_scd2_pit", "src_timetravel", "dd_editdist", "mm_phash", "ann_probe",
+      "ev_rfm", "q_mv_join")
     val byName = results.map { case (k, v, ok) => k -> (if (ok) v else -1.0) }.toMap
     val qsCompact = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")

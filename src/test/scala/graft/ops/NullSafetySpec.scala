@@ -191,4 +191,35 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
     Multimodal.sampleFrames(spark, media, "doc_id", frameBytes = 2, stride = 1)
       .count() shouldBe 1L
   }
+
+  test("round-8 ops tolerate null text/keys/hashes and empty inputs") {
+    import spark.implicits._
+    // edit-distance join: null + short strings filtered, never thrown
+    noException should be thrownBy
+      Dedup.editDistanceJoin(dirty, "id", "text", maxDist = 2).collect()
+    Dedup.editDistanceJoin(dirty, "id", "text", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) shouldBe Array((1L, 5L))
+    // empty input → empty output, no aggregation failure
+    Dedup.editDistanceJoin(docs(), "id", "text", maxDist = 1).count() shouldBe 0
+    // hamming pairs: null hashes drop
+    val sigs = Seq((1L, Some(5L)), (2L, Some(5L)), (3L, None))
+      .toDF("id", "h")
+    Dedup.hammingPairs(sigs, "id", "h", maxDist = 1).count() shouldBe 1
+    // SCD2: null attrs collapse null-safely (covered in ScdSpec); null
+    // timestamps in the PIT probe keep left rows with null payload
+    val dim = Scd.buildType2(
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "a"))
+        .toDF("k", "t", "id", "attr"), "k", "t", Seq("attr"), "id")
+    val facts = Seq(
+      (10L, 1L, Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))),
+      (11L, 1L, None)).toDF("fid", "k", "t")
+    val pit = Scd.pointInTime(facts, "t", dim, "k", Seq("attr"))
+      .orderBy("fid").collect().map(r => Option(r.getAs[String]("attr")))
+    pit shouldBe Array(Some("a"), None)
+    // probes: null features excluded (ProbeSpec); empty corpus refuses
+    // loudly rather than emitting NaN coefficients
+    an[Exception] should be thrownBy
+      Probe.ridgeFit(Seq.empty[(Array[Float], Double)].toDF("v", "y"),
+        "v", col("y"), lambda = 1.0)
+  }
 }
