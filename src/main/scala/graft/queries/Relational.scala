@@ -819,8 +819,12 @@ object Relational {
     * cutpoint sets are ONE exact-percentile aggregate over the (already
     * user-sized) rollup, and segmenting is a broadcast of that 1-row
     * cutpoint frame back over the rollup — at 100 TB no ntile-style
-    * single-partition window ever appears. Monetary sums in exact
-    * integer cents; recency in whole days against the corpus max ts.
+    * single-partition window ever appears. The exact `percentile`
+    * buffers the rollup's values (fine at user-table scale here and
+    * what the oracle mirrors); at billions of users swap in
+    * approx_percentile — the cutpoint-broadcast shape is unchanged.
+    * Monetary sums in exact integer cents; recency in whole days
+    * against the corpus max ts.
     * Quartile rule: q = 1 + (x > p25) + (x > p50) + (x > p75), mirrored
     * verbatim (percentile ↔ quantile_cont is the proven q_median pair).
     */

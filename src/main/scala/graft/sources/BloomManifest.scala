@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{FunctionDefs, GeomImpl}
+import graft.functions.FunctionDefs
 
 /** Per-file Bloom-filter manifest + driver-side file skipping for point
   * lookups on a column the layout is NOT clustered by — the Delta/Iceberg
@@ -21,8 +21,8 @@ import graft.functions.{FunctionDefs, GeomImpl}
   *
   * Read side: hash the probe values (a tiny local job so build and
   * probe share Spark's own xxhash64 — no reimplementation to drift),
-  * test every (file, probe) pair against the manifest ON THE DRIVER,
-  * and hand the scan only files where some probe MIGHT be present. A
+  * evaluate membership INSIDE the manifest scan, and hand the data
+  * scan only files where some probe MIGHT be present. A
   * Bloom "no" is definitive, so skipped files provably hold no matches;
   * the exact `IN` filter is re-applied to survivors, so false positives
   * cost only bytes read, never wrong rows — pruning is a performance
@@ -60,21 +60,27 @@ object BloomManifest {
   def manifest(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/_bloom")
 
-  /** The files whose bloom admits AT LEAST ONE of the probe values —
-    * a driver-side loop over file-count-sized metadata. Probe hashes
-    * come from a one-row-per-value local Spark job so the hash function
-    * is BY CONSTRUCTION the same xxhash64 the write side aggregated.
+  /** The files whose bloom admits AT LEAST ONE of the probe values.
+    * Membership runs INSIDE the manifest scan (the native
+    * `bloom_contains` expression), so the driver receives only the
+    * surviving file NAMES — never the filter blobs. At a million files
+    * × 8 KB blooms that is the difference between collecting 8 GB of
+    * bitsets and collecting a file list; the manifest scan itself is
+    * a (distributable) metadata read, like a format's manifest
+    * evaluation. Probe hashes come from a one-row-per-value local job
+    * so the hash function is BY CONSTRUCTION the same xxhash64 the
+    * write side aggregated.
     */
   def candidateFiles(s: SparkSession, path: String, probes: Seq[String]): Array[String] = {
     import s.implicits._
     val hashes: Array[Long] = probes.toDF("v")
       .select(xxhash64(col("v"))).as[Long].collect()
-    manifest(s, path)
-      .select("file", "bloom", "num_hashes").collect()
-      .collect { case r if hashes.exists(h =>
-          GeomImpl.bloomContains(r.getAs[Array[Byte]]("bloom"), h, r.getInt(2))) =>
-        r.getString(0)
-      }
+    if (hashes.isEmpty) return Array.empty
+    val admits = hashes.map(h => FunctionDefs.call("bloom_contains",
+        col("bloom"), lit(h), col("num_hashes")))
+      .reduce(_ || _)
+    manifest(s, path).filter(admits)
+      .select("file").collect().map(_.getString(0))
   }
 
   /** Point-lookup read: scan only the bloom-admitted files and re-apply
