@@ -565,6 +565,14 @@ object GeomImpl {
   def deleteVariantHashes(t: UTF8String, k: Int): ArrayData = {
     val s = t.toString
     val n = s.length
+    // the neighborhood is O(n²) signatures per row: a raw document
+    // would emit millions of longs (and n²/2 overflows Int past 64k
+    // chars). The operator contract is BOUNDED keys — fail loudly with
+    // the remedy instead of OOMing the executor.
+    require(n <= 1024,
+      s"delete_variant_hashes: key length $n exceeds 1024 chars — " +
+        "edit-distance joins run on bounded keys (titles, normalized " +
+        "prefixes); substring/normalize the column first")
     val B = 1000003L
     // p(i) = hash of prefix s[0,i); pow(i) = B^i (mod 2^64)
     val p = new Array[Long](n + 1)

@@ -57,10 +57,17 @@ object Probe {
       (col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12"))
         - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
         + col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))).as("det2"))
+    // collinear/constant features make det = 0 — fail loudly instead of
+    // emitting null coefficients that surface as a baffling mismatch
+    // three stages later (ridgeFit's 'singular system' contract)
+    val detSafe = when(col("det") =!= 0.0, col("det"))
+      .otherwise(raise_error(lit(
+        "ols2: singular normal equations (collinear or constant features)"))
+        .cast("double"))
     val withB = withDets.select(col("*"),
-      (col("det0") / col("det")).as("b0"),
-      (col("det1") / col("det")).as("b1"),
-      (col("det2") / col("det")).as("b2"))
+      (col("det0") / detSafe).as("b0"),
+      (col("det1") / detSafe).as("b1"),
+      (col("det2") / detSafe).as("b2"))
     val withFit = withB.select(col("*"),
       (col("syy") - (col("b0") * col("sy") + col("b1") * col("s1y")
         + col("b2") * col("s2y"))).as("sse"),

@@ -60,13 +60,27 @@ object Scd {
   /** Resolve each fact against the dimension version current at the
     * fact's timestamp (null attributes when the fact predates the
     * key's first version). Facts keep all their columns.
+    *
+    * Same-instant versions: two observations at the SAME (key, ts)
+    * with different attributes produce a zero-length interval [T, T)
+    * plus its successor — only the successor is ever current at or
+    * after T, but the underlying as-of's tie among equal right
+    * timestamps is unspecified. The dimension is therefore collapsed
+    * to the HIGHEST version per (key, valid_from) before the as-of
+    * (map-side max(struct) argmax, the evAttribution tie treatment) —
+    * deterministic and exactly the contiguous-interval semantics.
     */
   def pointInTime(facts: DataFrame, factTs: String, dim: DataFrame,
-                  keyCol: String, attrCols: Seq[String]): DataFrame =
-    AsofJoin.asof(
-      facts, factTs,
-      dim.select((keyCol +: "valid_from" +: attrCols).map(col): _*),
-      "valid_from", Seq(keyCol))
+                  keyCol: String, attrCols: Seq[String]): DataFrame = {
+    require(dim.columns.contains("version"),
+      "pointInTime expects a buildType2-shaped dimension (version column)")
+    val surviving = dim
+      .groupBy(col(keyCol), col("valid_from"))
+      .agg(max(struct(col("version") +: attrCols.map(col): _*)).as("__v"))
+      .select(col(keyCol) +: col("valid_from") +:
+        attrCols.map(c => col(s"__v.$c").as(c)): _*)
+    AsofJoin.asof(facts, factTs, surviving, "valid_from", Seq(keyCol))
+  }
 
   /** Incremental SCD2 maintenance: fold a NEW batch of observations
     * into an existing Type-2 dimension without re-windowing history —
@@ -83,10 +97,13 @@ object Scd {
     * shuffles batch-sized data only.
     *
     * Precondition (append-only feed): every new observation's
-    * timestamp must be ≥ its key's current valid_from. Late data that
-    * lands BEFORE the current version would require reopening closed
-    * versions — route those keys through a full per-key rebuild
-    * instead.
+    * timestamp must be STRICTLY greater than its key's current
+    * valid_from — the seed re-enters the window with the lowest
+    * tiebreaker, so a batch row at exactly the current valid_from
+    * would sort after the seed here but possibly before the opening
+    * observation in a full rebuild (the original tiebreakers are not
+    * retained in the dimension). Late data at or before the current
+    * version's start needs the full per-key rebuild path.
     */
   def applyIncrement(dim: DataFrame, obs: DataFrame, keyCol: String,
                      tsCol: String, attrCols: Seq[String],

@@ -1754,12 +1754,15 @@ object Pipeline {
   def srcTimetravelCdf(s: SparkSession, dir: String): DataFrame = {
     srcTimetravel(s, dir).count() // ensure the versioned fixture exists
     val path = timetravelReady.get(dir)
-    // null-safe digest (sentinel for null text) so row_hash is null
-    // exactly when the key is ABSENT from the snapshot
+    // null-safe digest: the null FLAG rides alongside the value digest
+    // (a bare sentinel would collide with a real text equal to it), so
+    // row_hash is null exactly when the key is ABSENT and never equal
+    // across a value-to-null change
     def hashed(v: Int) =
       graft.sources.TimeTravel.readVersion(s, path, v)
         .select(col("doc_id"),
-          md5(coalesce(col("text"), lit(" null"))).as("row_hash"))
+          concat(md5(coalesce(col("text"), lit(""))),
+            col("text").isNull.cast("string")).as("row_hash"))
     hashed(0).as("a").join(hashed(2).as("b"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("a.row_hash").isNull, "added")
@@ -1771,10 +1774,11 @@ object Pipeline {
   }
 
   /** Exact Levenshtein-≤2 join over 40-char document prefixes
-    * ([[graft.ops.Dedup.editDistanceJoin]]): q-gram count filtering
-    * prunes candidates (necessary condition — pruning can't lose a
-    * pair), exact levenshtein verifies. The oracle is the plain
-    * all-pairs formulation with the same length precondition.
+    * ([[graft.ops.Dedup.editDistanceJoin]]): SymSpell deletion-
+    * neighborhood signatures generate candidates (a necessary
+    * condition — pruning can't lose a pair), exact levenshtein
+    * verifies. The oracle is the plain all-pairs formulation with the
+    * same length precondition.
     */
   def ddEditdist(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.editDistanceJoin(
@@ -2239,8 +2243,8 @@ object Pipeline {
         |UNION ALL
         |SELECT doc_id, 'removed' FROM documents WHERE doc_id % 10 = 0
         |ORDER BY change, doc_id""".stripMargin,
-    // pruning (q-gram count filter) must be invisible — the oracle is
-    // the all-pairs edit-distance join with the same length filter
+    // pruning (deletion-neighborhood signatures) must be invisible —
+    // the oracle is the all-pairs edit-distance join, same length filter
     "dd_editdist" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents
         |           WHERE text IS NOT NULL AND length(substr(text, 1, 40)) >= 30)

@@ -865,10 +865,13 @@ object Relational {
     * median(|value − med|), outlier ⇔ |value − med| > 3·1.4826·mad
     * (the Gaussian-consistent robust z-score — immune to the very
     * outliers a mean/stddev rule would absorb, the evAnomaly
-    * complement). Shape: two broadcast-back passes (the per-type
-    * stats tables are |types| rows); the stream itself never windows
-    * or re-shuffles. Exact medians here mirror the oracle; at 100 TB
-    * swap percentile→approx_percentile, the decision rule unchanged.
+    * complement). Shape: THREE scans of the stream — med, then mad,
+    * then the flag counts (two-stage medians cannot do fewer without
+    * caching the deviation frame, which at 100 TB costs more than the
+    * rescan) — each with the tiny per-type stats table broadcast back;
+    * the stream itself never windows or re-shuffles. Exact medians
+    * here mirror the oracle; at 100 TB swap
+    * percentile→approx_percentile, the decision rule unchanged.
     */
   def evMad(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)

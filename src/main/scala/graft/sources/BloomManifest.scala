@@ -36,21 +36,34 @@ object BloomManifest {
 
   /** Write `df` into `nFiles` files clustered by `clusterCol` (any
     * convenient layout — the bloom index is what serves the lookups),
-    * plus a `_bloom` manifest of (file, nnz-sized bloom over
-    * xxhash64(lookupCol)).
+    * plus a `_bloom` manifest of (file, bloom over xxhash64(lookupCol)).
+    *
+    * `numBits = 0` (default) sizes the filters from the DATA: ~10 bits
+    * per expected key per file (≈0.8% fp at 5 hashes). A fixed size
+    * silently saturates as the table grows — at 5 bits/key fill the
+    * per-file false-positive rate is ~50% and the skipping contract is
+    * vacuous; auto-sizing keeps fp-rate constant at any scale. The row
+    * count comes from the freshly written footers (metadata-only).
     */
   def write(df: DataFrame, path: String, clusterCol: String,
             lookupCol: String, nFiles: Int,
-            numBits: Int = 1 << 16, numHashes: Int = 5): Unit = {
+            numBits: Int = 0, numHashes: Int = 5): Unit = {
     df.repartitionByRange(nFiles, col(clusterCol))
       .sortWithinPartitions(clusterCol)
       .write.mode("overwrite").parquet(path)
     val s = df.sparkSession
+    val bits =
+      if (numBits > 0) numBits
+      else {
+        val n = s.read.parquet(path).count() // footer-count, no data read
+        val perFile = math.max(1L, (n + nFiles - 1) / nFiles)
+        math.min(1L << 27, math.max(1L << 16, perFile * 10L)).toInt
+      }
     s.read.parquet(path)
       .groupBy(input_file_name().as("file"))
       .agg(FunctionDefs.callAgg("bloom_agg",
         xxhash64(col(lookupCol)),
-        lit(numBits), lit(numHashes)).as("bloom"),
+        lit(bits), lit(numHashes)).as("bloom"),
         count(lit(1)).as("n_rows"))
       .withColumn("num_hashes", lit(numHashes))
       .coalesce(1)

@@ -38,15 +38,23 @@ object Attribution {
 
   private val touchTypes = Set("click", "view")
 
+  /** Exact event-time micros: `getTime` alone is MILLIS and would
+    * silently truncate the feed's sub-millisecond components, making
+    * same-millisecond orderings diverge from the batch as-of (which
+    * compares full-precision timestamps).
+    */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   private def attribute(userId: Long, it: Iterator[Ev],
                         state: GroupState[Touch]): Iterator[Credit] = {
     // touches sort before purchases at the same instant (inclusive as-of)
     val evs = it.toIndexedSeq.sortBy(e =>
-      (e.ts.getTime, if (e.event_type == "purchase") 1 else 0, e.event_id))
+      (micros(e.ts), if (e.event_type == "purchase") 1 else 0, e.event_id))
     var st = state.getOption
     val out = Vector.newBuilder[Credit]
     evs.foreach { e =>
-      val us = e.ts.getTime * 1000L
+      val us = micros(e.ts)
       if (touchTypes(e.event_type)) {
         val newer = st.forall(t =>
           us > t.ts_us || (us == t.ts_us && e.event_id > t.event_id))

@@ -28,24 +28,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object ScdStream {
 
   final case class Obs(key: Long, ts: Timestamp, tie: Long, attr: String)
-  final case class Open(attr: String, from_ms: Long, version: Int)
+  // state keeps the FULL-precision open timestamp — a millis long would
+  // silently truncate sub-millisecond components and emit closed rows
+  // whose valid_from no longer equals the batch build's (or even its
+  // own predecessor's valid_to)
+  final case class Open(attr: String, from: Timestamp, version: Int)
   final case class Closed(key: Long, attr: String, valid_from: Timestamp,
                           valid_to: Timestamp, version: Int)
 
+  /** Exact event-time micros for ordering (`getTime` is millis only). */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   private def advance(key: Long, it: Iterator[Obs],
                       state: GroupState[Open]): Iterator[Closed] = {
-    val obs = it.toIndexedSeq.sortBy(o => (o.ts.getTime, o.tie))
+    val obs = it.toIndexedSeq.sortBy(o => (micros(o.ts), o.tie))
     var cur = state.getOption
     val out = Vector.newBuilder[Closed]
     obs.foreach { o =>
       cur match {
         case Some(c) if c.attr == o.attr => // no change — absorb
         case Some(c) =>
-          out += Closed(key, c.attr, new Timestamp(c.from_ms),
-            o.ts, c.version)
-          cur = Some(Open(o.attr, o.ts.getTime, c.version + 1))
+          out += Closed(key, c.attr, c.from, o.ts, c.version)
+          cur = Some(Open(o.attr, o.ts, c.version + 1))
         case None =>
-          cur = Some(Open(o.attr, o.ts.getTime, 1))
+          cur = Some(Open(o.attr, o.ts, 1))
       }
     }
     cur.foreach(state.update)

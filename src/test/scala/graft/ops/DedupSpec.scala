@@ -366,6 +366,15 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
       (1L, 3L, 1), (1L, 4L, 1), (2L, 3L, 1), (2L, 4L, 1))
   }
 
+  test("editDistanceJoin refuses unbounded keys loudly (no silent executor OOM)") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 2000), (2L, "y" * 2000)).toDF("id", "s")
+    val ex = intercept[Exception] {
+      Dedup.editDistanceJoin(docs, "id", "s", maxDist = 2).collect()
+    }
+    ex.getMessage should include regex "(?i)(1024|bounded keys)"
+  }
+
   test("editDistanceJoin maxBucket drops over-cap DISTINCT-string buckets (documented trade)") {
     import spark.implicits._
     // 5 distinct strings pairwise within dist 2 (last char varies) —

@@ -105,6 +105,24 @@ class ScdSpec extends AnyFunSuite with SparkTestSession with Matchers {
       dim.filter(col("k") === 1L && col("version") <= 2).orderBy("version").collect()
   }
 
+  test("same-instant versions: point-in-time resolves to the SURVIVING (highest) version") {
+    import spark.implicits._
+    // two different attrs at the same microsecond: v1 is a zero-length
+    // interval [T, T), v2 is current from T — a fact at/after T must
+    // see v2 deterministically, never the superseded v1
+    val sameTs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "old"),
+      (1L, ts("2024-01-01 00:00:00"), 2L, "new")
+    ).toDF("k", "t", "id", "attr")
+    val d = Scd.buildType2(sameTs, "k", "t", Seq("attr"), "id")
+    d.count() shouldBe 2 // both versions exist, v1 zero-length
+    val facts = Seq((10L, 1L, ts("2024-01-01 00:00:00")),
+      (11L, 1L, ts("2024-06-01 00:00:00"))).toDF("fid", "k", "t")
+    val got = Scd.pointInTime(facts, "t", d, "k", Seq("attr"))
+      .orderBy("fid").collect().map(_.getAs[String]("attr"))
+    got shouldBe Array("new", "new")
+  }
+
   test("null-safe collapse: a null attribute run collapses like a value run") {
     import spark.implicits._
     val withNulls = Seq(

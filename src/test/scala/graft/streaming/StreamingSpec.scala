@@ -436,6 +436,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     closedStream shouldBe closedBatch
   }
 
+  test("streaming attribution and SCD2 honor MICROSECOND ordering (no millis truncation)") {
+    val spark0 = spark
+    import spark0.implicits._
+    def tsU(us: Long): Timestamp = {
+      val t = new Timestamp(1700000000000L + us / 1000)
+      t.setNanos(((t.getNanos / 1000000) * 1000000) + (us % 1000).toInt * 1000)
+      t
+    }
+    // touch 500µs AFTER the purchase, inside the SAME millisecond: the
+    // purchase must NOT credit it (getTime-based ordering would)
+    val feed = Seq(
+      Attribution.Ev(1L, tsU(100), 1, "click", 0, "early"),
+      Attribution.Ev(1L, tsU(2100), 2, "purchase", 5.0, null),
+      Attribution.Ev(1L, tsU(2600), 3, "click", 0, "late"), // same ms as purchase
+      Attribution.Ev(1L, tsU(9000), 4, "purchase", 7.0, null))
+    val credits = Attribution.lastTouch(feed.toDF())
+      .orderBy("event_id").collect().map(c => (c.event_id, c.channel)).toSeq
+    credits shouldBe Seq((2L, "early"), (4L, "late"))
+    // SCD2: sub-ms observation times must survive into the emitted
+    // intervals exactly (valid_to == successor's valid_from)
+    val obs = Seq(
+      ScdStream.Obs(1L, tsU(700), 1, "a"),
+      ScdStream.Obs(1L, tsU(1300), 2, "b"))
+    val closed = ScdStream.closedVersions(obs.toDF()).collect()
+    closed.length shouldBe 1
+    closed.head.valid_from shouldBe tsU(700)
+    closed.head.valid_to shouldBe tsU(1300)
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     val spark0 = spark
     import spark0.implicits._
