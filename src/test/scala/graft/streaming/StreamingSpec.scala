@@ -465,6 +465,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     closed.head.valid_to shouldBe tsU(1300)
   }
 
+  test("streaming trailing 7-day rollup == the batch RANGE-frame twin on the corpus fixture") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the real events table, purchases only, shaped for the stream
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("cast(round(value * 100) as long)").as("cents"))
+    val batch = graft.queries.Relational.evRolling(spark, sfDir)
+      .select("event_id", "n_7d", "rev_7d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch mode of the streaming transformation
+    val viaState = RollingStream.trailing(purchases).toDF()
+      .select("event_id", "n_7d", "rev_7d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    viaState shouldBe batch
+    // and genuinely streamed across micro-batches (event-time order)
+    val feed = purchases.orderBy("ts", "event_id")
+      .as[RollingStream.P].collect().toSeq
+    val input = MemoryStream[RollingStream.P](spark)
+    val q = RollingStream.trailing(input.toDF())
+      .writeStream.format("memory").queryName("roll_out").outputMode("append").start()
+    val streamed =
+      try {
+        // split on a whole-second boundary: same-second RANGE peers
+        // must land in one micro-batch (the feed-ordering contract)
+        val half = feed.size / 2
+        val splitIdx = (half until feed.size)
+          .find(i => feed(i).ts.getTime / 1000 != feed(i - 1).ts.getTime / 1000)
+          .getOrElse(feed.size)
+        val (h, t) = feed.splitAt(splitIdx)
+        input.addData(h); q.processAllAvailable()
+        if (t.nonEmpty) { input.addData(t); q.processAllAvailable() }
+        spark.table("roll_out").select("event_id", "n_7d", "rev_7d")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally q.stop()
+    streamed shouldBe batch
+  }
+
   test("stream-static join: streaming events enrich against a static dimension") {
     val spark0 = spark
     import spark0.implicits._
