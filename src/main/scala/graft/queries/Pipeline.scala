@@ -1752,8 +1752,7 @@ object Pipeline {
     * the committed changesets exactly.
     */
   def srcTimetravelCdf(s: SparkSession, dir: String): DataFrame = {
-    srcTimetravel(s, dir).count() // ensure the versioned fixture exists
-    val path = timetravelReady.get(dir)
+    val path = timetravelFixture(s, dir)
     // null-safe digest: the null FLAG rides alongside the value digest
     // (a bare sentinel would collide with a real text equal to it), so
     // row_hash is null exactly when the key is ABSENT and never equal
@@ -1881,16 +1880,11 @@ object Pipeline {
 
   private val timetravelReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Snapshot time travel ([[graft.sources.TimeTravel]]): v0 = the
-    * documents table, v1 = a CDC batch (deletes + updates), v2 = an
-    * insert batch. All three snapshots read back through their
-    * manifests CONCURRENTLY — time travel is a manifest choice, not a
-    * data copy (commits rewrite only touched buckets). The oracle
-    * recomputes each version's state from the base table and the
-    * deterministic changesets.
+  /** Build-once versioned fixture shared by src_timetravel and the CDF
+    * entry (the CDF only needs the path, not the summary scans).
     */
-  def srcTimetravel(s: SparkSession, dir: String): DataFrame = {
-    val path = timetravelReady.computeIfAbsent(dir, { d =>
+  private def timetravelFixture(s: SparkSession, dir: String): String =
+    timetravelReady.computeIfAbsent(dir, { d =>
       val p = java.nio.file.Files.createTempDirectory("graft-timetravel").toString + "/docs"
       val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
       graft.sources.TimeTravel.init(base, p, "doc_id", nBuckets = 16)
@@ -1906,6 +1900,17 @@ object Pipeline {
       graft.sources.TimeTravel.commit(s, p, b2, "doc_id", "op", "seq")
       p
     })
+
+  /** Snapshot time travel ([[graft.sources.TimeTravel]]): v0 = the
+    * documents table, v1 = a CDC batch (deletes + updates), v2 = an
+    * insert batch. All three snapshots read back through their
+    * manifests CONCURRENTLY — time travel is a manifest choice, not a
+    * data copy (commits rewrite only touched buckets). The oracle
+    * recomputes each version's state from the base table and the
+    * deterministic changesets.
+    */
+  def srcTimetravel(s: SparkSession, dir: String): DataFrame = {
+    val path = timetravelFixture(s, dir)
     def summary(v: Int): DataFrame =
       graft.sources.TimeTravel.readVersion(s, path, v).agg(
           count(lit(1)).as("n_rows"),
