@@ -39,6 +39,7 @@ object RollingStream {
     val ps = it.toIndexedSeq.sortBy(p => (micros(p.ts), p.event_id))
     var secs = state.getOption.map(_.secs.toVector).getOrElse(Vector.empty)
     var cents = state.getOption.map(_.cents.toVector).getOrElse(Vector.empty)
+    var total = cents.sum // maintained incrementally below
     val out = Vector.newBuilder[Rolled]
     // a RANGE frame includes ALL peers of the current row's frame key
     // (later same-second purchases too) — process each same-second
@@ -53,10 +54,11 @@ object RollingStream {
           case -1 => secs.size
           case i  => i
         }
+        cents.take(drop).foreach(total -= _)
         secs = secs.drop(drop); cents = cents.drop(drop)
-        peers.foreach { p => secs :+= sec; cents :+= p.cents }
+        peers.foreach { p => secs :+= sec; cents :+= p.cents; total += p.cents }
         val n = secs.size.toLong
-        val rev = cents.sum / 100.0
+        val rev = total / 100.0
         peers.foreach(p => out += Rolled(p.event_id, userId, p.ts, n, rev))
       }
     state.update(Win(secs.toArray, cents.toArray))
