@@ -764,6 +764,54 @@ object Text {
           .as("coverage"))
   }
 
+  /** Collocation extraction via pointwise mutual information — the
+    * classic corpus-linguistics signal for multi-word terms and for
+    * spotting template/boilerplate word pairs in a training corpus:
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) from adjacent-pair
+    * counts and p(·) from unigram counts.
+    *
+    * Shape: TWO partial-aggregated count passes (unigrams, adjacent
+    * bigrams — each a map-side-combined groupBy), the two 1-row totals
+    * broadcast back, and a broadcast join of each bigram to its two
+    * unigram counts (vocabulary-sized, alphabet-bounded — the same
+    * broadcast argument as the edit-distance gram table). All counts
+    * are exact longs; the PMI arithmetic is a fixed double expression
+    * an oracle replays (long→double casts are deterministic).
+    * `minCount` suppresses the noise pairs PMI is notorious for.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long, topN: Int): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("__t"))
+    val uni = toks.select(explode(col("__t")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+    val nUni = uni.agg(sum(col("c_w")).as("__nu"))
+    val bi = toks.filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__t) - 1), " +
+          "i -> struct(element_at(__t, i) AS w1, element_at(__t, i + 1) AS w2))"))
+        .as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    // p(ab) normalizes over ALL bigrams — the total is taken before
+    // the min-count noise filter
+    val nBi = bi.agg(sum(col("c_ab")).as("__nb"))
+    val biKept = bi.filter(col("c_ab") >= minCount)
+    val joined = biKept
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_a"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_b"))), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+    joined.select(col("w1"), col("w2"), col("c_ab"),
+        (round(log(
+          (col("c_ab").cast("double") * col("__nu").cast("double") * col("__nu").cast("double")) /
+            (col("c_a").cast("double") * col("c_b").cast("double") * col("__nb").cast("double"))), 6)
+          + lit(0.0)).as("pmi_r"))
+      .orderBy(col("pmi_r").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
   // -------------------------------------- entropy / repetition signals
 
   /** Byte-distribution curation signals — the "is this text actually

@@ -1704,8 +1704,18 @@ object Pipeline {
     "dd_editdist" -> ddEditdist _,
     "src_invidx" -> srcInvidx _,
     "src_timetravel_cdf" -> srcTimetravelCdf _,
-    "mm_phash" -> mmPhash _
+    "mm_phash" -> mmPhash _,
+    "tx_pmi" -> txPmi _
   )
+
+  /** PMI collocations ([[graft.ops.Text.pmiCollocations]]): top-20
+    * adjacent word pairs by pointwise mutual information, min count 10
+    * — two partial-agg count passes + broadcast unigram join; every
+    * count exact, the PMI double expression mirrored verbatim.
+    */
+  def txPmi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.pmiCollocations(
+      Tables.documents(s, dir), "text", minCount = 10, topN = 20)
 
   /** Image near-dup via perceptual hash: REAL PNG decode → aHash
     * ([[graft.ops.Multimodal.imagePhash]]) → pigeonhole-banded Hamming
@@ -2208,6 +2218,27 @@ object Pipeline {
         |  round(sum(y * v[i]), 6) + 0.0 AS xty_r,
         |  round(sum(v[i]), 6) + 0.0 AS sv_r
         |FROM e, ix GROUP BY i ORDER BY i""".stripMargin,
+    // identical count passes, identical double expression inside ln —
+    // bigram total taken BEFORE the min-count filter on both sides
+    "tx_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents
+        |           WHERE text IS NOT NULL),
+        |uni AS (SELECT w, count(*)::BIGINT AS c_w
+        |        FROM (SELECT unnest(tk) AS w FROM t) WHERE w <> '' GROUP BY 1),
+        |nu AS (SELECT sum(c_w)::BIGINT AS nu FROM uni),
+        |bp AS (SELECT unnest([struct_pack(w1 := tk[i], w2 := tk[i + 1])
+        |                     for i in range(1, len(tk))]) AS p
+        |       FROM t WHERE len(tk) >= 2),
+        |biall AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS c_ab
+        |          FROM bp WHERE p.w1 <> '' AND p.w2 <> '' GROUP BY 1, 2),
+        |nb AS (SELECT sum(c_ab)::BIGINT AS nb FROM biall),
+        |bi AS (SELECT * FROM biall WHERE c_ab >= 10)
+        |SELECT bi.w1, bi.w2, bi.c_ab,
+        |  round(ln((bi.c_ab::DOUBLE * nu.nu::DOUBLE * nu.nu::DOUBLE) /
+        |           (a.c_w::DOUBLE * b.c_w::DOUBLE * nb.nb::DOUBLE)), 6) + 0.0 AS pmi_r
+        |FROM bi JOIN uni a ON bi.w1 = a.w
+        |        JOIN uni b ON bi.w2 = b.w, nu, nb
+        |ORDER BY pmi_r DESC, w1, w2 LIMIT 20""".stripMargin,
     // the PNG synthesis formula → aHash bits → banded Hamming pairs,
     // replayed arithmetically end to end (PNG decode is lossless)
     "mm_phash" ->
