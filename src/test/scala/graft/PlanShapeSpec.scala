@@ -427,6 +427,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_pmi: unigram counts broadcast onto the bigram table — no window, no cartesian") {
+    val p = planOf("tx_pmi")
+    withClue(s"tx_pmi plan:\n$p") {
+      p should include("BroadcastHashJoin")
+      p.contains("CartesianProduct") shouldBe false
+      p.contains("Window") shouldBe false
+    }
+  }
+
+  test("q_mv_join: both delta joins are broadcast — the base tables never shuffle for the refresh") {
+    val p = planOf("q_mv_join")
+    withClue(s"q_mv_join plan:\n$p") {
+      p.linesIterator.count(_.contains("BroadcastHashJoin")) should be >= 2
+      p.contains("CartesianProduct") shouldBe false
+    }
+  }
+
   test("ev_rfm: cutpoints broadcast back — no window, no single-partition sort of the rollup") {
     val p = planOf("ev_rfm")
     withClue(s"ev_rfm plan:\n$p") {
