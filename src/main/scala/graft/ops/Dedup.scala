@@ -255,11 +255,19 @@ object Dedup {
     // materialized once (localCheckpoint): four consumers — the
     // within-group expansion, the signature postings and both candidate
     // string joins — would otherwise each replay the collapse shuffle
+    // group ids derive from the STRING (xxhash64), not from
+    // array_min(ids): a duplicate id value attached to two distinct
+    // strings would collide min-id group keys and fan out the candidate
+    // joins with silently duplicated pairs — the string hash keys each
+    // distinct string exactly once regardless of id hygiene (a 64-bit
+    // collision between two <=k-edit candidate strings is the only
+    // residual hazard, vanishingly unlikely and caught by the exact
+    // levenshtein verify emitting a dup pair, not a wrong distance)
     val groups = df
       .select(col(idCol).as("__id"), col(strCol).as("__s"))
       .filter(col("__s").isNotNull && length(col("__s")) >= minLen)
       .groupBy("__s").agg(collect_list(col("__id")).as("__ids"))
-      .withColumn("__gid", array_min(col("__ids")))
+      .withColumn("__gid", xxhash64(col("__s")))
       .localCheckpoint()
     // identical strings are dist-0 pairs by definition
     val within = groups.filter(size(col("__ids")) >= 2)
@@ -310,12 +318,26 @@ object Dedup {
     * (SimHash, perceptual image hashes, audio fingerprints): pigeonhole
     * banding — split the word into `pieces` chunks; hamming ≤ maxDist <
     * pieces forces ≥ 1 shared (position, chunk) — then the exact
-    * popcount verify. One shuffle: (position, chunk) buckets collect
-    * (id, hash) members and emit within-bucket pairs, the
-    * editDistanceJoin shape (hashes ride along, so the verify needs no
-    * re-join). `maxBucket` caps hot buckets with the usual exactness
-    * trade (a signature shared by m docs is m² pairs — real duplicate
-    * mass; cap only when over-cap buckets are acceptable losses).
+    * popcount verify.
+    *
+    * HASH-IDENTICAL COLLAPSE FIRST (the [[editDistanceJoin]] shape):
+    * real crawl corpora carry huge hash-identical populations — blank or
+    * solid-color images all aHash to the same 64-bit value. Posted raw,
+    * a 1M-image blank cluster is 1M members in each of its `pieces`
+    * band buckets and ~10¹² in-bucket pairs in ONE task. Collapsed, the
+    * banding stages see DISTINCT hashes only: the degenerate cluster is
+    * one posting per band, its members come back as dist-0 pairs emitted
+    * arithmetically from group membership, and duplicate mass costs
+    * output size, never bucket blowup. Postings carry the 8-byte hash
+    * alone; id lists re-join only for surviving verified hash pairs.
+    *
+    * `maxBucket` caps residual hot band buckets — counted in DISTINCT
+    * hashes (a diverse near-collision population, not duplicate mass) —
+    * with the usual exactness trade: over-cap buckets drop their
+    * CROSS-hash candidate pairs (dist-0 pairs are always exact). The
+    * trade is a measured contract: DedupSpec plants a retention corpus
+    * and pins what a cap keeps. Default off — this is the ground-truth
+    * operator.
     */
   def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
                    maxDist: Int, pieces: Int = 8,
@@ -325,24 +347,47 @@ object Dedup {
       "pigeonhole banding needs maxDist < pieces")
     val width = 64 / pieces
     val mask = if (width == 64) -1L else (1L << width) - 1L
-    val posts = df
+    // materialized once (localCheckpoint): three consumers — the
+    // within-group expansion, the band postings and the candidate id
+    // re-join — would otherwise each replay the collapse shuffle
+    val groups = df
       .select(col(idCol).as("__id"), col(hashCol).cast("long").as("__h"))
       .filter(col("__h").isNotNull)
-      .select(col("__id"), col("__h"), posexplode(expr(
-        s"transform(sequence(0, ${pieces - 1}), " +
-          s"j -> shiftright(__h, cast(j * $width AS int)) & ${mask}L)"))
-        .as(Seq("__p", "__k")))
+      .groupBy("__h").agg(collect_list(col("__id")).as("__ids"))
+      .localCheckpoint()
+    // hash-identical members are dist-0 pairs by definition
+    val within = groups.filter(size(col("__ids")) >= 2)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("dist"))
+    // band DISTINCT hashes only; the posting shuffle carries 2 longs +
+    // a band position per row, never ids or member lists
+    val posts = groups.select(col("__h"), posexplode(expr(
+      s"transform(sequence(0, ${pieces - 1}), " +
+        s"j -> shiftright(__h, cast(j * $width AS int)) & ${mask}L)"))
+      .as(Seq("__p", "__k")))
     val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
-    posts.groupBy("__p", "__k")
-      .agg(collect_list(struct(col("__id"), col("__h"))).as("__m"))
+    val hashPairs = posts.groupBy("__p", "__k")
+      .agg(collect_list(col("__h")).as("__m"))
       .filter(size(col("__m")) >= 2 && size(col("__m")) <= cap)
-      .select(explode(col("__m")).as("__a"), col("__m"))
-      .select(col("__a"), explode(col("__m")).as("__b"))
-      .filter(col("__a.__id") < col("__b.__id"))
-      .select(col("__a.__id").as("id_a"), col("__b.__id").as("id_b"),
-        bit_count(col("__a.__h").bitwiseXOR(col("__b.__h"))).as("dist"))
-      .distinct()
+      .select(explode(col("__m")).as("__ha"), col("__m"))
+      .select(col("__ha"), explode(col("__m")).as("__hb"))
+      .filter(col("__ha") < col("__hb"))
+      .withColumn("dist", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
       .filter(col("dist") <= maxDist)
+      .select("__ha", "__hb", "dist").distinct()
+    // id lists re-acquired only for surviving verified hash pairs
+    val cross = hashPairs
+      .join(groups.select(col("__h").as("__ha"), col("__ids").as("__ia")),
+        "__ha")
+      .join(groups.select(col("__h").as("__hb"), col("__ids").as("__ib")),
+        "__hb")
+      .select(explode(col("__ia")).as("__a"), col("__ib"), col("dist"))
+      .select(col("__a"), explode(col("__ib")).as("__b"), col("dist"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"), col("dist"))
+    within.unionByName(cross)
   }
 
   // ------------------------------------------------------------ simhash

@@ -46,15 +46,24 @@ object Incremental {
     * [[MergeInto.applyChanges]] on the bases first, then a key-scoped
     * rebuild (delete-and-reinsert of affected keys), the standard
     * DBToaster-style decomposition.
+    *
+    * The CDC-small contract is ENFORCED, not assumed: each delta is
+    * counted (one partial-agg scan of the small side) and a delta over
+    * `maxBroadcastRows` falls back to a plain shuffle join — a bulk
+    * backfill degrades to shuffle cost instead of a driver OOM from an
+    * unconditional broadcast. Both plans produce identical rows.
     */
   def refreshJoin(viewOld: DataFrame,
                   aOld: DataFrame, deltaA: DataFrame,
                   bOld: DataFrame, deltaB: DataFrame,
-                  keys: Seq[String]): DataFrame = {
+                  keys: Seq[String],
+                  maxBroadcastRows: Long = 4000000L): DataFrame = {
+    def small(delta: DataFrame): DataFrame =
+      if (delta.count() <= maxBroadcastRows) broadcast(delta) else delta
     val bNew = bOld.unionByName(deltaB)
     viewOld
-      .unionByName(aOld.join(broadcast(deltaB), keys))
-      .unionByName(broadcast(deltaA).join(bNew, keys)
+      .unionByName(aOld.join(small(deltaB), keys))
+      .unionByName(small(deltaA).join(bNew, keys)
         .select(viewOld.columns.map(col).toIndexedSeq: _*))
   }
 }

@@ -32,15 +32,31 @@ object Probe {
     val f = df.select(x1.cast("long").as("x1"), x2.cast("long").as("x2"),
         y.cast("long").as("y"))
       .filter(col("x1").isNotNull && col("x2").isNotNull && col("y").isNotNull)
+    // second-order stats accumulate in DECIMAL(38,0): a long×long
+    // product wraps silently under Spark's non-ANSI sum at corpus scale
+    // while the DuckDB oracle widens to HUGEINT — the exactness
+    // contract would diverge engine-vs-oracle exactly when it matters.
+    // Decimal products are exact (8.5e37 < 1e38) and a sum past 38
+    // digits nulls, which the guard below turns into a loud error.
+    def dec(c: Column) = c.cast("decimal(38,0)")
     val st = f.agg(
       count(lit(1)).as("n"),
-      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy"),
-      sum(col("x1") * col("x1")).as("s11"),
-      sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x2") * col("x2")).as("s22"),
-      sum(col("x1") * col("y")).as("s1y"),
-      sum(col("x2") * col("y")).as("s2y"),
-      sum(col("y") * col("y")).as("syy"))
+      sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
+      sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x1")) * dec(col("x1"))).as("s11"),
+      sum(dec(col("x1")) * dec(col("x2"))).as("s12"),
+      sum(dec(col("x2")) * dec(col("x2"))).as("s22"),
+      sum(dec(col("x1")) * dec(col("y"))).as("s1y"),
+      sum(dec(col("x2")) * dec(col("y"))).as("s2y"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      .filter(coalesce(
+        when(col("n") > 0 &&
+          (col("s1").isNull || col("s2").isNull || col("sy").isNull ||
+            col("s11").isNull || col("s12").isNull || col("s22").isNull ||
+            col("s1y").isNull || col("s2y").isNull || col("syy").isNull),
+          raise_error(lit("ols2: sufficient-statistic overflow past " +
+            "DECIMAL(38,0) — bound feature magnitudes"))),
+        lit(true)))
     // everything below is double arithmetic over exact integer stats —
     // the expression trees are mirrored verbatim in the SQL oracle
     val d = st.select(st.columns.map(c => col(c).cast("double").as(c)): _*)
@@ -72,12 +88,19 @@ object Probe {
       (col("syy") - (col("b0") * col("sy") + col("b1") * col("s1y")
         + col("b2") * col("s2y"))).as("sse"),
       (col("syy") - col("sy") * col("sy") / col("n")).as("sst"))
+    // a constant target makes sst = 0: Spark's non-ANSI division would
+    // emit a null r² while DuckDB emits IEEE inf/NaN — guard it the
+    // same way det = 0 is guarded, loudly
+    val sstSafe = when(col("sst") =!= 0.0, col("sst"))
+      .otherwise(raise_error(lit(
+        "ols2: constant target (sst = 0) — r² undefined"))
+        .cast("double"))
     withFit.select(
       col("n").cast("long").as("n_docs"),
       (round(col("b0"), 6) + lit(0.0)).as("b0"),
       (round(col("b1"), 6) + lit(0.0)).as("b1"),
       (round(col("b2"), 6) + lit(0.0)).as("b2"),
-      (round(lit(1.0) - col("sse") / col("sst"), 6) + lit(0.0)).as("r2"),
+      (round(lit(1.0) - col("sse") / sstSafe, 6) + lit(0.0)).as("r2"),
       (round(sqrt(greatest(col("sse"), lit(0.0)) / col("n")), 6) + lit(0.0)).as("rmse"))
   }
 

@@ -98,34 +98,61 @@ object Scd {
     *
     * Precondition (append-only feed): every new observation's
     * timestamp must be STRICTLY greater than its key's current
-    * valid_from — the seed re-enters the window with the lowest
-    * tiebreaker, so a batch row at exactly the current valid_from
-    * would sort after the seed here but possibly before the opening
+    * valid_from — a batch row at exactly the current valid_from would
+    * sort after the seed here but possibly before the opening
     * observation in a full rebuild (the original tiebreakers are not
     * retained in the dimension). Late data at or before the current
-    * version's start needs the full per-key rebuild path.
+    * version's start needs the full per-key rebuild path. The
+    * precondition is ENFORCED at runtime: a violating batch row
+    * `raise_error`s with its key instead of silently producing a
+    * dimension that diverges from the rebuild oracle.
+    *
+    * The tiebreaker keeps its ORIGINAL type (string event ids order
+    * within a batch exactly as [[buildType2]] orders them — an earlier
+    * revision cast to long, nulling non-numeric tiebreakers); the seed
+    * row's tiebreaker is a typed null, which asc-nulls-first sorts
+    * before every batch row — and the guard guarantees the seed never
+    * shares a (key, ts) slot with a batch row anyway.
     */
   def applyIncrement(dim: DataFrame, obs: DataFrame, keyCol: String,
                      tsCol: String, attrCols: Seq[String],
                      tieCol: String): DataFrame = {
+    val tieType = obs.schema(tieCol).dataType
     val keys = obs.select(keyCol).distinct()
     val untouched = dim.join(broadcast(keys), Seq(keyCol), "left_anti")
     val affected = dim.join(broadcast(keys), Seq(keyCol), "left_semi")
     val closed = affected.filter(!col("is_current"))
     // the current version re-enters as a seed observation: its ts is
-    // its valid_from, its tiebreaker sorts before any same-ts batch row,
-    // and it carries its version number for the renumbering below
+    // its valid_from, its tiebreaker sorts before any same-ts batch row
+    // (typed null, asc = nulls first), and it carries its version
+    // number for the renumbering below
     val seed = affected.filter(col("is_current"))
       .select((col(keyCol) +: col("valid_from").as(tsCol) +:
-        lit(Long.MinValue).as(tieCol) +: attrCols.map(col)) :+
+        lit(null).cast(tieType).as(tieCol) +: attrCols.map(col)) :+
         col("version").as("__v0"): _*)
     val batch = obs
-      .select((col(keyCol) +: col(tsCol) +: col(tieCol).cast("long").as(tieCol) +:
+      .select((col(keyCol) +: col(tsCol) +: col(tieCol) +:
         attrCols.map(col)) :+ lit(null).cast("int").as("__v0"): _*)
-    val ord = Seq(col(tsCol).asc, col(tieCol).asc)
+    val ord = Seq(col(tsCol).asc, col(tieCol).asc_nulls_first)
     val scan = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val keyPart = Window.partitionBy(col(keyCol))
     val attrs = struct(attrCols.map(col): _*)
     val rebuilt = seed.unionByName(batch)
+      // LOUD precondition: batch ts must be strictly after the seed's
+      // valid_from. The per-key seed ts comes from a no-order window
+      // over the same key partitioning (same Exchange, batch-sized
+      // data); the check lives in a filter so pruning can't drop it.
+      .withColumn("__seed_ts",
+        max(when(col("__v0").isNotNull, col(tsCol))).over(keyPart))
+      .filter(coalesce(
+        when(col("__v0").isNull && col("__seed_ts").isNotNull &&
+          col(tsCol) <= col("__seed_ts"),
+          raise_error(concat(
+            lit("Scd.applyIncrement: batch observation at or before the " +
+              "current valid_from for key "), col(keyCol).cast("string"),
+            lit(" — late data needs the full rebuild path (buildType2)")))),
+        lit(true)))
+      .drop("__seed_ts")
       // per-key version offset: the seed's version, or 1 for brand-new
       // keys (no seed) — first_value over the same sort, no extra join
       .withColumn("__base", coalesce(

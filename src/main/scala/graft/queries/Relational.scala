@@ -1081,15 +1081,23 @@ object Relational {
          |FROM dim ORDER BY user_id, version""".stripMargin,
     // DuckDB's native ASOF resolves the point-in-time lookup the engine
     // runs as the union-window as-of — inclusive on equal timestamps,
-    // left semantics for pre-first-version purchases, both matching
+    // left semantics for pre-first-version purchases, both matching.
+    // The dim collapses to the HIGHEST version per (user, valid_from)
+    // BEFORE the ASOF, mirroring pointInTime's same-instant treatment —
+    // an ASOF tie among equal valid_from rows is otherwise unspecified
+    // and would flake if the corpus ever grew same-microsecond signups
     "q_scd2_pit" ->
       s"""WITH $scd2DimSql,
+         |dimc AS (
+         |  SELECT user_id, tier, valid_from FROM dim
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY user_id, valid_from ORDER BY version DESC) = 1),
          |p AS (SELECT event_id, user_id, ts, value AS revenue FROM events
          |      WHERE event_type = 'purchase'
          |        AND user_id IS NOT NULL AND ts IS NOT NULL)
          |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.revenue,
          |  d.tier, epoch_us(d.valid_from) AS tier_since_us
-         |FROM p ASOF LEFT JOIN dim d
+         |FROM p ASOF LEFT JOIN dimc d
          |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
          |ORDER BY p.event_id""".stripMargin,
     // refresh must be invisible: the oracle is the straight full join

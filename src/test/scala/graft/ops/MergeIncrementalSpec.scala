@@ -69,4 +69,23 @@ class MergeIncrementalSpec extends AnyFunSuite with SparkTestSession with Matche
     folded shouldBe full
     folded.map(_._1) should contain allOf ("onlyOld", "onlyNew")
   }
+
+  test("refreshJoin: a delta past maxBroadcastRows falls back to a shuffle join with identical rows") {
+    import spark.implicits._
+    val aOld = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val bOld = Seq((1L, "b1"), (3L, "b3")).toDF("k", "bv")
+    val dA = Seq((3L, "a3"), (4L, "a4")).toDF("k", "av")
+    val dB = Seq((2L, "b2"), (4L, "b4")).toDF("k", "bv")
+    val viewOld = aOld.join(bOld, Seq("k"))
+    val full = aOld.unionByName(dA).join(bOld.unionByName(dB), Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    // broadcast path (deltas under the cap) and fallback path (cap = 1
+    // forces the shuffle join) must produce the same view, row for row
+    for (cap <- Seq(Long.MaxValue, 1L)) {
+      val got = Incremental.refreshJoin(viewOld, aOld, dA, bOld, dB,
+          Seq("k"), maxBroadcastRows = cap)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+      got shouldBe full
+    }
+  }
 }

@@ -36,6 +36,42 @@ class ProbeSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .head().getAs[Long]("n_docs") shouldBe 4L
   }
 
+  test("second-order stats survive long-overflow magnitudes (DECIMAL accumulation)") {
+    import spark.implicits._
+    // y = x1 exactly with x1 up to 5.6e9: Σx1² ≈ 1.1e21 wraps a long
+    // sum (silently, non-ANSI) — the DECIMAL(38,0) path keeps the stats
+    // exact and recovers the planted slope
+    val df = (0 to 9).flatMap(a => (0 to 9).map(b =>
+      (a * 620000000L, b.toLong, a * 620000000L))).toDF("x1", "x2", "y")
+    val r = Probe.ols2(df, col("x1"), col("x2"), col("y")).head()
+    r.getAs[Double]("b1") shouldBe 1.0 +- 1e-6
+    r.getAs[Double]("b2") shouldBe 0.0 +- 1e-3
+    r.getAs[Double]("r2") shouldBe 1.0 +- 1e-6
+  }
+
+  test("sufficient-statistic overflow past DECIMAL(38,0) fails loudly, not wrongly") {
+    import spark.implicits._
+    // two rows of y = Long.MaxValue: Σy² ≈ 1.7e38 > 38 digits
+    val df = Seq((1L, 1L, Long.MaxValue), (2L, 3L, Long.MaxValue),
+      (3L, 2L, Long.MaxValue)).toDF("x1", "x2", "y")
+    // loud either way: ANSI mode raises NUMERIC_VALUE_OUT_OF_RANGE at
+    // the sum itself; non-ANSI nulls the sum and trips the guard
+    val msg = intercept[Exception] {
+      Probe.ols2(df, col("x1"), col("x2"), col("y")).collect()
+    }.getMessage
+    assert(msg.contains("overflow") || msg.contains("Decimal(38, 0)"),
+      s"unexpected failure message: $msg")
+  }
+
+  test("constant target (sst = 0) fails loudly — r² is undefined, not null") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, 7L), (2L, 3L, 7L), (3L, 1L, 7L),
+      (4L, 4L, 7L)).toDF("x1", "x2", "y")
+    intercept[Exception] {
+      Probe.ols2(df, col("x1"), col("x2"), col("y")).collect()
+    }.getMessage should include("sst")
+  }
+
   test("ridgeFit recovers a planted linear relation at tiny lambda; optimality holds") {
     import spark.implicits._
     // y = 2 + 1·v0 − 3·v1 + 0.5·v2 over a deterministic 3-d grid

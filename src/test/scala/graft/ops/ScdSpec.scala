@@ -105,6 +105,43 @@ class ScdSpec extends AnyFunSuite with SparkTestSession with Matchers {
       dim.filter(col("k") === 1L && col("version") <= 2).orderBy("version").collect()
   }
 
+  test("applyIncrement: a batch observation at or before the current valid_from fails LOUDLY") {
+    import spark.implicits._
+    // key 1's current version opened 2024-01-05; a late row AT that
+    // instant violates the documented strictly-greater precondition —
+    // the guard must raise, not silently build a divergent dimension
+    val late = Seq((1L, ts("2024-01-05 00:00:00"), 40L, "z")).toDF("k", "t", "id", "attr")
+    val e = intercept[Exception] {
+      Scd.applyIncrement(dim, late, "k", "t", Seq("attr"), "id").collect()
+    }
+    e.getMessage should include("applyIncrement")
+    val before = Seq((1L, ts("2024-01-04 12:00:00"), 41L, "z")).toDF("k", "t", "id", "attr")
+    intercept[Exception] {
+      Scd.applyIncrement(dim, before, "k", "t", Seq("attr"), "id").collect()
+    }.getMessage should include("full rebuild")
+  }
+
+  test("applyIncrement: non-numeric (string) tiebreaker orders within-batch ties like buildType2") {
+    import spark.implicits._
+    // two same-timestamp batch rows for one key, STRING event ids whose
+    // lexicographic order decides which attr wins — the earlier long
+    // cast nulled these and made the outcome nondeterministic
+    val obs0 = Seq((1L, ts("2024-01-01 00:00:00"), "e01", "a")).toDF("k", "t", "eid", "attr")
+    val d0 = Scd.buildType2(obs0, "k", "t", Seq("attr"), "eid")
+    val batch = Seq(
+      (1L, ts("2024-02-01 00:00:00"), "e10", "b"),
+      (1L, ts("2024-02-01 00:00:00"), "e05", "c") // e05 sorts first
+    ).toDF("k", "t", "eid", "attr")
+    val inc = Scd.applyIncrement(d0, batch, "k", "t", Seq("attr"), "eid")
+    val full = Scd.buildType2(obs0.unionByName(batch), "k", "t", Seq("attr"), "eid")
+    inc.orderBy("k", "version").collect() shouldBe
+      full.orderBy("k", "version").collect()
+    // c (e05) opens v2 and is closed by b (e10) opening v3 at the same ts
+    val cur = inc.filter(col("is_current")).collect()
+    cur.map(_.getAs[String]("attr")).toSeq shouldBe Seq("b")
+    inc.count() shouldBe 3
+  }
+
   test("same-instant versions: point-in-time resolves to the SURVIVING (highest) version") {
     import spark.implicits._
     // two different attrs at the same microsecond: v1 is a zero-length

@@ -59,6 +59,29 @@ class TimeTravelSpec extends AnyFunSuite with SparkTestSession with Matchers {
     new java.io.File(s"$fixture/files/v$v").exists() shouldBe false
   }
 
+  test("a changeset deleting every surviving row of its buckets keeps the snapshot readable") {
+    import spark.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft-ttempty").toString + "/t"
+    // 2 keys → with 2 buckets they may share one; delete BOTH so every
+    // touched bucket ends up with zero survivors
+    TimeTravel.init(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"),
+      p, "id", nBuckets = 2)
+    val v = TimeTravel.commit(spark,
+      p, Seq(("D", 1L, "x", 1L), ("D", 2L, "x", 1L)).toDF("op", "id", "payload", "seq"),
+      "id", "op", "seq")
+    // the empty snapshot reads (schema intact), old version untouched
+    val vN = TimeTravel.readVersion(spark, p, v)
+    vN.count() shouldBe 0
+    vN.columns.toSeq shouldBe Seq("id", "payload")
+    TimeTravel.readVersion(spark, p, 0).count() shouldBe 2
+    // and a later commit can re-insert through the empty base
+    val v2 = TimeTravel.commit(spark,
+      p, Seq(("I", 3L, "c", 1L)).toDF("op", "id", "payload", "seq"),
+      "id", "op", "seq")
+    TimeTravel.readVersion(spark, p, v2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe Set((3L, "c"))
+  }
+
   test("vacuum deletes only unreferenced data; shared COW files survive expiry") {
     // an isolated fixture so the shared one stays intact for other tests
     val p = java.nio.file.Files.createTempDirectory("graft-ttvac").toString + "/t"
