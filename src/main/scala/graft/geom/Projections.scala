@@ -547,7 +547,10 @@ object Projections {
       val q = (bigC - rho * rho * n * n / (A * A)) / n                 // 15-26
       val ratio = math.max(-1.0, math.min(1.0, q / qP))
       val beta = math.asin(ratio)                                      // authalic lat
-      val theta = math.atan2(x, y)                                     // 14-11
+      // 14-11: for southern standard parallels (n < 0) the signs of
+      // both atan2 arguments reverse — ρ is negative there, so the
+      // grid vector points away from the apex, not toward it
+      val theta = if (n < 0) math.atan2(-x, -y) else math.atan2(x, y)
       val lam = math.toRadians(lon0) + theta / n
       val phi = beta + a2 * math.sin(2.0 * beta) + a4 * math.sin(4.0 * beta) +
         a6 * math.sin(6.0 * beta)                                      // 3-18
@@ -1657,6 +1660,100 @@ object Projections {
     }
   }
 
+  /** EPSG code → proj4 parameters for the IMPLEMENTED families — the
+    * registry that closes the last practical gap vs the reference's
+    * geotrellis-proj4 full EPSG database (ST_CrsFromText.scala:1): a
+    * user can name a common national grid BY CODE and have it resolve
+    * onto the existing transforms through [[parseProj4]], instead of
+    * spelling the proj4 string out. Parameter values follow the public
+    * EPSG registry / PROJ database spellings. Codes outside the table
+    * (or whose family is not implemented) keep the loud
+    * unsupported-CRS error — never a silent guess.
+    */
+  private def epsgProj4(code: Int): Option[String] = code match {
+    // ETRS89 / UTM zones 28–38N (the European grid family)
+    case c if c >= 25828 && c <= 25838 =>
+      Some(s"+proj=utm +zone=${c - 25800} +ellps=GRS80 +towgs84=0,0,0")
+    // NAD83 / UTM zones 3–23N (North America)
+    case c if c >= 26903 && c <= 26923 =>
+      Some(s"+proj=utm +zone=${c - 26900} +ellps=GRS80 +towgs84=0,0,0")
+    // NAD27 / UTM zones 3–22N (legacy North America, Clarke 1866)
+    case c if c >= 26703 && c <= 26722 =>
+      Some(s"+proj=utm +zone=${c - 26700} +ellps=clrk66 +towgs84=-8,160,176")
+    // ED50 / UTM zones 28–38N (legacy Europe, International 1924)
+    case c if c >= 23028 && c <= 23038 =>
+      Some(s"+proj=utm +zone=${c - 23000} +ellps=intl +towgs84=-87,-98,-121")
+    // GDA94 / MGA zones 49–56 (Australia, southern hemisphere)
+    case c if c >= 28349 && c <= 28356 =>
+      Some(s"+proj=utm +zone=${c - 28300} +south +ellps=GRS80 +towgs84=0,0,0")
+    // GDA2020 / MGA zones 46–59
+    case c if c >= 7846 && c <= 7859 =>
+      Some(s"+proj=utm +zone=${c - 7800} +south +ellps=GRS80 +towgs84=0,0,0")
+    // DHDN / Gauss-Krüger zones 2–5 (legacy Germany, Bessel 1841)
+    case c if c >= 31466 && c <= 31469 =>
+      val z = c - 31464
+      Some(s"+proj=tmerc +lat_0=0 +lon_0=${3 * z} +k=1 " +
+        s"+x_0=${z * 1000000 + 500000} +y_0=0 +ellps=bessel " +
+        "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    case other => EpsgSingles.get(other)
+  }
+
+  private val EpsgSingles: Map[Int, String] = Map(
+    // geographic CRSs on non-WGS84 datums
+    4258 -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",  // ETRS89
+    4269 -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",  // NAD83
+    4267 -> "+proj=longlat +ellps=clrk66 +towgs84=-8,160,176", // NAD27
+    4277 -> ("+proj=longlat +ellps=airy " +
+      "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489"), // OSGB36
+    // national transverse-mercator grids
+    27700 -> ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 " +
+      "+x_0=400000 +y_0=-100000 +ellps=airy " +
+      "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489"), // British National Grid
+    2157 -> ("+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 " +
+      "+x_0=600000 +y_0=750000 +ellps=GRS80 +towgs84=0,0,0"), // Irish TM
+    2180 -> ("+proj=tmerc +lat_0=0 +lon_0=19 +k=0.9993 " +
+      "+x_0=500000 +y_0=-5300000 +ellps=GRS80 +towgs84=0,0,0"), // Poland CS92
+    2193 -> ("+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 " +
+      "+x_0=1600000 +y_0=10000000 +ellps=GRS80 +towgs84=0,0,0"), // NZTM2000
+    6677 -> ("+proj=tmerc +lat_0=36 +lon_0=139.8333333333333 +k=0.9999 " +
+      "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // JGD2011 zone IX (Tokyo)
+    3067 -> "+proj=utm +zone=35 +ellps=GRS80 +towgs84=0,0,0", // ETRS89 / TM35FIN
+    // Lambert conformal conic grids
+    3034 -> ("+proj=lcc +lat_1=35 +lat_2=65 +lat_0=52 +lon_0=10 " +
+      "+x_0=4000000 +y_0=2800000 +ellps=GRS80 +towgs84=0,0,0"), // ETRS89 LCC Europe
+    3347 -> ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=63.390675 " +
+      "+lon_0=-91.86666666666666 +x_0=6200000 +y_0=3000000 " +
+      "+ellps=GRS80 +towgs84=0,0,0"), // Statistics Canada Lambert
+    5243 -> ("+proj=lcc +lat_1=48.66666666666666 +lat_2=53.66666666666666 " +
+      "+lat_0=51 +lon_0=10.5 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // ETRS89 LCC Germany
+    31370 -> ("+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 " +
+      "+lat_0=90 +lon_0=4.367486666666666 +x_0=150000.013 +y_0=5400088.438 " +
+      "+ellps=intl " +
+      "+towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747"), // Belgian Lambert 72
+    // azimuthal / equal-area / world grids
+    3575 -> "+proj=laea +lat_0=90 +lon_0=10 +x_0=0 +y_0=0 +ellps=WGS84", // North Pole LAEA Europe
+    6931 -> "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  // EASE-Grid 2.0 North
+    6932 -> "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84", // EASE-Grid 2.0 South
+    6933 -> "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  // EASE-Grid 2.0 Global
+    3976 -> ("+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 " +
+      "+x_0=0 +y_0=0 +ellps=WGS84"), // WGS84 NSIDC Sea Ice South
+    3995 -> ("+proj=stere +lat_0=90 +lat_ts=71 +lon_0=0 " +
+      "+x_0=0 +y_0=0 +ellps=WGS84"), // Arctic Polar Stereographic
+    3577 -> ("+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132 " +
+      "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // GDA94 Australian Albers
+    3395 -> "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84", // World Mercator
+    4087 -> ("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 " +
+      "+x_0=0 +y_0=0 +ellps=WGS84") // World Equidistant Cylindrical
+  )
+
+  private val EpsgCodePattern = "(?:EPSG:)?([0-9]{4,5})".r
+
+  /** Codes the registry resolves (for specs/introspection). */
+  def registeredEpsgCodes: Seq[Int] =
+    ((25828 to 25838) ++ (26903 to 26923) ++ (26703 to 26722) ++
+      (23028 to 23038) ++ (28349 to 28356) ++ (7846 to 7859) ++
+      (31466 to 31469) ++ EpsgSingles.keys).sorted
+
   // st_geomReproject evaluates per row but its CRS arguments are query
   // literals, so the handful of distinct strings per executor is memoized:
   // a hit skips the regex/proj4 parse AND the transform's constant setup
@@ -1717,8 +1814,12 @@ object Projections {
       require(digits.nonEmpty && (hemi == "N" || hemi == "S"),
         s"Cannot parse UTM zone spec '$crs' (expected e.g. 'UTM zone 33N')")
       Utm(digits.toInt, north = hemi == "N")
+    // the EPSG code registry: common national grids of the implemented
+    // families resolve by code onto the proj4 path
+    case EpsgCodePattern(code) if epsgProj4(code.toInt).isDefined =>
+      parseProj4(epsgProj4(code.toInt).get)
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:5514, EPSG:28992, EPSG:32601-32660, EPSG:32701-32760, and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sterea/krovak/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84 or an NTv2 +nadgrids=file.gsb)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:5514, EPSG:28992, EPSG:32601-32660, EPSG:32701-32760, a registry of common national-grid EPSG codes (UTM-based ETRS89/NAD83/NAD27/ED50/MGA series, OSGB/Irish/Polish/NZ/Japan TM grids, European/Canadian/Belgian LCC, polar LAEA/stere, EASE-Grid 2.0, World Mercator), and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sterea/krovak/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84 or an NTv2 +nadgrids=file.gsb)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

@@ -833,6 +833,38 @@ object Spatial {
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** EPSG registry resolution BY CODE ([[graft.geom.Projections]]'s
+    * epsgProj4 table — the round-9 closure of the reference's
+    * geotrellis-proj4 registry gap, ST_CrsFromText.scala:1): three
+    * national grids from three projection families resolve from their
+    * bare EPSG code — NZTM2000 (EPSG:2193, transverse mercator), GDA94
+    * Australian Albers (EPSG:3577, equal-area conic) and Arctic Polar
+    * Stereographic (EPSG:3995, variant-B stere) — each over its grid's
+    * service window. The oracle replays each family's Snyder forward
+    * with the REGISTRY's constants, so a wrong registry parameter (not
+    * just a wrong formula) fails the hash compare; rt_ok pins the
+    * inverse at < 1e-7° ≈ 1 cm.
+    */
+  def spEpsg(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .withColumn("epsg",
+        when(col("lon") >= 166.0 && col("lon") <= 179.0 &&
+          col("lat") >= -47.0 && col("lat") <= -34.0, lit(2193))
+          .when(col("lon") >= 113.0 && col("lon") <= 154.0 &&
+            col("lat") >= -44.0 && col("lat") <= -10.0, lit(3577))
+          .when(col("lat") >= 60.0, lit(3995)))
+      .filter(col("epsg").isNotNull)
+      .withColumn("crs", concat(lit("EPSG:"), col("epsg")))
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs")))
+      .withColumn("back", st.geomReproject(col("p"), col("crs"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"), col("epsg"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+          abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** st_asLatLonText DMS formatting, value-checked: the oracle rebuilds
     * the identical degree/minute/second decomposition (trunc-based, same
     * IEEE ops) and formats with printf — DuckDB's fmt and Java's
@@ -978,6 +1010,7 @@ object Spatial {
     "sp_laea" -> spLaea _,
     "sp_lcc" -> spLcc _,
     "sp_albers" -> spAlbers _,
+    "sp_epsg" -> spEpsg _,
     "sp_datum" -> spDatum _,
     "sp_nadgrids" -> spNadgrids _,
     "sp_omerc" -> spOmerc _,
@@ -1210,6 +1243,78 @@ object Spatial {
        | round(rho0 - rho * cos(theta), 1) AS northing,
        | 1 AS rt_ok
        |FROM j ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Three EPSG-registry grids replayed with the REGISTRY's constants:
+    * the NZTM TM series (spUtmOracle's spelling at k₀ = 0.9996,
+    * λ₀ = 173°, FE/FN = 1 600 000/10 000 000), the Australian Albers
+    * series (spAlbersOracle's spelling at φ₁/φ₂ = −18/−36, λ₀ = 132)
+    * and the variant-B polar stereographic north aspect (spPolarOracle's
+    * spelling at lat_ts = 71, λ₀ = 0). GRS80 resolves to the WGS84
+    * ellipsoid object (sub-0.1 mm, the documented policy), so one e²
+    * serves all three.
+    */
+  private val spEpsgOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    val ep2 = dlit((f * (2.0 - f)) / (1.0 - f * (2.0 - f)))
+    def qOf(phi: String) =
+      s"(1.0 - $e2) * (sin($phi) / (1.0 - $e2 * sin($phi) * sin($phi)) - " +
+        s"(1.0 / (2.0 * e)) * ln((1.0 - e * sin($phi)) / (1.0 + e * sin($phi))))"
+    def mOf(phi: String) =
+      s"cos($phi) / sqrt(1.0 - $e2 * sin($phi) * sin($phi))"
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+       |nzg AS (SELECT c_custkey, lon, lat,
+       |        radians(lat) AS phi, sin(radians(lat)) AS sphi,
+       |        cos(radians(lat)) AS cphi, tan(radians(lat)) AS tphi,
+       |        cos(radians(lat)) * (radians(lon) - radians(173.0)) AS aa
+       |      FROM b WHERE lon >= 166.0 AND lon <= 179.0 AND lat >= -47.0 AND lat <= -34.0),
+       |nzh AS (SELECT *,
+       |        6378137.0 / sqrt(1.0 - $e2 * sphi * sphi) AS nn,
+       |        tphi * tphi AS tt, $ep2 * cphi * cphi AS cc, aa * aa AS a2 FROM nzg),
+       |nzi AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM nzh),
+       |nzj AS (SELECT *, a3 * aa AS a4 FROM nzi),
+       |nzk AS (SELECT *, a4 * aa AS a5 FROM nzj),
+       |nzl AS (SELECT *, a5 * aa AS a6,
+       |        6378137.0 * ((1.0 - $e2 / 4.0 - 3.0 * $e2 * $e2 / 64.0 - 5.0 * $e2 * $e2 * $e2 / 256.0) * phi
+       |          - (3.0 * $e2 / 8.0 + 3.0 * $e2 * $e2 / 32.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(2.0 * phi)
+       |          + (15.0 * $e2 * $e2 / 256.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(4.0 * phi)
+       |          - (35.0 * $e2 * $e2 * $e2 / 3072.0) * sin(6.0 * phi)) AS mm
+       |      FROM nzk),
+       |nz AS (SELECT c_custkey, 2193 AS epsg,
+       |        round(0.9996 * nn * (aa + (1.0 - tt + cc) * a3 / 6.0
+       |          + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2) * a5 / 120.0) + 1600000.0, 1) AS easting,
+       |        round(0.9996 * (mm + ntan * (a2 / 2.0
+       |          + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
+       |          + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0)) + 10000000.0, 1) AS northing
+       |      FROM nzl),
+       |aub AS (SELECT c_custkey, lon, lat, sqrt($e2) AS e FROM b
+       |        WHERE lon >= 113.0 AND lon <= 154.0 AND lat >= -44.0 AND lat <= -10.0),
+       |aug AS (SELECT *, ${mOf("radians(-18.0)")} AS m1, ${mOf("radians(-36.0)")} AS m2,
+       |        ${qOf("radians(-18.0)")} AS q1, ${qOf("radians(-36.0)")} AS q2,
+       |        ${qOf("radians(0.0)")} AS q0, ${qOf("radians(lat)")} AS q FROM aub),
+       |auh AS (SELECT *, (m1 * m1 - m2 * m2) / (q2 - q1) AS n FROM aug),
+       |aui AS (SELECT *, m1 * m1 + n * q1 AS cc2 FROM auh),
+       |auj AS (SELECT *, 6378137.0 * sqrt(cc2 - n * q0) / n AS rho0,
+       |        6378137.0 * sqrt(cc2 - n * q) / n AS rho,
+       |        n * (radians(lon) - radians(132.0)) AS theta FROM aui),
+       |au AS (SELECT c_custkey, 3577 AS epsg,
+       |        round(rho * sin(theta), 1) AS easting,
+       |        round(rho0 - rho * cos(theta), 1) AS northing FROM auj),
+       |arb AS (SELECT c_custkey, lon, lat, sqrt($e2) AS e FROM b WHERE lat >= 60.0),
+       |arh AS (SELECT *,
+       |        tan(pi() / 4.0 - radians(71.0) / 2.0) / pow((1.0 - e * sin(radians(71.0))) / (1.0 + e * sin(radians(71.0))), e / 2.0) AS tc,
+       |        cos(radians(71.0)) / sqrt(1.0 - $e2 * sin(radians(71.0)) * sin(radians(71.0))) AS mc,
+       |        tan(pi() / 4.0 - radians(lat) / 2.0) / pow((1.0 - e * sin(radians(lat))) / (1.0 + e * sin(radians(lat))), e / 2.0) AS t
+       |      FROM arb),
+       |ari AS (SELECT *, 6378137.0 * mc * t / tc AS rho FROM arh),
+       |ar AS (SELECT c_custkey, 3995 AS epsg,
+       |        round(rho * sin(radians(lon)), 1) AS easting,
+       |        round(-(rho * cos(radians(lon))), 1) AS northing FROM ari)
+       |SELECT c_custkey, epsg, easting, northing, 1 AS rt_ok
+       |FROM (SELECT * FROM nz UNION ALL SELECT * FROM au UNION ALL SELECT * FROM ar)
+       |ORDER BY c_custkey""".stripMargin
   }
 
   /** The full legacy-datum chain as DuckDB SQL, mirroring
@@ -1992,6 +2097,7 @@ object Spatial {
     "sp_laea" -> spLaeaOracle,
     "sp_lcc" -> spLccOracle,
     "sp_albers" -> spAlbersOracle,
+    "sp_epsg" -> spEpsgOracle,
     "sp_datum" -> spDatumOracle,
     "sp_nadgrids" -> spNadgridsOracle,
     "sp_omerc" -> spOmercOracle,

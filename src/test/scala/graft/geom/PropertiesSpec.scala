@@ -131,6 +131,50 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("EPSG registry: codes resolve BY CODE onto the same transform as their proj4 spelling") {
+    // every registered code must (a) parse, (b) equal its proj4-string
+    // parse, (c) roundtrip a point in its rough service area
+    val anchors = Map( // code → (lon, lat) inside the grid's domain
+      25832 -> (9.5, 50.0), 26910 -> (-122.0, 45.0), 26717 -> (-79.0, 43.0),
+      23032 -> (8.0, 45.0), 28355 -> (147.0, -37.0), 7855 -> (147.0, -37.0),
+      31467 -> (9.0, 50.0), 27700 -> (-1.5, 52.0), 2157 -> (-7.5, 53.2),
+      2180 -> (19.5, 52.0), 2193 -> (174.0, -41.0), 6677 -> (139.7, 35.7),
+      3067 -> (25.0, 62.0), 3034 -> (10.0, 50.0), 3347 -> (-95.0, 55.0),
+      5243 -> (10.0, 51.0), 31370 -> (4.5, 50.8), 3575 -> (20.0, 70.0),
+      6931 -> (0.0, 75.0), 6932 -> (0.0, -75.0), 6933 -> (10.0, 40.0),
+      3976 -> (0.0, -75.0), 3995 -> (30.0, 75.0), 3577 -> (134.0, -25.0),
+      3395 -> (10.0, 40.0), 4087 -> (10.0, 40.0), 4258 -> (10.0, 50.0),
+      4269 -> (-95.0, 45.0), 4267 -> (-95.0, 45.0), 4277 -> (-1.5, 52.0))
+    for (code <- Projections.registeredEpsgCodes) {
+      val byCode = Projections.parseCrs(s"EPSG:$code")
+      val bare = Projections.parseCrs(code.toString)
+      bare shouldBe byCode
+      anchors.get(code).foreach { case (lon, lat) =>
+        val (x, y) = byCode.fromGeo(lon, lat)
+        val (bl, bp) = byCode.toGeo(x, y)
+        withClue(s"EPSG:$code roundtrip ($lon,$lat)→($x,$y)") {
+          bl shouldBe lon +- 1e-6
+          bp shouldBe lat +- 1e-6
+        }
+      }
+    }
+    // known projected anchors: central-meridian/origin identities that
+    // hold exactly in the published grid definitions
+    val (e32, n32) = Projections.parseCrs("EPSG:25832").fromGeo(9.0, 0.0)
+    e32 shouldBe 500000.0 +- 1e-4 // UTM 32N false easting at its meridian
+    n32 shouldBe 0.0 +- 1e-4
+    val (eNz, nNz) = Projections.parseCrs("EPSG:2193").fromGeo(173.0, 0.0)
+    eNz shouldBe 1600000.0 +- 1e-4 // NZTM origin
+    nNz shouldBe 10000000.0 +- 1e-4
+    val (eAr, nAr) = Projections.parseCrs("EPSG:3995").fromGeo(0.0, 90.0)
+    eAr shouldBe 0.0 +- 1e-6 // the pole maps to the origin
+    nAr shouldBe 0.0 +- 1e-6
+    // unknown codes keep the loud unsupported-CRS error
+    intercept[IllegalArgumentException] {
+      Projections.parseCrs("EPSG:2263") // NY State Plane (ft) — not registered
+    }.getMessage should include("Unsupported CRS")
+  }
+
   test("aeqd sphere: planar distance from center IS great-circle distance, everywhere") {
     val r = rng
     val R = 6371008.8
