@@ -171,12 +171,29 @@ object FunctionDefs {
 
   val byName: Map[String, Seq[FnSpec]] = defs.toMap
 
-  /** Build a callable Column for any catalog function (shared by the
-    * [[st]] DSL and the pipeline operators).
+  // user-registered functions (FunctionRegistration.registerFunction) —
+  // overloads accumulate per name; reads see the latest list
+  private val userDefs =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FnSpec]]()
+
+  private[functions] def addUser(name: String, spec: FnSpec): Seq[FnSpec] =
+    userDefs.merge(name, Seq(spec), (old, add) => old ++ add)
+
+  /** Catalog + user-registry lookup (built-in names win). */
+  def lookup(name: String): Seq[FnSpec] =
+    byName.getOrElse(name, {
+      val u = userDefs.get(name)
+      if (u == null) throw new NoSuchElementException(
+        s"unknown graft function '$name' (not in the catalog or the user registry)")
+      u
+    })
+
+  /** Build a callable Column for any catalog or user-registered function
+    * (shared by the [[st]] DSL and the pipeline operators).
     */
   def call(name: String, cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftBridge.column(
-      GeomFn(name, byName(name), cols.map(org.apache.spark.sql.GraftBridge.expression)))
+      GeomFn(name, lookup(name), cols.map(org.apache.spark.sql.GraftBridge.expression)))
 
   /** Build a callable aggregate Column (names from
     * [[FunctionRegistration.aggBuilders]]'s registry).

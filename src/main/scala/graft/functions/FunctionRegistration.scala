@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.types.DataType
 
 /** Registers all graft SQL functions (ST_* and LLM-pipeline helpers).
   *
@@ -80,5 +81,45 @@ object FunctionRegistration {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
+
+  /** Register a user-typed scalar SQL function in ~one line — the
+    * reference core's HUDF extensibility story (a third party adds a
+    * typed function without editing this library;
+    * core/src/main/scala/com/azavea/hiveless/HUDF.scala:1), Spark-first:
+    * the function becomes the SAME native [[GeomFn]] Catalyst expression
+    * the built-ins use — interpreted eval through a cached MethodHandle,
+    * whole-stage codegen via a direct static call — and is callable from
+    * SQL (`SELECT my_fn(col)`) and as a Column
+    * ([[FunctionDefs.call]](name, cols…)).
+    *
+    * `implClass.method` must be a PUBLIC STATIC method (a top-level
+    * Scala `object`'s methods qualify via their static forwarders)
+    * whose JVM signature matches the Catalyst INTERNAL representation
+    * of the declared types: primitives for numeric/boolean types,
+    * `UTF8String` for StringType, `ArrayData` for arrays, `byte[]` for
+    * BinaryType, JTS `Geometry` for the geometry UDT. A null return is
+    * SQL NULL for reference types; set `boxed = true` for methods
+    * returning a boxed primitive where JVM null means SQL NULL. Inputs
+    * are null-rejecting (any SQL NULL argument → NULL result, the
+    * built-ins' contract).
+    *
+    * Calling again with the same name adds an OVERLOAD (resolved from
+    * child types, like st_intersects); built-in catalog names cannot be
+    * replaced.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       implClass: String, method: String, returns: DataType,
+                       accepts: Seq[DataType], boxed: Boolean = false): Unit = {
+    require(!FunctionDefs.byName.contains(name),
+      s"registerFunction: '$name' is a built-in graft function")
+    // fail fast at registration, not first query: the method must exist
+    GeomFn.handle(implClass, method, accepts.size)
+    val spec = FnSpec(method, returns, accepts, boxed = boxed, implClass = implClass)
+    FunctionDefs.addUser(name, spec)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GeomFn(name, FunctionDefs.lookup(name), children),
+      "scala_udf")
   }
 }

@@ -11,7 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 
 /** Declarative spec of one overload of a graft SQL function: the
-  * [[GeomImpl]] static method implementing it and its Catalyst types.
+  * static method implementing it (on [[GeomImpl]] by default, or any
+  * class named by `implClass` for user-registered functions — see
+  * [[FunctionRegistration.registerFunction]]) and its Catalyst types.
   * `boxed` marks methods returning a boxed primitive where JVM null means
   * SQL NULL (e.g. st_x on a non-point).
   */
@@ -19,7 +21,8 @@ case class FnSpec(
     method: String,
     dataType: DataType,
     inputTypes: Seq[DataType],
-    boxed: Boolean = false)
+    boxed: Boolean = false,
+    implClass: String = GeomFn.ImplClass)
 
 /** The one Catalyst Expression class behind every graft scalar function.
   *
@@ -76,7 +79,7 @@ case class GeomFn(name: String, variants: Seq[FnSpec], children: Seq[Expression]
 
   @transient private lazy val handle: MethodHandle = {
     val s = specOrHead
-    GeomFn.handle(s.method, s.inputTypes.size)
+    GeomFn.handle(s.implClass, s.method, s.inputTypes.size)
   }
 
   override def eval(input: InternalRow): Any = {
@@ -100,7 +103,7 @@ case class GeomFn(name: String, variants: Seq[FnSpec], children: Seq[Expression]
       if (evals.isEmpty) "true"
       else evals.map(e => s"!${e.isNull}").mkString(" && ")
     val argList = evals.map(_.value).mkString(", ")
-    val impl = GeomFn.ImplClass
+    val impl = spec.implClass
     val call =
       if (spec.boxed) {
         val boxedT = CodeGenerator.boxedType(dataType)
@@ -147,15 +150,17 @@ object GeomFn {
     case dt => GraftBridge.accepts(dt, actual)
   }
 
-  private val implClass: Class[_] = Class.forName(ImplClass)
   private val lookup = MethodHandles.publicLookup()
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, MethodHandle]()
 
-  def handle(method: String, arity: Int): MethodHandle =
-    cache.computeIfAbsent(method, m => {
-      val jm = implClass.getMethods
-        .find(x => x.getName == m && x.getParameterCount == arity)
-        .getOrElse(throw new IllegalStateException(s"GeomImpl.$m/$arity not found"))
+  def handle(implClassName: String, method: String, arity: Int): MethodHandle =
+    cache.computeIfAbsent(s"$implClassName#$method/$arity", _ => {
+      val cls = Class.forName(implClassName)
+      val jm = cls.getMethods
+        .find(x => x.getName == method && x.getParameterCount == arity &&
+          java.lang.reflect.Modifier.isStatic(x.getModifiers))
+        .getOrElse(throw new IllegalStateException(
+          s"$implClassName.$method/$arity: no public static method found"))
       lookup.unreflect(jm)
     })
 }

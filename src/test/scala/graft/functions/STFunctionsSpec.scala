@@ -306,7 +306,10 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
   test("CRS: crsFromText normalizes, rejects unsupported; reproject roundtrips") {
     sql1("SELECT st_crsFromText('epsg:4326')").getString(0) shouldBe "EPSG:4326"
     sql1("SELECT st_crsFromText('WebMercator')").getString(0) shouldBe "EPSG:3857"
-    an[Exception] should be thrownBy sql1("SELECT st_crsFromText('EPSG:27700')")
+    // EPSG:27700 resolves through the registry onto the tmerc family
+    sql1("SELECT st_crsFromText('EPSG:27700')").getString(0) should include("+proj=tmerc")
+    // a code outside the registry (ft-based State Plane) still rejects
+    an[Exception] should be thrownBy sql1("SELECT st_crsFromText('EPSG:2263')")
     val r = sql1(
       """SELECT round(st_x(st_geomReproject(st_geomReproject(st_makePoint(12.5, 41.9),
         |  'EPSG:4326', 'EPSG:3857'), 'EPSG:3857', 'EPSG:4326')), 9) AS x""".stripMargin)
