@@ -300,6 +300,30 @@ object Ann {
         (col("__r") + 1).cast("int").as("rank"), col("__t.score").as("rrf"))
   }
 
+  // ------------------------------------------------- computed knob defaults
+
+  /** FAISS-guideline computed knobs, wired as the DEFAULTS wherever a
+    * caller leaves nlist/nprobe/nBits at 0 (auto). The r8 KnobSweep
+    * measured the failure mode these prevent: FIXED knobs degrade
+    * across data decades (nlist=16 at 200k vectors → 12.5k-row lists;
+    * nBits=8 → bucket occupancy grows linearly with n), while
+    * nlist ≈ 4√n and nBits ≈ log₂(n / targetBucket) held 2k → 200k
+    * (bench/r08_knobs_sf10ann.txt). One count() over the corpus sizes
+    * them — a metadata-cheap aggregate next to the training scan.
+    * Explicit knobs always win (the CORRECTNESS entries pin theirs so
+    * decade ratios compare the same plan).
+    */
+  def defaultNlist(n: Long): Int =
+    math.max(16, math.min(65536, math.round(4.0 * math.sqrt(n.toDouble)).toInt))
+
+  /** nprobe ≈ nlist/16 — the sweep's operating point (128/8 at 200k). */
+  def defaultNprobe(nlist: Int): Int = math.max(4, nlist / 16)
+
+  /** Hyperplane bits so expected bucket occupancy ≈ `targetBucket`. */
+  def defaultNBits(n: Long, targetBucket: Int = 64): Int =
+    math.max(4, math.min(24, math.ceil(
+      math.log(math.max(2.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
   def lshBucket(vecCol: String, nBits: Int, seed: Long = 7): org.apache.spark.sql.Column =
     graft.functions.FunctionDefs.call("lsh_bucket",
       Vectors.toDouble(col(vecCol)), lit(nBits), lit(seed))
@@ -320,18 +344,19 @@ object Ann {
   def lshTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nBits: Int, tables: Int = 8, seed: Long = 7): DataFrame = {
+      k: Int, nBits: Int = 0, tables: Int = 8, seed: Long = 7): DataFrame = {
+    val bits = if (nBits > 0) nBits else defaultNBits(corpus.count())
     def tabled(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id).as("__id"), Vectors.toDouble(col(vec)).as("__vec"),
         posexplode(array((0 until tables).map(t =>
-          lshBucket(vec, nBits, seed + t * 7919)): _*)).as(Seq("__tbl", "__bucket")))
+          lshBucket(vec, bits, seed + t * 7919)): _*)).as(Seq("__tbl", "__bucket")))
     val c = tabled(corpus, idCol, vecCol)
       .select(col("__id").as("id"), col("__vec").as("__v"), col("__tbl"), col("__bucket"))
     val q = tabled(queries, qidCol, qvecCol)
       .select(col("__id").as("qid"), col("__vec").as("__qv"), col("__tbl"), col("__bucket"))
       // multiprobe: the bucket itself plus every 1-bit flip
       .withColumn("__probe", explode(expr(
-        s"array_union(array(__bucket), transform(sequence(0, ${nBits - 1}), i -> cast(__bucket as bigint) ^ shiftleft(cast(1 as bigint), i)))")))
+        s"array_union(array(__bucket), transform(sequence(0, ${bits - 1}), i -> cast(__bucket as bigint) ^ shiftleft(cast(1 as bigint), i)))")))
     val candidates = c.join(broadcast(q),
         c("__tbl") === q("__tbl") && c("__bucket") === q("__probe"))
       .filter(col("id") =!= col("qid"))
@@ -458,15 +483,17 @@ object Ann {
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2, seed: Long = 7): DataFrame = {
+      k: Int, nlist: Int = 0, nprobe: Int = 0, iters: Int = 2, seed: Long = 7): DataFrame = {
     import graft.functions.FunctionDefs.call
+    val nl = if (nlist > 0) nlist else defaultNlist(corpus.count())
+    val np = if (nprobe > 0) nprobe else defaultNprobe(nl)
     val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
-    val centroids = kmeansCentroids(corpus, idCol, vecCol, nlist, iters, seed)
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, nl, iters, seed)
     val cent = typedlit(centroids.toSeq)
     val assigned = c.withColumn("__c", call("ivf_assign", col("__v"), cent))
     val q = queries
       .select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
-      .withColumn("__c", explode(call("ivf_probes", col("__qv"), cent, lit(nprobe))))
+      .withColumn("__c", explode(call("ivf_probes", col("__qv"), cent, lit(np))))
     rankTopK(
       assigned.join(broadcast(q), "__c")
         .filter(col("id") =!= col("qid"))
@@ -657,9 +684,11 @@ object Ann {
   def ivfPqTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 32,
+      k: Int, nlist: Int = 0, nprobe: Int = 0, m: Int = 8, ksub: Int = 32,
       iters: Int = 2, refine: Int = 10, seed: Long = 7, maxTrain: Int = 0): DataFrame = {
     import graft.functions.FunctionDefs.{call, callAgg}
+    val nl = if (nlist > 0) nlist else defaultNlist(corpus.count())
+    val np = if (nprobe > 0) nprobe else defaultNprobe(nl)
     val raw = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
     val c = raw
       .withColumn("__n", call("vec_norm", col("__v")))
@@ -667,7 +696,7 @@ object Ann {
         .otherwise(expr("transform(__v, x -> x / __n)")))
       .select("id", "__vn")
 
-    val model = trainIvfPq(c, nlist, m, ksub, iters, seed, maxTrain)
+    val model = trainIvfPq(c, nl, m, ksub, iters, seed, maxTrain)
     val codebooks = model.codebooks
     val subdim = model.subdim
     val cent = typedlit(model.centroids.toSeq)
@@ -689,7 +718,7 @@ object Ann {
         .otherwise(expr("transform(__qv, x -> x / __qn)")))
       .select("qid", "__qv", "__qvn")
     val probes = q.select(col("qid"), col("__qvn"))
-      .withColumn("__c", explode(call("ivf_probes", col("__qvn"), cent, lit(nprobe))))
+      .withColumn("__c", explode(call("ivf_probes", col("__qvn"), cent, lit(np))))
       .withColumn("__qdotc",
         aggregate(
           zip_with(col("__qvn"), element_at(cent, col("__c") + 1), (x, y) => x * y),

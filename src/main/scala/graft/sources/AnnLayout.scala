@@ -39,10 +39,12 @@ object AnnLayout {
     * parquet + `path/centroids` (nlist rows: list id, centroid array).
     */
   def build(df: DataFrame, idCol: String, vecCol: String, path: String,
-            nlist: Int = 16, iters: Int = 2, seed: Long = 7): Unit = {
+            nlist: Int = 0, iters: Int = 2, seed: Long = 7): Unit = {
+    // nlist = 0 → the FAISS-guideline computed default (4√n, KnobSweep r8)
+    val nl = if (nlist > 0) nlist else Ann.defaultNlist(df.count())
     import graft.functions.FunctionDefs.call
     val spark = df.sparkSession
-    val centroids = Ann.kmeansCentroids(df, idCol, vecCol, nlist, iters, seed)
+    val centroids = Ann.kmeansCentroids(df, idCol, vecCol, nl, iters, seed)
     val cent = typedlit(centroids.toSeq)
     df.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("vec"))
       .withColumn("list", call("ivf_assign", col("vec"), cent))
@@ -66,7 +68,7 @@ object AnnLayout {
     * codebooks persist alongside, so query time never trains.
     */
   def buildPq(df: DataFrame, idCol: String, vecCol: String, path: String,
-              nlist: Int = 16, m: Int = 8, ksub: Int = 32,
+              nlist: Int = 0, m: Int = 8, ksub: Int = 32,
               iters: Int = 2, seed: Long = 7): Unit = {
     import graft.functions.FunctionDefs.call
     val spark = df.sparkSession
@@ -76,8 +78,9 @@ object AnnLayout {
       .withColumn("__vn", when(col("__n") === 0.0, col("vec"))
         .otherwise(expr("transform(vec, x -> x / __n)")))
       .select("id", "vec", "__vn")
+    val nl = if (nlist > 0) nlist else Ann.defaultNlist(df.count())
     val model = Ann.trainIvfPq(
-      c.select("id", "__vn"), nlist, m, ksub, iters, seed, maxTrain = 0)
+      c.select("id", "__vn"), nl, m, ksub, iters, seed, maxTrain = 0)
     val cent = typedlit(model.centroids.toSeq)
     val assigned = c
       .withColumn("list", call("ivf_assign", col("__vn"), cent))
@@ -109,9 +112,11 @@ object AnnLayout {
     */
   def pqTopK(s: SparkSession, path: String,
              queries: DataFrame, qidCol: String, qvecCol: String,
-             k: Int, nprobe: Int = 4, refine: Int = 10): DataFrame = {
+             k: Int, nprobe: Int = 0, refine: Int = 10): DataFrame = {
     import graft.functions.FunctionDefs.{call, callAgg}
     val centRows = s.read.parquet(s"$path/centroids").orderBy("list").collect()
+    // nprobe = 0 → nlist/16 (the layout knows its own nlist)
+    val np = if (nprobe > 0) nprobe else Ann.defaultNprobe(centRows.length)
     val cent = typedlit(centRows.map(_.getSeq[Double](1)).toSeq)
     val cb = s.read.parquet(s"$path/codebooks").head()
     val m = cb.getInt(0)
@@ -123,7 +128,7 @@ object AnnLayout {
         .otherwise(expr("transform(__qv, x -> x / __qn)")))
       .select("qid", "__qv", "__qvn")
     val probes = q.select(col("qid"), col("__qvn"))
-      .withColumn("list", explode(call("ivf_probes", col("__qvn"), cent, lit(nprobe))))
+      .withColumn("list", explode(call("ivf_probes", col("__qvn"), cent, lit(np))))
       .withColumn("__qdotc",
         aggregate(
           zip_with(col("__qvn"), element_at(cent, col("list") + 1), (x, y) => x * y),
@@ -218,14 +223,15 @@ object AnnLayout {
     */
   def topK(s: SparkSession, path: String,
            queries: DataFrame, qidCol: String, qvecCol: String,
-           k: Int, nprobe: Int = 4): DataFrame = {
+           k: Int, nprobe: Int = 0): DataFrame = {
     import graft.functions.FunctionDefs.call
     val centRows = s.read.parquet(s"$path/centroids")
       .orderBy("list").collect()
+    val np = if (nprobe > 0) nprobe else Ann.defaultNprobe(centRows.length)
     val cent = typedlit(centRows.map(_.getSeq[Double](1)).toSeq)
     val probes = queries
       .select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
-      .withColumn("list", explode(call("ivf_probes", col("__qv"), cent, lit(nprobe))))
+      .withColumn("list", explode(call("ivf_probes", col("__qv"), cent, lit(np))))
     val vectors = s.read.parquet(s"$path/vectors")
     Ann.rankTopK(
       vectors.join(broadcast(probes), "list")

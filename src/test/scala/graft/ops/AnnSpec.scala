@@ -152,6 +152,33 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     full shouldBe bruteSub
   }
 
+  test("computed knob defaults: formulas track corpus size; auto-knob runs return full result sets") {
+    // the FAISS-guideline curves (KnobSweep r8): nlist = 4√n clamped,
+    // nprobe = nlist/16 floored, nBits sizes buckets to ~64
+    Ann.defaultNlist(2000) shouldBe 179
+    Ann.defaultNlist(200000) shouldBe 1789
+    Ann.defaultNlist(10) shouldBe 16 // floor
+    Ann.defaultNlist(1000000000L) shouldBe 65536 // cap
+    Ann.defaultNprobe(128) shouldBe 8
+    Ann.defaultNprobe(16) shouldBe 4 // floor
+    Ann.defaultNBits(200000) shouldBe 12 // log2(200000/64) ≈ 11.6 → 12
+    Ann.defaultNBits(100) shouldBe 4 // floor
+    // auto-knob calls (nlist/nprobe/nBits omitted) still produce k rows
+    // per query with exact cosines — the knobs only shape candidates
+    val q = corpus.filter(col("vec_id") < 3)
+    val ivf = Ann.ivfTopK(corpus, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .collect()
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) => rows.length shouldBe 5 }
+    ivf.foreach { r =>
+      r.getDouble(3) shouldBe cos(localVecs(r.getLong(0)), localVecs(r.getLong(1))) +- 1e-12
+    }
+    val lsh = Ann.lshTopK(corpus, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .collect()
+    lsh.foreach { r =>
+      r.getDouble(3) shouldBe cos(localVecs(r.getLong(0)), localVecs(r.getLong(1))) +- 1e-12
+    }
+  }
+
   test("hardNegatives: only different-label neighbors, ranked like a label-filtered brute force") {
     val labels: Map[Long, Int] = corpus.select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
