@@ -348,6 +348,60 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("streaming MAD twin: histogram state == batch bit-for-bit; stats within the rounding band of exact ev_mad") {
+    val spark0 = spark
+    import spark0.implicits._
+    // part 1 — MemoryStream: the histogram accumulated across
+    // micro-batches equals the batch groupBy exactly, and the finishing
+    // stats replay percentile(0.5) interpolation (even-n split checked)
+    val events: Seq[TestEvent] =
+      ((1 to 10).map(i => ev(i.toLong, "click", i.toDouble, i.toLong)) :+ // med = 5.5 (interp)
+        ev(60L, "click", 1000.0, 99L)) ++                                // the outlier
+        (1 to 7).map(i => ev(i.toLong, "view", i.toDouble * 2, i.toLong))
+    val input = MemoryStream[TestEvent](spark)
+    val q = MadStream.valueHistogram(input.toDF())
+      .writeStream.format("memory").queryName("mad_hist").outputMode("complete").start()
+    try {
+      val (a, b) = events.splitAt(6)
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+      val snap = spark.table("mad_hist")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+        .toDF("event_type", "v", "cnt")
+      val batchHist = MadStream.valueHistogram(events.toDF())
+      snap.collect().map(_.toSeq).toSet shouldBe
+        batchHist.collect().map(_.toSeq).toSet
+      val stats = MadStream.robustStats(snap).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // click: values 1..10 + 1000 → n=11, med=6 (odd n), dev median:
+      // devs {5,4,3,2,1,0,1,2,3,4,994} sorted → mad = 3
+      stats("click").getLong(1) shouldBe 11L
+      stats("click").getDouble(2) shouldBe 6.0 +- 1e-9
+      stats("click").getDouble(3) shouldBe 3.0 +- 1e-9
+      stats("click").getLong(4) shouldBe 1L // 994 > 3·1.4826·3
+      // view: 2..14 step 2, n=7 → med=8, devs {6,4,2,0,2,4,6} → mad=4
+      stats("view").getDouble(2) shouldBe 8.0 +- 1e-9
+      stats("view").getDouble(3) shouldBe 4.0 +- 1e-9
+    } finally q.stop()
+    // part 2 — the real corpus fixture: histogram-derived stats within
+    // the 4-dp rounding band of the batch EXACT entry (the CORRECTNESS
+    // anchor), outlier counts equal under the same decision rule
+    val exact = graft.queries.Relational.evMad(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = MadStream.robustStats(
+        MadStream.valueHistogram(Tables.events(spark, sfDir)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    approx.keySet shouldBe exact.keySet
+    for ((t, a) <- approx; e = exact(t)) {
+      a.getLong(1) shouldBe e.getLong(1) // n exact
+      a.getDouble(2) shouldBe e.getDouble(2) +- 1e-4  // med within rounding
+      a.getDouble(3) shouldBe e.getDouble(3) +- 2e-4  // mad within 2× rounding
+      a.getLong(4) shouldBe e.getLong(4) // same outlier decisions on this corpus
+    }
+  }
+
   test("streaming last-touch attribution carries one-row state == the as-of batch twin") {
     val spark0 = spark
     import spark0.implicits._
