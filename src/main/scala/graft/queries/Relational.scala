@@ -865,30 +865,39 @@ object Relational {
     * median(|value − med|), outlier ⇔ |value − med| > 3·1.4826·mad
     * (the Gaussian-consistent robust z-score — immune to the very
     * outliers a mean/stddev rule would absorb, the evAnomaly
-    * complement). Shape: THREE scans of the stream — med, then mad,
-    * then the flag counts (two-stage medians cannot do fewer without
-    * caching the deviation frame, which at 100 TB costs more than the
-    * rescan) — each with the tiny per-type stats table broadcast back;
-    * the stream itself never windows or re-shuffles. Exact medians
-    * here mirror the oracle; at 100 TB swap
-    * percentile→approx_percentile, the decision rule unchanged.
+    * complement).
+    *
+    * Shape (r9): ONE corpus scan builds the per-(type, value) count
+    * HISTOGRAM — a plain map-side-combined groupBy, parallel in
+    * |types|·|distinct values| — and the exact medians run over the
+    * histogram through `percentile`'s FREQUENCY argument. Row-level
+    * `percentile` internally accumulates exactly this value→count
+    * buffer, so the histogram formulation is BIT-IDENTICAL (oracle
+    * unchanged) while removing the old shape's cap of |types|
+    * single-threaded reducers each hashing n/|types| rows (the 3.1×
+    * decade row in SCALE_r09). localCheckpoint: three consumers (med,
+    * mad, flags) of a frame that collapses the corpus ~50×.
+    * [[graft.streaming.MadStream]] is the same histogram as streaming
+    * state with a rounding-banded finishing pass.
     */
   def evMad(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
+    val hist = Tables.events(s, dir)
       .filter(col("value").isNotNull && col("event_type").isNotNull)
-      .select("event_type", "value")
-    val med = e.groupBy("event_type")
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val dev = e.join(broadcast(med), "event_type")
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val med = hist.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5, cnt)").as("med"))
+    val dev = hist.join(broadcast(med), "event_type")
       .withColumn("absdev", abs(col("value") - col("med")))
     val mad = dev.groupBy("event_type")
-      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+      .agg(expr("percentile(absdev, 0.5, cnt)").as("mad"))
     dev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("cnt")).as("n"),
         max(col("med")).as("__med"), max(col("mad")).as("__mad"),
-        sum((col("absdev") > lit(3) * lit(1.4826) * col("mad")).cast("long"))
-          .as("n_outliers"))
+        sum(when(col("absdev") > lit(3) * lit(1.4826) * col("mad"),
+          col("cnt")).otherwise(lit(0L))).as("n_outliers"))
       .select(col("event_type"), col("n"),
         (round(col("__med"), 6) + lit(0.0)).as("med_r"),
         (round(col("__mad"), 6) + lit(0.0)).as("mad_r"),

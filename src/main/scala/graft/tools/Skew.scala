@@ -184,7 +184,7 @@ object SkewBench {
     //     dist-0 OUTPUT rows — duplicate mass costs output size only.
     def sigFrame(planted: Boolean): DataFrame = {
       val ids = spark.range(200000L).toDF("id")
-      val scattered = col("id") * lit(0x9E3779B97F4A7C15L)
+      val scattered = xxhash64(col("id")) // deterministic scatter, ANSI-safe
       ids.withColumn("h",
         if (planted) when(col("id") < 2000L, lit(0xffL)).otherwise(scattered)
         else scattered)
