@@ -485,6 +485,50 @@ object Text {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
 
+  /** Duplicate-span COVERAGE — the corpus "duplication rate" number
+    * large-scale curation runs report (Gopher/RefinedWeb-style): per
+    * source, the fraction of word POSITIONS that sit inside a word
+    * n-gram also appearing in ≥2 distinct documents. Complements
+    * tx_repetition (within-doc fractions) and dd_spans (per-doc span
+    * counts) with the corpus-level metric. Shape: gram occurrences
+    * explode with their start positions (n-gram-count rows, scan-side
+    * arithmetic), the cross-doc decision is ONE partial-agg
+    * distinct-doc count per gram, and covered positions dedup per
+    * (doc, position) before the per-source fraction — the dd_spans
+    * posting shape, never all-pairs. Output: (source, n_docs, n_words,
+    * n_covered, coverage).
+    */
+  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
+                   srcCol: String, n: Int): DataFrame = {
+    require(n >= 2, "spanCoverage: n must be >= 2")
+    val words = df
+      .filter(col(textCol).isNotNull && col(srcCol).isNotNull)
+      .select(col(idCol).as("__id"), col(srcCol).as("__src"),
+        split(col(textCol), " ").as("__ws"))
+    val grams = words.select(col("__id"), col("__src"),
+      posexplode(expr(
+        s"CASE WHEN size(__ws) >= $n THEN transform(sequence(0, size(__ws) - $n), " +
+          s"i -> array_join(slice(__ws, i + 1, $n), ' ')) " +
+          "ELSE CAST(array() AS array<string>) END")).as(Seq("__pos", "__g")))
+    val dup = grams.groupBy("__g")
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= 2)
+      .select("__g")
+    val covered = grams.join(dup, Seq("__g"), "left_semi")
+      .select(col("__id"), col("__src"),
+        explode(expr(s"sequence(__pos, __pos + ${n - 1})")).as("__p"))
+      .distinct()
+      .groupBy("__src").agg(count(lit(1)).as("n_covered"))
+    words.groupBy("__src")
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("__ws"))).as("n_words"))
+      .join(covered, Seq("__src"), "left")
+      .select(col("__src").as("source"), col("n_docs"), col("n_words"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (round(coalesce(col("n_covered"), lit(0L)) / col("n_words"), 6) + lit(0.0))
+          .as("coverage"))
+      .orderBy("source")
+  }
+
   // ------------------------------------- importance weighting (DSIR-ish)
 
   /** Importance weights for data selection (after the public DSIR recipe

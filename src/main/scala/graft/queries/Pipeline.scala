@@ -1705,8 +1705,19 @@ object Pipeline {
     "src_invidx" -> srcInvidx _,
     "src_timetravel_cdf" -> srcTimetravelCdf _,
     "mm_phash" -> mmPhash _,
-    "tx_pmi" -> txPmi _
+    "tx_pmi" -> txPmi _,
+    "dd_span_coverage" -> ddSpanCoverage _
   )
+
+  /** Duplicate-span coverage ([[graft.ops.Text.spanCoverage]]): the
+    * per-source corpus duplication rate — fraction of word positions
+    * inside a 5-gram shared by ≥2 distinct documents. Every stage
+    * (gram positions, cross-doc DF, position-set union, the fraction)
+    * replays in SQL.
+    */
+  def ddSpanCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.spanCoverage(Tables.documents(s, dir),
+      "doc_id", "text", "source", n = 5)
 
   /** PMI collocations ([[graft.ops.Text.pmiCollocations]]): top-20
     * adjacent word pairs by pointwise mutual information, min count 10
@@ -2981,6 +2992,26 @@ object Pipeline {
         |SELECT s.doc_id, len(s.sh)::INT AS n_spans,
         |       coalesce(pd.n_dup, 0)::BIGINT AS n_dup_spans
         |FROM s LEFT JOIN pd USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+    "dd_span_coverage" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT doc_id, source, unnest(
+        |        CASE WHEN len(w) >= 5
+        |             THEN [{'p': i, 'g': array_to_string(list_slice(w, i, i + 4), ' ')}
+        |                   for i in range(1, len(w) - 3)]
+        |             ELSE [] END) AS u
+        |      FROM d),
+        |o AS (SELECT doc_id, source, u.p AS p, u.g AS g FROM g),
+        |dup AS (SELECT g FROM o GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, source, unnest(range(p, p + 5)) AS cp
+        |        FROM o JOIN dup USING (g)),
+        |covs AS (SELECT source, count(*)::BIGINT AS n_covered FROM cov GROUP BY 1),
+        |tot AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |               sum(len(w))::BIGINT AS n_words FROM d GROUP BY 1)
+        |SELECT tot.source, tot.n_docs, tot.n_words,
+        |  coalesce(covs.n_covered, 0)::BIGINT AS n_covered,
+        |  round(coalesce(covs.n_covered, 0) / tot.n_words, 6) AS coverage
+        |FROM tot LEFT JOIN covs USING (source) ORDER BY tot.source""".stripMargin,
     "tx_bm25" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
         |dl AS (SELECT id, len(toks) AS dl FROM d),

@@ -393,6 +393,40 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     viaLsh should contain theSameElementsInOrderAs exact
   }
 
+  test("spanCoverage: positional union over cross-doc duplicated n-grams, per source") {
+    import spark.implicits._
+    // docs 1 and 2 share the 3-gram "a b c" (cross-doc dup); doc 3
+    // repeats its own 3-gram only (within-doc — must NOT count); doc 4
+    // is short (< n); doc 5 is clean
+    val df = Seq(
+      (1L, "s1", "a b c x y"),    // "a b c" dup → positions 0,1,2 covered
+      (2L, "s1", "q a b c"),      // positions 1,2,3 covered
+      (3L, "s1", "k l m k l m"),  // "k l m" twice IN ONE DOC: df(docs)=1 → no cover
+      (4L, "s1", "t u"),          // too short for 3-grams
+      (5L, "s2", "p q r s t")     // clean source
+    ).toDF("id", "src", "text")
+    val got = Text.spanCoverage(df, "id", "text", "src", n = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // s1: 4 docs, 5+4+6+2 = 17 words, covered = 3 (doc1) + 3 (doc2) = 6
+    got("s1") shouldBe ((4L, 17L, 6L, math.rint(6.0 / 17.0 * 1e6) / 1e6))
+    got("s2") shouldBe ((1L, 5L, 0L, 0.0))
+  }
+
+  test("spanCoverage: overlapping duplicated grams union their positions, no double count") {
+    import spark.implicits._
+    // docs share the 4-word run "a b c d": both 3-grams "a b c" and
+    // "b c d" are cross-doc dups; the union covers 4 positions per doc,
+    // not 6
+    val df = Seq(
+      (1L, "s", "a b c d x"),
+      (2L, "s", "y a b c d")
+    ).toDF("id", "src", "text")
+    val r = Text.spanCoverage(df, "id", "text", "src", n = 3).collect().head
+    r.getLong(2) shouldBe 10L  // words
+    r.getLong(3) shouldBe 8L   // 4 + 4, unioned
+  }
+
   test("mixtureRates: α-temperature rates on a hand corpus; sampling honors them exactly") {
     import scala.jdk.CollectionConverters._
     // source a: 4 docs, source b: 1 doc; α=0.5, budget=3
