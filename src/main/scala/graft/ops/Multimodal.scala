@@ -427,6 +427,50 @@ object Multimodal {
     }.toDF(idCol, "sample_rate", "n_channels", "n_samples", "sample_sum")
   }
 
+  /** 64-bit audio fingerprint: REAL WAV decode, bit i set iff PCM
+    * sample i exceeds the clip mean (i < min(n, 64)) — the aHash
+    * analog for audio, feeding the same generic
+    * [[Dedup.hammingPairs]] signature join the image path uses (the
+    * "any 64-bit signature" claim, certified on a second modality).
+    * Production fingerprints hash windowed spectral energies; the
+    * sample-sign form keeps the bits pure arithmetic of the synthetic
+    * PCM so the oracle replays decode → bits → the full pair set.
+    */
+  def audioPhash(spark: SparkSession, media: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      media.filter(col("media").isNotNull)
+        .select(col(idCol).cast("long"), col("media")).as[(Long, Array[Byte])]
+    ds.mapPartitions { rows =>
+      val reader = wavReader()
+      rows.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          val ais = reader.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val pcm = try ais.readAllBytes() finally ais.close()
+          val n = math.min(pcm.length / 2, 64)
+          require(n > 0, s"empty PCM for id $id")
+          val smp = new Array[Long](n)
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            smp(i) = (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))).toShort.toLong
+            sum += smp(i)
+            i += 1
+          }
+          val mean = sum.toDouble / n
+          var hash = 0L
+          i = 0
+          while (i < n) {
+            if (smp(i) > mean) hash |= (1L << i)
+            i += 1
+          }
+          (id, hash)
+        }
+      }
+    }.toDF(idCol, "ahash")
+  }
+
   /** STUBBED resize: a real implementation would decode, scale to
     * `targetBytes`-worth of pixels and re-encode; the stand-in
     * deterministically downsamples the byte stream by striding, so output

@@ -1706,8 +1706,25 @@ object Pipeline {
     "src_timetravel_cdf" -> srcTimetravelCdf _,
     "mm_phash" -> mmPhash _,
     "tx_pmi" -> txPmi _,
-    "dd_span_coverage" -> ddSpanCoverage _
+    "dd_span_coverage" -> ddSpanCoverage _,
+    "mm_audio_dedup" -> mmAudioDedup _
   )
+
+  /** Audio near-dup via sample-sign fingerprint: REAL WAV decode →
+    * 64-bit sign hash ([[graft.ops.Multimodal.audioPhash]]) → the SAME
+    * generic banded Hamming join mm_phash uses
+    * ([[graft.ops.Dedup.hammingPairs]], dist ≤ 2 over 8 bands) — the
+    * "any 64-bit signature" claim certified on a second modality, end
+    * to end in SQL (synthesis formula → decoded sample signs → bits →
+    * the FULL pair set).
+    */
+  def mmAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val media = graft.ops.Multimodal.synthesizeWavs(s, docs, "doc_id")
+    val hashed = graft.ops.Multimodal.audioPhash(s, media, "doc_id")
+    graft.ops.Dedup.hammingPairs(hashed, "doc_id", "ahash", maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
 
   /** Duplicate-span coverage ([[graft.ops.Text.spanCoverage]]): the
     * per-source corpus duplication rate — fraction of word positions
@@ -3101,6 +3118,26 @@ object Pipeline {
         | list_sum([(doc_id * 131 + i * 17) % 65536 - 32768
         |           for i in range(0, (16 + doc_id % 32)::INT)])::BIGINT AS sample_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the WAV synthesis → decoded sample signs → fingerprint bits →
+    // full Hamming pair set, replayed arithmetically (PCM is lossless;
+    // mean is int-sum / n in double on both engines)
+    "mm_audio_dedup" ->
+      """WITH d AS (SELECT doc_id, (16 + doc_id % 32)::INT AS n FROM documents),
+        |sm AS (SELECT doc_id, n,
+        |         [(doc_id * 131 + i * 17) % 65536 - 32768
+        |          for i in range(0, n)] AS s
+        |       FROM d),
+        |hs AS (SELECT doc_id, n, list_sum(s) / n AS mean, s FROM sm),
+        |hh AS (SELECT doc_id,
+        |         list_sum([CASE WHEN s[i + 1] > mean
+        |                        THEN (1::BIGINT << i) ELSE 0 END
+        |                   for i in range(0, n)])::BIGINT AS h
+        |       FROM hs),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        bit_count(xor(a.h, b.h))::INT AS dist
+        |      FROM hh a JOIN hh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // per-source discrete 25th-percentile cutoff on the 4-dp contract
     // quality score, replayed on the histogram exactly as the operator
     // computes it (smallest score whose cumulative count reaches

@@ -128,6 +128,24 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("audioPhash: fingerprint bits are the decoded samples' signs vs the clip mean") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.audioPhash(spark,
+        Multimodal.synthesizeWavs(spark, ids, "doc_id"), "doc_id")
+      .orderBy("doc_id").collect()
+    out.length shouldBe 40
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val nn = (16 + id % 32).toInt
+      val smp = (0 until nn).map(i => (id * 131 + i * 17) % 65536 - 32768)
+      val mean = smp.sum.toDouble / nn
+      val expected = smp.zipWithIndex
+        .map { case (s, i) => if (s > mean) 1L << i else 0L }.sum
+      r.getLong(1) shouldBe expected
+    }
+  }
+
   test("real GIF frame sampling: javax.imageio roundtrips every strided frame exactly") {
     import spark.implicits._
     // direct: encode then decode one animation, compare frame count + every sample
