@@ -222,4 +222,36 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
       Probe.ridgeFit(Seq.empty[(Array[Float], Double)].toDF("v", "y"),
         "v", col("y"), lambda = 1.0)
   }
+
+  test("round-9 ops tolerate null text/sources/values and empty inputs") {
+    import spark.implicits._
+    // span coverage: null text/source rows drop; short docs count in
+    // totals without producing grams; empty input → empty output
+    val docs9 = Seq(
+      (1L, Option("s"), Option("a b c d e f")),
+      (2L, Option("s"), Option("a b c d e g")),
+      (3L, Option("s"), None),
+      (4L, None, Option("x y z w v u")),
+      (5L, Option("s"), Option("tiny"))).toDF("id", "src", "text")
+    val cov = Text.spanCoverage(docs9, "id", "text", "src", n = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    cov shouldBe Array(("s", 3L, 13L, 10L)) // docs 1,2 share "a b c d e"
+    Text.spanCoverage(Seq.empty[(Long, String, String)].toDF("id", "src", "text"),
+      "id", "text", "src", n = 5).count() shouldBe 0
+    // MadStream: null values/types drop at the histogram; a 1-row type
+    // degenerates to med = value, mad = 0 without dividing by zero
+    val hist = graft.streaming.MadStream.valueHistogram(Seq(
+      (Option("a"), Option(5.0)), (Option("a"), Option(7.0)),
+      (Option("b"), Option(3.0)), (None, Option(1.0)), (Option("c"), None))
+      .toDF("event_type", "value"))
+    val stats = graft.streaming.MadStream.robustStats(hist)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    stats("a") shouldBe ((2L, 6.0, 1.0))
+    stats("b") shouldBe ((1L, 3.0, 0.0))
+    stats.keySet shouldBe Set("a", "b")
+    // audio fingerprint: null blobs drop (the decodeAudio contract)
+    val media = Seq((1L, Option(Multimodal.synthWav(1L))), (2L, None))
+      .toDF("doc_id", "media")
+    Multimodal.audioPhash(spark, media, "doc_id").count() shouldBe 1
+  }
 }
