@@ -662,6 +662,64 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** Incremental connected components — fold NEW near-dup edges into an
+    * existing labeling WITHOUT recomputing the closure: the daily-ingest
+    * dedup maintenance step (new pairs arrive from a banded LSH pass or
+    * [[incrementalNovel]]'s exact digest join over the day's batch).
+    *
+    * Existing components are transitively closed, so they merge as
+    * SUPERNODES: each new edge's endpoints map to their current
+    * component label (identity for never-seen ids), the label-level
+    * edge set — at most new-edge-count edges, independent of corpus
+    * size — runs through the same O(log n) alternating-star CC, and
+    * the old-label → merged-root mapping broadcasts back over the big
+    * labels table in ONE scan with a hash probe (the [[MergeInto]]
+    * trade: the 100 TB labels table never shuffles). Component ids
+    * stay min-id: a supernode's label IS its component's minimum
+    * member id, so the merged root is the minimum over the merged
+    * membership — the result equals the full-rebuild
+    * [[connectedComponents]] over (old edges ∪ new edges) bit for bit
+    * (the q_scd2_inc oracle shape; CORRECTNESS entry
+    * `dd_components_inc`).
+    *
+    * @param labels existing labeling: (id, comp) as produced by
+    *               [[connectedComponents]] (comp = min member id)
+    * @return (id, comp) covering labeled ids ∪ new-edge endpoints
+    */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame,
+                      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val edges = newEdges.select(col(idACol).cast("long").as("__a"),
+      col(idBCol).cast("long").as("__b")).localCheckpoint(eager = false)
+    val eps = edges.select(col("__a").as("id"))
+      .union(edges.select(col("__b").as("id"))).distinct()
+    // current label of every endpoint: ONE labels scan behind a
+    // broadcast semi-join probe (output is endpoint-sized)
+    val seen = labels.join(broadcast(eps), Seq("id"), "left_semi")
+      .select(col("id"), col("comp"))
+    val epMap = seen.localCheckpoint() // small; consumed three times
+    val superEdges = edges
+      .join(broadcast(epMap.select(col("id").as("__a"), col("comp").as("__ca"))),
+        Seq("__a"), "left")
+      .join(broadcast(epMap.select(col("id").as("__b"), col("comp").as("__cb"))),
+        Seq("__b"), "left")
+      .select(coalesce(col("__ca"), col("__a")).as("id_a"),
+        coalesce(col("__cb"), col("__b")).as("id_b"))
+    // supernode → merged root over the TINY label-level graph
+    val merged = connectedComponents(superEdges).localCheckpoint()
+    // relabel the big table in one scan; untouched comps pass through
+    val relabeled = labels
+      .join(broadcast(merged.select(col("id").as("comp"), col("comp").as("__new"))),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("__new"), col("comp")).as("comp"))
+    // never-seen endpoints enter with their merged root (every new id
+    // IS a supernode, so the mapping covers it; isolated-after-self-loop
+    // ids fall back to themselves)
+    val newIds = eps.join(broadcast(epMap.select("id")), Seq("id"), "left_anti")
+    val newRows = newIds.join(broadcast(merged), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    relabeled.unionByName(newRows)
+  }
+
   // ------------------------------------------- incremental (bloom-gated)
 
   /** Incremental ingest dedup through a broadcast Bloom gate: flag each

@@ -66,6 +66,30 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Incremental connected components
+    * ([[graft.ops.Dedup.mergeComponents]]): labels built from a
+    * deterministic "old" two-thirds of the near-dup pairs, then the
+    * remaining third folds in as supernode merges — label-level CC
+    * over the new edges only, one broadcast-probed scan of the labels
+    * table. The oracle is the FULL closure over all pairs (the
+    * dd_components oracle verbatim): incremental maintenance must be
+    * invisible, bit for bit.
+    */
+  def ddComponentsInc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.8)
+      .localCheckpoint() // the split feeds two CC passes
+    val old = pairs.filter((col("id_a") + col("id_b")) % 3 =!= 0)
+    val fresh = pairs.filter((col("id_a") + col("id_b")) % 3 === 0)
+    val cc = Dedup.mergeComponents(Dedup.connectedComponents(old), fresh)
+    val comp = docs.select(col("doc_id"))
+      .join(cc, docs("doc_id") === cc("id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
+    comp.join(comp.groupBy("component").agg(count(lit(1)).as("n_members")), "component")
+      .select("doc_id", "component", "n_members")
+      .orderBy("doc_id")
+  }
+
   /** Canonical-survivor selection over near-dup components — the policy
     * a real curation pipeline runs instead of keep-min-id: per
     * component, keep the HIGHEST-quality member (4-dp contract score,
@@ -1605,6 +1629,7 @@ object Pipeline {
     "dd_jaccard" -> ddJaccard _,
     "dd_jaccard_join" -> ddJaccardJoin _,
     "dd_components" -> ddComponents _,
+    "dd_components_inc" -> ddComponentsInc _,
     "dd_canonical" -> ddCanonical _,
     "dd_minhash" -> ddMinhash _,
     "dd_minhash_recall" -> ddMinhashRecall _,
@@ -2426,6 +2451,31 @@ object Pipeline {
     // j>=0.8 pair graph (same shingle SQL as dd_jaccard_join); UNION
     // (not ALL) dedups rows so the recursion terminates
     "dd_components" ->
+      s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |        CASE WHEN len(w) >= 3
+         |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                                 for i in range(1, len(w) - 1)])
+         |             ELSE [array_to_string(w, ' ')] END AS sh
+         |      FROM d),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |            len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM p
+         |      UNION ALL SELECT id_b, id_a FROM p),
+         |walk(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, walk.comp FROM walk JOIN e ON e.src = walk.id),
+         |cc AS (SELECT id AS doc_id, min(comp) AS component FROM walk GROUP BY 1)
+         |SELECT cc.doc_id, cc.component, n.n_members
+         |FROM cc JOIN (SELECT component, count(*) AS n_members FROM cc GROUP BY 1) n
+         |  USING (component)
+         |ORDER BY cc.doc_id""".stripMargin,
+    // incremental maintenance must equal the full closure bit for bit —
+    // the oracle IS the dd_components oracle
+    "dd_components_inc" ->
       s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id,
          |        CASE WHEN len(w) >= 3

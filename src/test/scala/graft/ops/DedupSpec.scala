@@ -293,6 +293,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     cc2(300L) shouldBe 300L
   }
 
+  test("mergeComponents == full rebuild on chain-bridging, comp-merging, new-id and self-loop edges") {
+    import spark.implicits._
+    // old graph: components {1,2,3}, {10,11}, {20,21}, singleton 30 (no edges)
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val labels0 = Dedup.connectedComponents(oldEdges)
+    // new edges: bridge two comps (3-10), attach a NEVER-seen id (40-21),
+    // an edge between two new ids (50-51), an intra-comp edge (1-3,
+    // already closed), and a cross-bridge through a new id (60-11, 60-20)
+    val newEdges = Seq((3L, 10L), (40L, 21L), (50L, 51L), (1L, 3L),
+      (60L, 11L), (60L, 20L)).toDF("id_a", "id_b")
+    val merged = Dedup.mergeComponents(labels0, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Dedup.connectedComponents(oldEdges.unionByName(newEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every full-rebuild id appears with the identical min-id component
+    full.foreach { case (id, comp) => merged.get(id) shouldBe Some(comp) }
+    merged.keySet shouldBe full.keySet
+    // the bridges actually merged: {1,2,3,10,11,20,21,40,60} → comp 1
+    merged(40L) shouldBe 1L
+    merged(60L) shouldBe 1L
+    merged(50L) shouldBe 50L
+    merged(51L) shouldBe 50L
+  }
+
   test("hammingPairs == brute-force popcount pairs (pigeonhole complete for dist < pieces)") {
     import spark.implicits._
     // deterministic 64-bit signatures with planted near-collisions
