@@ -348,6 +348,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("streaming component maintenance: per-trigger supernode folds == batch CC over all edges seen") {
+    val spark0 = spark
+    import spark0.implicits._
+    // three triggers: build chains, then bridge them, then attach new ids
+    val t1 = Seq((1L, 2L), (3L, 4L), (10L, 11L))
+    val t2 = Seq((2L, 3L), (11L, 20L))           // bridges 1-2-3-4; grows 10s
+    val t3 = Seq((4L, 10L), (30L, 31L))          // merges everything + fresh comp
+    val input = MemoryStream[(Long, Long)](spark)
+    val cc = CcStream.empty(spark)
+    val q = cc.start(input.toDF().toDF("id_a", "id_b"),
+      java.nio.file.Files.createTempDirectory("graft-ccstream").toString)
+    try {
+      var seen = Seq.empty[(Long, Long)]
+      for (batch <- Seq(t1, t2, t3)) {
+        input.addData(batch: _*)
+        q.processAllAvailable()
+        seen ++= batch
+        val streamed = cc.labels.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        val full = graft.ops.Dedup.connectedComponents(
+            seen.toDF("id_a", "id_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        streamed shouldBe full
+      }
+      // the final merge actually collapsed the bridged chains
+      cc.labels.filter(col("id") === 20L).head.getLong(1) shouldBe 1L
+    } finally q.stop()
+  }
+
   test("streaming MAD twin: histogram state == batch bit-for-bit; stats within the rounding band of exact ev_mad") {
     val spark0 = spark
     import spark0.implicits._
