@@ -1732,8 +1732,23 @@ object Pipeline {
     "mm_phash" -> mmPhash _,
     "tx_pmi" -> txPmi _,
     "dd_span_coverage" -> ddSpanCoverage _,
-    "mm_audio_dedup" -> mmAudioDedup _
+    "mm_audio_dedup" -> mmAudioDedup _,
+    "q_joinest" -> qJoinest _
   )
+
+  /** KMV join-size estimation ([[graft.ops.JoinEstimate.estimate]]):
+    * |orders ⋈ lineitem| on the order key, estimated from two
+    * bottom-256 sketches, with the exact join size alongside. The
+    * oracle rebuilds both sketches (distinct md5-13-prefix hashes,
+    * bottom-k), replays the estimator arithmetic term for term
+    * (hex→numeric k-th order statistic, (k−1)·2⁵²/h_k distinct
+    * estimates, Jaccard-scaled union, multiplicity scaling) and the
+    * exact count.
+    */
+  def qJoinest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.JoinEstimate.estimate(
+      Tables.orders(s, dir), "o_orderkey",
+      Tables.lineitem(s, dir), "l_orderkey", k = 256)
 
   /** Audio near-dup via sample-sign fingerprint: REAL WAV decode →
     * 64-bit sign hash ([[graft.ops.Multimodal.audioPhash]]) → the SAME
@@ -3168,6 +3183,47 @@ object Pipeline {
         | list_sum([(doc_id * 131 + i * 17) % 65536 - 32768
         |           for i in range(0, (16 + doc_id % 32)::INT)])::BIGINT AS sample_sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // both KMV sketches rebuilt (distinct md5-13-prefix hashes,
+    // bottom-256, hex order == numeric order on fixed width), the
+    // k-th order statistic converted hex→numeric positionally (each
+    // term < 2^52 → exact in double), and the estimator replayed term
+    // for term; exact join count alongside
+    "q_joinest" -> {
+      val hexval = "list_sum([(strpos('0123456789abcdef', substr(%s[256], i, 1)) - 1.0) * 16.0**(13 - i) for i in range(1, 14)])"
+      s"""WITH av AS (SELECT DISTINCT substr(md5(o_orderkey::VARCHAR), 1, 13) AS h
+         |            FROM orders WHERE o_orderkey IS NOT NULL),
+         |ar AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM av),
+         |ask AS (SELECT list(h ORDER BY h) AS sk FROM ar WHERE r <= 256),
+         |bv AS (SELECT DISTINCT substr(md5(l_orderkey::VARCHAR), 1, 13) AS h
+         |            FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |br AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM bv),
+         |bsk AS (SELECT list(h ORDER BY h) AS sk FROM br WHERE r <= 256),
+         |an AS (SELECT count(*)::BIGINT AS n_a FROM orders WHERE o_orderkey IS NOT NULL),
+         |bn AS (SELECT count(*)::BIGINT AS n_b FROM lineitem WHERE l_orderkey IS NOT NULL),
+         |ex AS (SELECT count(*)::BIGINT AS exact_rows
+         |       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |m AS (SELECT a.sk AS ska, b.sk AS skb,
+         |        list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:256] AS mg
+         |      FROM ask a, bsk b),
+         |f AS (SELECT ska, skb, mg,
+         |        len(mg) AS ku,
+         |        len(list_filter(mg, v -> list_contains(ska, v)
+         |                             AND list_contains(skb, v))) AS shared,
+         |        CASE WHEN len(ska) < 256 THEN len(ska)::DOUBLE
+         |             ELSE 255e0 * 4.503599627370496e15 / (${hexval.format("ska")}) END AS da,
+         |        CASE WHEN len(skb) < 256 THEN len(skb)::DOUBLE
+         |             ELSE 255e0 * 4.503599627370496e15 / (${hexval.format("skb")}) END AS db,
+         |        CASE WHEN len(mg) < 256 THEN len(mg)::DOUBLE
+         |             ELSE 255e0 * 4.503599627370496e15 / (${hexval.format("mg")}) END AS du
+         |      FROM m),
+         |g AS (SELECT da, db, (shared / ku) * du AS di FROM f)
+         |SELECT an.n_a, bn.n_b,
+         |  round(da, 4) AS d_est_a, round(db, 4) AS d_est_b,
+         |  round(di, 4) AS d_est_shared,
+         |  round(di * (an.n_a / da) * (bn.n_b / db), 2) AS est_rows,
+         |  ex.exact_rows
+         |FROM g, an, bn, ex""".stripMargin
+    },
     // the WAV synthesis → decoded sample signs → fingerprint bits →
     // full Hamming pair set, replayed arithmetically (PCM is lossless;
     // mean is int-sum / n in double on both engines)
