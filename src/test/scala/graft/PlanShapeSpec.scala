@@ -485,4 +485,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
       p2.contains("Window") shouldBe false
     }
   }
+
+  test("mergeComponents: the labels table relabels behind broadcast probes — no big-side shuffle join") {
+    import spark.implicits._
+    val labels = spark.range(5000).selectExpr("id", "id % 7 AS comp")
+    val edges = Seq((1L, 8L), (14L, 21L)).toDF("id_a", "id_b")
+    val df = graft.ops.Dedup.mergeComponents(labels, edges)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    withClue(s"mergeComponents plan:\n$p") {
+      // the semi-probe, the relabel and the new-id mapping all broadcast
+      p should include("BroadcastHashJoin")
+      p.contains("SortMergeJoin") shouldBe false
+      p.contains("CartesianProduct") shouldBe false
+    }
+  }
+
+  test("q_joinest: both sketch passes are partial aggregates; no window") {
+    val p = planOf("q_joinest")
+    withClue(s"q_joinest plan:\n$p") {
+      p should include("partial_kmv_agg")
+      p.contains("Window") shouldBe false
+      p.contains("CartesianProduct") shouldBe false // the 1-row cross joins plan as broadcast NLJ over single rows
+    }
+  }
+
+  test("dd_span_coverage: cross-doc DF is a partial aggregate; the dup probe is a semi-join") {
+    val p = planOf("dd_span_coverage")
+    withClue(s"dd_span_coverage plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      p.contains("Window") shouldBe false
+      p should include("LeftSemi")
+    }
+  }
 }
