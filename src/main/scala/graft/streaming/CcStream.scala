@@ -29,9 +29,14 @@ final class CcStream(initial: DataFrame) {
   /** The current labeling (id, comp). */
   def labels: DataFrame = state
 
-  /** Fold one micro-batch of edges; returns the new labeling. */
+  /** Fold one micro-batch of edges; returns the new labeling. The
+    * superseded checkpoint's cached blocks are released, so a
+    * long-running stream holds ONE labels copy, not one per trigger.
+    */
   def fold(edges: DataFrame): DataFrame = synchronized {
-    state = Dedup.mergeComponents(state, edges).localCheckpoint()
+    val prev = state
+    state = Dedup.mergeComponents(prev, edges).localCheckpoint()
+    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(prev)
     state
   }
 

@@ -13,4 +13,16 @@ object GraftBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def accepts(expected: AbstractDataType, actual: DataType): Boolean =
     expected.acceptsType(actual)
+
+  /** Release the cached blocks behind a `localCheckpoint()`ed frame —
+    * the blocks a long-running incremental maintainer (CcStream) would
+    * otherwise pin once per trigger. No-op for frames that aren't
+    * checkpoint-backed.
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
