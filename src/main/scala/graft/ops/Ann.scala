@@ -319,6 +319,18 @@ object Ann {
   /** nprobe ≈ nlist/16 — the sweep's operating point (128/8 at 200k). */
   def defaultNprobe(nlist: Int): Int = math.max(4, nlist / 16)
 
+  /** The ONE-SHOT (in-memory train+assign+search in a single job)
+    * variant of [[defaultNlist]]: the self-contained entries pay the
+    * coarse assignment (n·nlist·dim multiplies) on every call, so the
+    * un-capped 4√n curve that is right for the build-once
+    * [[graft.sources.AnnLayout]] path inverts here — measured 69 s at
+    * 200k vectors with nlist=1789 vs 5.5 s at the 128 cap
+    * (bench/r09_knobs). Capped at 128; the serving layouts keep the
+    * full curve (their assignment amortizes over every future query).
+    */
+  def defaultNlistOneShot(n: Long): Int =
+    math.min(128, defaultNlist(n))
+
   /** Hyperplane bits so expected bucket occupancy ≈ `targetBucket`. */
   def defaultNBits(n: Long, targetBucket: Int = 64): Int =
     math.max(4, math.min(24, math.ceil(
@@ -485,7 +497,7 @@ object Ann {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 0, nprobe: Int = 0, iters: Int = 2, seed: Long = 7): DataFrame = {
     import graft.functions.FunctionDefs.call
-    val nl = if (nlist > 0) nlist else defaultNlist(corpus.count())
+    val nl = if (nlist > 0) nlist else defaultNlistOneShot(corpus.count())
     val np = if (nprobe > 0) nprobe else defaultNprobe(nl)
     val c = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
     val centroids = kmeansCentroids(corpus, idCol, vecCol, nl, iters, seed)
@@ -687,7 +699,7 @@ object Ann {
       k: Int, nlist: Int = 0, nprobe: Int = 0, m: Int = 8, ksub: Int = 32,
       iters: Int = 2, refine: Int = 10, seed: Long = 7, maxTrain: Int = 0): DataFrame = {
     import graft.functions.FunctionDefs.{call, callAgg}
-    val nl = if (nlist > 0) nlist else defaultNlist(corpus.count())
+    val nl = if (nlist > 0) nlist else defaultNlistOneShot(corpus.count())
     val np = if (nprobe > 0) nprobe else defaultNprobe(nl)
     val raw = corpus.select(col(idCol).as("id"), Vectors.toDouble(col(vecCol)).as("__v"))
     val c = raw

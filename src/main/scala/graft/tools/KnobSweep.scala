@@ -56,6 +56,15 @@ object KnobSweep {
     println(f"| lsh nBits=8 (bench pin) | $tLshFixed%.2f s | 256 buckets/table |")
     println(f"| lsh nBits=12 (scaled contract) | $tLshScaled%.2f s | 4096 buckets/table |")
 
+    // r9: the contract is now CODE — nlist/nprobe/nBits left at 0
+    // resolve to the computed defaults (Ann.defaultNlist ≈ 4√n etc.);
+    // measure them as-is so the decade holds with NO manual tuning
+    val autoNl = graft.ops.Ann.defaultNlistOneShot(n)
+    val tIvfAuto = time2(noop(ivfpq(0, 0)))
+    println(f"| ivfpq AUTO (one-shot nlist=$autoNl nprobe=${graft.ops.Ann.defaultNprobe(autoNl)}; layouts use 4√n=${graft.ops.Ann.defaultNlist(n)}) | $tIvfAuto%.2f s | computed defaults |")
+    val tLshAuto = time2(noop(lsh(0)))
+    println(f"| lsh AUTO (nBits=${graft.ops.Ann.defaultNBits(n)}) | $tLshAuto%.2f s | computed defaults |")
+
     println("== KNOBSWEEP DONE ==")
     spark.stop()
   }

@@ -161,6 +161,13 @@ class AnnSpec extends AnyFunSuite with SparkTestSession with Matchers {
     Ann.defaultNlist(1000000000L) shouldBe 65536 // cap
     Ann.defaultNprobe(128) shouldBe 8
     Ann.defaultNprobe(16) shouldBe 4 // floor
+    // the one-shot (train+assign+search per call) regime caps nlist at
+    // 128: assignment is n·nlist·dim per CALL there, unlike the
+    // build-once layouts that amortize it (69 s vs 4.9 s at 200k,
+    // bench/r09 knob sweep)
+    Ann.defaultNlistOneShot(2000) shouldBe 128
+    Ann.defaultNlistOneShot(200) shouldBe 57
+    Ann.defaultNlistOneShot(10) shouldBe 16
     Ann.defaultNBits(200000) shouldBe 12 // log2(200000/64) ≈ 11.6 → 12
     Ann.defaultNBits(100) shouldBe 4 // floor
     // auto-knob calls (nlist/nprobe/nBits omitted) still produce k rows
