@@ -529,6 +529,31 @@ object Text {
       .orderBy("source")
   }
 
+  /** Domain-blocklist filter — the crawl-curation front-door step
+    * (spam/adult/SEO-farm domain lists): flag every row whose URL's
+    * canonical host IS a blocked domain or a SUBDOMAIN of one
+    * (suffix semantics — blocking `spam.com` blocks `a.b.spam.com`,
+    * never `notspam.com`). The blocklist is MBs against a 100 TB
+    * corpus, so the decision is pure scan-side: hosts lowercase via
+    * [[urlHost]], the suffix test is an exists() over the broadcast
+    * list literal — no join, no shuffle, whole-stage codegen.
+    * Output: input columns + (host, blocked).
+    */
+  def blocklistFlag(df: DataFrame, urlCol: Column,
+                    blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "blocklistFlag: empty blocklist")
+    val domains = typedlit(blockedDomains.map(_.toLowerCase))
+    df.withColumn("host", urlHost(urlCol))
+      // a non-default port must not defeat the domain match
+      .withColumn("__h", regexp_replace(col("host"), ":[0-9]+$", ""))
+      .withColumn("blocked",
+        when(col("host").isNull, lit(0))
+          .otherwise(exists(domains, d =>
+            col("__h") === d || col("__h").endsWith(concat(lit("."), d)))
+            .cast("int")))
+      .drop("__h")
+  }
+
   // ------------------------------------- importance weighting (DSIR-ish)
 
   /** Importance weights for data selection (after the public DSIR recipe

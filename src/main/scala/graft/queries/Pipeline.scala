@@ -1336,29 +1336,50 @@ object Pipeline {
     * — the corpus has no URL column, so both sides derive the SAME raw
     * string from doc_id/source and then canonicalize independently).
     */
+  /** The deterministic per-doc raw URL both URL entries derive (the
+    * corpus has no URL column — the SAME arithmetic is replayed on the
+    * oracle side).
+    */
+  private def syntheticUrl: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+    when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+    col("source"), lit(".Example.COM"),
+    when(col("doc_id") % 4 === 0, lit(":80"))
+      .when(col("doc_id") % 4 === 1, lit(":443"))
+      .when(col("doc_id") % 4 === 2, lit(":8080"))
+      .otherwise(lit("")),
+    lit("/Docs/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 0, lit("?utm_source=feed&b=2&ref=x&a=1"))
+      .when(col("doc_id") % 3 === 1, lit("?b=2&a=1"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 2 === 1,
+      concat(lit("#Sec"), (col("doc_id") % 7).cast("string")))
+      .otherwise(lit("")))
+
   def txUrl(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val raw = concat(
-      when(col("doc_id") % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
-      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
-      col("source"), lit(".Example.COM"),
-      when(col("doc_id") % 4 === 0, lit(":80"))
-        .when(col("doc_id") % 4 === 1, lit(":443"))
-        .when(col("doc_id") % 4 === 2, lit(":8080"))
-        .otherwise(lit("")),
-      lit("/Docs/"), col("doc_id").cast("string"),
-      when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
-      when(col("doc_id") % 3 === 0, lit("?utm_source=feed&b=2&ref=x&a=1"))
-        .when(col("doc_id") % 3 === 1, lit("?b=2&a=1"))
-        .otherwise(lit("")),
-      when(col("doc_id") % 2 === 1,
-        concat(lit("#Sec"), (col("doc_id") % 7).cast("string")))
-        .otherwise(lit("")))
+    val raw = syntheticUrl
     docs.select(col("doc_id"),
         Text.canonicalUrl(raw).as("url_canon"),
         Text.urlHost(raw).as("host"))
       .orderBy("doc_id")
   }
+
+  /** Domain-blocklist filter ([[graft.ops.Text.blocklistFlag]]): the
+    * per-doc URLs flagged against a three-domain blocklist — exact
+    * host and dot-anchored subdomain semantics (blocking
+    * `src1.example.com` must NOT block `src12.example.com`), ports
+    * ignored for the match. Host derivation and every decision replay
+    * in SQL; scan-side only, no join.
+    */
+  def txBlocklist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.blocklistFlag(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        syntheticUrl,
+        Seq("src3.example.com", "src7.example.com", "src1.example.com"))
+      .select(col("doc_id"), col("host"), col("blocked"))
+      .orderBy("doc_id")
 
   // One ingest fixture per (JVM, sf dir): JSONL shards with a planted
   // malformed-line minority, written once, read by every verify/bench
@@ -1733,7 +1754,8 @@ object Pipeline {
     "tx_pmi" -> txPmi _,
     "dd_span_coverage" -> ddSpanCoverage _,
     "mm_audio_dedup" -> mmAudioDedup _,
-    "q_joinest" -> qJoinest _
+    "q_joinest" -> qJoinest _,
+    "tx_blocklist" -> txBlocklist _
   )
 
   /** KMV join-size estimation ([[graft.ops.JoinEstimate.estimate]]):
@@ -3386,6 +3408,38 @@ object Pipeline {
         |        THEN '?' || array_to_string(params, '&') ELSE '' END) AS url_canon,
         |  host
         |FROM fin ORDER BY doc_id""".stripMargin,
+    // the tx_url host derivation + the dot-anchored suffix decision,
+    // port-stripped before the match, replayed per row
+    "tx_blocklist" ->
+      """WITH r AS (SELECT doc_id,
+        |   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+        |   (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |   source || '.Example.COM' ||
+        |   (CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+        |        WHEN 2 THEN ':8080' ELSE '' END) ||
+        |   '/Docs/' || doc_id ||
+        |   (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&ref=x&a=1'
+        |         WHEN doc_id % 3 = 1 THEN '?b=2&a=1' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 2 = 1 THEN '#Sec' || (doc_id % 7) ELSE '' END)
+        |   AS url
+        | FROM documents),
+        |p AS (SELECT doc_id,
+        |   regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        | FROM r),
+        |q AS (SELECT doc_id, regexp_extract(rest, '^([^/?#]*)', 1) AS auth FROM p),
+        |h AS (SELECT doc_id,
+        |   regexp_replace(regexp_replace(lower(auth), '^www\.', ''),
+        |                  ':(80|443)$', '') AS host
+        | FROM q),
+        |n AS (SELECT doc_id, host,
+        |   regexp_replace(host, ':[0-9]+$', '') AS hn FROM h)
+        |SELECT doc_id, host,
+        |  CASE WHEN hn = 'src3.example.com' OR hn LIKE '%.src3.example.com'
+        |         OR hn = 'src7.example.com' OR hn LIKE '%.src7.example.com'
+        |         OR hn = 'src1.example.com' OR hn LIKE '%.src1.example.com'
+        |       THEN 1 ELSE 0 END AS blocked
+        |FROM n ORDER BY doc_id""".stripMargin,
     // parsed rows carry their fields; quarantined (doc_id ≡ 3 mod 7)
     // lines carry all-null + ok=0 — one row per planted corruption
     "src_jsonl" ->

@@ -427,6 +427,21 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     r.getLong(3) shouldBe 8L   // 4 + 4, unioned
   }
 
+  test("blocklistFlag: exact + dot-anchored subdomain semantics, ports ignored, lookalikes pass") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://spam.com/x"),          // exact → blocked
+      (2L, "https://a.b.spam.com/x"),      // subdomain → blocked
+      (3L, "https://notspam.com/x"),       // suffix WITHOUT dot → pass
+      (4L, "https://spam.com.evil.io/x"),  // blocked domain as infix → pass
+      (5L, "http://WWW.SPAM.COM:8080/x"),  // case + www + port → blocked
+      (6L, "https://clean.org/x")
+    ).toDF("id", "url")
+    val got = Text.blocklistFlag(urls, col("url"), Seq("Spam.COM"))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    got shouldBe Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 0)
+  }
+
   test("mixtureRates: α-temperature rates on a hand corpus; sampling honors them exactly") {
     import scala.jdk.CollectionConverters._
     // source a: 4 docs, source b: 1 doc; α=0.5, budget=3
