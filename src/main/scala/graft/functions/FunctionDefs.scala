@@ -172,12 +172,17 @@ object FunctionDefs {
   val byName: Map[String, Seq[FnSpec]] = defs.toMap
 
   // user-registered functions (FunctionRegistration.registerFunction) —
-  // overloads accumulate per name; reads see the latest list
+  // overloads accumulate per name; re-registering the SAME input
+  // signature REPLACES the old spec (idempotent: a re-run notebook cell
+  // or retry loop doesn't grow the overload list, and the latest
+  // implementation wins). The registry is JVM-global, shared by every
+  // SparkSession in the process.
   private val userDefs =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[FnSpec]]()
 
   private[functions] def addUser(name: String, spec: FnSpec): Seq[FnSpec] =
-    userDefs.merge(name, Seq(spec), (old, add) => old ++ add)
+    userDefs.merge(name, Seq(spec), (old, add) =>
+      old.filterNot(_.inputTypes == spec.inputTypes) ++ add)
 
   /** Catalog + user-registry lookup (built-in names win). */
   def lookup(name: String): Seq[FnSpec] =

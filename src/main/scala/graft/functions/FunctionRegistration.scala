@@ -104,9 +104,12 @@ object FunctionRegistration {
     * are null-rejecting (any SQL NULL argument → NULL result, the
     * built-ins' contract).
     *
-    * Calling again with the same name adds an OVERLOAD (resolved from
-    * child types, like st_intersects); built-in catalog names cannot be
-    * replaced.
+    * Calling again with the same name and a NEW input signature adds an
+    * OVERLOAD (resolved from child types, like st_intersects); the same
+    * signature again REPLACES the previous implementation (idempotent —
+    * re-running a registration cell doesn't grow the overload list).
+    * Built-in catalog names cannot be replaced, and the user registry is
+    * JVM-global (shared across SparkSessions in the process).
     */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
                        implClass: String, method: String, returns: DataType,

@@ -338,6 +338,12 @@ object Dedup {
     * trade is a measured contract: DedupSpec plants a retention corpus
     * and pins what a cap keeps. Default off — this is the ground-truth
     * operator.
+    *
+    * Precondition: `idCol` is unique (one signature per id, the
+    * [[editDistanceJoin]] contract). Duplicate ids would re-enter the
+    * within-group expansion once per occurrence; an id spread across
+    * two near hashes is guarded against surfacing as a self pair, but
+    * its cross pairs are the caller's duplicate mass.
     */
   def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
                    maxDist: Int, pieces: Int = 8,
@@ -377,7 +383,11 @@ object Dedup {
       .withColumn("dist", bit_count(col("__ha").bitwiseXOR(col("__hb"))))
       .filter(col("dist") <= maxDist)
       .select("__ha", "__hb", "dist").distinct()
-    // id lists re-acquired only for surviving verified hash pairs
+    // id lists re-acquired only for surviving verified hash pairs.
+    // Under the unique-id precondition the two id lists are disjoint
+    // (an id carries ONE hash) so no distinct() is needed on the
+    // output-sized frame; the =!= guard keeps an id that violates the
+    // contract across two near hashes from surfacing as a self pair.
     val cross = hashPairs
       .join(groups.select(col("__h").as("__ha"), col("__ids").as("__ia")),
         "__ha")
@@ -385,6 +395,7 @@ object Dedup {
         "__hb")
       .select(explode(col("__ia")).as("__a"), col("__ib"), col("dist"))
       .select(col("__a"), explode(col("__ib")).as("__b"), col("dist"))
+      .filter(col("__a") =!= col("__b"))
       .select(least(col("__a"), col("__b")).as("id_a"),
         greatest(col("__a"), col("__b")).as("id_b"), col("dist"))
     within.unionByName(cross)
@@ -593,12 +604,34 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
       maxIter: Int = 25): (DataFrame, Int) = {
+    val (labels, rounds, _) = ccInternal(pairs, idACol, idBCol, maxIter)
+    (labels, rounds)
+  }
+
+  /** [[connectedComponentsWithRounds]] plus the frames it
+    * localCheckpoints that the RESULT still reads lazily (the pair
+    * frame, the node set, the fixpoint edge set) — a long-lived caller
+    * ([[mergeComponents]], [[graft.streaming.CcStream]]) releases their
+    * cached blocks once it has materialized the labels, so repeated
+    * invocations don't pin one frame copy per call for the session
+    * lifetime. Superseded PER-ROUND edge frames are released inline
+    * here (each round's signature job materializes and
+    * lineage-truncates the next frame, so the previous round's blocks
+    * are dead the moment it returns).
+    */
+  private def ccInternal(
+      pairs: DataFrame, idACol: String, idBCol: String,
+      maxIter: Int): (DataFrame, Int, Seq[DataFrame]) = {
     // lazy-checkpoint the pair frame itself: `nodes` and the edge seed
     // both read it, and pair generation is typically the most expensive
     // upstream stage (a similarity join) — without this it would be
-    // computed twice
+    // computed twice. Null endpoints are dropped edge-wise (a pair with
+    // no partner is not an edge; NullSafetySpec pins it) so a stray
+    // null key can't surface as a (null, null) label row.
     val raw = pairs.select(col(idACol).cast("long").as("src"),
-      col(idBCol).cast("long").as("dst")).localCheckpoint(eager = false)
+      col(idBCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(eager = false)
     // lazy: materializes inside the final labels join, no dedicated job
     val nodes = raw.select(col("src").as("id"))
       .union(raw.select(col("dst").as("id"))).distinct()
@@ -652,6 +685,10 @@ object Dedup {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSig = sig(next)
       converged = nextSig == prevSig
+      // the sig job materialized (and lineage-truncated) `next`: the
+      // superseded round's blocks are dead — release them so a deep
+      // convergence doesn't pin one edge-frame copy per round
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(edges)
       edges = next
       prevSig = nextSig
       rounds += 1
@@ -659,7 +696,7 @@ object Dedup {
     val labels = nodes
       .join(edges.select(col("src").as("id"), col("dst").as("comp")), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    (labels, rounds)
+    (labels, rounds, Seq(raw, nodes, edges))
   }
 
   /** Incremental connected components — fold NEW near-dup edges into an
@@ -687,9 +724,24 @@ object Dedup {
     * @return (id, comp) covering labeled ids ∪ new-edge endpoints
     */
   def mergeComponents(labels: DataFrame, newEdges: DataFrame,
-                      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+                      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame =
+    mergeComponentsReleasable(labels, newEdges, idACol, idBCol)._1
+
+  /** [[mergeComponents]] plus the frames it localCheckpoints that the
+    * result still reads lazily — the per-trigger maintainer
+    * ([[graft.streaming.CcStream]]) releases them once the merged
+    * labeling is materialized, so a stream running for thousands of
+    * triggers holds ONE labels copy, not three cached frames per
+    * trigger. The super-graph CC's own internals are released inline
+    * here (dead once `merged` is eagerly checkpointed).
+    */
+  private[graft] def mergeComponentsReleasable(
+      labels: DataFrame, newEdges: DataFrame,
+      idACol: String = "id_a", idBCol: String = "id_b"): (DataFrame, Seq[DataFrame]) = {
     val edges = newEdges.select(col(idACol).cast("long").as("__a"),
-      col(idBCol).cast("long").as("__b")).localCheckpoint(eager = false)
+      col(idBCol).cast("long").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .localCheckpoint(eager = false)
     val eps = edges.select(col("__a").as("id"))
       .union(edges.select(col("__b").as("id"))).distinct()
     // current label of every endpoint: ONE labels scan behind a
@@ -704,8 +756,11 @@ object Dedup {
         Seq("__b"), "left")
       .select(coalesce(col("__ca"), col("__a")).as("id_a"),
         coalesce(col("__cb"), col("__b")).as("id_b"))
-    // supernode → merged root over the TINY label-level graph
-    val merged = connectedComponents(superEdges).localCheckpoint()
+    // supernode → merged root over the TINY label-level graph; the
+    // CC's internal checkpoints are dead once `merged` materializes
+    val (ccLabels, _, ccFrames) = ccInternal(superEdges, "id_a", "id_b", 25)
+    val merged = ccLabels.localCheckpoint()
+    ccFrames.foreach(org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
     // relabel the big table in one scan; untouched comps pass through
     val relabeled = labels
       .join(broadcast(merged.select(col("id").as("comp"), col("comp").as("__new"))),
@@ -717,7 +772,7 @@ object Dedup {
     val newIds = eps.join(broadcast(epMap.select("id")), Seq("id"), "left_anti")
     val newRows = newIds.join(broadcast(merged), Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
-    relabeled.unionByName(newRows)
+    (relabeled.unionByName(newRows), Seq(edges, epMap, merged))
   }
 
   // ------------------------------------------- incremental (bloom-gated)

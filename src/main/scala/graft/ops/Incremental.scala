@@ -58,8 +58,13 @@ object Incremental {
                   bOld: DataFrame, deltaB: DataFrame,
                   keys: Seq[String],
                   maxBroadcastRows: Long = 4000000L): DataFrame = {
-    def small(delta: DataFrame): DataFrame =
-      if (delta.count() <= maxBroadcastRows) broadcast(delta) else delta
+    // the guard count must not recompute a derived delta inside the
+    // join: checkpoint once (CDC-small by contract, so the blocks are
+    // bounded), count the cached frame, and join against the same frame
+    def small(delta: DataFrame): DataFrame = {
+      val d = delta.localCheckpoint()
+      if (d.count() <= maxBroadcastRows) broadcast(d) else d
+    }
     val bNew = bOld.unionByName(deltaB)
     viewOld
       .unionByName(aOld.join(small(deltaB), keys))

@@ -444,28 +444,38 @@ object Multimodal {
     ds.mapPartitions { rows =>
       val reader = wavReader()
       rows.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.map { case (id, bytes) =>
+        batch.iterator.flatMap { case (id, bytes) =>
           val ais = reader.getAudioInputStream(
             new java.io.ByteArrayInputStream(bytes))
+          // same loud wrong-format guard as decodeAudio — a non-16-bit
+          // or big-endian clip must not fingerprint silently wrong
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+            s"expected 16-bit little-endian PCM for id $id, got $fmt")
           val pcm = try ais.readAllBytes() finally ais.close()
           val n = math.min(pcm.length / 2, 64)
-          require(n > 0, s"empty PCM for id $id")
-          val smp = new Array[Long](n)
-          var sum = 0L
-          var i = 0
-          while (i < n) {
-            smp(i) = (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))).toShort.toLong
-            sum += smp(i)
-            i += 1
+          // a header-only clip (0 samples) has no fingerprint: skip the
+          // row (decodeAudio reports it as n_samples = 0) instead of
+          // failing the stage for one degenerate clip
+          if (n == 0) Iterator.empty
+          else {
+            val smp = new Array[Long](n)
+            var sum = 0L
+            var i = 0
+            while (i < n) {
+              smp(i) = (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))).toShort.toLong
+              sum += smp(i)
+              i += 1
+            }
+            val mean = sum.toDouble / n
+            var hash = 0L
+            i = 0
+            while (i < n) {
+              if (smp(i) > mean) hash |= (1L << i)
+              i += 1
+            }
+            Iterator.single((id, hash))
           }
-          val mean = sum.toDouble / n
-          var hash = 0L
-          i = 0
-          while (i < n) {
-            if (smp(i) > mean) hash |= (1L << i)
-            i += 1
-          }
-          (id, hash)
         }
       }
     }.toDF(idCol, "ahash")

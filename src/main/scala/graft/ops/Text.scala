@@ -537,21 +537,23 @@ object Text {
     * corpus, so the decision is pure scan-side: hosts lowercase via
     * [[urlHost]], the suffix test is an exists() over the broadcast
     * list literal — no join, no shuffle, whole-stage codegen.
-    * Output: input columns + (host, blocked).
+    * Output: input columns + (host, blocked) — pre-existing columns of
+    * those two names are replaced (the documented output contract); no
+    * other input column is touched (the port-stripped intermediate is a
+    * plain expression, not a temp column that could clobber input).
     */
   def blocklistFlag(df: DataFrame, urlCol: Column,
                     blockedDomains: Seq[String]): DataFrame = {
     require(blockedDomains.nonEmpty, "blocklistFlag: empty blocklist")
     val domains = typedlit(blockedDomains.map(_.toLowerCase))
     df.withColumn("host", urlHost(urlCol))
-      // a non-default port must not defeat the domain match
-      .withColumn("__h", regexp_replace(col("host"), ":[0-9]+$", ""))
-      .withColumn("blocked",
+      .withColumn("blocked", {
+        // a non-default port must not defeat the domain match
+        val h = regexp_replace(col("host"), ":[0-9]+$", "")
         when(col("host").isNull, lit(0))
           .otherwise(exists(domains, d =>
-            col("__h") === d || col("__h").endsWith(concat(lit("."), d)))
-            .cast("int")))
-      .drop("__h")
+            h === d || h.endsWith(concat(lit("."), d))).cast("int"))
+      })
   }
 
   // ------------------------------------- importance weighting (DSIR-ish)

@@ -30,13 +30,18 @@ final class CcStream(initial: DataFrame) {
   def labels: DataFrame = state
 
   /** Fold one micro-batch of edges; returns the new labeling. The
-    * superseded checkpoint's cached blocks are released, so a
-    * long-running stream holds ONE labels copy, not one per trigger.
+    * superseded labels checkpoint AND the merge's internal checkpoints
+    * (edge frame, endpoint map, merged-root map — released via
+    * [[graft.ops.Dedup.mergeComponentsReleasable]]) are all freed once
+    * the new labeling is materialized, so a long-running stream holds
+    * ONE labels copy, not four cached frames per trigger.
     */
   def fold(edges: DataFrame): DataFrame = synchronized {
     val prev = state
-    state = Dedup.mergeComponents(prev, edges).localCheckpoint()
-    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(prev)
+    val (next, internals) = Dedup.mergeComponentsReleasable(prev, edges)
+    state = next.localCheckpoint()
+    (internals :+ prev).foreach(
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
     state
   }
 

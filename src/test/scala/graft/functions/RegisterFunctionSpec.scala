@@ -13,6 +13,7 @@ import org.scalatest.matchers.should.Matchers
   */
 object ToyFns {
   def tripleIt(x: Long): Long = x * 3L
+  def quadIt(x: Long): Long = x * 4L
   def shout(s: UTF8String): UTF8String =
     UTF8String.fromString(s.toString.toUpperCase + "!")
   def safeDiv(a: Long, b: Long): java.lang.Long =
@@ -44,6 +45,22 @@ class RegisterFunctionSpec extends AnyFunSuite with SparkTestSession with Matche
         FunctionDefs.call("my_div", col("x"), col("x") % 3).as("d"))
     df.agg(sum("t")).head.getLong(0) shouldBe 3L * 5050L
     df.filter(col("d").isNull).count() shouldBe 33L // boxed-null on x % 3 == 0
+  }
+
+  test("registerFunction: same-signature re-registration replaces (idempotent), not accumulates") {
+    FunctionRegistration.registerFunction(spark, "my_idem",
+      "graft.functions.ToyFns", "tripleIt", LongType, Seq(LongType))
+    // a re-run registration cell: same name + signature, new impl —
+    // the overload list must stay at 1 and the LATEST implementation win
+    FunctionRegistration.registerFunction(spark, "my_idem",
+      "graft.functions.ToyFns", "quadIt", LongType, Seq(LongType))
+    FunctionDefs.lookup("my_idem").size shouldBe 1
+    spark.sql("SELECT my_idem(10) AS v").head.getLong(0) shouldBe 40L
+    // a genuinely new signature still ADDS an overload
+    FunctionRegistration.registerFunction(spark, "my_idem",
+      "graft.functions.ToyFns", "safeDiv", LongType, Seq(LongType, LongType),
+      boxed = true)
+    FunctionDefs.lookup("my_idem").size shouldBe 2
   }
 
   test("registerFunction: built-ins are protected and a missing method fails at registration") {

@@ -373,6 +373,17 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     crossExpected.size shouldBe (2 * 2000 + 1 + 1)
   }
 
+  test("hammingPairs: an id violating the unique-id contract across two near hashes never surfaces as a self pair") {
+    import spark.implicits._
+    // id 1 carries two hashes at hamming distance 1 (contract
+    // violation): the cross path must not emit (1, 1, 1)
+    val df = Seq((1L, 0x0fL), (1L, 0x0eL), (2L, 0x0dL)).toDF("id", "h")
+    val got = Dedup.hammingPairs(df, "id", "h", maxDist = 2, pieces = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.foreach { case (a, b, _) => a should be < b }
+    got.map(p => (p._1, p._2)).toSet shouldBe Set((1L, 2L))
+  }
+
   test("hammingPairs maxBucket: cap counts DISTINCT hashes, dist-0 pairs always survive, retention is the documented trade") {
     import spark.implicits._
     // one hot band bucket: 10 DISTINCT hashes sharing their low chunk

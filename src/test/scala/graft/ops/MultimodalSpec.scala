@@ -128,6 +128,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("audioPhash: header-only clips skip, wrong PCM format fails loudly (the decodeAudio guards)") {
+    import spark.implicits._
+    // a valid WAV with zero samples: decodeAudio reports n_samples = 0;
+    // the fingerprint path must DROP the row, not fail the stage
+    def wav(fmt: javax.sound.sampled.AudioFormat, n: Int): Array[Byte] = {
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(
+          new Array[Byte](n * fmt.getFrameSize)), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream(64)
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val le16 = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val media = Seq((1L, wav(le16, 0)), (2L, Multimodal.synthWav(2L)))
+      .toDF("doc_id", "media")
+    val out = Multimodal.audioPhash(spark, media, "doc_id").collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(2L)
+    // an 8-bit clip must not fingerprint silently wrong: same loud
+    // guard as decodeAudio
+    val bad = Seq((3L, wav(
+      new javax.sound.sampled.AudioFormat(8000f, 8, 1, true, false), 4)))
+      .toDF("doc_id", "media")
+    val e = intercept[Exception] {
+      Multimodal.audioPhash(spark, bad, "doc_id").collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    chain should include("16-bit little-endian")
+  }
+
   test("audioPhash: fingerprint bits are the decoded samples' signs vs the clip mean") {
     import spark.implicits._
     val ids = (0L until 40L).toDF("doc_id")

@@ -254,4 +254,25 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
       .toDF("doc_id", "media")
     Multimodal.audioPhash(spark, media, "doc_id").count() shouldBe 1
   }
+
+  test("connected components and mergeComponents drop null-endpoint edges instead of labeling null") {
+    val spark0 = spark
+    import spark0.implicits._
+    // a pair with a null side is not an edge: neither endpoint of the
+    // broken row becomes a node, and no (null, null) label row appears
+    val pairs = Seq((Option(1L), Option(2L)), (Option(3L), None),
+      (None, Option(4L)), (Option(2L), Option(5L)))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    labels shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L)
+    // incremental maintenance: a null edge in a CDC batch is dropped,
+    // never folded into the running labeling as junk state
+    val merged = Dedup.mergeComponents(
+      Seq((1L, 1L), (2L, 1L), (5L, 1L)).toDF("id", "comp"),
+      Seq((Option(5L), Option(6L)), (Option(7L), None))
+        .toDF("id_a", "id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    merged shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L)
+  }
 }

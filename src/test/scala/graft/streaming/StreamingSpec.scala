@@ -377,6 +377,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("CcStream.fold releases every superseded checkpoint: cached-frame count stays flat across triggers") {
+    val spark0 = spark
+    import spark0.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cc = CcStream.empty(spark)
+    // many folds: each one internally checkpoints the edge frame, the
+    // endpoint map, the merged-root map and the new labels — a
+    // long-running stream must end each trigger holding ONE labels copy
+    for (t <- 0 until 6)
+      cc.fold(Seq((t * 10L, t * 10L + 1L), (t * 10L + 1L, t * 10L + 2L))
+        .toDF("id_a", "id_b"))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    (after - before) should be <= 1 // the current labels checkpoint only
+    // and the surviving labeling is still correct
+    cc.labels.filter(col("id") === 52L).head.getLong(1) shouldBe 50L
+    cc.labels.count() shouldBe 18L
+  }
+
   test("streaming MAD twin: histogram state == batch bit-for-bit; stats within the rounding band of exact ev_mad") {
     val spark0 = spark
     import spark0.implicits._
