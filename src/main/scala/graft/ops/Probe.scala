@@ -104,6 +104,77 @@ object Probe {
       (round(sqrt(greatest(col("sse"), lit(0.0)) / col("n")), 6) + lit(0.0)).as("rmse"))
   }
 
+  /** Logistic-regression quality classifier via exact-statistics IRLS
+    * (Newton–Raphson) — the "train a tiny quality filter on weak labels,
+    * score the corpus" curation primitive (the public CCNet / GPT-3
+    * data-quality-classifier recipe, linear-model form).
+    *
+    * Spark-first shape: each Newton iteration is ONE partial-aggregated
+    * scan computing the nine logistic sufficient statistics (gradient
+    * Σ(y−p)·x and symmetric Hessian triangle Σp(1−p)·x·xᵀ for
+    * x = [1, x1, x2]); the 3×3 Newton solve is closed-form adjugate
+    * arithmetic on the driver over those nine doubles. At 100 TB the
+    * cost is `iters` map-side-combined scans of three pruned columns —
+    * the driver holds three doubles and collects one 9-stat row per
+    * iteration (bounded metadata, never data). No caching is imposed:
+    * each pass re-reads the (column-pruned, filter-pushed) source, the
+    * right trade when the projected frame is corpus-sized.
+    *
+    * Determinism: a FIXED iteration count (no data-dependent stopping),
+    * so an oracle replays the whole trajectory by unrolling the same
+    * per-iteration aggregate + adjugate update. Newton from β = 0
+    * converges in < 8 iterations for well-scaled features (scale to
+    * O(1) magnitudes); a near-singular Hessian (separable data pushed
+    * past convergence, or collinear features) fails loudly.
+    *
+    * @return fitted [b0, b1, b2] for p = σ(b0 + b1·x1 + b2·x2)
+    */
+  def logit2(df: DataFrame, y: Column, x1: Column, x2: Column,
+             iters: Int = 8): Array[Double] = {
+    require(iters >= 1 && iters <= 64, "logit2: 1 <= iters <= 64")
+    val f = df.select(y.cast("double").as("y"), x1.cast("double").as("x1"),
+        x2.cast("double").as("x2"))
+      .filter(col("y").isNotNull && col("x1").isNotNull && col("x2").isNotNull)
+    val b = Array(0.0, 0.0, 0.0)
+    for (_ <- 0 until iters) {
+      val z = lit(b(0)) + lit(b(1)) * col("x1") + lit(b(2)) * col("x2")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val w = p * (lit(1.0) - p)
+      val r = f.agg(
+        sum(col("y") - p).as("g0"),
+        sum((col("y") - p) * col("x1")).as("g1"),
+        sum((col("y") - p) * col("x2")).as("g2"),
+        sum(w).as("h00"), sum(w * col("x1")).as("h01"),
+        sum(w * col("x2")).as("h02"),
+        sum(w * col("x1") * col("x1")).as("h11"),
+        sum(w * col("x1") * col("x2")).as("h12"),
+        sum(w * col("x2") * col("x2")).as("h22")).head()
+      require(!r.isNullAt(0), "logit2: empty input")
+      val Seq(g0, g1, g2, h00, h01, h02, h11, h12, h22) =
+        (0 until 9).map(r.getDouble)
+      // symmetric 3×3 Newton step via the adjugate (closed form)
+      val a00 = h11 * h22 - h12 * h12
+      val a01 = h02 * h12 - h01 * h22
+      val a02 = h01 * h12 - h11 * h02
+      val a11 = h00 * h22 - h02 * h02
+      val a12 = h01 * h02 - h00 * h12
+      val a22 = h00 * h11 - h01 * h01
+      val det = h00 * a00 + h01 * a01 + h02 * a02
+      require(math.abs(det) > 1e-12,
+        "logit2: singular Hessian (separable data over-iterated, or " +
+          "collinear features) — rescale features or lower iters")
+      b(0) += (a00 * g0 + a01 * g1 + a02 * g2) / det
+      b(1) += (a01 * g0 + a11 * g1 + a12 * g2) / det
+      b(2) += (a02 * g0 + a12 * g1 + a22 * g2) / det
+    }
+    b
+  }
+
+  /** Scan-side scoring column for a [[logit2]] fit: σ(b0 + b1·x1 + b2·x2). */
+  def logitScore(beta: Seq[Double], x1: Column, x2: Column): Column =
+    lit(1.0) / (lit(1.0) +
+      exp(-(lit(beta(0)) + lit(beta(1)) * x1 + lit(beta(2)) * x2)))
+
   /** A trained ridge probe: intercept + weights over the embedding,
     * plus the fit's sufficient-statistic by-products. `optResidual` is
     * ‖(G + λI')β − Xᵀy‖∞ over the AUGMENTED system (intercept

@@ -1381,6 +1381,30 @@ object Pipeline {
       .select(col("doc_id"), col("host"), col("blocked"))
       .orderBy("doc_id")
 
+  /** Trained quality classifier ([[graft.ops.Probe.logit2]]): logistic
+    * regression fit by 8 exact-statistics Newton (IRLS) iterations on a
+    * deterministic weak label (a length + id-noise rule, NOT separable
+    * — the healthy logistic regime), then scan-side scoring of the
+    * whole corpus. The ENTIRE training trajectory — each iteration's
+    * nine gradient/Hessian aggregates and the closed-form adjugate
+    * Newton update — is replayed UNROLLED in the oracle, so the final
+    * per-doc scores certify every iteration of the distributed fit.
+    */
+  def txQualityLr(s: SparkSession, dir: String): DataFrame = {
+    val feat = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("n_chars") + lit(17) * (col("doc_id") % 13) > 400, lit(1.0))
+        .otherwise(lit(0.0)).as("y"),
+      (col("n_chars") / lit(100.0)).as("x1"),
+      (size(split(col("text"), " ")) / lit(10.0)).as("x2"))
+    val b = graft.ops.Probe.logit2(feat, col("y"), col("x1"), col("x2"),
+      iters = 8)
+    val score = graft.ops.Probe.logitScore(b.toIndexedSeq, col("x1"), col("x2"))
+    feat.select(col("doc_id"), col("y").cast("int").as("label"),
+      (round(score, 6) + lit(0.0)).as("score"),
+      when(score > 0.5, lit(1)).otherwise(lit(0)).as("pred"))
+      .orderBy("doc_id")
+  }
+
   // One ingest fixture per (JVM, sf dir): JSONL shards with a planted
   // malformed-line minority, written once, read by every verify/bench
   // iteration — the write-once-read-many ingest shape.
@@ -1755,7 +1779,8 @@ object Pipeline {
     "dd_span_coverage" -> ddSpanCoverage _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "q_joinest" -> qJoinest _,
-    "tx_blocklist" -> txBlocklist _
+    "tx_blocklist" -> txBlocklist _,
+    "tx_quality_lr" -> txQualityLr _
   )
 
   /** KMV join-size estimation ([[graft.ops.JoinEstimate.estimate]]):
@@ -2287,6 +2312,33 @@ object Pipeline {
       |FROM e ASOF LEFT JOIN orders o
       |  ON e.user_id = o.o_custkey AND e.cutoff >= o.o_orderdate
       |ORDER BY event_id""".stripMargin
+
+  // one unrolled IRLS iteration for the tx_quality_lr oracle: the nine
+  // logistic sufficient statistics over `d` with iteration i-1's betas,
+  // then the closed-form symmetric-3×3 adjugate Newton update — the
+  // exact graft.ops.Probe.logit2 step, spelled term-for-term
+  private def lrIterSql(i: Int): String = {
+    val prev = s"t${i - 1}"
+    s"""s$i AS (SELECT sum(y - p) AS g0, sum((y - p) * x1) AS g1,
+       |    sum((y - p) * x2) AS g2, sum(p * (1 - p)) AS h00,
+       |    sum(p * (1 - p) * x1) AS h01, sum(p * (1 - p) * x2) AS h02,
+       |    sum(p * (1 - p) * x1 * x1) AS h11,
+       |    sum(p * (1 - p) * x1 * x2) AS h12,
+       |    sum(p * (1 - p) * x2 * x2) AS h22
+       |  FROM (SELECT y, x1, x2,
+       |          1 / (1 + exp(-(b0 + b1 * x1 + b2 * x2))) AS p
+       |        FROM d, $prev)),
+       |t$i AS (SELECT b0 + (a00 * g0 + a01 * g1 + a02 * g2) / det AS b0,
+       |    b1 + (a01 * g0 + a11 * g1 + a12 * g2) / det AS b1,
+       |    b2 + (a02 * g0 + a12 * g1 + a22 * g2) / det AS b2
+       |  FROM (SELECT s$i.*, $prev.b0, $prev.b1, $prev.b2,
+       |      h11 * h22 - h12 * h12 AS a00, h02 * h12 - h01 * h22 AS a01,
+       |      h01 * h12 - h11 * h02 AS a02, h00 * h22 - h02 * h02 AS a11,
+       |      h01 * h02 - h00 * h12 AS a12, h00 * h11 - h01 * h01 AS a22,
+       |      h00 * (h11 * h22 - h12 * h12) + h01 * (h02 * h12 - h01 * h22)
+       |        + h02 * (h01 * h12 - h11 * h02) AS det
+       |    FROM s$i, $prev))""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // n/dim/positive-fraction recomputed; optimality and beats-majority
@@ -3440,6 +3492,24 @@ object Pipeline {
         |         OR hn = 'src1.example.com' OR hn LIKE '%.src1.example.com'
         |       THEN 1 ELSE 0 END AS blocked
         |FROM n ORDER BY doc_id""".stripMargin,
+    // the FULL 8-iteration IRLS trajectory unrolled: per iteration the
+    // nine logistic sufficient statistics with the previous betas, then
+    // the closed-form adjugate Newton update — the exact Probe.logit2
+    // step — ending in the scan-side scoring pass
+    "tx_quality_lr" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN n_chars + 17 * (doc_id % 13) > 400
+         |         THEN 1.0 ELSE 0.0 END AS y,
+         |    n_chars / 100.0 AS x1,
+         |    len(string_split(text, ' ')) / 10.0 AS x2
+         |  FROM documents),
+         |t0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+         |${(1 to 8).map(lrIterSql).mkString(",\n")}
+         |SELECT doc_id, CAST(y AS INT) AS label,
+         |  round(1 / (1 + exp(-(b0 + b1 * x1 + b2 * x2))), 6) + 0.0 AS score,
+         |  CASE WHEN 1 / (1 + exp(-(b0 + b1 * x1 + b2 * x2))) > 0.5
+         |       THEN 1 ELSE 0 END AS pred
+         |FROM d, t8 ORDER BY doc_id""".stripMargin,
     // parsed rows carry their fields; quarantined (doc_id ≡ 3 mod 7)
     // lines carry all-null + ok=0 — one row per planted corruption
     "src_jsonl" ->

@@ -138,4 +138,61 @@ class ProbeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     plan.linesIterator.count(_.contains("Exchange")) should be <= 2
     plan should not include "Join"
   }
+
+  test("logit2: the distributed IRLS fit matches a local Newton reference; scoring separates the classes") {
+    import spark.implicits._
+    // noisy threshold label on x1 with an uninformative x2 mixed in
+    val rows = (0 until 400).map { i =>
+      val x1 = (i % 40) / 10.0
+      val x2 = (i % 7) / 3.0
+      val y = if (x1 + 0.3 * ((i % 13) - 6) / 6.0 > 2.0) 1.0 else 0.0
+      (y, x1, x2)
+    }
+    val b = Probe.logit2(rows.toDF("y", "x1", "x2"),
+      col("y"), col("x1"), col("x2"), iters = 8)
+    // local reference: identical fixed-iteration Newton over the rows
+    var ref = Array(0.0, 0.0, 0.0)
+    for (_ <- 0 until 8) {
+      val g = Array(0.0, 0.0, 0.0)
+      val h = Array.ofDim[Double](3, 3)
+      rows.foreach { case (y, x1, x2) =>
+        val x = Array(1.0, x1, x2)
+        val p = 1.0 / (1.0 + math.exp(-(ref(0) + ref(1) * x1 + ref(2) * x2)))
+        val w = p * (1 - p)
+        for (i <- 0 until 3) {
+          g(i) += (y - p) * x(i)
+          for (j <- 0 until 3) h(i)(j) += w * x(i) * x(j)
+        }
+      }
+      val (h00, h01, h02, h11, h12, h22) =
+        (h(0)(0), h(0)(1), h(0)(2), h(1)(1), h(1)(2), h(2)(2))
+      val a00 = h11 * h22 - h12 * h12; val a01 = h02 * h12 - h01 * h22
+      val a02 = h01 * h12 - h11 * h02; val a11 = h00 * h22 - h02 * h02
+      val a12 = h01 * h02 - h00 * h12; val a22 = h00 * h11 - h01 * h01
+      val det = h00 * a00 + h01 * a01 + h02 * a02
+      ref = Array(ref(0) + (a00 * g(0) + a01 * g(1) + a02 * g(2)) / det,
+        ref(1) + (a01 * g(0) + a11 * g(1) + a12 * g(2)) / det,
+        ref(2) + (a02 * g(0) + a12 * g(1) + a22 * g(2)) / det)
+    }
+    for (i <- 0 until 3) b(i) shouldBe ref(i) +- 1e-8
+    // the fit is a real classifier: x1 carries the signal
+    b(1) should be > 1.0
+    val scored = rows.toDF("y", "x1", "x2")
+      .select(col("y"), Probe.logitScore(b.toIndexedSeq, col("x1"), col("x2")).as("s"))
+    val acc = scored.filter((col("s") > 0.5) === (col("y") === 1.0)).count()
+    acc.toDouble / 400 should be > 0.85
+  }
+
+  test("logit2: empty input and degenerate (collinear) features fail loudly") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Probe.logit2(Seq.empty[(Double, Double, Double)].toDF("y", "x1", "x2"),
+        col("y"), col("x1"), col("x2"))
+    }
+    // x2 = 2·x1 exactly: the Hessian is singular — loud, not NaN betas
+    val lin = (0 until 50).map(i => ((i % 2).toDouble, i / 10.0, i / 5.0))
+    intercept[IllegalArgumentException] {
+      Probe.logit2(lin.toDF("y", "x1", "x2"), col("y"), col("x1"), col("x2"))
+    }
+  }
 }
