@@ -126,6 +126,14 @@ object Bench {
       val code = pb.start().waitFor()
       System.err.println(f"[bench] family '$fam' exit=$code in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       val parsed = if (out.exists()) parseSweep(out) else Map.empty[String, Double]
+      // A child that exited 0 but produced an unparseable/empty sweep is
+      // a FORMAT drift, not a query failure — recording the family as
+      // all-failed (-1) would silently poison the round-over-round
+      // comparison. Abort the split (the catch below falls back to the
+      // inline run, which needs no parsing).
+      if (code == 0 && parsed.isEmpty)
+        throw new IllegalStateException(
+          s"family '$fam' exited 0 but sweep file yielded zero queries ($out)")
       if (parsed.nonEmpty) anyChild = true
       merged ++= qs.map { q =>
         parsed.get(q) match {

@@ -309,7 +309,11 @@ object Ann {
     * nBits=8 → bucket occupancy grows linearly with n), while
     * nlist ≈ 4√n and nBits ≈ log₂(n / targetBucket) held 2k → 200k
     * (bench/r08_knobs_sf10ann.txt). One count() over the corpus sizes
-    * them — a metadata-cheap aggregate next to the training scan.
+    * them — metadata-cheap for a SOURCE-BACKED frame (parquet row
+    * counts come from footers), but an auto knob on a DERIVED corpus
+    * (filters/joins upstream) replays that lineage as an extra eager
+    * job at call time: cache()/localCheckpoint() the corpus first, or
+    * pass explicit knobs, when the input is not a plain scan.
     * Explicit knobs always win (the CORRECTNESS entries pin theirs so
     * decade ratios compare the same plan).
     */

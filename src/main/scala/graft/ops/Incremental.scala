@@ -58,17 +58,20 @@ object Incremental {
                   bOld: DataFrame, deltaB: DataFrame,
                   keys: Seq[String],
                   maxBroadcastRows: Long = 4000000L): DataFrame = {
-    // the guard count must not recompute a derived delta inside the
-    // join: checkpoint once (CDC-small by contract, so the blocks are
-    // bounded), count the cached frame, and join against the same frame
-    def small(delta: DataFrame): DataFrame = {
-      val d = delta.localCheckpoint()
+    // each delta is checkpointed ONCE (CDC-small by contract, so the
+    // blocks are bounded) and that same frame feeds every consumer —
+    // the guard count, the broadcast-or-shuffle join AND bNew's union
+    // term. A nondeterministic derived delta recomputed per consumer
+    // could otherwise yield inconsistent rows between the union terms,
+    // the very hazard the checkpoint exists to prevent.
+    val dA = deltaA.localCheckpoint()
+    val dB = deltaB.localCheckpoint()
+    def small(d: DataFrame): DataFrame =
       if (d.count() <= maxBroadcastRows) broadcast(d) else d
-    }
-    val bNew = bOld.unionByName(deltaB)
+    val bNew = bOld.unionByName(dB)
     viewOld
-      .unionByName(aOld.join(small(deltaB), keys))
-      .unionByName(small(deltaA).join(bNew, keys)
+      .unionByName(aOld.join(small(dB), keys))
+      .unionByName(small(dA).join(bNew, keys)
         .select(viewOld.columns.map(col).toIndexedSeq: _*))
   }
 }

@@ -27,12 +27,17 @@ object JoinEstimate {
   /** 16^13 — the md5-13-hex-prefix hash domain (exact in a double). */
   private val Domain: Double = 4503599627370496.0 // 2^52
 
-  /** One row: n_a, n_b, d_est_a, d_est_b, d_est_shared, est_rows,
-    * exact_rows. `exact_rows` runs the real join — at production scale
-    * drop it and keep the two sketch passes.
+  /** One row: n_a, n_b, d_est_a, d_est_b, d_est_shared, est_rows —
+    * plus exact_rows when `exact = true`. The default is the
+    * PRODUCTION path: two bounded-memory sketch passes, the real join
+    * is never executed and each input is scanned exactly once
+    * (JoinEstimateSpec pins the plan). `exact = true` additionally
+    * runs the true join and carries its row count alongside — the
+    * verification regime the CORRECTNESS entry runs, making the
+    * estimator's error visible rather than hidden.
     */
   def estimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
-               k: Int = 256): DataFrame = {
+               k: Int = 256, exact: Boolean = false): DataFrame = {
     import graft.functions.FunctionDefs.callAgg
     def side(df: DataFrame, key: String, nName: String, skName: String) = {
       val h = conv(substring(md5(col(key).cast("string")), 1, 13), 16, 10)
@@ -47,10 +52,21 @@ object JoinEstimate {
           element_at(sk, k).cast("double"))
     val sa = side(a, aKey, "n_a", "ska")
     val sb = side(b, bKey, "n_b", "skb")
-    val exact = a.select(col(aKey).as("__k")).filter(col("__k").isNotNull)
-      .join(b.select(col(bKey).as("__k")).filter(col("__k").isNotNull), Seq("__k"))
-      .agg(count(lit(1)).as("exact_rows"))
-    sa.crossJoin(sb).crossJoin(exact)
+    val sketches = sa.crossJoin(sb)
+    val withExact =
+      if (!exact) sketches
+      else sketches.crossJoin(
+        a.select(col(aKey).as("__k")).filter(col("__k").isNotNull)
+          .join(b.select(col(bKey).as("__k")).filter(col("__k").isNotNull), Seq("__k"))
+          .agg(count(lit(1)).as("exact_rows")))
+    val outCols = Seq(col("n_a"), col("n_b"),
+      (round(col("__dA"), 4) + lit(0.0)).as("d_est_a"),
+      (round(col("__dB"), 4) + lit(0.0)).as("d_est_b"),
+      (round(col("__dI"), 4) + lit(0.0)).as("d_est_shared"),
+      (round(col("__dI") * (col("n_a") / col("__dA")) * (col("n_b") / col("__dB")), 2)
+        + lit(0.0)).as("est_rows")) ++
+      (if (exact) Seq(col("exact_rows")) else Nil)
+    withExact
       .withColumn("__mg", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
       .withColumn("__ku", size(col("__mg")).cast("double"))
       .withColumn("__shared", size(filter(col("__mg"), v =>
@@ -59,12 +75,6 @@ object JoinEstimate {
       .withColumn("__dA", dEst(col("ska")))
       .withColumn("__dB", dEst(col("skb")))
       .withColumn("__dI", col("__shared") / col("__ku") * dEst(col("__mg")))
-      .select(col("n_a"), col("n_b"),
-        (round(col("__dA"), 4) + lit(0.0)).as("d_est_a"),
-        (round(col("__dB"), 4) + lit(0.0)).as("d_est_b"),
-        (round(col("__dI"), 4) + lit(0.0)).as("d_est_shared"),
-        (round(col("__dI") * (col("n_a") / col("__dA")) * (col("n_b") / col("__dB")), 2)
-          + lit(0.0)).as("est_rows"),
-        col("exact_rows"))
+      .select(outCols: _*)
   }
 }

@@ -533,22 +533,83 @@ object Text {
     * (spam/adult/SEO-farm domain lists): flag every row whose URL's
     * canonical host IS a blocked domain or a SUBDOMAIN of one
     * (suffix semantics — blocking `spam.com` blocks `a.b.spam.com`,
-    * never `notspam.com`). The blocklist is MBs against a 100 TB
-    * corpus, so the decision is pure scan-side: hosts lowercase via
-    * [[urlHost]], the suffix test is an exists() over the broadcast
-    * list literal — no join, no shuffle, whole-stage codegen.
+    * never `notspam.com`). Real blocklists run 100k–4M domains
+    * (UT1-class adult/spam lists) against a 100 TB corpus, so the
+    * decision must cost O(rows × suffix-depth) hash probes, never
+    * O(rows × |list|): each port-stripped host is reduced to its
+    * dot-aligned suffixes at every label depth the blocklist actually
+    * contains (depth = max label count over the list, a small
+    * constant), and each depth is ONE broadcast hash-equality left
+    * join against the deduplicated domain table — the corpus never
+    * shuffles, the plan carries no list literal (the domains travel as
+    * a broadcast relation), and a host is blocked iff any depth's
+    * probe hit. Dot alignment makes the equality exact: suffix_ℓ(h)
+    * == d ⟺ (h == d) ∨ h.endsWith("." + d) for d of ℓ labels, so
+    * lookalikes (`notspam.com`) and infixes (`spam.com.evil.io`)
+    * never collide. [[blocklistFlagScan]] keeps the per-row exists()
+    * scan as the measured counter-baseline for tiny lists.
     * Output: input columns + (host, blocked) — pre-existing columns of
     * those two names are replaced (the documented output contract); no
-    * other input column is touched (the port-stripped intermediate is a
-    * plain expression, not a temp column that could clobber input).
+    * other input column is touched.
     */
   def blocklistFlag(df: DataFrame, urlCol: Column,
                     blockedDomains: Seq[String]): DataFrame = {
     require(blockedDomains.nonEmpty, "blocklistFlag: empty blocklist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val doms = blockedDomains.map(_.toLowerCase).distinct
+    blocklistFlagJoin(df, urlCol, doms.toDF("domain"), "domain",
+      maxDepth = doms.map(_.count(_ == '.') + 1).max)
+  }
+
+  /** [[blocklistFlag]] against a blocklist that lives as a TABLE — the
+    * production shape (the list is data, not code). `maxDepth` (0 =
+    * computed) is the deepest label count in the list; suffixes beyond
+    * it cannot match and are never generated. The domain table is
+    * deduplicated and lowercased before the joins, so the left joins
+    * are at-most-one-hit and never multiply corpus rows.
+    */
+  def blocklistFlagJoin(df: DataFrame, urlCol: Column,
+                        blocked: DataFrame, domainCol: String,
+                        maxDepth: Int = 0): DataFrame = {
+    val bl = blocked.select(lower(col(domainCol)).as("__bl_dom"))
+      .filter(col("__bl_dom").isNotNull && col("__bl_dom") =!= "")
+      .distinct()
+    val depth =
+      if (maxDepth > 0) maxDepth
+      else bl.agg(max(size(split(col("__bl_dom"), "\\.")))).head.getInt(0)
+    val inputCols = df.columns.toSeq.filterNot(c => c == "host" || c == "blocked")
+    val base = df
+      .withColumn("host", urlHost(urlCol))
+      // a non-default port must not defeat the domain match
+      .withColumn("__bl_ls",
+        split(regexp_replace(col("host"), ":[0-9]+$", ""), "\\."))
+    val probed = (1 to depth).foldLeft(base) { (cur, l) =>
+      // last-l-labels suffix; null when the host is shorter (no match)
+      val sfx = when(size(col("__bl_ls")) >= l,
+        array_join(slice(col("__bl_ls"), -l, l), "."))
+      cur.join(broadcast(bl.select(col("__bl_dom").as(s"__bl_hit_$l"))),
+        sfx === col(s"__bl_hit_$l"), "left")
+    }
+    val hits = (1 to depth).map(l => col(s"__bl_hit_$l"))
+    probed
+      .withColumn("blocked",
+        when(coalesce(hits: _*).isNotNull, lit(1)).otherwise(lit(0)))
+      .select((inputCols.map(col) :+ col("host") :+ col("blocked")): _*)
+  }
+
+  /** The per-row broadcast-literal exists() scan — correct and
+    * shuffle-free, but O(rows × |list|) with the whole list embedded
+    * in the plan: the measured counter-baseline for [[blocklistFlag]]
+    * (see tools/BlocklistBench); use only for lists of at most a few
+    * hundred domains.
+    */
+  def blocklistFlagScan(df: DataFrame, urlCol: Column,
+                        blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "blocklistFlagScan: empty blocklist")
     val domains = typedlit(blockedDomains.map(_.toLowerCase))
     df.withColumn("host", urlHost(urlCol))
       .withColumn("blocked", {
-        // a non-default port must not defeat the domain match
         val h = regexp_replace(col("host"), ":[0-9]+$", "")
         when(col("host").isNull, lit(0))
           .otherwise(exists(domains, d =>

@@ -33,7 +33,7 @@ object Pipeline {
 
   def ddMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text",
-        k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+        k = 3, numPerm = 64, bands = 16, threshold = 0.8, maxBucket = -1)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
@@ -127,7 +127,7 @@ object Pipeline {
     val exact = Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.8)
       .select("id_a", "id_b")
     val found = Dedup.minhashLsh(docs, "doc_id", "text",
-        k = 3, numPerm = 64, bands = 16, threshold = 0.8)
+        k = 3, numPerm = 64, bands = 16, threshold = 0.8, maxBucket = -1)
       .select("id_a", "id_b")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(exact.join(found, Seq("id_a", "id_b"), "left_anti")
@@ -1371,7 +1371,9 @@ object Pipeline {
     * host and dot-anchored subdomain semantics (blocking
     * `src1.example.com` must NOT block `src12.example.com`), ports
     * ignored for the match. Host derivation and every decision replay
-    * in SQL; scan-side only, no join.
+    * in SQL. The operator runs the broadcast suffix-join shape (one
+    * hash probe per label depth, no list literal in the plan) — the
+    * oracle is shape-blind, so the r9→r10 rewrite left it untouched.
     */
   def txBlocklist(s: SparkSession, dir: String): DataFrame =
     graft.ops.Text.blocklistFlag(
@@ -1795,7 +1797,7 @@ object Pipeline {
   def qJoinest(s: SparkSession, dir: String): DataFrame =
     graft.ops.JoinEstimate.estimate(
       Tables.orders(s, dir), "o_orderkey",
-      Tables.lineitem(s, dir), "l_orderkey", k = 256)
+      Tables.lineitem(s, dir), "l_orderkey", k = 256, exact = true)
 
   /** Audio near-dup via sample-sign fingerprint: REAL WAV decode →
     * 64-bit sign hash ([[graft.ops.Multimodal.audioPhash]]) → the SAME
@@ -1809,7 +1811,7 @@ object Pipeline {
     val docs = Tables.documents(s, dir).select("doc_id")
     val media = graft.ops.Multimodal.synthesizeWavs(s, docs, "doc_id")
     val hashed = graft.ops.Multimodal.audioPhash(s, media, "doc_id")
-    graft.ops.Dedup.hammingPairs(hashed, "doc_id", "ahash", maxDist = 2)
+    graft.ops.Dedup.hammingPairs(hashed, "doc_id", "ahash", maxDist = 2, maxBucket = -1)
       .orderBy("id_a", "id_b")
   }
 
@@ -1847,7 +1849,7 @@ object Pipeline {
       .filter((lit(1) + col("doc_id") % 8) * (lit(1) + col("doc_id") % 5) >= 30)
     val media = graft.ops.Multimodal.synthesizePngs(s, docs, "doc_id")
     val hashed = graft.ops.Multimodal.imagePhash(s, media, "doc_id")
-    graft.ops.Dedup.hammingPairs(hashed, "doc_id", "phash", maxDist = 2)
+    graft.ops.Dedup.hammingPairs(hashed, "doc_id", "phash", maxDist = 2, maxBucket = -1)
       .orderBy("id_a", "id_b")
   }
 

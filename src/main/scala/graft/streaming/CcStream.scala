@@ -26,7 +26,13 @@ final class CcStream(initial: DataFrame) {
   @volatile private var state: DataFrame =
     initial.select(col("id"), col("comp")).localCheckpoint()
 
-  /** The current labeling (id, comp). */
+  /** The current labeling (id, comp). VALID ONLY UNTIL THE NEXT
+    * [[fold]]: each fold unpersists the superseded labels checkpoint,
+    * and a local checkpoint cannot recompute — an action on a stale
+    * reference (or a read racing a concurrent fold) fails with missing
+    * blocks. Consumers that must hold a labeling across triggers
+    * snapshot it first (collect a bounded slice, or write it out).
+    */
   def labels: DataFrame = state
 
   /** Fold one micro-batch of edges; returns the new labeling. The
@@ -34,7 +40,9 @@ final class CcStream(initial: DataFrame) {
     * (edge frame, endpoint map, merged-root map — released via
     * [[graft.ops.Dedup.mergeComponentsReleasable]]) are all freed once
     * the new labeling is materialized, so a long-running stream holds
-    * ONE labels copy, not four cached frames per trigger.
+    * ONE labels copy, not four cached frames per trigger. The flip
+    * side is the [[labels]] invalidation contract above: previously
+    * returned labelings are dead after this call.
     */
   def fold(edges: DataFrame): DataFrame = synchronized {
     val prev = state

@@ -518,4 +518,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
       p should include("LeftSemi")
     }
   }
+
+  test("tx_blocklist: suffix probes are broadcast HASH joins — no list literal, no nested loop") {
+    val p = planOf("tx_blocklist")
+    withClue(s"tx_blocklist plan:\n$p") {
+      p should include("BroadcastHashJoin")
+      p.contains("BroadcastNestedLoopJoin") shouldBe false
+      p.contains("CartesianProduct") shouldBe false
+      // the r9 shape embedded the whole list in an exists() lambda —
+      // the probe-join shape must not
+      p.contains("exists(") shouldBe false
+      p.contains("src3.example.com") shouldBe false
+    }
+  }
 }

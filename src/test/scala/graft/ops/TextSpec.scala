@@ -442,6 +442,37 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got shouldBe Map(1L -> 1, 2L -> 1, 3L -> 0, 4L -> 0, 5L -> 1, 6L -> 0)
   }
 
+  test("blocklistFlag: suffix-join shape == exists() scan baseline on a randomized corpus") {
+    import spark.implicits._
+    // domains at depths 1..4, plus lookalike bait in the corpus
+    val doms = Seq("io", "spam.com", "ads.track.net", "a.b.c.d")
+    val hosts = (1L to 300L).map { i =>
+      val h = (i % 11) match {
+        case 0 => "spam.com"
+        case 1 => s"sub$i.spam.com"
+        case 2 => "notspam.com"
+        case 3 => "spam.com.evil.org"
+        case 4 => s"x$i.ads.track.net"
+        case 5 => "track.net"
+        case 6 => s"deep$i.a.b.c.d"
+        case 7 => s"site$i.io"
+        case 8 => s"SITE$i.IO:8443"
+        case 9 => "b.c.d"
+        case _ => s"clean$i.org"
+      }
+      (i, s"https://$h/p$i")
+    }.toDF("id", "url")
+    val viaJoin = Text.blocklistFlag(hosts, col("url"), doms)
+      .select("id", "host", "blocked").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    val viaScan = Text.blocklistFlagScan(hosts, col("url"), doms)
+      .select("id", "host", "blocked").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    viaJoin shouldBe viaScan
+    // the table-shaped entry point agrees too (computed maxDepth)
+    val viaTable = Text.blocklistFlagJoin(hosts, col("url"), doms.toDF("d"), "d")
+      .select("id", "host", "blocked").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+    viaTable shouldBe viaScan
+  }
+
   test("mixtureRates: α-temperature rates on a hand corpus; sampling honors them exactly") {
     import scala.jdk.CollectionConverters._
     // source a: 4 docs, source b: 1 doc; α=0.5, budget=3
