@@ -1743,7 +1743,32 @@ object Projections {
       "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // GDA94 Australian Albers
     3395 -> "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84", // World Mercator
     4087 -> ("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 " +
-      "+x_0=0 +y_0=0 +ellps=WGS84") // World Equidistant Cylindrical
+      "+x_0=0 +y_0=0 +ellps=WGS84"), // World Equidistant Cylindrical
+    // US State Plane (NAD83, meters) — the r10 opportunistic-growth
+    // subset (r9 verdict task 8): the most-asked-for LCC and TM zones,
+    // parameter spellings from the public EPSG registry / PROJ database
+    26945 -> ("+proj=lcc +lat_1=35.46666666666667 +lat_2=34.03333333333333 " +
+      "+lat_0=33.5 +lon_0=-118 +x_0=2000000 +y_0=500000 " +
+      "+ellps=GRS80 +towgs84=0,0,0"), // California zone 5
+    26985 -> ("+proj=lcc +lat_1=39.45 +lat_2=38.3 +lat_0=37.66666666666666 " +
+      "+lon_0=-77 +x_0=400000 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // Maryland
+    26986 -> ("+proj=lcc +lat_1=42.68333333333333 +lat_2=41.71666666666667 " +
+      "+lat_0=41 +lon_0=-71.5 +x_0=200000 +y_0=750000 " +
+      "+ellps=GRS80 +towgs84=0,0,0"), // Massachusetts Mainland
+    32139 -> ("+proj=lcc +lat_1=31.88333333333333 +lat_2=30.11666666666667 " +
+      "+lat_0=29.66666666666667 +lon_0=-100.3333333333333 " +
+      "+x_0=700000 +y_0=3000000 +ellps=GRS80 +towgs84=0,0,0"), // Texas Central
+    32118 -> ("+proj=lcc +lat_1=41.03333333333333 +lat_2=40.66666666666666 " +
+      "+lat_0=40.16666666666666 +lon_0=-74 +x_0=300000 +y_0=0 " +
+      "+ellps=GRS80 +towgs84=0,0,0"), // New York Long Island
+    32112 -> ("+proj=tmerc +lat_0=31 +lon_0=-104.33333333333333 " +
+      "+k=0.9999090909090909 +x_0=165000 +y_0=0 " +
+      "+ellps=GRS80 +towgs84=0,0,0"), // New Mexico East
+    32115 -> ("+proj=tmerc +lat_0=38.83333333333334 +lon_0=-74.5 +k=0.9999 " +
+      "+x_0=150000 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // New York East
+    26971 -> ("+proj=tmerc +lat_0=36.66666666666666 +lon_0=-88.33333333333333 " +
+      "+k=0.999975 +x_0=300000 +y_0=0 " +
+      "+ellps=GRS80 +towgs84=0,0,0") // Illinois East
   )
 
   private val EpsgCodePattern = "(?:EPSG:)?([0-9]{4,5})".r

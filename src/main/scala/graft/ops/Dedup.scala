@@ -102,6 +102,24 @@ object Dedup {
       banded.join(broadcast(overCap), keys, "left_anti")
     }
 
+  /** Computed bucket-cap default for the banded pair generators — the
+    * r9 ANN knob-default pattern ([[Ann.defaultNlist]]) extended to
+    * dedup (r10): a bucket of m members emits m²/2 candidate pairs, so
+    * capping buckets at c·√n bounds TOTAL per-bucket pair work by
+    * c²·n/2 — linear in corpus size, which is the property a fixed cap
+    * loses across decades (too tight at 100 TB, never triggering at
+    * test scale). Floor 1024 keeps every test/verify corpus (≤ a few
+    * thousand posted units) strictly below the cap, so the exact
+    * oracles never see a drop; c = 16 puts the knee well above
+    * organic near-dup cluster sizes while still shedding the
+    * million-distinct-hash degenerate band the r9 verdict flagged.
+    * Callers choose the regime: maxBucket > 0 explicit, 0 (default)
+    * this computed cap, < 0 unlimited — the exact ground-truth regime
+    * the CORRECTNESS entries pin.
+    */
+  def defaultMaxBucket(n: Long): Int =
+    math.max(1024, 16 * math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
   // ------------------------------------------------------- minhash LSH
 
   /** Distinct word k-shingles as an array column (native codegen'd
@@ -130,28 +148,52 @@ object Dedup {
     * jaccard >= threshold. Candidate recall follows the standard LSH
     * S-curve for `bands` bands of `numPerm/bands` rows.
     *
-    * `maxBucket` (0 = off) drops band buckets holding more rows than the
-    * cap before the self-join. A bucket of m rows yields m² candidate
+    * `maxBucket` drops band buckets holding more rows than the cap
+    * before the self-join. A bucket of m rows yields m² candidate
     * pairs — one boilerplate-heavy key at 100 TB would otherwise dominate
     * the whole job, and AQE can only split a skewed partition, not shrink
     * the quadratic pair count. Run [[exact]] first: a giant bucket is
     * near-always identical content, which exact dedup removes for the
-    * cost of a hash.
+    * cost of a hash. Regimes (r10): maxBucket > 0 explicit cap; 0
+    * (default) the [[defaultMaxBucket]] occupancy cap computed from one
+    * count() over `df` (an extra lineage replay on a derived corpus —
+    * cache upstream or pass an explicit cap, the [[Ann.defaultNlist]]
+    * caveat); < 0 unlimited (the exact-recall regime the CORRECTNESS
+    * entries pin).
     */
+  /** (id, __sh, __sig) — the shared shingle+signature frame for
+    * [[minhashLsh]] and the persisted [[graft.sources.MinhashIndex]]:
+    * both MUST evaluate the identical expressions, or index probes
+    * would miss collisions the in-flight path finds.
+    */
+  private[graft] def sigFrame(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, numPerm: Int, seed: Long): DataFrame =
+    df.select(col(idCol), col(textCol))
+      .withColumn("__sh", shingles(col(textCol), k))
+      .withColumn("__sig", minhashSig(col("__sh"), numPerm, seed))
+
+  /** (id, __band, __bkey) band-bucket keys over a [[sigFrame]] — the
+    * shared banding expression (see [[sigFrame]]'s contract).
+    */
+  private[graft] def bandKeyRows(withSig: DataFrame, idCol: String,
+                                 numPerm: Int, bands: Int): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+    withSig.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
+        hash(slice(col("__sig"), j * r + 1, lit(r))))).as(Seq("__band", "__bkey")))
+  }
+
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, seed: Long = 42, maxBucket: Int = 0): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    val r = numPerm / bands
-    val withSig = df.select(col(idCol), col(textCol))
-      .withColumn("__sh", shingles(col(textCol), k))
-      .withColumn("__sig", minhashSig(col("__sh"), numPerm, seed))
-    val allBandKeys = withSig.select(
-      col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), j =>
-        hash(slice(col("__sig"), j * r + 1, lit(r))))).as(Seq("__band", "__bkey")))
-    val bandKeys = dropOverCapBuckets(allBandKeys, Seq("__band", "__bkey"), maxBucket)
+    val cap = if (maxBucket == 0) defaultMaxBucket(df.count()) else maxBucket
+    val withSig = sigFrame(df, idCol, textCol, k, numPerm, seed)
+    val allBandKeys = bandKeyRows(withSig, idCol, numPerm, bands)
+    val bandKeys = dropOverCapBuckets(allBandKeys, Seq("__band", "__bkey"), cap)
     val a = bandKeys.select(col(idCol).as("id_a"), col("__band"), col("__bkey"))
     val b = bandKeys.select(col(idCol).as("id_b"), col("__band"), col("__bkey"))
     val candidates = a.join(b, Seq("__band", "__bkey"))
@@ -336,8 +378,12 @@ object Dedup {
     * with the usual exactness trade: over-cap buckets drop their
     * CROSS-hash candidate pairs (dist-0 pairs are always exact). The
     * trade is a measured contract: DedupSpec plants a retention corpus
-    * and pins what a cap keeps. Default off — this is the ground-truth
-    * operator.
+    * and pins what a cap keeps. Regimes (r10): > 0 explicit cap; 0
+    * (default) the [[defaultMaxBucket]] cap computed from the DISTINCT
+    * hash count (free — `groups` is already materialized); < 0
+    * unlimited, the ground-truth regime the CORRECTNESS entries pin
+    * (their oracles replay the complete pair set, which a cap may
+    * legitimately shrink at scales where a band bucket outgrows it).
     *
     * Precondition: `idCol` is unique (one signature per id, the
     * [[editDistanceJoin]] contract). Duplicate ids would re-enter the
@@ -373,7 +419,10 @@ object Dedup {
       s"transform(sequence(0, ${pieces - 1}), " +
         s"j -> shiftright(__h, cast(j * $width AS int)) & ${mask}L)"))
       .as(Seq("__p", "__k")))
-    val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
+    val cap =
+      if (maxBucket > 0) maxBucket
+      else if (maxBucket == 0) defaultMaxBucket(groups.count())
+      else Int.MaxValue
     val hashPairs = posts.groupBy("__p", "__k")
       .agg(collect_list(col("__h")).as("__m"))
       .filter(size(col("__m")) >= 2 && size(col("__m")) <= cap)

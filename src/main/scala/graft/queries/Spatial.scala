@@ -865,6 +865,37 @@ object Spatial {
           abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** US State Plane zones resolved BY EPSG CODE (the r10 registry
+    * growth — the most-asked-for family the r9 table lacked):
+    * California zone 5 (EPSG:26945, LCC-2SP), Texas Central
+    * (EPSG:32139, LCC-2SP) and New Mexico East (EPSG:32112, TM at
+    * k₀ = 1−1/11000) over disjoint longitude windows of the customer
+    * lattice. The oracle replays each family's Snyder forward with the
+    * REGISTRY's constants — a wrong registry parameter, not just a
+    * wrong formula, fails the hash. The TM window stays within 1.5° of
+    * its central meridian (the zone's real service regime), so the
+    * inverse closes and rt_ok = 1 everywhere; the LCC windows span the
+    * wider lattice stripes (the conic is service-wide at 12°Δλ).
+    */
+  def spStatePlane(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("lat") >= 25.0 && col("lat") <= 50.0)
+      .withColumn("epsg",
+        when(col("lon") >= -105.8 && col("lon") <= -102.9, lit(32112))
+          .when(col("lon") >= -107.5 && col("lon") <= -93.0, lit(32139))
+          .when(col("lon") >= -130.0 && col("lon") < -107.5, lit(26945)))
+      .filter(col("epsg").isNotNull)
+      .withColumn("crs", concat(lit("EPSG:"), col("epsg")))
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs")))
+      .withColumn("back", st.geomReproject(col("p"), col("crs"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"), col("epsg"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+          abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** st_asLatLonText DMS formatting, value-checked: the oracle rebuilds
     * the identical degree/minute/second decomposition (trunc-based, same
     * IEEE ops) and formats with printf — DuckDB's fmt and Java's
@@ -1011,6 +1042,7 @@ object Spatial {
     "sp_lcc" -> spLcc _,
     "sp_albers" -> spAlbers _,
     "sp_epsg" -> spEpsg _,
+    "sp_stateplane" -> spStatePlane _,
     "sp_datum" -> spDatum _,
     "sp_nadgrids" -> spNadgrids _,
     "sp_omerc" -> spOmerc _,
@@ -1314,6 +1346,86 @@ object Spatial {
        |        round(-(rho * cos(radians(lon))), 1) AS northing FROM ari)
        |SELECT c_custkey, epsg, easting, northing, 1 AS rt_ok
        |FROM (SELECT * FROM nz UNION ALL SELECT * FROM au UNION ALL SELECT * FROM ar)
+       |ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Three US State Plane zones replayed with the REGISTRY's constants:
+    * the Snyder LCC-2SP series (spLccOracle's spelling) at California
+    * zone 5 and Texas Central parameters, and the TM series
+    * (spUtmOracle's spelling) at New Mexico East — including the
+    * nonzero-lat₀ M₀ subtraction the NZTM block never exercises.
+    */
+  private val spStatePlaneOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    val ep2 = dlit((f * (2.0 - f)) / (1.0 - f * (2.0 - f)))
+    def tOf(phi: String) =
+      s"tan(pi() / 4.0 - ($phi) / 2.0) / pow((1.0 - e * sin($phi)) / (1.0 + e * sin($phi)), e / 2.0)"
+    def mOf(phi: String) =
+      s"cos($phi) / sqrt(1.0 - $e2 * sin($phi) * sin($phi))"
+    def arcOf(phi: String) =
+      s"6378137.0 * ((1.0 - $e2 / 4.0 - 3.0 * $e2 * $e2 / 64.0 - 5.0 * $e2 * $e2 * $e2 / 256.0) * ($phi)" +
+        s" - (3.0 * $e2 / 8.0 + 3.0 * $e2 * $e2 / 32.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(2.0 * ($phi))" +
+        s" + (15.0 * $e2 * $e2 / 256.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(4.0 * ($phi))" +
+        s" - (35.0 * $e2 * $e2 * $e2 / 3072.0) * sin(6.0 * ($phi)))"
+    // one LCC block per zone: (code, lat1, lat2, lat0, lon0, fe, fn)
+    def lccBlock(tag: String, code: Int, lat1: String, lat2: String,
+                 lat0: String, lon0: String, fe: String, fn: String,
+                 where: String) =
+      s"""${tag}b AS (SELECT c_custkey, lon, lat, sqrt($e2) AS e FROM b WHERE $where),
+         |${tag}g AS (SELECT *,
+         |        ${mOf(s"radians($lat1)")} AS m1, ${mOf(s"radians($lat2)")} AS m2,
+         |        ${tOf(s"radians($lat1)")} AS t1, ${tOf(s"radians($lat2)")} AS t2,
+         |        ${tOf(s"radians($lat0)")} AS t0,
+         |        ${tOf("radians(lat)")} AS t
+         |      FROM ${tag}b),
+         |${tag}h AS (SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n FROM ${tag}g),
+         |${tag}i AS (SELECT *, m1 / (n * pow(t1, n)) AS ff FROM ${tag}h),
+         |${tag}j AS (SELECT *,
+         |        6378137.0 * ff * pow(t0, n) AS rho0,
+         |        6378137.0 * ff * pow(t, n) AS rho,
+         |        n * (radians(lon) - radians($lon0)) AS theta
+         |      FROM ${tag}i),
+         |$tag AS (SELECT c_custkey, $code AS epsg,
+         |        round($fe + rho * sin(theta), 1) AS easting,
+         |        round($fn + rho0 - rho * cos(theta), 1) AS northing FROM ${tag}j)""".stripMargin
+    val ca = lccBlock("ca", 26945, dlit(35.46666666666667), dlit(34.03333333333333),
+      dlit(33.5), dlit(-118.0), "2000000.0", "500000.0",
+      "lon >= -130.0 AND lon < -107.5 AND lat >= 25.0 AND lat <= 50.0")
+    val tx = lccBlock("tx", 32139, dlit(31.88333333333333), dlit(30.11666666666667),
+      dlit(29.66666666666667), dlit(-100.3333333333333), "700000.0", "3000000.0",
+      "lon >= -107.5 AND lon <= -93.0 AND NOT (lon >= -105.8 AND lon <= -102.9) " +
+        "AND lat >= 25.0 AND lat <= 50.0")
+    val k0 = dlit(0.9999090909090909)
+    val nmLon0 = dlit(-104.33333333333333)
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
+       |$ca,
+       |$tx,
+       |nmg AS (SELECT c_custkey, lon, lat,
+       |        radians(lat) AS phi, sin(radians(lat)) AS sphi,
+       |        cos(radians(lat)) AS cphi, tan(radians(lat)) AS tphi,
+       |        cos(radians(lat)) * (radians(lon) - radians($nmLon0)) AS aa
+       |      FROM b WHERE lon >= -105.8 AND lon <= -102.9 AND lat >= 25.0 AND lat <= 50.0),
+       |nmh AS (SELECT *,
+       |        6378137.0 / sqrt(1.0 - $e2 * sphi * sphi) AS nn,
+       |        tphi * tphi AS tt, $ep2 * cphi * cphi AS cc, aa * aa AS a2 FROM nmg),
+       |nmi AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM nmh),
+       |nmj AS (SELECT *, a3 * aa AS a4 FROM nmi),
+       |nmk AS (SELECT *, a4 * aa AS a5 FROM nmj),
+       |nml AS (SELECT *, a5 * aa AS a6,
+       |        ${arcOf("phi")} AS mm,
+       |        ${arcOf("radians(31.0)")} AS mm0
+       |      FROM nmk),
+       |nm AS (SELECT c_custkey, 32112 AS epsg,
+       |        round($k0 * nn * (aa + (1.0 - tt + cc) * a3 / 6.0
+       |          + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2) * a5 / 120.0) + 165000.0, 1) AS easting,
+       |        round($k0 * (mm - mm0 + ntan * (a2 / 2.0
+       |          + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
+       |          + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0)) + 0.0, 1) AS northing
+       |      FROM nml)
+       |SELECT c_custkey, epsg, easting, northing, 1 AS rt_ok
+       |FROM (SELECT * FROM ca UNION ALL SELECT * FROM tx UNION ALL SELECT * FROM nm)
        |ORDER BY c_custkey""".stripMargin
   }
 
@@ -2098,6 +2210,7 @@ object Spatial {
     "sp_lcc" -> spLccOracle,
     "sp_albers" -> spAlbersOracle,
     "sp_epsg" -> spEpsgOracle,
+    "sp_stateplane" -> spStatePlaneOracle,
     "sp_datum" -> spDatumOracle,
     "sp_nadgrids" -> spNadgridsOracle,
     "sp_omerc" -> spOmercOracle,

@@ -134,7 +134,7 @@ object AnnLayout {
           zip_with(col("__qvn"), element_at(cent, col("list") + 1), (x, y) => x * y),
           lit(0.0), (a, x) => a + x))
 
-    val vectors = s.read.parquet(s"$path/vectors")
+    val vectors = withoutTombstones(s, path, s.read.parquet(s"$path/vectors"))
     val shortlist = vectors.select("id", "codes", "list")
       .join(broadcast(probes), "list")
       .filter(col("id") =!= col("qid"))
@@ -190,6 +190,35 @@ object AnnLayout {
       .start()
   }
 
+  /** Logical deletes — the lifecycle op [[appendStream]]'s other half:
+    * real served corpora REMOVE vectors (takedowns, dedup survivors,
+    * retention). A rewrite of the hive-partitioned layout per delete
+    * would be a full-corpus write, so deletes are TOMBSTONES: the ids
+    * land in `path/tombstones` (append-mode parquet — id-only,
+    * deletion-volume-sized metadata, tiny next to the corpus) and every
+    * query path ([[topK]], [[pqTopK]]) filters them with one broadcast
+    * anti-join before ranking — the standard lakehouse merge-on-read
+    * delete-vector trade. [[compactCells]] is merge-on-write: it drops
+    * tombstoned rows physically and the compacted layout starts with an
+    * empty tombstone set. Deleting an id wins over any append of the
+    * same id made BEFORE the delete; appending it again afterwards
+    * does NOT resurrect it until the tombstone is compacted away — ids
+    * are expected unique, so delete/re-add cycles should re-key.
+    */
+  def delete(s: SparkSession, path: String, ids: DataFrame,
+             idCol: String = "id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def withoutTombstones(s: SparkSession, path: String,
+                                vectors: DataFrame): DataFrame = {
+    val t = new java.io.File(s"$path/tombstones")
+    if (!t.exists()) vectors
+    else vectors.join(
+      broadcast(s.read.parquet(s"$path/tombstones").select("id").distinct()),
+      Seq("id"), "left_anti")
+  }
+
   /** Cell-preserving compaction — the maintenance op that closes the
     * [[appendStream]] lifecycle: every micro-batch append drops small
     * files into `list=` directories, and at 100 TB the per-file
@@ -197,13 +226,14 @@ object AnnLayout {
     * One `repartitionByRange` on (list, id) restores target-sized,
     * id-clustered files while `partitionBy` keeps the cell directory
     * structure (files never span cells, so DPP pruning is unaffected);
-    * centroids/codebooks copy through untouched — compaction moves
-    * bytes, never changes the index. Same design contract as
-    * [[Compaction.compactByRows]], applied under a partition layout.
+    * centroids/codebooks copy through untouched. Tombstoned rows are
+    * physically dropped ([[delete]]'s merge-on-write half) and the
+    * destination starts tombstone-free — so compaction moves bytes and
+    * applies deletes, never changes live results.
     */
   def compactCells(s: SparkSession, src: String, dest: String,
                    targetRows: Long): Unit = {
-    val df = s.read.parquet(s"$src/vectors")
+    val df = withoutTombstones(s, src, s.read.parquet(s"$src/vectors"))
     val n = df.count()
     val parts = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     df.repartitionByRange(parts, col("list"), col("id"))
@@ -232,7 +262,7 @@ object AnnLayout {
     val probes = queries
       .select(col(qidCol).as("qid"), Vectors.toDouble(col(qvecCol)).as("__qv"))
       .withColumn("list", explode(call("ivf_probes", col("__qv"), cent, lit(np))))
-    val vectors = s.read.parquet(s"$path/vectors")
+    val vectors = withoutTombstones(s, path, s.read.parquet(s"$path/vectors"))
     Ann.rankTopK(
       vectors.join(broadcast(probes), "list")
         .filter(col("id") =!= col("qid"))

@@ -1,0 +1,165 @@
+package graft.sources
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash band-posting index — the missing piece of the
+  * incremental near-dup lifecycle (r9 verdict task 2): `dd_incremental`
+  * bloom-gates EXACT duplicates and `mergeComponents` folds KNOWN
+  * edges, but discovering NEW fuzzy pairs between a day's batch and a
+  * 100 TB history previously meant re-banding the history — a full
+  * text scan plus the shingle/signature recompute, per day. This
+  * layout pays that scan ONCE at build time and turns the daily
+  * probe into index lookups:
+  *
+  *  - `build` writes the history's band postings
+  *    ((band,bkey)-combined key, id) range-clustered through
+  *    [[StatsManifest]] — 2 longs per posting, never text — plus a
+  *    (id, shingles) docs table (id-clustered, same manifest
+  *    mechanism) for the exact-Jaccard verify, and the banding
+  *    parameters alongside (probes must replay the identical
+  *    expressions — enforced, not assumed: `probe` reads them back).
+  *  - `probe` computes the BATCH's signatures in flight, prunes
+  *    posting files through the manifest (a broadcast range-join of
+  *    batch keys × file ranges — the file list is collected, the keys
+  *    never are), equi-joins postings against the broadcast batch
+  *    keys, fetches history shingles for the CANDIDATE ids only
+  *    (docs-manifest pruning again), verifies with the exact Jaccard,
+  *    and unions the batch-internal [[Dedup.minhashLsh]] pairs. Probe
+  *    cost therefore tracks batch size and candidate count — the
+  *    history contributes posting-file reads only, and only for files
+  *    whose key range a batch key actually hits.
+  *
+  * Output contract = [[Dedup.minhashLsh]] over (history ∪ batch)
+  * RESTRICTED to pairs touching the batch (id_a < id_b, exact
+  * jaccard ≥ threshold): maintenance must be invisible —
+  * MinhashIndexSpec pins set equality, and the dd_lsh_index_check
+  * CORRECTNESS entry re-proves it against the full re-band plus the
+  * exact [[Dedup.jaccardJoin]] ground truth at every verify run.
+  * Found pairs feed [[graft.ops.Dedup.mergeComponents]] /
+  * [[graft.streaming.CcStream]], closing the loop.
+  *
+  * Ids must be unique across history ∪ batch (the [[Dedup]] pair-op
+  * contract); re-probing a batch that was since appended would surface
+  * its pairs again (dedup downstream on (id_a, id_b)).
+  */
+object MinhashIndex {
+
+  /** (band, bkey) → one sortable long: band in the high 32 bits. */
+  private def combinedKey(band: org.apache.spark.sql.Column,
+                          bkey: org.apache.spark.sql.Column) =
+    shiftleft(band.cast("long"), 32)
+      .bitwiseOR(bkey.cast("long").bitwiseAND(lit(0xffffffffL)))
+
+  /** Scan history once, write `path/postings` (key, id) range-clustered
+    * into `nPostingFiles`, `path/docs` (id, sh) into `nDocFiles`, and
+    * `path/params`. Postings are the only corpus-sized artifact probes
+    * routinely touch — 2 longs per (doc, band).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String,
+            k: Int = 3, numPerm: Int = 64, bands: Int = 16, seed: Long = 42,
+            nPostingFiles: Int = 64, nDocFiles: Int = 32): Unit = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val spark = docs.sparkSession
+    val withSig = Dedup.sigFrame(docs, idCol, textCol, k, numPerm, seed)
+    StatsManifest.write(
+      withSig.select(col(idCol).as("id"), col("__sh").as("sh")),
+      s"$path/docs", "id", nDocFiles)
+    val posts = Dedup.bandKeyRows(withSig, idCol, numPerm, bands)
+      .select(combinedKey(col("__band"), col("__bkey")).as("key"),
+        col(idCol).as("id"))
+    StatsManifest.write(posts, s"$path/postings", "key", nPostingFiles)
+    val nDocs = spark.read.parquet(s"$path/docs").count() // footer-count
+    import spark.implicits._
+    Seq((k, numPerm, bands, seed, nDocs))
+      .toDF("k", "num_perm", "bands", "seed", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** New near-dup pairs involving the batch: (id_a, id_b, jaccard)
+    * with id_a < id_b, exact jaccard ≥ threshold — batch×history from
+    * the index probe plus batch×batch from the in-flight LSH pass.
+    * `maxBucket` follows the [[Dedup.minhashLsh]] regimes (> 0
+    * explicit, 0 = [[Dedup.defaultMaxBucket]] computed from the
+    * INDEXED corpus size stored at build time, −1 unlimited) and
+    * guards BOTH quadratic terms: probed posting keys whose history
+    * fan-out exceeds the cap are dropped before the candidate join,
+    * and the batch-internal pass inherits the same cap.
+    */
+  def probe(s: SparkSession, path: String,
+            batch: DataFrame, idCol: String, textCol: String,
+            threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
+    val p = s.read.parquet(s"$path/params").head()
+    val (k, numPerm, bands, seed) =
+      (p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
+    val cap =
+      if (maxBucket == 0) Dedup.defaultMaxBucket(p.getLong(4)) else maxBucket
+
+    // batch signatures once (two consumers: band keys + verify shingles)
+    val bsig = Dedup.sigFrame(batch, idCol, textCol, k, numPerm, seed)
+      .select(col(idCol).as("__bid"), col("__sh").as("__bsh"), col("__sig"))
+      .localCheckpoint()
+    val bkeys = Dedup.bandKeyRows(bsig, "__bid", numPerm, bands)
+      .select(combinedKey(col("__band"), col("__bkey")).as("key"),
+        col("__bid"))
+
+    // manifest pruning: which posting files can contain ANY batch key —
+    // file ranges broadcast (file-count-sized), batch keys stay
+    // distributed, only the surviving FILE LIST is collected
+    val man = StatsManifest.manifest(s, s"$path/postings")
+    val files = bkeys.select("key").distinct()
+      .join(broadcast(man), col("key") >= col("lo") && col("key") <= col("hi"))
+      .select("file").distinct().collect().map(_.getString(0))
+    val posts =
+      if (files.isEmpty) s.read.parquet(s"$path/postings").filter(lit(false))
+      else s.read.parquet(files.toIndexedSeq: _*)
+
+    // hot-key guard: a probed key whose HISTORY fan-out exceeds the cap
+    // is a boilerplate band (the minhashLsh maxBucket rationale — the
+    // candidate join would go quadratic on it); counted over the pruned
+    // postings only, broadcast into an anti-join
+    val guarded =
+      if (cap <= 0) posts
+      else {
+        val hot = posts.join(broadcast(bkeys.select("key").distinct()), "key")
+          .groupBy("key").agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select("key")
+        posts.join(broadcast(hot), Seq("key"), "left_anti")
+      }
+
+    // candidates: history ids colliding with a batch id in ≥ 1 band.
+    // The batch side broadcasts (a day's keys vs the history's): the
+    // posting scan is probed map-side, never shuffled.
+    val cands = guarded.join(broadcast(bkeys), "key")
+      .filter(col("id") =!= col("__bid"))
+      .select(col("id").as("__hid"), col("__bid")).distinct()
+
+    // history shingles for candidate ids only: docs-manifest pruning on
+    // the id ranges, then a semi-join pins exact membership
+    val candIds = cands.select(col("__hid").as("id")).distinct()
+    val dman = StatsManifest.manifest(s, s"$path/docs")
+    val dfiles = candIds
+      .join(broadcast(dman), col("id") >= col("lo") && col("id") <= col("hi"))
+      .select("file").distinct().collect().map(_.getString(0))
+    val histSh =
+      (if (dfiles.isEmpty) s.read.parquet(s"$path/docs").filter(lit(false))
+       else s.read.parquet(dfiles.toIndexedSeq: _*))
+        .join(candIds, Seq("id"), "left_semi")
+
+    val crossPairs = cands
+      .join(histSh.select(col("id").as("__hid"), col("sh").as("__hsh")), "__hid")
+      .join(bsig.select(col("__bid"), col("__bsh")), "__bid")
+      .withColumn("jaccard", Dedup.jaccard(col("__hsh"), col("__bsh")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("__hid"), col("__bid")).as("id_a"),
+        greatest(col("__hid"), col("__bid")).as("id_b"), col("jaccard"))
+
+    // batch-internal pairs: the plain in-flight pass over the (small)
+    // batch — a second signature evaluation of batch-sized cost only
+    val within = Dedup.minhashLsh(batch, idCol, textCol,
+      k = k, numPerm = numPerm, bands = bands,
+      threshold = threshold, seed = seed, maxBucket = cap)
+    crossPairs.unionByName(within)
+  }
+}

@@ -40,8 +40,8 @@ object BlocklistBench {
       .localCheckpoint()
     println(s"corpus: ${corpus.count()} urls")
 
+    // join shape at every list size — the flat-in-|list| claim
     for (listSize <- Seq(1000, 100000, 1000000)) {
-      val doms = (0 until listSize).map(i => s"dom$i.example.net")
       val domsDf = spark.range(listSize)
         .select(concat(lit("dom"), col("id"), lit(".example.net")).as("domain"))
       val tJoin = time2(noop(
@@ -49,18 +49,23 @@ object BlocklistBench {
           .select("id", "blocked")))
       val nJoin = Text.blocklistFlagJoin(corpus, col("url"), domsDf, "domain", maxDepth = 3)
         .agg(sum("blocked")).head.getLong(0)
-      // the scan shape at 1M domains embeds a ~20 MB literal and walks
-      // it per row — cap the corpus it sees so the sweep finishes
-      val scanRows = if (listSize >= 100000) nRows / 20 else nRows
-      val scanCorpus = corpus.filter(col("id") < scanRows)
+      println(f"| join  | list=$listSize%7d | $tJoin%6.2f s | $nRows rows | $nJoin blocked |")
+    }
+    // exists()-scan counter-baseline: linear in |list| — measured where
+    // it still terminates (10k domains × 2M rows is already 2·10¹⁰
+    // suffix comparisons; 100k+ was killed at >15 min in r10) and
+    // cross-checked against the join shape for agreement
+    for (listSize <- Seq(1000, 10000)) {
+      val doms = (0 until listSize).map(i => s"dom$i.example.net")
+      val domsDf = spark.range(listSize)
+        .select(concat(lit("dom"), col("id"), lit(".example.net")).as("domain"))
       val tScan = time2(noop(
-        Text.blocklistFlagScan(scanCorpus, col("url"), doms).select("id", "blocked")))
-      val nScan = Text.blocklistFlagScan(scanCorpus, col("url"), doms)
+        Text.blocklistFlagScan(corpus, col("url"), doms).select("id", "blocked")))
+      val nScan = Text.blocklistFlagScan(corpus, col("url"), doms)
         .agg(sum("blocked")).head.getLong(0)
-      val nJoinScanRows = Text.blocklistFlagJoin(scanCorpus, col("url"), domsDf, "domain", maxDepth = 3)
+      val nJoin = Text.blocklistFlagJoin(corpus, col("url"), domsDf, "domain", maxDepth = 3)
         .agg(sum("blocked")).head.getLong(0)
-      println(f"| list=$listSize%7d | join: $tJoin%6.2f s ($nRows rows, $nJoin blocked) " +
-        f"| scan: $tScan%6.2f s ($scanRows rows) | agree: ${nScan == nJoinScanRows} |")
+      println(f"| scan  | list=$listSize%7d | $tScan%6.2f s | $nRows rows | $nScan blocked | agree: ${nScan == nJoin} |")
     }
     println("== BLOCKLIST DONE ==")
     spark.stop()

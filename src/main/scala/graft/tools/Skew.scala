@@ -148,11 +148,14 @@ object SkewBench {
       graft.ops.Dedup.minhashLsh(graft.sources.Tables.documents(spark, dir),
         "doc_id", "text", k = 3, numPerm = 64, bands = 16, threshold = 0.8,
         maxBucket = cap)
-    val (nBase, tLshBase) = time(lsh(base, 0).count())
+    val (nBase, tLshBase) = time(lsh(base, -1).count())
+    val (nSkewU, tLshU) = time(lsh(skew, -1).count())
     val (nSkew0, tLsh0) = time(lsh(skew, 0).count())
     val (nSkewC, tLshC) = time(lsh(skew, 100).count())
-    row("minhashLsh maxBucket=0", tLshBase, tLsh0,
-      s"verified pairs: $nBase base / $nSkew0 skew — uncapped pays the m² bucket")
+    row("minhashLsh maxBucket=-1 (unlimited)", tLshBase, tLshU,
+      s"verified pairs: $nBase base / $nSkewU skew — uncapped pays the m² bucket")
+    row("minhashLsh maxBucket=0 (computed default)", tLshBase, tLsh0,
+      s"verified pairs: $nSkew0 — defaultMaxBucket(n) = 16·√n")
     row("minhashLsh maxBucket=100", tLshBase, tLshC,
       s"verified pairs: $nSkewC — cap drops boilerplate buckets, keeps true dups")
     // the cap must not lose the planted chain: 599 consecutive-pair edges
@@ -196,6 +199,28 @@ object SkewBench {
     row("hammingPairs (phash banding)", tHb, tHs,
       s"pairs: $nHb base / $nHs skew — 2,000-blank-image cluster " +
         "(1,999,000 of the skew pairs are the cluster's own dist-0 output)")
+
+    // --- DISTINCT-hash degenerate band (the r9 verdict's residual #3):
+    //     8,000 DISTINCT hashes sharing six zero-chunk band buckets — the
+    //     shape the hash-identical collapse cannot absorb. Unlimited pays
+    //     6·C(8k,2) ≈ 192M in-bucket popcounts; the computed default
+    //     (defaultMaxBucket(200k) ≈ 7.2k < 8k) sheds those buckets and
+    //     must stay ≤ ~1.2× the clean-corpus cost.
+    def distinctClusterFrame: DataFrame = {
+      val ids = spark.range(200000L).toDF("id")
+      ids.withColumn("h",
+        when(col("id") < 8000L, (col("id") + 1) * 1099511627776L) // (id+1) << 40
+          .otherwise(xxhash64(col("id"))))
+    }
+    val (nHd0, tHd0) = time(
+      graft.ops.Dedup.hammingPairs(distinctClusterFrame, "id", "h", maxDist = 2).count())
+    val (nHdU, tHdU) = time(
+      graft.ops.Dedup.hammingPairs(distinctClusterFrame, "id", "h", maxDist = 2,
+        maxBucket = -1).count())
+    row("hammingPairs 8k-distinct cluster, computed default", tHb, tHd0,
+      s"pairs kept: $nHd0 — degenerate band shed at defaultMaxBucket")
+    row("hammingPairs 8k-distinct cluster, maxBucket=-1", tHb, tHdU,
+      s"pairs: $nHdU — unlimited pays the 192M-popcount band")
 
     // --- leak-safe split on the boilerplate corpus: the r7 verdict's
     //     weak #2 (the uncapped exact posting join went quadratic in the

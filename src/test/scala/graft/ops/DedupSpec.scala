@@ -342,6 +342,57 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     expected should not be empty
   }
 
+  test("defaultMaxBucket: floor at small n, √n curve above it; computed default == unlimited below the floor") {
+    Dedup.defaultMaxBucket(0L) shouldBe 1024
+    Dedup.defaultMaxBucket(4096L) shouldBe 1024          // 16·64 = floor
+    Dedup.defaultMaxBucket(1000000L) shouldBe 16000      // 16·√1M
+    Dedup.defaultMaxBucket(100000000L) shouldBe 160000
+    // below the floor the computed cap can never trigger: default (0)
+    // and unlimited (-1) must agree exactly on any sub-1024 corpus
+    import spark.implicits._
+    val sigs = (0L until 300L).map(i => (i, i * 0x9E3779B97F4A7C15L)).toDF("id", "h")
+    val auto = Dedup.hammingPairs(sigs, "id", "h", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unlimited = Dedup.hammingPairs(sigs, "id", "h", maxDist = 3, maxBucket = -1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    auto shouldBe unlimited
+  }
+
+  test("hammingPairs: computed default cap sheds a 2k-DISTINCT-hash degenerate band, keeps planted pairs with a healthy bucket") {
+    import spark.implicits._
+    // 2,000 DISTINCT hashes (i << 40) that all share zero-chunks at
+    // band positions 0–4 and 7 — six buckets of 2,000 distinct members,
+    // the diverse-near-collision shape the hash-identical collapse
+    // cannot absorb. defaultMaxBucket(2002) = 1024 < 2000 → those
+    // buckets drop. The planted pair lives in healthy size-2 buckets
+    // (positions 1–4, 7) and must survive.
+    val x = 0x0102030405060708L
+    val noise = (1L to 2000L).map(i => (i, i << 40))
+    val df = (noise ++ Seq((5001L, x), (5002L, x ^ 1L))).toDF("id", "h")
+    val auto = Dedup.hammingPairs(df, "id", "h", maxDist = 2, pieces = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    auto should contain((5001L, 5002L, 1))
+    // the capped result is a SUBSET of ground truth — never an invention
+    val truth = Dedup.hammingPairs(df, "id", "h", maxDist = 2, pieces = 8,
+      maxBucket = -1).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    auto.subsetOf(truth) shouldBe true
+    truth should contain((5001L, 5002L, 1))
+  }
+
+  test("minhashLsh: computed default cap (0) == unlimited (-1) on a sub-floor corpus") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = docs(
+      1L -> base,
+      2L -> base.replace("today", "tomorrow"),
+      3L -> "completely different words nothing shared at all here truly")
+    val auto = Dedup.minhashLsh(df, "id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unlimited = Dedup.minhashLsh(df, "id", "text", k = 3, threshold = 0.5,
+      maxBucket = -1).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    auto shouldBe unlimited
+    auto should contain((1L, 2L))
+  }
+
   test("hammingPairs: degenerate hash-identical cluster collapses before banding, result still == brute force") {
     import spark.implicits._
     // a planted "blank image" population: 2,000 rows sharing ONE hash

@@ -153,6 +153,49 @@ class AnnLayoutSpec extends AnyFunSuite with SparkTestSession with Matchers {
       canon(AnnLayout.topK(spark, p2, queries, "vec_id", "embedding", k = 10, nprobe = 4))
   }
 
+  test("delete: tombstoned ids vanish from topK; full-probe == brute force over the SURVIVING corpus; compaction applies them physically") {
+    val base = Tables.embeddings(spark, sfDir)
+    val p2 = java.nio.file.Files.createTempDirectory("graft-annlayout-del").toString + "/ivf"
+    AnnLayout.build(base, "vec_id", "embedding", p2, nlist = 8, iters = 2, seed = 7)
+    // delete every 7th vector — across cells, including some true top-k members
+    val doomed = base.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    AnnLayout.delete(spark, p2, doomed, "vec_id")
+    val survivors = base.filter(col("vec_id") % 7 =!= 0)
+    val full = AnnLayout.topK(spark, p2, queries, "vec_id", "embedding", k = 10, nprobe = 8)
+    val brute = Ann.bruteForce(survivors, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 10)
+    canon(full) shouldBe canon(brute)
+    full.filter(col("id") % 7 === 0).count() shouldBe 0L
+    // a second delete batch appends to the tombstone set
+    AnnLayout.delete(spark, p2, base.filter(col("vec_id") === 1L).select("vec_id"), "vec_id")
+    val survivors2 = survivors.filter(col("vec_id") =!= 1L)
+    canon(AnnLayout.topK(spark, p2, queries, "vec_id", "embedding", k = 10, nprobe = 8)) shouldBe
+      canon(Ann.bruteForce(survivors2, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10))
+    // merge-on-write: compaction drops the rows, dest has no tombstones,
+    // results unchanged
+    val dest = java.nio.file.Files.createTempDirectory("graft-annlayout-deld").toString + "/ivf"
+    AnnLayout.compactCells(spark, p2, dest, targetRows = 200L)
+    new java.io.File(dest + "/tombstones").exists() shouldBe false
+    spark.read.parquet(dest + "/vectors").count() shouldBe survivors2.count()
+    canon(AnnLayout.topK(spark, dest, queries, "vec_id", "embedding", k = 10, nprobe = 8)) shouldBe
+      canon(Ann.bruteForce(survivors2, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 10))
+  }
+
+  test("delete: the PQ serving path honors tombstones too") {
+    val base = Tables.embeddings(spark, sfDir)
+    val p2 = java.nio.file.Files.createTempDirectory("graft-pqlayout-del").toString + "/ivfpq"
+    AnnLayout.buildPq(base, "vec_id", "embedding", p2,
+      nlist = 8, m = 8, ksub = 16, iters = 2, seed = 7)
+    AnnLayout.delete(spark, p2,
+      base.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val got = AnnLayout.pqTopK(spark, p2, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8, refine = 5)
+    got.filter(col("id") % 7 === 0).count() shouldBe 0L
+    got.groupBy("qid").count().collect().foreach(_.getLong(1) shouldBe 10L)
+  }
+
   test("the layout directory really is hive-partitioned by cell id") {
     val dirs = new java.io.File(path + "/vectors").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list=")).sorted
