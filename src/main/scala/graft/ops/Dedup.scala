@@ -108,17 +108,40 @@ object Dedup {
     * capping buckets at c·√n bounds TOTAL per-bucket pair work by
     * c²·n/2 — linear in corpus size, which is the property a fixed cap
     * loses across decades (too tight at 100 TB, never triggering at
-    * test scale). Floor 1024 keeps every test/verify corpus (≤ a few
-    * thousand posted units) strictly below the cap, so the exact
-    * oracles never see a drop; c = 16 puts the knee well above
-    * organic near-dup cluster sizes while still shedding the
-    * million-distinct-hash degenerate band the r9 verdict flagged.
-    * Callers choose the regime: maxBucket > 0 explicit, 0 (default)
-    * this computed cap, < 0 unlimited — the exact ground-truth regime
-    * the CORRECTNESS entries pin.
+    * test scale). c = 1 bounds per-bucket verify work by n/2 — and the
+    * operating recipe runs [[exact]] FIRST, after which a band bucket
+    * of > √n DISTINCT documents is near-always boilerplate, not a true
+    * near-dup cluster (SkewBench: the planted 2,000-doc boilerplate
+    * family spread over ~300–900-member buckets that c = 4 sailed
+    * over, re-paying most of the m² work; c = 1 sheds them and tracks
+    * the hand-tuned cap within noise). Floor 256 keeps every
+    * test/verify corpus (near-dup families of single digits, max exact
+    * family 2) strictly below the cap, so the exact oracles never see
+    * a drop. Callers choose the regime: maxBucket > 0 explicit, 0
+    * (default) this computed cap, < 0 unlimited — the exact
+    * ground-truth regime the CORRECTNESS entries pin.
     */
   def defaultMaxBucket(n: Long): Int =
-    math.max(1024, 16 * math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+    math.max(256, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toInt)
+
+  /** [[defaultMaxBucket]]'s variant for FIXED-WIDTH band keys
+    * ([[hammingPairs]]' w-bit chunks): a w-bit position has only 2^w
+    * possible buckets, so UNIFORM hashes average n/2^w members per
+    * bucket — an absolute √n cap sheds EVERY bucket once n > 2^w·√n
+    * (measured: the first-cut √n default kept ZERO cross pairs on a
+    * 200k-hash corpus at w = 8, where uniform occupancy ~780 > 448).
+    * The degenerate-band signal is occupancy RELATIVE to that uniform
+    * baseline: the default caps at 8× expected occupancy (floor 256),
+    * which keeps every near-uniform bucket and sheds only bands
+    * holding an outsized share of all hashes — the
+    * everything-collides-here shape banding cannot make selective
+    * anyway.
+    */
+  def defaultMaxBucketFixedWidth(n: Long, widthBits: Int): Int = {
+    require(widthBits >= 1 && widthBits <= 32, "widthBits must be in [1, 32]")
+    val expected = math.ceil(math.max(0L, n).toDouble / (1L << widthBits).toDouble)
+    math.max(256, 8 * expected.toInt)
+  }
 
   // ------------------------------------------------------- minhash LSH
 
@@ -192,7 +215,13 @@ object Dedup {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val cap = if (maxBucket == 0) defaultMaxBucket(df.count()) else maxBucket
     val withSig = sigFrame(df, idCol, textCol, k, numPerm, seed)
-    val allBandKeys = bandKeyRows(withSig, idCol, numPerm, bands)
+    // with a cap active the band keys feed TWO consumers (the over-cap
+    // count and the probe side) — materialize the (id, band, bkey)
+    // postings once (3 longs/row) so the guard never re-pays the
+    // shingle+signature scan (SkewBench r10: the re-pay cost 1.3× the
+    // whole uncapped run on the 50k-doc skew corpus)
+    val allBandKeys0 = bandKeyRows(withSig, idCol, numPerm, bands)
+    val allBandKeys = if (cap > 0) allBandKeys0.localCheckpoint() else allBandKeys0
     val bandKeys = dropOverCapBuckets(allBandKeys, Seq("__band", "__bkey"), cap)
     val a = bandKeys.select(col(idCol).as("id_a"), col("__band"), col("__bkey"))
     val b = bandKeys.select(col(idCol).as("id_b"), col("__band"), col("__bkey"))
@@ -379,11 +408,13 @@ object Dedup {
     * CROSS-hash candidate pairs (dist-0 pairs are always exact). The
     * trade is a measured contract: DedupSpec plants a retention corpus
     * and pins what a cap keeps. Regimes (r10): > 0 explicit cap; 0
-    * (default) the [[defaultMaxBucket]] cap computed from the DISTINCT
-    * hash count (free — `groups` is already materialized); < 0
-    * unlimited, the ground-truth regime the CORRECTNESS entries pin
-    * (their oracles replay the complete pair set, which a cap may
-    * legitimately shrink at scales where a band bucket outgrows it).
+    * (default) the [[defaultMaxBucketFixedWidth]] cap — 8× the uniform
+    * occupancy n/2^width of the DISTINCT hash count (free — `groups`
+    * is already materialized; an ABSOLUTE √n cap is wrong here, see
+    * that helper's doc); < 0 unlimited, the ground-truth regime the
+    * CORRECTNESS entries pin (their oracles replay the complete pair
+    * set, which a cap may legitimately shrink at scales where a band
+    * bucket outgrows it).
     *
     * Precondition: `idCol` is unique (one signature per id, the
     * [[editDistanceJoin]] contract). Duplicate ids would re-enter the
@@ -421,7 +452,7 @@ object Dedup {
       .as(Seq("__p", "__k")))
     val cap =
       if (maxBucket > 0) maxBucket
-      else if (maxBucket == 0) defaultMaxBucket(groups.count())
+      else if (maxBucket == 0) defaultMaxBucketFixedWidth(groups.count(), width)
       else Int.MaxValue
     val hashPairs = posts.groupBy("__p", "__k")
       .agg(collect_list(col("__h")).as("__m"))

@@ -1732,9 +1732,60 @@ object Pipeline {
         .select((col("__extra") + col("__gone")).as("n_diff_reband")))
   }
 
+  // the APPEND half of the lifecycle: built over half the corpus, with
+  // the %4==1 generation probed-then-appended — so the gate's probe of
+  // %4==0 must see appended docs as history
+  private val mhixIncReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def minhashIndexIncPath(s: SparkSession, dir: String): String =
+    mhixIncReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-mhixinc").toString + "/ix"
+      val docs = Tables.documents(s, d)
+      graft.sources.MinhashIndex.build(
+        docs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3),
+        "doc_id", "text", p, k = 3, numPerm = 64, bands = 16, seed = 42,
+        nPostingFiles = 64, nDocFiles = 16)
+      val day1 = docs.filter(col("doc_id") % 4 === 1)
+      graft.sources.MinhashIndex.probe(s, p, day1, "doc_id", "text",
+        threshold = 0.8, maxBucket = -1).count() // the daily cycle's read half
+      graft.sources.MinhashIndex.append(s, p, day1, "doc_id", "text")
+      p
+    })
+
+  /** [[ddLshIndexCheck]]'s contract over an APPENDED index
+    * ([[graft.sources.MinhashIndex.append]]): history = half the
+    * corpus at build + a probed-then-appended second generation; the
+    * gate probes the third. Same three-way check — exact ground truth
+    * (SQL-replayed), zero missed, zero diff vs the full re-band — so a
+    * manifest-extension bug (a day-1 doc invisible to day-2 probes)
+    * fails the hash.
+    */
+  def ddLshIndexInc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val touches = col("id_a") % 4 === 0 || col("id_b") % 4 === 0
+    val probed = graft.sources.MinhashIndex.probe(s, minhashIndexIncPath(s, dir),
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        threshold = 0.8, maxBucket = -1)
+      .select("id_a", "id_b").localCheckpoint()
+    val reband = Dedup.minhashLsh(docs, "doc_id", "text", k = 3,
+        numPerm = 64, bands = 16, threshold = 0.8, maxBucket = -1)
+      .filter(touches).select("id_a", "id_b")
+    val exact = Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.8)
+      .filter(touches).select("id_a", "id_b")
+    exact.agg(count(lit(1)).as("n_exact_new"))
+      .crossJoin(exact.join(probed, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed")))
+      .crossJoin(probed.join(reband, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("__extra"))
+        .crossJoin(reband.join(probed, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).as("__gone")))
+        .select((col("__extra") + col("__gone")).as("n_diff_reband")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_lsh_index" -> ddLshIndex _,
     "dd_lsh_index_check" -> ddLshIndexCheck _,
+    "dd_lsh_index_inc" -> ddLshIndexInc _,
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
     "dd_jaccard_join" -> ddJaccardJoin _,
@@ -2702,6 +2753,21 @@ object Pipeline {
     // to batch-touching pairs, and the two zeros are the deterministic
     // maintenance-invisibility assertions (seeded hashes)
     "dd_lsh_index_check" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        CASE WHEN len(w) >= 3
+        |             THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                 for i in range(1, len(w) - 1)])
+        |             ELSE [array_to_string(w, ' ')] END AS sh
+        |      FROM d)
+        |SELECT count(*) AS n_exact_new, 0 AS n_missed, 0 AS n_diff_reband
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
+        |  AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    // same contract over the APPENDED index — the gate's predicate is
+    // identical (pairs touching the %4==0 generation)
+    "dd_lsh_index_inc" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id,
         |        CASE WHEN len(w) >= 3

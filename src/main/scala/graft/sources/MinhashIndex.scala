@@ -77,6 +77,43 @@ object MinhashIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
+  /** Fold a probed batch INTO the index — the daily cycle's write-back
+    * half: after [[probe]] surfaces the batch's pairs, `append` writes
+    * the batch's postings and shingle rows as NEW range-clustered
+    * files through [[StatsManifest.append]] (delta-sized work, both
+    * manifests extended without rescanning history) and bumps the
+    * stored corpus count (the computed-cap input). Tomorrow's probe
+    * then sees today's docs as history. Appended file ranges overlap
+    * resident ones, so probe pruning degrades by at most the appended
+    * file count per day until a periodic [[build]] re-clusters — the
+    * same write-amplification trade every LSM-shaped index makes.
+    * At-least-once semantics: re-appending a replayed batch duplicates
+    * postings/doc rows, which costs bytes but never pairs beyond
+    * duplicates of already-true pairs (candidates are distinct-ed,
+    * verification is exact).
+    */
+  def append(s: SparkSession, path: String,
+             batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val p = s.read.parquet(s"$path/params").head()
+    val (k, numPerm, bands, seed) =
+      (p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
+    val withSig = Dedup.sigFrame(batch, idCol, textCol, k, numPerm, seed)
+      .localCheckpoint() // two consumers: docs rows + postings
+    StatsManifest.append(
+      withSig.select(col(idCol).as("id"), col("__sh").as("sh")),
+      s"$path/docs", "id", nFiles = 4)
+    StatsManifest.append(
+      Dedup.bandKeyRows(withSig, idCol, numPerm, bands)
+        .select(combinedKey(col("__band"), col("__bkey")).as("key"),
+          col(idCol).as("id")),
+      s"$path/postings", "key", nFiles = 8)
+    val nDocs = p.getLong(4) + withSig.count()
+    import s.implicits._
+    Seq((k, numPerm, bands, seed, nDocs))
+      .toDF("k", "num_perm", "bands", "seed", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
   /** New near-dup pairs involving the batch: (id_a, id_b, jaccard)
     * with id_a < id_b, exact jaccard ≥ threshold — batch×history from
     * the index probe plus batch×batch from the in-flight LSH pass.

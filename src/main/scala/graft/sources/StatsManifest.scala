@@ -49,6 +49,41 @@ object StatsManifest {
   def manifest(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/_manifest")
 
+  /** Append a delta to a manifested layout WITHOUT rescanning it: the
+    * delta lands as new range-clustered part files, their stats come
+    * from one scan of THOSE FILES ONLY (diffed by directory listing),
+    * and the manifest becomes old ∪ new — O(delta) work. Appended file
+    * ranges may overlap resident ones; [[prunedFiles]] tests range
+    * INTERSECTION, so reads stay correct and pruning degrades by at
+    * most the appended file count until a periodic [[write]] re-clusters
+    * (the Compaction trade, applied to manifests).
+    */
+  def append(df: DataFrame, path: String, statCol: String, nFiles: Int): Unit = {
+    val s = df.sparkSession
+    def files(): Set[String] = {
+      val d = new java.io.File(path)
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(_.getName).toSet
+    }
+    val before = files()
+    df.repartitionByRange(math.max(1, nFiles), col(statCol))
+      .sortWithinPartitions(statCol)
+      .write.mode("append").parquet(path)
+    val fresh = (files() -- before).toSeq.map(n => s"$path/$n")
+    if (fresh.nonEmpty) {
+      val freshStats = s.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col(statCol)).as("lo"), max(col(statCol)).as("hi"),
+          count(lit(1)).as("n_rows"))
+      // the merged manifest must materialize BEFORE overwriting the
+      // directory it reads from (file-count-sized, so the checkpoint
+      // is driver-trivial)
+      val merged = manifest(s, path).unionByName(freshStats).localCheckpoint()
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    }
+  }
+
   /** The files whose [lo, hi] intersects [from, to] — a driver-side
     * filter over file-count-sized metadata, mirroring a format
     * planner's manifest scan.

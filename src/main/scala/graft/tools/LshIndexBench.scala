@@ -47,7 +47,8 @@ object LshIndexBench {
           concat(col("text"), lit(" zqx")).as("text"))
         .localCheckpoint()
 
-    for ((dir, tag) <- Seq(small -> "sf0.1", big -> "sf1")) {
+    for (dir <- Seq(small, big)) {
+      val tag = new java.io.File(dir).getName
       if (new java.io.File(dir).exists()) {
         val nHist = docsOf(dir).count()
         val path = java.nio.file.Files.createTempDirectory(s"graft-lshix-$tag")

@@ -155,7 +155,7 @@ object SkewBench {
     row("minhashLsh maxBucket=-1 (unlimited)", tLshBase, tLshU,
       s"verified pairs: $nBase base / $nSkewU skew — uncapped pays the m² bucket")
     row("minhashLsh maxBucket=0 (computed default)", tLshBase, tLsh0,
-      s"verified pairs: $nSkew0 — defaultMaxBucket(n) = 16·√n")
+      s"verified pairs: $nSkew0 — defaultMaxBucket(n) = √n, floor 256")
     row("minhashLsh maxBucket=100", tLshBase, tLshC,
       s"verified pairs: $nSkewC — cap drops boilerplate buckets, keeps true dups")
     // the cap must not lose the planted chain: 599 consecutive-pair edges
@@ -204,7 +204,7 @@ object SkewBench {
     //     8,000 DISTINCT hashes sharing six zero-chunk band buckets — the
     //     shape the hash-identical collapse cannot absorb. Unlimited pays
     //     6·C(8k,2) ≈ 192M in-bucket popcounts; the computed default
-    //     (defaultMaxBucket(200k) ≈ 7.2k < 8k) sheds those buckets and
+    //     (defaultMaxBucketFixedWidth(200k, 8) = 6256 < 8k+uniform-780 band) sheds those buckets and
     //     must stay ≤ ~1.2× the clean-corpus cost.
     def distinctClusterFrame: DataFrame = {
       val ids = spark.range(200000L).toDF("id")

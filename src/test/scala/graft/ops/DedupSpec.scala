@@ -343,10 +343,17 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
   }
 
   test("defaultMaxBucket: floor at small n, √n curve above it; computed default == unlimited below the floor") {
-    Dedup.defaultMaxBucket(0L) shouldBe 1024
-    Dedup.defaultMaxBucket(4096L) shouldBe 1024          // 16·64 = floor
-    Dedup.defaultMaxBucket(1000000L) shouldBe 16000      // 16·√1M
-    Dedup.defaultMaxBucket(100000000L) shouldBe 160000
+    Dedup.defaultMaxBucket(0L) shouldBe 256
+    Dedup.defaultMaxBucket(65536L) shouldBe 256          // √n = floor
+    Dedup.defaultMaxBucket(1000000L) shouldBe 1000       // √1M
+    Dedup.defaultMaxBucket(100000000L) shouldBe 10000
+    // the fixed-width variant caps RELATIVE to uniform occupancy: at
+    // 8-bit chunks a 200k-hash corpus averages ~780/bucket, so the cap
+    // sits at 8× that — an absolute √n (448) would shed every bucket
+    Dedup.defaultMaxBucketFixedWidth(2002L, 8) shouldBe 256
+    Dedup.defaultMaxBucketFixedWidth(200000L, 8) shouldBe 6256
+    Dedup.defaultMaxBucketFixedWidth(65536L, 8) shouldBe 2048
+    Dedup.defaultMaxBucketFixedWidth(1000000L, 16) shouldBe 256
     // below the floor the computed cap can never trigger: default (0)
     // and unlimited (-1) must agree exactly on any sub-1024 corpus
     import spark.implicits._
@@ -363,7 +370,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     // 2,000 DISTINCT hashes (i << 40) that all share zero-chunks at
     // band positions 0–4 and 7 — six buckets of 2,000 distinct members,
     // the diverse-near-collision shape the hash-identical collapse
-    // cannot absorb. defaultMaxBucket(2002) = 1024 < 2000 → those
+    // cannot absorb. defaultMaxBucket(2002) = 256 < 2000 → those
     // buckets drop. The planted pair lives in healthy size-2 buckets
     // (positions 1–4, 7) and must survive.
     val x = 0x0102030405060708L

@@ -71,6 +71,30 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSession with Matchers {
     r.getLong(2) shouldBe 0L     // probe == full re-band
   }
 
+  test("append: day-2 probe pairs against day-1 docs; probe+append == re-band over all three generations") {
+    val p2 = java.nio.file.Files.createTempDirectory("graft-mhix-app").toString + "/ix"
+    val hist = docs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+    val day1 = docs.filter(col("doc_id") % 4 === 1)
+    val day2 = docs.filter(col("doc_id") % 4 === 0)
+    MinhashIndex.build(hist, "doc_id", "text", p2,
+      nPostingFiles = 32, nDocFiles = 8)
+    MinhashIndex.probe(spark, p2, day1, "doc_id", "text", maxBucket = -1).count()
+    MinhashIndex.append(spark, p2, day1, "doc_id", "text")
+    // n_docs param grew by the appended batch
+    spark.read.parquet(s"$p2/params").head().getLong(4) shouldBe
+      hist.count() + day1.count()
+    // the day-2 probe must see day-1 docs as history: equality vs the
+    // full re-band restricted to day-2-touching pairs
+    val probed = pairSet(MinhashIndex.probe(spark, p2, day2, "doc_id", "text",
+      threshold = 0.8, maxBucket = -1))
+    val reband = pairSet(
+      Dedup.minhashLsh(docs, "doc_id", "text",
+          k = 3, numPerm = 64, bands = 16, threshold = 0.8, maxBucket = -1)
+        .filter(col("id_a") % 4 === 0 || col("id_b") % 4 === 0))
+    probed shouldBe reband
+    probed should not be empty
+  }
+
   test("empty batch probes to zero pairs without error") {
     MinhashIndex.probe(spark, path, batch.filter(lit(false)),
       "doc_id", "text").count() shouldBe 0L

@@ -51,4 +51,31 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestSession with Matchers 
     StatsManifest.prunedFiles(spark, path, lit(5000L), lit(6000L)) shouldBe empty
     StatsManifest.prunedRead(spark, path, "id", lit(0L), lit(999L)).count() shouldBe 1000L
   }
+
+  test("append: manifest extends by the delta's files only; band reads stay exact across generations") {
+    // a private layout so the shared fixture stays untouched
+    val rows = (0L until 500L).map(i => org.apache.spark.sql.Row(i, s"v$i"))
+    val d = spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType))))
+    val p = java.nio.file.Files.createTempDirectory("graft-skip-app").toString + "/t"
+    StatsManifest.write(d, p, "id", nFiles = 5)
+    val before = StatsManifest.manifest(spark, p).count()
+    // delta overlaps the resident range (ids 250..749)
+    val delta = spark.createDataFrame(
+      (250L until 750L).map(i => org.apache.spark.sql.Row(i, s"d$i")).asJava,
+      d.schema)
+    StatsManifest.append(delta, p, "id", nFiles = 3)
+    val m = StatsManifest.manifest(spark, p)
+    m.count() should be > before
+    m.agg(sum("n_rows")).head.getLong(0) shouldBe 1000L
+    // band read returns BOTH generations' rows, exactly
+    val got = StatsManifest.prunedRead(spark, p, "id", lit(240L), lit(260L))
+      .collect().map(_.getLong(0)).sorted
+    got shouldBe ((240L to 260L) ++ (250L to 260L)).toArray.sorted
+    // and pruning still skips: a band outside the delta's range reads
+    // fewer files than the manifest lists
+    StatsManifest.prunedFiles(spark, p, lit(0L), lit(49L)).length.toLong should be < m.count()
+  }
 }
