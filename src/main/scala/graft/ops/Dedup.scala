@@ -140,7 +140,10 @@ object Dedup {
   def defaultMaxBucketFixedWidth(n: Long, widthBits: Int): Int = {
     require(widthBits >= 1 && widthBits <= 32, "widthBits must be in [1, 32]")
     val expected = math.ceil(math.max(0L, n).toDouble / (1L << widthBits).toDouble)
-    math.max(256, 8 * expected.toInt)
+    // clamp before narrowing: at n = 10¹² distinct hashes and w = 8 the
+    // 8× term overflows Int (a cap that wraps negative would mean
+    // "drop everything")
+    math.min(Int.MaxValue.toLong, math.max(256L, 8L * expected.toLong)).toInt
   }
 
   // ------------------------------------------------------- minhash LSH

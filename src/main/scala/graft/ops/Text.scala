@@ -593,7 +593,15 @@ object Text {
       .distinct()
     val depth =
       if (maxDepth > 0) maxDepth
-      else bl.agg(max(size(split(col("__bl_dom"), "\\.")))).head.getInt(0)
+      else {
+        // max over an EMPTY domain table is null — fail loudly rather
+        // than NPE (an empty blocklist flagging nothing is almost
+        // always a broken upstream read, the blocklistFlag require)
+        val d = bl.agg(max(size(split(col("__bl_dom"), "\\.")))).head
+        require(!d.isNullAt(0),
+          "blocklistFlagJoin: empty blocklist table (after null/blank filtering)")
+        d.getInt(0)
+      }
     val inputCols = df.columns.toSeq.filterNot(c => c == "host" || c == "blocked")
     val base = df
       .withColumn("host", urlHost(urlCol))

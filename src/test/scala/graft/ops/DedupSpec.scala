@@ -354,6 +354,8 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     Dedup.defaultMaxBucketFixedWidth(200000L, 8) shouldBe 6256
     Dedup.defaultMaxBucketFixedWidth(65536L, 8) shouldBe 2048
     Dedup.defaultMaxBucketFixedWidth(1000000L, 16) shouldBe 256
+    // narrowing clamps instead of wrapping negative
+    Dedup.defaultMaxBucketFixedWidth(1000000000000L, 8) shouldBe Int.MaxValue
     // below the floor the computed cap can never trigger: default (0)
     // and unlimited (-1) must agree exactly on any sub-1024 corpus
     import spark.implicits._

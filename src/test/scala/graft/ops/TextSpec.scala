@@ -471,6 +471,13 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     val viaTable = Text.blocklistFlagJoin(hosts, col("url"), doms.toDF("d"), "d")
       .select("id", "host", "blocked").collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).sortBy(_._1)
     viaTable shouldBe viaScan
+    // an empty domain table (after null/blank filtering) fails loudly
+    val emptyBl = Seq.empty[String].toDF("d")
+    an[IllegalArgumentException] should be thrownBy
+      Text.blocklistFlagJoin(hosts, col("url"), emptyBl, "d").collect()
+    val blankBl = Seq("", null.asInstanceOf[String]).toDF("d")
+    an[IllegalArgumentException] should be thrownBy
+      Text.blocklistFlagJoin(hosts, col("url"), blankBl, "d").collect()
   }
 
   test("mixtureRates: α-temperature rates on a hand corpus; sampling honors them exactly") {
