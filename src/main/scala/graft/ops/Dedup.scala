@@ -501,10 +501,17 @@ object Dedup {
     * chunk — equi-join on (chunk index, chunk value), then verify the
     * true distance. Returns (id_a, id_b, dist).
     *
-    * `maxBucket` (0 = off) applies [[dropOverCapBuckets]]: with a cap set
-    * the pigeonhole guarantee is no longer exact — a pair whose every
+    * `maxBucket` applies [[dropOverCapBuckets]]: with a cap set the
+    * pigeonhole guarantee is no longer exact — a pair whose every
     * shared chunk sits in an over-cap bucket is lost. Run [[exact]]
     * first; see the helper's scaladoc for the full trade-off.
+    * REGIME NOTE (r10): unlike [[minhashLsh]]/[[hammingPairs]], ≤ 0
+    * (both 0 and −1) means UNLIMITED here and there is no computed
+    * default — postings are per ROW, not per distinct hash, so a
+    * row-counted computed cap would silently shed exact-duplicate
+    * families (the mass this operator deliberately leaves to
+    * [[exact]]). For a collapse-first simhash path with the computed
+    * occupancy cap, feed [[simhash64]] into [[hammingPairs]].
     */
   def simhashNearDup(
       df: DataFrame, idCol: String, textCol: String,

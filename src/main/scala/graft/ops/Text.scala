@@ -263,17 +263,26 @@ object Text {
     * ([[graft.ops.Dedup.minhashLsh]] at the given k/threshold) whose
     * candidate cost is bounded by band buckets — a hot boilerplate
     * shingle cannot go quadratic the way an uncapped exact posting
-    * self-join does. Callers wanting the exact closure (small corpora,
-    * oracle replays) pass `pairs = Some(Dedup.jaccardJoin(...))`; any
-    * (id_a, id_b) pair frame with the same id domain works. The split
-    * itself adds one broadcast-size label join and a scan-side hash.
+    * self-join does. `maxBucket` passes through to that path and
+    * carries its leakage trade EXPLICITLY: at the computed default a
+    * > √n-member band bucket is shed, and if such a bucket held a TRUE
+    * near-dup family (it is near-always sub-threshold boilerplate —
+    * run [[graft.ops.Dedup.exact]] first), co-duplicated docs could
+    * straddle the split. Callers for whom any leak outweighs a
+    * quadratic hot bucket pass `maxBucket = -1`; callers wanting the
+    * exact closure (small corpora, oracle replays) pass
+    * `pairs = Some(Dedup.jaccardJoin(...))` — any (id_a, id_b) pair
+    * frame with the same id domain works. The split itself adds one
+    * broadcast-size label join and a scan-side hash.
     */
   def leakSafeSplit(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, threshold: Double = 0.8,
                     valFrac: Double = 0.1, salt: Long = 0L,
-                    pairs: Option[DataFrame] = None): DataFrame = {
+                    pairs: Option[DataFrame] = None,
+                    maxBucket: Int = 0): DataFrame = {
     val pairFrame = pairs.getOrElse(
-      Dedup.minhashLsh(df, idCol, textCol, k = k, threshold = threshold))
+      Dedup.minhashLsh(df, idCol, textCol, k = k, threshold = threshold,
+        maxBucket = maxBucket))
     val cc = Dedup.connectedComponents(pairFrame)
       .select(col("id").as("__cc_id"), col("comp").as("__comp"))
     val comp = df.select(col(idCol))

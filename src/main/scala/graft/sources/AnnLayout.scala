@@ -211,13 +211,14 @@ object AnnLayout {
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
 
   private def withoutTombstones(s: SparkSession, path: String,
-                                vectors: DataFrame): DataFrame = {
-    val t = new java.io.File(s"$path/tombstones")
-    if (!t.exists()) vectors
+                                vectors: DataFrame): DataFrame =
+    // existence goes through the Hadoop FS of the path (java.io.File
+    // cannot see file:/hdfs:/s3a: URIs and would silently serve
+    // deleted vectors there)
+    if (!FsUtil.exists(s, s"$path/tombstones")) vectors
     else vectors.join(
       broadcast(s.read.parquet(s"$path/tombstones").select("id").distinct()),
       Seq("id"), "left_anti")
-  }
 
   /** Cell-preserving compaction — the maintenance op that closes the
     * [[appendStream]] lifecycle: every micro-batch append drops small
@@ -238,8 +239,7 @@ object AnnLayout {
     val parts = math.max(1L, (n + targetRows - 1) / targetRows).toInt
     df.repartitionByRange(parts, col("list"), col("id"))
       .write.mode("overwrite").partitionBy("list").parquet(s"$dest/vectors")
-    for (t <- Seq("centroids", "codebooks")
-         if new java.io.File(s"$src/$t").exists())
+    for (t <- Seq("centroids", "codebooks") if FsUtil.exists(s, s"$src/$t"))
       s.read.parquet(s"$src/$t")
         .coalesce(1).write.mode("overwrite").parquet(s"$dest/$t")
   }

@@ -62,13 +62,20 @@ object MinhashIndex {
             nPostingFiles: Int = 64, nDocFiles: Int = 32): Unit = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val spark = docs.sparkSession
-    val withSig = Dedup.sigFrame(docs, idCol, textCol, k, numPerm, seed)
+    // ONE pass over the corpus TEXT: the shingle arrays land in the
+    // docs table, and the postings derive from the STORED shingles —
+    // minhashSig over the same arrays yields identical signatures, so
+    // the shared-expression contract with probe holds while the
+    // (expensive) text scan + shingling is never replayed and nothing
+    // corpus-sized is checkpointed
     StatsManifest.write(
-      withSig.select(col(idCol).as("id"), col("__sh").as("sh")),
+      docs.select(col(idCol).as("id"),
+        Dedup.shingles(col(textCol), k).as("sh")),
       s"$path/docs", "id", nDocFiles)
-    val posts = Dedup.bandKeyRows(withSig, idCol, numPerm, bands)
-      .select(combinedKey(col("__band"), col("__bkey")).as("key"),
-        col(idCol).as("id"))
+    val stored = spark.read.parquet(s"$path/docs")
+      .withColumn("__sig", Dedup.minhashSig(col("sh"), numPerm, seed))
+    val posts = Dedup.bandKeyRows(stored, "id", numPerm, bands)
+      .select(combinedKey(col("__band"), col("__bkey")).as("key"), col("id"))
     StatsManifest.write(posts, s"$path/postings", "key", nPostingFiles)
     val nDocs = spark.read.parquet(s"$path/docs").count() // footer-count
     import spark.implicits._
@@ -112,21 +119,43 @@ object MinhashIndex {
     Seq((k, numPerm, bands, seed, nDocs))
       .toDF("k", "num_perm", "bands", "seed", "n_docs")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    // everything derived from the checkpoint is written out — release
+    // its blocks so a daily/streaming maintainer doesn't pin one
+    // batch-sized checkpoint per append (the CcStream discipline)
+    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(withSig)
   }
 
   /** New near-dup pairs involving the batch: (id_a, id_b, jaccard)
     * with id_a < id_b, exact jaccard ≥ threshold — batch×history from
     * the index probe plus batch×batch from the in-flight LSH pass.
-    * `maxBucket` follows the [[Dedup.minhashLsh]] regimes (> 0
-    * explicit, 0 = [[Dedup.defaultMaxBucket]] computed from the
-    * INDEXED corpus size stored at build time, −1 unlimited) and
-    * guards BOTH quadratic terms: probed posting keys whose history
-    * fan-out exceeds the cap are dropped before the candidate join,
-    * and the batch-internal pass inherits the same cap.
+    * At `maxBucket = -1` (the regime the CORRECTNESS entries pin) the
+    * result EQUALS [[Dedup.minhashLsh]] over history ∪ batch restricted
+    * to batch-touching pairs. `maxBucket` otherwise follows the
+    * [[Dedup.minhashLsh]] regimes (> 0 explicit, 0 =
+    * [[Dedup.defaultMaxBucket]] computed from the INDEXED corpus size
+    * stored at build time) and guards BOTH quadratic terms: probed
+    * posting keys whose HISTORY fan-out exceeds the cap drop before
+    * the candidate join, and the batch-internal pass inherits the same
+    * cap — note the guard counts differ from a capped re-band's
+    * (history fan-out / batch occupancy vs combined occupancy), so
+    * capped regimes are each a documented approximation of the exact
+    * set, not bit-equal to one another.
+    *
+    * The returned frame references a batch-signature localCheckpoint;
+    * one-shot callers can rely on the ContextCleaner to reclaim it,
+    * long-running maintainers use [[probeReleasable]] and free the
+    * internals once the result is materialized (the
+    * mergeComponentsReleasable pattern).
     */
   def probe(s: SparkSession, path: String,
             batch: DataFrame, idCol: String, textCol: String,
-            threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
+            threshold: Double = 0.8, maxBucket: Int = 0): DataFrame =
+    probeReleasable(s, path, batch, idCol, textCol, threshold, maxBucket)._1
+
+  /** [[probe]] plus its internal checkpoints for explicit release. */
+  def probeReleasable(s: SparkSession, path: String,
+                      batch: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, maxBucket: Int = 0): (DataFrame, Seq[DataFrame]) = {
     val p = s.read.parquet(s"$path/params").head()
     val (k, numPerm, bands, seed) =
       (p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
@@ -197,6 +226,6 @@ object MinhashIndex {
     val within = Dedup.minhashLsh(batch, idCol, textCol,
       k = k, numPerm = numPerm, bands = bands,
       threshold = threshold, seed = seed, maxBucket = cap)
-    crossPairs.unionByName(within)
+    (crossPairs.unionByName(within), Seq(bsig))
   }
 }

@@ -60,12 +60,11 @@ object StatsManifest {
     */
   def append(df: DataFrame, path: String, statCol: String, nFiles: Int): Unit = {
     val s = df.sparkSession
-    def files(): Set[String] = {
-      val d = new java.io.File(path)
-      if (!d.exists()) Set.empty
-      else d.listFiles().filter(f => f.isFile && f.getName.startsWith("part-"))
-        .map(_.getName).toSet
-    }
+    // the fresh-file diff must list through the path's Hadoop FS —
+    // java.io.File sees nothing on file:/hdfs:/s3a: URIs and the
+    // manifest would silently stop extending (probes then MISS every
+    // appended row: the manifest is the only read path here)
+    def files(): Set[String] = FsUtil.listPartFiles(s, path)
     val before = files()
     df.repartitionByRange(math.max(1, nFiles), col(statCol))
       .sortWithinPartitions(statCol)

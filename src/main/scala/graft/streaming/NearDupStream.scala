@@ -41,13 +41,20 @@ final class NearDupStream private (spark: SparkSession, indexPath: String,
     */
   def labels: DataFrame = cc.labels
 
-  /** Probe → fold → append for one batch; returns the new labeling. */
+  /** Probe → fold → append for one batch; returns the new labeling.
+    * Every per-trigger checkpoint (the batch frame, the probe's batch
+    * signatures, append's — released by append itself) is freed once
+    * the fold has materialized the new labeling and the append has
+    * written — a long-running stream holds ONE labels copy, nothing
+    * batch-sized (the CcStream discipline, end to end).
+    */
   def processBatch(batch: DataFrame): DataFrame = {
     val b = batch.localCheckpoint() // probe and append must see ONE batch
-    val pairs = MinhashIndex.probe(spark, indexPath, b, idCol, textCol,
-      threshold, maxBucket)
+    val (pairs, internals) = MinhashIndex.probeReleasable(
+      spark, indexPath, b, idCol, textCol, threshold, maxBucket)
     val next = cc.fold(pairs.select(col("id_a"), col("id_b")))
     MinhashIndex.append(spark, indexPath, b, idCol, textCol)
+    (internals :+ b).foreach(org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
     next
   }
 

@@ -62,4 +62,25 @@ class NearDupStreamSpec extends AnyFunSuite with SparkTestSession with Matchers 
       comps.filter(col("has_t2") === 1 && col("all_t2") === 0).count() should be > 0L
     } finally q.stop()
   }
+
+  test("per-trigger checkpoints are released: persisted-RDD count stays flat across triggers") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft-nds-leak").toString + "/ix"
+    MinhashIndex.build(hist, "doc_id", "text", path,
+      nPostingFiles = 16, nDocFiles = 4)
+    val nds = NearDupStream.empty(spark, path, "doc_id", "text")
+    val rows = docs.filter(col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).grouped(10).toSeq
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // many folds: each trigger checkpoints the batch, the probe's batch
+    // signatures, append's sig frame and the new labels — all but the
+    // labels must be freed per trigger
+    for (batch <- rows.take(5))
+      nds.processBatch(batch.toSeq.toDF("doc_id", "text"))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    (after - before) should be <= 2 // current labels (+ one in-flight merge frame at most)
+  }
 }
