@@ -125,6 +125,49 @@ object MinhashIndex {
     org.apache.spark.sql.GraftBridge.unpersistCheckpoint(withSig)
   }
 
+  /** Logical deletes — takedowns/retention against the indexed
+    * history, the [[AnnLayout.delete]] contract on the text side: ids
+    * land in `path/tombstones` (append-mode, id-only metadata) and
+    * [[probe]] drops tombstoned history ids from the candidate set
+    * with one broadcast anti-join, so removed documents stop pairing
+    * immediately without touching the posting files. [[compact]]
+    * applies them physically. Re-appending a deleted id does NOT
+    * resurrect it until compaction clears the tombstone — re-keyed ids
+    * are the supported re-add path.
+    */
+  def delete(s: SparkSession, path: String, ids: DataFrame,
+             idCol: String = "id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def withoutTombstones(s: SparkSession, path: String,
+                                frame: DataFrame): DataFrame =
+    if (!FsUtil.exists(s, s"$path/tombstones")) frame
+    else frame.join(
+      broadcast(s.read.parquet(s"$path/tombstones").select("id").distinct()),
+      Seq("id"), "left_anti")
+
+  /** Merge-on-write maintenance: re-cluster docs and postings into
+    * `dest` with tombstoned ids physically dropped and the appended
+    * generations' overlapping file ranges re-sorted — one pass over
+    * the stored index (never the original text), after which `dest`
+    * starts tombstone-free with tight disjoint manifests again (the
+    * [[AnnLayout.compactCells]] analog).
+    */
+  def compact(s: SparkSession, src: String, dest: String,
+              nPostingFiles: Int = 64, nDocFiles: Int = 32): Unit = {
+    val docs = withoutTombstones(s, src, s.read.parquet(s"$src/docs"))
+    StatsManifest.write(docs, s"$dest/docs", "id", nDocFiles)
+    val posts = withoutTombstones(s, src, s.read.parquet(s"$src/postings"))
+    StatsManifest.write(posts, s"$dest/postings", "key", nPostingFiles)
+    val p = s.read.parquet(s"$src/params").head()
+    val nDocs = s.read.parquet(s"$dest/docs").count()
+    import s.implicits._
+    Seq((p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3), nDocs))
+      .toDF("k", "num_perm", "bands", "seed", "n_docs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/params")
+  }
+
   /** New near-dup pairs involving the batch: (id_a, id_b, jaccard)
     * with id_a < id_b, exact jaccard ≥ threshold — batch×history from
     * the index probe plus batch×batch from the in-flight LSH pass.
@@ -177,9 +220,12 @@ object MinhashIndex {
     val files = bkeys.select("key").distinct()
       .join(broadcast(man), col("key") >= col("lo") && col("key") <= col("hi"))
       .select("file").distinct().collect().map(_.getString(0))
-    val posts =
+    // tombstoned history ids drop from the posting stream before the
+    // guard count and the candidate join — a deleted doc stops pairing
+    // immediately, and hot-key occupancy reflects the LIVE history
+    val posts = withoutTombstones(s, path,
       if (files.isEmpty) s.read.parquet(s"$path/postings").filter(lit(false))
-      else s.read.parquet(files.toIndexedSeq: _*)
+      else s.read.parquet(files.toIndexedSeq: _*))
 
     // hot-key guard: a probed key whose HISTORY fan-out exceeds the cap
     // is a boilerplate band (the minhashLsh maxBucket rationale — the

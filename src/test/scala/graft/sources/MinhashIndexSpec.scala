@@ -95,6 +95,35 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSession with Matchers {
     probed should not be empty
   }
 
+  test("delete: tombstoned history docs stop pairing; probe == re-band over the SURVIVING history; compact applies physically") {
+    val p2 = java.nio.file.Files.createTempDirectory("graft-mhix-del").toString + "/ix"
+    val hist = docs.filter(col("doc_id") % 4 =!= 0)
+    val batch = docs.filter(col("doc_id") % 4 === 0)
+    MinhashIndex.build(hist, "doc_id", "text", p2,
+      nPostingFiles = 32, nDocFiles = 8)
+    // delete every history doc ≡ 1 (mod 4)
+    MinhashIndex.delete(spark, p2,
+      hist.filter(col("doc_id") % 4 === 1).select(col("doc_id")), "doc_id")
+    val survivors = docs.filter(col("doc_id") % 4 =!= 1)
+    val probed = pairSet(MinhashIndex.probe(spark, p2, batch, "doc_id", "text",
+      threshold = 0.8, maxBucket = -1))
+    val reband = pairSet(
+      Dedup.minhashLsh(survivors, "doc_id", "text",
+          k = 3, numPerm = 64, bands = 16, threshold = 0.8, maxBucket = -1)
+        .filter(col("id_a") % 4 === 0 || col("id_b") % 4 === 0))
+    probed shouldBe reband
+    probed.exists(p => p._1 % 4 == 1 || p._2 % 4 == 1) shouldBe false
+    // merge-on-write: the compacted index answers identically,
+    // tombstone-free, with the params count updated
+    val dest = java.nio.file.Files.createTempDirectory("graft-mhix-deld").toString + "/ix"
+    MinhashIndex.compact(spark, p2, dest, nPostingFiles = 16, nDocFiles = 4)
+    new java.io.File(dest + "/tombstones").exists() shouldBe false
+    spark.read.parquet(s"$dest/params").head().getLong(4) shouldBe
+      hist.filter(col("doc_id") % 4 =!= 1).count()
+    pairSet(MinhashIndex.probe(spark, dest, batch, "doc_id", "text",
+      threshold = 0.8, maxBucket = -1)) shouldBe reband
+  }
+
   test("empty batch probes to zero pairs without error") {
     MinhashIndex.probe(spark, path, batch.filter(lit(false)),
       "doc_id", "text").count() shouldBe 0L
