@@ -212,6 +212,24 @@ object Projections {
     }
   }
 
+  /** A CRS published in a non-meter linear unit (`+units=us-ft` /
+    * `+to_meter=`): the base projection computes meters and the output
+    * coordinates are meters / toMeter — the PROJ convention, where
+    * `+x_0`/`+y_0` remain meter-valued and the unit scales the result.
+    * The surface the US State Plane ftUS zones need (EPSG 2229-class;
+    * the reference inherits it from geotrellis-proj4's unit registry,
+    * ST_CrsFromText.scala:1).
+    */
+  final case class UnitScaled(base: Crs, toMeter: Double,
+                              name: String) extends Crs {
+    def fromGeo(lon: Double, lat: Double): (Double, Double) = {
+      val (x, y) = base.fromGeo(lon, lat)
+      (x / toMeter, y / toMeter)
+    }
+    def toGeo(x: Double, y: Double): (Double, Double) =
+      base.toGeo(x * toMeter, y * toMeter)
+  }
+
   case object LonLat extends Crs {
     val name = "EPSG:4326"
     def fromGeo(lon: Double, lat: Double): (Double, Double) = (lon, lat)
@@ -1430,8 +1448,19 @@ object Projections {
             "or +nadgrids — (a legacy-ellipsoid CRS without one would silently guess the datum)")
         Helmert(0, 0, 0, 0, 0, 0, 0)
     }
-    kv.get("units").foreach(u => require(u == "m", s"Unsupported +units=$u (meters only)"))
-    kv.get("to_meter").foreach(v => require(v.toDouble == 1.0, s"Unsupported +to_meter=$v"))
+    // linear unit of the PROJECTED coordinates (r11 — the US State
+    // Plane ftUS zones' surface): +to_meter wins over +units when both
+    // are spelled (the PROJ precedence); +x_0/+y_0 stay meter-valued
+    // and the unit scales the output (also PROJ's convention)
+    val toMeter: Double = kv.get("to_meter").map(_.toDouble).getOrElse(
+      kv.get("units") match {
+        case None | Some("m") => 1.0
+        case Some("us-ft")    => 1200.0 / 3937.0 // exact US survey foot
+        case Some("ft")       => 0.3048          // exact international foot
+        case Some(u) => throw new IllegalArgumentException(
+          s"Unsupported +units=$u (m, ft, us-ft, or an explicit +to_meter)")
+      })
+    require(toMeter > 0.0 && toMeter.isFinite, s"Implausible +to_meter=$toMeter")
     kv.get("pm").foreach(v => require(v == "0" || v.equalsIgnoreCase("greenwich"),
       s"Unsupported prime meridian +pm=$v"))
     // a shifted datum wraps the base projection (built on the source
@@ -1459,8 +1488,9 @@ object Projections {
       case None    => if (shifted) DatumShifted(base, ell, helmert, base.name) else base
     }
 
-    proj match {
+    val built: Crs = proj match {
       case "longlat" | "latlong" =>
+        require(toMeter == 1.0, "+proj=longlat is angular — +units/+to_meter do not apply")
         require(num("lon_0", 0.0) == 0.0, "+proj=longlat with a shifted +lon_0 is not supported")
         nadGrid match {
           case Some(g) => GridShifted(LonLat, g, mkName())
@@ -1658,6 +1688,8 @@ object Projections {
       case other => throw new IllegalArgumentException(
         s"Unsupported +proj=$other (supported: longlat, merc, webmerc, utm, tmerc, lcc, laea, aea, stere, sterea, krovak, omerc, sinu, moll, cea, eqc, aeqd, robin, geos)")
     }
+    if (toMeter == 1.0) built
+    else UnitScaled(built, toMeter, s"${built.name} +to_meter=$toMeter")
   }
 
   /** EPSG code → proj4 parameters for the IMPLEMENTED families — the
@@ -1768,7 +1800,21 @@ object Projections {
       "+x_0=150000 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // New York East
     26971 -> ("+proj=tmerc +lat_0=36.66666666666666 +lon_0=-88.33333333333333 " +
       "+k=0.999975 +x_0=300000 +y_0=0 " +
-      "+ellps=GRS80 +towgs84=0,0,0") // Illinois East
+      "+ellps=GRS80 +towgs84=0,0,0"), // Illinois East
+    // US State Plane ftUS twins (r11 — the unit-conversion surface):
+    // identical projection parameters to the meter zones above with
+    // meter-valued false origins converted from the registry's ftUS
+    // values and +units=us-ft scaling the published coordinates
+    2229 -> ("+proj=lcc +lat_1=35.46666666666667 +lat_2=34.03333333333333 " +
+      "+lat_0=33.5 +lon_0=-118 +x_0=2000000.0001016 +y_0=500000.0001016002 " +
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // California zone 5 (ftUS)
+    2263 -> ("+proj=lcc +lat_1=41.03333333333333 +lat_2=40.66666666666666 " +
+      "+lat_0=40.16666666666666 +lon_0=-74 +x_0=300000.0000000001 +y_0=0 " +
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // New York Long Island (ftUS)
+    2277 -> ("+proj=lcc +lat_1=31.88333333333333 +lat_2=30.11666666666667 " +
+      "+lat_0=29.66666666666667 +lon_0=-100.3333333333333 " +
+      "+x_0=699999.9998983998 +y_0=3000000 " +
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft") // Texas Central (ftUS)
   )
 
   private val EpsgCodePattern = "(?:EPSG:)?([0-9]{4,5})".r

@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Shared `maxBucket` regime encoding for the banded pair operators
+    * ([[minhashLsh]], [[hammingPairs]], [[simhashNearDup]],
+    * [[graft.sources.MinhashIndex.probe]]): > 0 = explicit cap,
+    * [[BucketAuto]] (0, the default) = cap computed from the corpus
+    * ([[defaultMaxBucket]] / [[defaultMaxBucketFixedWidth]]),
+    * [[BucketUnlimited]] (−1, any negative) = no cap — the exact-recall
+    * regime every CORRECTNESS oracle pins. MIGRATION (r10): before r10,
+    * 0 meant "off" on these operators; callers that relied on that must
+    * now pass [[BucketUnlimited]]. Note [[BucketAuto]] triggers eager
+    * work at plan-construction time (a count() over the input — or the
+    * collapsed hash table — plus a localCheckpoint of the band keys);
+    * pass an explicit cap on derived corpora whose lineage is expensive
+    * (the [[Ann.defaultNlist]] caveat).
+    */
+  val BucketAuto = 0
+  val BucketUnlimited = -1
+
   // ------------------------------------------------------------- exact
 
   /** Content-hash groups: one row per distinct content with the keeper
@@ -214,7 +231,24 @@ object Dedup {
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, seed: Long = 42, maxBucket: Int = 0): DataFrame = {
+      threshold: Double = 0.8, seed: Long = 42, maxBucket: Int = 0): DataFrame =
+    minhashLshReleasable(df, idCol, textCol, k, numPerm, bands,
+      threshold, seed, maxBucket)._1
+
+  /** [[minhashLsh]] plus the frames it localCheckpoints that the result
+    * still reads lazily (the band-key postings, materialized whenever a
+    * cap is active): one-shot callers rely on the ContextCleaner, but a
+    * long-running maintainer ([[graft.sources.MinhashIndex.probe]]'s
+    * batch-internal pass inside [[graft.streaming.NearDupStream]])
+    * releases them once the pairs are materialized — otherwise every
+    * trigger would pin one posting-sized checkpoint for the session
+    * lifetime (the mergeComponentsReleasable pattern).
+    */
+  private[graft] def minhashLshReleasable(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, seed: Long = 42,
+      maxBucket: Int = 0): (DataFrame, Seq[DataFrame]) = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val cap = if (maxBucket == 0) defaultMaxBucket(df.count()) else maxBucket
     val withSig = sigFrame(df, idCol, textCol, k, numPerm, seed)
@@ -232,12 +266,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val sh = withSig.select(col(idCol), col("__sh"))
-    candidates
+    val pairs = candidates
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("__sha")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("__shb")), "id_b")
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    (pairs, if (cap > 0) Seq(allBandKeys) else Seq.empty)
   }
 
   /** EXACT n-gram Jaccard set-similarity self-join — no cross product and
@@ -495,44 +530,30 @@ object Dedup {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs with Hamming distance <= maxDist, using the
-    * pigeonhole banding trick: split the 64-bit hash into `pieces` chunks
-    * — any pair within maxDist < pieces must share at least one exact
-    * chunk — equi-join on (chunk index, chunk value), then verify the
-    * true distance. Returns (id_a, id_b, dist).
+  /** SimHash near-dup pairs with Hamming distance <= maxDist:
+    * [[simhash64]] feeds the generic collapse-first [[hammingPairs]]
+    * banding (pigeonhole chunks over the 64-bit hash, exact popcount
+    * verify). Returns (id_a, id_b, dist).
     *
-    * `maxBucket` applies [[dropOverCapBuckets]]: with a cap set the
-    * pigeonhole guarantee is no longer exact — a pair whose every
-    * shared chunk sits in an over-cap bucket is lost. Run [[exact]]
-    * first; see the helper's scaladoc for the full trade-off.
-    * REGIME NOTE (r10): unlike [[minhashLsh]]/[[hammingPairs]], ≤ 0
-    * (both 0 and −1) means UNLIMITED here and there is no computed
-    * default — postings are per ROW, not per distinct hash, so a
-    * row-counted computed cap would silently shed exact-duplicate
-    * families (the mass this operator deliberately leaves to
-    * [[exact]]). For a collapse-first simhash path with the computed
-    * occupancy cap, feed [[simhash64]] into [[hammingPairs]].
+    * Since r11 this IS [[hammingPairs]] over the text's simhash — one
+    * banding engine for every 64-bit signature family, with one
+    * `maxBucket` regime encoding ([[BucketAuto]]/[[BucketUnlimited]]):
+    * > 0 explicit cap, 0 the computed [[defaultMaxBucketFixedWidth]]
+    * occupancy cap, < 0 unlimited. Collapse-first changes the capped
+    * semantics vs the r10 row-counted form: hash-identical documents
+    * (exact-dup mass) always surface as dist-0 pairs whatever the cap
+    * — the cap is counted in DISTINCT hashes and sheds only cross-hash
+    * candidate pairs from degenerate bands (DedupSpec pins both
+    * halves). MIGRATION: before r11, maxBucket = 0 meant unlimited
+    * here; callers wanting the exact regime must pass
+    * [[BucketUnlimited]].
     */
   def simhashNearDup(
       df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3, pieces: Int = 4, maxBucket: Int = 0): DataFrame = {
-    require(maxDist < pieces, "pigeonhole banding needs maxDist < pieces")
-    val bitsPer = 64 / pieces
-    val withHash = df.select(col(idCol), simhash64(textCol).as("__simhash"))
-    val allChunks = withHash.select(
-      col(idCol), col("__simhash"),
-      posexplode(expr(
-        s"transform(sequence(0, ${pieces - 1}), j -> (__simhash >> (j * $bitsPer)) & ${(1L << bitsPer) - 1})"))
-        .as(Seq("__piece", "__chunk")))
-    val chunks = dropOverCapBuckets(allChunks, Seq("__piece", "__chunk"), maxBucket)
-    val a = chunks.select(col(idCol).as("id_a"), col("__simhash").as("__ha"), col("__piece"), col("__chunk"))
-    val b = chunks.select(col(idCol).as("id_b"), col("__simhash").as("__hb"), col("__piece"), col("__chunk"))
-    a.join(b, Seq("__piece", "__chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", hamming(col("__ha"), col("__hb")))
-      .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist").distinct()
-  }
+      maxDist: Int = 3, pieces: Int = 4, maxBucket: Int = 0): DataFrame =
+    hammingPairs(
+      df.select(col(idCol), simhash64(textCol).as("__simhash")),
+      idCol, "__simhash", maxDist, pieces, maxBucket)
 
   // ------------------------------------------------- embedding near-dup
 

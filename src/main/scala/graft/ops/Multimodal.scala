@@ -359,12 +359,40 @@ object Multimodal {
 
   private def synthWavBytesOnly(id: Long): Array[Byte] = synthWavWith(wavWriter(), id)
 
+  /** Per-clip synthesis seed: every 100th id clones its block's base
+    * clip byte-for-byte (~1% exact-duplicate rate — the realistic
+    * duplication the dedup rows should measure, replacing the r10
+    * formula whose periodicity collapsed 50k clips onto 76
+    * fingerprints and made the sf1 row measure output size, not the
+    * operator).
+    */
+  private[graft] def wavEffId(id: Long): Long =
+    if (id % 100 == 99) id - 99 else id
+
+  /** ≥ 64 samples per clip, so the 64-bit fingerprint uses every bit
+    * (the r10 ≤47-sample clips left bits 47–63 identically zero).
+    */
+  private[graft] def wavNumSamples(id: Long): Int =
+    (64 + wavEffId(id) % 32).toInt
+
+  /** Signed 16-bit PCM sample i: the XOR of two coprime-modulus linear
+    * streams — aperiodic across clips (no smooth neighbor structure, so
+    * near-dup pairs come from the PLANTED clones, not formula
+    * artifacts) while staying exactly replayable in the oracle's SQL
+    * (xor + % are engine-portable on these ranges).
+    */
+  private[graft] def wavSample(id: Long, i: Int): Int = {
+    val e = wavEffId(id)
+    ((((e * 131 + i * 17) % 65536) ^ ((e * 48271 + i * 1009) % 65521))
+      % 65536 - 32768).toInt
+  }
+
   private def synthWavWith(writer: javax.sound.sampled.spi.AudioFileWriter, id: Long): Array[Byte] = {
-    val n = (16 + id % 32).toInt
+    val n = wavNumSamples(id)
     val data = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val s = (((id * 131 + i * 17) % 65536) - 32768).toInt
+      val s = wavSample(id, i)
       data(2 * i) = (s & 0xff).toByte
       data(2 * i + 1) = ((s >> 8) & 0xff).toByte
       i += 1

@@ -514,11 +514,19 @@ object Text {
       .filter(col(textCol).isNotNull && col(srcCol).isNotNull)
       .select(col(idCol).as("__id"), col(srcCol).as("__src"),
         split(col(textCol), " ").as("__ws"))
+    // grams travel as 64-bit xxhash64 of the word SLICE, never the
+    // n-word string (r11): the cross-doc DF groupBy is corpus-sized by
+    // nature, and shuffling 8-byte keys instead of n-word strings cuts
+    // its exchange ~10× (SCALE_r11 decade row). Tokens come from a
+    // single split, so hashing the slice array is exactly as
+    // discriminating as the joined string; a 64-bit collision (2⁻⁶⁴ ×
+    // pairs) could only merge two grams' doc sets — the string-keyed
+    // oracle stays hash-green at every verify sf
     val grams = words.select(col("__id"), col("__src"),
       posexplode(expr(
         s"CASE WHEN size(__ws) >= $n THEN transform(sequence(0, size(__ws) - $n), " +
-          s"i -> array_join(slice(__ws, i + 1, $n), ' ')) " +
-          "ELSE CAST(array() AS array<string>) END")).as(Seq("__pos", "__g")))
+          s"i -> xxhash64(slice(__ws, i + 1, $n))) " +
+          "ELSE CAST(array() AS array<bigint>) END")).as(Seq("__pos", "__g")))
     val dup = grams.groupBy("__g")
       .agg(countDistinct(col("__id")).as("__df"))
       .filter(col("__df") >= 2)
@@ -597,16 +605,23 @@ object Text {
   def blocklistFlagJoin(df: DataFrame, urlCol: Column,
                         blocked: DataFrame, domainCol: String,
                         maxDepth: Int = 0): DataFrame = {
+    // normalized + deduplicated ONCE, lineage truncated: each depth's
+    // broadcast build reads the checkpointed rows instead of replaying
+    // the lower/filter/distinct per level (r11 — the r10 shape also
+    // re-broadcast the FULL table per depth; see the depth slicing
+    // below)
     val bl = blocked.select(lower(col(domainCol)).as("__bl_dom"))
       .filter(col("__bl_dom").isNotNull && col("__bl_dom") =!= "")
       .distinct()
+      .withColumn("__bl_depth", size(split(col("__bl_dom"), "\\.")))
+      .localCheckpoint()
     val depth =
       if (maxDepth > 0) maxDepth
       else {
         // max over an EMPTY domain table is null — fail loudly rather
         // than NPE (an empty blocklist flagging nothing is almost
         // always a broken upstream read, the blocklistFlag require)
-        val d = bl.agg(max(size(split(col("__bl_dom"), "\\.")))).head
+        val d = bl.agg(max(col("__bl_depth"))).head
         require(!d.isNullAt(0),
           "blocklistFlagJoin: empty blocklist table (after null/blank filtering)")
         d.getInt(0)
@@ -621,7 +636,13 @@ object Text {
       // last-l-labels suffix; null when the host is shorter (no match)
       val sfx = when(size(col("__bl_ls")) >= l,
         array_join(slice(col("__bl_ls"), -l, l), "."))
-      cur.join(broadcast(bl.select(col("__bl_dom").as(s"__bl_hit_$l"))),
+      // depth-ℓ suffixes have exactly ℓ labels, so only the list's
+      // depth-ℓ domains can ever equal them: each level broadcasts its
+      // DISJOINT slice of the list, and the total broadcast across all
+      // levels is ≈ 1× the list (the r10 shape shipped depth × full
+      // copies — ~6 few-hundred-MB broadcasts at UT1 scale)
+      cur.join(broadcast(bl.filter(col("__bl_depth") === l)
+          .select(col("__bl_dom").as(s"__bl_hit_$l"))),
         sfx === col(s"__bl_hit_$l"), "left")
     }
     val hits = (1 to depth).map(l => col(s"__bl_hit_$l"))

@@ -138,7 +138,7 @@ object Pipeline {
 
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
-        maxDist = 3, pieces = 4)
+        maxDist = 3, pieces = 4, maxBucket = Dedup.BucketUnlimited)
       .orderBy("id_a", "id_b")
 
   /** SimHash-vs-jaccard cross-family consistency, floor-checked: SimHash
@@ -152,7 +152,8 @@ object Pipeline {
     val docs = Tables.documents(s, dir)
     val high = Dedup.jaccardJoin(docs, "doc_id", "text", k = 3, threshold = 0.9)
       .select("id_a", "id_b")
-    val sim = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 3, pieces = 4)
+    val sim = Dedup.simhashNearDup(docs, "doc_id", "text", maxDist = 3, pieces = 4,
+        maxBucket = Dedup.BucketUnlimited)
       .select("id_a", "id_b")
     high.agg(count(lit(1)).as("n_high"))
       .crossJoin(high.join(sim, Seq("id_a", "id_b"), "left_semi")
@@ -3396,15 +3397,21 @@ object Pipeline {
         |           for p in range(0, ((1 + doc_id % 6) * (1 + doc_id % 4))::INT)])::BIGINT AS px_sum
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     // the WAV synthesis formula replayed arithmetically: WAV PCM is
-    // lossless, so the real javax.sound decode must reproduce it exactly
+    // lossless, so the real javax.sound decode must reproduce it
+    // exactly (r11 formula: clone-seeded eff id, ≥64 samples, XOR of
+    // two coprime-modulus linear streams — Multimodal.wavSample)
     "mm_audio" ->
-      """SELECT doc_id,
+      """WITH e AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 100 = 99 THEN doc_id - 99 ELSE doc_id END AS eff
+        |  FROM documents)
+        |SELECT doc_id,
         | 8000::INT AS sample_rate,
         | 1::INT AS n_channels,
-        | (16 + doc_id % 32)::BIGINT AS n_samples,
-        | list_sum([(doc_id * 131 + i * 17) % 65536 - 32768
-        |           for i in range(0, (16 + doc_id % 32)::INT)])::BIGINT AS sample_sum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        | (64 + eff % 32)::BIGINT AS n_samples,
+        | list_sum([xor((eff * 131 + i * 17) % 65536,
+        |               (eff * 48271 + i * 1009) % 65521) % 65536 - 32768
+        |           for i in range(0, (64 + eff % 32)::INT)])::BIGINT AS sample_sum
+        |FROM e ORDER BY doc_id""".stripMargin,
     // both KMV sketches rebuilt (distinct md5-13-prefix hashes,
     // bottom-256, hex order == numeric order on fixed width), the
     // k-th order statistic converted hex→numeric positionally (each
@@ -3448,18 +3455,26 @@ object Pipeline {
     },
     // the WAV synthesis → decoded sample signs → fingerprint bits →
     // full Hamming pair set, replayed arithmetically (PCM is lossless;
-    // mean is int-sum / n in double on both engines)
+    // mean is int-sum / n in double on both engines). r11 formula:
+    // every clip now has ≥64 samples, so the fingerprint always uses
+    // exactly 64 bits; bit 63 is added as the signed 2⁶³ addend
+    // because DuckDB's `<<` range-checks where Java's wraps
     "mm_audio_dedup" ->
-      """WITH d AS (SELECT doc_id, (16 + doc_id % 32)::INT AS n FROM documents),
-        |sm AS (SELECT doc_id, n,
-        |         [(doc_id * 131 + i * 17) % 65536 - 32768
-        |          for i in range(0, n)] AS s
-        |       FROM d),
-        |hs AS (SELECT doc_id, n, list_sum(s) / n AS mean, s FROM sm),
+      """WITH e AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 100 = 99 THEN doc_id - 99 ELSE doc_id END AS eff
+        |  FROM documents),
+        |sm AS (SELECT doc_id,
+        |         [xor((eff * 131 + i * 17) % 65536,
+        |              (eff * 48271 + i * 1009) % 65521) % 65536 - 32768
+        |          for i in range(0, 64)] AS s
+        |       FROM e),
+        |hs AS (SELECT doc_id, list_sum(s) / 64 AS mean, s FROM sm),
         |hh AS (SELECT doc_id,
-        |         list_sum([CASE WHEN s[i + 1] > mean
-        |                        THEN (1::BIGINT << i) ELSE 0 END
-        |                   for i in range(0, n)])::BIGINT AS h
+        |         list_sum([CASE WHEN s[i + 1] > mean THEN
+        |                     CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |                          ELSE 1::BIGINT << i END
+        |                   ELSE 0 END
+        |                   for i in range(0, 64)])::BIGINT AS h
         |       FROM hs),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |        bit_count(xor(a.h, b.h))::INT AS dist

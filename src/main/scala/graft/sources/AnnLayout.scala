@@ -230,10 +230,14 @@ object AnnLayout {
     * centroids/codebooks copy through untouched. Tombstoned rows are
     * physically dropped ([[delete]]'s merge-on-write half) and the
     * destination starts tombstone-free — so compaction moves bytes and
-    * applies deletes, never changes live results.
+    * applies deletes, never changes live results. A pre-existing
+    * tombstone set at `dest` (a previously-used destination) is
+    * cleared first: inherited tombstones would silently hide live
+    * compacted rows from every query path.
     */
   def compactCells(s: SparkSession, src: String, dest: String,
                    targetRows: Long): Unit = {
+    FsUtil.delete(s, s"$dest/tombstones")
     val df = withoutTombstones(s, src, s.read.parquet(s"$src/vectors"))
     val n = df.count()
     val parts = math.max(1L, (n + targetRows - 1) / targetRows).toInt

@@ -17,6 +17,13 @@ private[graft] object FsUtil {
     p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Recursive delete; no-op when absent. */
+  def delete(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   /** Names of the plain `part-*` data files directly under `dir`
     * (empty when the directory doesn't exist yet).
     */

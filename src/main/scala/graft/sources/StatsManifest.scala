@@ -23,10 +23,24 @@ import org.apache.spark.sql.functions._
   * re-applied to the surviving files, so a stale or lossy manifest can
   * only cost performance (extra files read), never rows — the spec pins
   * pruned == unpruned row-for-row.
+  *
+  * Crash-safety (r11): the manifest is the ONLY read path probes use,
+  * so a torn manifest write would make appended rows permanently
+  * invisible. Manifest generations therefore commit through
+  * [[VersionedDir]] — readers resolve the latest `_SUCCESS`-marked
+  * generation, so a crash anywhere inside [[append]] leaves the old
+  * generation served intact (the appended data files exist but are
+  * unreferenced until the replayed append commits). Single-writer,
+  * idempotent-replay semantics — see [[VersionedDir]]'s contract.
   */
 object StatsManifest {
 
-  /** Write `df` range-clustered into `nFiles` by `statCol`, then write
+  private def statsOf(df: DataFrame, statCol: String): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col(statCol)).as("lo"), max(col(statCol)).as("hi"),
+        count(lit(1)).as("n_rows"))
+
+  /** Write `df` range-clustered into `nFiles` by `statCol`, then commit
     * the per-file (file, lo, hi, n_rows) manifest under `path/_manifest`
     * (underscore prefix = invisible to data-path directory listings).
     * The stats pass is one partial-aggregated scan of the fresh layout,
@@ -38,27 +52,30 @@ object StatsManifest {
       .sortWithinPartitions(statCol)
       .write.mode("overwrite").parquet(path)
     val s = df.sparkSession
-    s.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(statCol)).as("lo"), max(col(statCol)).as("hi"),
-        count(lit(1)).as("n_rows"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest")
+    VersionedDir.write(statsOf(s.read.parquet(path), statCol), s"$path/_manifest")
   }
 
   def manifest(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/_manifest")
+    VersionedDir.read(s, s"$path/_manifest")
 
   /** Append a delta to a manifested layout WITHOUT rescanning it: the
     * delta lands as new range-clustered part files, their stats come
     * from one scan of THOSE FILES ONLY (diffed by directory listing),
-    * and the manifest becomes old ∪ new — O(delta) work. Appended file
-    * ranges may overlap resident ones; [[prunedFiles]] tests range
-    * INTERSECTION, so reads stay correct and pruning degrades by at
-    * most the appended file count until a periodic [[write]] re-clusters
-    * (the Compaction trade, applied to manifests).
+    * and the manifest becomes old ∪ new — O(delta) work, committed as
+    * a new [[VersionedDir]] generation (never a self-overwrite, so no
+    * checkpoint and no torn-read window). Appended file ranges may
+    * overlap resident ones; [[prunedFiles]] tests range INTERSECTION,
+    * so reads stay correct and pruning degrades by at most the
+    * appended file count until a periodic [[write]] re-clusters (the
+    * Compaction trade, applied to manifests).
+    *
+    * Returns the appended files' stats rows (file, lo, hi, n_rows) —
+    * file-count-sized, already collected — so an in-memory maintainer
+    * ([[MinhashIndex.Maintainer]]) can extend a cached manifest
+    * without re-reading it.
     */
-  def append(df: DataFrame, path: String, statCol: String, nFiles: Int): Unit = {
+  def append(df: DataFrame, path: String, statCol: String,
+             nFiles: Int): Seq[org.apache.spark.sql.Row] = {
     val s = df.sparkSession
     // the fresh-file diff must list through the path's Hadoop FS —
     // java.io.File sees nothing on file:/hdfs:/s3a: URIs and the
@@ -70,16 +87,18 @@ object StatsManifest {
       .sortWithinPartitions(statCol)
       .write.mode("append").parquet(path)
     val fresh = (files() -- before).toSeq.map(n => s"$path/$n")
-    if (fresh.nonEmpty) {
-      val freshStats = s.read.parquet(fresh: _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col(statCol)).as("lo"), max(col(statCol)).as("hi"),
-          count(lit(1)).as("n_rows"))
-      // the merged manifest must materialize BEFORE overwriting the
-      // directory it reads from (file-count-sized, so the checkpoint
-      // is driver-trivial)
-      val merged = manifest(s, path).unionByName(freshStats).localCheckpoint()
-      merged.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    if (fresh.isEmpty) Seq.empty
+    else {
+      // file-count-sized: collect the delta stats once, reuse them for
+      // the merged commit AND the caller's cache extension
+      val freshRows = statsOf(s.read.parquet(fresh: _*), statCol).collect().toSeq
+      val freshDf = s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(freshRows).asJava),
+        manifest(s, path).schema)
+      VersionedDir.write(manifest(s, path).unionByName(freshDf),
+        s"$path/_manifest")
+      freshRows
     }
   }
 

@@ -35,6 +35,10 @@ final class NearDupStream private (spark: SparkSession, indexPath: String,
                                    initialLabels: DataFrame) {
 
   private val cc = new CcStream(initialLabels)
+  // params + manifests cached across triggers (the probe fixed-floor
+  // amortization): this stream is the index's single writer, so the
+  // Maintainer's in-memory manifest extension stays consistent
+  private val ix = new MinhashIndex.Maintainer(spark, indexPath)
 
   /** Current near-dup component labeling (id, comp) — ids that never
     * paired are absent (singletons label themselves downstream).
@@ -43,17 +47,18 @@ final class NearDupStream private (spark: SparkSession, indexPath: String,
 
   /** Probe → fold → append for one batch; returns the new labeling.
     * Every per-trigger checkpoint (the batch frame, the probe's batch
-    * signatures, append's — released by append itself) is freed once
-    * the fold has materialized the new labeling and the append has
-    * written — a long-running stream holds ONE labels copy, nothing
-    * batch-sized (the CcStream discipline, end to end).
+    * signatures + capped band keys, append's — released by append
+    * itself) is freed once the fold has materialized the new labeling
+    * and the append has written — a long-running stream holds ONE
+    * labels copy, nothing batch-sized (the CcStream discipline, end
+    * to end).
     */
   def processBatch(batch: DataFrame): DataFrame = {
     val b = batch.localCheckpoint() // probe and append must see ONE batch
-    val (pairs, internals) = MinhashIndex.probeReleasable(
-      spark, indexPath, b, idCol, textCol, threshold, maxBucket)
+    val (pairs, internals) = ix.probeReleasable(
+      b, idCol, textCol, threshold, maxBucket)
     val next = cc.fold(pairs.select(col("id_a"), col("id_b")))
-    MinhashIndex.append(spark, indexPath, b, idCol, textCol)
+    ix.append(b, idCol, textCol)
     (internals :+ b).foreach(org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
     next
   }

@@ -113,7 +113,7 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     pairs should not contain ((1L, 4L))
   }
 
-  test("simhashNearDup: maxBucket drops boilerplate-bucket pairs, keeps real near-dups") {
+  test("simhashNearDup: collapse-first — exact-dup pairs survive any cap; cap sheds cross-hash pairs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val hot = (10L to 29L).map(_ -> "boiler plate boiler plate boiler plate boiler plate")
     val df = docs(Seq(
@@ -125,14 +125,24 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dist = java.lang.Long.bitCount(h(1L) ^ h(2L))
     val pieces = 32 // 2-bit chunks; dist < 32 holds for this near-dup pair
-    dist should be < pieces
-    val capped = Dedup.simhashNearDup(df, "id", "text", dist, pieces, maxBucket = 10)
+    dist should (be > 0 and be < pieces)
+    val uncapped = Dedup.simhashNearDup(df, "id", "text", dist, pieces,
+        maxBucket = Dedup.BucketUnlimited)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    capped should contain((1L, 2L))
-    capped.filter(_._1 >= 10L) shouldBe empty
-    val uncapped = Dedup.simhashNearDup(df, "id", "text", dist, pieces)
+    uncapped should contain((1L, 2L))
+    uncapped.count(p => p._1 >= 10L && p._2 >= 10L) shouldBe 190 // identical texts pair as dist 0
+    // since r11 simhashNearDup IS hammingPairs over simhash64: the 20
+    // identical boilerplate docs COLLAPSE to one distinct hash, so
+    // their 190 dist-0 pairs are emitted arithmetically and are IMMUNE
+    // to any cap; the cap (counted in distinct hashes) sheds only
+    // cross-hash candidate pairs — maxBucket = 1 makes every shared
+    // ≥2-distinct-hash bucket over-cap, so exactly the (1,2) near-dup
+    // disappears and nothing else changes
+    val cap1 = Dedup.simhashNearDup(df, "id", "text", dist, pieces, maxBucket = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    uncapped.count(p => p._1 >= 10L && p._2 >= 10L) shouldBe 190 // the quadratic blowup the cap removes
+    cap1 should not contain ((1L, 2L))
+    cap1.count(p => p._1 >= 10L && p._2 >= 10L) shouldBe 190
+    cap1 shouldBe uncapped - ((1L, 2L))
   }
 
   test("jaccardJoin: exactly the brute-force jaccard pairs, via equi-join not cross join") {

@@ -107,12 +107,17 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession with Matchers {
     ais.getFormat.getSampleRate shouldBe 8000f
     ais.getFormat.getChannels shouldBe 1
     val pcm = ais.readAllBytes()
-    val n = (16 + 42 % 32)
+    val n = Multimodal.wavNumSamples(42L)
+    n should be >= 64 // every clip exercises all 64 fingerprint bits
     pcm.length shouldBe n * 2
     for (i <- 0 until n) {
       val s = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
-      s shouldBe ((42L * 131 + i * 17) % 65536 - 32768).toInt
+      s shouldBe Multimodal.wavSample(42L, i)
     }
+    // the clone seed: every 100th clip is a byte-for-byte copy of its
+    // block's base (the planted ~1% duplication rate)
+    Multimodal.synthWav(199L) shouldBe Multimodal.synthWav(100L)
+    Multimodal.synthWav(198L) should not be Multimodal.synthWav(100L)
     // through the batched operator: counts + sums match the formula
     val ids = spark.range(40).select(col("id").as("doc_id"))
     val out = Multimodal.decodeAudio(spark, Multimodal.synthesizeWavs(spark, ids, "doc_id"), "doc_id")
@@ -120,11 +125,11 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession with Matchers {
     out.length shouldBe 40
     out.foreach { r =>
       val id = r.getLong(0)
-      val nn = 16 + id % 32
+      val nn = Multimodal.wavNumSamples(id)
       r.getInt(1) shouldBe 8000
       r.getInt(2) shouldBe 1
-      r.getLong(3) shouldBe nn
-      r.getLong(4) shouldBe (0L until nn).map(i => (id * 131 + i * 17) % 65536 - 32768).sum
+      r.getLong(3) shouldBe nn.toLong
+      r.getLong(4) shouldBe (0 until nn).map(i => Multimodal.wavSample(id, i).toLong).sum
     }
   }
 
@@ -168,8 +173,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession with Matchers {
     out.length shouldBe 40
     out.foreach { r =>
       val id = r.getLong(0)
-      val nn = (16 + id % 32).toInt
-      val smp = (0 until nn).map(i => (id * 131 + i * 17) % 65536 - 32768)
+      // the fingerprint reads min(n, 64) = 64 samples (every clip now
+      // carries ≥ 64), so all 64 bits are live
+      val nn = 64
+      val smp = (0 until nn).map(i => Multimodal.wavSample(id, i).toLong)
       val mean = smp.sum.toDouble / nn
       val expected = smp.zipWithIndex
         .map { case (s, i) => if (s > mean) 1L << i else 0L }.sum

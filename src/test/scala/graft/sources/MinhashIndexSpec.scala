@@ -80,8 +80,9 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSession with Matchers {
       nPostingFiles = 32, nDocFiles = 8)
     MinhashIndex.probe(spark, p2, day1, "doc_id", "text", maxBucket = -1).count()
     MinhashIndex.append(spark, p2, day1, "doc_id", "text")
-    // n_docs param grew by the appended batch
-    spark.read.parquet(s"$p2/params").head().getLong(4) shouldBe
+    // n_docs param grew by the appended batch (params commit through
+    // VersionedDir since r11 — read the committed generation)
+    VersionedDir.read(spark, s"$p2/params").head().getLong(4) shouldBe
       hist.count() + day1.count()
     // the day-2 probe must see day-1 docs as history: equality vs the
     // full re-band restricted to day-2-touching pairs
@@ -118,10 +119,36 @@ class MinhashIndexSpec extends AnyFunSuite with SparkTestSession with Matchers {
     val dest = java.nio.file.Files.createTempDirectory("graft-mhix-deld").toString + "/ix"
     MinhashIndex.compact(spark, p2, dest, nPostingFiles = 16, nDocFiles = 4)
     new java.io.File(dest + "/tombstones").exists() shouldBe false
-    spark.read.parquet(s"$dest/params").head().getLong(4) shouldBe
+    VersionedDir.read(spark, s"$dest/params").head().getLong(4) shouldBe
       hist.filter(col("doc_id") % 4 =!= 1).count()
     pairSet(MinhashIndex.probe(spark, dest, batch, "doc_id", "text",
       threshold = 0.8, maxBucket = -1)) shouldBe reband
+  }
+
+  test("Maintainer: cached-metadata probes == static probes through a probe→append→probe cycle") {
+    val p2 = java.nio.file.Files.createTempDirectory("graft-mhix-mnt").toString + "/ix"
+    val hist = docs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+    val day1 = docs.filter(col("doc_id") % 4 === 1)
+    val day2 = docs.filter(col("doc_id") % 4 === 0)
+    MinhashIndex.build(hist, "doc_id", "text", p2,
+      nPostingFiles = 32, nDocFiles = 8)
+    val m = new MinhashIndex.Maintainer(spark, p2)
+    // day-1 probe through the cache == the static (re-reading) probe
+    pairSet(m.probe(day1, "doc_id", "text", maxBucket = -1)) shouldBe
+      pairSet(MinhashIndex.probe(spark, p2, day1, "doc_id", "text", maxBucket = -1))
+    // append through the Maintainer: the IN-MEMORY manifest extension
+    // must see the appended generation (a stale cache would silently
+    // miss every day-1 doc — exactly the drift the single-writer
+    // contract guards), and the on-disk state must match too
+    m.append(day1, "doc_id", "text")
+    val viaCache = pairSet(m.probe(day2, "doc_id", "text", maxBucket = -1))
+    viaCache shouldBe
+      pairSet(MinhashIndex.probe(spark, p2, day2, "doc_id", "text", maxBucket = -1))
+    viaCache shouldBe pairSet(
+      Dedup.minhashLsh(docs, "doc_id", "text",
+          k = 3, numPerm = 64, bands = 16, threshold = 0.8, maxBucket = -1)
+        .filter(col("id_a") % 4 === 0 || col("id_b") % 4 === 0))
+    viaCache should not be empty
   }
 
   test("empty batch probes to zero pairs without error") {

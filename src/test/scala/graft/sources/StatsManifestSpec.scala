@@ -78,4 +78,45 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestSession with Matchers 
     // fewer files than the manifest lists
     StatsManifest.prunedFiles(spark, p, lit(0L), lit(49L)).length.toLong should be < m.count()
   }
+
+  test("crash-atomic append: a torn manifest generation is invisible; replay commits above it") {
+    val d = spark.createDataFrame(
+      (0L until 300L).map(i => org.apache.spark.sql.Row(i, s"v$i")).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType))))
+    val p = java.nio.file.Files.createTempDirectory("graft-skip-torn").toString + "/t"
+    StatsManifest.write(d, p, "id", nFiles = 3)
+    val committed = StatsManifest.manifest(spark, p).collect().toSet
+
+    // crash state 1 — append died after landing data files but BEFORE
+    // any manifest commit: rows exist on disk yet the manifest (the
+    // only read path) still serves the old generation exactly
+    val delta = spark.createDataFrame(
+      (300L until 400L).map(i => org.apache.spark.sql.Row(i, s"d$i")).asJava, d.schema)
+    delta.repartitionByRange(1, col("id")).write.mode("append").parquet(p)
+    StatsManifest.manifest(spark, p).collect().toSet shouldBe committed
+    StatsManifest.prunedRead(spark, p, "id", lit(0L), lit(999L))
+      .count() shouldBe 300L // old generation, not a torn mix
+
+    // crash state 2 — a manifest generation died MID-WRITE (data files
+    // present, no _SUCCESS marker): readers must skip it entirely
+    val torn = new java.io.File(s"$p/_manifest/v00000009")
+    torn.mkdirs()
+    java.nio.file.Files.write(torn.toPath.resolve("part-00000.parquet"),
+      Array[Byte](1, 2, 3)) // garbage — must never be opened
+    StatsManifest.manifest(spark, p).collect().toSet shouldBe committed
+
+    // idempotent replay: re-running the append commits ABOVE the torn
+    // generation; the replayed delta is served exactly once (the
+    // crashed attempt's orphaned data files stay unreferenced — dead
+    // bytes, never rows, until a rewrite re-clusters)
+    StatsManifest.append(delta, p, "id", nFiles = 1)
+    val m = StatsManifest.manifest(spark, p)
+    m.agg(sum("n_rows")).head.getLong(0) shouldBe 400L // 300 + replayed 100
+    StatsManifest.prunedRead(spark, p, "id", lit(350L), lit(359L))
+      .select("id").distinct().count() shouldBe 10L
+    StatsManifest.prunedRead(spark, p, "id", lit(0L), lit(999L))
+      .count() shouldBe 400L
+  }
 }

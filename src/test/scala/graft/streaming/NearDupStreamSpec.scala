@@ -74,13 +74,22 @@ class NearDupStreamSpec extends AnyFunSuite with SparkTestSession with Matchers 
     val nds = NearDupStream.empty(spark, path, "doc_id", "text")
     val rows = docs.filter(col("doc_id") % 2 === 1)
       .collect().map(r => (r.getLong(0), r.getString(1))).grouped(10).toSeq
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // snapshot the RDD-id SET, not the size: the count is a
+    // SESSION-GLOBAL gauge on the shared test session, so another
+    // suite's lingering cached RDD (or the async ContextCleaner
+    // reclaiming one mid-loop) would shift a count-based assertion
+    // without any leak here (the r10 415/416 flake). Ids CREATED
+    // during the loop are attributable to this stream alone —
+    // unpersist removes an id from the map synchronously even with
+    // blocking = false, so the released set is immediately visible.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     // many folds: each trigger checkpoints the batch, the probe's batch
-    // signatures, append's sig frame and the new labels — all but the
-    // labels must be freed per trigger
+    // signatures (+ capped band keys), append's sig frame and the new
+    // labels — all but the labels must be freed per trigger
     for (batch <- rows.take(5))
       nds.processBatch(batch.toSeq.toDF("doc_id", "text"))
-    val after = spark.sparkContext.getPersistentRDDs.size
-    (after - before) should be <= 2 // current labels (+ one in-flight merge frame at most)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // current labels (+ one in-flight merge frame at most)
+    leaked.size should be <= 2
   }
 }
