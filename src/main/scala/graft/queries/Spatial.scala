@@ -870,20 +870,22 @@ object Spatial {
     * California zone 5 (EPSG:26945, LCC-2SP), Texas Central
     * (EPSG:32139, LCC-2SP) and New Mexico East (EPSG:32112, TM at
     * k₀ = 1−1/11000) over disjoint longitude windows of the customer
-    * lattice. The oracle replays each family's Snyder forward with the
-    * REGISTRY's constants — a wrong registry parameter, not just a
-    * wrong formula, fails the hash. The TM window stays within 1.5° of
-    * its central meridian (the zone's real service regime), so the
-    * inverse closes and rt_ok = 1 everywhere; the LCC windows span the
-    * wider lattice stripes (the conic is service-wide at 12°Δλ).
+    * lattice — plus (r11) the ftUS TWINS of the LCC zones
+    * (EPSG:2229 CA z5, EPSG:2277 TX Central, EPSG:2263 NY Long
+    * Island): same conic, meter-valued registry false origins, output
+    * scaled by the exact US survey foot (1200/3937 m) through the
+    * +units=us-ft surface. The oracle replays each family's Snyder
+    * forward with the REGISTRY's constants INCLUDING the unit division
+    * — a wrong registry parameter or unit factor, not just a wrong
+    * formula, fails the hash. The TM window stays within 1.5° of its
+    * central meridian (the zone's real service regime), so the inverse
+    * closes and rt_ok = 1 everywhere; the LCC windows span the wider
+    * lattice stripes (the conic is service-wide at 12°Δλ).
     */
-  def spStatePlane(s: SparkSession, dir: String): DataFrame =
-    customerPoints(s, dir)
+  def spStatePlane(s: SparkSession, dir: String): DataFrame = {
+    val base = customerPoints(s, dir)
       .filter(col("lat") >= 25.0 && col("lat") <= 50.0)
-      .withColumn("epsg",
-        when(col("lon") >= -105.8 && col("lon") <= -102.9, lit(32112))
-          .when(col("lon") >= -107.5 && col("lon") <= -93.0, lit(32139))
-          .when(col("lon") >= -130.0 && col("lon") < -107.5, lit(26945)))
+    def project(frame: org.apache.spark.sql.DataFrame) = frame
       .filter(col("epsg").isNotNull)
       .withColumn("crs", concat(lit("EPSG:"), col("epsg")))
       .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs")))
@@ -894,7 +896,20 @@ object Spatial {
         round(st.y(col("p")), 1).as("northing"),
         when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
           abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
-      .orderBy("c_custkey")
+    val meters = base.withColumn("epsg",
+      when(col("lon") >= -105.8 && col("lon") <= -102.9, lit(32112))
+        .when(col("lon") >= -107.5 && col("lon") <= -93.0, lit(32139))
+        .when(col("lon") >= -130.0 && col("lon") < -107.5, lit(26945)))
+    // the ftUS twins re-project the same stripes (TX Central takes the
+    // whole band — the NM carve-out existed only to exercise TM, which
+    // has no registered ftUS twin here) plus the NY Long Island window
+    val ftus = base.withColumn("epsg",
+      when(col("lon") >= -107.5 && col("lon") <= -93.0, lit(2277))
+        .when(col("lon") >= -130.0 && col("lon") < -107.5, lit(2229))
+        .when(col("lon") >= -76.0 && col("lon") <= -72.0, lit(2263)))
+    project(meters).unionByName(project(ftus))
+      .orderBy("c_custkey", "epsg")
+  }
 
   /** st_asLatLonText DMS formatting, value-checked: the oracle rebuilds
     * the identical degree/minute/second decomposition (trunc-based, same
@@ -1369,10 +1384,12 @@ object Spatial {
         s" - (3.0 * $e2 / 8.0 + 3.0 * $e2 * $e2 / 32.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(2.0 * ($phi))" +
         s" + (15.0 * $e2 * $e2 / 256.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(4.0 * ($phi))" +
         s" - (35.0 * $e2 * $e2 * $e2 / 3072.0) * sin(6.0 * ($phi)))"
-    // one LCC block per zone: (code, lat1, lat2, lat0, lon0, fe, fn)
+    // one LCC block per zone: (code, lat1, lat2, lat0, lon0, fe, fn);
+    // toMeter divides the meter-valued coordinate before rounding (the
+    // +units=us-ft surface — 1.0 for meter zones, x/1.0 is bit-exact)
     def lccBlock(tag: String, code: Int, lat1: String, lat2: String,
                  lat0: String, lon0: String, fe: String, fn: String,
-                 where: String) =
+                 where: String, toMeter: String = "1.0e0") =
       s"""${tag}b AS (SELECT c_custkey, lon, lat, sqrt($e2) AS e FROM b WHERE $where),
          |${tag}g AS (SELECT *,
          |        ${mOf(s"radians($lat1)")} AS m1, ${mOf(s"radians($lat2)")} AS m2,
@@ -1388,8 +1405,8 @@ object Spatial {
          |        n * (radians(lon) - radians($lon0)) AS theta
          |      FROM ${tag}i),
          |$tag AS (SELECT c_custkey, $code AS epsg,
-         |        round($fe + rho * sin(theta), 1) AS easting,
-         |        round($fn + rho0 - rho * cos(theta), 1) AS northing FROM ${tag}j)""".stripMargin
+         |        round(($fe + rho * sin(theta)) / $toMeter, 1) AS easting,
+         |        round(($fn + rho0 - rho * cos(theta)) / $toMeter, 1) AS northing FROM ${tag}j)""".stripMargin
     val ca = lccBlock("ca", 26945, dlit(35.46666666666667), dlit(34.03333333333333),
       dlit(33.5), dlit(-118.0), "2000000.0", "500000.0",
       "lon >= -130.0 AND lon < -107.5 AND lat >= 25.0 AND lat <= 50.0")
@@ -1397,11 +1414,27 @@ object Spatial {
       dlit(29.66666666666667), dlit(-100.3333333333333), "700000.0", "3000000.0",
       "lon >= -107.5 AND lon <= -93.0 AND NOT (lon >= -105.8 AND lon <= -102.9) " +
         "AND lat >= 25.0 AND lat <= 50.0")
+    // ftUS twins (r11): registry meter-valued false origins, output
+    // divided by the exact US survey foot — both engines compute the
+    // factor as the same IEEE division
+    val usFt = "(1200.0e0 / 3937.0e0)"
+    val caf = lccBlock("caf", 2229, dlit(35.46666666666667), dlit(34.03333333333333),
+      dlit(33.5), dlit(-118.0), "2000000.0001016e0", "500000.0001016002e0",
+      "lon >= -130.0 AND lon < -107.5 AND lat >= 25.0 AND lat <= 50.0", usFt)
+    val txf = lccBlock("txf", 2277, dlit(31.88333333333333), dlit(30.11666666666667),
+      dlit(29.66666666666667), dlit(-100.3333333333333), "699999.9998983998e0", "3000000.0",
+      "lon >= -107.5 AND lon <= -93.0 AND lat >= 25.0 AND lat <= 50.0", usFt)
+    val nyf = lccBlock("nyf", 2263, dlit(41.03333333333333), dlit(40.66666666666666),
+      dlit(40.16666666666666), dlit(-74.0), "300000.0000000001e0", "0.0",
+      "lon >= -76.0 AND lon <= -72.0 AND lat >= 25.0 AND lat <= 50.0", usFt)
     val k0 = dlit(0.9999090909090909)
     val nmLon0 = dlit(-104.33333333333333)
     s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
        |$ca,
        |$tx,
+       |$caf,
+       |$txf,
+       |$nyf,
        |nmg AS (SELECT c_custkey, lon, lat,
        |        radians(lat) AS phi, sin(radians(lat)) AS sphi,
        |        cos(radians(lat)) AS cphi, tan(radians(lat)) AS tphi,
@@ -1425,8 +1458,10 @@ object Spatial {
        |          + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0)) + 0.0, 1) AS northing
        |      FROM nml)
        |SELECT c_custkey, epsg, easting, northing, 1 AS rt_ok
-       |FROM (SELECT * FROM ca UNION ALL SELECT * FROM tx UNION ALL SELECT * FROM nm)
-       |ORDER BY c_custkey""".stripMargin
+       |FROM (SELECT * FROM ca UNION ALL SELECT * FROM tx UNION ALL SELECT * FROM nm
+       |      UNION ALL SELECT * FROM caf UNION ALL SELECT * FROM txf
+       |      UNION ALL SELECT * FROM nyf)
+       |ORDER BY c_custkey, epsg""".stripMargin
   }
 
   /** The full legacy-datum chain as DuckDB SQL, mirroring

@@ -70,6 +70,18 @@ object LshIndexBench {
           println(f"| $tag probe batch=$nb | ${tProbe}%.2f s ($nPairs pairs) " +
             f"| re-band: ${tReband}%.2f s | ${tReband / math.max(tProbe, 1e-9)}%.1fx |")
         }
+        // micro-batch fixed floor (r11): a 50-doc probe is dominated by
+        // per-probe metadata work — params read + two manifest reads +
+        // their job launches. The Maintainer caches those across
+        // probes; this row measures the floor both ways
+        val tiny = mkBatch(dir, 50)
+        val tStatic = time2(noop(MinhashIndex.probe(spark, path, tiny,
+          "doc_id", "text").select("id_a", "id_b")))
+        val mnt = new MinhashIndex.Maintainer(spark, path)
+        val tCached = time2(noop(mnt.probe(tiny, "doc_id", "text")
+          .select("id_a", "id_b")))
+        println(f"| $tag probe batch=50 | static ${tStatic}%.2f s " +
+          f"| maintainer ${tCached}%.2f s | ${tStatic / math.max(tCached, 1e-9)}%.1fx |")
       } else println(s"[lshix] $dir missing, skipped")
     }
     println("== LSHIX DONE ==")

@@ -308,8 +308,11 @@ class STFunctionsSpec extends AnyFunSuite with SparkTestSession with Matchers {
     sql1("SELECT st_crsFromText('WebMercator')").getString(0) shouldBe "EPSG:3857"
     // EPSG:27700 resolves through the registry onto the tmerc family
     sql1("SELECT st_crsFromText('EPSG:27700')").getString(0) should include("+proj=tmerc")
-    // a code outside the registry (ft-based State Plane) still rejects
-    an[Exception] should be thrownBy sql1("SELECT st_crsFromText('EPSG:2263')")
+    // r11: the ftUS State Plane twins resolve (unit-scaled LCC)
+    sql1("SELECT st_crsFromText('EPSG:2263')").getString(0) should
+      include("+to_meter=")
+    // a code outside the registry still rejects
+    an[Exception] should be thrownBy sql1("SELECT st_crsFromText('EPSG:2230')")
     val r = sql1(
       """SELECT round(st_x(st_geomReproject(st_geomReproject(st_makePoint(12.5, 41.9),
         |  'EPSG:4326', 'EPSG:3857'), 'EPSG:3857', 'EPSG:4326')), 9) AS x""".stripMargin)

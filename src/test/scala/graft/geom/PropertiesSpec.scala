@@ -144,7 +144,8 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       6931 -> (0.0, 75.0), 6932 -> (0.0, -75.0), 6933 -> (10.0, 40.0),
       3976 -> (0.0, -75.0), 3995 -> (30.0, 75.0), 3577 -> (134.0, -25.0),
       3395 -> (10.0, 40.0), 4087 -> (10.0, 40.0), 4258 -> (10.0, 50.0),
-      4269 -> (-95.0, 45.0), 4267 -> (-95.0, 45.0), 4277 -> (-1.5, 52.0))
+      4269 -> (-95.0, 45.0), 4267 -> (-95.0, 45.0), 4277 -> (-1.5, 52.0),
+      2229 -> (-118.5, 34.5), 2263 -> (-73.5, 40.8), 2277 -> (-98.0, 30.5))
     for (code <- Projections.registeredEpsgCodes) {
       val byCode = Projections.parseCrs(s"EPSG:$code")
       val bare = Projections.parseCrs(code.toString)
@@ -169,9 +170,20 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     val (eAr, nAr) = Projections.parseCrs("EPSG:3995").fromGeo(0.0, 90.0)
     eAr shouldBe 0.0 +- 1e-6 // the pole maps to the origin
     nAr shouldBe 0.0 +- 1e-6
+    // ftUS zones (r11): the grid origin maps to the false origin
+    // expressed in US survey feet — meter false origin / (1200/3937)
+    val usFt = 1200.0 / 3937.0
+    val (eCa, nCa) = Projections.parseCrs("EPSG:2229").fromGeo(-118.0, 33.5)
+    eCa shouldBe 2000000.0001016 / usFt +- 1e-3
+    nCa shouldBe 500000.0001016002 / usFt +- 1e-3
+    // and the ftUS twin is exactly the meter zone scaled by the foot
+    val (eM, nM) = Projections.parseCrs("EPSG:26945").fromGeo(-119.3, 34.6)
+    val (eF, nF) = Projections.parseCrs("EPSG:2229").fromGeo(-119.3, 34.6)
+    eF shouldBe (eM - 2000000.0 + 2000000.0001016) / usFt +- 1e-6
+    nF shouldBe (nM - 500000.0 + 500000.0001016002) / usFt +- 1e-6
     // unknown codes keep the loud unsupported-CRS error
     intercept[IllegalArgumentException] {
-      Projections.parseCrs("EPSG:2263") // NY State Plane (ft) — not registered
+      Projections.parseCrs("EPSG:2230") // CA zone 6 (ftUS) — not registered
     }.getMessage should include("Unsupported CRS")
   }
 
