@@ -462,12 +462,40 @@ object Dedup {
     */
   def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
                    maxDist: Int, pieces: Int = 8,
-                   maxBucket: Int = 0): DataFrame = {
+                   maxBucket: Int = 0): DataFrame =
+    hammingPairsReleasable(df, idCol, hashCol, maxDist, pieces, maxBucket)._1
+
+  /** The w-bit chunk array of a 64-bit hash column — the shared banding
+    * expression for [[hammingPairs]] and the persisted
+    * [[graft.sources.HammingIndex]] (the [[sigFrame]] contract: index
+    * probes must chunk exactly as the in-flight path does, or they
+    * would miss collisions it finds). `hashColName` is interpolated
+    * into a SQL lambda because the per-element shift amount is itself
+    * the lambda variable (the Column API's shiftright takes a literal).
+    */
+  private[graft] def hammingChunks(hashColName: String, pieces: Int): Column = {
+    require(pieces >= 2 && 64 % pieces == 0, "pieces must divide 64")
+    val width = 64 / pieces
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    expr(s"transform(sequence(0, ${pieces - 1}), " +
+      s"j -> shiftright($hashColName, cast(j * $width AS int)) & ${mask}L)")
+  }
+
+  /** [[hammingPairs]] plus the hash-group frame it localCheckpoints
+    * (three consumers read it lazily): one-shot callers rely on the
+    * ContextCleaner; a long-running maintainer
+    * ([[graft.sources.HammingIndex.probeReleasable]]'s batch-internal
+    * pass) frees it once the pairs are materialized — the
+    * [[minhashLshReleasable]] discipline.
+    */
+  private[graft] def hammingPairsReleasable(
+      df: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, pieces: Int = 8,
+      maxBucket: Int = 0): (DataFrame, Seq[DataFrame]) = {
     require(pieces >= 2 && 64 % pieces == 0, "pieces must divide 64")
     require(maxDist >= 0 && maxDist < pieces,
       "pigeonhole banding needs maxDist < pieces")
     val width = 64 / pieces
-    val mask = if (width == 64) -1L else (1L << width) - 1L
     // materialized once (localCheckpoint): three consumers — the
     // within-group expansion, the band postings and the candidate id
     // re-join — would otherwise each replay the collapse shuffle
@@ -484,10 +512,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"), lit(0).as("dist"))
     // band DISTINCT hashes only; the posting shuffle carries 2 longs +
     // a band position per row, never ids or member lists
-    val posts = groups.select(col("__h"), posexplode(expr(
-      s"transform(sequence(0, ${pieces - 1}), " +
-        s"j -> shiftright(__h, cast(j * $width AS int)) & ${mask}L)"))
-      .as(Seq("__p", "__k")))
+    val posts = groups.select(col("__h"),
+      posexplode(hammingChunks("__h", pieces)).as(Seq("__p", "__k")))
     val cap =
       if (maxBucket > 0) maxBucket
       else if (maxBucket == 0) defaultMaxBucketFixedWidth(groups.count(), width)
@@ -516,7 +542,7 @@ object Dedup {
       .filter(col("__a") =!= col("__b"))
       .select(least(col("__a"), col("__b")).as("id_a"),
         greatest(col("__a"), col("__b")).as("id_b"), col("dist"))
-    within.unionByName(cross)
+    (within.unionByName(cross), Seq(groups))
   }
 
   // ------------------------------------------------------------ simhash

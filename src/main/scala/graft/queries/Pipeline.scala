@@ -1783,10 +1783,82 @@ object Pipeline {
         .select((col("__extra") + col("__gone")).as("n_diff_reband")))
   }
 
+  // Persisted Hamming chunk-posting index over a PLANTED, SQL-replayable
+  // 64-bit hash (families of 4 consecutive doc_ids share high bits and
+  // differ in 2 variant bits — pairs at dist 0/1/2; the multiplicative
+  // spread keeps hashes non-monotonic in doc_id so manifest pruning is
+  // actually exercised). Pigeonhole banding is COMPLETE for
+  // maxDist < pieces, so unlike the minhash index the whole pair set is
+  // deterministic and the DuckDB oracle replays it EXACTLY.
+  private val plantedHash = expr(
+    "((doc_id div 4) * 2654435761 % 1099511627776) * 4 + " +
+      "(CASE WHEN doc_id % 4 = 3 THEN CAST(0 AS BIGINT) ELSE doc_id % 4 END)")
+
+  private val hmixReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hammingIndexPath(s: SparkSession, dir: String): String =
+    hmixReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-hmix").toString + "/ix"
+      graft.sources.HammingIndex.build(
+        Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), plantedHash.as("sig")),
+        "doc_id", "sig", p, pieces = 8, nPostingFiles = 32, nDocFiles = 16)
+      p
+    })
+
+  /** Incremental Hamming near-dup discovery over the persisted
+    * chunk-posting index ([[graft.sources.HammingIndex]]): the day's
+    * batch (doc_id ≡ 0 mod 7) probed against the indexed history (the
+    * other 6/7) — candidate generation reads postings, never re-bands
+    * history signatures. The full (id_a, id_b, dist) pair set is
+    * hash-green vs DuckDB (pigeonhole completeness at maxDist <
+    * pieces makes the unlimited regime EXACT, not an S-curve).
+    */
+  def ddHammingIndex(s: SparkSession, dir: String): DataFrame =
+    graft.sources.HammingIndex.probe(s, hammingIndexPath(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), plantedHash.as("sig")),
+        "doc_id", "sig", maxDist = 2, maxBucket = -1)
+      .orderBy("id_a", "id_b")
+
+  // the APPEND half: built over doc_id % 7 ∈ {2..6}, the %7==1
+  // generation probed-then-appended, the gate probes %7==0 — so a
+  // manifest-extension bug (a day-1 doc invisible to day-2 probes)
+  // fails the hash against the same exact SQL replay
+  private val hmixIncReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def hammingIndexIncPath(s: SparkSession, dir: String): String =
+    hmixIncReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-hmixinc").toString + "/ix"
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), plantedHash.as("sig"))
+      graft.sources.HammingIndex.build(
+        docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 1),
+        "doc_id", "sig", p, pieces = 8, nPostingFiles = 32, nDocFiles = 16)
+      val day1 = docs.filter(col("doc_id") % 7 === 1)
+      graft.sources.HammingIndex.probe(s, p, day1, "doc_id", "sig",
+        maxDist = 2, maxBucket = -1).count() // the daily cycle's read half
+      graft.sources.HammingIndex.append(s, p, day1, "doc_id", "sig")
+      p
+    })
+
+  /** [[ddHammingIndex]]'s contract through an APPENDED generation —
+    * the same exact full-pair-set replay, so the probe must see the
+    * appended day-1 docs as history.
+    */
+  def ddHammingIndexInc(s: SparkSession, dir: String): DataFrame =
+    graft.sources.HammingIndex.probe(s, hammingIndexIncPath(s, dir),
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), plantedHash.as("sig")),
+        "doc_id", "sig", maxDist = 2, maxBucket = -1)
+      .orderBy("id_a", "id_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_lsh_index" -> ddLshIndex _,
     "dd_lsh_index_check" -> ddLshIndexCheck _,
     "dd_lsh_index_inc" -> ddLshIndexInc _,
+    "dd_hamming_index" -> ddHammingIndex _,
+    "dd_hamming_index_inc" -> ddHammingIndexInc _,
     "dd_exact" -> ddExact _,
     "dd_jaccard" -> ddJaccard _,
     "dd_jaccard_join" -> ddJaccardJoin _,
@@ -2781,6 +2853,34 @@ object Pipeline {
         |WHERE (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
         |  AND len(list_intersect(a.sh, b.sh)) * 1.0 /
         |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+    // the hamming index's planted hash is pure integer arithmetic, so
+    // the ENTIRE pair set replays in SQL — pigeonhole banding is
+    // complete at maxDist < pieces, no S-curve, no count-twin needed
+    "dd_hamming_index" ->
+      """WITH h AS (SELECT doc_id,
+        |  ((doc_id // 4) * 2654435761 % 1099511627776) * 4
+        |    + (CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 4 END) AS hh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.hh, b.hh)) AS INTEGER) AS dist
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)
+        |  AND bit_count(xor(a.hh, b.hh)) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    // identical expected set through the appended generation: history =
+    // everything outside the %7==0 gate either way — an append bug
+    // shows up as MISSING day-1 pairs, not a different oracle
+    "dd_hamming_index_inc" ->
+      """WITH h AS (SELECT doc_id,
+        |  ((doc_id // 4) * 2654435761 % 1099511627776) * 4
+        |    + (CASE WHEN doc_id % 4 = 3 THEN 0 ELSE doc_id % 4 END) AS hh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.hh, b.hh)) AS INTEGER) AS dist
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 7 = 0 OR b.doc_id % 7 = 0)
+        |  AND bit_count(xor(a.hh, b.hh)) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     // the language-ID heuristic (argmax of per-profile stopword hits,
     // ties in profile order, zero hits → und) is itself SQL-expressible —
     // generated from the same Text.langProfiles so the two sides cannot
