@@ -1727,8 +1727,20 @@ object Projections {
       Some(s"+proj=tmerc +lat_0=0 +lon_0=${3 * z} +k=1 " +
         s"+x_0=${z * 1000000 + 500000} +y_0=0 +ellps=bessel " +
         "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    // NAD83 / MTM zones 1–17 (Canadian Modified Transverse Mercator:
+    // 3°-wide belts at k₀ = 0.9999 with FE 304800 m = 1,000,000 ft
+    // exactly; the published central-meridian series is irregular at
+    // the Newfoundland (1–3) and Ontario re-cover (12–17) ends, so it
+    // is a lookup, not an affine zone formula)
+    case c if c >= 32181 && c <= 32197 =>
+      Some(s"+proj=tmerc +lat_0=0 +lon_0=${MtmLon0(c - 32181)} +k=0.9999 " +
+        "+x_0=304800 +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
     case other => EpsgSingles.get(other)
   }
+
+  private val MtmLon0: Vector[Double] = Vector(
+    -53.0, -56.0, -58.5, -61.5, -64.5, -67.5, -70.5, -73.5, -76.5,
+    -79.5, -82.5, -81.0, -84.0, -87.0, -90.0, -93.0, -96.0)
 
   private val EpsgSingles: Map[Int, String] = Map(
     // geographic CRSs on non-WGS84 datums
@@ -1814,7 +1826,16 @@ object Projections {
     2277 -> ("+proj=lcc +lat_1=31.88333333333333 +lat_2=30.11666666666667 " +
       "+lat_0=29.66666666666667 +lon_0=-100.3333333333333 " +
       "+x_0=699999.9998983998 +y_0=3000000 " +
-      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft") // Texas Central (ftUS)
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // Texas Central (ftUS)
+    2248 -> ("+proj=lcc +lat_1=39.45 +lat_2=38.3 +lat_0=37.66666666666666 " +
+      "+lon_0=-77 +x_0=399999.9998983998 +y_0=0 " +
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // Maryland (ftUS)
+    2249 -> ("+proj=lcc +lat_1=42.68333333333333 +lat_2=41.71666666666667 " +
+      "+lat_0=41 +lon_0=-71.5 +x_0=200000.0001016002 +y_0=750000 " +
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // Massachusetts Mainland (ftUS)
+    3435 -> ("+proj=tmerc +lat_0=36.66666666666666 +lon_0=-88.33333333333333 " +
+      "+k=0.999975 +x_0=300000 +y_0=0 " +
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft") // Illinois East (ftUS)
   )
 
   private val EpsgCodePattern = "(?:EPSG:)?([0-9]{4,5})".r
@@ -1823,7 +1844,7 @@ object Projections {
   def registeredEpsgCodes: Seq[Int] =
     ((25828 to 25838) ++ (26903 to 26923) ++ (26703 to 26722) ++
       (23028 to 23038) ++ (28349 to 28356) ++ (7846 to 7859) ++
-      (31466 to 31469) ++ EpsgSingles.keys).sorted
+      (31466 to 31469) ++ (32181 to 32197) ++ EpsgSingles.keys).sorted
 
   // st_geomReproject evaluates per row but its CRS arguments are query
   // literals, so the handful of distinct strings per executor is memoized:

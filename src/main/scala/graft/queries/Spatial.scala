@@ -872,9 +872,11 @@ object Spatial {
     * k₀ = 1−1/11000) over disjoint longitude windows of the customer
     * lattice — plus (r11) the ftUS TWINS of the LCC zones
     * (EPSG:2229 CA z5, EPSG:2277 TX Central, EPSG:2263 NY Long
-    * Island): same conic, meter-valued registry false origins, output
-    * scaled by the exact US survey foot (1200/3937 m) through the
-    * +units=us-ft surface. The oracle replays each family's Snyder
+    * Island, and the r11 Maryland meter/ftUS pair EPSG:26985/2248
+    * re-projecting the NYLI stripe): same conic, meter-valued registry
+    * false origins,
+    * output scaled by the exact US survey foot (1200/3937 m) through
+    * the +units=us-ft surface. The oracle replays each family's Snyder
     * forward with the REGISTRY's constants INCLUDING the unit division
     * — a wrong registry parameter or unit factor, not just a wrong
     * formula, fails the hash. The TM window stays within 1.5° of its
@@ -907,7 +909,18 @@ object Spatial {
       when(col("lon") >= -107.5 && col("lon") <= -93.0, lit(2277))
         .when(col("lon") >= -130.0 && col("lon") < -107.5, lit(2229))
         .when(col("lon") >= -76.0 && col("lon") <= -72.0, lit(2263)))
+    // the r11 Maryland meter/ftUS pair (EPSG:26985/2248) re-projects
+    // the NYLI stripe a third and fourth time — the customer lattice's
+    // lat-[25,50] band has no points between -94.55 and -72.55, so a
+    // Maryland-local stripe would be vacuous; the adjacent-zone
+    // projection (Δλ ≈ 4.5° from lon₀ = -77) is non-vacuous and
+    // exercises the 2248/26985 pair end to end
+    val mdM = base.withColumn("epsg",
+      when(col("lon") >= -76.0 && col("lon") <= -72.0, lit(26985)))
+    val mdF = base.withColumn("epsg",
+      when(col("lon") >= -76.0 && col("lon") <= -72.0, lit(2248)))
     project(meters).unionByName(project(ftus))
+      .unionByName(project(mdM)).unionByName(project(mdF))
       .orderBy("c_custkey", "epsg")
   }
 
@@ -1427,6 +1440,14 @@ object Spatial {
     val nyf = lccBlock("nyf", 2263, dlit(41.03333333333333), dlit(40.66666666666666),
       dlit(40.16666666666666), dlit(-74.0), "300000.0000000001e0", "0.0",
       "lon >= -76.0 AND lon <= -72.0 AND lat >= 25.0 AND lat <= 50.0", usFt)
+    // Maryland (r11): the meter zone and its ftUS twin, re-projecting
+    // the NYLI stripe (no lattice points exist nearer the zone)
+    val md = lccBlock("md", 26985, dlit(39.45), dlit(38.3),
+      dlit(37.66666666666666), dlit(-77.0), "400000.0", "0.0",
+      "lon >= -76.0 AND lon <= -72.0 AND lat >= 25.0 AND lat <= 50.0")
+    val mdf = lccBlock("mdf", 2248, dlit(39.45), dlit(38.3),
+      dlit(37.66666666666666), dlit(-77.0), "399999.9998983998e0", "0.0",
+      "lon >= -76.0 AND lon <= -72.0 AND lat >= 25.0 AND lat <= 50.0", usFt)
     val k0 = dlit(0.9999090909090909)
     val nmLon0 = dlit(-104.33333333333333)
     s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer),
@@ -1435,6 +1456,8 @@ object Spatial {
        |$caf,
        |$txf,
        |$nyf,
+       |$md,
+       |$mdf,
        |nmg AS (SELECT c_custkey, lon, lat,
        |        radians(lat) AS phi, sin(radians(lat)) AS sphi,
        |        cos(radians(lat)) AS cphi, tan(radians(lat)) AS tphi,
@@ -1460,7 +1483,8 @@ object Spatial {
        |SELECT c_custkey, epsg, easting, northing, 1 AS rt_ok
        |FROM (SELECT * FROM ca UNION ALL SELECT * FROM tx UNION ALL SELECT * FROM nm
        |      UNION ALL SELECT * FROM caf UNION ALL SELECT * FROM txf
-       |      UNION ALL SELECT * FROM nyf)
+       |      UNION ALL SELECT * FROM nyf
+       |      UNION ALL SELECT * FROM md UNION ALL SELECT * FROM mdf)
        |ORDER BY c_custkey, epsg""".stripMargin
   }
 

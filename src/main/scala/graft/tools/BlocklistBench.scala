@@ -33,8 +33,15 @@ object BlocklistBench {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     def walk(p: SparkPlan): Seq[BroadcastExchangeExec] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      // AQE hides materialized exchanges inside query stages, which do
+      // NOT expose them as children — descend into the stage plan or
+      // every broadcast reads as 0 bytes
+      case q: QueryStageExec => walk(q.plan)
+      case _: ReusedExchangeExec => Seq.empty // shipped once — count once
       case b: BroadcastExchangeExec => b +: b.children.flatMap(walk)
       case other => other.children.flatMap(walk)
     }
@@ -68,7 +75,10 @@ object BlocklistBench {
     // actually exercised, not just a single-depth degenerate case
     def mkList(n: Long): DataFrame = spark.range(n)
       .select(when(col("id") % 3 === 0,
-          concat(lit("dom"), col("id") / 3, lit(".example.net")))
+          // `/` on longs is DOUBLE division ("dom1.0.example.net" —
+          // never matches, and the stray dot shifts the label depth);
+          // the list must spell the same hosts the corpus builds
+          concat(lit("dom"), expr("id div 3"), lit(".example.net")))
         .when(col("id") % 3 === 1, concat(lit("blk"), col("id"), lit(".zz")))
         .otherwise(concat(lit("x"), col("id"), lit(".dom0.example.net")))
         .as("domain"))

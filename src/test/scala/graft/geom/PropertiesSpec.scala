@@ -145,7 +145,10 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       3976 -> (0.0, -75.0), 3995 -> (30.0, 75.0), 3577 -> (134.0, -25.0),
       3395 -> (10.0, 40.0), 4087 -> (10.0, 40.0), 4258 -> (10.0, 50.0),
       4269 -> (-95.0, 45.0), 4267 -> (-95.0, 45.0), 4277 -> (-1.5, 52.0),
-      2229 -> (-118.5, 34.5), 2263 -> (-73.5, 40.8), 2277 -> (-98.0, 30.5))
+      2229 -> (-118.5, 34.5), 2263 -> (-73.5, 40.8), 2277 -> (-98.0, 30.5),
+      2248 -> (-77.2, 39.0), 2249 -> (-71.1, 42.3), 3435 -> (-88.2, 40.0),
+      32181 -> (-53.5, 47.5), 32188 -> (-73.6, 45.5), 32190 -> (-79.4, 43.7),
+      32197 -> (-95.0, 49.8))
     for (code <- Projections.registeredEpsgCodes) {
       val byCode = Projections.parseCrs(s"EPSG:$code")
       val bare = Projections.parseCrs(code.toString)
@@ -181,6 +184,26 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     val (eF, nF) = Projections.parseCrs("EPSG:2229").fromGeo(-119.3, 34.6)
     eF shouldBe (eM - 2000000.0 + 2000000.0001016) / usFt +- 1e-6
     nF shouldBe (nM - 500000.0 + 500000.0001016002) / usFt +- 1e-6
+    // r11 twins: Maryland 2248 vs 26985, Illinois East 3435 vs 26971
+    // (IL's published 984,250 ftUS FE is EXACTLY 300,000 m, so its twin
+    // is the pure scaling with no false-origin residual)
+    val (eMd, nMd) = Projections.parseCrs("EPSG:26985").fromGeo(-77.2, 39.0)
+    val (eMdF, nMdF) = Projections.parseCrs("EPSG:2248").fromGeo(-77.2, 39.0)
+    eMdF shouldBe (eMd - 400000.0 + 399999.9998983998) / usFt +- 1e-6
+    nMdF shouldBe nMd / usFt +- 1e-6
+    val (eIl, nIl) = Projections.parseCrs("EPSG:26971").fromGeo(-88.2, 40.0)
+    val (eIlF, nIlF) = Projections.parseCrs("EPSG:3435").fromGeo(-88.2, 40.0)
+    eIlF shouldBe eIl / usFt +- 1e-6
+    nIlF shouldBe nIl / usFt +- 1e-6
+    // Canadian MTM (r11): the central meridian maps to the exact
+    // 1,000,000-ft false easting, and zone 8 == its proj4 spelling on
+    // a Montreal-area point (the family case vs the string parser)
+    val (eMtm, nMtm) = Projections.parseCrs("EPSG:32188").fromGeo(-73.5, 0.0)
+    eMtm shouldBe 304800.0 +- 1e-4
+    nMtm shouldBe 0.0 +- 1e-4
+    Projections.parseCrs("EPSG:32188").fromGeo(-73.6, 45.5) shouldBe
+      Projections.parseCrs("+proj=tmerc +lat_0=0 +lon_0=-73.5 +k=0.9999 " +
+        "+x_0=304800 +y_0=0 +ellps=GRS80 +towgs84=0,0,0").fromGeo(-73.6, 45.5)
     // unknown codes keep the loud unsupported-CRS error
     intercept[IllegalArgumentException] {
       Projections.parseCrs("EPSG:2230") // CA zone 6 (ftUS) — not registered
