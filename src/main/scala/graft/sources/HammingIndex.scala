@@ -113,18 +113,30 @@ object HammingIndex {
   def append(s: SparkSession, path: String,
              batch: DataFrame, idCol: String, hashCol: String): Unit = {
     val p = readParams(s, path)
-    val (pieces, nOld) = (p.getInt(0), p.getLong(1))
+    appendWith(s, path, batch, idCol, hashCol, p.getInt(0), p.getLong(1))
+    ()
+  }
+
+  /** The append body with params in hand: returns both manifests'
+    * fresh-file stats rows plus the new hash count, so a [[Maintainer]]
+    * extends its caches without re-reading anything (the
+    * [[MinhashIndex]] appendWith contract).
+    */
+  private def appendWith(s: SparkSession, path: String,
+                         batch: DataFrame, idCol: String, hashCol: String,
+                         pieces: Int, nOld: Long): (Seq[Row], Seq[Row], Long) = {
     val bdocs = batch
       .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
       .filter(col("h").isNotNull)
       .localCheckpoint() // three consumers: doc rows, postings, count
-    StatsManifest.append(bdocs, s"$path/docs", "h", nFiles = 4)
+    val docRows = StatsManifest.append(bdocs, s"$path/docs", "h", nFiles = 4)
     val distinctH = bdocs.select(col("h").as("__h")).distinct()
-    StatsManifest.append(chunkKeys(distinctH, pieces),
+    val postRows = StatsManifest.append(chunkKeys(distinctH, pieces),
       s"$path/postings", "key", nFiles = 4)
     val nHashes = nOld + distinctH.count()
     writeParams(s, path, pieces, nHashes)
     org.apache.spark.sql.GraftBridge.unpersistCheckpoint(bdocs)
+    (docRows, postRows, nHashes)
   }
 
   /** Logical deletes by id ([[MinhashIndex.delete]]'s contract):
@@ -195,7 +207,22 @@ object HammingIndex {
                       maxDist: Int,
                       maxBucket: Int = 0): (DataFrame, Seq[DataFrame]) = {
     val p = readParams(s, path)
-    val (pieces, nHashes) = (p.getInt(0), p.getLong(1))
+    probeCore(s, path, batch, idCol, hashCol, maxDist, maxBucket,
+      p.getInt(0), p.getLong(1),
+      StatsManifest.manifest(s, s"$path/postings"),
+      StatsManifest.manifest(s, s"$path/docs"))
+  }
+
+  /** The probe body with params + manifest frames supplied by the
+    * caller ([[probeReleasable]] reads them fresh; [[Maintainer]]
+    * serves them from its cache).
+    */
+  private def probeCore(s: SparkSession, path: String,
+                        batch: DataFrame, idCol: String, hashCol: String,
+                        maxDist: Int, maxBucket: Int,
+                        pieces: Int, nHashes: Long,
+                        postMan: DataFrame,
+                        docMan: DataFrame): (DataFrame, Seq[DataFrame]) = {
     require(maxDist >= 0 && maxDist < pieces,
       "pigeonhole banding needs maxDist < pieces")
     val width = 64 / pieces
@@ -214,7 +241,6 @@ object HammingIndex {
     // manifest pruning: posting files whose key range a batch chunk key
     // hits — file ranges broadcast, batch keys stay distributed, only
     // the surviving FILE LIST is collected
-    val postMan = StatsManifest.manifest(s, s"$path/postings")
     val files = bkeys.select("key").distinct()
       .join(broadcast(postMan),
         col("key") >= col("lo") && col("key") <= col("hi"))
@@ -258,7 +284,6 @@ object HammingIndex {
     // The distinct absorbs doc-row duplicates from replayed appends.
     val pairsH = banded.unionByName(direct)
     val hset = pairsH.select(col("__h")).distinct()
-    val docMan = StatsManifest.manifest(s, s"$path/docs")
     val dfiles = hset
       .join(broadcast(docMan), col("__h") >= col("lo") && col("__h") <= col("hi"))
       .select("file").distinct().collect().map(_.getString(0))
@@ -278,5 +303,52 @@ object HammingIndex {
     val (within, withinInternals) = Dedup.hammingPairsReleasable(
       b, "__bid", "__bh", maxDist, pieces, maxBucket = cap)
     (cross.unionByName(within), b +: withinInternals)
+  }
+
+  /** Amortizing handle for repeated probe/append cycles against ONE
+    * index — [[MinhashIndex.Maintainer]]'s contract for the signature
+    * family: params and both file manifests are read once at
+    * construction, served from memory on every probe (a LocalRelation
+    * behind the broadcast pruning joins — zero per-probe metadata
+    * jobs), and extended IN MEMORY by each append from the delta stats
+    * [[StatsManifest.append]] already collected. Single-writer: an
+    * external append invalidates the cache (probes would miss the new
+    * files); external DELETES are safe (tombstones re-check per probe).
+    */
+  final class Maintainer(s: SparkSession, path: String) {
+    private val p = readParams(s, path)
+    private val pieces = p.getInt(0)
+    private var nHashes = p.getLong(1)
+    private val postSchema = StatsManifest.manifest(s, s"$path/postings").schema
+    private val docSchema = StatsManifest.manifest(s, s"$path/docs").schema
+    private val postRows = scala.collection.mutable.ArrayBuffer[Row](
+      StatsManifest.manifest(s, s"$path/postings").collect().toIndexedSeq: _*)
+    private val docRows = scala.collection.mutable.ArrayBuffer[Row](
+      StatsManifest.manifest(s, s"$path/docs").collect().toIndexedSeq: _*)
+
+    private def local(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType) =
+      s.createDataFrame(
+        new java.util.ArrayList(
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
+
+    def probe(batch: DataFrame, idCol: String, hashCol: String,
+              maxDist: Int, maxBucket: Int = 0): DataFrame =
+      probeReleasable(batch, idCol, hashCol, maxDist, maxBucket)._1
+
+    def probeReleasable(batch: DataFrame, idCol: String, hashCol: String,
+                        maxDist: Int,
+                        maxBucket: Int = 0): (DataFrame, Seq[DataFrame]) =
+      probeCore(s, path, batch, idCol, hashCol, maxDist, maxBucket,
+        pieces, nHashes,
+        local(postRows.toSeq, postSchema), local(docRows.toSeq, docSchema))
+
+    def append(batch: DataFrame, idCol: String, hashCol: String): Unit = {
+      val (dRows, pRows, n) =
+        appendWith(s, path, batch, idCol, hashCol, pieces, nHashes)
+      docRows ++= dRows
+      postRows ++= pRows
+      nHashes = n
+    }
   }
 }

@@ -27,9 +27,12 @@ object BlocklistBench {
 
   /** Execute `df` and sum the final plan's BroadcastExchange dataSize
     * metrics (reused exchanges count once — they are shipped once).
+    * The execution must go through THIS df's QueryExecution — a
+    * `.write` or `.count()` builds a fresh plan, leaving this one's
+    * AQE stages unmaterialized and every metric at zero.
     */
   private def broadcastBytes(df: DataFrame): Long = {
-    noop(df)
+    df.queryExecution.toRdd.foreach(_ => ())
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
@@ -51,6 +54,7 @@ object BlocklistBench {
 
   def main(args: Array[String]): Unit = {
     val nRows = if (args.length > 0) args(0).toLong else 2000000L
+    val joinsOnly = args.length > 1 && args(1) == "joins-only"
     val spark = graft.GraftSession.builder(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")).getOrCreate()
     graft.GraftSession.enable(spark)
@@ -100,7 +104,7 @@ object BlocklistBench {
     // it still terminates (10k domains × 2M rows is already 2·10¹⁰
     // suffix comparisons; 100k+ was killed at >15 min in r10) and
     // cross-checked against the join shape for agreement
-    for (listSize <- Seq(1000, 10000)) {
+    for (listSize <- Seq(1000, 10000) if !joinsOnly) {
       val doms = (0 until listSize).map { i =>
         if (i % 3 == 0) s"dom${i / 3}.example.net"
         else if (i % 3 == 1) s"blk$i.zz"

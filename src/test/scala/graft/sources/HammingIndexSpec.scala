@@ -115,6 +115,28 @@ class HammingIndexSpec extends AnyFunSuite with SparkTestSession with Matchers {
         .select("sig").distinct().count()
   }
 
+  test("Maintainer: cached-metadata probes == static probes through a probe→append→probe cycle") {
+    val p2 = java.nio.file.Files.createTempDirectory("graft-hmix-mnt").toString + "/ix"
+    val hist = hashes.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+    val day1 = hashes.filter(col("doc_id") % 4 === 1)
+    val day2 = hashes.filter(col("doc_id") % 4 === 0)
+    HammingIndex.build(hist, "doc_id", "sig", p2,
+      pieces = 8, nPostingFiles = 16, nDocFiles = 4)
+    val m = new HammingIndex.Maintainer(spark, p2)
+    pairSet(m.probe(day1, "doc_id", "sig", maxDist = 3, maxBucket = -1)) shouldBe
+      pairSet(HammingIndex.probe(spark, p2, day1, "doc_id", "sig",
+        maxDist = 3, maxBucket = -1))
+    // append through the Maintainer: the in-memory manifest extension
+    // must see the appended generation, and match the on-disk state
+    m.append(day1, "doc_id", "sig")
+    val viaCache = pairSet(m.probe(day2, "doc_id", "sig",
+      maxDist = 3, maxBucket = -1))
+    viaCache shouldBe pairSet(HammingIndex.probe(spark, p2, day2,
+      "doc_id", "sig", maxDist = 3, maxBucket = -1))
+    viaCache shouldBe rebandTouching(hashes)
+    viaCache should not be empty
+  }
+
   test("empty batch probes to zero pairs without error") {
     HammingIndex.probe(spark, path, batch.filter(lit(false)),
       "doc_id", "sig", maxDist = 3).count() shouldBe 0L
