@@ -212,6 +212,7 @@ object FunctionDefs {
       case "bloom_agg"         => BloomAgg(exprs(0), exprs(1), exprs(2))
       case "cms_agg"           => CmsAgg(exprs(0), exprs(1), exprs(2))
       case "kmv_agg"           => KmvAgg(exprs(0), exprs(1))
+      case "qdigest_agg"       => QdigestAgg(exprs(0), exprs(1))
       case "vec_outer_sum"     => VectorOuterSumAgg(exprs.head)
       case "st_convexhullaggr" => ConvexHullAgg(exprs.head)
       case other               => throw new IllegalArgumentException(s"unknown aggregate $other")

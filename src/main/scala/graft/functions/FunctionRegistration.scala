@@ -21,7 +21,17 @@ object FunctionRegistration {
     FunctionDefs.defs.map { case (name, specs) =>
       name -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GeomFn(name, specs, children))
-    } ++ aggBuilders
+    } ++ aggBuilders ++ exprBuilders
+
+  /** Scalar expressions with their own Expression class (not a GeomFn
+    * spec) — sketch readers and the like.
+    */
+  private def exprBuilders: Seq[(String, FunctionBuilder)] = Seq(
+    "qdigest_quantile" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 2, "qdigest_quantile(sketch, q)")
+      QdigestQuantile(children(0), children(1))
+    })
+  )
 
   /** Aggregate functions (the analyzer wraps the returned
     * AggregateFunction). The reference ships its grouped convex hull
@@ -57,6 +67,10 @@ object FunctionRegistration {
     "kmv_agg" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.size == 2, "kmv_agg(hash, k)")
       KmvAgg(children(0), children(1))
+    }),
+    "qdigest_agg" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.size == 2, "qdigest_agg(value, k)")
+      QdigestAgg(children(0), children(1))
     }),
     "vec_outer_sum" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.size == 1, "vec_outer_sum(array<double>)")

@@ -319,6 +319,51 @@ object Relational {
     * 100 TB the one-pass bounded-memory sketch in q_sketch is the
     * production path, and this query is what certifies its error band.
     */
+  /** Q-digest quantile sketch — the engine-owned mergeable quantile
+    * aggregate ([[graft.functions.QdigestAgg]]): per returnflag, sketch
+    * l_extendedprice (as cents) at k=4096 and verify the read-back
+    * p50/p95 against the WORST-CASE guarantee |rank − q·n| ≤ (64/k)·n.
+    * Unlike approx_percentile (q_sketch, Spark's built-in) the bound is
+    * deterministic — it holds on every run, every merge order, every
+    * partitioning — so the oracle pins literal 1s while recomputing n
+    * exactly. State is O(k) per group regardless of cardinality: the
+    * 100 TB path where `percentile` (q_median) buffers every value and
+    * the exact MAD histogram (ev_mad) is value-domain-bounded.
+    */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FunctionDefs
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice") * 100).cast("long").as("__cents"))
+    val sk = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        FunctionDefs.callAgg("qdigest_agg", col("__cents"), lit(4096)).as("__sk"))
+      .select(col("l_returnflag"), col("n"),
+        expr("qdigest_quantile(__sk, 0.5d)").as("__e50"),
+        expr("qdigest_quantile(__sk, 0.95d)").as("__e95"))
+    // true ranks of the two estimates in one broadcast-probe pass —
+    // the fact side never shuffles (the estimate table is |groups| rows)
+    val ranks = li.join(broadcast(sk.select("l_returnflag", "__e50", "__e95")), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(sum(when(col("__cents") <= col("__e50"), 1L).otherwise(0L)).as("__le50"),
+        sum(when(col("__cents") < col("__e50"), 1L).otherwise(0L)).as("__lt50"),
+        sum(when(col("__cents") <= col("__e95"), 1L).otherwise(0L)).as("__le95"),
+        sum(when(col("__cents") < col("__e95"), 1L).otherwise(0L)).as("__lt95"))
+    // the answer's claimable rank interval (lt+1 .. le) must intersect
+    // target ± (64/k)·n
+    def ok(q: Double, le: String, lt: String): Column = {
+      val target = greatest(ceil(lit(q) * col("n")), lit(1L)).cast("double")
+      val bound = col("n") * (64.0 / 4096.0)
+      when((target - col(le)) <= bound && (target - col(lt) - 1) >= -bound, 1)
+        .otherwise(0)
+    }
+    sk.join(broadcast(ranks), "l_returnflag")
+      .select(col("l_returnflag"), col("n"),
+        ok(0.5, "__le50", "__lt50").as("q50_ok"),
+        ok(0.95, "__le95", "__lt95").as("q95_ok"))
+      .orderBy("l_returnflag")
+  }
+
   def qMedian(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
@@ -993,6 +1038,7 @@ object Relational {
     q("q_setops")(qSetOps),
     q("q_median")(qMedian),
     q("q_sketch")(qSketch),
+    q("q_quantile_sketch")(qQuantileSketch),
     q("q_range_join")(qRangeJoin),
     q("q_bucketed")(qBucketed),
     q("ev_window")(evWindow),
@@ -1336,6 +1382,12 @@ object Relational {
       """SELECT l_returnflag, count(*) AS n,
         | count(DISTINCT l_suppkey) AS exact_distinct,
         | 1 AS acd_ok, 1 AS p50_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q-digest bound checks are literal 1s because the guarantee is
+    // WORST-CASE (Shrivastava et al. 2004), not probabilistic — it holds
+    // on every merge order; n is recomputed exactly
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag, count(*) AS n, 1 AS q50_ok, 1 AS q95_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_window" ->
       """SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
