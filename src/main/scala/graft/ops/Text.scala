@@ -527,10 +527,16 @@ object Text {
         s"CASE WHEN size(__ws) >= $n THEN transform(sequence(0, size(__ws) - $n), " +
           s"i -> xxhash64(slice(__ws, i + 1, $n))) " +
           "ELSE CAST(array() AS array<bigint>) END")).as(Seq("__pos", "__g")))
-    val dup = grams.groupBy("__g")
-      .agg(countDistinct(col("__id")).as("__df"))
-      .filter(col("__df") >= 2)
-      .select("__g")
+    // "duplicated" = present in ≥ 2 DISTINCT docs ⟺ min(id) ≠ max(id)
+    // over the gram's rows — as a WINDOW over __g, so dup detection and
+    // dup-row routing ride ONE shuffle of the gram rows (r11: the
+    // previous shape paid the gram explode twice — once into the
+    // countDistinct DF aggregate, once into the semi-join probing it)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    val dupRows = grams
+      .withColumn("__mn", min(col("__id")).over(w))
+      .withColumn("__mx", max(col("__id")).over(w))
+      .filter(col("__mn") =!= col("__mx"))
     // covered positions per doc = union of [pos, pos+n) intervals over
     // the doc's duplicated grams. r10 shape: positions NEVER explode —
     // the r9 explode+distinct carried one shuffle row per covered WORD
@@ -540,7 +546,7 @@ object Text {
     // chunking relies on) and a codegen'd fold merges the sorted
     // intervals: identical count by construction, the shuffle carries
     // one row per (doc, dup gram), and the distinct disappears.
-    val covered = grams.join(dup, Seq("__g"), "left_semi")
+    val covered = dupRows
       .groupBy(col("__id"), col("__src"))
       .agg(array_sort(collect_list(col("__pos"))).as("__ps"))
       .withColumn("__cov", expr(

@@ -510,12 +510,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
-  test("dd_span_coverage: cross-doc DF is a partial aggregate; the dup probe is a semi-join") {
+  test("dd_span_coverage: dup detection + routing ride ONE gram shuffle (window over gram), no join back") {
     val p = planOf("dd_span_coverage")
     withClue(s"dd_span_coverage plan:\n$p") {
       p.contains("CartesianProduct") shouldBe false
-      p.contains("Window") shouldBe false
-      p should include("LeftSemi")
+      // r11: min/max-over-gram window replaces the countDistinct
+      // aggregate + semi-join pair — the gram rows are exploded and
+      // shuffled ONCE, not twice
+      p should include("Window")
+      p.contains("LeftSemi") shouldBe false
+      // the gram keys the window shuffles on are the 8-byte hashes,
+      // never n-word strings
+      p should include("xxhash64")
     }
   }
 
