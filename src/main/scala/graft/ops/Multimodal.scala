@@ -375,16 +375,29 @@ object Multimodal {
   private[graft] def wavNumSamples(id: Long): Int =
     (64 + wavEffId(id) % 32).toInt
 
-  /** Signed 16-bit PCM sample i: the XOR of two coprime-modulus linear
-    * streams — aperiodic across clips (no smooth neighbor structure, so
-    * near-dup pairs come from the PLANTED clones, not formula
-    * artifacts) while staying exactly replayable in the oracle's SQL
-    * (xor + % are engine-portable on these ranges).
+  /** Signed 16-bit PCM sample i: the XOR of two SQUARED Lehmer streams
+    * over the combined sample key k = eff·64 + i, mod two distinct
+    * 31-bit primes. Anything LINEAR in k fails here — the r10 formula
+    * and two r11 candidates (XOR of linear streams; one multiplicative
+    * round) all left the 64 samples of a clip an arithmetic
+    * progression mod 2¹⁶, so the sign-threshold fingerprint collapsed
+    * onto a few rotation patterns and sf1 paired quadratically
+    * (measured 36M pairs; SCALE_r11). Squaring breaks the fixed step
+    * (consecutive-k differences vary with k), the two-prime XOR breaks
+    * the quadratic-residue symmetry, and the measured result is exact:
+    * at 5,000 ids the dist ≤ 2 pair set is PRECISELY the 50 planted
+    * clones — near-dup structure is linear in the corpus, as a real
+    * fingerprint corpus's is. Overflow-exact in both engines: x < 2³¹
+    * so x·x < 2⁶², inside int64 for an oracle that raises on overflow.
     */
   private[graft] def wavSample(id: Long, i: Int): Int = {
     val e = wavEffId(id)
-    ((((e * 131 + i * 17) % 65536) ^ ((e * 48271 + i * 1009) % 65521))
-      % 65536 - 32768).toInt
+    val p = 2147483647L
+    val q = 2147483629L
+    val k = e * 64 + i
+    val x = k % p * 48271 % p
+    val y = k % q * 16807 % q
+    (((x * x % p) ^ (y * y % q)) % 65536 - 32768).toInt
   }
 
   private def synthWavWith(writer: javax.sound.sampled.spi.AudioFileWriter, id: Long): Array[Byte] = {

@@ -3499,19 +3499,27 @@ object Pipeline {
     // the WAV synthesis formula replayed arithmetically: WAV PCM is
     // lossless, so the real javax.sound decode must reproduce it
     // exactly (r11 formula: clone-seeded eff id, ≥64 samples, XOR of
-    // two coprime-modulus linear streams — Multimodal.wavSample)
+    // two squared Lehmer streams over eff·64 + i — Multimodal.wavSample;
+    // x < 2^31 so x*x stays inside BIGINT)
     "mm_audio" ->
       """WITH e AS (SELECT doc_id,
         |  CASE WHEN doc_id % 100 = 99 THEN doc_id - 99 ELSE doc_id END AS eff
-        |  FROM documents)
+        |  FROM documents),
+        |sm AS (SELECT doc_id,
+        |  [xor(((eff * 64 + i) % 2147483647 * 48271 % 2147483647)
+        |         * ((eff * 64 + i) % 2147483647 * 48271 % 2147483647)
+        |         % 2147483647,
+        |       ((eff * 64 + i) % 2147483629 * 16807 % 2147483629)
+        |         * ((eff * 64 + i) % 2147483629 * 16807 % 2147483629)
+        |         % 2147483629) % 65536 - 32768
+        |   for i in range(0, (64 + eff % 32)::INT)] AS s
+        |  FROM e)
         |SELECT doc_id,
         | 8000::INT AS sample_rate,
         | 1::INT AS n_channels,
-        | (64 + eff % 32)::BIGINT AS n_samples,
-        | list_sum([xor((eff * 131 + i * 17) % 65536,
-        |               (eff * 48271 + i * 1009) % 65521) % 65536 - 32768
-        |           for i in range(0, (64 + eff % 32)::INT)])::BIGINT AS sample_sum
-        |FROM e ORDER BY doc_id""".stripMargin,
+        | len(s)::BIGINT AS n_samples,
+        | list_sum(s)::BIGINT AS sample_sum
+        |FROM sm ORDER BY doc_id""".stripMargin,
     // both KMV sketches rebuilt (distinct md5-13-prefix hashes,
     // bottom-256, hex order == numeric order on fixed width), the
     // k-th order statistic converted hex→numeric positionally (each
@@ -3564,9 +3572,13 @@ object Pipeline {
         |  CASE WHEN doc_id % 100 = 99 THEN doc_id - 99 ELSE doc_id END AS eff
         |  FROM documents),
         |sm AS (SELECT doc_id,
-        |         [xor((eff * 131 + i * 17) % 65536,
-        |              (eff * 48271 + i * 1009) % 65521) % 65536 - 32768
-        |          for i in range(0, 64)] AS s
+        |  [xor(((eff * 64 + i) % 2147483647 * 48271 % 2147483647)
+        |         * ((eff * 64 + i) % 2147483647 * 48271 % 2147483647)
+        |         % 2147483647,
+        |       ((eff * 64 + i) % 2147483629 * 16807 % 2147483629)
+        |         * ((eff * 64 + i) % 2147483629 * 16807 % 2147483629)
+        |         % 2147483629) % 65536 - 32768
+        |   for i in range(0, 64)] AS s
         |       FROM e),
         |hs AS (SELECT doc_id, list_sum(s) / 64 AS mean, s FROM sm),
         |hh AS (SELECT doc_id,
