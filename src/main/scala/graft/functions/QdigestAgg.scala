@@ -53,27 +53,36 @@ object Qdigest {
 
   val MaxK = 1 << 16
 
-  /** Mutable digest buffer. Node key = (canonical lo in unsigned space,
-    * level); level ∈ [0, 64], a node at level d covers the 2^(64−d)
-    * unsigned values sharing its top-d bits; level 64 = single values.
+  /** Mutable digest buffer, primitive-keyed throughout — this runs
+    * once per input ROW map-side, so the hot path must not box:
+    *  - `leaves` holds level-64 counts keyed by the unsigned-mapped
+    *    value itself (one LongMap probe per insert);
+    *  - `inner` holds levels 0..63 keyed by the HEAP id 2^d + prefix
+    *    (unique across levels because the highest set bit IS the
+    *    level; the root is id 1). Inner nodes exist only after a
+    *    compression, so inserts never touch this map.
+    * A node at level d covers the 2^(64−d) unsigned values sharing its
+    * top-d bits; level 64 = single values.
     */
   final class Buf(val k: Int) {
     var n: Long = 0L
-    val nodes: mutable.HashMap[(Long, Int), Long] = mutable.HashMap.empty
+    val leaves: mutable.LongMap[Long] = mutable.LongMap.empty
+    val inner: mutable.LongMap[Long] = mutable.LongMap.empty
+
+    def nodeCount: Int = leaves.size + inner.size
 
     def insert(v: Long): Unit = {
       val u = v ^ Long.MinValue
-      nodes.updateWith((u, 64)) { c => Some(c.getOrElse(0L) + 1L) }
+      leaves(u) = leaves.getOrElse(u, 0L) + 1L
       n += 1
-      if (nodes.size > 6 * k) compress()
+      if (nodeCount > 6 * k) compress()
     }
 
     def mergeIn(o: Buf): Unit = {
-      o.nodes.foreach { case (key, c) =>
-        nodes.updateWith(key) { cur => Some(cur.getOrElse(0L) + c) }
-      }
+      o.leaves.foreach { case (u, c) => leaves(u) = leaves.getOrElse(u, 0L) + c }
+      o.inner.foreach { case (id, c) => inner(id) = inner.getOrElse(id, 0L) + c }
       n += o.n
-      if (nodes.size > 6 * k) compress()
+      if (nodeCount > 6 * k) compress()
     }
 
     /** Bottom-up merge under the ⌊n/k⌋ threshold: at each level
@@ -81,40 +90,81 @@ object Qdigest {
       * children + parent ≤ ⌊n/k⌋ — absent siblings count 0, exactly
       * the q-digest property. Leaves every stored non-leaf violating
       * the merge condition, so the node count is O(k). One grouping
-      * pass per level; merges only ever create parent-level nodes, so
-      * the single sweep reaches the fixpoint.
+      * pass per level; folds only ever create parent-level nodes, so
+      * the single deepest-first sweep reaches the fixpoint.
       */
     def compress(): Unit = {
       val t = n / k // ⌊n/k⌋: at t = 0 nothing may merge — small inputs stay EXACT
       if (t == 0) return
-      // los per level (levels are processed deepest-first; merges add
-      // to the next-shallower bucket, possibly duplicating a lo that
-      // already had a node there — deduped at grouping time)
-      val byLevel = Array.fill(65)(mutable.ArrayBuffer.empty[Long])
-      nodes.keysIterator.foreach { case (lo, d) => byLevel(d) += lo }
-      var d = 64
-      while (d >= 1) {
-        val w = 64 - d // covered-range width in value bits at this level
-        val parentMask = if (w + 1 >= 64) 0L else ~((1L << (w + 1)) - 1)
-        val byParent = mutable.HashMap.empty[Long, Long]
-        byLevel(d).distinct.foreach { lo =>
-          nodes.get((lo, d)).foreach { c =>
-            byParent.updateWith(lo & parentMask)(x => Some(x.getOrElse(0L) + c))
+      // level 64: leaf pairs fold into their level-63 parent
+      if (leaves.nonEmpty) {
+        val byParent = mutable.LongMap.empty[Long]
+        leaves.foreach { case (u, c) =>
+          val p = u >>> 1
+          byParent(p) = byParent.getOrElse(p, 0L) + c
+        }
+        byParent.foreach { case (p, cSum) =>
+          val parId = (1L << 63) | p
+          val cp = inner.getOrElse(parId, 0L)
+          if (cSum + cp <= t) {
+            leaves.remove(p << 1)
+            leaves.remove((p << 1) | 1L)
+            inner(parId) = cSum + cp
           }
         }
-        byParent.foreach { case (pLo, cSum) =>
-          val parKey = (pLo, d - 1)
-          val cp = nodes.getOrElse(parKey, 0L)
-          if (cSum + cp <= t) {
-            nodes.remove((pLo, d))
-            nodes.remove((pLo | (1L << w), d))
-            nodes.update(parKey, cSum + cp)
-            byLevel(d - 1) += pLo
+      }
+      // levels 63..1: heap ids bucketed by level once; folds append
+      // their (possibly pre-existing) parent id to the next bucket —
+      // deduped at grouping time
+      val byLevel = Array.fill(64)(mutable.ArrayBuffer.empty[Long])
+      inner.foreach { case (id, _) => byLevel(levelOf(id)) += id }
+      var d = 63
+      while (d >= 1) {
+        val ids = byLevel(d)
+        if (ids.nonEmpty) {
+          val byParent = mutable.LongMap.empty[Long]
+          ids.distinct.foreach { id =>
+            val c = inner.getOrElse(id, -1L)
+            if (c >= 0) {
+              val prefix = id ^ (1L << d)
+              byParent((1L << (d - 1)) | (prefix >>> 1)) =
+                byParent.getOrElse((1L << (d - 1)) | (prefix >>> 1), 0L) + c
+            }
+          }
+          byParent.foreach { case (parId, cSum) =>
+            val cp = inner.getOrElse(parId, 0L)
+            if (cSum + cp <= t) {
+              val parPrefix = parId ^ (1L << (d - 1))
+              inner.remove((1L << d) | (parPrefix << 1))
+              inner.remove((1L << d) | (parPrefix << 1) | 1L)
+              inner(parId) = cSum + cp
+              byLevel(d - 1) += parId
+            }
           }
         }
         d -= 1
       }
     }
+  }
+
+  /** Level of a heap node id (the index of its highest set bit). */
+  private def levelOf(id: Long): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(id)
+
+  /** (level, canonical lo, count) triples of a buffer — the serialized
+    * node form shared by eval/serialize.
+    */
+  private[functions] def triplesOf(buf: Buf): Array[(Int, Long, Long)] = {
+    val out = new Array[(Int, Long, Long)](buf.nodeCount)
+    var i = 0
+    buf.leaves.foreach { case (u, c) => out(i) = (64, u, c); i += 1 }
+    buf.inner.foreach { case (id, c) =>
+      val d = levelOf(id)
+      val prefix = id ^ (1L << d)
+      out(i) = (d, if (d == 0) 0L else prefix << (64 - d), c)
+      i += 1
+    }
+    out
   }
 
   /** Quantile in SIGNED space from the serialized sketch triples:
@@ -190,26 +240,24 @@ case class QdigestAgg(
 
   override def eval(buf: Qdigest.Buf): Any = {
     buf.compress()
-    val out = new Array[Long](2 + 3 * buf.nodes.size)
+    val triples = Qdigest.triplesOf(buf)
+      .sortBy { case (d, lo, _) => (d, lo ^ Long.MinValue) } // deterministic order
+    val out = new Array[Long](2 + 3 * triples.length)
     out(0) = buf.n
     out(1) = buf.k.toLong
     var i = 2
-    // deterministic serialization order (level, then unsigned lo)
-    buf.nodes.toArray
-      .sortBy { case ((lo, d), _) => (d, lo ^ Long.MinValue) }
-      .foreach { case ((lo, d), c) =>
-        out(i) = d.toLong; out(i + 1) = lo; out(i + 2) = c; i += 3
-      }
+    triples.foreach { case (d, lo, c) =>
+      out(i) = d.toLong; out(i + 1) = lo; out(i + 2) = c; i += 3
+    }
     new GenericArrayData(out)
   }
 
   override def serialize(buf: Qdigest.Buf): Array[Byte] = {
     buf.compress() // shuffle k-bounded partials, never raw leaves
-    val bb = ByteBuffer.allocate(8 + 4 + 4 + 17 * buf.nodes.size)
-    bb.putLong(buf.n).putInt(buf.k).putInt(buf.nodes.size)
-    buf.nodes.foreach { case ((lo, d), c) =>
-      bb.put(d.toByte).putLong(lo).putLong(c)
-    }
+    val triples = Qdigest.triplesOf(buf)
+    val bb = ByteBuffer.allocate(8 + 4 + 4 + 17 * triples.length)
+    bb.putLong(buf.n).putInt(buf.k).putInt(triples.length)
+    triples.foreach { case (d, lo, c) => bb.put(d.toByte).putLong(lo).putLong(c) }
     bb.array()
   }
 
@@ -225,7 +273,11 @@ case class QdigestAgg(
       val d = bb.get().toInt
       val lo = bb.getLong
       val c = bb.getLong
-      buf.nodes.update((lo, d), c)
+      if (d == 64) buf.leaves(lo) = buf.leaves.getOrElse(lo, 0L) + c
+      else {
+        val id = (1L << d) | (if (d == 0) 0L else lo >>> (64 - d))
+        buf.inner(id) = buf.inner.getOrElse(id, 0L) + c
+      }
       i += 1
     }
     buf
