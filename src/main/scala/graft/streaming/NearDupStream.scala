@@ -34,42 +34,32 @@ final class NearDupStream private (spark: SparkSession, indexPath: String,
                                    threshold: Double, maxBucket: Int,
                                    initialLabels: DataFrame) {
 
-  private val cc = new CcStream(initialLabels)
   // params + manifests cached across triggers (the probe fixed-floor
   // amortization): this stream is the index's single writer, so the
   // Maintainer's in-memory manifest extension stays consistent
   private val ix = new MinhashIndex.Maintainer(spark, indexPath)
+  private val core = new DupStreamCore(new CcStream(initialLabels),
+    b => ix.probeReleasable(b, idCol, textCol, threshold, maxBucket),
+    b => ix.append(b, idCol, textCol))
 
   /** Current near-dup component labeling (id, comp) — ids that never
     * paired are absent (singletons label themselves downstream).
     */
-  def labels: DataFrame = cc.labels
+  def labels: DataFrame = core.labels
 
   /** Probe → fold → append for one batch; returns the new labeling.
     * Every per-trigger checkpoint (the batch frame, the probe's batch
     * signatures + capped band keys, append's — released by append
     * itself) is freed once the fold has materialized the new labeling
     * and the append has written — a long-running stream holds ONE
-    * labels copy, nothing batch-sized (the CcStream discipline, end
-    * to end).
+    * labels copy, nothing batch-sized (the [[DupStreamCore]]
+    * lifecycle, end to end).
     */
-  def processBatch(batch: DataFrame): DataFrame = {
-    val b = batch.localCheckpoint() // probe and append must see ONE batch
-    val (pairs, internals) = ix.probeReleasable(
-      b, idCol, textCol, threshold, maxBucket)
-    val next = cc.fold(pairs.select(col("id_a"), col("id_b")))
-    ix.append(b, idCol, textCol)
-    (internals :+ b).foreach(org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
-    next
-  }
+  def processBatch(batch: DataFrame): DataFrame = core.processBatch(batch)
 
   /** Attach to a stream of documents (idCol, textCol, ...). */
   def start(docs: DataFrame, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch); () }
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .start()
+    core.start(docs, checkpoint)
 }
 
 object NearDupStream {

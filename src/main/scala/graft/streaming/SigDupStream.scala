@@ -34,39 +34,27 @@ final class SigDupStream private (spark: SparkSession, indexPath: String,
                                   maxDist: Int, maxBucket: Int,
                                   initialLabels: DataFrame) {
 
-  private val cc = new CcStream(initialLabels)
   // params + manifests cached across triggers; this stream is the
   // index's single writer, so the Maintainer's in-memory manifest
   // extension stays consistent
   private val ix = new HammingIndex.Maintainer(spark, indexPath)
+  private val core = new DupStreamCore(new CcStream(initialLabels),
+    b => ix.probeReleasable(b, idCol, hashCol, maxDist, maxBucket),
+    b => ix.append(b, idCol, hashCol))
 
   /** Current near-dup component labeling (id, comp) — ids that never
     * paired are absent (singletons label themselves downstream).
     */
-  def labels: DataFrame = cc.labels
+  def labels: DataFrame = core.labels
 
-  /** Probe → fold → append for one batch; returns the new labeling.
-    * Every per-trigger checkpoint is freed once the fold has
-    * materialized the new labeling and the append has written — a
-    * long-running stream holds ONE labels copy, nothing batch-sized.
+  /** Probe → fold → append for one batch; returns the new labeling —
+    * the [[DupStreamCore]] lifecycle and release discipline.
     */
-  def processBatch(batch: DataFrame): DataFrame = {
-    val b = batch.localCheckpoint() // probe and append must see ONE batch
-    val (pairs, internals) = ix.probeReleasable(
-      b, idCol, hashCol, maxDist, maxBucket)
-    val next = cc.fold(pairs.select(col("id_a"), col("id_b")))
-    ix.append(b, idCol, hashCol)
-    (internals :+ b).foreach(org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
-    next
-  }
+  def processBatch(batch: DataFrame): DataFrame = core.processBatch(batch)
 
   /** Attach to a stream of signature rows (idCol, hashCol, ...). */
   def start(sigs: DataFrame, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    sigs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch); () }
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .start()
+    core.start(sigs, checkpoint)
 }
 
 object SigDupStream {

@@ -28,7 +28,12 @@ class SigDupStreamSpec extends AnyFunSuite with SparkTestSession with Matchers {
     val spark0 = spark
     import spark0.implicits._
     // planted exact copies across the trigger boundary so the
-    // cross-generation assertion never rides on simhash luck
+    // cross-generation assertion never rides on simhash luck. NB the
+    // planted ids (900000 + an %4==2 original) are THEMSELVES ≡ 2
+    // mod 4, so `hist` must exclude them explicitly — otherwise they
+    // sit in the history index AND in trigger 1 (violating the
+    // unique-ids contract) and the cross-generation assertion is
+    // vacuous (initialLabels would already hold the planted pairs).
     val base = Tables.documents(spark, sfDir)
       .select(col("doc_id"), Dedup.simhash64("text").as("sig"))
     val planted = Tables.documents(spark, sfDir)
@@ -36,7 +41,9 @@ class SigDupStreamSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .select((col("doc_id") + 900000L).as("doc_id"), Dedup.simhash64("text").as("sig"))
     val sigs = base.unionByName(planted).localCheckpoint()
 
-    val hist = sigs.filter(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3)
+    val hist = sigs.filter(
+      (col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3) &&
+        col("doc_id") < 900000L)
     val t1 = sigs.filter(col("doc_id") % 4 === 1 || col("doc_id") >= 900000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val t2 = sigs.filter(col("doc_id") % 4 === 0 && col("doc_id") < 900000L)
