@@ -1768,6 +1768,10 @@ object Projections {
     3347 -> ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=63.390675 " +
       "+lon_0=-91.86666666666666 +x_0=6200000 +y_0=3000000 " +
       "+ellps=GRS80 +towgs84=0,0,0"), // Statistics Canada Lambert
+    3978 -> ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 " +
+      "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // NAD83 / Canada Atlas Lambert
+    6622 -> ("+proj=lcc +lat_1=60 +lat_2=46 +lat_0=44 +lon_0=-68.5 " +
+      "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // NAD83(CSRS) / Quebec Lambert
     5243 -> ("+proj=lcc +lat_1=48.66666666666666 +lat_2=53.66666666666666 " +
       "+lat_0=51 +lon_0=10.5 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // ETRS89 LCC Germany
     31370 -> ("+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 " +
@@ -1776,6 +1780,8 @@ object Projections {
       "+towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747"), // Belgian Lambert 72
     // azimuthal / equal-area / world grids
     3575 -> "+proj=laea +lat_0=90 +lon_0=10 +x_0=0 +y_0=0 +ellps=WGS84", // North Pole LAEA Europe
+    3573 -> "+proj=laea +lat_0=90 +lon_0=-100 +x_0=0 +y_0=0 +ellps=WGS84", // North Pole LAEA Canada
+    3574 -> "+proj=laea +lat_0=90 +lon_0=-40 +x_0=0 +y_0=0 +ellps=WGS84", // North Pole LAEA Atlantic
     6931 -> "+proj=laea +lat_0=90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  // EASE-Grid 2.0 North
     6932 -> "+proj=laea +lat_0=-90 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84", // EASE-Grid 2.0 South
     6933 -> "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +ellps=WGS84",  // EASE-Grid 2.0 Global
@@ -1785,6 +1791,8 @@ object Projections {
       "+x_0=0 +y_0=0 +ellps=WGS84"), // Arctic Polar Stereographic
     3577 -> ("+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132 " +
       "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // GDA94 Australian Albers
+    3310 -> ("+proj=aea +lat_1=34 +lat_2=40.5 +lat_0=0 +lon_0=-120 " +
+      "+x_0=0 +y_0=-4000000 +ellps=GRS80 +towgs84=0,0,0"), // NAD83 / California Albers
     3395 -> "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +ellps=WGS84", // World Mercator
     4087 -> ("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 " +
       "+x_0=0 +y_0=0 +ellps=WGS84"), // World Equidistant Cylindrical

@@ -143,6 +143,8 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       5243 -> (10.0, 51.0), 31370 -> (4.5, 50.8), 3575 -> (20.0, 70.0),
       6931 -> (0.0, 75.0), 6932 -> (0.0, -75.0), 6933 -> (10.0, 40.0),
       3976 -> (0.0, -75.0), 3995 -> (30.0, 75.0), 3577 -> (134.0, -25.0),
+      3310 -> (-120.5, 37.0), 3978 -> (-95.5, 55.0), 6622 -> (-70.0, 50.0),
+      3573 -> (-100.0, 70.0), 3574 -> (-40.0, 70.0),
       3395 -> (10.0, 40.0), 4087 -> (10.0, 40.0), 4258 -> (10.0, 50.0),
       4269 -> (-95.0, 45.0), 4267 -> (-95.0, 45.0), 4277 -> (-1.5, 52.0),
       2229 -> (-118.5, 34.5), 2263 -> (-73.5, 40.8), 2277 -> (-98.0, 30.5),
@@ -173,6 +175,16 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     val (eAr, nAr) = Projections.parseCrs("EPSG:3995").fromGeo(0.0, 90.0)
     eAr shouldBe 0.0 +- 1e-6 // the pole maps to the origin
     nAr shouldBe 0.0 +- 1e-6
+    // r11 additions: grid-origin identities from the published defs
+    val (eCal, nCal) = Projections.parseCrs("EPSG:3310").fromGeo(-120.0, 0.0)
+    eCal shouldBe 0.0 +- 1e-4 // CA Albers: λ₀ at φ₀ = (0, FN)
+    nCal shouldBe -4000000.0 +- 1e-4
+    val (eCan, nCan) = Projections.parseCrs("EPSG:3978").fromGeo(-95.0, 49.0)
+    eCan shouldBe 0.0 +- 1e-4 // Canada Atlas Lambert origin
+    nCan shouldBe 0.0 +- 1e-4
+    val (eLaea, nLaea) = Projections.parseCrs("EPSG:3573").fromGeo(-100.0, 90.0)
+    eLaea shouldBe 0.0 +- 1e-6 // Arctic LAEA Canada: the pole is the origin
+    nLaea shouldBe 0.0 +- 1e-6
     // ftUS zones (r11): the grid origin maps to the false origin
     // expressed in US survey feet — meter false origin / (1200/3937)
     val usFt = 1200.0 / 3937.0
