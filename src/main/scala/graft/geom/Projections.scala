@@ -1771,7 +1771,9 @@ object Projections {
     3978 -> ("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 +lon_0=-95 " +
       "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // NAD83 / Canada Atlas Lambert
     6622 -> ("+proj=lcc +lat_1=60 +lat_2=46 +lat_0=44 +lon_0=-68.5 " +
-      "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // NAD83(CSRS) / Quebec Lambert
+      "+x_0=800000 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // NAD83(CSRS) / Quebec Lambert (FE 800 km, conversion 19944)
+    32198 -> ("+proj=lcc +lat_1=60 +lat_2=46 +lat_0=44 +lon_0=-68.5 " +
+      "+x_0=800000 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // NAD83 / Quebec Lambert (same conversion 19944)
     5243 -> ("+proj=lcc +lat_1=48.66666666666666 +lat_2=53.66666666666666 " +
       "+lat_0=51 +lon_0=10.5 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // ETRS89 LCC Germany
     31370 -> ("+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 " +

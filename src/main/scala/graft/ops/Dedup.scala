@@ -392,14 +392,31 @@ object Dedup {
       explode(array_distinct(graft.functions.FunctionDefs.call(
         "delete_variant_hashes", col("__s"), lit(maxDist)))).as("__sig"))
     val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
-    // the signature aggregate sees len²/2 × strings rows, nearly all
-    // singleton groups — size its partitioning to the POSTING count,
-    // not the session default (38M rows into 32 partitions spills every
-    // hash map; 8× partitions measured 71 → 29 s at sf1). AQE can
-    // coalesce small post-shuffle partitions but never split a
-    // pre-aggregation map that is already too big.
-    val sigParts = math.max(
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt * 8, 64)
+    // the signature aggregate sees ~len²/2 × strings rows, nearly all
+    // singleton groups — size its partitioning to the MEASURED posting
+    // count, not the session default (38M rows into 32 partitions
+    // spills every hash map; 256 partitions measured 71 → 29 s at sf1).
+    // r12: the former 8×-session-default heuristic kept per-partition
+    // maps ~150k rows only by luck of the sf; a closed-form posting
+    // estimate over the already-materialized `groups` frame — each
+    // distinct string emits ≤ 1 + L + L(L−1)/2 signatures for k=2 —
+    // costs one tiny job and keeps the maps at ~128k rows per
+    // partition at EVERY corpus size, so host memory pressure cannot
+    // turn the aggregation into a spill storm (the r11 driver-sweep
+    // divergence class). AQE can coalesce small post-shuffle
+    // partitions but never split a pre-aggregation map that is
+    // already too big.
+    val postEst = groups.select(sum(
+      if (maxDist >= 2)
+        lit(1L) + length(col("__s")) +
+          length(col("__s")).cast("long") * (length(col("__s")) - 1) / 2
+      else lit(1L) + length(col("__s")).cast("long")).as("p"))
+      .head.getAs[Any]("p") match {
+        case null      => 0L
+        case n: Number => n.longValue()
+      }
+    val floor = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sigParts = math.min(4096, math.max(floor, (postEst / 128000L).toInt + 1))
     val gidPairs = posts.repartition(sigParts, col("__sig")).groupBy("__sig")
       .agg(collect_list(col("__gid")).as("__m"))
       .filter(size(col("__m")) >= 2 && size(col("__m")) <= cap)

@@ -531,7 +531,16 @@ object Text {
     // over the gram's rows — as a WINDOW over __g, so dup detection and
     // dup-row routing ride ONE shuffle of the gram rows (r11: the
     // previous shape paid the gram explode twice — once into the
-    // countDistinct DF aggregate, once into the semi-join probing it)
+    // countDistinct DF aggregate, once into the semi-join probing it).
+    // SKEW CAVEAT (r11 advice): the window has no map-side reduction,
+    // so a single heavy-hitter gram (boilerplate shared by millions of
+    // docs) lands every occurrence in ONE task. Bounded in practice:
+    // the hot key's rows are (id, src, pos, g) — 32 bytes each — and
+    // min/max windows stream without buffering the frame; if a corpus
+    // ever produces a gram hot enough to matter, pre-aggregate to
+    // (__g, __id) granularity first (restores partial aggregation at
+    // the cost of a second shuffle) — the dd_spans aggregate+semi-join
+    // shape, which this one-shuffle form beat 1.9× on real data.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
     val dupRows = grams
       .withColumn("__mn", min(col("__id")).over(w))
@@ -566,6 +575,80 @@ object Text {
         (round(coalesce(col("n_covered"), lit(0L)) / col("n_words"), 6) + lit(0.0))
           .as("coverage"))
       .orderBy("source")
+  }
+
+  /** Duplicate-span REMOVAL — the substring-level dedup curation step
+    * (Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better": EXCISE duplicated passages instead of dropping
+    * whole documents): every word position covered by a word n-gram
+    * that also appears in ≥ 2 DISTINCT documents is removed, and the
+    * document is rewritten from the surviving words. Within-doc
+    * repeats survive (a gram repeated only inside one document is not
+    * corpus duplication); overlapping and adjacent covered intervals
+    * union before excision; documents shorter than n words are
+    * untouched.
+    *
+    * Shape: the [[spanCoverage]] one-pass machinery verbatim — gram
+    * occurrences explode ONCE with start positions under 64-bit
+    * xxhash64 keys, the cross-doc decision is the same min≠max window
+    * riding the single gram shuffle, and each doc's duplicated start
+    * positions collect (bounded by doc length, the chunking bound)
+    * into a sorted array. The rewrite itself is scan-side codegen:
+    * a fold merges the sorted starts into disjoint [s, e) intervals
+    * and a positional filter drops covered words — never a per-word
+    * shuffle row, so the only corpus-sized exchange is the gram
+    * routing shuffle spanCoverage already pays. The string-keyed
+    * oracle replays gram DF, covered-position union and the rewritten
+    * text verbatim in SQL.
+    *
+    * Output: (idCol, n_words, n_removed, removed_frac, text_scrubbed).
+    */
+  def scrubSpans(df: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame = {
+    require(n >= 2, "scrubSpans: n must be >= 2")
+    val words = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+    val grams = words.select(col("__id"),
+      posexplode(expr(
+        s"CASE WHEN size(__ws) >= $n THEN transform(sequence(0, size(__ws) - $n), " +
+          s"i -> xxhash64(slice(__ws, i + 1, $n))) " +
+          "ELSE CAST(array() AS array<bigint>) END")).as(Seq("__pos", "__g")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+    // cross-doc duplicated gram starts per doc (see spanCoverage for
+    // the window-over-gram rationale and the heavy-hitter caveat)
+    val dupStarts = grams
+      .withColumn("__mn", min(col("__id")).over(w))
+      .withColumn("__mx", max(col("__id")).over(w))
+      .filter(col("__mn") =!= col("__mx"))
+      .groupBy("__id")
+      .agg(array_sort(collect_list(col("__pos"))).as("__ps"))
+    // sorted starts → disjoint merged intervals [s, e); then keep word
+    // i iff no interval covers it. Both steps are whole-stage-codegen
+    // higher-order functions over per-doc arrays — O(doc length ×
+    // merged intervals), no extra exchange.
+    words.join(dupStarts, Seq("__id"), "left")
+      .withColumn("__iv", expr(
+        s"""CASE WHEN __ps IS NULL THEN CAST(array() AS array<struct<s:bigint,e:bigint>>)
+           |ELSE aggregate(__ps,
+           |  named_struct('ivs', CAST(array() AS array<struct<s:bigint,e:bigint>>),
+           |               's', CAST(-1 AS BIGINT), 'e', CAST(-1 AS BIGINT)),
+           |  (acc, p) -> IF(p <= acc.e,
+           |    named_struct('ivs', acc.ivs, 's', acc.s, 'e', CAST(p + $n AS BIGINT)),
+           |    named_struct('ivs', IF(acc.s < 0, acc.ivs,
+           |        array_append(acc.ivs, named_struct('s', acc.s, 'e', acc.e))),
+           |      's', CAST(p AS BIGINT), 'e', CAST(p + $n AS BIGINT))),
+           |  acc -> IF(acc.s < 0, acc.ivs,
+           |    array_append(acc.ivs, named_struct('s', acc.s, 'e', acc.e))))
+           |END""".stripMargin))
+      .withColumn("__kept", expr(
+        "filter(__ws, (w, i) -> NOT exists(__iv, v -> i >= v.s AND i < v.e))"))
+      .select(col("__id").as(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"),
+        (round((size(col("__ws")) - size(col("__kept"))) / size(col("__ws")), 6) + lit(0.0))
+          .as("removed_frac"),
+        array_join(col("__kept"), " ").as("text_scrubbed"))
   }
 
   /** Domain-blocklist filter — the crawl-curation front-door step

@@ -1966,6 +1966,7 @@ object Pipeline {
     "mm_phash" -> mmPhash _,
     "tx_pmi" -> txPmi _,
     "dd_span_coverage" -> ddSpanCoverage _,
+    "dd_span_scrub" -> ddSpanScrub _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "q_joinest" -> qJoinest _,
     "tx_blocklist" -> txBlocklist _,
@@ -2011,6 +2012,17 @@ object Pipeline {
   def ddSpanCoverage(s: SparkSession, dir: String): DataFrame =
     graft.ops.Text.spanCoverage(Tables.documents(s, dir),
       "doc_id", "text", "source", n = 5)
+
+  /** Duplicate-span REMOVAL ([[graft.ops.Text.scrubSpans]]): excise
+    * every word position covered by an 8-gram shared by ≥2 distinct
+    * documents and rewrite the text from the survivors — the Lee et
+    * al. 2022 substring-dedup curation step, dd_span_coverage's
+    * measurement turned into the rewrite. The string-keyed oracle
+    * replays gram DF, covered-position union and the rebuilt text.
+    */
+  def ddSpanScrub(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.scrubSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
 
   /** PMI collocations ([[graft.ops.Text.pmiCollocations]]): top-20
     * adjacent word pairs by pointwise mutual information, min count 10
@@ -3417,6 +3429,33 @@ object Pipeline {
         |  coalesce(covs.n_covered, 0)::BIGINT AS n_covered,
         |  round(coalesce(covs.n_covered, 0) / tot.n_words, 6) AS coverage
         |FROM tot LEFT JOIN covs USING (source) ORDER BY tot.source""".stripMargin,
+    // 8-word spans shared by >=2 distinct docs; covered positions
+    // union per doc (1-based here, 0-based in Spark — same set), then
+    // the text rebuilds from the surviving words
+    "dd_span_scrub" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, unnest(
+        |        CASE WHEN len(w) >= 8
+        |             THEN [{'p': i, 'g': array_to_string(list_slice(w, i, i + 7), ' ')}
+        |                   for i in range(1, len(w) - 6)]
+        |             ELSE [] END) AS u
+        |      FROM d),
+        |o AS (SELECT doc_id, u.p AS p, u.g AS g FROM g),
+        |dup AS (SELECT g FROM o GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS cp
+        |        FROM o JOIN dup USING (g)),
+        |cl AS (SELECT doc_id, list(cp) AS cps FROM cov GROUP BY doc_id),
+        |r AS (SELECT d.doc_id, len(d.w) AS n_words,
+        |        CASE WHEN cl.cps IS NULL THEN d.w
+        |             ELSE [d.w[i] for i in range(1, len(d.w) + 1)
+        |                   if NOT list_contains(cl.cps, i)] END AS kept
+        |      FROM d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, n_words::BIGINT AS n_words,
+        |  (n_words - len(kept))::BIGINT AS n_removed,
+        |  round((n_words - len(kept)) / n_words, 6) AS removed_frac,
+        |  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed
+        |FROM r ORDER BY doc_id""".stripMargin,
     "tx_bm25" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
         |dl AS (SELECT id, len(toks) AS dl FROM d),

@@ -335,12 +335,17 @@ object Relational {
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
         (col("l_extendedprice") * 100).cast("long").as("__cents"))
+    // localCheckpoint: `sk` feeds BOTH the ranks probe and the final
+    // join — without it the full-lineitem sketch aggregation runs twice
+    // (three lineitem scans total); the frame is |groups| rows, so
+    // materializing it is free
     val sk = li.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         FunctionDefs.callAgg("qdigest_agg", col("__cents"), lit(4096)).as("__sk"))
       .select(col("l_returnflag"), col("n"),
         expr("qdigest_quantile(__sk, 0.5d)").as("__e50"),
         expr("qdigest_quantile(__sk, 0.95d)").as("__e95"))
+      .localCheckpoint()
     // true ranks of the two estimates in one broadcast-probe pass —
     // the fact side never shuffles (the estimate table is |groups| rows)
     val ranks = li.join(broadcast(sk.select("l_returnflag", "__e50", "__e95")), "l_returnflag")

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   *    row per piece, never a million.
   *  - `probe` chunks the BATCH's hashes in flight (the shared
   *    [[Dedup.hammingChunks]] expression), prunes posting files through
-  *    the manifest (broadcast range-join of batch chunk keys × file
-  *    ranges), equi-joins postings against the broadcast batch keys,
+  *    the manifest (batch chunk keys collected once — broadcast-sized
+  *    by contract — and filtered against the manifest rows
+  *    driver-side, [[StatsManifest.pruneLocal]]), equi-joins postings
+  *    against the broadcast batch keys,
   *    verifies candidates with the exact popcount — the hash rides the
   *    posting row, so unlike [[MinhashIndex]] there is NO second fetch
   *    before verification — and only VERIFIED hash pairs expand to id
@@ -209,20 +211,24 @@ object HammingIndex {
     val p = readParams(s, path)
     probeCore(s, path, batch, idCol, hashCol, maxDist, maxBucket,
       p.getInt(0), p.getLong(1),
-      StatsManifest.manifest(s, s"$path/postings"),
-      StatsManifest.manifest(s, s"$path/docs"))
+      StatsManifest.manifest(s, s"$path/postings").collect().toIndexedSeq,
+      StatsManifest.manifest(s, s"$path/docs").collect().toIndexedSeq)
   }
 
-  /** The probe body with params + manifest frames supplied by the
-    * caller ([[probeReleasable]] reads them fresh; [[Maintainer]]
-    * serves them from its cache).
+  /** The probe body with params + manifest ROWS supplied by the caller
+    * ([[probeReleasable]] collects them fresh — file-count-sized
+    * driver metadata; [[Maintainer]] serves them from its cache).
+    * File pruning over the rows is pure driver Scala
+    * ([[StatsManifest.pruneLocal]]) — the r12 probe-floor fix: the two
+    * former broadcast-range-join pruning jobs reduce to one small
+    * collect of the batch's distinct chunk keys plus local filtering.
     */
   private def probeCore(s: SparkSession, path: String,
                         batch: DataFrame, idCol: String, hashCol: String,
                         maxDist: Int, maxBucket: Int,
                         pieces: Int, nHashes: Long,
-                        postMan: DataFrame,
-                        docMan: DataFrame): (DataFrame, Seq[DataFrame]) = {
+                        postRows: Seq[Row],
+                        docRows: Seq[Row]): (DataFrame, Seq[DataFrame]) = {
     require(maxDist >= 0 && maxDist < pieces,
       "pigeonhole banding needs maxDist < pieces")
     val width = 64 / pieces
@@ -238,16 +244,17 @@ object HammingIndex {
     val bkeys = chunkKeys(bh, pieces)
       .select(col("key"), col("__h").as("__bh"))
 
-    // manifest pruning: posting files whose key range a batch chunk key
-    // hits — file ranges broadcast, batch keys stay distributed, only
-    // the surviving FILE LIST is collected
-    val files = bkeys.select("key").distinct()
-      .join(broadcast(postMan),
-        col("key") >= col("lo") && col("key") <= col("hi"))
-      .select("file").distinct().collect().map(_.getString(0))
+    // manifest pruning, driver-side: the batch's distinct chunk keys
+    // are by contract broadcast-sized (they broadcast into the
+    // candidate join below), so collecting them once and filtering the
+    // cached manifest rows locally costs one batch-sized job + driver
+    // arithmetic — no manifest join job
+    val keyArr = bkeys.select("key").distinct().collect()
+      .map(_.getAs[Number](0).longValue())
+    val files = StatsManifest.pruneLocal(postRows, keyArr)
     val posts =
       if (files.isEmpty) s.read.parquet(s"$path/postings").filter(lit(false))
-      else s.read.parquet(files.toIndexedSeq: _*)
+      else s.read.parquet(files: _*)
 
     // hot-key guard over the pruned postings: a probed chunk key whose
     // HISTORY distinct-hash fan-out exceeds the cap is the
@@ -282,14 +289,18 @@ object HammingIndex {
     // hash set's ranges, drop tombstoned ids, join hash → history ids,
     // then batch ids re-attach by hash (each id carries ONE hash).
     // The distinct absorbs doc-row duplicates from replayed appends.
-    val pairsH = banded.unionByName(direct)
-    val hset = pairsH.select(col("__h")).distinct()
-    val dfiles = hset
-      .join(broadcast(docMan), col("__h") >= col("lo") && col("__h") <= col("hi"))
-      .select("file").distinct().collect().map(_.getString(0))
+    // The verified pairs checkpoint ONCE (output-sized): the docs-file
+    // pruning needs them collected anyway, and the id expansion reuses
+    // the materialized rows instead of re-running the whole
+    // candidate+verify pipeline a second time (the r11 eager-dfiles
+    // double-compute).
+    val pairsH = banded.unionByName(direct).localCheckpoint()
+    val hArr = pairsH.select(col("__h")).distinct().collect()
+      .map(_.getAs[Number](0).longValue())
+    val dfiles = StatsManifest.pruneLocal(docRows, hArr)
     val docsP = withoutTombstones(s, path,
       if (dfiles.isEmpty) s.read.parquet(s"$path/docs").filter(lit(false))
-      else s.read.parquet(dfiles.toIndexedSeq: _*))
+      else s.read.parquet(dfiles: _*))
     val cross = docsP
       .join(pairsH, col("h") === col("__h"))
       .join(broadcast(b), "__bh")
@@ -302,14 +313,14 @@ object HammingIndex {
     // same cap regime
     val (within, withinInternals) = Dedup.hammingPairsReleasable(
       b, "__bid", "__bh", maxDist, pieces, maxBucket = cap)
-    (cross.unionByName(within), b +: withinInternals)
+    (cross.unionByName(within), Seq(b, pairsH) ++ withinInternals)
   }
 
   /** Amortizing handle for repeated probe/append cycles against ONE
     * index — [[MinhashIndex.Maintainer]]'s contract for the signature
     * family: params and both file manifests are read once at
-    * construction, served from memory on every probe (a LocalRelation
-    * behind the broadcast pruning joins — zero per-probe metadata
+    * construction, served from memory on every probe (file pruning is
+    * pure driver Scala over the cached rows — zero per-probe metadata
     * jobs), and extended IN MEMORY by each append from the delta stats
     * [[StatsManifest.append]] already collected. Single-writer: an
     * external append invalidates the cache (probes would miss the new
@@ -319,18 +330,10 @@ object HammingIndex {
     private val p = readParams(s, path)
     private val pieces = p.getInt(0)
     private var nHashes = p.getLong(1)
-    private val postSchema = StatsManifest.manifest(s, s"$path/postings").schema
-    private val docSchema = StatsManifest.manifest(s, s"$path/docs").schema
     private val postRows = scala.collection.mutable.ArrayBuffer[Row](
       StatsManifest.manifest(s, s"$path/postings").collect().toIndexedSeq: _*)
     private val docRows = scala.collection.mutable.ArrayBuffer[Row](
       StatsManifest.manifest(s, s"$path/docs").collect().toIndexedSeq: _*)
-
-    private def local(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType) =
-      s.createDataFrame(
-        new java.util.ArrayList(
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        schema)
 
     def probe(batch: DataFrame, idCol: String, hashCol: String,
               maxDist: Int, maxBucket: Int = 0): DataFrame =
@@ -340,8 +343,7 @@ object HammingIndex {
                         maxDist: Int,
                         maxBucket: Int = 0): (DataFrame, Seq[DataFrame]) =
       probeCore(s, path, batch, idCol, hashCol, maxDist, maxBucket,
-        pieces, nHashes,
-        local(postRows.toSeq, postSchema), local(docRows.toSeq, docSchema))
+        pieces, nHashes, postRows.toSeq, docRows.toSeq)
 
     def append(batch: DataFrame, idCol: String, hashCol: String): Unit = {
       val (dRows, pRows, n) =

@@ -21,15 +21,17 @@ import org.apache.spark.sql.functions._
   *    parameters alongside (probes must replay the identical
   *    expressions — enforced, not assumed: `probe` reads them back).
   *  - `probe` computes the BATCH's signatures in flight, prunes
-  *    posting files through the manifest (a broadcast range-join of
-  *    batch keys × file ranges — the file list is collected, the keys
-  *    never are), equi-joins postings against the broadcast batch
-  *    keys, fetches history shingles for the CANDIDATE ids only
-  *    (docs-manifest pruning again), verifies with the exact Jaccard,
-  *    and unions the batch-internal [[Dedup.minhashLsh]] pairs. Probe
-  *    cost therefore tracks batch size and candidate count — the
-  *    history contributes posting-file reads only, and only for files
-  *    whose key range a batch key actually hits.
+  *    posting files through the manifest (the batch's distinct band
+  *    keys — broadcast-sized by contract — collect once and filter
+  *    the manifest rows driver-side, [[StatsManifest.pruneLocal]]),
+  *    equi-joins postings against the broadcast batch keys, fetches
+  *    history shingles for the CANDIDATE ids only (docs-manifest
+  *    pruning again, driver-side over the checkpointed candidates),
+  *    verifies with the exact Jaccard, and unions the batch-internal
+  *    [[Dedup.minhashLsh]] pairs. Probe cost therefore tracks batch
+  *    size and candidate count — the history contributes posting-file
+  *    reads only, and only for files whose key range a batch key
+  *    actually hits.
   *
   * Output contract = [[Dedup.minhashLsh]] over (history ∪ batch)
   * RESTRICTED to pairs touching the batch (id_a < id_b, exact
@@ -250,20 +252,22 @@ object MinhashIndex {
     val p = readParams(s, path)
     probeCore(s, path, batch, idCol, textCol, threshold, maxBucket,
       p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3), p.getLong(4),
-      StatsManifest.manifest(s, s"$path/postings"),
-      StatsManifest.manifest(s, s"$path/docs"))
+      StatsManifest.manifest(s, s"$path/postings").collect().toIndexedSeq,
+      StatsManifest.manifest(s, s"$path/docs").collect().toIndexedSeq)
   }
 
-  /** The probe body with params + manifest frames supplied by the
-    * caller ([[probeReleasable]] reads them fresh; [[Maintainer]]
-    * serves them from its cache).
+  /** The probe body with params + manifest ROWS supplied by the caller
+    * ([[probeReleasable]] collects them fresh — file-count-sized
+    * driver metadata; [[Maintainer]] serves them from its cache). File
+    * pruning over the rows is pure driver Scala
+    * ([[StatsManifest.pruneLocal]]) — the r12 probe-floor fix.
     */
   private def probeCore(s: SparkSession, path: String,
                         batch: DataFrame, idCol: String, textCol: String,
                         threshold: Double, maxBucket: Int,
                         k: Int, numPerm: Int, bands: Int, seed: Long,
-                        nDocs: Long, postMan: DataFrame,
-                        docMan: DataFrame): (DataFrame, Seq[DataFrame]) = {
+                        nDocs: Long, postRows: Seq[Row],
+                        docRows: Seq[Row]): (DataFrame, Seq[DataFrame]) = {
     val cap =
       if (maxBucket == 0) Dedup.defaultMaxBucket(nDocs) else maxBucket
 
@@ -275,18 +279,20 @@ object MinhashIndex {
       .select(combinedKey(col("__band"), col("__bkey")).as("key"),
         col("__bid"))
 
-    // manifest pruning: which posting files can contain ANY batch key —
-    // file ranges broadcast (file-count-sized), batch keys stay
-    // distributed, only the surviving FILE LIST is collected
-    val files = bkeys.select("key").distinct()
-      .join(broadcast(postMan), col("key") >= col("lo") && col("key") <= col("hi"))
-      .select("file").distinct().collect().map(_.getString(0))
+    // manifest pruning, driver-side: the batch's distinct band keys are
+    // by contract broadcast-sized (they broadcast into the candidate
+    // join below), so collecting them once and filtering the cached
+    // manifest rows locally costs one batch-sized job + driver
+    // arithmetic — no manifest join job
+    val keyArr = bkeys.select("key").distinct().collect()
+      .map(_.getAs[Number](0).longValue())
+    val files = StatsManifest.pruneLocal(postRows, keyArr)
     // tombstoned history ids drop from the posting stream before the
     // guard count and the candidate join — a deleted doc stops pairing
     // immediately, and hot-key occupancy reflects the LIVE history
     val posts = withoutTombstones(s, path,
       if (files.isEmpty) s.read.parquet(s"$path/postings").filter(lit(false))
-      else s.read.parquet(files.toIndexedSeq: _*))
+      else s.read.parquet(files: _*))
 
     // hot-key guard: a probed key whose HISTORY fan-out exceeds the cap
     // is a boilerplate band (the minhashLsh maxBucket rationale — the
@@ -304,19 +310,25 @@ object MinhashIndex {
     // candidates: history ids colliding with a batch id in ≥ 1 band.
     // The batch side broadcasts (a day's keys vs the history's): the
     // posting scan is probed map-side, never shuffled.
+    // candidates checkpoint ONCE (cap-bounded output size): the
+    // docs-file pruning below needs their ids collected anyway, and
+    // the verify join reuses the materialized rows instead of
+    // re-running the posting scan + candidate join a second time (the
+    // r11 eager-dfiles double-compute)
     val cands = guarded.join(broadcast(bkeys), "key")
       .filter(col("id") =!= col("__bid"))
       .select(col("id").as("__hid"), col("__bid")).distinct()
+      .localCheckpoint()
 
     // history shingles for candidate ids only: docs-manifest pruning on
-    // the id ranges, then a semi-join pins exact membership
+    // the id ranges (driver-side over the cached rows), then a
+    // semi-join pins exact membership
     val candIds = cands.select(col("__hid").as("id")).distinct()
-    val dfiles = candIds
-      .join(broadcast(docMan), col("id") >= col("lo") && col("id") <= col("hi"))
-      .select("file").distinct().collect().map(_.getString(0))
+    val idArr = candIds.collect().map(_.getAs[Number](0).longValue())
+    val dfiles = StatsManifest.pruneLocal(docRows, idArr)
     val histSh =
       (if (dfiles.isEmpty) s.read.parquet(s"$path/docs").filter(lit(false))
-       else s.read.parquet(dfiles.toIndexedSeq: _*))
+       else s.read.parquet(dfiles: _*))
         .join(candIds, Seq("id"), "left_semi")
 
     val crossPairs = cands
@@ -335,19 +347,19 @@ object MinhashIndex {
     val (within, withinInternals) = Dedup.minhashLshReleasable(
       batch, idCol, textCol, k = k, numPerm = numPerm, bands = bands,
       threshold = threshold, seed = seed, maxBucket = cap)
-    (crossPairs.unionByName(within), bsig +: withinInternals)
+    (crossPairs.unionByName(within), Seq(bsig, cands) ++ withinInternals)
   }
 
   /** Amortizing handle for repeated probe/append cycles against ONE
     * index — the streaming-maintenance shape
     * ([[graft.streaming.NearDupStream]]): the banding params and both
     * file manifests are read once at construction, served from memory
-    * on every probe (a LocalRelation behind the broadcast pruning
-    * joins — zero per-probe metadata jobs), and extended IN MEMORY by
+    * on every probe (file pruning is pure driver Scala over the cached
+    * rows — zero per-probe metadata jobs), and extended IN MEMORY by
     * each append from the delta stats [[StatsManifest.append]] already
     * collected. Cuts the per-probe fixed floor from ~3 s (params read
-    * + two manifest reads + their job launches) to the pruning
-    * collects alone (LshIndexBench's 50-doc row measures it).
+    * + two manifest reads + their job launches) to the batch-key
+    * collect alone (LshIndexBench's 50-doc row measures it).
     *
     * Single-writer contract (the [[VersionedDir]] one, sharpened): the
     * cache assumes THIS handle performs every append — an external
@@ -359,18 +371,10 @@ object MinhashIndex {
     private val (k, numPerm, bands, seed) =
       (p.getInt(0), p.getInt(1), p.getInt(2), p.getLong(3))
     private var nDocs = p.getLong(4)
-    private val postSchema = StatsManifest.manifest(s, s"$path/postings").schema
-    private val docSchema = StatsManifest.manifest(s, s"$path/docs").schema
     private val postRows = scala.collection.mutable.ArrayBuffer[Row](
       StatsManifest.manifest(s, s"$path/postings").collect().toIndexedSeq: _*)
     private val docRows = scala.collection.mutable.ArrayBuffer[Row](
       StatsManifest.manifest(s, s"$path/docs").collect().toIndexedSeq: _*)
-
-    private def local(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType) =
-      s.createDataFrame(
-        new java.util.ArrayList(
-          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-        schema)
 
     def probe(batch: DataFrame, idCol: String, textCol: String,
               threshold: Double = 0.8, maxBucket: Int = 0): DataFrame =
@@ -380,8 +384,7 @@ object MinhashIndex {
                         threshold: Double = 0.8,
                         maxBucket: Int = 0): (DataFrame, Seq[DataFrame]) =
       probeCore(s, path, batch, idCol, textCol, threshold, maxBucket,
-        k, numPerm, bands, seed, nDocs,
-        local(postRows.toSeq, postSchema), local(docRows.toSeq, docSchema))
+        k, numPerm, bands, seed, nDocs, postRows.toSeq, docRows.toSeq)
 
     def append(batch: DataFrame, idCol: String, textCol: String): Unit = {
       val (dRows, pRows, n) =

@@ -111,6 +111,31 @@ object StatsManifest {
       .filter(col("hi") >= from && col("lo") <= to)
       .select("file").collect().map(_.getString(0))
 
+  /** Point-set pruning over ALREADY-COLLECTED manifest rows (the index
+    * Maintainers' driver-cache shape, r12): which files' [lo, hi]
+    * contain at least one of `keys`. Pure local Scala — ZERO Spark
+    * jobs, O(files × log keys) binary searches — replacing the
+    * per-probe broadcast range-join + collect the r11 probe floor was
+    * made of. Long-keyed manifests only (both posting indexes and
+    * their docs tables key on longs). Same correctness contract as
+    * every pruning here: callers re-apply exact predicates (equi-joins
+    * / semi-joins) to the surviving files, so this can only cost extra
+    * files read, never rows.
+    */
+  def pruneLocal(rows: Seq[org.apache.spark.sql.Row], keys: Array[Long]): Seq[String] = {
+    if (keys.isEmpty || rows.isEmpty) return Nil
+    val sorted = keys.clone()
+    java.util.Arrays.sort(sorted)
+    rows.flatMap { r =>
+      val lo = r.getAs[Number]("lo").longValue()
+      val hi = r.getAs[Number]("hi").longValue()
+      var i = java.util.Arrays.binarySearch(sorted, lo)
+      if (i < 0) i = -i - 1
+      if (i < sorted.length && sorted(i) <= hi) Some(r.getAs[String]("file"))
+      else None
+    }
+  }
+
   /** Band read through the manifest: list only intersecting files, scan
     * them, and re-apply the exact predicate (pruning is a performance
     * contract, the filter is the correctness contract).

@@ -18,9 +18,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    any point of a write leaves a partial dir without `_SUCCESS`
   *    that readers skip, so they serve the old generation or the new
   *    one, never a torn read;
-  *  - committed older generations are pruned AFTER a successful
-  *    commit (best-effort — leftover old generations cost bytes, not
-  *    correctness, and an interrupted prune is healed by the next).
+  *  - older generation dirs — committed AND torn (uncommitted dirs a
+  *    crash left behind, which are skipped-over, never reused) — are
+  *    pruned AFTER a successful commit (best-effort — leftovers cost
+  *    bytes, not correctness, and an interrupted prune is healed by
+  *    the next commit).
   *
   * Concurrency contract: SINGLE WRITER (the [[StatsManifest.append]] /
   * [[MinhashIndex.append]] maintenance contract — one daily/streaming
@@ -53,22 +55,6 @@ private[graft] object VersionedDir {
       .toSeq.sorted
   }
 
-  /** Highest version number present (committed or not) — the next
-    * write lands above it so a leftover torn dir is never reused.
-    */
-  private def maxPresent(s: SparkSession, dir: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val f = fs(s, p)
-    if (!f.exists(p)) 0
-    else f.listStatus(p).iterator
-      .filter(_.isDirectory)
-      .flatMap(st => st.getPath.getName match {
-        case VersionRe(n) => Some(n.toInt)
-        case _ => None
-      })
-      .foldLeft(0)(math.max)
-  }
-
   def exists(s: SparkSession, dir: String): Boolean =
     committed(s, dir).nonEmpty
 
@@ -93,14 +79,40 @@ private[graft] object VersionedDir {
     * so the plan never overwrites its own input, and the old
     * generation is deleted only after the new `_SUCCESS` exists.
     */
+  /** Version numbers of ALL generation dirs present — committed or
+    * torn — ascending.
+    */
+  private def present(s: SparkSession, dir: String): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(s, p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).iterator
+      .filter(_.isDirectory)
+      .flatMap(st => st.getPath.getName match {
+        case VersionRe(n) => Some(n.toInt)
+        case _ => None
+      })
+      .toSeq.sorted
+  }
+
   def write(df: DataFrame, dir: String): Unit = {
     val s = df.sparkSession
-    val prev = committed(s, dir)
-    val next = math.max(maxPresent(s, dir), prev.lastOption.getOrElse(0)) + 1
+    val stale = present(s, dir)
+    val next = stale.lastOption.getOrElse(0) + 1
     df.coalesce(1).write.mode("overwrite").parquet(f"$dir/v$next%08d")
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = fs(s, p)
-    prev.foreach(v =>
+    // prune EVERY older generation dir below the fresh commit:
+    // previously-committed ones AND stale uncommitted (torn) dirs a
+    // past crash left behind — torn dirs are never reused (the
+    // next-version counter skips past them) so without this they
+    // accumulate forever on a long-lived streaming index (r11 verdict
+    // finding #2). Safe order: the new `_SUCCESS` exists before
+    // anything is deleted, and a reader that listed before the prune
+    // still resolves a complete generation (single-writer contract).
+    // Best-effort as before — an interrupted prune heals on the next
+    // commit.
+    stale.foreach(v =>
       f.delete(new org.apache.hadoop.fs.Path(f"$dir/v$v%08d"), true))
   }
 }

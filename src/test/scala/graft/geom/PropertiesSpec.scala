@@ -144,6 +144,7 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       6931 -> (0.0, 75.0), 6932 -> (0.0, -75.0), 6933 -> (10.0, 40.0),
       3976 -> (0.0, -75.0), 3995 -> (30.0, 75.0), 3577 -> (134.0, -25.0),
       3310 -> (-120.5, 37.0), 3978 -> (-95.5, 55.0), 6622 -> (-70.0, 50.0),
+      32198 -> (-70.0, 50.0),
       3573 -> (-100.0, 70.0), 3574 -> (-40.0, 70.0),
       3395 -> (10.0, 40.0), 4087 -> (10.0, 40.0), 4258 -> (10.0, 50.0),
       4269 -> (-95.0, 45.0), 4267 -> (-95.0, 45.0), 4277 -> (-1.5, 52.0),
@@ -182,6 +183,15 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     val (eCan, nCan) = Projections.parseCrs("EPSG:3978").fromGeo(-95.0, 49.0)
     eCan shouldBe 0.0 +- 1e-4 // Canada Atlas Lambert origin
     nCan shouldBe 0.0 +- 1e-4
+    // Quebec Lambert (r12 fix): the published definition (conversion
+    // 19944, shared by 32198 and 6622) has FE = 800,000 m — a
+    // PINNED-coordinate check, because a pure round-trip is
+    // self-consistent under ANY false easting and cannot catch it
+    val (eQc, nQc) = Projections.parseCrs("EPSG:6622").fromGeo(-68.5, 44.0)
+    eQc shouldBe 800000.0 +- 1e-4 // grid origin maps to (FE, FN)
+    nQc shouldBe 0.0 +- 1e-4
+    Projections.parseCrs("EPSG:32198").fromGeo(-70.0, 50.0) shouldBe
+      Projections.parseCrs("EPSG:6622").fromGeo(-70.0, 50.0)
     val (eLaea, nLaea) = Projections.parseCrs("EPSG:3573").fromGeo(-100.0, 90.0)
     eLaea shouldBe 0.0 +- 1e-6 // Arctic LAEA Canada: the pole is the origin
     nLaea shouldBe 0.0 +- 1e-6

@@ -427,6 +427,48 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     r.getLong(3) shouldBe 8L   // 4 + 4, unioned
   }
 
+  test("scrubSpans: removes cross-doc duplicated spans; within-doc repeats and short docs survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c x y"),    // shares "a b c" with doc 2 → loses pos 0-2
+      (2L, "q a b c"),      // → loses pos 1-3
+      (3L, "k l m k l m"),  // "k l m" twice IN ONE DOC only → untouched
+      (4L, "t u"),          // shorter than n → untouched by definition
+      (5L, "p q r s t")     // clean
+    ).toDF("id", "text")
+    val got = Text.scrubSpans(df, "id", "text", n = 3).orderBy("id").collect()
+    got.map(_.getAs[String]("text_scrubbed")).toSeq shouldBe
+      Seq("x y", "q", "k l m k l m", "t u", "p q r s t")
+    got.map(_.getAs[Long]("n_removed")).toSeq shouldBe Seq(3L, 3L, 0L, 0L, 0L)
+    got.map(_.getAs[Long]("n_words")).toSeq shouldBe Seq(5L, 4L, 6L, 2L, 5L)
+    got.head.getAs[Double]("removed_frac") shouldBe 0.6 +- 1e-9
+  }
+
+  test("scrubSpans: overlapping covered intervals merge before excision") {
+    import spark.implicits._
+    // both 3-grams of the shared 4-word run are dups: the union covers
+    // 4 positions per doc, never 6
+    val df = Seq(
+      (1L, "a b c d x"),
+      (2L, "y a b c d")
+    ).toDF("id", "text")
+    val got = Text.scrubSpans(df, "id", "text", n = 3).orderBy("id").collect()
+    got.map(_.getAs[String]("text_scrubbed")).toSeq shouldBe Seq("x", "y")
+    got.map(_.getAs[Long]("n_removed")).toSeq shouldBe Seq(4L, 4L)
+  }
+
+  test("scrubSpans: disjoint duplicated runs excise separately, full-dup docs scrub to empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c mm nn d e f"), // two separated dup runs; middle survives
+      (2L, "a b c"),             // exactly n words, fully duplicated → ""
+      (3L, "d e f")
+    ).toDF("id", "text")
+    val got = Text.scrubSpans(df, "id", "text", n = 3).orderBy("id").collect()
+    got.map(_.getAs[String]("text_scrubbed")).toSeq shouldBe Seq("mm nn", "", "")
+    got.map(_.getAs[Double]("removed_frac")).toSeq shouldBe Seq(0.75, 1.0, 1.0)
+  }
+
   test("blocklistFlag: exact + dot-anchored subdomain semantics, ports ignored, lookalikes pass") {
     import spark.implicits._
     val urls = Seq(

@@ -118,5 +118,14 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestSession with Matchers 
       .select("id").distinct().count() shouldBe 10L
     StatsManifest.prunedRead(spark, p, "id", lit(0L), lit(999L))
       .count() shouldBe 400L
+
+    // r12: the successful commit PRUNES the torn generation dir too —
+    // crash leftovers must not accumulate forever on a long-lived
+    // streaming index — and readers keep resolving the fresh commit
+    torn.exists() shouldBe false
+    new java.io.File(s"$p/_manifest").listFiles()
+      .count(f => f.isDirectory && f.getName.matches("v\\d{8}")) shouldBe 1
+    StatsManifest.manifest(spark, p)
+      .agg(sum("n_rows")).head.getLong(0) shouldBe 400L
   }
 }
