@@ -68,6 +68,11 @@ object FunctionRegistration {
       require(children.size == 2, "kmv_agg(hash, k)")
       KmvAgg(children(0), children(1))
     }),
+    // qdigest_agg(value, k): k trades state for the WORST-CASE rank
+    // bound |rank − q·n| ≤ (64/k)·n — pick k = 64/ε for rank error
+    // ε·n (k=4096 → 1.5625%, k=65536 → ~0.1%); state ≤ 3k nodes per
+    // group regardless of n, merge-safe under any partitioning. See
+    // [[Qdigest]] and SCALE_r12's comparison vs approx_percentile.
     "qdigest_agg" -> ((children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
       require(children.size == 2, "qdigest_agg(value, k)")
       QdigestAgg(children(0), children(1))

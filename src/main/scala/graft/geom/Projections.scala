@@ -1845,7 +1845,25 @@ object Projections {
       "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // Massachusetts Mainland (ftUS)
     3435 -> ("+proj=tmerc +lat_0=36.66666666666666 +lon_0=-88.33333333333333 " +
       "+k=0.999975 +x_0=300000 +y_0=0 " +
-      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft") // Illinois East (ftUS)
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // Illinois East (ftUS)
+    // r12 twins: the registered TM zones' remaining ftUS spellings —
+    // both published false eastings are EXACT meter values
+    // (541,337.5 ftUS × 1200/3937 = 165,000 m; 492,125 ftUS × 1200/3937
+    // = 150,000 m), so the twin is the pure unit scaling
+    2257 -> ("+proj=tmerc +lat_0=31 +lon_0=-104.33333333333333 " +
+      "+k=0.9999090909090909 +x_0=165000 +y_0=0 " +
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // New Mexico East (ftUS)
+    2260 -> ("+proj=tmerc +lat_0=38.83333333333334 +lon_0=-74.5 +k=0.9999 " +
+      "+x_0=150000 +y_0=0 " +
+      "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // New York East (ftUS)
+    // r12 European TM grids of the implemented families
+    3006 -> "+proj=utm +zone=33 +ellps=GRS80 +towgs84=0,0,0", // SWEREF99 TM
+    3765 -> ("+proj=tmerc +lat_0=0 +lon_0=16.5 +k=0.9999 " +
+      "+x_0=500000 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // HTRS96 / Croatia TM
+    // MGI (Bessel 1841) with the published 7-parameter transform
+    31287 -> ("+proj=lcc +lat_1=49 +lat_2=46 +lat_0=47.5 " +
+      "+lon_0=13.33333333333333 +x_0=400000 +y_0=400000 +ellps=bessel " +
+      "+towgs84=577.326,90.129,463.919,5.137,1.474,5.297,2.4232") // Austria Lambert
   )
 
   private val EpsgCodePattern = "(?:EPSG:)?([0-9]{4,5})".r

@@ -73,6 +73,18 @@ object HammingIndexBench {
           println(f"| $tag probe batch=$nb | ${tProbe}%.2f s ($nPairs pairs) " +
             f"| re-band: ${tReband}%.2f s | ${tReband / math.max(tProbe, 1e-9)}%.1fx |")
         }
+        // micro-batch fixed floor (the LshIndexBench row for this
+        // family): params + manifest metadata vs the Maintainer cache
+        // with driver-side file pruning (r12)
+        val tiny = mkBatch(dir, 50)
+        val tStatic = time2(noop(HammingIndex.probe(spark, path, tiny,
+          "doc_id", "sig", maxDist = 3, maxBucket = -1)
+          .select("id_a", "id_b")))
+        val mnt = new HammingIndex.Maintainer(spark, path)
+        val tCached = time2(noop(mnt.probe(tiny, "doc_id", "sig",
+          maxDist = 3, maxBucket = -1).select("id_a", "id_b")))
+        println(f"| $tag probe batch=50 | static ${tStatic}%.2f s " +
+          f"| maintainer ${tCached}%.2f s | ${tStatic / math.max(tCached, 1e-9)}%.1fx |")
       } else println(s"[hmix] $dir missing, skipped")
     }
     println("== HMIX DONE ==")

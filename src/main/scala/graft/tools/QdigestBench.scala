@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measured contract for the q-digest quantile sketch
+  * ([[graft.functions.QdigestAgg]], r11) vs Spark's built-in
+  * `approx_percentile` (r11 verdict task 7): one full-corpus
+  * aggregation each over lineitem price cents per returnflag, then the
+  * observed rank error of both estimators' p50/p95 against one exact
+  * rank pass. State: the q-digest's serialized node count is read off
+  * the sketch array itself (`size(sketch)`, 3 longs per node + 2
+  * header longs, ≤ 3k nodes by construction); approx_percentile's
+  * state is its internal GK/KLL summary, not surfaced — its accuracy
+  * knob is reported instead. The q-digest's worst-case bound at k=4096
+  * is (64/4096)·n = 1.5625% of rank; approx_percentile(…, 10000) has
+  * a 1/10000 relative-error TARGET without a worst-case merge
+  * guarantee.
+  */
+object QdigestBench {
+
+  private def time2(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; val d0 = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime(); f; val d1 = (System.nanoTime() - t1) / 1e9
+    math.min(d0, d1)
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/repo/localdata/sf1", "/root/repo/localdata/sf10rel")
+    val spark = graft.GraftSession.builder(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")).getOrCreate()
+    graft.GraftSession.enable(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.functions.FunctionDefs
+
+    for (dir <- dirs) {
+      val tag = new java.io.File(dir).getName
+      if (new java.io.File(dir).exists()) {
+        val li = graft.sources.Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"),
+            (col("l_extendedprice") * 100).cast("long").as("c"))
+        val nAll = li.count()
+
+        val qd = li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            FunctionDefs.callAgg("qdigest_agg", col("c"), lit(4096)).as("sk"))
+          .select(col("l_returnflag"), col("n"), size(col("sk")).as("state_longs"),
+            expr("qdigest_quantile(sk, 0.5d)").as("e50"),
+            expr("qdigest_quantile(sk, 0.95d)").as("e95"))
+        val tQd = time2(noop(qd))
+
+        val ap = li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            expr("approx_percentile(c, array(0.5d, 0.95d), 10000)").as("ps"))
+          .select(col("l_returnflag"), col("n"),
+            col("ps").getItem(0).as("e50"), col("ps").getItem(1).as("e95"))
+        val tAp = time2(noop(ap))
+
+        // observed rank error: |rank(estimate) − q·n| / n, worst group,
+        // one broadcast-probe pass per estimator (the qQuantileSketch
+        // rank shape)
+        def rankErr(est: DataFrame): Double = {
+          val e = est.localCheckpoint()
+          val r = li.join(broadcast(e.select("l_returnflag", "e50", "e95")), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(sum(when(col("c") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+              sum(when(col("c") <= col("e95"), 1L).otherwise(0L)).as("r95"))
+            .join(e.select("l_returnflag", "n"), "l_returnflag")
+            .select(greatest(
+              abs(col("r50") - col("n") * 0.5) / col("n"),
+              abs(col("r95") - col("n") * 0.95) / col("n")).as("err"))
+            .agg(max("err")).head.getDouble(0)
+          org.apache.spark.sql.GraftBridge.unpersistCheckpoint(e)
+          r
+        }
+        val errQd = rankErr(qd.select(col("l_returnflag"), col("n"),
+          col("e50"), col("e95")))
+        val errAp = rankErr(ap)
+        val stateLongs = qd.agg(max("state_longs")).head.getInt(0)
+
+        println(f"| $tag ($nAll rows) | qdigest k=4096: ${tQd}%.2f s, " +
+          f"state ≤ $stateLongs longs/group, worst rank err ${errQd * 100}%.4f%% " +
+          f"(bound 1.5625%%) | approx_percentile(10000): ${tAp}%.2f s, " +
+          f"worst rank err ${errAp * 100}%.4f%% |")
+      } else println(s"[qdix] $dir missing, skipped")
+    }
+    println("== QDIX DONE ==")
+    spark.stop()
+  }
+}

@@ -525,6 +525,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("dd_span_scrub: the rewrite rides the same ONE gram shuffle; the excision is scan-side") {
+    val p = planOf("dd_span_scrub")
+    withClue(s"dd_span_scrub plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      // spanCoverage's window-over-gram dup detection, verbatim
+      p should include("Window")
+      p.contains("LeftSemi") shouldBe false
+      p should include("xxhash64")
+      // interval merge + positional filter are higher-order functions
+      // over per-doc arrays — no per-position explode anywhere
+      p should include("aggregate(")
+      p should include("filter(")
+    }
+  }
+
   test("tx_blocklist: suffix probes are broadcast HASH joins — no list literal, no nested loop") {
     val p = planOf("tx_blocklist")
     withClue(s"tx_blocklist plan:\n$p") {

@@ -151,7 +151,9 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       2229 -> (-118.5, 34.5), 2263 -> (-73.5, 40.8), 2277 -> (-98.0, 30.5),
       2248 -> (-77.2, 39.0), 2249 -> (-71.1, 42.3), 3435 -> (-88.2, 40.0),
       32181 -> (-53.5, 47.5), 32188 -> (-73.6, 45.5), 32190 -> (-79.4, 43.7),
-      32197 -> (-95.0, 49.8))
+      32197 -> (-95.0, 49.8),
+      2257 -> (-104.0, 33.0), 2260 -> (-74.3, 42.0), 3006 -> (15.5, 60.0),
+      3765 -> (16.3, 45.5), 31287 -> (13.3, 47.5))
     for (code <- Projections.registeredEpsgCodes) {
       val byCode = Projections.parseCrs(s"EPSG:$code")
       val bare = Projections.parseCrs(code.toString)
@@ -217,6 +219,37 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     val (eIlF, nIlF) = Projections.parseCrs("EPSG:3435").fromGeo(-88.2, 40.0)
     eIlF shouldBe eIl / usFt +- 1e-6
     nIlF shouldBe nIl / usFt +- 1e-6
+    // r12 additions: pinned grid-origin identities (the 6622 lesson —
+    // round-trips are FE/FN-blind, origins are not)
+    val (eSw, nSw) = Projections.parseCrs("EPSG:3006").fromGeo(15.0, 0.0)
+    eSw shouldBe 500000.0 +- 1e-4 // SWEREF99 TM ≡ UTM 33N grid on GRS80
+    nSw shouldBe 0.0 +- 1e-4
+    val (eHr, nHr) = Projections.parseCrs("EPSG:3765").fromGeo(16.5, 0.0)
+    eHr shouldBe 500000.0 +- 1e-4 // Croatia TM origin
+    nHr shouldBe 0.0 +- 1e-4
+    // Austria Lambert: the grid-origin identity (λ₀,φ₀) → (FE, FN)
+    // holds for ANY ellipsoid, so pin the LCC false-origin arithmetic
+    // datum-free on GRS80 — the registered 31287 adds the Bessel
+    // ellipsoid + published 7-param MGI shift on top (WGS84 input at
+    // the origin lands ~60 m off BY DESIGN; the roundtrip anchor above
+    // exercises that full path)
+    val (eAt, nAt) = Projections.parseCrs(
+      "+proj=lcc +lat_1=49 +lat_2=46 +lat_0=47.5 " +
+        "+lon_0=13.33333333333333 +x_0=400000 +y_0=400000 " +
+        "+ellps=GRS80 +towgs84=0,0,0")
+      .fromGeo(13.33333333333333, 47.5)
+    eAt shouldBe 400000.0 +- 1e-3 // Austria Lambert false origin
+    nAt shouldBe 400000.0 +- 1e-3
+    // the r12 ftUS twins are EXACT unit scalings of their meter zones
+    // (published FEs are exact meter values — see the registry note)
+    val (eNm, nNm) = Projections.parseCrs("EPSG:32112").fromGeo(-104.0, 33.0)
+    val (eNmF, nNmF) = Projections.parseCrs("EPSG:2257").fromGeo(-104.0, 33.0)
+    eNmF shouldBe eNm / usFt +- 1e-6
+    nNmF shouldBe nNm / usFt +- 1e-6
+    val (eNy, nNy) = Projections.parseCrs("EPSG:32115").fromGeo(-74.3, 42.0)
+    val (eNyF, nNyF) = Projections.parseCrs("EPSG:2260").fromGeo(-74.3, 42.0)
+    eNyF shouldBe eNy / usFt +- 1e-6
+    nNyF shouldBe nNy / usFt +- 1e-6
     // Canadian MTM (r11): the central meridian maps to the exact
     // 1,000,000-ft false easting, and zone 8 == its proj4 spelling on
     // a Montreal-area point (the family case vs the string parser)
