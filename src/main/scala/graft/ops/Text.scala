@@ -596,10 +596,16 @@ object Text {
     * into a sorted array. The rewrite itself is scan-side codegen:
     * a fold merges the sorted starts into disjoint [s, e) intervals
     * and a positional filter drops covered words — never a per-word
-    * shuffle row, so the only corpus-sized exchange is the gram
-    * routing shuffle spanCoverage already pays. The string-keyed
-    * oracle replays gram DF, covered-position union and the rewritten
-    * text verbatim in SQL.
+    * shuffle row. Exchanges: the gram routing shuffle spanCoverage
+    * already pays, plus the one join the rewrite inherently needs
+    * (words ⋈ per-doc dup starts on id). On a lightly-duplicated real
+    * corpus the dup-start side is small and AQE converts that join to
+    * a broadcast at runtime — the corpus text never shuffles; on a
+    * heavily-duplicated corpus the join is one id-partitioned text
+    * shuffle and the output itself is corpus-sized (SCALE_r12 measures
+    * the replicated-corpus worst case). The string-keyed oracle
+    * replays gram DF, covered-position union and the rewritten text
+    * verbatim in SQL.
     *
     * Output: (idCol, n_words, n_removed, removed_frac, text_scrubbed).
     */
