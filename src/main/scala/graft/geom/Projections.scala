@@ -1727,6 +1727,27 @@ object Projections {
       Some(s"+proj=tmerc +lat_0=0 +lon_0=${3 * z} +k=1 " +
         s"+x_0=${z * 1000000 + 500000} +y_0=0 +ellps=bessel " +
         "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    // JGD2011 / Japan Plane Rectangular CS zones I–XIX (r12): the
+    // statutory tmerc series (k₀ = 0.9999, zero false origin, GRS80);
+    // zone origins are the published Survey-Act table — irregular by
+    // design (islands get their own origins), so a lookup, not a
+    // formula. JGD2011 is ITRF-aligned: +towgs84=0,0,0
+    case c if c >= 6669 && c <= 6687 =>
+      val i = c - 6669
+      Some(s"+proj=tmerc +lat_0=${JprcsLat0(i)} +lon_0=${JprcsLon0(i)} " +
+        "+k=0.9999 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
+    // SIRGAS 2000 / UTM (r12): the South-American national series —
+    // 31965–31976 are zones 11N–22N, 31977–31985 zones 17S–25S
+    // (Brazil's workhorses 31982/31983 = 22S/23S); GRS80, ITRF-aligned
+    case c if c >= 31965 && c <= 31976 =>
+      Some(s"+proj=utm +zone=${c - 31954} +ellps=GRS80 +towgs84=0,0,0")
+    case c if c >= 31977 && c <= 31985 =>
+      Some(s"+proj=utm +zone=${c - 31960} +south +ellps=GRS80 +towgs84=0,0,0")
+    // Korea 2000 / 2010 belts (r12): lat₀ = 38, k₀ = 1, FE 200 km,
+    // FN 600 km, lon₀ = 125/127/129/131 (West/Central/East/East Sea)
+    case c if c >= 5185 && c <= 5188 =>
+      Some(s"+proj=tmerc +lat_0=38 +lon_0=${125 + 2 * (c - 5185)} +k=1 " +
+        "+x_0=200000 +y_0=600000 +ellps=GRS80 +towgs84=0,0,0")
     // NAD83 / MTM zones 1–17 (Canadian Modified Transverse Mercator:
     // 3°-wide belts at k₀ = 0.9999 with FE 304800 m = 1,000,000 ft
     // exactly; the published central-meridian series is irregular at
@@ -1741,6 +1762,18 @@ object Projections {
   private val MtmLon0: Vector[Double] = Vector(
     -53.0, -56.0, -58.5, -61.5, -64.5, -67.5, -70.5, -73.5, -76.5,
     -79.5, -82.5, -81.0, -84.0, -87.0, -90.0, -93.0, -96.0)
+
+  // Japan Plane Rectangular CS I–XIX origins (Survey Act appendix;
+  // minutes as exact repeating decimals: 10′ = .1666…7, 20′ = .333…,
+  // 50′ = .8333…). Index 0 = zone I = EPSG:6669.
+  private val JprcsLat0: Vector[Double] = Vector(
+    33.0, 33.0, 36.0, 33.0, 36.0, 36.0, 36.0, 36.0, 36.0,
+    40.0, 44.0, 44.0, 44.0, 26.0, 26.0, 26.0, 26.0, 20.0, 26.0)
+  private val JprcsLon0: Vector[Double] = Vector(
+    129.5, 131.0, 132.16666666666666, 133.5, 134.33333333333334,
+    136.0, 137.16666666666666, 138.5, 139.8333333333333,
+    140.83333333333334, 140.25, 142.25, 144.25, 142.0, 127.5,
+    124.0, 131.0, 136.0, 154.0)
 
   private val EpsgSingles: Map[Int, String] = Map(
     // geographic CRSs on non-WGS84 datums
@@ -1759,8 +1792,13 @@ object Projections {
       "+x_0=500000 +y_0=-5300000 +ellps=GRS80 +towgs84=0,0,0"), // Poland CS92
     2193 -> ("+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 " +
       "+x_0=1600000 +y_0=10000000 +ellps=GRS80 +towgs84=0,0,0"), // NZTM2000
-    6677 -> ("+proj=tmerc +lat_0=36 +lon_0=139.8333333333333 +k=0.9999 " +
-      "+x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0"), // JGD2011 zone IX (Tokyo)
+    // (JGD2011 zone IX / EPSG:6677 moved into the 6669–6687 family)
+    5179 -> ("+proj=tmerc +lat_0=38 +lon_0=127.5 +k=0.9996 " +
+      "+x_0=1000000 +y_0=2000000 +ellps=GRS80 +towgs84=0,0,0"), // Korea 2000 / Unified CS
+    3414 -> ("+proj=tmerc +lat_0=1.366666666666667 +lon_0=103.8333333333333 " +
+      "+k=1 +x_0=28001.642 +y_0=38744.572 +ellps=WGS84"), // SVY21 / Singapore TM
+    3057 -> ("+proj=lcc +lat_1=64.25 +lat_2=65.75 +lat_0=65 +lon_0=-19 " +
+      "+x_0=500000 +y_0=500000 +ellps=GRS80 +towgs84=0,0,0"), // ISN93 / Lambert 1993 (Iceland)
     3067 -> "+proj=utm +zone=35 +ellps=GRS80 +towgs84=0,0,0", // ETRS89 / TM35FIN
     // Lambert conformal conic grids
     3034 -> ("+proj=lcc +lat_1=35 +lat_2=65 +lat_0=52 +lon_0=10 " +
@@ -1872,7 +1910,8 @@ object Projections {
   def registeredEpsgCodes: Seq[Int] =
     ((25828 to 25838) ++ (26903 to 26923) ++ (26703 to 26722) ++
       (23028 to 23038) ++ (28349 to 28356) ++ (7846 to 7859) ++
-      (31466 to 31469) ++ (32181 to 32197) ++ EpsgSingles.keys).sorted
+      (31466 to 31469) ++ (32181 to 32197) ++ (6669 to 6687) ++
+      (31965 to 31985) ++ (5185 to 5188) ++ EpsgSingles.keys).sorted
 
   // st_geomReproject evaluates per row but its CRS arguments are query
   // literals, so the handful of distinct strings per executor is memoized:

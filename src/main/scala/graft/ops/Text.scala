@@ -1177,4 +1177,128 @@ object Text {
       regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1))
       .otherwise(lit(""))
   }
+
+  // ------------------------------------------- line-level corpus dedup
+
+  /** Keep-first LINE-level corpus dedup — the CCNet paragraph dedup
+    * step (Wenzek et al. 2020: hash every paragraph, drop every
+    * occurrence after the first seen anywhere in the corpus). The unit
+    * is a `delim`-separated line; "first" is the global minimum of
+    * (doc, position) over the line's occurrences — deterministic and
+    * order-independent, so the operator is restart- and
+    * partitioning-stable. Within-doc repeats of a line dedup too
+    * (occurrence 2+ drops even when all occurrences share a doc) —
+    * exactly the global-hash-set semantics of the reference pipeline.
+    * Complements [[scrubSpans]] (word n-gram excision, ≥2-distinct-doc
+    * rule) with the line-granular keep-ONE rule real crawl curation
+    * runs first.
+    *
+    * Shape: lines explode once with positions; the keep decision is a
+    * min(struct(doc, pos)) WINDOW over a 64-bit xxhash64 line key —
+    * one corpus-sized shuffle that ALSO routes the line text needed
+    * for reassembly (keying by hash instead of the line string keeps
+    * the routing key 8 bytes; a 2⁻⁶⁴-per-pair collision could merge
+    * two lines' groups — same accepted risk, same rationale as
+    * [[spanCoverage]]'s gram keys; the string-keyed oracle stays
+    * hash-green at every verify sf). min() windows stream without
+    * buffering the frame, so a corpus-wide boilerplate line lands one
+    * task but bounded memory (the spanCoverage heavy-hitter caveat).
+    * Reassembly is one groupBy(doc): survivors collect (bounded by doc
+    * length — the chunking bound) and rebuild in position order.
+    * Total: two shuffles, no all-pairs anywhere.
+    *
+    * Output: (idCol, n_lines, n_removed, removed_frac, text_dedup).
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 delim: String = "\n"): DataFrame = {
+    val lines = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("__pos", "__l")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("__l")))
+    val flagged = lines
+      .withColumn("__mn", min(struct(col("__id"), col("__pos"))).over(w))
+      .withColumn("__keep",
+        col("__mn.__id") === col("__id") && col("__mn.__pos") === col("__pos"))
+    flagged.groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("__pos"), col("__l"))))).as("__kept"))
+      .select(col(idCol),
+        col("n_lines"),
+        col("n_removed"),
+        (round(col("n_removed") / col("n_lines"), 6) + lit(0.0))
+          .as("removed_frac"),
+        array_join(transform(col("__kept"), s => s("__l")), delim)
+          .as("text_dedup"))
+  }
+
+  // ------------------------------------------- HTML text extraction
+
+  /** HTML → plain-text extraction — the crawl-curation front door
+    * (WET-file / trafilatura-class step, reduced to the part that is
+    * exactly replayable in ANSI SQL): script and style elements drop
+    * whole (their character data is code, not text), comments drop,
+    * every remaining tag becomes a space, the five ubiquitous
+    * character entities decode (`&lt; &gt; &quot; &#39; &nbsp;`, then
+    * `&amp;` LAST so `&amp;lt;` correctly yields the literal `&lt;`),
+    * and whitespace collapses to single spaces. Pure scan-side
+    * codegen'd regexp chain in the java.util.regex ∩ RE2 subset (the
+    * [[scrubPii]] contract) — no UDF, no shuffle; the 100 TB cost is
+    * one read of the column. Not a full HTML5 parser by design:
+    * malformed markup degrades to extra whitespace, never to a throw.
+    */
+  def extractHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?i)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?i)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        // entity spellings contain no regex metacharacters; the
+        // replacement backslash-escape covers the quote literal
+        regexp_replace(c, ent, java.util.regex.Matcher.quoteReplacement(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  // --------------------------------------- deterministic shuffle-shard
+
+  /** Deterministic corpus shuffle + sharding — the last step of every
+    * training-data pipeline: assign each row a pseudo-random but
+    * REPRODUCIBLE position (shard, seq) so the training order is a
+    * uniform permutation that any run, any engine, any partitioning
+    * reproduces bit-for-bit from (corpus, seed). Key = md5(id ":"
+    * seed) — cryptographic mixing, so sorting by it IS the
+    * permutation; shard = first 32 key bits mod numShards (uniform,
+    * key-derived, so a shard is itself a uniform sample of the
+    * corpus); seq = rank of the key within the shard.
+    *
+    * Shape at 100 TB: ONE hash shuffle on shard + a per-shard
+    * row_number window — parallelism = numShards, so size numShards to
+    * at least the cluster's task slots (thousands of shards is the
+    * production norm: shard files are also the unit of training-job
+    * resume). No global sort, no driver sequencing; the window sorts
+    * within each shard only. Ties cannot occur (the key embeds id via
+    * md5 and id breaks any residual tie), so seq is total and stable.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, numShards: Int,
+                    seed: Long): DataFrame = {
+    require(numShards > 0, "shuffleShards: numShards must be positive")
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val shard = (conv(substring(key, 1, 8), 16, 10).cast("long")
+      % numShards).cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", shard)
+      .withColumn("seq", row_number().over(w))
+      .drop("__key")
+  }
 }

@@ -1967,6 +1967,9 @@ object Pipeline {
     "tx_pmi" -> txPmi _,
     "dd_span_coverage" -> ddSpanCoverage _,
     "dd_span_scrub" -> ddSpanScrub _,
+    "dd_line_dedup" -> ddLineDedup _,
+    "tx_html" -> txHtml _,
+    "tx_shard" -> txShard _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "q_joinest" -> qJoinest _,
     "tx_blocklist" -> txBlocklist _,
@@ -2023,6 +2026,68 @@ object Pipeline {
   def ddSpanScrub(s: SparkSession, dir: String): DataFrame =
     graft.ops.Text.scrubSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
       .orderBy("doc_id")
+
+  /** Keep-first line-level corpus dedup ([[graft.ops.Text.dedupLines]])
+    * — the CCNet paragraph-dedup step. The corpus text carries no
+    * newlines, so the entry first REBUILDS each document as 7-word
+    * lines (deterministic arithmetic both engines replay — the tx_url
+    * /mm_* synthesis pattern), then drops every line occurrence after
+    * the global (doc, position) first. The string-keyed oracle replays
+    * line explode, keeper selection and the rebuilt text verbatim.
+    */
+  def ddLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr(
+        """array_join(transform(sequence(1, size(split(text, ' ')), 7),
+          |  i -> array_join(slice(split(text, ' '), i, 7), ' ')), '\n')"""
+          .stripMargin).as("text"))
+    graft.ops.Text.dedupLines(docs, "doc_id", "text", delim = "\n")
+      .orderBy("doc_id")
+  }
+
+  /** HTML → plain-text extraction ([[graft.ops.Text.extractHtml]]).
+    * The corpus carries no markup, so the entry first WRAPS each
+    * document in a deterministic HTML page — title/script (with a
+    * literal `<` in the code)/style head, headline, entity-escaped
+    * body, comment, footer — then extracts; script/style/comment code
+    * must vanish, entities must decode, body text must survive. Both
+    * the synthesis and the regexp chain replay verbatim in DuckDB
+    * (java.util.regex ∩ RE2).
+    */
+  def txHtml(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var x = 1; if (x < 2) { x = 3; }</script>"),
+        lit("<style type=\"text/css\">.main { color: #333; }</style></head>"),
+        lit("<body class=\"doc\"><h1>Doc &#39;"), col("doc_id"),
+        lit("&#39;</h1><!-- crawl note --><p>"),
+        expr("replace(text, ' data ', ' &amp;data&lt;x&gt; ')"),
+        lit("</p><br/><div id=\"footer\">&nbsp;&amp;quot;fin&quot;</div></body></html>"))
+        .as("html"))
+    docs.select(col("doc_id"),
+      length(col("html")).cast("long").as("n_chars_html"),
+      graft.ops.Text.extractHtml(col("html")).as("text_plain"))
+      .withColumn("n_chars_plain", length(col("text_plain")).cast("long"))
+      .select("doc_id", "n_chars_html", "n_chars_plain", "text_plain")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus shuffle-shard
+    * ([[graft.ops.Text.shuffleShards]]): every document lands a
+    * reproducible (shard, seq) training position from (corpus, seed)
+    * alone — 16 shards, seed 7. The oracle replays the md5 key, the
+    * 32-bit-prefix shard assignment and the per-shard rank in SQL, so
+    * the full permutation is certified bit-for-bit.
+    */
+  def txShard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.shuffleShards(
+      Tables.documents(s, dir).select("doc_id"), "doc_id",
+      numShards = 16, seed = 7)
+      .select(col("shard"), col("seq"), col("doc_id"))
+      .orderBy("shard", "seq")
 
   /** PMI collocations ([[graft.ops.Text.pmiCollocations]]): top-20
     * adjacent word pairs by pointwise mutual information, min count 10
@@ -3456,6 +3521,70 @@ object Pipeline {
         |  round((n_words - len(kept)) / n_words, 6) AS removed_frac,
         |  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed
         |FROM r ORDER BY doc_id""".stripMargin,
+    // rebuild 7-word lines, then keep only each distinct line's global
+    // (doc, position) FIRST occurrence — CCNet paragraph-dedup replay
+    "dd_line_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL),
+        |l0 AS (SELECT doc_id,
+        |         [array_to_string(list_slice(w, i, i + 6), ' ')
+        |          for i in range(1, len(w) + 1, 7)] AS ls FROM d),
+        |l AS (SELECT doc_id, u.p AS p, u.l AS l FROM
+        |        (SELECT doc_id, unnest([{'p': i, 'l': ls[i]}
+        |                                for i in range(1, len(ls) + 1)]) AS u
+        |         FROM l0)),
+        |k AS (SELECT doc_id, p, l,
+        |        row_number() OVER (PARTITION BY l ORDER BY doc_id, p) AS rn
+        |      FROM l),
+        |r AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |        (count(*) FILTER (WHERE rn > 1))::BIGINT AS n_removed,
+        |        coalesce(array_to_string(
+        |          list(l ORDER BY p) FILTER (WHERE rn = 1), chr(10)), '')
+        |          AS text_dedup
+        |      FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_removed,
+        |  round(n_removed / n_lines, 6) AS removed_frac, text_dedup
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // synthesize the HTML page, then replay the extraction chain:
+    // script/style/comment drop, tags to spaces, entities decode
+    // (&amp; last), whitespace collapses
+    "tx_html" ->
+      ("""WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title><script type="text/javascript">var x = 1; if (x < 2) { x = 3; }</script>' ||
+        |  '<style type="text/css">.main { color: #333; }</style></head>' ||
+        |  '<body class="doc"><h1>Doc &#39;' || doc_id ||
+        |  '&#39;</h1><!-- crawl note --><p>' ||
+        |  replace(text, ' data ', ' &amp;data&lt;x&gt; ') ||
+        |  '</p><br/><div id="footer">&nbsp;&amp;quot;fin&quot;</div></body></html>'
+        |  AS html FROM documents WHERE text IS NOT NULL),
+        |e AS (SELECT doc_id, length(html)::BIGINT AS n_chars_html,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?i)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?i)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS text_plain
+        |  FROM h)
+        |SELECT doc_id, n_chars_html, length(text_plain)::BIGINT AS n_chars_plain,
+        |  text_plain
+        |FROM e ORDER BY doc_id""").stripMargin,
+    // md5(id ":" seed) permutation key, 32-bit-prefix shard, per-shard
+    // rank — the full reproducible training order replays in SQL
+    "tx_shard" ->
+      """WITH k AS (SELECT doc_id, md5(doc_id::VARCHAR || ':7') AS key
+        |           FROM documents),
+        |a AS (SELECT doc_id, key,
+        |        (('0x' || substr(key, 1, 8))::UBIGINT % 16)::INT AS shard
+        |      FROM k)
+        |SELECT shard,
+        |  (row_number() OVER (PARTITION BY shard ORDER BY key, doc_id))::INT AS seq,
+        |  doc_id
+        |FROM a ORDER BY shard, seq""".stripMargin,
     "tx_bm25" ->
       """WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks FROM documents),
         |dl AS (SELECT id, len(toks) AS dl FROM d),

@@ -540,6 +540,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("dd_line_dedup: keeper decision rides ONE hash-keyed line shuffle — window over xxhash64, no join") {
+    val p = planOf("dd_line_dedup")
+    withClue(s"dd_line_dedup plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      // keep-first = min(struct(doc,pos)) window over the 8-byte line
+      // hash; no aggregate+semi-join second pass, no join of any kind
+      // (reassembly is a groupBy on the same flagged rows)
+      p should include("Window")
+      p should include("xxhash64")
+      p.contains("LeftSemi") shouldBe false
+      p.contains("Join") shouldBe false
+    }
+  }
+
+  test("tx_shard: ONE shard-hash shuffle + per-shard window — no join, no cartesian") {
+    val p = planOf("tx_shard")
+    withClue(s"tx_shard plan:\n$p") {
+      p should include("Window")
+      p.contains("Join") shouldBe false
+      p.contains("CartesianProduct") shouldBe false
+    }
+  }
+
+  test("tx_html: extraction is pure scan-side codegen — no join, no aggregate, no window") {
+    val p = planOf("tx_html")
+    withClue(s"tx_html plan:\n$p") {
+      p.contains("Window") shouldBe false
+      p.contains("Join") shouldBe false
+      p.contains("HashAggregate") shouldBe false
+    }
+  }
+
   test("tx_blocklist: suffix probes are broadcast HASH joins — no list literal, no nested loop") {
     val p = planOf("tx_blocklist")
     withClue(s"tx_blocklist plan:\n$p") {

@@ -153,7 +153,13 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       32181 -> (-53.5, 47.5), 32188 -> (-73.6, 45.5), 32190 -> (-79.4, 43.7),
       32197 -> (-95.0, 49.8),
       2257 -> (-104.0, 33.0), 2260 -> (-74.3, 42.0), 3006 -> (15.5, 60.0),
-      3765 -> (16.3, 45.5), 31287 -> (13.3, 47.5))
+      3765 -> (16.3, 45.5), 31287 -> (13.3, 47.5),
+      // r12b: Japan zones I/V/X/XV/XIX, Korea, SIRGAS UTM, SVY21, ISN93
+      6669 -> (129.8, 33.2), 6673 -> (134.2, 35.5), 6678 -> (141.0, 40.5),
+      6683 -> (127.7, 26.2), 6687 -> (154.1, 26.1),
+      5179 -> (127.0, 37.5), 5186 -> (127.2, 37.5), 5188 -> (130.9, 37.5),
+      31965 -> (-117.0, 33.0), 31983 -> (-46.6, -23.5), 31985 -> (-33.5, -5.0),
+      3414 -> (103.85, 1.3), 3057 -> (-19.0, 64.9))
     for (code <- Projections.registeredEpsgCodes) {
       val byCode = Projections.parseCrs(s"EPSG:$code")
       val bare = Projections.parseCrs(code.toString)
@@ -259,6 +265,44 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     Projections.parseCrs("EPSG:32188").fromGeo(-73.6, 45.5) shouldBe
       Projections.parseCrs("+proj=tmerc +lat_0=0 +lon_0=-73.5 +k=0.9999 " +
         "+x_0=304800 +y_0=0 +ellps=GRS80 +towgs84=0,0,0").fromGeo(-73.6, 45.5)
+    // r12b additions — pinned grid-origin identities (FE/FN-sighted):
+    // Japan Plane Rectangular CS: zero false origin at each zone origin
+    val (eJp, nJp) = Projections.parseCrs("EPSG:6683").fromGeo(127.5, 26.0)
+    eJp shouldBe 0.0 +- 1e-4 // zone XV (Okinawa) origin
+    nJp shouldBe 0.0 +- 1e-4
+    // and zone IX resolves identically to its published proj4 spelling
+    Projections.parseCrs("EPSG:6677").fromGeo(139.7, 35.7) shouldBe
+      Projections.parseCrs("+proj=tmerc +lat_0=36 +lon_0=139.8333333333333 " +
+        "+k=0.9999 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0").fromGeo(139.7, 35.7)
+    // Korea 2000 Unified CS: (127.5, 38) → (FE 1,000,000, FN 2,000,000)
+    val (eKr, nKr) = Projections.parseCrs("EPSG:5179").fromGeo(127.5, 38.0)
+    eKr shouldBe 1000000.0 +- 1e-4
+    nKr shouldBe 2000000.0 +- 1e-4
+    // Korea 2010 belts: each belt origin → (200,000, 600,000)
+    val (eKc, nKc) = Projections.parseCrs("EPSG:5186").fromGeo(127.0, 38.0)
+    eKc shouldBe 200000.0 +- 1e-4
+    nKc shouldBe 600000.0 +- 1e-4
+    val (eKe, nKe) = Projections.parseCrs("EPSG:5188").fromGeo(131.0, 38.0)
+    eKe shouldBe 200000.0 +- 1e-4
+    nKe shouldBe 600000.0 +- 1e-4
+    // SIRGAS 2000 UTM: the zone mapping is the published series
+    // (31965 = 11N, 31977 = 17S, 31983 = 23S — São Paulo's grid)
+    Projections.parseCrs("EPSG:31965") shouldBe
+      Projections.parseCrs("+proj=utm +zone=11 +ellps=GRS80 +towgs84=0,0,0")
+    Projections.parseCrs("EPSG:31977") shouldBe
+      Projections.parseCrs("+proj=utm +zone=17 +south +ellps=GRS80 +towgs84=0,0,0")
+    val (eBr, nBr) = Projections.parseCrs("EPSG:31983").fromGeo(-45.0, 0.0)
+    eBr shouldBe 500000.0 +- 1e-4 // UTM 23S: CM at the equator
+    nBr shouldBe 10000000.0 +- 1e-4
+    // SVY21: the published non-round false origin at the Singapore base
+    val (eSg, nSg) = Projections.parseCrs("EPSG:3414")
+      .fromGeo(103.8333333333333, 1.366666666666667)
+    eSg shouldBe 28001.642 +- 1e-3
+    nSg shouldBe 38744.572 +- 1e-3
+    // ISN93 Lambert: (−19, 65) → (500,000, 500,000)
+    val (eIs, nIs) = Projections.parseCrs("EPSG:3057").fromGeo(-19.0, 65.0)
+    eIs shouldBe 500000.0 +- 1e-4
+    nIs shouldBe 500000.0 +- 1e-4
     // unknown codes keep the loud unsupported-CRS error
     intercept[IllegalArgumentException] {
       Projections.parseCrs("EPSG:2230") // CA zone 6 (ftUS) — not registered

@@ -610,4 +610,82 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     val r = d.select(Text.scrubPii(col("text")).as("s")).head()
     r.getAs[String]("s") shouldBe "release v1.2 of the tool at example.com cost 3.50"
   }
+
+  test("dedupLines: keep-first global line dedup — later docs AND later within-doc repeats drop") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha line\nunique one\nalpha line"), // 2nd within-doc repeat drops
+      (2L, "alpha line\nunique two"),             // loses the line doc 1 owns
+      (3L, "solo text")                           // untouched
+    ).toDF("id", "text")
+    val got = Text.dedupLines(df, "id", "text").orderBy("id").collect()
+    got.map(_.getAs[String]("text_dedup")).toSeq shouldBe
+      Seq("alpha line\nunique one", "unique two", "solo text")
+    got.map(_.getAs[Long]("n_lines")).toSeq shouldBe Seq(3L, 2L, 1L)
+    got.map(_.getAs[Long]("n_removed")).toSeq shouldBe Seq(1L, 1L, 0L)
+    got.head.getAs[Double]("removed_frac") shouldBe 0.333333 +- 1e-9
+  }
+
+  test("dedupLines: keeper is the global (doc, pos) minimum regardless of input order") {
+    import spark.implicits._
+    // doc 5 arrives "first" in the data but doc 2 owns the min id —
+    // the keeper must be (2, 0), so doc 5's copy drops
+    val df = Seq(
+      (5L, "shared\nfive only"),
+      (2L, "shared\ntwo only")
+    ).toDF("id", "text")
+    val got = Text.dedupLines(df, "id", "text").orderBy("id").collect()
+    got.map(r => (r.getAs[Long]("id"), r.getAs[String]("text_dedup"))).toSeq shouldBe
+      Seq((2L, "shared\ntwo only"), (5L, "five only"))
+    // a doc whose every line is owned elsewhere rewrites to empty
+    val df2 = Seq((1L, "only"), (9L, "only")).toDF("id", "text")
+    val got2 = Text.dedupLines(df2, "id", "text").orderBy("id").collect()
+    got2.map(_.getAs[String]("text_dedup")).toSeq shouldBe Seq("only", "")
+    got2.map(_.getAs[Double]("removed_frac")).toSeq shouldBe Seq(0.0, 1.0)
+  }
+
+  test("extractHtml: script/style/comments vanish, tags space, entities decode with &amp; last") {
+    val d = docs(1L ->
+      ("<html><head><script>if (1 < 2) { bad(); }</script><style>.x{}</style></head>" +
+        "<body><h1>T&#39;s</h1><!-- hidden --><p>a &lt;b&gt; &amp;lt; c&nbsp;&quot;d&quot;</p></body></html>"))
+    val r = d.select(Text.extractHtml(col("text")).as("s")).head()
+    // &amp;lt; decodes to the LITERAL text &lt; (amp decodes last)
+    r.getAs[String]("s") shouldBe "T's a <b> &lt; c \"d\""
+  }
+
+  test("extractHtml: malformed markup degrades to whitespace, plain text passes through") {
+    val d = docs(1L -> "no markup at all", 2L -> "broken <tag and <b>kept</b>")
+    val got = d.select(col("id"), Text.extractHtml(col("text")).as("s"))
+      .orderBy("id").collect()
+    got(0).getAs[String]("s") shouldBe "no markup at all"
+    // "<tag and <b>" is one tag span (first '<' to first '>'): the
+    // documented degradation — never a throw
+    got(1).getAs[String]("s") shouldBe "broken kept"
+  }
+
+  test("shuffleShards: reproducible uniform permutation — total, seed-stable, seed-sensitive") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => Tuple1(i)).toDF("id")
+    val a = Text.shuffleShards(df, "id", numShards = 8, seed = 7)
+      .select("shard", "seq", "id").collect()
+    // total: every id exactly once; shards in range; seq dense per shard
+    a.length shouldBe 200
+    a.map(_.getAs[Long]("id")).toSet.size shouldBe 200
+    all(a.map(_.getAs[Int]("shard")).toSeq) should (be >= 0 and be < 8)
+    a.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      rows.map(_.getAs[Int]("seq")).sorted.toSeq shouldBe (1 to rows.length)
+    }
+    // deterministic: a second run is bit-identical
+    val b = Text.shuffleShards(df, "id", numShards = 8, seed = 7)
+      .select("shard", "seq", "id").collect()
+    a.map(_.toSeq).toSeq shouldBe b.map(_.toSeq).toSeq
+    // a different seed is a different permutation (astronomically sure)
+    val c = Text.shuffleShards(df, "id", numShards = 8, seed = 8)
+      .select("shard", "seq", "id").collect()
+    c.map(_.toSeq).toSeq should not be a.map(_.toSeq).toSeq
+    // and not the sorted identity: the order within a shard is shuffled
+    val shard0 = a.filter(_.getAs[Int]("shard") == 0).sortBy(_.getAs[Int]("seq"))
+      .map(_.getAs[Long]("id")).toSeq
+    shard0 should not be shard0.sorted
+  }
 }
