@@ -1189,6 +1189,10 @@ object Text {
     * partitioning-stable. Within-doc repeats of a line dedup too
     * (occurrence 2+ drops even when all occurrences share a doc) —
     * exactly the global-hash-set semantics of the reference pipeline.
+    * EMPTY and whitespace-only lines are exempt (they always survive):
+    * blank lines are document STRUCTURE, not content — deduping them
+    * would collapse paragraph breaks corpus-wide after the first blank
+    * line ever seen (the empty-paragraph carve-out real pipelines make).
     * Complements [[scrubSpans]] (word n-gram excision, ≥2-distinct-doc
     * rule) with the line-granular keep-ONE rule real crawl curation
     * runs first.
@@ -1221,7 +1225,8 @@ object Text {
     val flagged = lines
       .withColumn("__mn", min(struct(col("__id"), col("__pos"))).over(w))
       .withColumn("__keep",
-        col("__mn.__id") === col("__id") && col("__mn.__pos") === col("__pos"))
+        (col("__mn.__id") === col("__id") && col("__mn.__pos") === col("__pos"))
+          || trim(col("__l")) === "")
     flagged.groupBy(col("__id").as(idCol))
       .agg(
         count(lit(1)).as("n_lines"),
@@ -1253,9 +1258,11 @@ object Text {
     * malformed markup degrades to extra whitespace, never to a throw.
     */
   def extractHtml(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?i)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?i)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "<!--.*?-->", " ")
+    // (?s) — element bodies and comments routinely span newlines; both
+    // java.util.regex and RE2 accept the inline DOTALL flag
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]*>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",

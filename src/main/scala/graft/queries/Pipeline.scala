@@ -2036,11 +2036,15 @@ object Pipeline {
     * line explode, keeper selection and the rebuilt text verbatim.
     */
   def ddLineDedup(s: SparkSession, dir: String): DataFrame = {
+    // bind the split ONCE — HOF lambda bodies are not hoisted by
+    // subexpression elimination, so slice(split(text), …) inside the
+    // transform would re-split the full text per 7-word line
     val docs = Tables.documents(s, dir)
       .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
       .select(col("doc_id"), expr(
-        """array_join(transform(sequence(1, size(split(text, ' ')), 7),
-          |  i -> array_join(slice(split(text, ' '), i, 7), ' ')), '\n')"""
+        """array_join(transform(sequence(1, size(__ws), 7),
+          |  i -> array_join(slice(__ws, i, 7), ' ')), '\n')"""
           .stripMargin).as("text"))
     graft.ops.Text.dedupLines(docs, "doc_id", "text", delim = "\n")
       .orderBy("doc_id")
@@ -3534,12 +3538,13 @@ object Pipeline {
         |                                for i in range(1, len(ls) + 1)]) AS u
         |         FROM l0)),
         |k AS (SELECT doc_id, p, l,
-        |        row_number() OVER (PARTITION BY l ORDER BY doc_id, p) AS rn
+        |        (row_number() OVER (PARTITION BY l ORDER BY doc_id, p) = 1
+        |         OR trim(l) = '') AS keep
         |      FROM l),
         |r AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
-        |        (count(*) FILTER (WHERE rn > 1))::BIGINT AS n_removed,
+        |        (count(*) FILTER (WHERE NOT keep))::BIGINT AS n_removed,
         |        coalesce(array_to_string(
-        |          list(l ORDER BY p) FILTER (WHERE rn = 1), chr(10)), '')
+        |          list(l ORDER BY p) FILTER (WHERE keep), chr(10)), '')
         |          AS text_dedup
         |      FROM k GROUP BY doc_id)
         |SELECT doc_id, n_lines, n_removed,
@@ -3562,9 +3567,9 @@ object Pipeline {
         |  trim(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |        '(?i)<script[^>]*>.*?</script>', ' ', 'g'),
-        |        '(?i)<style[^>]*>.*?</style>', ' ', 'g'),
-        |        '<!--.*?-->', ' ', 'g'),
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
         |        '<[^>]*>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),

@@ -644,6 +644,28 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got2.map(_.getAs[Double]("removed_frac")).toSeq shouldBe Seq(0.0, 1.0)
   }
 
+  test("dedupLines: blank lines are structure, not content — exempt from dedup everywhere") {
+    import spark.implicits._
+    // docs share NO content; their paragraph breaks (empty +
+    // whitespace-only lines) must all survive with n_removed = 0
+    val df = Seq(
+      (1L, "para one\n\npara two"),
+      (2L, "other one\n \nother two\n")
+    ).toDF("id", "text")
+    val got = Text.dedupLines(df, "id", "text").orderBy("id").collect()
+    got.map(_.getAs[String]("text_dedup")).toSeq shouldBe
+      Seq("para one\n\npara two", "other one\n \nother two\n")
+    got.map(_.getAs[Long]("n_removed")).toSeq shouldBe Seq(0L, 0L)
+    got.map(_.getAs[Long]("n_lines")).toSeq shouldBe Seq(3L, 4L)
+  }
+
+  test("extractHtml: multi-line script/style/comment bodies drop whole (DOTALL)") {
+    val d = docs(1L ->
+      "<script>\nvar x = 1;\nif (x < 2) { bad(); }\n</script>keep me<style>\n.x {}\n</style><!--\nnote\n-->tail")
+    val r = d.select(Text.extractHtml(col("text")).as("s")).head()
+    r.getAs[String]("s") shouldBe "keep me tail"
+  }
+
   test("extractHtml: script/style/comments vanish, tags space, entities decode with &amp; last") {
     val d = docs(1L ->
       ("<html><head><script>if (1 < 2) { bad(); }</script><style>.x{}</style></head>" +
