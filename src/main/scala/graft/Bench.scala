@@ -57,31 +57,28 @@ object Bench {
       gcMs: Long, spillMb: Long, peakMb: Long, rerun: Boolean)
 
   /** Accumulates task-level metrics between reset() calls. Task-end
-    * events post asynchronously on the listener bus, so settle() polls
-    * the task counter to a fixed point before a query's numbers are
-    * read — per-query attribution must not bleed into the next query.
+    * events post asynchronously on the listener bus, so settle() drains
+    * the bus before a query's numbers are read — per-query attribution
+    * must not bleed into the next query.
     */
   private final class MetricsListener extends SparkListener {
     val spill = new AtomicLong
     val peak = new AtomicLong
-    val tasks = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         peak.updateAndGet(p => math.max(p, m.peakExecutionMemory))
       }
-      tasks.incrementAndGet()
     }
-    def reset(): Unit = { spill.set(0); peak.set(0); tasks.set(0) }
-    def settle(): Unit = {
-      var last = -1L; var stable = 0; var spins = 0
-      while (stable < 2 && spins < 12) {
-        val c = tasks.get()
-        if (c == last) stable += 1 else { stable = 0; last = c }
-        Thread.sleep(10); spins += 1
-      }
-    }
+    def reset(): Unit = { spill.set(0); peak.set(0) }
+    /** Deterministic: drain the bus (GraftBridge.drainListenerBus), so
+      * every task-end of the finished query is counted and none leaks
+      * into the next pass — the polling fixed-point this replaced could
+      * return on a stale counter under a completion burst.
+      */
+    def settle(spark: SparkSession): Unit =
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
   }
 
   private def jvmGcMs: Long = {
@@ -155,13 +152,14 @@ object Bench {
     // One measured pass: (sec, gcMs, spillBytes, peakBytes).
     def pass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Option[(Double, Long, Long, Long)] = {
+      listener.settle(spark) // stragglers of the PREVIOUS pass, if any
       listener.reset()
       val gc0 = jvmGcMs
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        listener.settle()
+        listener.settle(spark)
         Some((sec, jvmGcMs - gc0, listener.spill.get(), listener.peak.get()))
       } catch {
         case e: Throwable =>

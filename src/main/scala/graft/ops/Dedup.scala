@@ -416,7 +416,10 @@ object Dedup {
         case n: Number => n.longValue()
       }
     val floor = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val sigParts = math.min(4096, math.max(floor, (postEst / 128000L).toInt + 1))
+    // clamp in Long BEFORE narrowing: a giant-corpus estimate would
+    // wrap (postEst / 128000).toInt negative and silently fall back to
+    // the session floor — the exact regime the sizing exists for
+    val sigParts = math.min(4096L, math.max(floor.toLong, postEst / 128000L + 1)).toInt
     val gidPairs = posts.repartition(sigParts, col("__sig")).groupBy("__sig")
       .agg(collect_list(col("__gid")).as("__m"))
       .filter(size(col("__m")) >= 2 && size(col("__m")) <= cap)

@@ -324,8 +324,11 @@ object MinhashIndex {
     // the id ranges (driver-side over the cached rows), then a
     // semi-join pins exact membership
     val candIds = cands.select(col("__hid").as("id")).distinct()
-    val idArr = candIds.collect().map(_.getAs[Number](0).longValue())
-    val dfiles = StatsManifest.pruneLocal(docRows, idArr)
+    // ids keep the caller's type: prune when numeric, degrade to
+    // no-pruning otherwise (a string-keyed index must not throw here —
+    // the semi-join below is the correctness contract either way)
+    val idArr: Array[Any] = candIds.collect().map(_.get(0))
+    val dfiles = StatsManifest.pruneLocalAny(docRows, idArr)
     val histSh =
       (if (dfiles.isEmpty) s.read.parquet(s"$path/docs").filter(lit(false))
        else s.read.parquet(dfiles: _*))

@@ -133,7 +133,26 @@ object StatsManifest {
       if (i < 0) i = -i - 1
       if (i < sorted.length && sorted(i) <= hi) Some(r.getAs[String]("file"))
       else None
+      // .distinct below: a duplicate manifest row must never read (and
+      // row-duplicate) the same parquet file twice — the range-join
+      // pruning this replaced was immune via its own distinct
+    }.distinct
+  }
+
+  /** [[pruneLocal]] for UNTYPED keys (an index whose id column isn't
+    * numeric): prunes when both the keys and the manifest ranges are
+    * numbers, otherwise returns every file — pruning is advisory
+    * (callers re-apply exact predicates), so degrading to no-pruning
+    * preserves correctness where the long-keyed fast path would throw.
+    */
+  def pruneLocalAny(rows: Seq[org.apache.spark.sql.Row], keys: Array[Any]): Seq[String] = {
+    if (keys.isEmpty || rows.isEmpty) return Nil
+    val numeric = keys.forall(_.isInstanceOf[Number]) && rows.forall { r =>
+      r.getAs[Any]("lo").isInstanceOf[Number] &&
+        r.getAs[Any]("hi").isInstanceOf[Number]
     }
+    if (numeric) pruneLocal(rows, keys.map(_.asInstanceOf[Number].longValue()))
+    else rows.map(_.getAs[String]("file")).distinct
   }
 
   /** Band read through the manifest: list only intersecting files, scan

@@ -73,12 +73,6 @@ private[graft] object VersionedDir {
   def read(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(latestPath(s, dir))
 
-  /** Commit `df` as the next generation, then prune older committed
-    * generations. `df` may read FROM the current generation (the
-    * manifest-merge shape): the new generation is a fresh directory,
-    * so the plan never overwrites its own input, and the old
-    * generation is deleted only after the new `_SUCCESS` exists.
-    */
   /** Version numbers of ALL generation dirs present — committed or
     * torn — ascending.
     */
@@ -95,6 +89,12 @@ private[graft] object VersionedDir {
       .toSeq.sorted
   }
 
+  /** Commit `df` as the next generation, then prune older committed
+    * generations. `df` may read FROM the current generation (the
+    * manifest-merge shape): the new generation is a fresh directory,
+    * so the plan never overwrites its own input, and the old
+    * generation is deleted only after the new `_SUCCESS` exists.
+    */
   def write(df: DataFrame, dir: String): Unit = {
     val s = df.sparkSession
     val stale = present(s, dir)

@@ -77,10 +77,16 @@ object QdigestBench {
           org.apache.spark.sql.GraftBridge.unpersistCheckpoint(e)
           r
         }
-        val errQd = rankErr(qd.select(col("l_returnflag"), col("n"),
+        // materialize the (3-row) estimator outputs ONCE after the
+        // timed passes — rank error and the state read both reuse them
+        // instead of re-running the full-corpus aggregation per use
+        val qdC = qd.localCheckpoint()
+        val apC = ap.localCheckpoint()
+        val errQd = rankErr(qdC.select(col("l_returnflag"), col("n"),
           col("e50"), col("e95")))
-        val errAp = rankErr(ap)
-        val stateLongs = qd.agg(max("state_longs")).head.getInt(0)
+        val errAp = rankErr(apC)
+        val stateLongs = qdC.agg(max("state_longs")).head.getInt(0)
+        Seq(qdC, apC).foreach(org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
 
         println(f"| $tag ($nAll rows) | qdigest k=4096: ${tQd}%.2f s, " +
           f"state ≤ $stateLongs longs/group, worst rank err ${errQd * 100}%.4f%% " +

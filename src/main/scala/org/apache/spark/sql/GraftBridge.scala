@@ -25,4 +25,12 @@ object GraftBridge {
         r.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Block until the async listener bus has delivered every queued
+    * event — deterministic per-query metric attribution for Bench
+    * (task-end events otherwise post after the query returns and
+    * bleed into the NEXT query's counters under load).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

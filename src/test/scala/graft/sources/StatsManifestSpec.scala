@@ -128,4 +128,23 @@ class StatsManifestSpec extends AnyFunSuite with SparkTestSession with Matchers 
     StatsManifest.manifest(spark, p)
       .agg(sum("n_rows")).head.getLong(0) shouldBe 400L
   }
+
+  test("pruneLocal: duplicate manifest rows never yield the same file twice; " +
+    "pruneLocalAny degrades non-numeric keys to every file") {
+    val rows = StatsManifest.manifest(spark, path).collect().toSeq
+    val keys = Array(5L, 995L)
+    val pruned = StatsManifest.pruneLocal(rows, keys)
+    pruned.distinct.size shouldBe pruned.size
+    // a duplicated manifest row (repaired/merged manifests) must not
+    // double-read its file — rows would duplicate downstream of joins
+    // that carry no distinct
+    StatsManifest.pruneLocal(rows ++ rows.take(1), keys) shouldBe pruned
+    // untyped numeric keys take the pruning fast path...
+    StatsManifest.pruneLocalAny(rows, Array[Any](5L, 995L)) shouldBe pruned
+    // ...non-numeric keys (a string-id index) degrade to ALL files —
+    // never a ClassCastException; callers' exact joins keep correctness
+    StatsManifest.pruneLocalAny(rows, Array[Any]("a", "b")).sorted shouldBe
+      rows.map(_.getAs[String]("file")).distinct.sorted
+    StatsManifest.pruneLocalAny(rows, Array.empty[Any]) shouldBe Nil
+  }
 }
