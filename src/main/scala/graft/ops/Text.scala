@@ -1242,6 +1242,77 @@ object Text {
           .as("text_dedup"))
   }
 
+  /** [[dedupLines]] against a PERSISTED history — the continuous-ingest
+    * twin (the CCNet hash set survives across batches): a batch line is
+    * removed when it already exists ANYWHERE in the history corpus, or
+    * when it is a non-first occurrence within the batch itself; blank
+    * lines stay structure-exempt. Flags are EXACT — history membership
+    * goes through [[graft.ops.Dedup.incrementalNovel]]'s Bloom-gate
+    * shape (one m-bit `bloom_agg` filter rides the plan as a literal;
+    * a Bloom "no" has no false negatives, so definite-novel lines
+    * never join; only the maybe minority pays the md5 verification
+    * join against history's DISTINCT line digests), so the filter only
+    * routes work, never decides it. Within-batch keep-first is the
+    * dedupLines min-struct window on the batch's own (small) line set.
+    * 100 TB: history is read once per maintenance cycle to build the
+    * filter + digest table; each arriving batch costs its own lines.
+    * Output: (idCol, n_lines, n_removed_history, n_removed_batch,
+    * text_dedup) for the BATCH docs.
+    */
+  def dedupLinesIncremental(history: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            delim: String = "\n",
+                            numBits: Long = 1L << 23,
+                            numHashes: Int = 5): DataFrame = {
+    import graft.functions.FunctionDefs.{call, callAgg}
+    val q = java.util.regex.Pattern.quote(delim)
+    val histLines = history.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), q)).as("__l"))
+      .filter(trim(col("__l")) =!= "")
+    val bloom = histLines
+      .agg(callAgg("bloom_agg", xxhash64(col("__l")),
+        lit(numBits), lit(numHashes)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val lines = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), q)).as(Seq("__pos", "__l")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("__l")))
+    val flagged = lines
+      .withColumn("__blank", trim(col("__l")) === "")
+      .withColumn("__mn", min(struct(col("__id"), col("__pos"))).over(w))
+      .withColumn("__first",
+        col("__mn.__id") === col("__id") && col("__mn.__pos") === col("__pos"))
+      .withColumn("__maybe", !col("__blank") &&
+        call("bloom_contains", lit(bloom), xxhash64(col("__l")), lit(numHashes)))
+    val histDigests = histLines.select(md5(col("__l")).as("__hh")).distinct()
+      .withColumn("__seen", lit(1))
+    // definite-novel lines never touch the digest join; the maybe
+    // minority (true dups + the fp rate) verifies exactly on md5
+    val noMaybe = flagged.filter(!col("__maybe"))
+      .withColumn("__hist", lit(false))
+    val maybes = flagged.filter(col("__maybe"))
+      .withColumn("__hmd", md5(col("__l")))
+      .join(histDigests, col("__hmd") === col("__hh"), "left")
+      .withColumn("__hist", col("__seen").isNotNull)
+      .drop("__hmd", "__hh", "__seen")
+    noMaybe.unionByName(maybes)
+      .withColumn("__keep",
+        col("__blank") || (!col("__hist") && col("__first")))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__hist"), 1L).otherwise(0L)).as("n_removed_history"),
+        sum(when(!col("__hist") && !col("__keep"), 1L).otherwise(0L))
+          .as("n_removed_batch"),
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("__pos"), col("__l"))))).as("__kept"))
+      .select(col(idCol), col("n_lines"),
+        col("n_removed_history"), col("n_removed_batch"),
+        array_join(transform(col("__kept"), s => s("__l")), delim)
+          .as("text_dedup"))
+  }
+
   // ------------------------------------------- HTML text extraction
 
   /** HTML → plain-text extraction — the crawl-curation front door

@@ -1968,6 +1968,7 @@ object Pipeline {
     "dd_span_coverage" -> ddSpanCoverage _,
     "dd_span_scrub" -> ddSpanScrub _,
     "dd_line_dedup" -> ddLineDedup _,
+    "dd_line_dedup_inc" -> ddLineDedupInc _,
     "tx_html" -> txHtml _,
     "tx_shard" -> txShard _,
     "mm_audio_dedup" -> mmAudioDedup _,
@@ -2047,6 +2048,30 @@ object Pipeline {
           |  i -> array_join(slice(__ws, i, 7), ' ')), '\n')"""
           .stripMargin).as("text"))
     graft.ops.Text.dedupLines(docs, "doc_id", "text", delim = "\n")
+      .orderBy("doc_id")
+  }
+
+  /** Incremental line dedup against a persisted history
+    * ([[graft.ops.Text.dedupLinesIncremental]]): the dd_incremental
+    * id-modulo split (history = doc_id % 3 ≠ 0, batch = doc_id % 2 = 0,
+    * overlapping — docs in BOTH sets must scrub to empty), lines
+    * rebuilt as the dd_line_dedup 7-word chunks. Flags are exact; the
+    * Bloom gate only routes the verification join. The string-keyed
+    * oracle replays history membership, batch keep-first and the
+    * rebuilt text.
+    */
+  def ddLineDedupInc(s: SparkSession, dir: String): DataFrame = {
+    val lined = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), expr(
+        """array_join(transform(sequence(1, size(__ws), 7),
+          |  i -> array_join(slice(__ws, i, 7), ' ')), '\n')"""
+          .stripMargin).as("text"))
+    graft.ops.Text.dedupLinesIncremental(
+        history = lined.filter(col("doc_id") % 3 =!= 0),
+        batch = lined.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", delim = "\n")
       .orderBy("doc_id")
   }
 
@@ -3549,6 +3574,41 @@ object Pipeline {
         |      FROM k GROUP BY doc_id)
         |SELECT doc_id, n_lines, n_removed,
         |  round(n_removed / n_lines, 6) AS removed_frac, text_dedup
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // history line set (doc_id % 3 <> 0) + batch (doc_id % 2 = 0):
+    // a batch line drops when history has it or a batch-earlier
+    // (doc, pos) occurrence does; blanks exempt; text rebuilds
+    "dd_line_dedup_inc" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL),
+        |l0 AS (SELECT doc_id,
+        |         [array_to_string(list_slice(w, i, i + 6), ' ')
+        |          for i in range(1, len(w) + 1, 7)] AS ls FROM d),
+        |hl AS (SELECT DISTINCT u AS l FROM
+        |         (SELECT unnest(ls) AS u FROM l0 WHERE doc_id % 3 <> 0)
+        |       WHERE trim(u) <> ''),
+        |b AS (SELECT doc_id, u.p AS p, u.l AS l FROM
+        |        (SELECT doc_id, unnest([{'p': i, 'l': ls[i]}
+        |                                for i in range(1, len(ls) + 1)]) AS u
+        |         FROM l0 WHERE doc_id % 2 = 0)),
+        |k AS (SELECT doc_id, p, l,
+        |        trim(l) = '' AS blank,
+        |        (trim(l) <> '' AND l IN (SELECT l FROM hl)) AS hist,
+        |        (row_number() OVER (PARTITION BY l ORDER BY doc_id, p) = 1)
+        |          AS first
+        |      FROM b),
+        |c AS (SELECT doc_id, p, l, hist,
+        |        (blank OR (NOT hist AND first)) AS keep
+        |      FROM k),
+        |r AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+        |        (count(*) FILTER (WHERE hist))::BIGINT AS n_removed_history,
+        |        (count(*) FILTER (WHERE NOT hist AND NOT keep))::BIGINT
+        |          AS n_removed_batch,
+        |        coalesce(array_to_string(
+        |          list(l ORDER BY p) FILTER (WHERE keep), chr(10)), '')
+        |          AS text_dedup
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_lines, n_removed_history, n_removed_batch, text_dedup
         |FROM r ORDER BY doc_id""".stripMargin,
     // synthesize the HTML page, then replay the extraction chain:
     // script/style/comment drop, tags to spaces, entities decode

@@ -554,6 +554,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("dd_line_dedup_inc: bloom literal routes the digest join; batch window; no cartesian") {
+    val p = planOf("dd_line_dedup_inc")
+    withClue(s"dd_line_dedup_inc plan:\n$p") {
+      p.contains("CartesianProduct") shouldBe false
+      // history membership probes through the scan-side bloom gate;
+      // only the maybe minority reaches the md5 digest join
+      p should include("bloom_contains")
+      p should include("Window")
+    }
+  }
+
   test("tx_shard: ONE shard-hash shuffle + per-shard window — no join, no cartesian") {
     val p = planOf("tx_shard")
     withClue(s"tx_shard plan:\n$p") {

@@ -666,6 +666,25 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     r.getAs[String]("s") shouldBe "keep me tail"
   }
 
+  test("dedupLinesIncremental: history lines drop exactly, batch keep-first applies, blanks exempt") {
+    import spark.implicits._
+    val history = Seq(
+      (100L, "seen before\nhistory only")
+    ).toDF("id", "text")
+    val batch = Seq(
+      (1L, "seen before\nfresh one\n\nfresh one"), // hist drop + batch-repeat drop + blank survives
+      (2L, "fresh one\nfresh two"),                // loses "fresh one" to doc 1 (batch-first)
+      (3L, "seen before\nhistory only")            // fully in history → scrubs to empty
+    ).toDF("id", "text")
+    val got = Text.dedupLinesIncremental(history, batch, "id", "text")
+      .orderBy("id").collect()
+    got.map(_.getAs[String]("text_dedup")).toSeq shouldBe
+      Seq("fresh one\n", "fresh two", "")
+    got.map(_.getAs[Long]("n_removed_history")).toSeq shouldBe Seq(1L, 0L, 2L)
+    got.map(_.getAs[Long]("n_removed_batch")).toSeq shouldBe Seq(1L, 1L, 0L)
+    got.map(_.getAs[Long]("n_lines")).toSeq shouldBe Seq(4L, 2L, 2L)
+  }
+
   test("extractHtml: script/style/comments vanish, tags space, entities decode with &amp; last") {
     val d = docs(1L ->
       ("<html><head><script>if (1 < 2) { bad(); }</script><style>.x{}</style></head>" +

@@ -72,6 +72,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("incremental LINE dedup runs per micro-batch via foreachBatch, equals the batch twin") {
+    val spark0 = spark
+    import spark0.implicits._
+    // dedupLinesIncremental carries a within-batch window (keep-first),
+    // so its streaming form is foreachBatch — the micro-batch IS the
+    // batch; history membership stays the static Bloom gate
+    val history = Seq((100L, "seen a\nseen b")).toDF("id", "text")
+    val mb1 = Seq((1L, "seen a\nfresh one"), (2L, "fresh one\nfresh two"))
+    val mb2 = Seq((3L, "seen b\nfresh three"))
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    val q = input.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.ops.Text.dedupLinesIncremental(history, b, "id", "text")
+          .orderBy("id").collect().map(_.toSeq)
+        ()
+      }.start()
+    try {
+      input.addData(mb1); q.processAllAvailable()
+      input.addData(mb2); q.processAllAvailable()
+      val expected = (
+        graft.ops.Text.dedupLinesIncremental(history, mb1.toDF("id", "text"),
+          "id", "text").orderBy("id").collect() ++
+        graft.ops.Text.dedupLinesIncremental(history, mb2.toDF("id", "text"),
+          "id", "text").orderBy("id").collect()).map(_.toSeq).toSeq
+      got.toSeq shouldBe expected
+      // and the values themselves: history lines drop, batch-first wins
+      got.map(_(4)).toSeq shouldBe
+        Seq("fresh one", "fresh two", "fresh three")
+    } finally q.stop()
+  }
+
   test("windowed avg is floor-based round-half-up — correct for NEGATIVE sums") {
     val spark0 = spark
     import spark0.implicits._
