@@ -152,6 +152,9 @@ object FunctionDefs {
     "simhash64"         -> f("simhashNative", L, ArrayType(S)),
     "alnum_space_count" -> f("alnumSpaceCount", I, S), // graft extension (quality-score hot path)
     "space_token_count" -> f("spaceTokenCount", I, S), // graft extension (size(split(t,' ')) twin)
+    "letter_count"      -> f("letterCount", I, S),     // graft extension (regex [^A-Za-z] strip twin)
+    "upper_count"       -> f("upperCount", I, S),      // graft extension (regex [^A-Z] strip twin)
+    "run_token_count"   -> f("runTokenCount", I, S),   // graft extension (size(split(trim(t),' +')) twin)
     "byte_count"        -> f("byteOccurrences", I, S, I), // graft extension (ASCII-char occurrence count)
     "delete_variant_hashes" -> f("deleteVariantHashes", ArrayType(L), S, I), // graft extension (SymSpell neighborhood)
     "byte_entropy"        -> f("byteEntropy", D, S),       // graft extension (repetition/low-entropy signal)

@@ -549,6 +549,58 @@ object GeomImpl {
     c
   }
 
+  /** `length(regexp_replace(t, "[^A-Za-z]", ""))` as one byte scan —
+    * ASCII letters are single bytes and UTF-8 continuation/lead bytes
+    * never fall in the letter ranges (the [[alnumSpaceCount]]
+    * argument), so the byte count IS the regex's character count.
+    */
+  def letterCount(t: UTF8String): Int = {
+    val n = t.numBytes
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val b = t.getByte(i)
+      if ((b >= 'A'.toByte && b <= 'Z'.toByte) ||
+          (b >= 'a'.toByte && b <= 'z'.toByte)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** `length(regexp_replace(t, "[^A-Z]", ""))` as one byte scan. */
+  def upperCount(t: UTF8String): Int = {
+    val n = t.numBytes
+    var i = 0
+    var c = 0
+    while (i < n) {
+      val b = t.getByte(i)
+      if (b >= 'A'.toByte && b <= 'Z'.toByte) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** `size(split(trim(t), " +"))` as one byte scan: after trimming
+    * spaces the token count is the number of non-space RUNS, except
+    * the empty/all-space string where Spark's split returns [""] —
+    * count 1. (trim removes only the space character, matching
+    * Spark's trim; the space byte cannot occur inside a UTF-8
+    * multi-byte sequence.)
+    */
+  def runTokenCount(t: UTF8String): Int = {
+    val n = t.numBytes
+    var i = 0
+    var runs = 0
+    var inRun = false
+    while (i < n) {
+      val sp = t.getByte(i) == ' '.toByte
+      if (!sp && !inRun) { runs += 1; inRun = true }
+      else if (sp) inRun = false
+      i += 1
+    }
+    if (runs == 0) 1 else runs
+  }
+
   /** 64-bit signatures of every ≤k-character-deletion variant of `t` —
     * the SymSpell/symmetric-delete neighborhood (public technique): if
     * ed(a,b) ≤ k then deleting the edited positions yields a COMMON

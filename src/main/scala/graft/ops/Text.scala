@@ -1346,6 +1346,47 @@ object Text {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Boilerplate LINE filter — the justext/trafilatura rule core that
+    * follows [[extractHtml]] in a real WET pipeline, reduced to the
+    * exactly-SQL-replayable heuristics: a line is boilerplate when it
+    * has fewer than `minWords` words (nav crumbs, buttons, copyright
+    * stubs) or when more than `maxUpperFrac` of its letters are
+    * uppercase (SHOUTING headers/menus; a line with NO letters counts
+    * as boilerplate — pure digits/punct separators). Pure scan-side
+    * higher-order-function expression — split to lines, filter, rejoin;
+    * NO shuffle, no UDF: the 100 TB cost is one read of the column.
+    * Keeps blank lines (paragraph structure — the [[dedupLines]]
+    * carve-out) so a later line-granular pass still sees breaks.
+    */
+  /** The line-keep predicate behind [[dropBoilerplateLines]], exposed
+    * so callers can count kept lines on the ARRAY (join-then-resplit
+    * cannot distinguish "no lines" from "one blank line").
+    */
+  def keepLine(l: Column, minWords: Int = 5,
+               maxUpperFrac: Double = 0.5): Column = {
+    // native one-byte-pass counts (GeomImpl.runTokenCount/letterCount/
+    // upperCount) — exact integer twins of size(split(trim(l), " +")),
+    // length(regexp_replace(l, "[^A-Za-z]", "")) and the [^A-Z] form,
+    // so SQL oracles keep the regex spelling while the engine path
+    // runs no regex engine (the qualityScore hot-path contract;
+    // measured 3.8 µs/line → ~0.1 µs/line on the 7M-line corpus)
+    import graft.functions.FunctionDefs.call
+    val words = call("run_token_count", l)
+    val letters = call("letter_count", l)
+    val uppers = call("upper_count", l)
+    (trim(l) === "") || (words >= minWords && letters > 0 &&
+      uppers.cast("double") / letters <= maxUpperFrac)
+  }
+
+  def dropBoilerplateLines(text: Column, delim: String = "\n",
+                           minWords: Int = 5,
+                           maxUpperFrac: Double = 0.5): Column = {
+    val q = java.util.regex.Pattern.quote(delim)
+    array_join(
+      filter(split(text, q), l => keepLine(l, minWords, maxUpperFrac)),
+      delim)
+  }
+
   // --------------------------------------- deterministic shuffle-shard
 
   /** Deterministic corpus shuffle + sharding — the last step of every

@@ -1970,6 +1970,7 @@ object Pipeline {
     "dd_line_dedup" -> ddLineDedup _,
     "dd_line_dedup_inc" -> ddLineDedupInc _,
     "tx_html" -> txHtml _,
+    "tx_boilerplate" -> txBoilerplate _,
     "tx_shard" -> txShard _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "q_joinest" -> qJoinest _,
@@ -2101,6 +2102,37 @@ object Pipeline {
       graft.ops.Text.extractHtml(col("html")).as("text_plain"))
       .withColumn("n_chars_plain", length(col("text_plain")).cast("long"))
       .select("doc_id", "n_chars_html", "n_chars_plain", "text_plain")
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate-line filter ([[graft.ops.Text.dropBoilerplateLines]]):
+    * the justext/trafilatura rule core after tx_html's extraction. The
+    * entry rebuilds each doc as 7-word lines, PREPENDS a nav crumb
+    * (< 5 words), an ALL-CAPS banner (≥ 5 words but shouting) and a
+    * blank line, and APPENDS a copyright stub — the filter must drop
+    * exactly the planted boilerplate plus any real chunk under 5 words,
+    * keep the blank (structure), and rebuild the text. Counts come from
+    * the kept ARRAY (a rejoin cannot distinguish zero lines from one
+    * blank). Every rule replays in SQL.
+    */
+  def txBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val lined = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), concat(
+        lit("Home | About | Contact\nSUBSCRIBE NOW AND CLICK HERE TODAY\n\n"),
+        expr(
+          """array_join(transform(sequence(1, size(__ws), 7),
+            |  i -> array_join(slice(__ws, i, 7), ' ')), '\n')"""
+            .stripMargin),
+        lit("\n(c) 2026 Corp")).as("text"))
+    lined
+      .withColumn("__kept", filter(split(col("text"), "\n"),
+        l => graft.ops.Text.keepLine(l)))
+      .select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), "\n").as("text_clean"))
       .orderBy("doc_id")
   }
 
@@ -3638,6 +3670,31 @@ object Pipeline {
         |SELECT doc_id, n_chars_html, length(text_plain)::BIGINT AS n_chars_plain,
         |  text_plain
         |FROM e ORDER BY doc_id""").stripMargin,
+    // rebuild 7-word lines, plant nav/banner/blank/copyright, then
+    // replay the keep rules: blank OR (>=5 words AND has letters AND
+    // uppercase fraction of letters <= 0.5)
+    "tx_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL),
+        |t AS (SELECT doc_id,
+        |        'Home | About | Contact' || chr(10) ||
+        |        'SUBSCRIBE NOW AND CLICK HERE TODAY' || chr(10) || chr(10) ||
+        |        array_to_string([array_to_string(list_slice(w, i, i + 6), ' ')
+        |                         for i in range(1, len(w) + 1, 7)], chr(10)) ||
+        |        chr(10) || '(c) 2026 Corp' AS text
+        |      FROM d),
+        |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+        |k AS (SELECT doc_id, len(ls)::BIGINT AS n_lines,
+        |        [l for l in ls if trim(l) = '' OR
+        |          (len(regexp_split_to_array(trim(l), ' +')) >= 5
+        |           AND len(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+        |           AND len(regexp_replace(l, '[^A-Z]', '', 'g'))
+        |               / len(regexp_replace(l, '[^A-Za-z]', '', 'g')) <= 0.5)]
+        |          AS kept
+        |      FROM x)
+        |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+        |  array_to_string(kept, chr(10)) AS text_clean
+        |FROM k ORDER BY doc_id""".stripMargin,
     // md5(id ":" seed) permutation key, 32-bit-prefix shard, per-shard
     // rank — the full reproducible training order replays in SQL
     "tx_shard" ->

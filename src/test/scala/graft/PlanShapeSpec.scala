@@ -583,6 +583,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_boilerplate: line filtering is pure scan-side HOFs — no join, no aggregate, no window") {
+    val p = planOf("tx_boilerplate")
+    withClue(s"tx_boilerplate plan:\n$p") {
+      p.contains("Window") shouldBe false
+      p.contains("Join") shouldBe false
+      p.contains("HashAggregate") shouldBe false
+    }
+  }
+
   test("tx_blocklist: suffix probes are broadcast HASH joins — no list literal, no nested loop") {
     val p = planOf("tx_blocklist")
     withClue(s"tx_blocklist plan:\n$p") {

@@ -53,6 +53,37 @@ class CurationSpec extends AnyFunSuite with SparkTestSession with Matchers {
     nr.isNullAt(0) shouldBe true
   }
 
+  test("native letter_count / upper_count / run_token_count equal their regex twins (r12)") {
+    // the boilerplate-filter hot path (keepLine) — same twin contract:
+    // the oracle keeps regexp_replace / split(trim, " +"), the engine
+    // runs byte loops; must agree on every input class
+    val cases = Seq(
+      "Home | About", "SUBSCRIBE NOW AND CLICK HERE TODAY", "",
+      " ", "   ", "a", " leading", "trailing ", "  both  sides  ",
+      "ünïcödé MIXED case", "𝒳𝒴𝒵", "12345 --- !!!",
+      "tabs\tkeep\truns", "AB cd EF gh", "multi  spaced   words")
+    val df = SparkTestSession.session.createDataFrame(
+      cases.zipWithIndex.map { case (t, i) => Row(i.toLong, t) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("t", StringType))))
+    val rows = df.select(
+      graft.functions.FunctionDefs.call("letter_count", col("t")).as("nl"),
+      org.apache.spark.sql.functions.length(
+        regexp_replace(col("t"), "[^A-Za-z]", "")).as("rl"),
+      graft.functions.FunctionDefs.call("upper_count", col("t")).as("nu"),
+      org.apache.spark.sql.functions.length(
+        regexp_replace(col("t"), "[^A-Z]", "")).as("ru"),
+      graft.functions.FunctionDefs.call("run_token_count", col("t")).as("nt"),
+      org.apache.spark.sql.functions.size(
+        split(trim(col("t")), " +")).as("rt")).collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      withClue(s"input '$c': ") {
+        r.getInt(0) shouldBe r.getInt(1)
+        r.getInt(2) shouldBe r.getInt(3)
+        r.getInt(4) shouldBe r.getInt(5)
+      }
+    }
+  }
+
   test("entropy signals: hand-computed values, non-ASCII byte semantics, compression-ratio ordering") {
     val rows = Seq(
       (1L, "aaaa"),           // 1 symbol: entropy 0, top frac 1

@@ -704,6 +704,23 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got(1).getAs[String]("s") shouldBe "broken kept"
   }
 
+  test("dropBoilerplateLines: short/shouting/letterless lines drop, prose and blanks survive") {
+    val d = docs(1L -> Seq(
+      "Home | About",                         // 2 words → drop
+      "SUBSCRIBE NOW AND CLICK HERE TODAY",   // 6 words, all caps → drop
+      "12345 --- 67890 !!! 22222",            // 5 words, no letters → drop
+      "",                                     // blank = structure → keep
+      "This line has Seven Ordinary prose words", // keep (3/36 caps)
+      "(c) 2026",                             // 2 words → drop
+      "one two three four").mkString("\n"))   // 4 words → drop
+    val r = d.select(Text.dropBoilerplateLines(col("text")).as("s")).head()
+    r.getAs[String]("s") shouldBe "\nThis line has Seven Ordinary prose words"
+    // exactly-half uppercase letters passes the <= 0.5 boundary
+    val half = docs(1L -> "AB cd EF gh IJ kl MN op")
+    half.select(Text.dropBoilerplateLines(col("text")).as("s")).head()
+      .getAs[String]("s") shouldBe "AB cd EF gh IJ kl MN op"
+  }
+
   test("shuffleShards: reproducible uniform permutation — total, seed-stable, seed-sensitive") {
     import spark.implicits._
     val df = (0L until 200L).map(i => Tuple1(i)).toDF("id")
