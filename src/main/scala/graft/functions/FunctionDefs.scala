@@ -155,6 +155,7 @@ object FunctionDefs {
     "letter_count"      -> f("letterCount", I, S),     // graft extension (regex [^A-Za-z] strip twin)
     "upper_count"       -> f("upperCount", I, S),      // graft extension (regex [^A-Z] strip twin)
     "run_token_count"   -> f("runTokenCount", I, S),   // graft extension (size(split(trim(t),' +')) twin)
+    "alnum_token_count" -> f("alnumTokenCount", I, S), // graft extension (alnum-bearing token count twin)
     "byte_count"        -> f("byteOccurrences", I, S, I), // graft extension (ASCII-char occurrence count)
     "delete_variant_hashes" -> f("deleteVariantHashes", ArrayType(L), S, I), // graft extension (SymSpell neighborhood)
     "byte_entropy"        -> f("byteEntropy", D, S),       // graft extension (repetition/low-entropy signal)

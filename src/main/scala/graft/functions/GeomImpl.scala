@@ -601,6 +601,36 @@ object GeomImpl {
     if (runs == 0) 1 else runs
   }
 
+  /** `size(filter(split(trim(t), " +"), w -> w RLIKE '[A-Za-z0-9]'))`
+    * as one byte scan — non-space runs carrying at least one ASCII
+    * alphanumeric byte. The WORD count boilerplate rules want:
+    * separator tokens (`|`, `-`, `»`) must not inflate a nav crumb
+    * into a "sentence". Returns 0 for empty/all-space/all-separator
+    * input (unlike [[runTokenCount]] there is no [""]-token quirk:
+    * the filtered empty token carries no alnum byte).
+    */
+  def alnumTokenCount(t: UTF8String): Int = {
+    val n = t.numBytes
+    var i = 0
+    var runs = 0
+    var inRun = false
+    var runHasAlnum = false
+    while (i < n) {
+      val b = t.getByte(i)
+      val sp = b == ' '.toByte
+      if (!sp) {
+        if (!inRun) { inRun = true; runHasAlnum = false }
+        if ((b >= '0'.toByte && b <= '9'.toByte) ||
+            (b >= 'A'.toByte && b <= 'Z'.toByte) ||
+            (b >= 'a'.toByte && b <= 'z'.toByte)) {
+          if (!runHasAlnum) { runs += 1; runHasAlnum = true }
+        }
+      } else inRun = false
+      i += 1
+    }
+    runs
+  }
+
   /** 64-bit signatures of every ≤k-character-deletion variant of `t` —
     * the SymSpell/symmetric-delete neighborhood (public technique): if
     * ed(a,b) ≤ k then deleting the edited positions yields a COMMON

@@ -1242,6 +1242,61 @@ object Text {
           .as("text_dedup"))
   }
 
+  /** Prebuilt history state for [[dedupLinesIncremental]]: the m-bit
+    * Bloom filter and the MATERIALIZED (localCheckpoint) distinct line
+    * digest table. Build ONCE per maintenance cycle — the foreachBatch
+    * streaming form must not rescan a 100 TB history on every trigger;
+    * with this state each micro-batch costs only its own lines plus
+    * the digest probe. Release with [[LineHistory.release]] when the
+    * cycle rolls (checkpoint blocks are pinned until then).
+    */
+  final case class LineHistory(bloom: Array[Byte], digests: DataFrame,
+                               numHashes: Int) {
+    def release(): Unit =
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(digests)
+  }
+
+  /** Build the [[LineHistory]] state: ONE pass over the history corpus
+    * feeds both the `bloom_agg` filter and the distinct md5 digest
+    * table (checkpointed so later probes reuse the materialized rows).
+    */
+  def prepareLineHistory(history: DataFrame, textCol: String,
+                         delim: String = "\n",
+                         numBits: Long = 1L << 23,
+                         numHashes: Int = 5): LineHistory = {
+    import graft.functions.FunctionDefs.callAgg
+    val q = java.util.regex.Pattern.quote(delim)
+    val histLines = history.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol), q)).as("__l"))
+      .filter(trim(col("__l")) =!= "")
+    val bloom = histLines
+      .agg(callAgg("bloom_agg", xxhash64(col("__l")),
+        lit(numBits), lit(numHashes)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val digests = histLines.select(md5(col("__l")).as("__hh")).distinct()
+      .withColumn("__seen", lit(1))
+      .localCheckpoint()
+    LineHistory(bloom, digests, numHashes)
+  }
+
+  /** One-shot convenience form: prepares the history state and dedups
+    * the batch. For repeated batches (the foreachBatch stream),
+    * [[prepareLineHistory]] once and call the state overload — this
+    * form pays the history scans on every call.
+    */
+  def dedupLinesIncremental(history: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            delim: String = "\n",
+                            numBits: Long = 1L << 23,
+                            numHashes: Int = 5): DataFrame = {
+    val st = prepareLineHistory(history, textCol, delim, numBits, numHashes)
+    // no release() here: the returned frame reads THROUGH the
+    // checkpointed digests and a local checkpoint cannot recompute
+    // after unpersist — the blocks must outlive the caller's terminal
+    // action (they are GC'd with the RDD when the frame is dropped)
+    dedupLinesIncremental(st, batch, idCol, textCol, delim)
+  }
+
   /** [[dedupLines]] against a PERSISTED history — the continuous-ingest
     * twin (the CCNet hash set survives across batches): a batch line is
     * removed when it already exists ANYWHERE in the history corpus, or
@@ -1254,25 +1309,17 @@ object Text {
     * join against history's DISTINCT line digests), so the filter only
     * routes work, never decides it. Within-batch keep-first is the
     * dedupLines min-struct window on the batch's own (small) line set.
-    * 100 TB: history is read once per maintenance cycle to build the
-    * filter + digest table; each arriving batch costs its own lines.
+    * 100 TB: history is read once per maintenance cycle
+    * ([[prepareLineHistory]]); each arriving batch costs its own lines
+    * plus the digest probe against the MATERIALIZED table.
     * Output: (idCol, n_lines, n_removed_history, n_removed_batch,
     * text_dedup) for the BATCH docs.
     */
-  def dedupLinesIncremental(history: DataFrame, batch: DataFrame,
+  def dedupLinesIncremental(state: LineHistory, batch: DataFrame,
                             idCol: String, textCol: String,
-                            delim: String = "\n",
-                            numBits: Long = 1L << 23,
-                            numHashes: Int = 5): DataFrame = {
-    import graft.functions.FunctionDefs.{call, callAgg}
+                            delim: String): DataFrame = {
+    import graft.functions.FunctionDefs.call
     val q = java.util.regex.Pattern.quote(delim)
-    val histLines = history.filter(col(textCol).isNotNull)
-      .select(explode(split(col(textCol), q)).as("__l"))
-      .filter(trim(col("__l")) =!= "")
-    val bloom = histLines
-      .agg(callAgg("bloom_agg", xxhash64(col("__l")),
-        lit(numBits), lit(numHashes)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
     val lines = batch.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), q)).as(Seq("__pos", "__l")))
@@ -1284,9 +1331,9 @@ object Text {
       .withColumn("__first",
         col("__mn.__id") === col("__id") && col("__mn.__pos") === col("__pos"))
       .withColumn("__maybe", !col("__blank") &&
-        call("bloom_contains", lit(bloom), xxhash64(col("__l")), lit(numHashes)))
-    val histDigests = histLines.select(md5(col("__l")).as("__hh")).distinct()
-      .withColumn("__seen", lit(1))
+        call("bloom_contains", lit(state.bloom), xxhash64(col("__l")),
+          lit(state.numHashes)))
+    val histDigests = state.digests
     // definite-novel lines never touch the digest join; the maybe
     // minority (true dups + the fp rate) verifies exactly on md5
     val noMaybe = flagged.filter(!col("__maybe"))
@@ -1346,38 +1393,44 @@ object Text {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** Boilerplate LINE filter — the justext/trafilatura rule core that
-    * follows [[extractHtml]] in a real WET pipeline, reduced to the
-    * exactly-SQL-replayable heuristics: a line is boilerplate when it
-    * has fewer than `minWords` words (nav crumbs, buttons, copyright
-    * stubs) or when more than `maxUpperFrac` of its letters are
-    * uppercase (SHOUTING headers/menus; a line with NO letters counts
-    * as boilerplate — pure digits/punct separators). Pure scan-side
-    * higher-order-function expression — split to lines, filter, rejoin;
-    * NO shuffle, no UDF: the 100 TB cost is one read of the column.
-    * Keeps blank lines (paragraph structure — the [[dedupLines]]
-    * carve-out) so a later line-granular pass still sees breaks.
-    */
   /** The line-keep predicate behind [[dropBoilerplateLines]], exposed
     * so callers can count kept lines on the ARRAY (join-then-resplit
-    * cannot distinguish "no lines" from "one blank line").
+    * cannot distinguish "no lines" from "one blank line"). A word is
+    * an ALNUM-BEARING token — separator tokens (`|`, `---`, `»`) do
+    * not count, so `Terms | Privacy | Sitemap` is 3 words, not 5: the
+    * exact nav-crumb class the rule exists for.
     */
   def keepLine(l: Column, minWords: Int = 5,
                maxUpperFrac: Double = 0.5): Column = {
-    // native one-byte-pass counts (GeomImpl.runTokenCount/letterCount/
-    // upperCount) — exact integer twins of size(split(trim(l), " +")),
+    // native one-byte-pass counts (GeomImpl.alnumTokenCount/
+    // letterCount/upperCount) — exact integer twins of
+    // size(filter(split(trim(l), " +"), w -> w rlike '[A-Za-z0-9]')),
     // length(regexp_replace(l, "[^A-Za-z]", "")) and the [^A-Z] form,
     // so SQL oracles keep the regex spelling while the engine path
     // runs no regex engine (the qualityScore hot-path contract;
     // measured 3.8 µs/line → ~0.1 µs/line on the 7M-line corpus)
     import graft.functions.FunctionDefs.call
-    val words = call("run_token_count", l)
+    val words = call("alnum_token_count", l)
     val letters = call("letter_count", l)
     val uppers = call("upper_count", l)
     (trim(l) === "") || (words >= minWords && letters > 0 &&
       uppers.cast("double") / letters <= maxUpperFrac)
   }
 
+  /** Boilerplate LINE filter — the justext/trafilatura rule core that
+    * follows [[extractHtml]] in a real WET pipeline, reduced to the
+    * exactly-SQL-replayable heuristics: a line is boilerplate when it
+    * has fewer than `minWords` alnum-bearing words (nav crumbs,
+    * buttons, copyright stubs — separator tokens don't count), or
+    * when more than `maxUpperFrac` of its letters are uppercase
+    * (SHOUTING headers/menus; a line with NO letters counts as
+    * boilerplate — pure digits/punct separators). Pure scan-side
+    * higher-order-function expression — split to lines, filter,
+    * rejoin; NO shuffle, no UDF: the 100 TB cost is one read of the
+    * column. Keeps blank lines (paragraph structure — the
+    * [[dedupLines]] carve-out) so a later line-granular pass still
+    * sees breaks.
+    */
   def dropBoilerplateLines(text: Column, delim: String = "\n",
                            minWords: Int = 5,
                            maxUpperFrac: Double = 0.5): Column = {

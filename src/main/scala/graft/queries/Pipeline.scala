@@ -3671,7 +3671,8 @@ object Pipeline {
         |  text_plain
         |FROM e ORDER BY doc_id""").stripMargin,
     // rebuild 7-word lines, plant nav/banner/blank/copyright, then
-    // replay the keep rules: blank OR (>=5 words AND has letters AND
+    // replay the keep rules: blank OR (>=5 ALNUM-BEARING words —
+    // separator tokens like '|' don't count — AND has letters AND
     // uppercase fraction of letters <= 0.5)
     "tx_boilerplate" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -3686,7 +3687,8 @@ object Pipeline {
         |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
         |k AS (SELECT doc_id, len(ls)::BIGINT AS n_lines,
         |        [l for l in ls if trim(l) = '' OR
-        |          (len(regexp_split_to_array(trim(l), ' +')) >= 5
+        |          (len([tok for tok in regexp_split_to_array(trim(l), ' +')
+        |                if regexp_matches(tok, '[A-Za-z0-9]')]) >= 5
         |           AND len(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
         |           AND len(regexp_replace(l, '[^A-Z]', '', 'g'))
         |               / len(regexp_replace(l, '[^A-Za-z]', '', 'g')) <= 0.5)]

@@ -44,9 +44,9 @@ object LineSkewBench {
 
     def withBoiler(k: Int): DataFrame = {
       val boiler = (1 to k)
-        .map(i => s"subscribe to our newsletter $i").mkString("\\n")
+        .map(i => s"subscribe to our newsletter $i").mkString("\n")
       lined.select(col("doc_id"),
-        concat(lit(boiler.replace("\\n", "\n") + "\n"), col("text")).as("text"))
+        concat(lit(boiler + "\n"), col("text")).as("text"))
     }
 
     val base = time2(noop(graft.ops.Text.dedupLines(lined, "doc_id", "text")))

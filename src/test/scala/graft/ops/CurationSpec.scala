@@ -74,12 +74,17 @@ class CurationSpec extends AnyFunSuite with SparkTestSession with Matchers {
         regexp_replace(col("t"), "[^A-Z]", "")).as("ru"),
       graft.functions.FunctionDefs.call("run_token_count", col("t")).as("nt"),
       org.apache.spark.sql.functions.size(
-        split(trim(col("t")), " +")).as("rt")).collect()
+        split(trim(col("t")), " +")).as("rt"),
+      graft.functions.FunctionDefs.call("alnum_token_count", col("t")).as("na"),
+      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.filter(
+        split(trim(col("t")), " +"),
+        w => w.rlike("[A-Za-z0-9]"))).as("ra")).collect()
     rows.zip(cases).foreach { case (r, c) =>
       withClue(s"input '$c': ") {
         r.getInt(0) shouldBe r.getInt(1)
         r.getInt(2) shouldBe r.getInt(3)
         r.getInt(4) shouldBe r.getInt(5)
+        r.getInt(6) shouldBe r.getInt(7)
       }
     }
   }

@@ -706,9 +706,10 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
 
   test("dropBoilerplateLines: short/shouting/letterless lines drop, prose and blanks survive") {
     val d = docs(1L -> Seq(
-      "Home | About",                         // 2 words → drop
+      "Home | About",                         // 2 alnum words → drop
+      "Terms | Privacy | Sitemap | Careers",  // separator-padded nav: 4 alnum words → drop
       "SUBSCRIBE NOW AND CLICK HERE TODAY",   // 6 words, all caps → drop
-      "12345 --- 67890 !!! 22222",            // 5 words, no letters → drop
+      "12345 --- 67890 !!! 22222",            // 3 alnum words, no letters → drop
       "",                                     // blank = structure → keep
       "This line has Seven Ordinary prose words", // keep (3/36 caps)
       "(c) 2026",                             // 2 words → drop

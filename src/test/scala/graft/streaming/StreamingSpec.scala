@@ -77,15 +77,17 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     import spark0.implicits._
     // dedupLinesIncremental carries a within-batch window (keep-first),
     // so its streaming form is foreachBatch — the micro-batch IS the
-    // batch; history membership stays the static Bloom gate
+    // batch; the history state (bloom + materialized digests) builds
+    // ONCE before the query starts, so triggers never rescan history
     val history = Seq((100L, "seen a\nseen b")).toDF("id", "text")
+    val state = graft.ops.Text.prepareLineHistory(history, "text")
     val mb1 = Seq((1L, "seen a\nfresh one"), (2L, "fresh one\nfresh two"))
     val mb2 = Seq((3L, "seen b\nfresh three"))
     val input = MemoryStream[(Long, String)](spark)
     val got = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
     val q = input.toDF().toDF("id", "text").writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        got ++= graft.ops.Text.dedupLinesIncremental(history, b, "id", "text")
+        got ++= graft.ops.Text.dedupLinesIncremental(state, b, "id", "text", "\n")
           .orderBy("id").collect().map(_.toSeq)
         ()
       }.start()
