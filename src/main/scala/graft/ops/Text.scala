@@ -1375,23 +1375,60 @@ object Text {
     * one read of the column. Not a full HTML5 parser by design:
     * malformed markup degrades to extra whitespace, never to a throw.
     */
-  def extractHtml(html: Column): Column = {
-    // (?s) — element bodies and comments routinely span newlines; both
-    // java.util.regex and RE2 accept the inline DOTALL flag
+  def extractHtml(html: Column): Column =
+    trim(regexp_replace(decodeEntities(stripMarkup(html, blocks = false)),
+      "\\s+", " "))
+
+  /** [[extractHtml]] preserving BLOCK structure — the form the line
+    * operators compose with (real WET extraction emits one line per
+    * block): closing block tags (`</p> </div> </h1..6> </li> </tr>
+    * </table> </ul> </ol> </blockquote>`) and `<br>`/`<hr>` become
+    * newlines BEFORE the generic tag strip, so paragraphs survive as
+    * lines; spaces/tabs collapse per line, spaces trim around
+    * newlines, runs of 3+ newlines squeeze to a paragraph break, and
+    * leading/trailing whitespace drops. Same scan-side
+    * java.util.regex ∩ RE2 chain, same entity decoding. Feed the
+    * result to [[dropBoilerplateLines]] / [[dedupLines]] — the
+    * extraction → boilerplate → line-dedup web-curation path.
+    */
+  def extractHtmlBlocks(html: Column): Column = {
+    val decoded = decodeEntities(stripMarkup(html, blocks = true))
+    val sp = regexp_replace(decoded, "[ \t]+", " ")
+    val nl = regexp_replace(sp, " ?\n ?", "\n")
+    val squeezed = regexp_replace(nl, "\n{3,}", "\n\n")
+    regexp_replace(squeezed, "^[\n ]+|[\n ]+$", "")
+  }
+
+  /** Shared markup strip: script/style/comment bodies drop whole
+    * (DOTALL — they routinely span newlines), then either every tag
+    * becomes a space (`blocks = false`) or block-closing tags become
+    * newlines first (`blocks = true`).
+    */
+  private def stripMarkup(html: Column, blocks: Boolean): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
-    val decoded = Seq(
+    val staged =
+      if (blocks)
+        regexp_replace(noComment,
+          "(?i)<(?:br|hr)[^>]*>|</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>",
+          "\n")
+      else noComment
+    regexp_replace(staged, "<[^>]*>", " ")
+  }
+
+  /** The five ubiquitous entities + `&amp;` LAST (so `&amp;lt;`
+    * correctly yields the literal text `&lt;`).
+    */
+  private def decodeEntities(c0: Column): Column =
+    Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (ent, ch)) =>
+      .foldLeft(c0) { case (c, (ent, ch)) =>
         // entity spellings contain no regex metacharacters; the
         // replacement backslash-escape covers the quote literal
         regexp_replace(c, ent, java.util.regex.Matcher.quoteReplacement(ch))
       }
-    trim(regexp_replace(decoded, "\\s+", " "))
-  }
 
   /** The line-keep predicate behind [[dropBoilerplateLines]], exposed
     * so callers can count kept lines on the ARRAY (join-then-resplit

@@ -1971,6 +1971,7 @@ object Pipeline {
     "dd_line_dedup_inc" -> ddLineDedupInc _,
     "tx_html" -> txHtml _,
     "tx_boilerplate" -> txBoilerplate _,
+    "tx_web_pipeline" -> txWebPipeline _,
     "tx_shard" -> txShard _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "q_joinest" -> qJoinest _,
@@ -2131,6 +2132,44 @@ object Pipeline {
         l => graft.ops.Text.keepLine(l)))
       .select(col("doc_id"),
         size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), "\n").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** The web-curation path COMPOSED end to end
+    * ([[graft.ops.Text.extractHtmlBlocks]] →
+    * [[graft.ops.Text.keepLine]]): each doc synthesizes a block-
+    * structured page (script head, title, h1, one `<p>` per 7-word
+    * chunk, a nav div, an entity-escaped copyright paragraph), the
+    * block-preserving extraction turns it into LINES (one per block),
+    * and the boilerplate rules drop the title/h1/nav/copyright lines
+    * while the prose paragraphs survive. Both stages replay verbatim
+    * in SQL — the WET extraction contract certified through the
+    * composition, not just per operator.
+    */
+  def txWebPipeline(s: SparkSession, dir: String): DataFrame = {
+    val paged = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), concat(
+        lit("<html><head><script type=\"text/javascript\">var nav = 1 < 2;</script><title>D"),
+        col("doc_id"),
+        lit("</title></head><body><h1>Doc "), col("doc_id"), lit("</h1>"),
+        expr(
+          """array_join(transform(sequence(1, size(__ws), 7),
+            |  i -> concat('<p>', array_join(slice(__ws, i, 7), ' '), '</p>')), '')"""
+            .stripMargin),
+        lit("<div class=\"nav\">Home | About | Contact</div>" +
+          "<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>"))
+        .as("html"))
+    paged
+      .withColumn("__ls", split(
+        graft.ops.Text.extractHtmlBlocks(col("html")), "\n"))
+      .withColumn("__kept", filter(col("__ls"),
+        l => graft.ops.Text.keepLine(l)))
+      .select(col("doc_id"),
+        size(col("__ls")).cast("long").as("n_lines"),
         size(col("__kept")).cast("long").as("n_kept"),
         array_join(col("__kept"), "\n").as("text_clean"))
       .orderBy("doc_id")
@@ -3685,6 +3724,50 @@ object Pipeline {
         |        chr(10) || '(c) 2026 Corp' AS text
         |      FROM d),
         |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+        |k AS (SELECT doc_id, len(ls)::BIGINT AS n_lines,
+        |        [l for l in ls if trim(l) = '' OR
+        |          (len([tok for tok in regexp_split_to_array(trim(l), ' +')
+        |                if regexp_matches(tok, '[A-Za-z0-9]')]) >= 5
+        |           AND len(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+        |           AND len(regexp_replace(l, '[^A-Z]', '', 'g'))
+        |               / len(regexp_replace(l, '[^A-Za-z]', '', 'g')) <= 0.5)]
+        |          AS kept
+        |      FROM x)
+        |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+        |  array_to_string(kept, chr(10)) AS text_clean
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // block page synthesis → block-preserving extraction (block-close
+    // tags to newlines BEFORE the tag strip, per-line whitespace
+    // normalization) → the boilerplate keep rules, all in one replay
+    "tx_web_pipeline" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |  '<html><head><script type="text/javascript">var nav = 1 < 2;</script><title>D'
+        |  || doc_id || '</title></head><body><h1>Doc ' || doc_id || '</h1>' ||
+        |  array_to_string(['<p>' || array_to_string(list_slice(w, i, i + 6), ' ')
+        |                   || '</p>' for i in range(1, len(w) + 1, 7)], '') ||
+        |  '<div class="nav">Home | About | Contact</div>' ||
+        |  '<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>' AS html
+        |FROM d),
+        |e AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?i)<(?:br|hr)[^>]*>|</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>',
+        |        chr(10), 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t]+', ' ', 'g'),
+        |    ' ?\n ?', chr(10), 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g'),
+        |    '^[\n ]+|[\n ]+$', '', 'g') AS text
+        |FROM h),
+        |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM e),
         |k AS (SELECT doc_id, len(ls)::BIGINT AS n_lines,
         |        [l for l in ls if trim(l) = '' OR
         |          (len([tok for tok in regexp_split_to_array(trim(l), ' +')

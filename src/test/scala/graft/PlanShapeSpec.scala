@@ -592,6 +592,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_web_pipeline: the composed extract+filter path stays scan-side — no join, no agg, no window") {
+    val p = planOf("tx_web_pipeline")
+    withClue(s"tx_web_pipeline plan:\n$p") {
+      p.contains("Window") shouldBe false
+      p.contains("Join") shouldBe false
+      p.contains("HashAggregate") shouldBe false
+    }
+  }
+
   test("tx_blocklist: suffix probes are broadcast HASH joins — no list literal, no nested loop") {
     val p = planOf("tx_blocklist")
     withClue(s"tx_blocklist plan:\n$p") {

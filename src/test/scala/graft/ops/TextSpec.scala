@@ -704,6 +704,20 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got(1).getAs[String]("s") shouldBe "broken kept"
   }
 
+  test("extractHtmlBlocks: block closes become lines, inline tags stay spaces, whitespace normalizes") {
+    val d = docs(1L ->
+      ("<h1>Title Here</h1><p>first <b>para</b> text</p><p>second para</p>" +
+        "<br><div>after break</div><script>var x = 1;</script><p>a &amp; b</p>"))
+    val r = d.select(Text.extractHtmlBlocks(col("text")).as("s")).head()
+    r.getAs[String]("s") shouldBe
+      "Title Here\nfirst para text\nsecond para\n\nafter break\na & b"
+    // 3+ newline runs squeeze to one paragraph break; leading and
+    // trailing whitespace (incl. newlines) drop
+    val d2 = docs(1L -> "<p></p><p></p><p>only text</p><p></p>")
+    d2.select(Text.extractHtmlBlocks(col("text")).as("s")).head()
+      .getAs[String]("s") shouldBe "only text"
+  }
+
   test("dropBoilerplateLines: short/shouting/letterless lines drop, prose and blanks survive") {
     val d = docs(1L -> Seq(
       "Home | About",                         // 2 alnum words → drop
