@@ -26,35 +26,53 @@ import java.util.concurrent.atomic.AtomicLong
   * Attribution counters (r11 verdict task 1): the sweep records, per
   * query, whole-JVM GC time (GarbageCollectorMXBean deltas — exact and
   * synchronous; in local mode the driver JVM IS the executor), shuffle
-  * spill bytes (memory+disk, summed over task metrics) and the max
-  * per-task peak execution memory. A sweep reading that diverges from
-  * another environment's now carries the evidence: high gc_ms/spill_mb
-  * on identical code means host memory contention, not a plan change.
+  * spill bytes (memory+disk, summed over task metrics), the max
+  * per-task peak execution memory, and (r12 verdict task 1) total task
+  * CPU-side run time (Σ executorRunTime over the median pass's tasks).
+  * A sweep reading that diverges from another environment's now carries
+  * the evidence: high gc_ms/spill_mb on identical code means host
+  * memory contention; wall ≫ cpu_ms/parallelism with flat gc/spill
+  * means host steal (CPU contention outside the JVM) — the one mode
+  * gc/spill cannot see.
   *
-  * Outlier re-run policy: when a committed baseline sweep exists
-  * (SPARK_GRAFT_BENCH_BASELINE, default bench/bench_baseline.json), any
+  * Outlier re-run policy: when a committed baseline sweep exists, any
   * query whose median reads >2× its baseline median is automatically
   * re-measured once (a full median-of-iters pass) and the better median
   * wins; the query is listed under "reruns" either way. One transient
   * host-noise phase (±20–50% on this container class) no longer
   * publishes a 3.8× per-query regression on untouched code.
+  *
+  * Baseline resolution is LOUD (r12 verdict finding #1 — the relative
+  * default path silently yielded `Map.empty` in a cwd the fork didn't
+  * control, so `"reruns":[]` was indistinguishable from "no outliers"):
+  * SPARK_GRAFT_BENCH_BASELINE is taken verbatim; otherwise
+  * `bench/bench_baseline.json` resolves against the cwd and then
+  * against the repo root derived from this class's code-source
+  * location. The sweep JSON carries `baseline_n` (entries actually
+  * loaded) and `baseline_path` (the resolved file, or the reason
+  * nothing loaded), and a zero-entry load warns on stderr — a
+  * no-baseline sweep is now self-evident, never silent.
   */
 object Bench {
 
-  /** Queries whose entries re-pay exact ground truth or a full
-    * re-banding INSIDE the entry by design (verification scaffolding —
-    * the operator under test is a fraction of the entry's wall time).
-    * Tagged in the sweep JSON so round-over-round totals can be quoted
-    * both ways: `value` (everything) and `value_engine` (scaffold rows
-    * excluded) — r11 verdict finding #4.
+  /** Queries whose entries re-pay exact ground truth, a full
+    * re-banding, or a from-scratch history-state build INSIDE the entry
+    * by design (verification scaffolding — the operator under test is a
+    * fraction of the entry's wall time). Tagged in the sweep JSON so
+    * round-over-round totals can be quoted both ways: `value`
+    * (everything) and `value_engine` (scaffold rows excluded) — r11
+    * verdict finding #4. dd_line_dedup_inc joined in r13 (r12 finding
+    * #3): its entry builds the history Bloom + digest table in-entry;
+    * the operator's marginal cost is the batch's own lines (SCALE_r12).
     */
   private val ScaffoldQueries: Set[String] = Set(
     "dd_lsh_index_check", "dd_lsh_index_inc",
     "dd_hamming_index", "dd_hamming_index_inc",
-    "dd_components_inc", "dd_semantic_full", "dd_semantic_refine")
+    "dd_components_inc", "dd_semantic_full", "dd_semantic_refine",
+    "dd_line_dedup_inc")
 
   private final case class QRes(name: String, sec: Double, ok: Boolean,
-      gcMs: Long, spillMb: Long, peakMb: Long, rerun: Boolean)
+      gcMs: Long, spillMb: Long, peakMb: Long, cpuMs: Long, rerun: Boolean)
 
   /** Accumulates task-level metrics between reset() calls. Task-end
     * events post asynchronously on the listener bus, so settle() drains
@@ -64,21 +82,31 @@ object Bench {
   private final class MetricsListener extends SparkListener {
     val spill = new AtomicLong
     val peak = new AtomicLong
+    val cpu = new AtomicLong
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
       val m = e.taskMetrics
       if (m != null) {
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
         peak.updateAndGet(p => math.max(p, m.peakExecutionMemory))
+        cpu.addAndGet(m.executorRunTime)
       }
     }
-    def reset(): Unit = { spill.set(0); peak.set(0) }
+    def reset(): Unit = { spill.set(0); peak.set(0); cpu.set(0) }
     /** Deterministic: drain the bus (GraftBridge.drainListenerBus), so
       * every task-end of the finished query is counted and none leaks
       * into the next pass — the polling fixed-point this replaced could
-      * return on a stale counter under a completion burst.
+      * return on a stale counter under a completion burst. waitUntilEmpty
+      * throws if the bus does not drain within Spark's 10 s default;
+      * stale-by-one counters are a footnote, an aborted sweep is not —
+      * so the miss downgrades to a stderr warning (ADVICE r12).
       */
     def settle(spark: SparkSession): Unit =
-      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      try org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(
+            "[bench] listener bus did not drain in time — task counters may be stale for this pass")
+      }
   }
 
   private def jvmGcMs: Long = {
@@ -106,20 +134,61 @@ object Bench {
     runInline(only)
   }
 
-  // ---------------------------------------------------------- child/inline
+  // ---------------------------------------------------------- baseline
+
+  /** The repo root this class was loaded from (target/…/classes → the
+    * ancestor holding build.sbt) — the cwd-independent anchor for the
+    * default baseline path. None when loaded from an exotic classloader.
+    */
+  private def repoRoot: Option[java.io.File] = try {
+    val src = getClass.getProtectionDomain.getCodeSource
+    if (src == null) None
+    else {
+      var d = new java.io.File(src.getLocation.toURI)
+      if (d.isFile) d = d.getParentFile // loaded from a jar
+      var cur: java.io.File = d
+      while (cur != null && !new java.io.File(cur, "build.sbt").exists())
+        cur = cur.getParentFile
+      Option(cur)
+    }
+  } catch { case _: Throwable => None }
+
+  /** Resolve the baseline file: explicit env wins verbatim; the default
+    * relative path tries the cwd, then the repo root (the forked child's
+    * cwd is whatever the parent's launcher set — r12 verdict finding #1).
+    */
+  private def resolveBaseline(): java.io.File =
+    sys.env.get("SPARK_GRAFT_BENCH_BASELINE").map(new java.io.File(_)).getOrElse {
+      val rel = new java.io.File("bench/bench_baseline.json")
+      if (rel.exists()) rel
+      else repoRoot.map(new java.io.File(_, "bench/bench_baseline.json")).getOrElse(rel)
+    }
 
   /** The committed medians the >2× outlier policy compares against —
     * only when the baseline was measured at the SAME sf dir (a decade
     * sweep compared against sf0.1 medians would re-run everything).
+    * Returns the medians plus the human-readable resolution record that
+    * emit() publishes as `baseline_path`.
     */
-  private def loadBaseline(sfDir: String): Map[String, Double] = {
-    val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench/bench_baseline.json")
-    val f = new java.io.File(path)
-    if (!f.exists()) return Map.empty
+  private def loadBaseline(sfDir: String): (Map[String, Double], String) = {
+    val f = resolveBaseline()
+    if (!f.exists())
+      return (Map.empty, s"${f.getAbsolutePath} (not found)")
     val raw = readFile(f)
-    val baseSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(raw).map(_.group(1))
-    if (!baseSf.contains(sfDir)) Map.empty else parseMap(raw, "queries")
+    val baseSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(raw).map(_.group(1))
+    if (!baseSf.contains(sfDir))
+      (Map.empty,
+        s"${f.getAbsolutePath} (sf mismatch: baseline ${baseSf.getOrElse("?")} vs run $sfDir)")
+    else (parseMap(raw, "queries").filter(_._2 >= 0), f.getAbsolutePath)
   }
+
+  private def warnIfEmpty(baseline: Map[String, Double], note: String): Unit =
+    if (baseline.isEmpty)
+      System.err.println(s"[bench] WARNING: no baseline loaded ($note) — the >2x outlier re-run policy is OFF for this sweep")
+    else
+      System.err.println(s"[bench] baseline loaded: ${baseline.size} queries from $note")
+
+  // ---------------------------------------------------------- child/inline
 
   private def runInline(only: Option[Set[String]]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,7 +198,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
-    val baseline = loadBaseline(sfDir)
+    val (baseline, baselineNote) = loadBaseline(sfDir)
+    warnIfEmpty(baseline, baselineNote)
 
     // Warm the JVM/codegen/IO paths once so per-query times measure the
     // plan, not first-use classloading: a real parquet scan, a broadcast
@@ -149,9 +219,9 @@ object Bench {
     // plans between rounds. The median of 3 is robust to one outlier pass.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
 
-    // One measured pass: (sec, gcMs, spillBytes, peakBytes).
+    // One measured pass: (sec, gcMs, spillBytes, peakBytes, cpuMs).
     def pass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Option[(Double, Long, Long, Long)] = {
+        : Option[(Double, Long, Long, Long, Long)] = {
       listener.settle(spark) // stragglers of the PREVIOUS pass, if any
       listener.reset()
       val gc0 = jvmGcMs
@@ -160,7 +230,8 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         listener.settle(spark)
-        Some((sec, jvmGcMs - gc0, listener.spill.get(), listener.peak.get()))
+        Some((sec, jvmGcMs - gc0, listener.spill.get(), listener.peak.get(),
+          listener.cpu.get()))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
@@ -170,7 +241,7 @@ object Bench {
     // (the pass whose wall time is the published number), so gc/spill
     // explain that number rather than averaging over discarded passes.
     def medianPass(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Option[(Double, Long, Long, Long)], Boolean) = {
+        : (Option[(Double, Long, Long, Long, Long)], Boolean) = {
       val ps = (1 to iters).flatMap(_ => pass(name, fn))
       if (ps.isEmpty) (None, false)
       else (Some(ps.sortBy(_._1).apply(ps.size / 2)), ps.size == iters)
@@ -181,7 +252,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val (first, allOk) = medianPass(name, fn)
       first match {
-        case None => QRes(name, 0.0, ok = false, 0, 0, 0, rerun = false)
+        case None => QRes(name, 0.0, ok = false, 0, 0, 0, 0, rerun = false)
         case Some(m0) =>
           val base = baseline.get(name).filter(_ > 0)
           val outlier = base.exists(b => m0._1 > 2.0 * b)
@@ -193,10 +264,10 @@ object Bench {
               case _                         => m0
             }
           } else m0
-          QRes(name, m._1, allOk, m._2, m._3 >> 20, m._4 >> 20, outlier)
+          QRes(name, m._1, allOk, m._2, m._3 >> 20, m._4 >> 20, m._5, outlier)
       }
     }
-    emit(results, iters, sfDir)
+    emit(results, iters, sfDir, baseline.size, baselineNote)
     spark.stop()
   }
 
@@ -211,6 +282,12 @@ object Bench {
   private def runSplit(): Boolean = try {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // Resolve the baseline ONCE in the parent and hand every child the
+    // ABSOLUTE path — a child's cwd never decides whether the outlier
+    // policy engages (r12 verdict finding #1).
+    val (baseline, baselineNote) = loadBaseline(sfDir)
+    warnIfEmpty(baseline, baselineNote)
+    val baselineAbs = resolveBaseline().getAbsolutePath
     val names = SparkEntry.queries.keys.toSeq.sorted
     val families = names.groupBy(familyOf).toSeq.sortBy(_._1)
     val javaBin = new java.io.File(new java.io.File(
@@ -229,6 +306,7 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", qs.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.getAbsolutePath)
       pb.environment().put("SPARK_GRAFT_BENCH_SPLIT", "none")
+      pb.environment().put("SPARK_GRAFT_BENCH_BASELINE", baselineAbs)
       // the child prints its own JSON lines — keep them off OUR stdout
       // (the driver parses the parent's final line)
       pb.redirectOutput(ProcessBuilder.Redirect.to(
@@ -252,19 +330,20 @@ object Bench {
       val gc = parseMap(raw, "gc_ms")
       val sp = parseMap(raw, "spill_mb")
       val pk = parseMap(raw, "peak_mb")
+      val cpu = parseMap(raw, "cpu_ms")
       val reruns = parseList(raw, "reruns")
       merged ++= qs.map { q =>
         parsed.get(q) match {
           case Some(v) if v >= 0 =>
             QRes(q, v, ok = true, gc.getOrElse(q, 0.0).toLong,
               sp.getOrElse(q, 0.0).toLong, pk.getOrElse(q, 0.0).toLong,
-              reruns.contains(q))
-          case _ => QRes(q, 0.0, ok = false, 0, 0, 0, rerun = false)
+              cpu.getOrElse(q, 0.0).toLong, reruns.contains(q))
+          case _ => QRes(q, 0.0, ok = false, 0, 0, 0, 0, rerun = false)
         }
       }
     }
     if (!anyChild) return false
-    emit(merged, iters, sfDir)
+    emit(merged, iters, sfDir, baseline.size, baselineNote)
     true
   } catch {
     case e: Throwable =>
@@ -275,33 +354,42 @@ object Bench {
   private def readFile(f: java.io.File): String =
     new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
 
-  private val Pair = "\"([A-Za-z0-9_]+)\":(-?[0-9.Ee+-]+)".r
+  private val Pair = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.Ee+-]+)".r
 
   /** Pull a flat `"key":{"name":num,...}` map out of a sweep-file JSON
-    * line (the JSON we write: flat string→number pairs, no nesting).
+    * line. Whitespace-tolerant around colons/braces: Bench emits the
+    * compact spelling, but the COMMITTED baseline is refreshed by
+    * pretty-printing tooling that writes `"key": {` — the space-free
+    * matcher silently read zero entries from it (the second half of the
+    * r12 silent-baseline finding, caught by the r13 cwd test).
     */
   private def parseMap(s: String, key: String): Map[String, Double] = {
-    val tag = "\"" + key + "\":{"
-    val start = s.indexOf(tag)
-    if (start < 0) return Map.empty
-    val open = start + tag.length
-    val body = s.substring(open, s.indexOf('}', open))
-    Pair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val tag = ("\"" + key + "\"\\s*:\\s*\\{").r
+    tag.findFirstMatchIn(s) match {
+      case None => Map.empty
+      case Some(m) =>
+        val open = m.end
+        val body = s.substring(open, s.indexOf('}', open))
+        Pair.findAllMatchIn(body).map(x => x.group(1) -> x.group(2).toDouble).toMap
+    }
   }
 
   /** Pull a flat `"key":["a","b"]` string list out of a sweep-file line. */
   private def parseList(s: String, key: String): Set[String] = {
-    val tag = "\"" + key + "\":["
-    val start = s.indexOf(tag)
-    if (start < 0) return Set.empty
-    val open = start + tag.length
-    val body = s.substring(open, s.indexOf(']', open))
-    "\"([A-Za-z0-9_]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
+    val tag = ("\"" + key + "\"\\s*:\\s*\\[").r
+    tag.findFirstMatchIn(s) match {
+      case None => Set.empty
+      case Some(m) =>
+        val open = m.end
+        val body = s.substring(open, s.indexOf(']', open))
+        "\"([A-Za-z0-9_]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSet
+    }
   }
 
   // ------------------------------------------------------------- reporting
 
-  private def emit(results: Seq[QRes], iters: Int, sfDir: String): Unit = {
+  private def emit(results: Seq[QRes], iters: Int, sfDir: String,
+                   baselineN: Int, baselinePath: String): Unit = {
     // Locale-independent formatting: the f-interpolator uses the JVM
     // default locale, which on comma-decimal locales emits 0,123 and
     // breaks the JSON — the exact parsed:null failure class the
@@ -325,9 +413,9 @@ object Bench {
     val scaffoldSec = results.collect { case r if r.ok && ScaffoldQueries(r.name) => r.sec }.sum
     val engine = total - scaffoldSec
     val counters =
-      s""""gc_ms":${numMap(_.gcMs.toString)},"spill_mb":${numMap(_.spillMb.toString)},"peak_mb":${numMap(_.peakMb.toString)}"""
+      s""""gc_ms":${numMap(_.gcMs.toString)},"spill_mb":${numMap(_.spillMb.toString)},"peak_mb":${numMap(_.peakMb.toString)},"cpu_ms":${numMap(_.cpuMs.toString)}"""
     val tail =
-      s""""value_engine":${fmt(engine)},"value_scaffold":${fmt(scaffoldSec)},"scaffold":$scaffold,"reruns":$reruns,"errors":$errors,"iterations":$iters,"sf":"$sfDir""""
+      s""""value_engine":${fmt(engine)},"value_scaffold":${fmt(scaffoldSec)},"scaffold":$scaffold,"reruns":$reruns,"errors":$errors,"baseline_n":$baselineN,"baseline_path":"$baselinePath","iterations":$iters,"sf":"$sfDir""""
     val qsFull = numMap(r => if (r.ok) fmt(r.sec) else "-1")
     val json =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,$counters,$tail}"""
@@ -376,7 +464,7 @@ object Bench {
     val qsCompact = headline.flatMap(k => byName.get(k).map(v => "\"" + k + "\":" + fmt(v)))
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"value_engine":${fmt(engine)},"reruns":$reruns,"errors":$errors,"iterations":$iters,"sf":"$sfDir","full":"$outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"n_queries":${results.size},"value_engine":${fmt(engine)},"reruns":$reruns,"errors":$errors,"baseline_n":$baselineN,"iterations":$iters,"sf":"$sfDir","full":"$outPath"}"""
     println(compact)
   }
 }

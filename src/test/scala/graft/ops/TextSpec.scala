@@ -685,6 +685,42 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got.map(_.getAs[Long]("n_lines")).toSeq shouldBe Seq(4L, 2L, 2L)
   }
 
+  test("LineHistory.append: appended lines become history for later batches; blanks never enter") {
+    import spark.implicits._
+    val state = Text.prepareLineHistory(
+      Seq((1L, "seen a")).toDF("id", "text"), "text")
+    try {
+      // fold a batch in (its blank line must NOT enter history)
+      state.append(Seq((10L, "fresh one\n\nfresh two")).toDF("id", "text"), "text")
+      val got = Text.dedupLinesIncremental(state,
+        Seq((20L, "seen a\nfresh one\n\nnovel")).toDF("id", "text"),
+        "id", "text", "\n").head()
+      // "seen a" (original) and "fresh one" (appended) both drop as
+      // HISTORY; the blank survives (structure, and never appended)
+      got.getAs[String]("text_dedup") shouldBe "\nnovel"
+      got.getAs[Long]("n_removed_history") shouldBe 2L
+      got.getAs[Long]("n_removed_batch") shouldBe 0L
+      // append is exact algebra: state after appends ≡ a fresh prepare
+      // over the concatenated corpus — same bloom bits, same digest set
+      val oneShot = Text.prepareLineHistory(
+        Seq((1L, "seen a"), (10L, "fresh one\n\nfresh two")).toDF("id", "text"), "text")
+      try {
+        state.bloom.toSeq shouldBe oneShot.bloom.toSeq
+        state.digests.select("__hh").collect().map(_.getString(0)).sorted.toSeq shouldBe
+          oneShot.digests.select("__hh").collect().map(_.getString(0)).sorted.toSeq
+      } finally oneShot.release()
+    } finally state.release()
+  }
+
+  test("shuffleShards: refuses input that already carries shard/seq columns (no silent clobber)") {
+    import spark.implicits._
+    val df = Seq((1L, 7)).toDF("id", "shard")
+    val e = intercept[IllegalArgumentException] {
+      Text.shuffleShards(df, "id", numShards = 4, seed = 1L)
+    }
+    e.getMessage should include("shard")
+  }
+
   test("extractHtml: script/style/comments vanish, tags space, entities decode with &amp; last") {
     val d = docs(1L ->
       ("<html><head><script>if (1 < 2) { bad(); }</script><style>.x{}</style></head>" +

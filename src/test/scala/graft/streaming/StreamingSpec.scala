@@ -106,6 +106,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("incremental LINE dedup LIFECYCLE: append folds each batch in, so a line from micro-batch 1 drops in micro-batch 2") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the NearDupStream probe→dedup→append shape for the line family
+    // (r12 verdict task 2): after each trigger the batch's lines fold
+    // into the history state, so the CCNet hash set survives across
+    // TRIGGERS — not just across maintenance cycles. History ids sort
+    // below batch ids so the batch twin's global keep-first (min by
+    // (id, pos)) resolves identically to arrival order.
+    val history = Seq((1L, "seen a\nseen b")).toDF("id", "text")
+    val state = graft.ops.Text.prepareLineHistory(history, "text")
+    val mb1 = Seq((10L, "seen a\nfresh one"), (11L, "fresh one\nfresh two"))
+    val mb2 = Seq((12L, "fresh one\nseen b\nfresh three"))
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val q = input.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.ops.Text.dedupLinesIncremental(state, b, "id", "text", "\n")
+          .orderBy("id").collect()
+          .map(r => (r.getAs[Long]("id"), r.getAs[String]("text_dedup"),
+            r.getAs[Long]("n_removed_history") + r.getAs[Long]("n_removed_batch")))
+        state.append(b, "text") // AFTER dedup — probe→dedup→append
+        ()
+      }.start()
+    try {
+      input.addData(mb1); q.processAllAvailable()
+      input.addData(mb2); q.processAllAvailable()
+      // "fresh one" entered in micro-batch 1 (doc 10) → REMOVED from
+      // micro-batch 2's doc 12; "seen b" is original history
+      got.toSeq shouldBe Seq(
+        (10L, "fresh one", 1L),
+        (11L, "fresh two", 1L),
+        (12L, "fresh three", 2L))
+      // and the stream equals the BATCH dedupLines over history ∪ all
+      // batches (restricted to the batch docs): the lifecycle is the
+      // incremental decomposition of the one-shot corpus operator
+      val full = graft.ops.Text.dedupLines(
+        history.unionByName((mb1 ++ mb2).toDF("id", "text")), "id", "text")
+        .filter(col("id") >= 10L).orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("text_dedup"),
+          r.getAs[Long]("n_removed")))
+      got.toSeq shouldBe full.toSeq
+    } finally {
+      q.stop()
+      state.release()
+    }
+  }
+
   test("windowed avg is floor-based round-half-up — correct for NEGATIVE sums") {
     val spark0 = spark
     import spark0.implicits._
