@@ -1894,6 +1894,28 @@ object Projections {
     2260 -> ("+proj=tmerc +lat_0=38.83333333333334 +lon_0=-74.5 +k=0.9999 " +
       "+x_0=150000 +y_0=0 " +
       "+ellps=GRS80 +towgs84=0,0,0 +units=us-ft"), // New York East (ftUS)
+    // r13 NAD27 State Plane (the classic legacy-data ask, r12 verdict
+    // task 6): Clarke 1866 zones with the published ftUS false origins
+    // (the exact IEEE meter values of EPSG's round ftUS numbers —
+    // 500000·1200/3937 = 152400.3048006096 etc.) and the CONUS
+    // 3-parameter tie (-8,160,176), the same tie 4267 and the NAD27
+    // UTM family 26703-26722 already use
+    26745 -> ("+proj=lcc +lat_1=35.46666666666667 +lat_2=34.03333333333333 " +
+      "+lat_0=33.5 +lon_0=-118 +x_0=609601.2192024384 +y_0=0 " +
+      "+ellps=clrk66 +towgs84=-8,160,176 +units=us-ft"), // NAD27 / California zone 5
+    32039 -> ("+proj=lcc +lat_1=30.11666666666667 +lat_2=31.88333333333333 " +
+      "+lat_0=29.66666666666667 +lon_0=-100.3333333333333 " +
+      "+x_0=609601.2192024384 +y_0=0 " +
+      "+ellps=clrk66 +towgs84=-8,160,176 +units=us-ft"), // NAD27 / Texas Central
+    26771 -> ("+proj=tmerc +lat_0=36.66666666666666 +lon_0=-88.33333333333333 " +
+      "+k=0.999975 +x_0=152400.3048006096 +y_0=0 " +
+      "+ellps=clrk66 +towgs84=-8,160,176 +units=us-ft"), // NAD27 / Illinois East
+    32012 -> ("+proj=tmerc +lat_0=31 +lon_0=-104.33333333333333 " +
+      "+k=0.9999090909090909 +x_0=152400.3048006096 +y_0=0 " +
+      "+ellps=clrk66 +towgs84=-8,160,176 +units=us-ft"), // NAD27 / New Mexico East
+    26786 -> ("+proj=lcc +lat_1=41.71666666666667 +lat_2=42.68333333333333 " +
+      "+lat_0=41 +lon_0=-71.5 +x_0=182880.3657607315 +y_0=0 " +
+      "+ellps=clrk66 +towgs84=-8,160,176 +units=us-ft"), // NAD27 / Massachusetts Mainland
     // r12 European TM grids of the implemented families
     3006 -> "+proj=utm +zone=33 +ellps=GRS80 +towgs84=0,0,0", // SWEREF99 TM
     3765 -> ("+proj=tmerc +lat_0=0 +lon_0=16.5 +k=0.9999 " +

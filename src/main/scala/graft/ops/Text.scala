@@ -110,13 +110,38 @@ object Text {
   // ---------------------------------------------------------- language
 
   /** Stopword profiles for the language-ID heuristic (top function words
-    * per language — public linguistic common knowledge).
+    * per language — public linguistic common knowledge). Order matters:
+    * ties resolve to the EARLIER profile, so the r13 additions sit after
+    * the original four (existing corpora keep their labels unless a new
+    * profile strictly out-hits). Words are chosen to avoid the top
+    * function words of earlier profiles where the languages share
+    * cognates (pt avoids es's "de"/"que"; nl avoids de's "van" is its
+    * own, etc.) — overlap only costs a stray hit, never the argmax,
+    * because each profile's own ten dominate its language's text.
     */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
     "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den", "von"),
-    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "pour", "qui", "pas"))
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "pour", "qui", "pas"),
+    // r13 breadth (verdict task 7): the next most common crawl languages
+    // writable in the Latin-1/Latin-2 letters the tokenizer admits
+    "it" -> Seq("il", "di", "che", "non", "per", "una", "sono", "del", "gli", "anche"),
+    "pt" -> Seq("não", "uma", "para", "com", "mais", "como", "mas", "dos", "ele", "isso"),
+    "nl" -> Seq("het", "een", "van", "dat", "niet", "aan", "met", "voor", "zijn", "maar"),
+    "sv" -> Seq("och", "att", "det", "som", "på", "är", "av", "för", "med", "inte"),
+    "da" -> Seq("og", "at", "til", "er", "ikke", "jeg", "han", "hun", "den", "har"),
+    "pl" -> Seq("nie", "jest", "jak", "ale", "czy", "dla", "tak", "ten", "przez", "oraz"),
+    "id" -> Seq("yang", "dan", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan", "pada"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha", "gibi", "ama"))
+
+  /** The tokenizer's letter class — ONE constant shared by [[langId]]
+    * and the SQL oracles (the two spellings drifted apart would be a
+    * silent hash mismatch; r13 made it a named value when the class
+    * grew ã/å/ç/à/è/ì/ò/ù for the new profiles). Lowercase-only: the
+    * split runs on lower(text).
+    */
+  val langTokenClass: String = "a-záéíóúüñäößãåçàèìòù"
 
   /** Argmax language by stopword hit count over lowercase tokens; ties
     * resolve in profile order; zero hits → "und" (undetermined).
@@ -125,7 +150,7 @@ object Text {
     */
   def langId(text: Column): Column =
     graft.functions.FunctionDefs.call("lang_id",
-      split(lower(text), "[^a-záéíóúüñäöß]+"),
+      split(lower(text), s"[^$langTokenClass]+"),
       typedlit(langProfiles.map(_._1)),
       typedlit(langProfiles.map(_._2)))
 

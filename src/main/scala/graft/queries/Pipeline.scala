@@ -2430,7 +2430,7 @@ object Pipeline {
     val cases = profs.map(_._1).dropRight(1)
       .map(l => s"WHEN hits_$l = $gr THEN '$l'").mkString("\n      ")
     s"""WITH t AS (SELECT doc_id, text,
-       |        regexp_split_to_array(lower(text), '[^a-záéíóúüñäöß]+') AS w
+       |        regexp_split_to_array(lower(text), '[^${graft.ops.Text.langTokenClass}]+') AS w
        |      FROM documents),
        |h AS (SELECT doc_id, text,
        |        $hitCols
@@ -2525,7 +2525,7 @@ object Pipeline {
     val gr = s"greatest(${profs.map(p => s"hits_${p._1}").mkString(", ")})"
     val cases = profs.map(_._1).dropRight(1)
       .map(l => s"WHEN hits_$l = $gr THEN '$l'").mkString(" ")
-    s"""WITH lt AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^a-záéíóúüñäöß]+') AS w FROM documents),
+    s"""WITH lt AS (SELECT doc_id, regexp_split_to_array(lower(text), '[^${graft.ops.Text.langTokenClass}]+') AS w FROM documents),
        |lh AS (SELECT doc_id, $hitCols FROM lt),
        |lid AS (SELECT doc_id, CASE WHEN $gr = 0 THEN 'und' $cases ELSE '${profs.last._1}' END AS lang_id FROM lh),
        |qx AS (SELECT doc_id,

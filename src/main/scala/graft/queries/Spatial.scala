@@ -924,6 +924,42 @@ object Spatial {
       .orderBy("c_custkey", "epsg")
   }
 
+  /** NAD27 State Plane BY CODE (r13 — the classic legacy-data ask):
+    * the CONUS lattice stripes re-project to four Clarke 1866 ftUS
+    * zones (CA 5 / TX Central / MA Mainland LCC + NM East TM) through
+    * the full legacy chain — WGS84 → geocentric → 3-param CONUS tie →
+    * Bowring → Snyder forward on clrk66 → ftUS — with the roundtrip
+    * re-shifting back to WGS84. The oracle replays the identical chain
+    * in SQL (the spDatumOracle machinery generalized to by-code zones).
+    * The TM zone is NM East (32012, the NAD27 twin of 32112) because
+    * its meridian sits inside a populated lattice stripe (Δλ ≤ 1.5°):
+    * the 6th-order TM forward/inverse are mutual inverses to ≪1e-6°
+    * there, while Illinois East's nearest lattice points (Δλ ≈ 4.7°)
+    * round-trip only to ~1e-5° — 26771 stays registry+spec-anchored.
+    */
+  def spStatePlane27(s: SparkSession, dir: String): DataFrame = {
+    val base = customerPoints(s, dir)
+      .filter(col("lat") >= 25.0 && col("lat") <= 50.0)
+    def project(frame: org.apache.spark.sql.DataFrame) = frame
+      .filter(col("epsg").isNotNull)
+      .withColumn("crs", concat(lit("EPSG:"), col("epsg")))
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs")))
+      .withColumn("back", st.geomReproject(col("p"), col("crs"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"), col("epsg"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-6 &&
+          abs(st.y(col("back")) - col("lat")) < 1e-6, 1).otherwise(0).as("rt_ok"))
+    val lcc = base.withColumn("epsg",
+      when(col("lon") >= -130.0 && col("lon") < -107.5, lit(26745))
+        .when(col("lon") >= -107.5 && col("lon") <= -93.0, lit(32039))
+        .when(col("lon") >= -76.0 && col("lon") <= -72.0, lit(26786)))
+    val tm = base.withColumn("epsg",
+      when(col("lon") >= -105.8 && col("lon") <= -102.9, lit(32012)))
+    project(lcc).unionByName(project(tm)).orderBy("c_custkey", "epsg")
+  }
+
   /** st_asLatLonText DMS formatting, value-checked: the oracle rebuilds
     * the identical degree/minute/second decomposition (trunc-based, same
     * IEEE ops) and formats with printf — DuckDB's fmt and Java's
@@ -1071,6 +1107,7 @@ object Spatial {
     "sp_albers" -> spAlbers _,
     "sp_epsg" -> spEpsg _,
     "sp_stateplane" -> spStatePlane _,
+    "sp_stateplane27" -> spStatePlane27 _,
     "sp_datum" -> spDatum _,
     "sp_nadgrids" -> spNadgrids _,
     "sp_omerc" -> spOmerc _,
@@ -1485,6 +1522,139 @@ object Spatial {
        |      UNION ALL SELECT * FROM caf UNION ALL SELECT * FROM txf
        |      UNION ALL SELECT * FROM nyf
        |      UNION ALL SELECT * FROM md UNION ALL SELECT * FROM mdf)
+       |ORDER BY c_custkey, epsg""".stripMargin
+  }
+
+  /** spStatePlane27's replay: the spDatumOracle legacy chain (WGS84
+    * geodetic → geocentric → inverse 3-param CONUS tie → Bowring ×3 on
+    * Clarke 1866, op-for-op — see spDatumOracle's scaladoc for why each
+    * seam is spelled the way it is) run ONCE over the union of stripes,
+    * then four BY-CODE zone blocks — Snyder LCC-2SP (CA 5 / TX Central /
+    * MA Mainland) and the 6th-order TM series (IL East) on clrk66 —
+    * each divided by the exact US-survey-foot factor before the 0.1
+    * rounding. False eastings are the registry's meter literals (the
+    * IEEE-exact values of EPSG's round ftUS numbers), so a registry FE
+    * typo hash-mismatches here.
+    */
+  private val spStatePlane27Oracle: String = {
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val fw = 1.0 / 298.257223563
+    val e2w = dlit(fw * (2.0 - fw))
+    val fcD = 1.0 - 6356583.8 / 6378206.4
+    val ac = dlit(6378206.4)
+    val e2cD = fcD * (2.0 - fcD)
+    val e2c = dlit(e2cD)
+    val ep2c = dlit(e2cD / (1.0 - e2cD))
+    val bc = dlit(6378206.4 * (1.0 - fcD))
+    val usFt = "(1200.0e0 / 3937.0e0)"
+    def tOf(phi: String) =
+      s"tan(pi() / 4.0 - ($phi) / 2.0) / pow((1.0 - e * sin($phi)) / (1.0 + e * sin($phi)), e / 2.0)"
+    def mOf(phi: String) =
+      s"cos($phi) / sqrt(1.0 - $e2c * sin($phi) * sin($phi))"
+    def arc27Of(phi: String) =
+      s"$ac * ((1.0 - $e2c / 4.0 - 3.0 * $e2c * $e2c / 64.0 - 5.0 * $e2c * $e2c * $e2c / 256.0) * ($phi)" +
+        s" - (3.0 * $e2c / 8.0 + 3.0 * $e2c * $e2c / 32.0 + 45.0 * $e2c * $e2c * $e2c / 1024.0) * sin(2.0 * ($phi))" +
+        s" + (15.0 * $e2c * $e2c / 256.0 + 45.0 * $e2c * $e2c * $e2c / 1024.0) * sin(4.0 * ($phi))" +
+        s" - (35.0 * $e2c * $e2c * $e2c / 3072.0) * sin(6.0 * ($phi)))"
+    def lccBlock(tag: String, code: Int, lat1: String, lat2: String,
+                 lat0: String, lon0: String, feM: String, where: String) =
+      s"""${tag}g AS (SELECT *,
+         |        ${mOf(s"radians($lat1)")} AS m1, ${mOf(s"radians($lat2)")} AS m2,
+         |        ${tOf(s"radians($lat1)")} AS t1, ${tOf(s"radians($lat2)")} AS t2,
+         |        ${tOf(s"radians($lat0)")} AS t0,
+         |        ${tOf("radians(lat27)")} AS t
+         |      FROM d27 WHERE $where),
+         |${tag}h AS (SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n FROM ${tag}g),
+         |${tag}i AS (SELECT *, m1 / (n * pow(t1, n)) AS ff FROM ${tag}h),
+         |${tag}j AS (SELECT *,
+         |        $ac * ff * pow(t0, n) AS rho0,
+         |        $ac * ff * pow(t, n) AS rho,
+         |        n * (radians(lon27) - radians($lon0)) AS theta
+         |      FROM ${tag}i),
+         |$tag AS (SELECT c_custkey, $code AS epsg,
+         |        round(($feM + rho * sin(theta)) / $usFt, 1) AS easting,
+         |        round((0.0 + rho0 - rho * cos(theta)) / $usFt, 1) AS northing FROM ${tag}j)""".stripMargin
+    val ca = lccBlock("spca", 26745, dlit(35.46666666666667), dlit(34.03333333333333),
+      dlit(33.5), dlit(-118.0), "609601.2192024384e0",
+      "lon >= -130.0 AND lon < -107.5")
+    val tx = lccBlock("sptx", 32039, dlit(30.11666666666667), dlit(31.88333333333333),
+      dlit(29.66666666666667), dlit(-100.3333333333333), "609601.2192024384e0",
+      "lon >= -107.5 AND lon <= -93.0")
+    val ma = lccBlock("spma", 26786, dlit(41.71666666666667), dlit(42.68333333333333),
+      dlit(41.0), dlit(-71.5), "182880.3657607315e0",
+      "lon >= -76.0 AND lon <= -72.0")
+    val k0il = dlit(0.9999090909090909)
+    val ilLon0 = dlit(-104.33333333333333)
+    val ilLat0 = dlit(31.0)
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($latSql) >= 25.0 AND ($latSql) <= 50.0
+       |             AND ((($lonSql) >= -130.0 AND ($lonSql) <= -93.0)
+       |               OR (($lonSql) >= -76.0 AND ($lonSql) <= -72.0))),
+       |c AS (SELECT *, sqrt($e2c) AS e FROM b),
+       |w AS (SELECT *, sin(radians(lat)) AS sp,
+       |        6378137.0 / sqrt(1.0 - $e2w * sin(radians(lat)) * sin(radians(lat))) AS nw
+       |      FROM c),
+       |g AS (SELECT *,
+       |        nw * cos(radians(lat)) * cos(radians(lon)) AS gx,
+       |        nw * cos(radians(lat)) * sin(radians(lon)) AS gy,
+       |        nw * (1.0 - $e2w) * sp AS gz
+       |      FROM w),
+       |h AS (SELECT *,
+       |        gx - (-8.0) AS hx, gy - 160.0 AS hy, gz - 176.0 AS hz
+       |      FROM g),
+       |p0 AS (SELECT *,
+       |        atan2(hy, hx) AS lam,
+       |        sqrt(hx * hx + hy * hy) AS pp
+       |      FROM h),
+       |u0 AS (SELECT *, atan2(hz * $ac, pp * $bc) AS u FROM p0),
+       |i1 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u0),
+       |f1 AS (SELECT *,
+       |        atan2(hz + $ep2c * $bc * su * su * su,
+       |              pp - $e2c * $ac * cu * cu * cu) AS phi
+       |      FROM i1),
+       |u1 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bc * sin(phi), $ac * cos(phi)) AS u FROM f1),
+       |i2 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u1),
+       |f2 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2c * $bc * su * su * su,
+       |              pp - $e2c * $ac * cu * cu * cu) AS phi
+       |      FROM i2),
+       |u2 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bc * sin(phi), $ac * cos(phi)) AS u FROM f2),
+       |i3 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u2),
+       |f3 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2c * $bc * su * su * su,
+       |              pp - $e2c * $ac * cu * cu * cu) AS phi
+       |      FROM i3),
+       |d27 AS (SELECT *, degrees(lam) AS lon27, degrees(phi) AS lat27 FROM f3),
+       |$ca,
+       |$tx,
+       |$ma,
+       |ilg AS (SELECT c_custkey,
+       |        radians(lat27) AS phi27, sin(radians(lat27)) AS sphi,
+       |        cos(radians(lat27)) AS cphi, tan(radians(lat27)) AS tphi,
+       |        cos(radians(lat27)) * (radians(lon27) - radians($ilLon0)) AS aa
+       |      FROM d27 WHERE lon >= -105.8 AND lon <= -102.9),
+       |ilh AS (SELECT *,
+       |        $ac / sqrt(1.0 - $e2c * sphi * sphi) AS nn,
+       |        tphi * tphi AS tt, $ep2c * cphi * cphi AS cc, aa * aa AS a2 FROM ilg),
+       |ili AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM ilh),
+       |ilj AS (SELECT *, a3 * aa AS a4 FROM ili),
+       |ilk AS (SELECT *, a4 * aa AS a5 FROM ilj),
+       |ill AS (SELECT *, a5 * aa AS a6,
+       |        ${arc27Of("phi27")} AS mm,
+       |        ${arc27Of(s"radians($ilLat0)")} AS mm0
+       |      FROM ilk),
+       |spil AS (SELECT c_custkey, 32012 AS epsg,
+       |        round(($k0il * nn * (aa + (1.0 - tt + cc) * a3 / 6.0
+       |          + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2c) * a5 / 120.0) + 152400.3048006096e0) / $usFt, 1) AS easting,
+       |        round(($k0il * (mm - mm0 + ntan * (a2 / 2.0
+       |          + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
+       |          + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2c) * a6 / 720.0)) + 0.0) / $usFt, 1) AS northing
+       |      FROM ill)
+       |SELECT c_custkey, epsg, easting, northing, 1 AS rt_ok
+       |FROM (SELECT * FROM spca UNION ALL SELECT * FROM sptx
+       |      UNION ALL SELECT * FROM spma UNION ALL SELECT * FROM spil)
        |ORDER BY c_custkey, epsg""".stripMargin
   }
 
@@ -2270,6 +2440,7 @@ object Spatial {
     "sp_albers" -> spAlbersOracle,
     "sp_epsg" -> spEpsgOracle,
     "sp_stateplane" -> spStatePlaneOracle,
+    "sp_stateplane27" -> spStatePlane27Oracle,
     "sp_datum" -> spDatumOracle,
     "sp_nadgrids" -> spNadgridsOracle,
     "sp_omerc" -> spOmercOracle,

@@ -154,6 +154,9 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       32197 -> (-95.0, 49.8),
       2257 -> (-104.0, 33.0), 2260 -> (-74.3, 42.0), 3006 -> (15.5, 60.0),
       3765 -> (16.3, 45.5), 31287 -> (13.3, 47.5),
+      // r13: NAD27 State Plane (Clarke 1866 + 3-param tie + ftUS)
+      26745 -> (-118.5, 34.5), 32039 -> (-98.0, 30.5),
+      26771 -> (-88.2, 40.0), 26786 -> (-71.1, 42.3), 32012 -> (-104.0, 33.0),
       // r12b: Japan zones I/V/X/XV/XIX, Korea, SIRGAS UTM, SVY21, ISN93
       6669 -> (129.8, 33.2), 6673 -> (134.2, 35.5), 6678 -> (141.0, 40.5),
       6683 -> (127.7, 26.2), 6687 -> (154.1, 26.1),
@@ -198,6 +201,25 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     val (eQc, nQc) = Projections.parseCrs("EPSG:6622").fromGeo(-68.5, 44.0)
     eQc shouldBe 800000.0 +- 1e-4 // grid origin maps to (FE, FN)
     nQc shouldBe 0.0 +- 1e-4
+    // r13 NAD27 zones, FE pinned at the central meridian: longitude is
+    // invariant under a zero-translation ellipsoid swap (geocentric
+    // atan2(y,x) ignores the ellipsoid), so easting at lon_0 is exactly
+    // the false easting even though the identity-tie WGS84->clrk66 hop
+    // moves LATITUDE ~200 m (same geocentric point, different
+    // ellipsoid) — which is why only the easting is pinned; a pure
+    // round-trip could not catch a wrong FE (the r12 Quebec lesson). Eastings are in ftUS — the published round values.
+    val ca27 = Projections.parseCrs(
+      "+proj=lcc +lat_1=35.46666666666667 +lat_2=34.03333333333333 " +
+        "+lat_0=33.5 +lon_0=-118 +x_0=609601.2192024384 +y_0=0 " +
+        "+ellps=clrk66 +towgs84=0,0,0 +units=us-ft")
+    val (eCa27, _) = ca27.fromGeo(-118.0, 33.5)
+    eCa27 shouldBe 2000000.0 +- 1e-3 // NAD27 CA5 FE in ftUS
+    val il27 = Projections.parseCrs(
+      "+proj=tmerc +lat_0=36.66666666666666 +lon_0=-88.33333333333333 " +
+        "+k=0.999975 +x_0=152400.3048006096 +y_0=0 " +
+        "+ellps=clrk66 +towgs84=0,0,0 +units=us-ft")
+    val (eIl27, _) = il27.fromGeo(-88.33333333333333, 40.0)
+    eIl27 shouldBe 500000.0 +- 1e-3 // NAD27 IL East FE in ftUS
     Projections.parseCrs("EPSG:32198").fromGeo(-70.0, 50.0) shouldBe
       Projections.parseCrs("EPSG:6622").fromGeo(-70.0, 50.0)
     val (eLaea, nLaea) = Projections.parseCrs("EPSG:3573").fromGeo(-100.0, 90.0)

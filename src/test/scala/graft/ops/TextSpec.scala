@@ -63,6 +63,16 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
       "el perro y la casa de un amigo con los gatos" -> "es",
       "der hund und die katze ist ein tier mit den anderen" -> "de",
       "le chat et les chiens dans une maison pour qui" -> "fr",
+      // r13 breadth: the widened profile set, incl. the non-ASCII
+      // letters the tokenizer class grew (ã å ç)
+      "il gatto non è di una casa che sono anche del cane" -> "it",
+      "não é uma casa para ele mas com mais gatos como isso" -> "pt",
+      "het is een huis van dat niet met voor zijn maar" -> "nl",
+      "och att det som är på för med inte huset" -> "sv",
+      "og at til er ikke jeg han hun den har" -> "da",
+      "nie jest jak ale czy dla tak ten przez oraz" -> "pl",
+      "yang dan itu dengan untuk tidak ini dari akan pada" -> "id",
+      "bir ve bu için ile olarak çok daha gibi ama" -> "tr",
       "zzz qqq xxx www" -> "und")
     cases.foreach { case (text, expected) =>
       withClue(text) {
