@@ -69,7 +69,7 @@ object Bench {
     "dd_lsh_index_check", "dd_lsh_index_inc",
     "dd_hamming_index", "dd_hamming_index_inc",
     "dd_components_inc", "dd_semantic_full", "dd_semantic_refine",
-    "dd_line_dedup_inc")
+    "dd_line_dedup_inc", "dd_line_index_inc")
 
   private final case class QRes(name: String, sec: Double, ok: Boolean,
       gcMs: Long, spillMb: Long, peakMb: Long, cpuMs: Long, rerun: Boolean)

@@ -107,6 +107,94 @@ object Text {
           .otherwise(col("__r").getItem(3) * lit(1.0) / col("__r").getItem(4)), 4)
           .as(s"dup_${n}gram_frac"))
 
+  /** Gopher document-shape rules (Rae et al. 2021 appendix A — the
+    * public rule family that complements [[repetition]]'s duplication
+    * signals and [[quality]]'s composite score): per-document facets
+    * plus a composite `gopher_pass` flag at the published defaults.
+    * Facets (fractions rounded 4dp; the pass flag is computed on the
+    * ROUNDED values so threshold decisions agree bit-for-bit with an
+    * external SQL replay):
+    *  - n_words / avg_word_len — the [[quality]] spellings;
+    *  - symbol_ratio — ('#' chars + '…' chars) / n_words, counted via
+    *    non-regex replace so both engines count identically;
+    *  - bullet_line_frac — lines whose ltrim starts with • ‣ - or *;
+    *  - ellipsis_line_frac — lines whose rtrim ends with "..." or "…";
+    *  - alpha_word_frac — words containing ≥1 ASCII letter / n_words
+    *    (native one-byte-pass letter_count per token, NOT a per-word
+    *    regex — the measured hot-path rule);
+    *  - gopher_pass — n_words ∈ [minWords, maxWords], avg_word_len ∈
+    *    [minAvgWord, maxAvgWord], symbol_ratio ≤ maxSymbolRatio,
+    *    bullet ≤ maxBulletFrac, ellipsis ≤ maxEllipsisFrac,
+    *    alpha ≥ minAlphaFrac (the paper's remove-thresholds).
+    * Pure scan-side codegen chain — the word and line splits bind ONCE
+    * in a projection (HOF lambda bodies get no subexpression
+    * elimination), no shuffle; the 100 TB cost is one read of the
+    * column.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  delim: String = "\n",
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minAvgWord: Double = 3.0, maxAvgWord: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1,
+                  maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3,
+                  minAlphaFrac: Double = 0.8): DataFrame = {
+    import graft.functions.FunctionDefs.call
+    val q = java.util.regex.Pattern.quote(delim)
+    val bound = df.select(col(idCol), col(textCol).as("__t"),
+      split(col(textCol), " ").as("__ws"),
+      split(col(textCol), q).as("__ls"))
+    val nWords = size(col("__ws"))
+    val nLines = size(col("__ls"))
+    val nChars = length(col("__t"))
+    val symbols =
+      (nChars - length(replace(col("__t"), lit("#"), lit("")))) +
+        (nChars - length(replace(col("__t"), lit("…"), lit(""))))
+    val bullets = size(filter(col("__ls"),
+      l => substring(ltrim(l), 1, 1).isin("•", "‣", "-", "*")))
+    val ellipses = size(filter(col("__ls"),
+      l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+    val alphaWords = size(filter(col("__ws"),
+      w => call("letter_count", w) > 0))
+    bound.select(
+        col(idCol),
+        nWords.as("n_words"),
+        round((nChars - nWords + 1) * lit(1.0) / nWords, 4).as("avg_word_len"),
+        round(symbols * lit(1.0) / nWords, 4).as("symbol_ratio"),
+        round(bullets * lit(1.0) / nLines, 4).as("bullet_line_frac"),
+        round(ellipses * lit(1.0) / nLines, 4).as("ellipsis_line_frac"),
+        round(alphaWords * lit(1.0) / nWords, 4).as("alpha_word_frac"))
+      .withColumn("gopher_pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("avg_word_len") >= minAvgWord && col("avg_word_len") <= maxAvgWord &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("bullet_line_frac") <= maxBulletFrac &&
+          col("ellipsis_line_frac") <= maxEllipsisFrac &&
+          col("alpha_word_frac") >= minAlphaFrac)
+  }
+
+  /** Content term-blocklist filter — the C4 curation step that drops a
+    * page containing ANY term of a banned-word list (Raffel et al.
+    * 2020's "Dirty/Naughty" list step; [[blocklistFlag]] is the
+    * HOST-level sibling). Tokens are lowercase alnum runs (the langid
+    * tokenization family); `n_hits` counts matching token OCCURRENCES
+    * and `blocked` = any hit. The term set travels as a plan literal
+    * into the native membership count (`stopword_count` — a linear
+    * probe per token, right for the 1-10k-term production lists; a
+    * list big enough to need a hash would move to the
+    * [[blocklistFlagJoin]] broadcast shape). Scan-side, no shuffle.
+    */
+  def termBlocklistFlag(df: DataFrame, idCol: String, textCol: String,
+                        terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "termBlocklistFlag: empty term list")
+    val norm = terms.map(_.toLowerCase)
+    df.select(col(idCol),
+        graft.functions.FunctionDefs.call("stopword_count",
+          split(lower(col(textCol)), "[^a-z0-9]+"), typedlit(norm))
+          .as("n_hits"))
+      .withColumn("blocked", col("n_hits") > 0)
+  }
+
   // ---------------------------------------------------------- language
 
   /** Stopword profiles for the language-ID heuristic (top function words
@@ -1355,6 +1443,14 @@ object Text {
     def release(): Unit =
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(digestTable)
   }
+
+  /** Assemble a [[LineHistory]] from externally-persisted state — the
+    * [[graft.sources.LineIndex]] probe path (its digest frame reads
+    * from parquet, so release() is a no-op there by design).
+    */
+  private[graft] def lineHistoryFrom(bloom: Array[Byte], digests: DataFrame,
+                                     numHashes: Int): LineHistory =
+    new LineHistory(bloom, digests, numHashes)
 
   /** Build the [[LineHistory]] state. ONE pass over the history corpus
     * feeds both halves: the exploded non-blank lines localCheckpoint

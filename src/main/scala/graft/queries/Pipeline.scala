@@ -1969,8 +1969,12 @@ object Pipeline {
     "dd_span_scrub" -> ddSpanScrub _,
     "dd_line_dedup" -> ddLineDedup _,
     "dd_line_dedup_inc" -> ddLineDedupInc _,
+    "dd_line_index" -> ddLineIndex _,
+    "dd_line_index_inc" -> ddLineIndexInc _,
     "tx_html" -> txHtml _,
     "tx_boilerplate" -> txBoilerplate _,
+    "tx_gopher" -> txGopher _,
+    "tx_badwords" -> txBadwords _,
     "tx_web_pipeline" -> txWebPipeline _,
     "tx_shard" -> txShard _,
     "mm_audio_dedup" -> mmAudioDedup _,
@@ -2038,19 +2042,73 @@ object Pipeline {
     * the global (doc, position) first. The string-keyed oracle replays
     * line explode, keeper selection and the rebuilt text verbatim.
     */
-  def ddLineDedup(s: SparkSession, dir: String): DataFrame = {
-    // bind the split ONCE — HOF lambda bodies are not hoisted by
-    // subexpression elimination, so slice(split(text), …) inside the
-    // transform would re-split the full text per 7-word line
-    val docs = Tables.documents(s, dir)
+  /** The line-operator fixture: docs rebuilt as 7-word chunk lines —
+    * the split binds ONCE (HOF lambda bodies are not hoisted by
+    * subexpression elimination, so slice(split(text), …) inside the
+    * transform would re-split the full text per line).
+    */
+  private def linedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("__ws"))
       .select(col("doc_id"), expr(
         """array_join(transform(sequence(1, size(__ws), 7),
           |  i -> array_join(slice(__ws, i, 7), ' ')), '\n')"""
           .stripMargin).as("text"))
-    graft.ops.Text.dedupLines(docs, "doc_id", "text", delim = "\n")
+
+  def ddLineDedup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.dedupLines(linedDocs(s, dir), "doc_id", "text", delim = "\n")
       .orderBy("doc_id")
+
+  // Persisted line-dedup history index ([[graft.sources.LineIndex]]),
+  // built ONCE per (JVM, sf dir) over the history two-thirds (doc_id %
+  // 3 ≠ 0) of the lined corpus — the probe-only entry reuses it (probe
+  // never mutates; the jsonlReady/mhixReady pattern).
+  private val lineIxReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def lineIndexPath(s: SparkSession, dir: String): String =
+    lineIxReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-lineix").toString + "/ix"
+      graft.sources.LineIndex.build(
+        linedDocs(s, d).filter(col("doc_id") % 3 =!= 0), "text", p)
+      p
+    })
+
+  /** Disk-backed incremental line dedup: the day's batch (doc_id ≡ 0
+    * mod 2) probes the PERSISTED history index. Output contract EQUALS
+    * [[ddLineDedupInc]] (same splits) — the index is prepareLineHistory
+    * factored onto disk — so the oracle is the identical string-keyed
+    * replay, making the probe's pruning + semi-join path hash-checked.
+    */
+  def ddLineIndex(s: SparkSession, dir: String): DataFrame =
+    graft.sources.LineIndex.probe(s, lineIndexPath(s, dir),
+        linedDocs(s, dir).filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Full persisted lifecycle probe→append→probe: batch B1 (doc_id ≡ 0
+    * mod 6) probes and its KEPT lines fold back in
+    * ([[graft.sources.LineIndex.append]]); batch B2 (≡ 3 mod 6) then
+    * probes against history ∪ B1 — a line first seen in B1 drops from
+    * B2 (H ∪ kept(B1) has the same line set as H ∪ B1: every removed
+    * B1 line was either in H already or kept at its first B1
+    * occurrence, which the oracle exploits). Fresh index per
+    * invocation — append mutates state, so a cached index would make
+    * re-runs non-idempotent; the in-entry build is scaffolding, tagged
+    * in Bench.ScaffoldQueries.
+    */
+  def ddLineIndexInc(s: SparkSession, dir: String): DataFrame = {
+    val lined = linedDocs(s, dir)
+    val p = java.nio.file.Files.createTempDirectory("graft-lineix-inc")
+      .toString + "/ix"
+    graft.sources.LineIndex.build(
+      lined.filter(col("doc_id") % 3 =!= 0), "text", p)
+    val r1 = graft.sources.LineIndex.probe(s, p,
+        lined.filter(col("doc_id") % 6 === 0), "doc_id", "text")
+      .localCheckpoint()
+    graft.sources.LineIndex.append(s, p, r1, "text_dedup")
+    val r2 = graft.sources.LineIndex.probe(s, p,
+      lined.filter(col("doc_id") % 6 === 3), "doc_id", "text")
+    r1.unionByName(r2).orderBy("doc_id")
   }
 
   /** Incremental line dedup against a persisted history
@@ -2063,13 +2121,7 @@ object Pipeline {
     * rebuilt text.
     */
   def ddLineDedupInc(s: SparkSession, dir: String): DataFrame = {
-    val lined = Tables.documents(s, dir)
-      .filter(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
-      .select(col("doc_id"), expr(
-        """array_join(transform(sequence(1, size(__ws), 7),
-          |  i -> array_join(slice(__ws, i, 7), ' ')), '\n')"""
-          .stripMargin).as("text"))
+    val lined = linedDocs(s, dir)
     graft.ops.Text.dedupLinesIncremental(
         history = lined.filter(col("doc_id") % 3 =!= 0),
         batch = lined.filter(col("doc_id") % 2 === 0),
@@ -2116,6 +2168,42 @@ object Pipeline {
     * the kept ARRAY (a rejoin cannot distinguish zero lines from one
     * blank). Every rule replays in SQL.
     */
+  /** Gopher document-shape rules over structured text: the dd_line_dedup
+    * 7-word chunk lines with deterministic bullet/ellipsis injection
+    * (line p gets a "• " prefix when p % 4 = 1 and a " ..." suffix when
+    * p % 5 = 2 — replayable arithmetic, and it puts docs on BOTH sides
+    * of the ellipsis-frac and min-words thresholds so `gopher_pass`
+    * carries signal). minWords drops to 10 for the synthetic corpus's
+    * 20-40-word docs; every other knob is the published default.
+    */
+  def txGopher(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), expr(
+        """array_join(transform(sequence(1, size(__ws), 7),
+          |  i -> concat(
+          |    if(((i - 1) div 7) % 4 = 1, '• ', ''),
+          |    array_join(slice(__ws, i, 7), ' '),
+          |    if(((i - 1) div 7) % 5 = 2, ' ...', ''))), '\n')"""
+          .stripMargin).as("text"))
+    graft.ops.Text.gopherRules(docs, "doc_id", "text", minWords = 10)
+      .withColumn("gopher_pass", col("gopher_pass").cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Content term-blocklist (C4 bad-words step) with a deterministic
+    * demo list from the synthetic vocabulary — the list is the
+    * operator's parameter, not data, so the oracle spells the same
+    * three literals.
+    */
+  def txBadwords(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Text.termBlocklistFlag(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("vector", "spark", "hash"))
+      .withColumn("blocked", col("blocked").cast("int"))
+      .orderBy("doc_id")
+
   def txBoilerplate(s: SparkSession, dir: String): DataFrame = {
     val lined = Tables.documents(s, dir)
       .filter(col("text").isNotNull)
@@ -2705,6 +2793,46 @@ object Pipeline {
        |        + h02 * (h01 * h12 - h11 * h02) AS det
        |    FROM s$i, $prev))""".stripMargin
   }
+
+  /** Shared by dd_line_dedup_inc AND dd_line_index (the persisted-index
+    * probe must equal the in-memory incremental operator on the same
+    * history/batch splits): history line set (doc_id % 3 ≠ 0) + batch
+    * (doc_id % 2 = 0); a batch line drops when history has it or a
+    * batch-earlier (doc, pos) occurrence does; blanks exempt; text
+    * rebuilds.
+    */
+  private val lineDedupIncOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |           WHERE text IS NOT NULL),
+      |l0 AS (SELECT doc_id,
+      |         [array_to_string(list_slice(w, i, i + 6), ' ')
+      |          for i in range(1, len(w) + 1, 7)] AS ls FROM d),
+      |hl AS (SELECT DISTINCT u AS l FROM
+      |         (SELECT unnest(ls) AS u FROM l0 WHERE doc_id % 3 <> 0)
+      |       WHERE trim(u) <> ''),
+      |b AS (SELECT doc_id, u.p AS p, u.l AS l FROM
+      |        (SELECT doc_id, unnest([{'p': i, 'l': ls[i]}
+      |                                for i in range(1, len(ls) + 1)]) AS u
+      |         FROM l0 WHERE doc_id % 2 = 0)),
+      |k AS (SELECT doc_id, p, l,
+      |        trim(l) = '' AS blank,
+      |        (trim(l) <> '' AND l IN (SELECT l FROM hl)) AS hist,
+      |        (row_number() OVER (PARTITION BY l ORDER BY doc_id, p) = 1)
+      |          AS first
+      |      FROM b),
+      |c AS (SELECT doc_id, p, l, hist,
+      |        (blank OR (NOT hist AND first)) AS keep
+      |      FROM k),
+      |r AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
+      |        (count(*) FILTER (WHERE hist))::BIGINT AS n_removed_history,
+      |        (count(*) FILTER (WHERE NOT hist AND NOT keep))::BIGINT
+      |          AS n_removed_batch,
+      |        coalesce(array_to_string(
+      |          list(l ORDER BY p) FILTER (WHERE keep), chr(10)), '')
+      |          AS text_dedup
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, n_lines, n_removed_history, n_removed_batch, text_dedup
+      |FROM r ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // n/dim/positive-fraction recomputed; optimality and beats-majority
@@ -3646,31 +3774,49 @@ object Pipeline {
         |SELECT doc_id, n_lines, n_removed,
         |  round(n_removed / n_lines, 6) AS removed_frac, text_dedup
         |FROM r ORDER BY doc_id""".stripMargin,
-    // history line set (doc_id % 3 <> 0) + batch (doc_id % 2 = 0):
-    // a batch line drops when history has it or a batch-earlier
-    // (doc, pos) occurrence does; blanks exempt; text rebuilds
-    "dd_line_dedup_inc" ->
+    "dd_line_dedup_inc" -> lineDedupIncOracle,
+    // the persisted-index probe must EQUAL the in-memory incremental
+    // operator on the same splits — identical replay string
+    "dd_line_index" -> lineDedupIncOracle,
+    // two-stage lifecycle: B1 (doc_id ≡ 0 mod 6) vs history H (doc_id %
+    // 3 ≠ 0), then B2 (≡ 3 mod 6) vs H ∪ B1-lines — the append folds
+    // kept(B1) in, and lines(H ∪ kept(B1)) = lines(H ∪ B1)
+    "dd_line_index_inc" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |           WHERE text IS NOT NULL),
         |l0 AS (SELECT doc_id,
         |         [array_to_string(list_slice(w, i, i + 6), ' ')
         |          for i in range(1, len(w) + 1, 7)] AS ls FROM d),
-        |hl AS (SELECT DISTINCT u AS l FROM
-        |         (SELECT unnest(ls) AS u FROM l0 WHERE doc_id % 3 <> 0)
-        |       WHERE trim(u) <> ''),
-        |b AS (SELECT doc_id, u.p AS p, u.l AS l FROM
-        |        (SELECT doc_id, unnest([{'p': i, 'l': ls[i]}
-        |                                for i in range(1, len(ls) + 1)]) AS u
-        |         FROM l0 WHERE doc_id % 2 = 0)),
-        |k AS (SELECT doc_id, p, l,
-        |        trim(l) = '' AS blank,
-        |        (trim(l) <> '' AND l IN (SELECT l FROM hl)) AS hist,
-        |        (row_number() OVER (PARTITION BY l ORDER BY doc_id, p) = 1)
-        |          AS first
-        |      FROM b),
+        |hl1 AS (SELECT DISTINCT u AS l FROM
+        |          (SELECT unnest(ls) AS u FROM l0 WHERE doc_id % 3 <> 0)
+        |        WHERE trim(u) <> ''),
+        |hl2 AS (SELECT DISTINCT u AS l FROM
+        |          (SELECT unnest(ls) AS u FROM l0
+        |           WHERE doc_id % 3 <> 0 OR doc_id % 6 = 0)
+        |        WHERE trim(u) <> ''),
+        |b1 AS (SELECT doc_id, u.p AS p, u.l AS l FROM
+        |         (SELECT doc_id, unnest([{'p': i, 'l': ls[i]}
+        |                                 for i in range(1, len(ls) + 1)]) AS u
+        |          FROM l0 WHERE doc_id % 6 = 0)),
+        |b2 AS (SELECT doc_id, u.p AS p, u.l AS l FROM
+        |         (SELECT doc_id, unnest([{'p': i, 'l': ls[i]}
+        |                                 for i in range(1, len(ls) + 1)]) AS u
+        |          FROM l0 WHERE doc_id % 6 = 3)),
+        |k1 AS (SELECT doc_id, p, l,
+        |         trim(l) = '' AS blank,
+        |         (trim(l) <> '' AND l IN (SELECT l FROM hl1)) AS hist,
+        |         (row_number() OVER (PARTITION BY l ORDER BY doc_id, p) = 1)
+        |           AS first
+        |       FROM b1),
+        |k2 AS (SELECT doc_id, p, l,
+        |         trim(l) = '' AS blank,
+        |         (trim(l) <> '' AND l IN (SELECT l FROM hl2)) AS hist,
+        |         (row_number() OVER (PARTITION BY l ORDER BY doc_id, p) = 1)
+        |           AS first
+        |       FROM b2),
         |c AS (SELECT doc_id, p, l, hist,
         |        (blank OR (NOT hist AND first)) AS keep
-        |      FROM k),
+        |      FROM (SELECT * FROM k1 UNION ALL SELECT * FROM k2)),
         |r AS (SELECT doc_id, count(*)::BIGINT AS n_lines,
         |        (count(*) FILTER (WHERE hist))::BIGINT AS n_removed_history,
         |        (count(*) FILTER (WHERE NOT hist AND NOT keep))::BIGINT
@@ -3709,6 +3855,48 @@ object Pipeline {
         |SELECT doc_id, n_chars_html, length(text_plain)::BIGINT AS n_chars_plain,
         |  text_plain
         |FROM e ORDER BY doc_id""").stripMargin,
+    // Gopher shape rules: rebuild the 7-word chunk lines with the
+    // deterministic bullet/ellipsis injection, then replay every facet
+    // — counts via non-regex replace, bullets/ellipses via list_filter,
+    // alpha words via the regex twin of the native letter_count — and
+    // the pass flag on the ROUNDED facets at the entry's thresholds
+    "tx_gopher" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL),
+        |l0 AS (SELECT doc_id,
+        |         [CASE WHEN ((i - 1) // 7) % 4 = 1 THEN '• ' ELSE '' END ||
+        |          array_to_string(list_slice(w, i, i + 6), ' ') ||
+        |          CASE WHEN ((i - 1) // 7) % 5 = 2 THEN ' ...' ELSE '' END
+        |          for i in range(1, len(w) + 1, 7)] AS ls FROM d),
+        |t AS (SELECT doc_id, ls, array_to_string(ls, chr(10)) AS text FROM l0),
+        |t2 AS (SELECT doc_id, ls, text, string_split(text, ' ') AS tw FROM t),
+        |f AS (SELECT doc_id,
+        |        len(tw) AS n_words,
+        |        round((length(text) - len(tw) + 1) * 1.0 / len(tw), 4) AS avg_word_len,
+        |        round(((length(text) - length(replace(text, '#', ''))) +
+        |               (length(text) - length(replace(text, '…', '')))) * 1.0 / len(tw), 4) AS symbol_ratio,
+        |        round(len(list_filter(ls, l -> list_contains(['•', '‣', '-', '*'],
+        |                 substr(ltrim(l), 1, 1)))) * 1.0 / len(ls), 4) AS bullet_line_frac,
+        |        round(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+        |                 OR ends_with(rtrim(l), '…'))) * 1.0 / len(ls), 4) AS ellipsis_line_frac,
+        |        round(len(list_filter(tw, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tw), 4) AS alpha_word_frac
+        |      FROM t2)
+        |SELECT doc_id, n_words, avg_word_len, symbol_ratio,
+        |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+        |  (n_words >= 10 AND n_words <= 100000
+        |   AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
+        |   AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+        |   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8)::INT AS gopher_pass
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // C4 bad-words step: lowercase alnum tokens, occurrence count
+    // against the same three literal demo terms the entry passes
+    "tx_badwords" ->
+      """WITH d AS (SELECT doc_id,
+        |        len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |          x -> list_contains(['vector', 'spark', 'hash'], x))) AS n_hits
+        |      FROM documents)
+        |SELECT doc_id, n_hits, (n_hits > 0)::INT AS blocked
+        |FROM d ORDER BY doc_id""".stripMargin,
     // rebuild 7-word lines, plant nav/banner/blank/copyright, then
     // replay the keep rules: blank OR (>=5 ALNUM-BEARING words —
     // separator tokens like '|' don't count — AND has letters AND

@@ -1,0 +1,164 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted line-dedup history — the ON-DISK third member of the
+  * incremental near-dup index family ([[MinhashIndex]] = MinHash bands,
+  * [[HammingIndex]] = 64-bit signatures, this = EXACT line membership):
+  * the CCNet paragraph hash set as a durable artifact, so daily crawl
+  * ingest dedups against a 100 TB line history across SESSIONS — not
+  * just across the triggers of one stream
+  * ([[graft.ops.Text.LineHistory]] is the in-memory maintainer this
+  * persists; reference scope: the reference engine has no incremental
+  * story at all, this extends its dedup surface the way the other two
+  * indexes do).
+  *
+  * Layout under `path/`:
+  *  - `digests/` — one row per DISTINCT non-blank history line:
+  *    (xx: long, hh: string md5), [[StatsManifest]] range-clustered on
+  *    xx (xxhash64 of the line — the prunable LONG twin of the exact
+  *    128-bit digest the membership join verifies on; xx routes, hh
+  *    decides — the Bloom-gate discipline applied to file pruning);
+  *  - `bloom/` — the m-bit `bloom_agg` filter bits, one
+  *    [[VersionedDir]] generation (appends OR new bits in and swap
+  *    atomically — filter geometry is implied by the byte length, the
+  *    `bloom_agg` contract, so build and append can never disagree);
+  *  - `params/` — (num_hashes, n_lines), committed LAST.
+  *
+  * `probe` = [[graft.ops.Text.dedupLinesIncremental]] against
+  * disk-backed state: the batch's Bloom-positive "maybe" lines drive
+  * DRIVER-SIDE file pruning ([[StatsManifest.pruneLocal]], zero
+  * metadata jobs — the manifest rows and maybe keys are both
+  * driver-bounded by contract, the MinhashIndex batch-key-collect
+  * shape), then a broadcast SEMI-join + distinct reduces the surviving
+  * digest files to at most one row per maybe — which also makes the
+  * probe immune to duplicate digest rows from replayed appends (bytes,
+  * never wrong flags: the index-family crash contract). Cost: two
+  * passes over the batch's own lines + the pruned digest files; the
+  * history corpus is never re-read.
+  *
+  * `append` folds the PROBE OUTPUT's kept lines back in (the
+  * [[graft.streaming.NearDupStream]] probe→dedup→append lifecycle):
+  * kept `text_dedup` lines are novel-vs-history and within-batch
+  * distinct by construction, so the append is O(batch) — no anti-join
+  * against history, and even a misused raw-batch re-append only bloats
+  * bytes (see probe). Write order digests → bloom → params: a crash
+  * between steps can only UNDER-dedup the next batch (a Bloom miss on
+  * an already-committed digest), never produce a wrong removal.
+  * Single-writer, idempotent replay — the [[VersionedDir]] contract.
+  */
+object LineIndex {
+
+  private def linesOf(df: DataFrame, textCol: String, delim: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(split(col(textCol),
+        java.util.regex.Pattern.quote(delim))).as("__l"))
+      .filter(trim(col("__l")) =!= "")
+
+  private def digestsOf(lines: DataFrame): DataFrame =
+    lines.select(xxhash64(col("__l")).as("xx"), md5(col("__l")).as("hh"))
+      .distinct()
+
+  private def bloomOf(lines: DataFrame, numBits: Long, numHashes: Int): Array[Byte] = {
+    import graft.functions.FunctionDefs.callAgg
+    lines.agg(callAgg("bloom_agg", xxhash64(col("__l")),
+      lit(numBits), lit(numHashes)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  private def writeBloom(s: SparkSession, path: String, bf: Array[Byte]): Unit = {
+    import s.implicits._
+    VersionedDir.write(Seq(Tuple1(bf)).toDF("bf"), s"$path/bloom")
+  }
+
+  private def readBloom(s: SparkSession, path: String): Array[Byte] =
+    VersionedDir.read(s, s"$path/bloom").head().getAs[Array[Byte]]("bf")
+
+  private def writeParams(s: SparkSession, path: String,
+                          numHashes: Int, nLines: Long): Unit = {
+    import s.implicits._
+    VersionedDir.write(
+      Seq((numHashes, nLines)).toDF("num_hashes", "n_lines"), s"$path/params")
+  }
+
+  private def readParams(s: SparkSession, path: String): Row =
+    VersionedDir.read(s, s"$path/params").head()
+
+  /** One pass over the history corpus (the exploded non-blank lines
+    * localCheckpoint, the prepareLineHistory discipline) feeds the
+    * digest layout and the Bloom; n_lines comes from the stored
+    * layout's footer counts.
+    */
+  def build(history: DataFrame, textCol: String, path: String,
+            delim: String = "\n", numBits: Long = 1L << 23,
+            numHashes: Int = 5, nFiles: Int = 64): Unit = {
+    val s = history.sparkSession
+    val lines = linesOf(history, textCol, delim).localCheckpoint()
+    StatsManifest.write(digestsOf(lines), s"$path/digests", "xx", nFiles)
+    val bf = bloomOf(lines, numBits, numHashes)
+    val nLines = s.read.parquet(s"$path/digests").count()
+    writeBloom(s, path, bf)
+    writeParams(s, path, numHashes, nLines)
+    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(lines)
+  }
+
+  /** [[graft.ops.Text.dedupLinesIncremental]] output contract for the
+    * batch docs: (idCol, n_lines, n_removed_history, n_removed_batch,
+    * text_dedup). See the object doc for the pruning shape.
+    */
+  def probe(s: SparkSession, path: String, batch: DataFrame,
+            idCol: String, textCol: String, delim: String = "\n"): DataFrame = {
+    import graft.functions.FunctionDefs.call
+    val numHashes = readParams(s, path).getInt(0)
+    val bloom = readBloom(s, path)
+    // the maybe minority: distinct bloom-positive batch lines — the
+    // driver-bounded collect that buys file pruning with zero jobs
+    val maybes = linesOf(batch, textCol, delim)
+      .filter(call("bloom_contains", lit(bloom), xxhash64(col("__l")),
+        lit(numHashes)))
+      .select(xxhash64(col("__l")).as("xx"), md5(col("__l")).as("hh"))
+      .distinct()
+      .collect()
+    val mrows = StatsManifest.manifest(s, s"$path/digests").collect().toIndexedSeq
+    val files = StatsManifest.pruneLocal(mrows, maybes.map(_.getLong(0)))
+    val present =
+      if (maybes.isEmpty || files.isEmpty)
+        s.read.parquet(s"$path/digests").filter(lit(false))
+          .select(col("hh").as("__hh"))
+      else {
+        import s.implicits._
+        val keys = maybes.map(_.getString(1)).toSeq.toDF("__hh")
+        // semi + distinct: ≤ one row per maybe reaches the membership
+        // join, whatever duplicate rows replayed appends left behind
+        s.read.parquet(files: _*).select(col("hh").as("__hh"))
+          .join(broadcast(keys), Seq("__hh"), "left_semi")
+          .distinct()
+      }
+    val state = graft.ops.Text.lineHistoryFrom(
+      bloom, present.withColumn("__seen", lit(1)), numHashes)
+    graft.ops.Text.dedupLinesIncremental(state, batch, idCol, textCol, delim)
+  }
+
+  /** Fold a probed batch's KEPT output back in — pass the probe result
+    * (or any frame whose `textCol` lines are known-novel), O(batch).
+    */
+  def append(s: SparkSession, path: String, kept: DataFrame,
+             textCol: String, delim: String = "\n", nFiles: Int = 8): Unit = {
+    val p = readParams(s, path)
+    val (numHashes, nLines) = (p.getInt(0), p.getLong(1))
+    val old = readBloom(s, path)
+    val lines = linesOf(kept, textCol, delim).localCheckpoint()
+    val fresh = StatsManifest.append(digestsOf(lines), s"$path/digests", "xx", nFiles)
+    val bf = bloomOf(lines, old.length.toLong * 8L, numHashes)
+    require(bf.length == old.length,
+      s"LineIndex.append: filter geometry drift (${bf.length} vs ${old.length} bytes)")
+    val merged = new Array[Byte](old.length)
+    var i = 0
+    while (i < merged.length) { merged(i) = (old(i) | bf(i)).toByte; i += 1 }
+    writeBloom(s, path, merged)
+    writeParams(s, path, numHashes,
+      nLines + fresh.map(_.getAs[Long]("n_rows")).sum)
+    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(lines)
+  }
+}

@@ -81,6 +81,46 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("gopherRules: shape facets computed exactly, pass flag at thresholds") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again\nplain second line of ordinary prose here now"),
+      (2L, "• alpha beta\n• gamma delta\n• epsilon zeta\nwaiting ...\n# # # #")
+    ).toDF("id", "text")
+    val got = Text.gopherRules(df, "id", "text", minWords = 5)
+      .orderBy("id").collect()
+    // doc 1: clean prose — 17 space-tokens, every facet in range
+    got(0).getAs[Int]("n_words") shouldBe 17
+    got(0).getAs[Double]("alpha_word_frac") shouldBe 1.0
+    got(0).getAs[Double]("bullet_line_frac") shouldBe 0.0
+    got(0).getAs[Double]("ellipsis_line_frac") shouldBe 0.0
+    got(0).getAs[Double]("symbol_ratio") shouldBe 0.0
+    got(0).getAs[Boolean]("gopher_pass") shouldBe true
+    // doc 2: 3 of 5 lines bullet-led, one "..." line, 4 '#' over 11
+    // tokens, 6 of 11 tokens letter-bearing — fails on three rules
+    got(1).getAs[Int]("n_words") shouldBe 11
+    got(1).getAs[Double]("bullet_line_frac") shouldBe 0.6
+    got(1).getAs[Double]("ellipsis_line_frac") shouldBe 0.2
+    got(1).getAs[Double]("symbol_ratio") shouldBe 0.3636
+    got(1).getAs[Double]("alpha_word_frac") shouldBe 0.5455
+    got(1).getAs[Boolean]("gopher_pass") shouldBe false
+  }
+
+  test("termBlocklistFlag: occurrence counts over lowercase alnum tokens") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "Spark and VECTOR stuff"),
+      (2L, "a clean document"),
+      (3L, "hash-hash hash")).toDF("id", "text")
+    val got = Text.termBlocklistFlag(df, "id", "text",
+      Seq("spark", "vector", "hash")).orderBy("id").collect()
+    got.map(_.getAs[Int]("n_hits")).toSeq shouldBe Seq(2, 0, 3)
+    got.map(_.getAs[Boolean]("blocked")).toSeq shouldBe Seq(true, false, true)
+    intercept[IllegalArgumentException] {
+      Text.termBlocklistFlag(df, "id", "text", Seq.empty)
+    }
+  }
+
   test("winnowing fingerprints: deterministic, shared substrings share prints") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
     def fps(t: String): Set[Long] =
