@@ -106,34 +106,66 @@ object LineIndex {
   /** [[graft.ops.Text.dedupLinesIncremental]] output contract for the
     * batch docs: (idCol, n_lines, n_removed_history, n_removed_batch,
     * text_dedup). See the object doc for the pruning shape.
+    *
+    * `maxCollect` guards the driver: the collect-and-prune fast path
+    * assumes maybes ≪ batch (the mostly-novel crawl regime). A
+    * DUP-HEAVY batch — re-ingesting yesterday's crawl, or the ScaleUp
+    * replication artifact (SCALE_r13: a 100×-replicated corpus makes
+    * EVERY batch line a history hit) — would collect the whole batch's
+    * line set to the driver for pruning that can't prune anyway
+    * (uniform digests hit every file once maybes ≳ file count), so
+    * past the threshold the probe switches to one distributed pass:
+    * full digest scan ⊳ semi-join against the maybe frame ⊳ distinct
+    * (maybes-bounded, keeping the duplicate-row immunity) — no driver
+    * collect at any batch size.
     */
   def probe(s: SparkSession, path: String, batch: DataFrame,
-            idCol: String, textCol: String, delim: String = "\n"): DataFrame = {
+            idCol: String, textCol: String, delim: String = "\n",
+            maxCollect: Int = 200000): DataFrame = {
     import graft.functions.FunctionDefs.call
     val numHashes = readParams(s, path).getInt(0)
     val bloom = readBloom(s, path)
-    // the maybe minority: distinct bloom-positive batch lines — the
-    // driver-bounded collect that buys file pruning with zero jobs
-    val maybes = linesOf(batch, textCol, delim)
+    // the maybe minority: distinct bloom-positive batch lines,
+    // materialized once (it feeds the count, then one of two paths)
+    val maybesDf = linesOf(batch, textCol, delim)
       .filter(call("bloom_contains", lit(bloom), xxhash64(col("__l")),
         lit(numHashes)))
-      .select(xxhash64(col("__l")).as("xx"), md5(col("__l")).as("hh"))
+      .select(xxhash64(col("__l")).as("xx"), md5(col("__l")).as("__hh"))
       .distinct()
-      .collect()
-    val mrows = StatsManifest.manifest(s, s"$path/digests").collect().toIndexedSeq
-    val files = StatsManifest.pruneLocal(mrows, maybes.map(_.getLong(0)))
+      .localCheckpoint()
+    val nMaybes = maybesDf.count()
+    val empty = s.read.parquet(s"$path/digests").filter(lit(false))
+      .select(col("hh").as("__hh"))
     val present =
-      if (maybes.isEmpty || files.isEmpty)
-        s.read.parquet(s"$path/digests").filter(lit(false))
-          .select(col("hh").as("__hh"))
-      else {
-        import s.implicits._
-        val keys = maybes.map(_.getString(1)).toSeq.toDF("__hh")
-        // semi + distinct: ≤ one row per maybe reaches the membership
-        // join, whatever duplicate rows replayed appends left behind
-        s.read.parquet(files: _*).select(col("hh").as("__hh"))
-          .join(broadcast(keys), Seq("__hh"), "left_semi")
+      if (nMaybes == 0) {
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(maybesDf)
+        empty
+      } else if (nMaybes <= maxCollect) {
+        // fast path: driver-side file pruning, zero metadata jobs
+        val maybes = maybesDf.collect()
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(maybesDf)
+        val mrows = StatsManifest.manifest(s, s"$path/digests").collect().toIndexedSeq
+        val files = StatsManifest.pruneLocal(mrows, maybes.map(_.getLong(0)))
+        if (files.isEmpty) empty
+        else {
+          import s.implicits._
+          val keys = maybes.map(_.getString(1)).toSeq.toDF("__hh")
+          // semi + distinct: ≤ one row per maybe reaches the membership
+          // join, whatever duplicate rows replayed appends left behind
+          s.read.parquet(files.toIndexedSeq: _*).select(col("hh").as("__hh"))
+            .join(broadcast(keys), Seq("__hh"), "left_semi")
+            .distinct()
+        }
+      } else {
+        // dup-heavy path: distributed end to end; materialize the
+        // (maybes-bounded) present set so the checkpointed maybe frame
+        // releases before the main dedup job
+        val p = s.read.parquet(s"$path/digests").select(col("hh").as("__hh"))
+          .join(maybesDf.select("__hh"), Seq("__hh"), "left_semi")
           .distinct()
+          .localCheckpoint()
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(maybesDf)
+        p
       }
     val state = graft.ops.Text.lineHistoryFrom(
       bloom, present.withColumn("__seen", lit(1)), numHashes)

@@ -76,6 +76,20 @@ class LineIndexSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got.getAs[String]("text_dedup") shouldBe "novel"
   }
 
+  test("dup-heavy distributed path (maxCollect = 0) equals the collect-and-prune path") {
+    val path = tmp()
+    LineIndex.build(df(history: _*), "text", path)
+    val batch = df(
+      10L -> "seen a\nfresh one\nseen b",
+      11L -> "fresh one\nseen c")
+    val fast = LineIndex.probe(spark, path, batch, "id", "text")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val dist = LineIndex.probe(spark, path, batch, "id", "text",
+      maxCollect = 0).orderBy("id").collect().map(_.toSeq).toSeq
+    dist shouldBe fast
+    dist.map(_(4)).toSeq shouldBe Seq("fresh one", "")
+  }
+
   test("definite-novel batches skip the digest files entirely (bloom no = no join)") {
     val path = tmp()
     LineIndex.build(df(history: _*), "text", path)
