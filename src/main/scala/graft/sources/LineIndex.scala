@@ -121,10 +121,16 @@ object LineIndex {
     */
   def probe(s: SparkSession, path: String, batch: DataFrame,
             idCol: String, textCol: String, delim: String = "\n",
-            maxCollect: Int = 200000): DataFrame = {
+            maxCollect: Int = 200000): DataFrame =
+    probeCore(s, path, batch, idCol, textCol, delim, maxCollect,
+      readParams(s, path).getInt(0), readBloom(s, path),
+      StatsManifest.manifest(s, s"$path/digests").collect().toIndexedSeq)
+
+  private def probeCore(s: SparkSession, path: String, batch: DataFrame,
+                        idCol: String, textCol: String, delim: String,
+                        maxCollect: Int, numHashes: Int, bloom: Array[Byte],
+                        mrows: Seq[Row]): DataFrame = {
     import graft.functions.FunctionDefs.call
-    val numHashes = readParams(s, path).getInt(0)
-    val bloom = readBloom(s, path)
     // the maybe minority: distinct bloom-positive batch lines,
     // materialized once (it feeds the count, then one of two paths)
     val maybesDf = linesOf(batch, textCol, delim)
@@ -144,7 +150,6 @@ object LineIndex {
         // fast path: driver-side file pruning, zero metadata jobs
         val maybes = maybesDf.collect()
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint(maybesDf)
-        val mrows = StatsManifest.manifest(s, s"$path/digests").collect().toIndexedSeq
         val files = StatsManifest.pruneLocal(mrows, maybes.map(_.getLong(0)))
         if (files.isEmpty) empty
         else {
@@ -178,8 +183,19 @@ object LineIndex {
   def append(s: SparkSession, path: String, kept: DataFrame,
              textCol: String, delim: String = "\n", nFiles: Int = 8): Unit = {
     val p = readParams(s, path)
-    val (numHashes, nLines) = (p.getInt(0), p.getLong(1))
-    val old = readBloom(s, path)
+    appendCore(s, path, kept, textCol, delim, nFiles,
+      p.getInt(0), readBloom(s, path), p.getLong(1))
+    ()
+  }
+
+  /** Shared append body: writes digests → bloom → params and returns
+    * (fresh manifest rows, merged bloom, new n_lines) so a cached
+    * handle can extend its in-memory state without re-reading.
+    */
+  private def appendCore(s: SparkSession, path: String, kept: DataFrame,
+                         textCol: String, delim: String, nFiles: Int,
+                         numHashes: Int, old: Array[Byte], nLines: Long)
+      : (Seq[Row], Array[Byte], Long) = {
     val lines = linesOf(kept, textCol, delim).localCheckpoint()
     val fresh = StatsManifest.append(digestsOf(lines), s"$path/digests", "xx", nFiles)
     val bf = bloomOf(lines, old.length.toLong * 8L, numHashes)
@@ -188,9 +204,54 @@ object LineIndex {
     val merged = new Array[Byte](old.length)
     var i = 0
     while (i < merged.length) { merged(i) = (old(i) | bf(i)).toByte; i += 1 }
+    val n = nLines + fresh.map(_.getAs[Long]("n_rows")).sum
     writeBloom(s, path, merged)
-    writeParams(s, path, numHashes,
-      nLines + fresh.map(_.getAs[Long]("n_rows")).sum)
+    writeParams(s, path, numHashes, n)
     org.apache.spark.sql.GraftBridge.unpersistCheckpoint(lines)
+    (fresh, merged, n)
+  }
+
+  /** Amortizing handle for repeated probe/append cycles against ONE
+    * index — the streaming-maintenance shape ([[MinhashIndex.Maintainer]]'s
+    * contract, applied to the line family): params, bloom bits and the
+    * digest manifest rows are read once at construction and served from
+    * memory on every probe (file pruning stays pure driver Scala), and
+    * each append extends them in place from its own delta (fresh
+    * manifest rows + the byte-OR'd bloom — exact algebra, no re-read).
+    * Cuts the per-probe fixed floor by the three metadata jobs
+    * (params, bloom, manifest) a cold [[probe]] pays.
+    *
+    * Single-writer contract, sharpened as for the other maintainers:
+    * the cache assumes THIS handle performs every append — an external
+    * append invalidates it (probes would miss the new files AND the
+    * new bloom bits, silently under-deduping until reconstruction).
+    */
+  final class Maintainer(s: SparkSession, path: String) {
+    private val numHashes = readParams(s, path).getInt(0)
+    private var nLinesV = readParams(s, path).getLong(1)
+    private var bloomBytes = readBloom(s, path)
+    private val mrows = scala.collection.mutable.ArrayBuffer[Row](
+      StatsManifest.manifest(s, s"$path/digests").collect().toIndexedSeq: _*)
+
+    /** Cached-state [[LineIndex.probe]] — same output contract. */
+    def probe(batch: DataFrame, idCol: String, textCol: String,
+              delim: String = "\n", maxCollect: Int = 200000): DataFrame =
+      probeCore(s, path, batch, idCol, textCol, delim, maxCollect,
+        numHashes, bloomBytes, mrows.toSeq)
+
+    /** Cached-state [[LineIndex.append]] — extends the in-memory
+      * manifest/bloom from the delta it just wrote.
+      */
+    def append(kept: DataFrame, textCol: String,
+               delim: String = "\n", nFiles: Int = 8): Unit = {
+      val (fresh, merged, n) = appendCore(s, path, kept, textCol, delim,
+        nFiles, numHashes, bloomBytes, nLinesV)
+      mrows ++= fresh
+      bloomBytes = merged
+      nLinesV = n
+    }
+
+    /** Lines indexed so far (introspection; tracks appends). */
+    def nLines: Long = nLinesV
   }
 }

@@ -154,6 +154,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("disk-backed streaming LINE-dedup (LineDupStream): survives triggers AND a fresh handle on the same index") {
+    val spark0 = spark
+    import spark0.implicits._
+    val history = Seq((1L, "seen a\nseen b")).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-linestream")
+      .toString + "/ix"
+    graft.sources.LineIndex.build(history, "text", path)
+    val stream = new LineDupStream(spark, path, "id", "text")
+    val mb1 = Seq((10L, "seen a\nfresh one"), (11L, "fresh one\nfresh two"))
+    val mb2 = Seq((12L, "fresh one\nseen b\nfresh three"))
+    val input = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = stream.start(input.toDF().toDF("id", "text"),
+      b => { got ++= b.orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("text_dedup"))); () },
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-linestream-ck").toString)
+    try {
+      input.addData(mb1); q.processAllAvailable()
+      input.addData(mb2); q.processAllAvailable()
+      // cross-trigger: "fresh one" (first kept in trigger 1) drops in
+      // trigger 2; originals from the built history drop throughout
+      got.toSeq shouldBe Seq(
+        (10L, "fresh one"), (11L, "fresh two"), (12L, "fresh three"))
+      // the concatenated stream equals batch dedupLines over
+      // history ∪ all batches (ids follow arrival order)
+      val full = graft.ops.Text.dedupLines(
+          history.unionByName((mb1 ++ mb2).toDF("id", "text")), "id", "text")
+        .filter(col("id") >= 10L).orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("text_dedup"))).toSeq
+      got.toSeq shouldBe full
+      // and the index is DURABLE: a fresh handle (a new session's
+      // probe) sees the streamed appends
+      val later = graft.sources.LineIndex.probe(spark, path,
+        Seq((30L, "fresh three\nbrand new")).toDF("id", "text"),
+        "id", "text").head()
+      later.getAs[String]("text_dedup") shouldBe "brand new"
+      later.getAs[Long]("n_removed_history") shouldBe 1L
+    } finally q.stop()
+  }
+
   test("windowed avg is floor-based round-half-up — correct for NEGATIVE sums") {
     val spark0 = spark
     import spark0.implicits._
