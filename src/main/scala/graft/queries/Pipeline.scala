@@ -1976,6 +1976,7 @@ object Pipeline {
     "tx_gopher" -> txGopher _,
     "tx_badwords" -> txBadwords _,
     "tx_web_pipeline" -> txWebPipeline _,
+    "tx_web_curate" -> txWebCurate _,
     "tx_shard" -> txShard _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "q_joinest" -> qJoinest _,
@@ -2261,6 +2262,63 @@ object Pipeline {
         size(col("__kept")).cast("long").as("n_kept"),
         array_join(col("__kept"), "\n").as("text_clean"))
       .orderBy("doc_id")
+  }
+
+  /** The MODERN web-curation recipe composed END TO END and certified
+    * in one SQL replay — the full production chain every LLM corpus
+    * runs, stage order as the public pipelines document it:
+    * trafilatura-class extraction ([[graft.ops.Text.extractHtmlBlocks]])
+    * → justext boilerplate rules ([[graft.ops.Text.keepLine]]) → Gopher
+    * shape rules ([[graft.ops.Text.gopherRules]], pass-filter at
+    * minWords = 10) → C4 bad-words drop
+    * ([[graft.ops.Text.termBlocklistFlag]], the corpus's one rare term
+    * "dup" — 5% of docs) → CCNet line dedup over the SURVIVORS
+    * ([[graft.ops.Text.dedupLines]]) → deterministic training
+    * shuffle-shard ([[graft.ops.Text.shuffleShards]], 8 shards, seed
+    * 13). Output: (shard, seq, doc_id, text_final) — the exact bytes a
+    * training job would read, in the exact order.
+    *
+    * Shape note: the entry computes the cleaned text once per filter
+    * branch and semi-joins the flag frames back (id-sized, AQE
+    * broadcasts them); a production run would fuse the two flags into
+    * one projection over the cleaned scan — the operators compose
+    * either way, this spelling keeps each stage independently
+    * recognizable.
+    */
+  def txWebCurate(s: SparkSession, dir: String): DataFrame = {
+    val paged = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("__ws"))
+      .select(col("doc_id"), concat(
+        lit("<html><head><script type=\"text/javascript\">var nav = 1 < 2;</script><title>D"),
+        col("doc_id"),
+        lit("</title></head><body><h1>Doc "), col("doc_id"), lit("</h1>"),
+        expr(
+          """array_join(transform(sequence(1, size(__ws), 7),
+            |  i -> concat('<p>', array_join(slice(__ws, i, 7), ' '), '</p>')), '')"""
+            .stripMargin),
+        lit("<div class=\"nav\">Home | About | Contact</div>" +
+          "<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>"))
+        .as("html"))
+    val cleaned = paged
+      .withColumn("__ls", split(
+        graft.ops.Text.extractHtmlBlocks(col("html")), "\n"))
+      .select(col("doc_id"),
+        array_join(filter(col("__ls"),
+          l => graft.ops.Text.keepLine(l)), "\n").as("text"))
+    val shape = graft.ops.Text.gopherRules(cleaned, "doc_id", "text",
+      minWords = 10).select(col("doc_id"), col("gopher_pass"))
+    val terms = graft.ops.Text.termBlocklistFlag(cleaned, "doc_id", "text",
+      Seq("dup")).select(col("doc_id"), col("blocked"))
+    val survivors = cleaned
+      .join(shape, Seq("doc_id")).join(terms, Seq("doc_id"))
+      .filter(col("gopher_pass") && !col("blocked"))
+      .select("doc_id", "text")
+    val deduped = graft.ops.Text.dedupLines(survivors, "doc_id", "text")
+      .select(col("doc_id"), col("text_dedup").as("text_final"))
+    graft.ops.Text.shuffleShards(deduped, "doc_id", numShards = 8, seed = 13)
+      .select(col("shard"), col("seq"), col("doc_id"), col("text_final"))
+      .orderBy("shard", "seq")
   }
 
   /** Deterministic corpus shuffle-shard
@@ -3968,6 +4026,90 @@ object Pipeline {
         |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
         |  array_to_string(kept, chr(10)) AS text_clean
         |FROM k ORDER BY doc_id""".stripMargin,
+    // the COMPOSED modern web recipe: page synthesis → block
+    // extraction → boilerplate keep → Gopher shape pass (rounded
+    // facets, entry thresholds) → 'dup' bad-word drop → keep-first
+    // line dedup over the survivors → md5 shuffle-shard — every stage
+    // the exact fragment its standalone oracle already proves
+    "tx_web_curate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |  '<html><head><script type="text/javascript">var nav = 1 < 2;</script><title>D'
+        |  || doc_id || '</title></head><body><h1>Doc ' || doc_id || '</h1>' ||
+        |  array_to_string(['<p>' || array_to_string(list_slice(w, i, i + 6), ' ')
+        |                   || '</p>' for i in range(1, len(w) + 1, 7)], '') ||
+        |  '<div class="nav">Home | About | Contact</div>' ||
+        |  '<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>' AS html
+        |FROM d),
+        |e AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '(?i)<(?:br|hr)[^>]*>|</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>',
+        |        chr(10), 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |    '[ \t]+', ' ', 'g'),
+        |    ' ?\n ?', chr(10), 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g'),
+        |    '^[\n ]+|[\n ]+$', '', 'g') AS text
+        |FROM h),
+        |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM e),
+        |t1 AS (SELECT doc_id, array_to_string(
+        |        [l for l in ls if trim(l) = '' OR
+        |          (len([tok for tok in regexp_split_to_array(trim(l), ' +')
+        |                if regexp_matches(tok, '[A-Za-z0-9]')]) >= 5
+        |           AND len(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+        |           AND len(regexp_replace(l, '[^A-Z]', '', 'g'))
+        |               / len(regexp_replace(l, '[^A-Za-z]', '', 'g')) <= 0.5)],
+        |        chr(10)) AS text
+        |      FROM x),
+        |g0 AS (SELECT doc_id, text, string_split(text, ' ') AS tw,
+        |         string_split(text, chr(10)) AS gl FROM t1),
+        |g AS (SELECT doc_id, text,
+        |        len(tw) AS n_words,
+        |        round((length(text) - len(tw) + 1) * 1.0 / len(tw), 4) AS awl,
+        |        round(((length(text) - length(replace(text, '#', ''))) +
+        |               (length(text) - length(replace(text, '…', '')))) * 1.0 / len(tw), 4) AS sym,
+        |        round(len(list_filter(gl, l -> list_contains(['•', '‣', '-', '*'],
+        |                 substr(ltrim(l), 1, 1)))) * 1.0 / len(gl), 4) AS bull,
+        |        round(len(list_filter(gl, l -> ends_with(rtrim(l), '...')
+        |                 OR ends_with(rtrim(l), '…'))) * 1.0 / len(gl), 4) AS ell,
+        |        round(len(list_filter(tw, xx -> regexp_matches(xx, '[A-Za-z]'))) * 1.0 / len(tw), 4) AS alpha
+        |      FROM g0),
+        |p AS (SELECT doc_id, text FROM g
+        |      WHERE n_words >= 10 AND n_words <= 100000
+        |        AND awl >= 3.0 AND awl <= 10.0 AND sym <= 0.1
+        |        AND bull <= 0.9 AND ell <= 0.3 AND alpha >= 0.8),
+        |u AS (SELECT doc_id, text FROM p
+        |      WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |              xx -> list_contains(['dup'], xx))) = 0),
+        |l AS (SELECT doc_id, uu.p AS pos, uu.l AS line FROM
+        |        (SELECT doc_id, unnest([{'p': i, 'l': ls2[i]}
+        |                                for i in range(1, len(ls2) + 1)]) AS uu
+        |         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls2 FROM u))),
+        |kk AS (SELECT doc_id, pos, line,
+        |        (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+        |         OR trim(line) = '') AS keep
+        |      FROM l),
+        |r AS (SELECT doc_id,
+        |        coalesce(array_to_string(
+        |          list(line ORDER BY pos) FILTER (WHERE keep), chr(10)), '')
+        |          AS text_final
+        |      FROM kk GROUP BY doc_id),
+        |sk AS (SELECT doc_id, text_final,
+        |         md5(doc_id::VARCHAR || ':13') AS skey FROM r),
+        |sa AS (SELECT doc_id, text_final, skey,
+        |         (('0x' || substr(skey, 1, 8))::UBIGINT % 8)::INT AS shard FROM sk)
+        |SELECT shard,
+        |  (row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id))::INT AS seq,
+        |  doc_id, text_final
+        |FROM sa ORDER BY shard, seq""".stripMargin,
     // md5(id ":" seed) permutation key, 32-bit-prefix shard, per-shard
     // rank — the full reproducible training order replays in SQL
     "tx_shard" ->
