@@ -131,6 +131,34 @@ object Text {
     * elimination), no shuffle; the 100 TB cost is one read of the
     * column.
     */
+  /** The six rounded facet columns, from already-bound text/word/line
+    * columns — shared by [[gopherRules]] (projection-bound splits) and
+    * [[gopherPass]] (inline splits; top-level duplicates are collapsed
+    * by codegen subexpression elimination — only HOF LAMBDA bodies lack
+    * it, and the lambdas here each use their array exactly once).
+    */
+  private def gopherFacets(t: Column, ws: Column, ls: Column)
+      : (Column, Column, Column, Column, Column, Column) = {
+    import graft.functions.FunctionDefs.call
+    val nWords = size(ws)
+    val nLines = size(ls)
+    val nChars = length(t)
+    val symbols =
+      (nChars - length(replace(t, lit("#"), lit("")))) +
+        (nChars - length(replace(t, lit("…"), lit(""))))
+    val bullets = size(filter(ls,
+      l => substring(ltrim(l), 1, 1).isin("•", "‣", "-", "*")))
+    val ellipses = size(filter(ls,
+      l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+    val alphaWords = size(filter(ws, w => call("letter_count", w) > 0))
+    (nWords,
+      round((nChars - nWords + 1) * lit(1.0) / nWords, 4),
+      round(symbols * lit(1.0) / nWords, 4),
+      round(bullets * lit(1.0) / nLines, 4),
+      round(ellipses * lit(1.0) / nLines, 4),
+      round(alphaWords * lit(1.0) / nWords, 4))
+  }
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   delim: String = "\n",
                   minWords: Int = 50, maxWords: Int = 100000,
@@ -139,31 +167,20 @@ object Text {
                   maxBulletFrac: Double = 0.9,
                   maxEllipsisFrac: Double = 0.3,
                   minAlphaFrac: Double = 0.8): DataFrame = {
-    import graft.functions.FunctionDefs.call
     val q = java.util.regex.Pattern.quote(delim)
     val bound = df.select(col(idCol), col(textCol).as("__t"),
       split(col(textCol), " ").as("__ws"),
       split(col(textCol), q).as("__ls"))
-    val nWords = size(col("__ws"))
-    val nLines = size(col("__ls"))
-    val nChars = length(col("__t"))
-    val symbols =
-      (nChars - length(replace(col("__t"), lit("#"), lit("")))) +
-        (nChars - length(replace(col("__t"), lit("…"), lit(""))))
-    val bullets = size(filter(col("__ls"),
-      l => substring(ltrim(l), 1, 1).isin("•", "‣", "-", "*")))
-    val ellipses = size(filter(col("__ls"),
-      l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
-    val alphaWords = size(filter(col("__ws"),
-      w => call("letter_count", w) > 0))
+    val (nWords, awl, sym, bull, ell, alpha) =
+      gopherFacets(col("__t"), col("__ws"), col("__ls"))
     bound.select(
         col(idCol),
         nWords.as("n_words"),
-        round((nChars - nWords + 1) * lit(1.0) / nWords, 4).as("avg_word_len"),
-        round(symbols * lit(1.0) / nWords, 4).as("symbol_ratio"),
-        round(bullets * lit(1.0) / nLines, 4).as("bullet_line_frac"),
-        round(ellipses * lit(1.0) / nLines, 4).as("ellipsis_line_frac"),
-        round(alphaWords * lit(1.0) / nWords, 4).as("alpha_word_frac"))
+        awl.as("avg_word_len"),
+        sym.as("symbol_ratio"),
+        bull.as("bullet_line_frac"),
+        ell.as("ellipsis_line_frac"),
+        alpha.as("alpha_word_frac"))
       .withColumn("gopher_pass",
         col("n_words") >= minWords && col("n_words") <= maxWords &&
           col("avg_word_len") >= minAvgWord && col("avg_word_len") <= maxAvgWord &&
@@ -171,6 +188,29 @@ object Text {
           col("bullet_line_frac") <= maxBulletFrac &&
           col("ellipsis_line_frac") <= maxEllipsisFrac &&
           col("alpha_word_frac") >= minAlphaFrac)
+  }
+
+  /** [[gopherRules]]' pass flag as ONE composable Column — the fused
+    * single-scan spelling for pipelines that combine several filters
+    * over the same text read (evaluate it in a PROJECTION — e.g.
+    * withColumn then filter — so codegen subexpression elimination
+    * collapses the repeated splits; identical rounded-facet semantics
+    * to the DataFrame form by construction, same thresholds).
+    */
+  def gopherPass(text: Column, delim: String = "\n",
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minAvgWord: Double = 3.0, maxAvgWord: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 maxBulletFrac: Double = 0.9,
+                 maxEllipsisFrac: Double = 0.3,
+                 minAlphaFrac: Double = 0.8): Column = {
+    val q = java.util.regex.Pattern.quote(delim)
+    val (nWords, awl, sym, bull, ell, alpha) =
+      gopherFacets(text, split(text, " "), split(text, q))
+    nWords >= minWords && nWords <= maxWords &&
+      awl >= minAvgWord && awl <= maxAvgWord &&
+      sym <= maxSymbolRatio && bull <= maxBulletFrac &&
+      ell <= maxEllipsisFrac && alpha >= minAlphaFrac
   }
 
   /** Content term-blocklist filter — the C4 curation step that drops a
@@ -185,15 +225,25 @@ object Text {
     * [[blocklistFlagJoin]] broadcast shape). Scan-side, no shuffle.
     */
   def termBlocklistFlag(df: DataFrame, idCol: String, textCol: String,
-                        terms: Seq[String]): DataFrame = {
+                        terms: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        termHits(col(textCol), terms).as("n_hits"))
+      .withColumn("blocked", col("n_hits") > 0)
+
+  /** Matching-token-occurrence count as a composable Column (the
+    * [[termBlocklistFlag]] core; `termBlocked` = hits > 0) — for the
+    * fused single-scan pipeline spelling.
+    */
+  def termHits(text: Column, terms: Seq[String]): Column = {
     require(terms.nonEmpty, "termBlocklistFlag: empty term list")
     val norm = terms.map(_.toLowerCase)
-    df.select(col(idCol),
-        graft.functions.FunctionDefs.call("stopword_count",
-          split(lower(col(textCol)), "[^a-z0-9]+"), typedlit(norm))
-          .as("n_hits"))
-      .withColumn("blocked", col("n_hits") > 0)
+    graft.functions.FunctionDefs.call("stopword_count",
+      split(lower(text), "[^a-z0-9]+"), typedlit(norm))
   }
+
+  /** Any-banned-term flag as a Column. */
+  def termBlocked(text: Column, terms: Seq[String]): Column =
+    termHits(text, terms) > 0
 
   // ---------------------------------------------------------- language
 

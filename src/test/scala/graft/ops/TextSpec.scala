@@ -106,6 +106,27 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got(1).getAs[Boolean]("gopher_pass") shouldBe false
   }
 
+  test("gopherPass / termBlocked Column forms equal the DataFrame forms row-for-row") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again\nplain second line of ordinary prose here now"),
+      (2L, "• alpha beta\n• gamma delta\n• epsilon zeta\nwaiting ...\n# # # #"),
+      (3L, "Spark and VECTOR stuff in a sentence long enough to pass the shape rules today")
+    ).toDF("id", "text")
+    val viaDf = Text.gopherRules(df, "id", "text", minWords = 5)
+      .orderBy("id").collect().map(_.getAs[Boolean]("gopher_pass")).toSeq
+    val viaCol = df.withColumn("p", Text.gopherPass(col("text"), minWords = 5))
+      .orderBy("id").collect().map(_.getAs[Boolean]("p")).toSeq
+    viaCol shouldBe viaDf
+    val terms = Seq("spark", "vector", "hash")
+    val bDf = Text.termBlocklistFlag(df, "id", "text", terms)
+      .orderBy("id").collect().map(_.getAs[Boolean]("blocked")).toSeq
+    val bCol = df.withColumn("b", Text.termBlocked(col("text"), terms))
+      .orderBy("id").collect().map(_.getAs[Boolean]("b")).toSeq
+    bCol shouldBe bDf
+    bCol shouldBe Seq(false, false, true)
+  }
+
   test("termBlocklistFlag: occurrence counts over lowercase alnum tokens") {
     import spark.implicits._
     val df = Seq(
