@@ -601,6 +601,38 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_gopher / tx_badwords: scan-side rules — the only exchange is the presentation sort") {
+    for (q <- Seq("tx_gopher", "tx_badwords")) {
+      val p = planOf(q)
+      // the AQE string prints Final AND Initial plans — count the final
+      val fin = p.split("== Initial Plan ==")(0)
+      withClue(s"$q plan:\n$p") {
+        p.contains("Join") shouldBe false
+        p.contains("HashAggregate") shouldBe false
+        p.contains("Window") shouldBe false
+        // exactly the orderBy's range exchange — the "no shuffle" claim
+        fin.linesIterator.count(_.contains("Exchange")) shouldBe 1
+      }
+    }
+  }
+
+  test("tx_web_curate: the fused synthesis→extract→boilerplate→flags prefix is ONE corpus scan") {
+    val p = planOf("tx_web_curate")
+    val fin = p.split("== Initial Plan ==")(0) // AQE prints both plans
+    withClue(s"tx_web_curate plan:\n$p") {
+      // one FileScan: both quality flags evaluate in the same projection
+      // over the cleaned text — the single-read claim of the composed
+      // pipeline (a per-flag-branch spelling would re-scan per flag)
+      fin.linesIterator.count(_.contains("FileScan")) shouldBe 1
+      p.contains("CartesianProduct") shouldBe false
+      p.contains("BroadcastNestedLoopJoin") shouldBe false
+      // bounded exchanges: dedup window + doc regroup + shard window +
+      // final sort (AQE may add reads, never new exchanges)
+      fin.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Reused")) should be <= 5
+    }
+  }
+
   test("tx_blocklist: suffix probes are broadcast HASH joins — no list literal, no nested loop") {
     val p = planOf("tx_blocklist")
     withClue(s"tx_blocklist plan:\n$p") {
