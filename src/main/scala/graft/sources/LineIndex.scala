@@ -211,6 +211,31 @@ object LineIndex {
     (fresh, merged, n)
   }
 
+  /** Re-cluster the digest layout — the lakehouse OPTIMIZE step that
+    * completes the lifecycle: appends land delta files whose xx ranges
+    * overlap resident ones (pruning degrades by the appended file
+    * count, the [[StatsManifest.append]] trade) and replayed appends
+    * leave duplicate rows (harmless to probes, bytes on disk). Compact
+    * reads the current table once, dropDuplicates, and re-writes one
+    * range-clustered generation of `nFiles` — restoring both the
+    * pruning resolution and the minimal byte size; params re-commit
+    * with the exact deduplicated count (which can only shrink). Bloom
+    * bits are untouched: the filter is a superset by construction and
+    * OR-only, so compaction never needs to rebuild it. Single writer,
+    * like every maintenance op here; invalidates live [[Maintainer]]s
+    * (their cached manifest rows name the pre-compaction files).
+    */
+  def compact(s: SparkSession, path: String, nFiles: Int = 64): Unit = {
+    val numHashes = readParams(s, path).getInt(0)
+    val clean = s.read.parquet(s"$path/digests")
+      .dropDuplicates("hh")
+      .localCheckpoint() // the write overwrites its own input dir
+    StatsManifest.write(clean, s"$path/digests", "xx", nFiles)
+    val n = s.read.parquet(s"$path/digests").count()
+    writeParams(s, path, numHashes, n)
+    org.apache.spark.sql.GraftBridge.unpersistCheckpoint(clean)
+  }
+
   /** Amortizing handle for repeated probe/append cycles against ONE
     * index — the streaming-maintenance shape ([[MinhashIndex.Maintainer]]'s
     * contract, applied to the line family): params, bloom bits and the

@@ -90,6 +90,28 @@ class LineIndexSpec extends AnyFunSuite with SparkTestSession with Matchers {
     dist.map(_(4)).toSeq shouldBe Seq("fresh one", "")
   }
 
+  test("compact: re-clusters to nFiles, removes replayed-append duplicates, probes unchanged") {
+    val path = tmp()
+    LineIndex.build(df(history: _*), "text", path, nFiles = 4)
+    val kept = df(10L -> "fresh one")
+    LineIndex.append(spark, path, kept, "text")
+    LineIndex.append(spark, path, kept, "text") // replay → duplicate row
+    val batch = df(20L -> "fresh one\nseen a\nnovel")
+    val before = LineIndex.probe(spark, path, batch, "id", "text")
+      .head().toSeq
+    LineIndex.compact(spark, path, nFiles = 2)
+    // duplicates gone, layout re-clustered to exactly nFiles
+    spark.read.parquet(s"$path/digests")
+      .groupBy("hh").count().filter(col("count") > 1).count() shouldBe 0L
+    FsUtil.listPartFiles(spark, s"$path/digests").size shouldBe 2
+    // count introspection is the exact deduplicated cardinality
+    VersionedDir.read(spark, s"$path/params").head()
+      .getAs[Long]("n_lines") shouldBe 4L // seen a, seen b, seen c, fresh one
+    // and the probe answer is bit-identical across the compaction
+    LineIndex.probe(spark, path, batch, "id", "text")
+      .head().toSeq shouldBe before
+  }
+
   test("definite-novel batches skip the digest files entirely (bloom no = no join)") {
     val path = tmp()
     LineIndex.build(df(history: _*), "text", path)
