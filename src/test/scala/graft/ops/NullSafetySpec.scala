@@ -275,4 +275,29 @@ class NullSafetySpec extends AnyFunSuite with SparkTestSession with Matchers {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     merged shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L)
   }
+
+  test("r13 curation ops tolerate null/empty text (null in, null out; empty is data)") {
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "plain ordinary words here for the shape rules to like today"),
+        Row(2L, null), Row(3L, "")),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    // gopherRules: null text → null facets and null pass, never a throw;
+    // empty text is a real (1-token) doc that fails minWords
+    val g = Text.gopherRules(docs, "id", "text", minWords = 5)
+      .orderBy("id").collect()
+    Option(g(1).get(g(1).fieldIndex("gopher_pass"))) shouldBe None
+    g(2).getAs[Boolean]("gopher_pass") shouldBe false
+    g(0).getAs[Boolean]("gopher_pass") shouldBe true
+    // the Column form agrees on the null row too
+    val p = docs.withColumn("p", Text.gopherPass(col("text"), minWords = 5))
+      .orderBy("id").collect().map(r => Option(r.get(r.fieldIndex("p"))))
+    p.toSeq shouldBe Seq(Some(true), None, Some(false))
+    // termBlocklistFlag: null → null hits/flag; empty → 0 hits
+    val b = Text.termBlocklistFlag(docs, "id", "text", Seq("plain"))
+      .orderBy("id").collect()
+    b(0).getAs[Int]("n_hits") shouldBe 1
+    Option(b(1).get(b(1).fieldIndex("blocked"))) shouldBe None
+    b(2).getAs[Int]("n_hits") shouldBe 0
+  }
 }
