@@ -170,7 +170,8 @@ object FunctionDefs {
     "pq_adc"            -> f("pqAdc", D, ArrayType(D), ArrayType(I), ArrayType(D), I),
     "ivf_probes"        -> f("ivfProbes", ArrayType(I), ArrayType(D), ArrayType(ArrayType(D)), I),
     "bloom_contains"    -> f("bloomContains", B, Bin, L, I),
-    "nfc_normalize"     -> f("nfcNormalize", S, S)
+    "nfc_normalize"     -> f("nfcNormalize", S, S),
+    "nfkc_normalize"    -> f("nfkcNormalize", S, S)
   )
 
   val byName: Map[String, Seq[FnSpec]] = defs.toMap

@@ -510,6 +510,19 @@ object GeomImpl {
     UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.NFC))
 
+  /** Unicode NFKC normalization (UAX #15 compatibility composition) —
+    * the form tokenizer pipelines actually run before BPE: beyond
+    * NFC's canonical composition it FOLDS compatibility variants
+    * (fullwidth Ａ→A, ligatures ﬁ→fi, superscripts ²→2, №→No, circled
+    * digits ①→1), so visually-equivalent crawl text produces one token
+    * sequence. DuckDB has no nfkc_normalize, so the oracle pins
+    * hand-derived mappings of planted compatibility characters instead
+    * of delegating to a twin implementation (tx_nfkc).
+    */
+  def nfkcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFKC))
+
   /** Count of [A-Za-z0-9 ] characters — the codegen'd one-byte-pass twin
     * of `length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))`: the class is
     * pure ASCII so every matching character is exactly one UTF-8 byte,

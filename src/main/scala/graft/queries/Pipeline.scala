@@ -1065,6 +1065,31 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Unicode NFKC compatibility normalization — the pre-tokenizer form
+    * (GPT/BERT-class pipelines run NFKC, not NFC): a compatibility
+    * character cycling by doc_id (fullwidth Ａ, ligature ﬁ,
+    * superscript ², №, ligature ﬀ, circled ①) is appended to every
+    * ASCII doc and normalized with the native `nfkc_normalize`. DuckDB
+    * has no NFKC, so the oracle rebuilds the EXPECTED normalized text
+    * from the same formula with the UAX #15 mappings spelled literally
+    * (A, fi, 2, No, ff, 1) — valid because the corpus text is ASCII
+    * (NFKC-invariant) and the suffix is separated by a space, so no
+    * cross-boundary composition can occur; md5 equality then certifies
+    * the JDK's NFKC against the hand-derived forms on every row.
+    */
+  def txNfkc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val dirty = concat(col("text"), lit(" "),
+      expr("elt(cast(doc_id % 6 + 1 as int), 'Ａ', 'ﬁ', '²', '№', 'ﬀ', '①')"))
+    val nfkc = graft.functions.FunctionDefs.call("nfkc_normalize", dirty)
+    docs.select(col("doc_id"),
+        length(dirty).cast("int").as("len_raw"),
+        length(nfkc).cast("int").as("len_nfkc"),
+        md5(nfkc).as("nfkc_md5"),
+        when(nfkc =!= dirty, 1).otherwise(0).as("changed"))
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy source-label canonicalization: delete one deterministic char
     * from every doc's source tag, then re-match it against the distinct
     * source dictionary by minimum edit distance (lexicographic
@@ -1914,6 +1939,7 @@ object Pipeline {
     "tx_decontam" -> txDecontam _,
     "tx_decontam_vec" -> txDecontamVec _,
     "tx_nfc" -> txNfc _,
+    "tx_nfkc" -> txNfkc _,
     "tx_fuzzy" -> txFuzzy _,
     "tx_dsir" -> txDsir _,
     "tx_perplexity" -> txPerplexity _,
@@ -3523,6 +3549,24 @@ object Pipeline {
         |  md5(nfc) AS nfc_md5,
         |  CASE WHEN length(nfc) <> length(dirty) THEN 1 ELSE 0 END AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
+    // DuckDB has no nfkc_normalize — the oracle rebuilds the EXPECTED
+    // normalized text from the same planted formula with the UAX #15
+    // compatibility mappings spelled literally (ASCII corpus text is
+    // NFKC-invariant; the space boundary blocks cross composition), so
+    // md5 equality certifies the engine's NFKC on every row
+    "tx_nfkc" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' ' || CASE (doc_id % 6)::INT
+        |      WHEN 0 THEN 'Ａ' WHEN 1 THEN 'ﬁ' WHEN 2 THEN '²'
+        |      WHEN 3 THEN '№' WHEN 4 THEN 'ﬀ' ELSE '①' END AS dirty,
+        |    text || ' ' || CASE (doc_id % 6)::INT
+        |      WHEN 0 THEN 'A' WHEN 1 THEN 'fi' WHEN 2 THEN '2'
+        |      WHEN 3 THEN 'No' WHEN 4 THEN 'ff' ELSE '1' END AS norm
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, length(dirty)::INT AS len_raw,
+        |  length(norm)::INT AS len_nfkc, md5(norm) AS nfkc_md5,
+        |  1 AS changed
+        |FROM t ORDER BY doc_id""".stripMargin,
     // same textbook Levenshtein DP in both engines — integer distances;
     // argmin tie-break is (dist, entry) lexicographic on ASCII labels
     "tx_fuzzy" ->

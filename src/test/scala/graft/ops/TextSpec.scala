@@ -318,6 +318,27 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .collect().head.getString(0) shouldBe composed
   }
 
+  test("nfkc_normalize: folds compatibility forms (fullwidth, ligature, superscript), supersets NFC") {
+    val spark0 = spark
+    import spark0.implicits._
+    val cases = Seq(
+      "Ａbc" -> "Abc",        // fullwidth A
+      "ﬁne" -> "fine",       // fi ligature
+      "x²" -> "x2",          // superscript two
+      "№ 5" -> "No 5",       // numero sign
+      "école" -> "école") // NFKC ⊇ NFC canonical composition
+    cases.foreach { case (in, want) =>
+      withClue(in) {
+        Seq(in).toDF("s")
+          .select(graft.functions.FunctionDefs.call("nfkc_normalize", col("s")))
+          .collect().head.getString(0) shouldBe want
+      }
+    }
+    // resolves through the SQL registry; ASCII is a fixed point
+    spark.sql("SELECT nfkc_normalize('plain ascii') AS n")
+      .collect().head.getString(0) shouldBe "plain ascii"
+  }
+
   test("decontaminate: flags exactly the train docs sharing an n-gram with the eval set") {
     val evalSet = docs(100L -> "alpha beta gamma delta")
     val train = docs(
