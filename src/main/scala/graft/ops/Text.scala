@@ -114,7 +114,12 @@ object Text {
     * Facets (fractions rounded 4dp; the pass flag is computed on the
     * ROUNDED values so threshold decisions agree bit-for-bit with an
     * external SQL replay):
-    *  - n_words / avg_word_len — the [[quality]] spellings;
+    *  - n_words — the [[quality]] spelling (space-split token count);
+    *  - avg_word_len — word characters (chars that are neither the
+    *    space separator nor the line delim) / n_words, the paper's
+    *    mean-word-length (r13 ADVICE: the old (nChars−nWords+1)/nWords
+    *    shortcut counted newlines and multi-space runs as word chars,
+    *    drifting near the 3.0/10.0 thresholds on multi-line docs);
     *  - symbol_ratio — ('#' chars + '…' chars) / n_words, counted via
     *    non-regex replace so both engines count identically;
     *  - bullet_line_frac — lines whose ltrim starts with • ‣ - or *;
@@ -137,12 +142,16 @@ object Text {
     * by codegen subexpression elimination — only HOF LAMBDA bodies lack
     * it, and the lambdas here each use their array exactly once).
     */
-  private def gopherFacets(t: Column, ws: Column, ls: Column)
+  private def gopherFacets(t: Column, ws: Column, ls: Column, delim: String)
       : (Column, Column, Column, Column, Column, Column) = {
     import graft.functions.FunctionDefs.call
     val nWords = size(ws)
     val nLines = size(ls)
     val nChars = length(t)
+    // word characters: strip the line delim first (it may contain a
+    // space), then the space separator — what remains is exactly the
+    // tokens' own characters, so awl is the true mean word length.
+    val wordChars = length(replace(replace(t, lit(delim), lit("")), lit(" "), lit("")))
     val symbols =
       (nChars - length(replace(t, lit("#"), lit("")))) +
         (nChars - length(replace(t, lit("…"), lit(""))))
@@ -152,7 +161,7 @@ object Text {
       l => endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
     val alphaWords = size(filter(ws, w => call("letter_count", w) > 0))
     (nWords,
-      round((nChars - nWords + 1) * lit(1.0) / nWords, 4),
+      round(wordChars * lit(1.0) / nWords, 4),
       round(symbols * lit(1.0) / nWords, 4),
       round(bullets * lit(1.0) / nLines, 4),
       round(ellipses * lit(1.0) / nLines, 4),
@@ -172,7 +181,7 @@ object Text {
       split(col(textCol), " ").as("__ws"),
       split(col(textCol), q).as("__ls"))
     val (nWords, awl, sym, bull, ell, alpha) =
-      gopherFacets(col("__t"), col("__ws"), col("__ls"))
+      gopherFacets(col("__t"), col("__ws"), col("__ls"), delim)
     bound.select(
         col(idCol),
         nWords.as("n_words"),
@@ -206,7 +215,7 @@ object Text {
                  minAlphaFrac: Double = 0.8): Column = {
     val q = java.util.regex.Pattern.quote(delim)
     val (nWords, awl, sym, bull, ell, alpha) =
-      gopherFacets(text, split(text, " "), split(text, q))
+      gopherFacets(text, split(text, " "), split(text, q), delim)
     nWords >= minWords && nWords <= maxWords &&
       awl >= minAvgWord && awl <= maxAvgWord &&
       sym <= maxSymbolRatio && bull <= maxBulletFrac &&

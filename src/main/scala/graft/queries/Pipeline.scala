@@ -3975,7 +3975,7 @@ object Pipeline {
         |t2 AS (SELECT doc_id, ls, text, string_split(text, ' ') AS tw FROM t),
         |f AS (SELECT doc_id,
         |        len(tw) AS n_words,
-        |        round((length(text) - len(tw) + 1) * 1.0 / len(tw), 4) AS avg_word_len,
+        |        round(length(replace(replace(text, chr(10), ''), ' ', '')) * 1.0 / len(tw), 4) AS avg_word_len,
         |        round(((length(text) - length(replace(text, '#', ''))) +
         |               (length(text) - length(replace(text, '…', '')))) * 1.0 / len(tw), 4) AS symbol_ratio,
         |        round(len(list_filter(ls, l -> list_contains(['•', '‣', '-', '*'],
@@ -4118,7 +4118,7 @@ object Pipeline {
         |         string_split(text, chr(10)) AS gl FROM t1),
         |g AS (SELECT doc_id, text,
         |        len(tw) AS n_words,
-        |        round((length(text) - len(tw) + 1) * 1.0 / len(tw), 4) AS awl,
+        |        round(length(replace(replace(text, chr(10), ''), ' ', '')) * 1.0 / len(tw), 4) AS awl,
         |        round(((length(text) - length(replace(text, '#', ''))) +
         |               (length(text) - length(replace(text, '…', '')))) * 1.0 / len(tw), 4) AS sym,
         |        round(len(list_filter(gl, l -> list_contains(['•', '‣', '-', '*'],

@@ -1530,7 +1530,7 @@ object Spatial {
     * Clarke 1866, op-for-op — see spDatumOracle's scaladoc for why each
     * seam is spelled the way it is) run ONCE over the union of stripes,
     * then four BY-CODE zone blocks — Snyder LCC-2SP (CA 5 / TX Central /
-    * MA Mainland) and the 6th-order TM series (IL East) on clrk66 —
+    * MA Mainland) and the 6th-order TM series (NM East) on clrk66 —
     * each divided by the exact US-survey-foot factor before the 0.1
     * rounding. False eastings are the registry's meter literals (the
     * IEEE-exact values of EPSG's round ftUS numbers), so a registry FE
@@ -1583,9 +1583,9 @@ object Spatial {
     val ma = lccBlock("spma", 26786, dlit(41.71666666666667), dlit(42.68333333333333),
       dlit(41.0), dlit(-71.5), "182880.3657607315e0",
       "lon >= -76.0 AND lon <= -72.0")
-    val k0il = dlit(0.9999090909090909)
-    val ilLon0 = dlit(-104.33333333333333)
-    val ilLat0 = dlit(31.0)
+    val k0nm = dlit(0.9999090909090909)
+    val nmLon0 = dlit(-104.33333333333333)
+    val nmLat0 = dlit(31.0)
     s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
        |           WHERE ($latSql) >= 25.0 AND ($latSql) <= 50.0
        |             AND ((($lonSql) >= -130.0 AND ($lonSql) <= -93.0)
@@ -1630,31 +1630,31 @@ object Spatial {
        |$ca,
        |$tx,
        |$ma,
-       |ilg AS (SELECT c_custkey,
+       |nmg AS (SELECT c_custkey,
        |        radians(lat27) AS phi27, sin(radians(lat27)) AS sphi,
        |        cos(radians(lat27)) AS cphi, tan(radians(lat27)) AS tphi,
-       |        cos(radians(lat27)) * (radians(lon27) - radians($ilLon0)) AS aa
+       |        cos(radians(lat27)) * (radians(lon27) - radians($nmLon0)) AS aa
        |      FROM d27 WHERE lon >= -105.8 AND lon <= -102.9),
-       |ilh AS (SELECT *,
+       |nmh AS (SELECT *,
        |        $ac / sqrt(1.0 - $e2c * sphi * sphi) AS nn,
-       |        tphi * tphi AS tt, $ep2c * cphi * cphi AS cc, aa * aa AS a2 FROM ilg),
-       |ili AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM ilh),
-       |ilj AS (SELECT *, a3 * aa AS a4 FROM ili),
-       |ilk AS (SELECT *, a4 * aa AS a5 FROM ilj),
-       |ill AS (SELECT *, a5 * aa AS a6,
+       |        tphi * tphi AS tt, $ep2c * cphi * cphi AS cc, aa * aa AS a2 FROM nmg),
+       |nmi AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM nmh),
+       |nmj AS (SELECT *, a3 * aa AS a4 FROM nmi),
+       |nmk AS (SELECT *, a4 * aa AS a5 FROM nmj),
+       |nml AS (SELECT *, a5 * aa AS a6,
        |        ${arc27Of("phi27")} AS mm,
-       |        ${arc27Of(s"radians($ilLat0)")} AS mm0
-       |      FROM ilk),
-       |spil AS (SELECT c_custkey, 32012 AS epsg,
-       |        round(($k0il * nn * (aa + (1.0 - tt + cc) * a3 / 6.0
+       |        ${arc27Of(s"radians($nmLat0)")} AS mm0
+       |      FROM nmk),
+       |spnm AS (SELECT c_custkey, 32012 AS epsg,
+       |        round(($k0nm * nn * (aa + (1.0 - tt + cc) * a3 / 6.0
        |          + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2c) * a5 / 120.0) + 152400.3048006096e0) / $usFt, 1) AS easting,
-       |        round(($k0il * (mm - mm0 + ntan * (a2 / 2.0
+       |        round(($k0nm * (mm - mm0 + ntan * (a2 / 2.0
        |          + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
        |          + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2c) * a6 / 720.0)) + 0.0) / $usFt, 1) AS northing
-       |      FROM ill)
+       |      FROM nml)
        |SELECT c_custkey, epsg, easting, northing, 1 AS rt_ok
        |FROM (SELECT * FROM spca UNION ALL SELECT * FROM sptx
-       |      UNION ALL SELECT * FROM spma UNION ALL SELECT * FROM spil)
+       |      UNION ALL SELECT * FROM spma UNION ALL SELECT * FROM spnm)
        |ORDER BY c_custkey, epsg""".stripMargin
   }
 

@@ -49,6 +49,9 @@ final class LineDupStream(spark: SparkSession, indexPath: String,
   def processBatch(batch: DataFrame): DataFrame = {
     val b = batch.localCheckpoint()
     val r = ix.probe(b, idCol, textCol, delim, maxCollect).localCheckpoint()
+    // r is materialized (eager checkpoint): the dup-heavy probe path's
+    // pinned present-frame blocks release NOW, not at GC (r13 ADVICE)
+    ix.releaseProbe()
     ix.append(r, "text_dedup", delim)
     org.apache.spark.sql.GraftBridge.unpersistCheckpoint(b)
     if (lastResult != null)

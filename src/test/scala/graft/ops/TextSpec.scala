@@ -91,6 +91,9 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .orderBy("id").collect()
     // doc 1: clean prose — 17 space-tokens, every facet in range
     got(0).getAs[Int]("n_words") shouldBe 17
+    // 77 word chars (94 total − 16 spaces − 1 newline) / 17 tokens —
+    // the newline is NOT a word char (the r13 ADVICE multi-line drift)
+    got(0).getAs[Double]("avg_word_len") shouldBe 4.5294
     got(0).getAs[Double]("alpha_word_frac") shouldBe 1.0
     got(0).getAs[Double]("bullet_line_frac") shouldBe 0.0
     got(0).getAs[Double]("ellipsis_line_frac") shouldBe 0.0
