@@ -2003,6 +2003,8 @@ object Pipeline {
     "tx_badwords" -> txBadwords _,
     "tx_web_pipeline" -> txWebPipeline _,
     "tx_web_curate" -> txWebCurate _,
+    "src_warc" -> srcWarc _,
+    "tx_warc_curate" -> txWarcCurate _,
     "tx_shard" -> txShard _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "q_joinest" -> qJoinest _,
@@ -2314,8 +2316,16 @@ object Pipeline {
     * 5.1-6.2 s vs the fused form's 4.4 s at sf0.1, the remainder being
     * the dedup window + shard exchange both spellings share).
     */
-  def txWebCurate(s: SparkSession, dir: String): DataFrame = {
-    val paged = Tables.documents(s, dir)
+  def txWebCurate(s: SparkSession, dir: String): DataFrame =
+    webCurateChain(syntheticPages(s, dir))
+
+  /** The web-page synthesis txWebCurate (and the WARC fixture) wraps
+    * each document in: script/title head, h1, one `<p>` per 7 words,
+    * nav crumb, footer — (doc_id, html), one line, no markup in the
+    * corpus needed.
+    */
+  private def syntheticPages(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("__ws"))
       .select(col("doc_id"), concat(
@@ -2329,7 +2339,14 @@ object Pipeline {
         lit("<div class=\"nav\">Home | About | Contact</div>" +
           "<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>"))
         .as("html"))
-    val cleaned = paged
+
+  /** The composed curation chain from a (doc_id, html) frame — shared
+    * by [[txWebCurate]] (synthesized pages) and [[txWarcCurate]]
+    * (pages parsed out of WARC container bytes), so the WARC front
+    * door feeds the exact same certified stages.
+    */
+  private def webCurateChain(pages: DataFrame): DataFrame = {
+    val cleaned = pages
       .withColumn("__ls", split(
         graft.ops.Text.extractHtmlBlocks(col("html")), "\n"))
       .select(col("doc_id"),
@@ -2346,6 +2363,106 @@ object Pipeline {
     graft.ops.Text.shuffleShards(deduped, "doc_id", numShards = 8, seed = 13)
       .select(col("shard"), col("seq"), col("doc_id"), col("text_final"))
       .orderBy("shard", "seq")
+  }
+
+  // One WARC fixture per (JVM, sf dir): Common Crawl-layout container
+  // files (member-per-record gzip) carrying the txWebCurate pages as
+  // HTTP responses, with three deterministic fault plants — a
+  // malformed version line (doc_id ≡ 3 mod 7), a 404 status (doc_id ≡
+  // 0 mod 11), and one torn trailing member on the g=5 shard.
+  private val warcReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def warcFixture(s: SparkSession, dir: String): String =
+    warcReady.computeIfAbsent(dir, { d =>
+      val p = java.nio.file.Files.createTempDirectory("graft-warc").toString
+      syntheticPages(s, d)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).cast("int").as("g"),
+          col("html"))
+        .repartition(8, col("g"))
+        .sortWithinPartitions("g", "doc_id")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          import graft.sources.Warc
+          var curG = -1
+          var out: java.io.OutputStream = null
+          def finish(): Unit = if (out != null) {
+            if (curG == 5) { // torn trailing member: mid-deflate cut
+              val sent = Warc.gzipMember(Warc.recordBytes("response",
+                "http://example.com/torn", "2026-01-01T00:00:00Z",
+                "application/http; msgtype=response",
+                "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>torn sentinel page</html>"
+                  .getBytes("ISO-8859-1")))
+              out.write(sent, 0, sent.length / 2)
+            }
+            out.close(); out = null
+          }
+          while (it.hasNext) {
+            val r = it.next()
+            val id = r.getLong(0); val g = r.getInt(1); val html = r.getString(2)
+            if (g != curG) {
+              finish()
+              out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$p/part-$g.warc.gz"))
+              curG = g
+            }
+            val status = if (id % 11 == 0) "404 Not Found" else "200 OK"
+            val version = if (id % 7 == 3) "WARX/1.0" else "WARC/1.0"
+            val block = (s"HTTP/1.1 $status\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html)
+              .getBytes("UTF-8")
+            out.write(Warc.gzipMember(Warc.recordBytes("response",
+              s"http://example.com/doc/$id", "2026-01-01T00:00:00Z",
+              "application/http; msgtype=response", block, version)))
+          }
+          finish()
+        }
+      p
+    })
+
+  /** WARC ingest with quarantine ([[graft.sources.Warc]]) — the Common
+    * Crawl container front door. The fixture serializes the corpus as
+    * member-per-record gzip WARC responses (the real crawl layout);
+    * parsed rows surface url-derived doc_id, HTTP status, mime, body
+    * byte length and body md5 with ok=1; the planted malformed records
+    * (doc_id ≡ 3 mod 7, a WARX/ version line the parser resyncs past)
+    * and the one torn trailing gzip member surface as all-null ok=0
+    * rows tagged by quarantine reason — never an exception. The oracle
+    * replays both populations and every parsed field (including the
+    * exact body bytes via md5 of the same synthesized page) from the
+    * base table.
+    */
+  def srcWarc(s: SparkSession, dir: String): DataFrame = {
+    val path = warcFixture(s, dir)
+    graft.sources.Warc.read(s, path)
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("status"), col("mime"),
+        length(col("body")).cast("long").as("n_bytes"),
+        md5(col("body")).as("body_md5"),
+        when(col("_corrupt").isNull, 1).otherwise(0).as("ok"),
+        when(col("_corrupt").isNull, lit(null).cast("string"))
+          .when(col("_corrupt").startsWith("torn"), "torn")
+          .otherwise("malformed").as("reason"))
+      .orderBy("ok", "doc_id")
+  }
+
+  /** The modern web recipe fed END TO END from real container bytes:
+    * [[graft.sources.Warc.read]] over the fixture, 200-status response
+    * pages decoded from the body bytes, then the EXACT
+    * [[txWebCurate]] chain ([[webCurateChain]] — extraction →
+    * boilerplate → Gopher → bad-words → line dedup → shuffle-shard).
+    * The oracle is tx_web_curate's replay restricted to the docs that
+    * survive the container: parseable (doc_id ≢ 3 mod 7) and status
+    * 200 (doc_id ≢ 0 mod 11) — so WARC parse, HTTP status plumbing and
+    * the whole curation chain certify together.
+    */
+  def txWarcCurate(s: SparkSession, dir: String): DataFrame = {
+    val path = warcFixture(s, dir)
+    val pages = graft.sources.Warc.read(s, path)
+      .filter(col("_corrupt").isNull && col("warc_type") === "response" &&
+        col("status") === 200)
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        decode(col("body"), "UTF-8").as("html"))
+    webCurateChain(pages)
   }
 
   /** Deterministic corpus shuffle-shard
@@ -2878,6 +2995,91 @@ object Pipeline {
        |        + h02 * (h01 * h12 - h11 * h02) AS det
        |    FROM s$i, $prev))""".stripMargin
   }
+
+  /** tx_web_curate's full SQL replay, parameterized on the base-table
+    * predicate: tx_warc_curate is the SAME chain over the docs that
+    * survive the WARC container (parseable and status-200), so the two
+    * oracles cannot drift.
+    */
+  private def webCurateOracle(where: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE $where),
+         |h AS (SELECT doc_id,
+         |  '<html><head><script type="text/javascript">var nav = 1 < 2;</script><title>D'
+         |  || doc_id || '</title></head><body><h1>Doc ' || doc_id || '</h1>' ||
+         |  array_to_string(['<p>' || array_to_string(list_slice(w, i, i + 6), ' ')
+         |                   || '</p>' for i in range(1, len(w) + 1, 7)], '') ||
+         |  '<div class="nav">Home | About | Contact</div>' ||
+         |  '<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>' AS html
+         |FROM d),
+         |e AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+         |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |        '(?s)<!--.*?-->', ' ', 'g'),
+         |        '(?i)<(?:br|hr)[^>]*>|</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>',
+         |        chr(10), 'g'),
+         |        '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+         |    '[ \t]+', ' ', 'g'),
+         |    ' ?\n ?', chr(10), 'g'),
+         |    '\n{3,}', chr(10) || chr(10), 'g'),
+         |    '^[\n ]+|[\n ]+$$', '', 'g') AS text
+         |FROM h),
+         |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM e),
+         |t1 AS (SELECT doc_id, array_to_string(
+         |        [l for l in ls if trim(l) = '' OR
+         |          (len([tok for tok in regexp_split_to_array(trim(l), ' +')
+         |                if regexp_matches(tok, '[A-Za-z0-9]')]) >= 5
+         |           AND len(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+         |           AND len(regexp_replace(l, '[^A-Z]', '', 'g'))
+         |               / len(regexp_replace(l, '[^A-Za-z]', '', 'g')) <= 0.5)],
+         |        chr(10)) AS text
+         |      FROM x),
+         |g0 AS (SELECT doc_id, text, string_split(text, ' ') AS tw,
+         |         string_split(text, chr(10)) AS gl FROM t1),
+         |g AS (SELECT doc_id, text,
+         |        len(tw) AS n_words,
+         |        round(length(replace(replace(text, chr(10), ''), ' ', '')) * 1.0 / len(tw), 4) AS awl,
+         |        round(((length(text) - length(replace(text, '#', ''))) +
+         |               (length(text) - length(replace(text, '…', '')))) * 1.0 / len(tw), 4) AS sym,
+         |        round(len(list_filter(gl, l -> list_contains(['•', '‣', '-', '*'],
+         |                 substr(ltrim(l), 1, 1)))) * 1.0 / len(gl), 4) AS bull,
+         |        round(len(list_filter(gl, l -> ends_with(rtrim(l), '...')
+         |                 OR ends_with(rtrim(l), '…'))) * 1.0 / len(gl), 4) AS ell,
+         |        round(len(list_filter(tw, xx -> regexp_matches(xx, '[A-Za-z]'))) * 1.0 / len(tw), 4) AS alpha
+         |      FROM g0),
+         |p AS (SELECT doc_id, text FROM g
+         |      WHERE n_words >= 10 AND n_words <= 100000
+         |        AND awl >= 3.0 AND awl <= 10.0 AND sym <= 0.1
+         |        AND bull <= 0.9 AND ell <= 0.3 AND alpha >= 0.8),
+         |u AS (SELECT doc_id, text FROM p
+         |      WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+         |              xx -> list_contains(['dup'], xx))) = 0),
+         |l AS (SELECT doc_id, uu.p AS pos, uu.l AS line FROM
+         |        (SELECT doc_id, unnest([{'p': i, 'l': ls2[i]}
+         |                                for i in range(1, len(ls2) + 1)]) AS uu
+         |         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls2 FROM u))),
+         |kk AS (SELECT doc_id, pos, line,
+         |        (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
+         |         OR trim(line) = '') AS keep
+         |      FROM l),
+         |r AS (SELECT doc_id,
+         |        coalesce(array_to_string(
+         |          list(line ORDER BY pos) FILTER (WHERE keep), chr(10)), '')
+         |          AS text_final
+         |      FROM kk GROUP BY doc_id),
+         |sk AS (SELECT doc_id, text_final,
+         |         md5(doc_id::VARCHAR || ':13') AS skey FROM r),
+         |sa AS (SELECT doc_id, text_final, skey,
+         |         (('0x' || substr(skey, 1, 8))::UBIGINT % 8)::INT AS shard FROM sk)
+         |SELECT shard,
+         |  (row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id))::INT AS seq,
+         |  doc_id, text_final
+         |FROM sa ORDER BY shard, seq""".stripMargin
 
   /** Shared by dd_line_dedup_inc AND dd_line_index (the persisted-index
     * probe must equal the in-memory incremental operator on the same
@@ -4076,85 +4278,17 @@ object Pipeline {
     // facets, entry thresholds) → 'dup' bad-word drop → keep-first
     // line dedup over the survivors → md5 shuffle-shard — every stage
     // the exact fragment its standalone oracle already proves
-    "tx_web_curate" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |           WHERE text IS NOT NULL),
-        |h AS (SELECT doc_id,
-        |  '<html><head><script type="text/javascript">var nav = 1 < 2;</script><title>D'
-        |  || doc_id || '</title></head><body><h1>Doc ' || doc_id || '</h1>' ||
-        |  array_to_string(['<p>' || array_to_string(list_slice(w, i, i + 6), ' ')
-        |                   || '</p>' for i in range(1, len(w) + 1, 7)], '') ||
-        |  '<div class="nav">Home | About | Contact</div>' ||
-        |  '<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>' AS html
-        |FROM d),
-        |e AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-        |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |        '(?s)<!--.*?-->', ' ', 'g'),
-        |        '(?i)<(?:br|hr)[^>]*>|</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>',
-        |        chr(10), 'g'),
-        |        '<[^>]*>', ' ', 'g'),
-        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-        |    '[ \t]+', ' ', 'g'),
-        |    ' ?\n ?', chr(10), 'g'),
-        |    '\n{3,}', chr(10) || chr(10), 'g'),
-        |    '^[\n ]+|[\n ]+$', '', 'g') AS text
-        |FROM h),
-        |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM e),
-        |t1 AS (SELECT doc_id, array_to_string(
-        |        [l for l in ls if trim(l) = '' OR
-        |          (len([tok for tok in regexp_split_to_array(trim(l), ' +')
-        |                if regexp_matches(tok, '[A-Za-z0-9]')]) >= 5
-        |           AND len(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
-        |           AND len(regexp_replace(l, '[^A-Z]', '', 'g'))
-        |               / len(regexp_replace(l, '[^A-Za-z]', '', 'g')) <= 0.5)],
-        |        chr(10)) AS text
-        |      FROM x),
-        |g0 AS (SELECT doc_id, text, string_split(text, ' ') AS tw,
-        |         string_split(text, chr(10)) AS gl FROM t1),
-        |g AS (SELECT doc_id, text,
-        |        len(tw) AS n_words,
-        |        round(length(replace(replace(text, chr(10), ''), ' ', '')) * 1.0 / len(tw), 4) AS awl,
-        |        round(((length(text) - length(replace(text, '#', ''))) +
-        |               (length(text) - length(replace(text, '…', '')))) * 1.0 / len(tw), 4) AS sym,
-        |        round(len(list_filter(gl, l -> list_contains(['•', '‣', '-', '*'],
-        |                 substr(ltrim(l), 1, 1)))) * 1.0 / len(gl), 4) AS bull,
-        |        round(len(list_filter(gl, l -> ends_with(rtrim(l), '...')
-        |                 OR ends_with(rtrim(l), '…'))) * 1.0 / len(gl), 4) AS ell,
-        |        round(len(list_filter(tw, xx -> regexp_matches(xx, '[A-Za-z]'))) * 1.0 / len(tw), 4) AS alpha
-        |      FROM g0),
-        |p AS (SELECT doc_id, text FROM g
-        |      WHERE n_words >= 10 AND n_words <= 100000
-        |        AND awl >= 3.0 AND awl <= 10.0 AND sym <= 0.1
-        |        AND bull <= 0.9 AND ell <= 0.3 AND alpha >= 0.8),
-        |u AS (SELECT doc_id, text FROM p
-        |      WHERE len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-        |              xx -> list_contains(['dup'], xx))) = 0),
-        |l AS (SELECT doc_id, uu.p AS pos, uu.l AS line FROM
-        |        (SELECT doc_id, unnest([{'p': i, 'l': ls2[i]}
-        |                                for i in range(1, len(ls2) + 1)]) AS uu
-        |         FROM (SELECT doc_id, string_split(text, chr(10)) AS ls2 FROM u))),
-        |kk AS (SELECT doc_id, pos, line,
-        |        (row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1
-        |         OR trim(line) = '') AS keep
-        |      FROM l),
-        |r AS (SELECT doc_id,
-        |        coalesce(array_to_string(
-        |          list(line ORDER BY pos) FILTER (WHERE keep), chr(10)), '')
-        |          AS text_final
-        |      FROM kk GROUP BY doc_id),
-        |sk AS (SELECT doc_id, text_final,
-        |         md5(doc_id::VARCHAR || ':13') AS skey FROM r),
-        |sa AS (SELECT doc_id, text_final, skey,
-        |         (('0x' || substr(skey, 1, 8))::UBIGINT % 8)::INT AS shard FROM sk)
-        |SELECT shard,
-        |  (row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id))::INT AS seq,
-        |  doc_id, text_final
-        |FROM sa ORDER BY shard, seq""".stripMargin,
+    // the COMPOSED modern web recipe: page synthesis → block
+    // extraction → boilerplate keep → Gopher shape pass (rounded
+    // facets, entry thresholds) → 'dup' bad-word drop → keep-first
+    // line dedup over the survivors → md5 shuffle-shard — every stage
+    // the exact fragment its standalone oracle already proves
+    "tx_web_curate" -> webCurateOracle("text IS NOT NULL"),
+    // the same recipe fed from WARC container bytes: the base set is
+    // what survives the container — parseable (doc_id % 7 <> 3, the
+    // malformed plant) and status 200 (doc_id % 11 <> 0)
+    "tx_warc_curate" -> webCurateOracle(
+      "text IS NOT NULL AND doc_id % 7 <> 3 AND doc_id % 11 <> 0"),
     // md5(id ":" seed) permutation key, 32-bit-prefix shard, per-shard
     // rank — the full reproducible training order replays in SQL
     "tx_shard" ->
@@ -4543,6 +4677,35 @@ object Pipeline {
         |UNION ALL
         |SELECT NULL, NULL, NULL, NULL, 0 AS ok
         |FROM documents WHERE doc_id % 7 = 3
+        |ORDER BY ok, doc_id""".stripMargin,
+    // WARC container ingest: parsed rows replay every field from the
+    // synthesized page (status by the 404 plant, byte length and md5 of
+    // the exact body bytes); quarantined rows split by reason — one
+    // 'malformed' per WARX-version plant, one 'torn' for the truncated
+    // trailing gzip member on the g=5 shard
+    "src_warc" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE text IS NOT NULL),
+        |h AS (SELECT doc_id,
+        |  '<html><head><script type="text/javascript">var nav = 1 < 2;</script><title>D'
+        |  || doc_id || '</title></head><body><h1>Doc ' || doc_id || '</h1>' ||
+        |  array_to_string(['<p>' || array_to_string(list_slice(w, i, i + 6), ' ')
+        |                   || '</p>' for i in range(1, len(w) + 1, 7)], '') ||
+        |  '<div class="nav">Home | About | Contact</div>' ||
+        |  '<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>' AS html
+        |FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
+        |  'text/html' AS mime, strlen(html)::BIGINT AS n_bytes,
+        |  md5(html) AS body_md5, 1 AS ok, NULL::VARCHAR AS reason
+        |FROM h WHERE doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT NULL::BIGINT, NULL::INT, NULL::VARCHAR, NULL::BIGINT,
+        |  NULL::VARCHAR, 0, 'malformed'
+        |FROM h WHERE doc_id % 7 = 3
+        |UNION ALL
+        |SELECT NULL::BIGINT, NULL::INT, NULL::VARCHAR, NULL::BIGINT,
+        |  NULL::VARCHAR, 0, 'torn'
         |ORDER BY ok, doc_id""".stripMargin,
     // CSV quarantine semantics: a bad FIELD (n_chars → 'n/a') nulls only
     // itself — the row keeps its parsed doc_id/lang/source with ok=0,

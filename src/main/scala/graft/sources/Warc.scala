@@ -1,0 +1,329 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, InputStream}
+import java.util.zip.GZIPInputStream
+
+/** WARC/WET ingest (ISO 28500 — the Common Crawl container format):
+  * the front door that lets the web-curation chain
+  * ([[graft.queries.Pipeline.txWebCurate]]) start from REAL crawl
+  * container bytes instead of a pre-extracted html column. Same
+  * quarantine contract as [[Jsonl]]/[[Csv]]: a malformed record, a
+  * truncated block, or a torn gzip member yields a row with null data
+  * fields and the reason in `_corrupt` — one bad shard (or one tear
+  * mid-shard) can never kill a fleet-sized ingest, and every record
+  * parsed BEFORE a tear is kept.
+  *
+  * Reference scope: the reference engine has no ingest surface at all
+  * (Hive hands it pre-parsed rows); this extends the engine's front
+  * doors the way Jsonl/Csv/ORC do, from the public ISO 28500 spec.
+  *
+  * Layout facts the reader builds on (all from the public spec / the
+  * Common Crawl convention):
+  *  - a WARC file is a sequence of records: a `WARC/1.x` version line,
+  *    CRLF header lines, a blank line, `Content-Length` octets of
+  *    block, and a CRLF CRLF separator;
+  *  - Common Crawl compresses MEMBER-PER-RECORD (multi-member gzip),
+  *    so records are recoverable from any prefix of the file —
+  *    `GZIPInputStream` concatenates members natively and a tear
+  *    surfaces as an IOException exactly at the torn member (one
+  *    inherent blind spot: a tail shorter than a gzip header at a
+  *    member boundary reads as clean EOF — indistinguishable from a
+  *    complete file by any reader without the uncompressed index);
+  *  - `response` records wrap an HTTP message (status line + headers +
+  *    payload); WET `conversion` records carry extracted text
+  *    directly. The reader parses the HTTP envelope for responses
+  *    (status, Content-Type mime, payload bytes) and passes other
+  *    record types through with the WARC-level Content-Type.
+  *
+  * Scale shape: `spark.read.format("binaryFile")` — one task per WARC
+  * file, the natural parallelism (a crawl segment is tens of
+  * thousands of ~1 GB files; gzip members are not splittable without
+  * a side index, so per-file tasks are what every public WARC reader
+  * does). Parsing streams record-by-record off the decompressing
+  * InputStream — per-task memory is one compressed file buffer plus
+  * ONE record, never the decompressed file. The output is ordinary
+  * columns, so everything downstream (extraction, Gopher rules, line
+  * dedup) stays codegen'd scans over the parsed frame.
+  *
+  * Body bytes are kept as an opaque BINARY column (the multimodal
+  * discipline — the payload may be an image or gzip, not text);
+  * `decode(body, 'UTF-8')` is the one-expression bridge into the text
+  * chain. Malformed-header recovery is line-based resync to the next
+  * `WARC/` version line: binary blocks behind a malformed header scan
+  * as long junk lines — acceptable on the quarantine path, free on
+  * the happy path (Content-Length skips blocks exactly).
+  */
+object Warc {
+
+  /** One parsed record (or one quarantined parse failure). */
+  final case class WarcRow(
+      url: String, warc_date: String, warc_type: String, record_id: String,
+      mime: String, status: Option[Int], body: Array[Byte], src: String,
+      _corrupt: String)
+
+  /** The binaryFile source's fixed schema — needed explicitly by
+    * [[readStream]] (file stream sources require one).
+    */
+  private val binaryFileSchema: StructType = StructType(Seq(
+    StructField("path", StringType),
+    StructField("modificationTime", TimestampType),
+    StructField("length", LongType),
+    StructField("content", BinaryType)))
+
+  /** Batch read: every WARC record under `path` (glob ok), parsed rows
+    * + quarantine rows in one frame. Columns: url, warc_date,
+    * warc_type, record_id, mime, status, body (binary), src (the
+    * container file), _corrupt (null = parsed).
+    */
+  def read(s: SparkSession, path: String): DataFrame =
+    parseFiles(s.read.format("binaryFile").load(path))
+
+  /** Streaming twin: new WARC shards landing in `path` flow through
+    * per micro-batch with the same quarantine contract — the
+    * continuous crawl-ingest front door ([[Jsonl.readStream]]'s
+    * shape). `maxFilesPerTrigger` is the rate knob.
+    */
+  def readStream(s: SparkSession, path: String): DataFrame =
+    parseFiles(s.readStream.format("binaryFile")
+      .schema(binaryFileSchema).load(path))
+
+  private def parseFiles(files: DataFrame): DataFrame = {
+    val s = files.sparkSession
+    import s.implicits._
+    files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (p, bytes) => recordsOf(p, bytes) })
+      .toDF()
+  }
+
+  /** Lazy record iterator over one container file — pure JVM, also the
+    * spec's unit-test surface.
+    */
+  def recordsOf(src: String, content: Array[Byte]): Iterator[WarcRow] =
+    try records(src, open(content))
+    catch {
+      case e: java.io.IOException =>
+        Iterator.single(corruptRow(src, s"unreadable container: ${e.getMessage}"))
+    }
+
+  private def open(content: Array[Byte]): InputStream = {
+    val raw = new ByteArrayInputStream(content)
+    if (content.length >= 2 && (content(0) & 0xff) == 0x1f
+        && (content(1) & 0xff) == 0x8b)
+      new GZIPInputStream(raw, 1 << 16)
+    else new BufferedInputStream(raw, 1 << 16)
+  }
+
+  private def corruptRow(src: String, msg: String): WarcRow =
+    WarcRow(null, null, null, null, null, None, null, src, msg)
+
+  private def records(src: String, in: InputStream): Iterator[WarcRow] =
+    new scala.collection.AbstractIterator[WarcRow] {
+      private var pendingLine: String = null // resync lookahead
+      private var done = false
+      private var ready: WarcRow = null
+
+      private def nextLine(): String =
+        if (pendingLine != null) { val l = pendingLine; pendingLine = null; l }
+        else readLine(in)
+
+      /** Consume lines until the next `WARC/` version line (kept as
+        * lookahead) or EOF — recovery after a malformed record.
+        */
+      private def resync(): Unit = {
+        var l = nextLine()
+        while (l != null && !l.startsWith("WARC/")) l = nextLine()
+        pendingLine = l
+      }
+
+      private def advance(): Unit = {
+        if (done) { ready = null; return }
+        try {
+          var line = nextLine()
+          while (line != null && line.trim.isEmpty) line = nextLine()
+          if (line == null) { ready = null; done = true; return }
+          if (!line.startsWith("WARC/")) {
+            val snippet = line.take(60)
+            resync()
+            ready = corruptRow(src, s"malformed record header: '$snippet'")
+            return
+          }
+          // header lines (name: value, continuations folded) to blank
+          val hdrs = scala.collection.mutable.Map.empty[String, String]
+          var last: String = null
+          var h = nextLine()
+          while (h != null && h.nonEmpty) {
+            if ((h.charAt(0) == ' ' || h.charAt(0) == '\t') && last != null)
+              hdrs(last) = hdrs(last) + " " + h.trim
+            else {
+              val i = h.indexOf(':')
+              if (i > 0) {
+                last = h.substring(0, i).trim.toLowerCase
+                hdrs(last) = h.substring(i + 1).trim
+              }
+            }
+            h = nextLine()
+          }
+          if (h == null) {
+            ready = corruptRow(src, "truncated record header"); done = true
+            return
+          }
+          val lenOpt = hdrs.get("content-length")
+            .flatMap(v => v.toLongOption).filter(_ >= 0)
+          if (lenOpt.isEmpty) {
+            resync()
+            ready = corruptRow(src,
+              s"missing/invalid content-length (${hdrs.getOrElse("content-length", "absent")})")
+            return
+          }
+          val want = lenOpt.get
+          if (want > Int.MaxValue - 8) {
+            // a corrupt length must not drive allocation — quarantine
+            resync()
+            ready = corruptRow(src, s"implausible content-length ($want)")
+            return
+          }
+          // chunked read: allocation tracks bytes actually present, so
+          // a corrupt length against a torn tail never pre-allocates
+          val block = readUpTo(in, want.toInt)
+          if (block.length < want) {
+            ready = corruptRow(src,
+              s"truncated record block (${block.length} of $want bytes)")
+            done = true
+            return
+          }
+          val wtype = hdrs.getOrElse("warc-type", null)
+          val url = hdrs.getOrElse("warc-target-uri", null)
+          val date = hdrs.getOrElse("warc-date", null)
+          val rid = hdrs.getOrElse("warc-record-id", null)
+          val ctype = hdrs.get("content-type")
+          ready =
+            if (wtype == "response"
+                && ctype.exists(_.toLowerCase.startsWith("application/http"))) {
+              val (status, mime, payload) = parseHttp(block)
+              WarcRow(url, date, wtype, rid, mime, status, payload, src, null)
+            } else
+              WarcRow(url, date, wtype, rid,
+                ctype.map(_.split(';')(0).trim).orNull, None, block, src, null)
+        } catch {
+          // a torn gzip member (EOF mid-inflate) or any stream fault:
+          // quarantine the tail, keep everything already emitted
+          case e: java.io.IOException =>
+            ready = corruptRow(src, s"torn gzip member: ${e.getMessage}")
+            done = true
+        }
+      }
+
+      advance()
+      override def hasNext: Boolean = ready != null
+      override def next(): WarcRow = {
+        val r = ready; advance(); r
+      }
+    }
+
+  /** Read one CRLF/LF-terminated line as ISO-8859-1 (headers are
+    * ASCII; byte-faithful so resync never mangles offsets). Null at
+    * EOF.
+    */
+  private def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    val arr = buf.toByteArray
+    val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1
+            else arr.length
+    new String(arr, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Read up to `want` bytes in 64 KiB chunks (short only at EOF). */
+  private def readUpTo(in: InputStream, want: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(want, 1 << 16))
+    val chunk = new Array[Byte](1 << 16)
+    var left = want
+    while (left > 0) {
+      val n = in.read(chunk, 0, math.min(left, chunk.length))
+      if (n < 0) return out.toByteArray
+      out.write(chunk, 0, n)
+      left -= n
+    }
+    out.toByteArray
+  }
+
+  /** Split a response record's HTTP message: (status, mime, payload).
+    * A block that doesn't start with `HTTP/` passes through whole with
+    * no status (defensive — some crawlers store raw payloads).
+    */
+  private def parseHttp(block: Array[Byte]): (Option[Int], String, Array[Byte]) = {
+    val headEnd = httpHeaderEnd(block)
+    if (headEnd < 0) return (None, null, block)
+    val head = new String(block, 0, headEnd,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\r?\n")
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (None, null, block)
+    val status = lines(0).split(" ").lift(1).flatMap(_.toIntOption)
+    val mime = lines.iterator.drop(1)
+      .find(_.toLowerCase.startsWith("content-type:"))
+      .map(l => l.substring(l.indexOf(':') + 1).split(';')(0).trim)
+      .orNull
+    val bodyStart = skipBlank(block, headEnd)
+    (status, mime, java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+  }
+
+  /** Index of the first byte of the blank line ending the HTTP headers
+    * (handles CRLF CRLF and LF LF), or -1.
+    */
+  private def httpHeaderEnd(b: Array[Byte]): Int = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '\n') {
+        if (i + 1 < b.length && b(i + 1) == '\n') return i + 1
+        if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n') return i + 1
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def skipBlank(b: Array[Byte], from: Int): Int = {
+    var i = from
+    if (i < b.length && b(i) == '\r') i += 1
+    if (i < b.length && b(i) == '\n') i += 1
+    i
+  }
+
+  // ------------------------------------------------------------ writer
+
+  /** Serialize one record as WARC bytes (member payload — gzip it per
+    * record for the Common Crawl layout). Public so fixtures and
+    * egress both speak the exact spec format.
+    */
+  def recordBytes(warcType: String, url: String, date: String,
+                  contentType: String, block: Array[Byte],
+                  versionLine: String = "WARC/1.0"): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(versionLine).append("\r\n")
+    sb.append("WARC-Type: ").append(warcType).append("\r\n")
+    if (url != null) sb.append("WARC-Target-URI: ").append(url).append("\r\n")
+    if (date != null) sb.append("WARC-Date: ").append(date).append("\r\n")
+    sb.append("Content-Type: ").append(contentType).append("\r\n")
+    sb.append("Content-Length: ").append(block.length).append("\r\n\r\n")
+    val head = sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream(head.length + block.length + 4)
+    out.write(head); out.write(block)
+    out.write('\r'); out.write('\n'); out.write('\r'); out.write('\n')
+    out.toByteArray
+  }
+
+  /** Gzip one member (the Common Crawl member-per-record convention). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(bytes); gz.finish(); gz.close()
+    out.toByteArray
+  }
+}
