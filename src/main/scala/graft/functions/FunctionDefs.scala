@@ -164,6 +164,7 @@ object FunctionDefs {
     "winnow_fingerprints" -> f("winnowFingerprints", ArrayType(L), ArrayType(S), I),
     "lsh_bucket"        -> f("lshBucketNative", L, ArrayType(D), I, L),
     "lang_id"           -> f("langIdNative", S, ArrayType(S), ArrayType(S), ArrayType(ArrayType(S))),
+    "script_counts"     -> f("scriptCounts", ArrayType(L), S), // graft extension (language-ID script router)
     "stopword_count"    -> f("stopwordCountNative", I, ArrayType(S), ArrayType(S)),
     "repetition_stats"  -> f("repetitionStats", ArrayType(L), ArrayType(S), I),
     "ivf_assign"        -> f("ivfAssign", I, ArrayType(D), ArrayType(ArrayType(D))),

@@ -1054,6 +1054,57 @@ object GeomImpl {
     if (best < 0) UTF8String.fromString("und") else langs.getUTF8String(best)
   }
 
+  /** Unicode script classes for the language-ID router, in the
+    * histogram's index order. Each class is a list of inclusive
+    * codepoint ranges — the SINGLE constant [[scriptCounts]] classifies
+    * by and the tx_langid oracle generator spells as `[\x{..}-\x{..}]`
+    * RE2 classes, so the two sides cannot drift (the langTokenClass
+    * discipline applied to scripts). Coverage is the block cores that
+    * carry running text; rare historic extensions fall to "other"
+    * identically on both sides.
+    */
+  val scriptRanges: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "latin" -> Seq((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0xD6), (0xD8, 0xF6),
+      (0xF8, 0x24F)),
+    "cyrillic" -> Seq((0x400, 0x4FF)),
+    "greek" -> Seq((0x370, 0x3FF), (0x1F00, 0x1FFF)),
+    "arabic" -> Seq((0x600, 0x6FF), (0x750, 0x77F)),
+    "devanagari" -> Seq((0x900, 0x97F)),
+    "han" -> Seq((0x4E00, 0x9FFF), (0x3400, 0x4DBF)),
+    "hiragana" -> Seq((0x3040, 0x309F)),
+    "katakana" -> Seq((0x30A0, 0x30FF)),
+    "hangul" -> Seq((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F)))
+
+  private val scriptRangeArr: Array[Array[Int]] =
+    scriptRanges.map(_._2.flatMap(r => Seq(r._1, r._2)).toArray).toArray
+
+  /** Per-script letter counts (scriptRanges order), one codepoint pass —
+    * the router that takes [[langIdNative]] past Latin: the dominant
+    * script picks the profile family (or the script-level label for
+    * CJK/Greek), stopwords decide within it.
+    */
+  def scriptCounts(t: UTF8String): ArrayData = {
+    val s = t.toString
+    val counts = new Array[Long](scriptRangeArr.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      var k = 0
+      var hit = false
+      while (k < scriptRangeArr.length && !hit) {
+        val rs = scriptRangeArr(k)
+        var j = 0
+        while (j < rs.length && !hit) {
+          if (cp >= rs(j) && cp <= rs(j + 1)) { counts(k) += 1; hit = true }
+          j += 2
+        }
+        k += 1
+      }
+    }
+    new GenericArrayData(counts)
+  }
+
   /** IVF list assignment: index of the cosine-nearest centroid;
     * -1 when the centroid set is empty (empty corpus) so callers get an
     * empty join instead of a crash.

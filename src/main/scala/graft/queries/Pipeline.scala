@@ -905,10 +905,42 @@ object Pipeline {
     Text.chunk(Tables.documents(s, dir), "doc_id", "text", window = 16, stride = 12)
       .orderBy("doc_id", "chunk_idx")
 
-  def txLangid(s: SparkSession, dir: String): DataFrame =
+  /** Pinned non-Latin sentences, one per (script, language) the router
+    * must land — shared verbatim by the [[txLangid]] plant and the
+    * oracle generator (written without apostrophes so they embed as SQL
+    * literals). Spec-pinned labels; the oracle certifies the replay.
+    */
+  private[graft] val langPlants: Seq[(String, String)] = Seq(
+    "ru" -> "он сказал что это было не так и в итоге как всегда",
+    "uk" -> "він сказав що це не так і ми йдемо до міста за годину але вже",
+    "bg" -> "той каза че това не е така и да се види за него на място",
+    "el" -> "αυτό είναι ένα απλό κείμενο στα ελληνικά για τον έλεγχο",
+    "ar" -> "هذا النص في اللغة العربية من أجل الاختبار على كل حال مع ذلك",
+    "fa" -> "این متن به زبان فارسی است که برای آزمایش با آن نوشته شده در اینجا",
+    "hi" -> "यह पाठ हिंदी में है और परीक्षण के लिए यहाँ पर लिखा गया है",
+    "zh" -> "这是一个用于测试的简单中文文本没有假名",
+    "ja" -> "これは日本語のテストですカタカナも含みます",
+    "ko" -> "이것은 한국어 테스트 문장입니다")
+
+  /** Script-aware language ID ([[graft.ops.Text.langIdScript]] — r13
+    * verdict task 2): the corpus is Latin, so docs with doc_id ≡ 1..10
+    * (mod 13) are REPLACED by the pinned non-Latin sentences (Cyrillic
+    * ×3, Greek, Arabic-script ×2, Devanagari, Han, kana, Hangul) and
+    * the router + within-script stopword argmax runs over the mix. The
+    * oracle replays the plant, the 9-class codepoint histogram (RE2
+    * `\x{..}` classes generated from the SAME scriptRanges constant),
+    * the first-max-wins script routing and every profile argmax.
+    */
+  def txLangid(s: SparkSession, dir: String): DataFrame = {
+    val plant = langPlants.zipWithIndex.foldLeft(
+      when(lit(false), lit(null).cast("string"))) {
+      case (acc, ((_, sent), i)) =>
+        acc.when(pmod(col("doc_id"), lit(13)) === (i + 1), lit(sent))
+    }.otherwise(col("text"))
     Tables.documents(s, dir).select(
-      col("doc_id"), Text.langId(col("text")).as("lang_guess"))
+      col("doc_id"), Text.langIdScript(plant).as("lang_guess"))
       .orderBy("doc_id")
+  }
 
   def txFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -2705,32 +2737,68 @@ object Pipeline {
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
-  /** The language-ID heuristic replayed in SQL, generated from the SAME
-    * `Text.langProfiles` the native expression uses: per-profile stopword
-    * hit counts over the identical tokenization, argmax with first-max-
-    * wins tie-breaking (the CASE chain in profile order), all-zero → und.
+  /** The SCRIPT-AWARE language-ID heuristic replayed in SQL, generated
+    * from the same constants the engine routes on: the txLangid plant,
+    * `GeomImpl.scriptRanges` as RE2 `[\x{..}-\x{..}]` count classes,
+    * first-max-wins script dominance in the Column form's order, then
+    * per-script profile argmax over the identical tokenization
+    * (`Text.langProfiles` / cyrillic / arabic / devanagari families),
+    * all-zero → und at both levels, CJK by block evidence.
     */
   private val langIdOracle: String = {
-    val profs = graft.ops.Text.langProfiles
-    val hitCols = profs.map { case (l, words) =>
-      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-      s"len(list_filter(w, x -> list_contains($lst, x))) AS hits_$l"
+    import graft.ops.Text
+    val scriptCls: Map[String, String] =
+      graft.functions.GeomImpl.scriptRanges.map { case (name, rs) =>
+        name -> rs.map { case (a, b) => f"\\x{$a%04X}-\\x{$b%04X}" }.mkString
+      }.toMap
+    val plantCase = langPlants.zipWithIndex
+      .map { case ((_, sent), i) => s"WHEN doc_id % 13 = ${i + 1} THEN '$sent'" }
+      .mkString("\n          ")
+    val countCols = graft.functions.GeomImpl.scriptRanges.map { case (name, _) =>
+      s"len(regexp_extract_all(text, '[${scriptCls(name)}]')) AS c_$name"
     }.mkString(",\n        ")
-    val gr = s"greatest(${profs.map(p => s"hits_${p._1}").mkString(", ")})"
-    val cases = profs.map(_._1).dropRight(1)
-      .map(l => s"WHEN hits_$l = $gr THEN '$l'").mkString("\n      ")
-    s"""WITH t AS (SELECT doc_id, text,
-       |        regexp_split_to_array(lower(text), '[^${graft.ops.Text.langTokenClass}]+') AS w
+    def hitCols(tag: String, tokCls: String, profs: Seq[(String, Seq[String])]) = {
+      val toks = s"regexp_split_to_array(lower(text), '[^$tokCls]+')"
+      profs.map { case (l, words) =>
+        val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($toks, x -> list_contains($lst, x))) AS h_${tag}_$l"
+      }.mkString(",\n        ")
+    }
+    def argmax(tag: String, profs: Seq[(String, Seq[String])]): String = {
+      val gr = s"greatest(${profs.map(p => s"h_${tag}_${p._1}").mkString(", ")})"
+      val cases = profs.map(_._1).dropRight(1)
+        .map(l => s"WHEN h_${tag}_$l = $gr THEN '$l'").mkString(" ")
+      s"CASE WHEN $gr = 0 THEN 'und' $cases ELSE '${profs.last._1}' END"
+    }
+    s"""WITH b AS (SELECT doc_id,
+       |        CASE $plantCase
+       |          ELSE text END AS text
        |      FROM documents),
-       |h AS (SELECT doc_id, text,
-       |        $hitCols
-       |      FROM t)
+       |t AS (SELECT doc_id, text,
+       |        $countCols
+       |      FROM b),
+       |h AS (SELECT *,
+       |        c_han + c_hiragana + c_katakana + c_hangul AS c_cjk,
+       |        ${hitCols("lat", Text.langTokenClass, Text.langProfiles)},
+       |        ${hitCols("cyr", Text.cyrillicTokenClass, Text.cyrillicProfiles)},
+       |        ${hitCols("ar", Text.arabicTokenClass, Text.arabicProfiles)},
+       |        ${hitCols("dev", Text.devanagariTokenClass, Text.devanagariProfiles)}
+       |      FROM t),
+       |g AS (SELECT *,
+       |        greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_devanagari, c_cjk) AS g
+       |      FROM h)
        |SELECT doc_id,
        | CASE WHEN text IS NULL THEN NULL
-       |      WHEN $gr = 0 THEN 'und'
-       |      $cases
-       |      ELSE '${profs.last._1}' END AS lang_guess
-       |FROM h ORDER BY doc_id""".stripMargin
+       |      WHEN g = 0 THEN 'und'
+       |      WHEN c_latin = g THEN ${argmax("lat", Text.langProfiles)}
+       |      WHEN c_cyrillic = g THEN ${argmax("cyr", Text.cyrillicProfiles)}
+       |      WHEN c_greek = g THEN 'el'
+       |      WHEN c_arabic = g THEN ${argmax("ar", Text.arabicProfiles)}
+       |      WHEN c_devanagari = g THEN ${argmax("dev", Text.devanagariProfiles)}
+       |      ELSE (CASE WHEN c_hiragana + c_katakana > 0 THEN 'ja'
+       |                 WHEN c_hangul >= c_han THEN 'ko'
+       |                 ELSE 'zh' END) END AS lang_guess
+       |FROM g ORDER BY doc_id""".stripMargin
   }
 
   /** Brute-force top-k ranking — also the oracle for the LSH/IVF entries

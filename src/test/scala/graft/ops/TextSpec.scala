@@ -81,6 +81,34 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("script-aware language ID: every pinned plant labels correctly, routing edges hold") {
+    def idOf(text: String): String =
+      one(text).select(Text.langIdScript(col("text"))).head().getString(0)
+    // the tx_langid fixture sentences — ru/uk/bg via Cyrillic stopwords,
+    // el by script, ar/fa via Arabic-script stopwords, hi via
+    // Devanagari, zh/ja/ko by CJK block evidence
+    graft.queries.Pipeline.langPlants.foreach { case (lang, sent) =>
+      withClue(sent) { idOf(sent) shouldBe lang }
+    }
+    // Latin routing delegates to the existing profiles unchanged
+    idOf("the cat is in the house and it was warm") shouldBe "en"
+    idOf("le chat et les chiens dans une maison pour qui") shouldBe "fr"
+    // dominant script with zero stopword hits → und (the langId contract)
+    idOf("щжх фыва юэъ") shouldBe "und"
+    idOf("zzz qqq xxx www") shouldBe "und"
+    // no letters of any script at all → und
+    idOf("123 456 !!!") shouldBe "und"
+    // CJK block evidence: kana beats han (ja), hangul-majority is ko,
+    // pure ideographs are zh
+    idOf("日本語です") shouldBe "ja"   // han + hiragana
+    idOf("中文文本") shouldBe "zh"     // han only
+    idOf("한국어 문장") shouldBe "ko"  // hangul only
+    // null in, null out (not "zh" — the when-chain otherwise trap)
+    import spark.implicits._
+    Seq[(Long, String)]((1L, null)).toDF("id", "text")
+      .select(Text.langIdScript(col("text"))).head().isNullAt(0) shouldBe true
+  }
+
   test("gopherRules: shape facets computed exactly, pass flag at thresholds") {
     import spark.implicits._
     val df = Seq(
