@@ -130,10 +130,17 @@ object FunctionRegistration {
     * Built-in catalog names cannot be replaced, and the user registry is
     * JVM-global (shared across SparkSessions in the process).
     */
+  /** Every built-in name (catalog scalars + aggregate/expression
+    * builders), lowercase — the protection set user registration
+    * checks (Spark's registry is case-insensitive).
+    */
+  private lazy val builtinNames: Set[String] =
+    builders.map(_._1.toLowerCase).toSet
+
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
                        implClass: String, method: String, returns: DataType,
                        accepts: Seq[DataType], boxed: Boolean = false): Unit = {
-    require(!FunctionDefs.byName.contains(name),
+    require(!builtinNames.contains(name.toLowerCase),
       s"registerFunction: '$name' is a built-in graft function")
     // fail fast at registration, not first query: the method must exist
     GeomFn.handle(implClass, method, accepts.size)
@@ -142,6 +149,44 @@ object FunctionRegistration {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GeomFn(name, FunctionDefs.lookup(name), children),
+      "scala_udf")
+  }
+
+  /** Register a user-defined AGGREGATE — the reference core's
+    * GenericUDAFEvaluator extensibility
+    * (core/HGenericUDAFEvaluator.scala:1), Spark-first: the user
+    * supplies the (init, update, merge, finish) algebra as a
+    * [[UserAggregateSpec]] and the engine wraps it in the same
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate]]
+    * machinery the built-in sketches use ([[QdigestAgg]] is the
+    * template) — so a user aggregate gets map-side PARTIAL aggregation
+    * and spill-safe serialized-buffer shuffle without writing Catalyst
+    * code. Callable from SQL (`SELECT my_agg(x) FROM t GROUP BY k`) and
+    * the DSL (`call_function("my_agg", col)`).
+    *
+    * Same registry contract as [[registerFunction]]: built-in names
+    * are protected; re-registering a name replaces the previous
+    * implementation (idempotent notebook cells); registration is
+    * per-session (`createOrReplaceTempFunction`).
+    *
+    * UDTF parity (the reference's HGenericUDTF/HUDTF wrappers): Spark's
+    * native idiom needs no registration machinery — return an
+    * ArrayType (of structs for multi-column output) from a registered
+    * scalar function and `explode`/`inline` it (`SELECT
+    * inline(my_fn(col)) FROM t`); that is the lateral-view story
+    * whole-stage codegen optimizes, and what every graft
+    * array-returning built-in (st_z2CellCover, word_shingles,
+    * winnow_fingerprints) already composes with.
+    */
+  def registerAggregate(spark: org.apache.spark.sql.SparkSession, name: String,
+                        returns: DataType, accepts: Seq[DataType],
+                        spec: UserAggregateSpec[_]): Unit = {
+    require(!builtinNames.contains(name.toLowerCase),
+      s"registerAggregate: '$name' is a built-in graft function")
+    val anySpec = spec.asInstanceOf[UserAggregateSpec[Any]]
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UserAgg(name, anySpec, returns, accepts, children),
       "scala_udf")
   }
 }

@@ -26,6 +26,15 @@ object GraftBridge {
       case _ => ()
     }
 
+  /** Catalyst⇄Scala value converters (for user-registered aggregates,
+    * whose callbacks speak external Scala types — String, Seq, Row —
+    * not UTF8String/ArrayData/InternalRow).
+    */
+  def toScalaConverter(dt: DataType): Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(dt)
+  def toCatalystConverter(dt: DataType): Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dt)
+
   /** Block until the async listener bus has delivered every queued
     * event — deterministic per-query metric attribution for Bench
     * (task-end events otherwise post after the query returns and

@@ -20,6 +20,49 @@ object ToyFns {
     if (b == 0L) null else java.lang.Long.valueOf(a / b)
 }
 
+/** The "10-line third-party aggregate" fixtures: plain
+  * [[UserAggregateSpec]] subclasses over Serializable buffers —
+  * external Scala types at the boundary, no Catalyst code.
+  */
+object ToyAggs {
+  // geometric mean: buffer (Σ log x, n); nulls and non-positives skipped
+  final case class GmBuf(var sumLog: Double, var n: Long)
+  object GeoMean extends UserAggregateSpec[GmBuf] {
+    def init(): GmBuf = GmBuf(0.0, 0L)
+    def update(b: GmBuf, args: Seq[Any]): GmBuf = {
+      args.head match {
+        case d: java.lang.Double if d > 0 => b.sumLog += math.log(d); b.n += 1
+        case _ => ()
+      }
+      b
+    }
+    def merge(a: GmBuf, b: GmBuf): GmBuf = { a.sumLog += b.sumLog; a.n += b.n; a }
+    def finish(b: GmBuf): Any =
+      if (b.n == 0) null else math.exp(b.sumLog / b.n)
+  }
+  // two-argument weighted mean — exercises multi-arg conversion
+  final case class WmBuf(var sw: Double, var swx: Double)
+  object WeightedMean extends UserAggregateSpec[WmBuf] {
+    def init(): WmBuf = WmBuf(0.0, 0.0)
+    def update(b: WmBuf, args: Seq[Any]): WmBuf = {
+      (args(0), args(1)) match {
+        case (x: java.lang.Double, w: java.lang.Double) =>
+          b.sw += w; b.swx += w * x
+        case _ => ()
+      }
+      b
+    }
+    def merge(a: WmBuf, b: WmBuf): WmBuf = { a.sw += b.sw; a.swx += b.swx; a }
+    def finish(b: WmBuf): Any = if (b.sw == 0) null else b.swx / b.sw
+  }
+  object CountAll extends UserAggregateSpec[java.lang.Long] {
+    def init(): java.lang.Long = 0L
+    def update(b: java.lang.Long, args: Seq[Any]): java.lang.Long = b + 1L
+    def merge(a: java.lang.Long, b: java.lang.Long): java.lang.Long = a + b
+    def finish(b: java.lang.Long): Any = b
+  }
+}
+
 class RegisterFunctionSpec extends AnyFunSuite with SparkTestSession with Matchers {
 
   test("registerFunction: a typed user function is SQL- and DSL-callable (the HUDF extensibility twin)") {
@@ -72,5 +115,81 @@ class RegisterFunctionSpec extends AnyFunSuite with SparkTestSession with Matche
       FunctionRegistration.registerFunction(spark, "my_nope",
         "graft.functions.ToyFns", "nothere", LongType, Seq(LongType))
     }
+  }
+
+  test("registerAggregate: SQL- and DSL-callable, exact over groups and cross-partition merges") {
+    FunctionRegistration.registerAggregate(spark, "my_geomean",
+      DoubleType, Seq(DoubleType), ToyAggs.GeoMean)
+    FunctionRegistration.registerAggregate(spark, "my_wmean",
+      DoubleType, Seq(DoubleType, DoubleType), ToyAggs.WeightedMean)
+    import spark.implicits._
+    // 7 partitions force real partial→merge paths; nulls must reach
+    // update (the spec skips them) without poisoning the group
+    val rows = (1L to 1000L).map(i =>
+      (i % 4, if (i % 13 == 0) null else java.lang.Double.valueOf(i.toDouble), i.toDouble % 5 + 1))
+    val df = rows.toDF("k", "x", "w").repartition(7)
+    val expected = rows.groupBy(_._1).map { case (k, g) =>
+      val xs = g.collect { case (_, x, _) if x != null => x.doubleValue() }
+      k -> math.exp(xs.map(math.log).sum / xs.size)
+    }
+    df.createOrReplaceTempView("agg_in")
+    val gotSql = spark.sql("SELECT k, my_geomean(x) AS g FROM agg_in GROUP BY k")
+    gotSql.collect().foreach { r =>
+      r.getDouble(1) shouldBe expected(r.getLong(0)) +- 1e-9
+    }
+    // DSL path + the two-argument aggregate
+    val gotDsl = df.groupBy("k")
+      .agg(call_function("my_wmean", col("x"), col("w")).as("wm"))
+      .collect()
+    val expectedWm = rows.groupBy(_._1).map { case (k, g) =>
+      val p = g.collect { case (_, x, w) if x != null => (x.doubleValue(), w) }
+      k -> p.map { case (x, w) => x * w }.sum / p.map(_._2).sum
+    }
+    gotDsl.foreach { r => r.getDouble(1) shouldBe expectedWm(r.getLong(0)) +- 1e-9 }
+  }
+
+  test("registerAggregate: partial aggregation in the plan (ObjectHashAggregate partial+final)") {
+    FunctionRegistration.registerAggregate(spark, "my_countall",
+      LongType, Seq(LongType), ToyAggs.CountAll)
+    import spark.implicits._
+    val df = (1L to 100L).toDF("x").repartition(4)
+      .groupBy(col("x") % 3).agg(call_function("my_countall", col("x")))
+    df.collect().map(_.getLong(1)).sum shouldBe 100L
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // AQE prints both; count the final
+    plan.toLowerCase should include("objecthashaggregate")
+    plan should include("partial_my_countall")
+    plan.toLowerCase.sliding("objecthashaggregate".length)
+      .count(_ == "objecthashaggregate") shouldBe 2 // partial + final
+  }
+
+  test("registerAggregate: built-in names protected (incl. aggregate builders); re-registration replaces") {
+    intercept[IllegalArgumentException] {
+      FunctionRegistration.registerAggregate(spark, "qdigest_agg",
+        LongType, Seq(LongType), ToyAggs.CountAll)
+    }
+    intercept[IllegalArgumentException] {
+      FunctionRegistration.registerAggregate(spark, "topk_by_score",
+        LongType, Seq(LongType), ToyAggs.CountAll)
+    }
+    // wrong arity / type fails analysis with the registered signature
+    FunctionRegistration.registerAggregate(spark, "my_reagg",
+      DoubleType, Seq(DoubleType), ToyAggs.GeoMean)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT my_reagg(1.0, 2.0)").collect()
+    }
+    // replace with a different algebra — the latest registration wins
+    FunctionRegistration.registerAggregate(spark, "my_reagg",
+      DoubleType, Seq(DoubleType),
+      new UserAggregateSpec[java.lang.Double] {
+        def init(): java.lang.Double = 0.0
+        def update(b: java.lang.Double, args: Seq[Any]): java.lang.Double =
+          args.head match { case d: java.lang.Double => b + d; case _ => b }
+        def merge(a: java.lang.Double, b: java.lang.Double): java.lang.Double = a + b
+        def finish(b: java.lang.Double): Any = b
+      })
+    import spark.implicits._
+    Seq(1.0, 2.0, 3.0).toDF("x").createOrReplaceTempView("reagg_in")
+    spark.sql("SELECT my_reagg(x) FROM reagg_in").head.getDouble(0) shouldBe 6.0
   }
 }
