@@ -2025,6 +2025,7 @@ object Pipeline {
     "tx_pmi" -> txPmi _,
     "dd_span_coverage" -> ddSpanCoverage _,
     "dd_span_scrub" -> ddSpanScrub _,
+    "dd_span_scrub_long" -> ddSpanScrubLong _,
     "dd_line_dedup" -> ddLineDedup _,
     "dd_line_dedup_inc" -> ddLineDedupInc _,
     "dd_line_index" -> ddLineIndex _,
@@ -2094,6 +2095,37 @@ object Pipeline {
   def ddSpanScrub(s: SparkSession, dir: String): DataFrame =
     graft.ops.Text.scrubSpans(Tables.documents(s, dir), "doc_id", "text", n = 8)
       .orderBy("doc_id")
+
+  /** The 40-word passage ddSpanScrubLong plants (no apostrophes — it
+    * embeds as a SQL literal); shared by the entry and the oracle.
+    */
+  private[graft] val longDupPassage: String = (1 to 40)
+    .map(i => s"planted${i}dup").mkString(" ")
+
+  /** Any-length substring dedup, chained form ([[graft.ops.Text.scrubSpans]]
+    * with `minLen` — r13 verdict task 5): docs with doc_id ≡ 2 (mod 9)
+    * get a 40-word passage APPENDED (the planted long duplicate), then
+    * the scrub runs at TWO detection windows (n = 5 and n = 12), both
+    * gated at minLen = 30 — overlapping dup-gram starts must CHAIN
+    * across gram boundaries into the exact [start, start+40) interval
+    * at either n, while natural cross-doc n-gram matches whose merged
+    * chains span < 30 words are detected but kept. The oracle replays
+    * the plant, the gram DF at each n, the covered-position islands
+    * (gaps-and-islands ≡ the interval fold), the ≥ 30 island gate and
+    * the rebuilt text for both runs.
+    */
+  def ddSpanScrubLong(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 9 === 2,
+          concat(col("text"), lit(" " + longDupPassage)))
+          .otherwise(col("text")).as("text"))
+    def run(n: Int) =
+      graft.ops.Text.scrubSpans(planted, "doc_id", "text", n = n, minLen = 30)
+        .withColumn("n", lit(n))
+    run(5).unionByName(run(12)).orderBy("n", "doc_id")
+  }
 
   /** Keep-first line-level corpus dedup ([[graft.ops.Text.dedupLines]])
     * — the CCNet paragraph-dedup step. The corpus text carries no
@@ -3063,6 +3095,46 @@ object Pipeline {
        |        + h02 * (h01 * h12 - h11 * h02) AS det
        |    FROM s$i, $prev))""".stripMargin
   }
+
+  /** One dd_span_scrub_long run at detection window `n` (min chain 30):
+    * the dd_span_scrub replay with the planted passage and the island
+    * gate — covered positions grouped into consecutive runs via
+    * gaps-and-islands (cp − row_number), runs shorter than 30 kept.
+    */
+  private def spanScrubLongBlock(n: Int): String =
+    s"""WITH d AS (SELECT doc_id,
+       |        string_split(CASE WHEN doc_id % 9 = 2
+       |                          THEN text || ' $longDupPassage'
+       |                          ELSE text END, ' ') AS w
+       |      FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT doc_id, unnest(
+       |        CASE WHEN len(w) >= $n
+       |             THEN [{'p': i, 'g': array_to_string(list_slice(w, i, i + ${n - 1}), ' ')}
+       |                   for i in range(1, len(w) - ${n - 2})]
+       |             ELSE [] END) AS u
+       |      FROM d),
+       |o AS (SELECT doc_id, u.p AS p, u.g AS g FROM g),
+       |dup AS (SELECT g FROM o GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + $n)) AS cp
+       |        FROM o JOIN dup USING (g)),
+       |isl AS (SELECT doc_id, cp,
+       |          cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+       |        FROM cov),
+       |kc AS (SELECT doc_id, cp FROM
+       |         (SELECT doc_id, cp,
+       |            count(*) OVER (PARTITION BY doc_id, grp) AS ilen FROM isl)
+       |       WHERE ilen >= 30),
+       |cl AS (SELECT doc_id, list(cp) AS cps FROM kc GROUP BY doc_id),
+       |r AS (SELECT d.doc_id, len(d.w) AS n_words,
+       |        CASE WHEN cl.cps IS NULL THEN d.w
+       |             ELSE [d.w[i] for i in range(1, len(d.w) + 1)
+       |                   if NOT list_contains(cl.cps, i)] END AS kept
+       |      FROM d LEFT JOIN cl USING (doc_id))
+       |SELECT $n AS n, doc_id, n_words::BIGINT AS n_words,
+       |  (n_words - len(kept))::BIGINT AS n_removed,
+       |  round((n_words - len(kept)) / n_words, 6) AS removed_frac,
+       |  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed
+       |FROM r""".stripMargin
 
   /** tx_web_curate's full SQL replay, parameterized on the base-table
     * predicate: tx_warc_curate is the SAME chain over the docs that
@@ -4122,6 +4194,14 @@ object Pipeline {
         |  round((n_words - len(kept)) / n_words, 6) AS removed_frac,
         |  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed
         |FROM r ORDER BY doc_id""".stripMargin,
+    // chained any-length scrub at two detection windows: plant the
+    // 40-word passage, replay gram DF per n, merge covered positions
+    // into islands (gaps-and-islands ≡ the interval fold) and gate at
+    // the 30-word chain length before excision
+    "dd_span_scrub_long" ->
+      s"""SELECT * FROM (${spanScrubLongBlock(5)})
+         |UNION ALL SELECT * FROM (${spanScrubLongBlock(12)})
+         |ORDER BY n, doc_id""".stripMargin,
     // rebuild 7-word lines, then keep only each distinct line's global
     // (doc, position) FIRST occurrence — CCNet paragraph-dedup replay
     "dd_line_dedup" ->

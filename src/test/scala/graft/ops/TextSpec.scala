@@ -592,6 +592,29 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got.map(_.getAs[Double]("removed_frac")).toSeq shouldBe Seq(0.75, 1.0, 1.0)
   }
 
+  test("scrubSpans minLen: n-gram chains gate on total span length with exact boundaries") {
+    import spark.implicits._
+    // docs 1/2 share a 6-word run (chains across 3-gram boundaries →
+    // one [1,7) interval); docs 1/3 share a 4-word run — detected at
+    // n = 3 but below the 5-word chain gate, so it must SURVIVE
+    val df = Seq(
+      (1L, "x a b c d e f y p q r s z"),
+      (2L, "k a b c d e f"),
+      (3L, "m p q r s")
+    ).toDF("id", "text")
+    val got = Text.scrubSpans(df, "id", "text", n = 3, minLen = 5)
+      .orderBy("id").collect()
+    got.map(_.getAs[String]("text_scrubbed")).toSeq shouldBe
+      Seq("x y p q r s z", "k", "m p q r s")
+    got.map(_.getAs[Long]("n_removed")).toSeq shouldBe Seq(6L, 6L, 0L)
+    // minLen = 0 (default) excises both runs — the un-gated semantics
+    Text.scrubSpans(df, "id", "text", n = 3).orderBy("id").collect()
+      .map(_.getAs[String]("text_scrubbed")).toSeq shouldBe
+      Seq("x y z", "k", "m")
+    an[IllegalArgumentException] should be thrownBy
+      Text.scrubSpans(df, "id", "text", n = 5, minLen = 3)
+  }
+
   test("blocklistFlag: exact + dot-anchored subdomain semantics, ports ignored, lookalikes pass") {
     import spark.implicits._
     val urls = Seq(
