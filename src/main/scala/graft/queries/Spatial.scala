@@ -865,6 +865,40 @@ object Spatial {
           abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** GDA2020 MGA zones resolved BY EPSG CODE (r13 verdict task 6 —
+    * the Australian national grid family, 7846–7859 in the registry):
+    * each point in the Australian window projects through the MGA zone
+    * its longitude falls in (zone = ⌊(λ+180)/6⌋+1, the UTM rule; the
+    * window spans zones 49–56), code 7800+zone. The GDA94 twin series
+    * (28349–28356) must land the SAME grid coordinates — both datums
+    * are ITRF-aligned null ties on GRS80, so `gda94_same` pins the two
+    * registry ranges against each other. The oracle replays the TM
+    * forward (spUtmOracle's 6th-order series) with the REGISTRY's
+    * constants — per-row zone arithmetic, FE 500 km, FN 10 000 km
+    * (+south) — so a wrong zone formula, false origin or series term
+    * fails the hash; rt_ok pins the inverse at < 1e-7° ≈ 1 cm.
+    */
+  def spMga(s: SparkSession, dir: String): DataFrame =
+    customerPoints(s, dir)
+      .filter(col("lon") >= 113.0 && col("lon") <= 154.0 &&
+              col("lat") >= -44.0 && col("lat") <= -10.0)
+      .withColumn("zone", (floor((col("lon") + 180.0) / 6.0) + 1).cast("int"))
+      .withColumn("epsg", col("zone") + 7800)
+      .withColumn("crs", concat(lit("EPSG:"), col("epsg")))
+      .withColumn("crs94", concat(lit("EPSG:"), col("zone") + 28300))
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs")))
+      .withColumn("p94", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs94")))
+      .withColumn("back", st.geomReproject(col("p"), col("crs"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"), col("epsg"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("p94")) - st.x(col("p"))) < 1e-9 &&
+          abs(st.y(col("p94")) - st.y(col("p"))) < 1e-9, 1).otherwise(0).as("gda94_same"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+          abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** US State Plane zones resolved BY EPSG CODE (the r10 registry
     * growth — the most-asked-for family the r9 table lacked):
     * California zone 5 (EPSG:26945, LCC-2SP), Texas Central
@@ -1106,6 +1140,7 @@ object Spatial {
     "sp_lcc" -> spLcc _,
     "sp_albers" -> spAlbers _,
     "sp_epsg" -> spEpsg _,
+    "sp_mga" -> spMga _,
     "sp_stateplane" -> spStatePlane _,
     "sp_stateplane27" -> spStatePlane27 _,
     "sp_datum" -> spDatum _,
@@ -1412,6 +1447,48 @@ object Spatial {
        |SELECT c_custkey, epsg, easting, northing, 1 AS rt_ok
        |FROM (SELECT * FROM nz UNION ALL SELECT * FROM au UNION ALL SELECT * FROM ar)
        |ORDER BY c_custkey""".stripMargin
+  }
+
+  /** spMga's replay: the TM 6th-order series (spUtmOracle's spelling,
+    * the registry's GRS80→WGS84 sub-0.1 mm constants) with PER-ROW
+    * zone arithmetic — lon₀ = 6·zone − 183, FE 500 km, FN 10 000 km.
+    * gda94_same replays as the literal 1 the twin-range equality must
+    * produce (a divergence on the engine side hash-fails).
+    */
+  private val spMgaOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    val ep2 = dlit((f * (2.0 - f)) / (1.0 - f * (2.0 - f)))
+    s"""WITH b AS (SELECT c_custkey, $lonSql AS lon, $latSql AS lat FROM customer
+       |           WHERE ($lonSql) >= 113.0 AND ($lonSql) <= 154.0
+       |             AND ($latSql) >= -44.0 AND ($latSql) <= -10.0),
+       |mb AS (SELECT c_custkey, lon, lat,
+       |        (floor((lon + 180.0) / 6.0) + 1)::INT AS zone FROM b),
+       |mg AS (SELECT *, radians(lat) AS phi, sin(radians(lat)) AS sphi,
+       |        cos(radians(lat)) AS cphi, tan(radians(lat)) AS tphi,
+       |        cos(radians(lat)) * (radians(lon) - radians(6.0 * zone - 183.0)) AS aa
+       |      FROM mb),
+       |mh AS (SELECT *,
+       |        6378137.0 / sqrt(1.0 - $e2 * sphi * sphi) AS nn,
+       |        tphi * tphi AS tt, $ep2 * cphi * cphi AS cc, aa * aa AS a2 FROM mg),
+       |mi AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM mh),
+       |mj AS (SELECT *, a3 * aa AS a4 FROM mi),
+       |mk AS (SELECT *, a4 * aa AS a5 FROM mj),
+       |ml AS (SELECT *, a5 * aa AS a6,
+       |        6378137.0 * ((1.0 - $e2 / 4.0 - 3.0 * $e2 * $e2 / 64.0 - 5.0 * $e2 * $e2 * $e2 / 256.0) * phi
+       |          - (3.0 * $e2 / 8.0 + 3.0 * $e2 * $e2 / 32.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(2.0 * phi)
+       |          + (15.0 * $e2 * $e2 / 256.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(4.0 * phi)
+       |          - (35.0 * $e2 * $e2 * $e2 / 3072.0) * sin(6.0 * phi)) AS mm
+       |      FROM mk)
+       |SELECT c_custkey, zone + 7800 AS epsg,
+       |  round(0.9996 * nn * (aa + (1.0 - tt + cc) * a3 / 6.0
+       |    + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2) * a5 / 120.0) + 500000.0, 1) AS easting,
+       |  round(0.9996 * (mm + ntan * (a2 / 2.0
+       |    + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
+       |    + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0)) + 10000000.0, 1) AS northing,
+       |  1 AS gda94_same, 1 AS rt_ok
+       |FROM ml ORDER BY c_custkey""".stripMargin
   }
 
   /** Three US State Plane zones replayed with the REGISTRY's constants:
@@ -2439,6 +2516,7 @@ object Spatial {
     "sp_lcc" -> spLccOracle,
     "sp_albers" -> spAlbersOracle,
     "sp_epsg" -> spEpsgOracle,
+    "sp_mga" -> spMgaOracle,
     "sp_stateplane" -> spStatePlaneOracle,
     "sp_stateplane27" -> spStatePlane27Oracle,
     "sp_datum" -> spDatumOracle,
