@@ -79,6 +79,16 @@ object LineIndexBench {
         val kept = ix.probe(novel, "doc_id", "text").localCheckpoint()
         val tAppend = time2(ix.append(kept, "text_dedup"))
         println(f"| $tag append 2000 kept | $tAppend%.2f s | delta-sized |")
+        // OPTIMIZE (r13 verdict task 8): re-cluster the digest layout
+        // after appends left overlapping delta files — one full table
+        // read + dropDuplicates + range-clustered rewrite (idempotent,
+        // so min-of-2 is honest) — then the restored probe floor on a
+        // FRESH maintainer (compact invalidates live handles) against
+        // the all-dup batch, comparable to the pre-compact dup row.
+        val tCompact = time2(LineIndex.compact(spark, path))
+        val ix2 = new LineIndex.Maintainer(spark, path)
+        val tPost = time2(noop(ix2.probe(dup, "doc_id", "text")))
+        println(f"| $tag compact | $tCompact%.2f s | post-compact dup probe $tPost%.2f s |")
       } else println(s"[lineix] $dir missing — skipped")
     }
     println("== LINEIX DONE ==")
