@@ -165,6 +165,7 @@ object FunctionDefs {
     "lsh_bucket"        -> f("lshBucketNative", L, ArrayType(D), I, L),
     "lang_id"           -> f("langIdNative", S, ArrayType(S), ArrayType(S), ArrayType(ArrayType(S))),
     "script_counts"     -> f("scriptCounts", ArrayType(L), S), // graft extension (language-ID script router)
+    "gram_hashes"       -> f("wordGramHashes", ArrayType(L), ArrayType(S), I), // graft extension (O(len) rolling n-gram hashes)
     "stopword_count"    -> f("stopwordCountNative", I, ArrayType(S), ArrayType(S)),
     "repetition_stats"  -> f("repetitionStats", ArrayType(L), ArrayType(S), I),
     "ivf_assign"        -> f("ivfAssign", I, ArrayType(D), ArrayType(ArrayType(D))),

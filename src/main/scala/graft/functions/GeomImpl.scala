@@ -1054,6 +1054,56 @@ object GeomImpl {
     if (best < 0) UTF8String.fromString("und") else langs.getUTF8String(best)
   }
 
+  /** All word n-gram hashes of a token array in ONE O(len) pass — the
+    * rolling twin of `transform(sequence(0, len−n), i →
+    * xxhash64(slice(ws, i+1, n)))`, which does O(n) slice+hash work
+    * PER POSITION (O(len·n) per doc — at the Lee-et-al. n = 50 that is
+    * 50× the hash work the content requires). Per-word FNV-1a hashes
+    * combine under a degree-(n−1) polynomial in the FNV prime over
+    * Z/2⁶⁴ (the base is odd so multiplication is invertible — sliding
+    * subtracts the outgoing word's term exactly); hashing whole tokens
+    * first makes concatenation unambiguous ("ab c" vs "a bc" cannot
+    * collide structurally). Same 2⁻⁶⁴-collision contract as the slice
+    * spelling it replaces: a collision can only merge two grams' doc
+    * sets, and the string-keyed oracles stay hash-green at every
+    * verify sf. Empty output for docs shorter than n.
+    */
+  def wordGramHashes(words: ArrayData, n: Int): ArrayData = {
+    val len = words.numElements()
+    if (n <= 0 || len < n) return new GenericArrayData(Array.empty[Long])
+    val B = 0x100000001b3L
+    val wh = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      val w = words.getUTF8String(i)
+      wh(i) = if (w == null) 0x9e3779b97f4a7c15L else fnv64(w)
+      i += 1
+    }
+    var bn = 1L
+    var k = 0
+    while (k < n - 1) { bn *= B; k += 1 } // B^(n−1), wrapping
+    val out = new Array[Long](len - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * B + wh(i); i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= len - n) {
+      h = (h - wh(i - 1) * bn) * B + wh(i + n - 1)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def fnv64(s: UTF8String): Long = {
+    var h = 0xcbf29ce484222325L
+    val nb = s.numBytes
+    var i = 0
+    while (i < nb) { h ^= (s.getByte(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
   /** Unicode script classes for the language-ID router, in the
     * histogram's index order. Each class is a list of inclusive
     * codepoint ranges — the SINGLE constant [[scriptCounts]] classifies

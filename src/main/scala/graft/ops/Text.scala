@@ -756,19 +756,19 @@ object Text {
       .filter(col(textCol).isNotNull && col(srcCol).isNotNull)
       .select(col(idCol).as("__id"), col(srcCol).as("__src"),
         split(col(textCol), " ").as("__ws"))
-    // grams travel as 64-bit xxhash64 of the word SLICE, never the
-    // n-word string (r11): the cross-doc DF groupBy is corpus-sized by
-    // nature, and shuffling 8-byte keys instead of n-word strings cuts
-    // its exchange ~10× (SCALE_r11 decade row). Tokens come from a
-    // single split, so hashing the slice array is exactly as
-    // discriminating as the joined string; a 64-bit collision (2⁻⁶⁴ ×
-    // pairs) could only merge two grams' doc sets — the string-keyed
-    // oracle stays hash-green at every verify sf
+    // grams travel as 64-bit hashes, never the n-word string (r11):
+    // the cross-doc DF groupBy is corpus-sized by nature, and shuffling
+    // 8-byte keys instead of n-word strings cuts its exchange ~10×
+    // (SCALE_r11 decade row). r14: the hashes come from ONE O(len)
+    // rolling pass (gram_hashes — per-word FNV-1a under a polynomial
+    // slide) instead of an O(n) xxhash64(slice) per position, so the
+    // Lee-et-al. n = 50 regime costs the same scan as n = 5. Same
+    // 2⁻⁶⁴-collision contract: a collision could only merge two grams'
+    // doc sets — the string-keyed oracle stays hash-green at every
+    // verify sf. Empty array for docs shorter than n.
     val grams = words.select(col("__id"), col("__src"),
-      posexplode(expr(
-        s"CASE WHEN size(__ws) >= $n THEN transform(sequence(0, size(__ws) - $n), " +
-          s"i -> xxhash64(slice(__ws, i + 1, $n))) " +
-          "ELSE CAST(array() AS array<bigint>) END")).as(Seq("__pos", "__g")))
+      posexplode(graft.functions.FunctionDefs.call(
+        "gram_hashes", col("__ws"), lit(n))).as(Seq("__pos", "__g")))
     // "duplicated" = present in ≥ 2 DISTINCT docs ⟺ min(id) ≠ max(id)
     // over the gram's rows — as a WINDOW over __g, so dup detection and
     // dup-row routing ride ONE shuffle of the gram rows (r11: the
@@ -880,11 +880,10 @@ object Text {
     val words = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), split(col(textCol), " ").as("__ws"))
+    // the spanCoverage O(len) rolling gram-hash pass (see there)
     val grams = words.select(col("__id"),
-      posexplode(expr(
-        s"CASE WHEN size(__ws) >= $n THEN transform(sequence(0, size(__ws) - $n), " +
-          s"i -> xxhash64(slice(__ws, i + 1, $n))) " +
-          "ELSE CAST(array() AS array<bigint>) END")).as(Seq("__pos", "__g")))
+      posexplode(graft.functions.FunctionDefs.call(
+        "gram_hashes", col("__ws"), lit(n))).as(Seq("__pos", "__g")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
     // cross-doc duplicated gram starts per doc (see spanCoverage for
     // the window-over-gram rationale and the heavy-hitter caveat)

@@ -633,6 +633,55 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("tx_langid: script routing stays scan-side — one histogram pass, no join/agg/window") {
+    val p = planOf("tx_langid")
+    val fin = p.split("== Initial Plan ==")(0)
+    withClue(s"tx_langid plan:\n$p") {
+      p.contains("Join") shouldBe false
+      p.contains("HashAggregate") shouldBe false
+      p.contains("Window") shouldBe false
+      // exactly the orderBy's range exchange — routing adds per-row
+      // expressions, never a shuffle
+      fin.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    }
+  }
+
+  test("src_warc: container parse is a single binaryFile scan + mapPartitions — no shuffle but the sort") {
+    val p = planOf("src_warc")
+    val fin = p.split("== Initial Plan ==")(0)
+    withClue(s"src_warc plan:\n$p") {
+      p.contains("Join") shouldBe false
+      p.contains("Window") shouldBe false
+      fin.linesIterator.count(_.contains("FileScan")) shouldBe 1
+      fin.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    }
+  }
+
+  test("sp_mga: by-code reprojection is pure projection — zero exchanges beyond the sort") {
+    val p = planOf("sp_mga")
+    val fin = p.split("== Initial Plan ==")(0)
+    withClue(s"sp_mga plan:\n$p") {
+      p.contains("Join") shouldBe false
+      p.contains("HashAggregate") shouldBe false
+      // at sf0.001 the Australian window can be empty and AQE collapses
+      // the sort stage to EmptyRelation — hence <= 1, not == 1
+      fin.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Reused")) should be <= 1
+    }
+  }
+
+  test("dd_span_scrub_long: each run keeps the one-gram-shuffle shape — windows, no semi-join re-probe") {
+    val p = planOf("dd_span_scrub_long")
+    withClue(s"dd_span_scrub_long plan:\n$p") {
+      // the two runs each ride ONE gram-routing window + the per-doc
+      // collect + the rewrite join; a semi-join respelling would add
+      // aggregate-over-grams exchanges
+      p should include("Window")
+      p.contains("CartesianProduct") shouldBe false
+      p.contains("BroadcastNestedLoopJoin") shouldBe false
+    }
+  }
+
   test("tx_blocklist: suffix probes are broadcast HASH joins — no list literal, no nested loop") {
     val p = planOf("tx_blocklist")
     withClue(s"tx_blocklist plan:\n$p") {

@@ -592,6 +592,38 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got.map(_.getAs[Double]("removed_frac")).toSeq shouldBe Seq(0.75, 1.0, 1.0)
   }
 
+  test("gram_hashes: rolling hashes group exactly like the string grams they replace") {
+    import graft.functions.FunctionDefs.call
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d y z w"),   // shares the "a b c d" run with doc 1
+      (3L, "ab cd e f g h a b"), // token-boundary trap: "ab cd" ≠ "a b c d"
+      (4L, "short doc")          // shorter than n → empty
+    ).toDF("id", "text").select(col("id"), split(col("text"), " ").as("ws"))
+    // length contract
+    val lens = docs.select(col("id"),
+      org.apache.spark.sql.functions.size(call("gram_hashes", col("ws"), lit(4))).as("n"))
+      .orderBy("id").collect().map(_.getInt(1))
+    lens shouldBe Array(5, 5, 5, 0)
+    // grouping equivalence: (id, pos) dup sets under rolling hashes ==
+    // under the joined-string grams, on every n
+    for (n <- Seq(2, 3, 4)) {
+      def dups(gram: org.apache.spark.sql.Column): Set[(Long, Int)] = {
+        val g = docs.select(col("id"), posexplode(gram).as(Seq("p", "g")))
+        val dup = g.groupBy("g").count().filter(col("count") >= 2).select("g")
+        g.join(dup, "g").select("id", "p").collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+      }
+      val viaRolling = dups(call("gram_hashes", col("ws"), lit(n)))
+      val viaString = dups(expr(
+        s"CASE WHEN size(ws) >= $n THEN transform(sequence(0, size(ws) - $n), " +
+          s"i -> array_join(slice(ws, i + 1, $n), chr(1))) " +
+          "ELSE CAST(array() AS array<string>) END"))
+      withClue(s"n=$n") { viaRolling shouldBe viaString }
+    }
+  }
+
   test("scrubSpans minLen: n-gram chains gate on total span length with exact boundaries") {
     import spark.implicits._
     // docs 1/2 share a 6-word run (chains across 3-gram boundaries →
