@@ -1123,7 +1123,13 @@ object GeomImpl {
     "han" -> Seq((0x4E00, 0x9FFF), (0x3400, 0x4DBF)),
     "hiragana" -> Seq((0x3040, 0x309F)),
     "katakana" -> Seq((0x30A0, 0x30FF)),
-    "hangul" -> Seq((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F)))
+    "hangul" -> Seq((0xAC00, 0xD7A3), (0x1100, 0x11FF), (0x3130, 0x318F)),
+    // r14b breadth: script ≈ language families (the Greek treatment) —
+    // appended so the 0–8 indices above stay stable
+    "thai" -> Seq((0x0E00, 0x0E7F)),
+    "hebrew" -> Seq((0x0590, 0x05FF)),
+    "bengali" -> Seq((0x0980, 0x09FF)),
+    "tamil" -> Seq((0x0B80, 0x0BFF)))
 
   private val scriptRangeArr: Array[Array[Int]] =
     scriptRanges.map(_._2.flatMap(r => Seq(r._1, r._2)).toArray).toArray

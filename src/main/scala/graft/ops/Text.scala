@@ -334,11 +334,13 @@ object Text {
     * and returned "und"): one native codepoint pass
     * ([[graft.functions.GeomImpl.scriptCounts]]) histograms the text by
     * Unicode script, the DOMINANT script (first-max-wins in
-    * latin/cyrillic/greek/arabic/devanagari/CJK order) routes, and
-    * stopword profiles decide WITHIN the script — the existing 12 Latin
-    * profiles, ru/uk/bg for Cyrillic, ar/fa for Arabic script, hi for
-    * Devanagari. Greek is script-identified ("el"); CJK resolves by
-    * block evidence: any kana → "ja", hangul ≥ han → "ko", else "zh"
+    * latin/cyrillic/greek/arabic/devanagari/thai/hebrew/bengali/tamil/
+    * CJK order) routes, and stopword profiles decide WITHIN the script
+    * — the existing 12 Latin profiles, ru/uk/bg for Cyrillic, ar/fa
+    * for Arabic script, hi for Devanagari. Script ≈ language families
+    * identify at script level: Greek → "el", Thai → "th", Hebrew →
+    * "he", Bengali → "bn", Tamil → "ta"; CJK resolves by block
+    * evidence: any kana → "ja", hangul ≥ han → "ko", else "zh"
     * (the public script-routing heuristic). Zero letters of any script,
     * or zero stopword hits within a profile-routed script → "und", the
     * [[langId]] contract. All scan-side: one histogram pass + one
@@ -352,8 +354,10 @@ object Text {
     val cDev = sc.getItem(4); val cHan = sc.getItem(5)
     val cHira = sc.getItem(6); val cKata = sc.getItem(7)
     val cHang = sc.getItem(8)
+    val cTh = sc.getItem(9); val cHe = sc.getItem(10)
+    val cBn = sc.getItem(11); val cTa = sc.getItem(12)
     val cCjk = cHan + cHira + cKata + cHang
-    val g = greatest(cLat, cCyr, cEl, cAr, cDev, cCjk)
+    val g = greatest(cLat, cCyr, cEl, cAr, cDev, cTh, cHe, cBn, cTa, cCjk)
     def within(tokenClass: String, profs: Seq[(String, Seq[String])]) =
       call("lang_id", split(lower(text), s"[^$tokenClass]+"),
         typedlit(profs.map(_._1)), typedlit(profs.map(_._2)))
@@ -366,6 +370,11 @@ object Text {
       .when(cEl === g, lit("el"))
       .when(cAr === g, within(arabicTokenClass, arabicProfiles))
       .when(cDev === g, within(devanagariTokenClass, devanagariProfiles))
+      // script ≈ language families (the Greek treatment)
+      .when(cTh === g, lit("th"))
+      .when(cHe === g, lit("he"))
+      .when(cBn === g, lit("bn"))
+      .when(cTa === g, lit("ta"))
       .otherwise(when(cHira + cKata > 0, "ja")
         .when(cHang >= cHan, "ko")
         .otherwise("zh"))

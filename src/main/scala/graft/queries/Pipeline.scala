@@ -920,12 +920,17 @@ object Pipeline {
     "hi" -> "यह पाठ हिंदी में है और परीक्षण के लिए यहाँ पर लिखा गया है",
     "zh" -> "这是一个用于测试的简单中文文本没有假名",
     "ja" -> "これは日本語のテストですカタカナも含みます",
-    "ko" -> "이것은 한국어 테스트 문장입니다")
+    "ko" -> "이것은 한국어 테스트 문장입니다",
+    "th" -> "นี่คือข้อความภาษาไทยสำหรับการทดสอบ",
+    "he" -> "זהו טקסט בעברית לצורך בדיקה פשוטה",
+    "bn" -> "এটি পরীক্ষার জন্য একটি সহজ বাংলা লেখা",
+    "ta" -> "இது சோதனைக்கான எளிய தமிழ் உரை")
 
   /** Script-aware language ID ([[graft.ops.Text.langIdScript]] — r13
-    * verdict task 2): the corpus is Latin, so docs with doc_id ≡ 1..10
-    * (mod 13) are REPLACED by the pinned non-Latin sentences (Cyrillic
-    * ×3, Greek, Arabic-script ×2, Devanagari, Han, kana, Hangul) and
+    * verdict task 2): the corpus is Latin, so docs with doc_id ≡ 1..14
+    * (mod 17) are REPLACED by the pinned non-Latin sentences (Cyrillic
+    * ×3, Greek, Arabic-script ×2, Devanagari, Han, kana, Hangul, Thai,
+    * Hebrew, Bengali, Tamil) and
     * the router + within-script stopword argmax runs over the mix. The
     * oracle replays the plant, the 9-class codepoint histogram (RE2
     * `\x{..}` classes generated from the SAME scriptRanges constant),
@@ -935,7 +940,7 @@ object Pipeline {
     val plant = langPlants.zipWithIndex.foldLeft(
       when(lit(false), lit(null).cast("string"))) {
       case (acc, ((_, sent), i)) =>
-        acc.when(pmod(col("doc_id"), lit(13)) === (i + 1), lit(sent))
+        acc.when(pmod(col("doc_id"), lit(17)) === (i + 1), lit(sent))
     }.otherwise(col("text"))
     Tables.documents(s, dir).select(
       col("doc_id"), Text.langIdScript(plant).as("lang_guess"))
@@ -2784,7 +2789,7 @@ object Pipeline {
         name -> rs.map { case (a, b) => f"\\x{$a%04X}-\\x{$b%04X}" }.mkString
       }.toMap
     val plantCase = langPlants.zipWithIndex
-      .map { case ((_, sent), i) => s"WHEN doc_id % 13 = ${i + 1} THEN '$sent'" }
+      .map { case ((_, sent), i) => s"WHEN doc_id % 17 = ${i + 1} THEN '$sent'" }
       .mkString("\n          ")
     val countCols = graft.functions.GeomImpl.scriptRanges.map { case (name, _) =>
       s"len(regexp_extract_all(text, '[${scriptCls(name)}]')) AS c_$name"
@@ -2817,7 +2822,8 @@ object Pipeline {
        |        ${hitCols("dev", Text.devanagariTokenClass, Text.devanagariProfiles)}
        |      FROM t),
        |g AS (SELECT *,
-       |        greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_devanagari, c_cjk) AS g
+       |        greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_devanagari,
+       |                 c_thai, c_hebrew, c_bengali, c_tamil, c_cjk) AS g
        |      FROM h)
        |SELECT doc_id,
        | CASE WHEN text IS NULL THEN NULL
@@ -2827,6 +2833,10 @@ object Pipeline {
        |      WHEN c_greek = g THEN 'el'
        |      WHEN c_arabic = g THEN ${argmax("ar", Text.arabicProfiles)}
        |      WHEN c_devanagari = g THEN ${argmax("dev", Text.devanagariProfiles)}
+       |      WHEN c_thai = g THEN 'th'
+       |      WHEN c_hebrew = g THEN 'he'
+       |      WHEN c_bengali = g THEN 'bn'
+       |      WHEN c_tamil = g THEN 'ta'
        |      ELSE (CASE WHEN c_hiragana + c_katakana > 0 THEN 'ja'
        |                 WHEN c_hangul >= c_han THEN 'ko'
        |                 ELSE 'zh' END) END AS lang_guess
