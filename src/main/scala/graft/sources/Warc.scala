@@ -326,4 +326,47 @@ object Warc {
     gz.write(bytes); gz.finish(); gz.close()
     out.toByteArray
   }
+
+  /** Distributed WARC egress — the symmetric half of [[read]]: each
+    * partition writes one `part-NNNNN.warc.gz` of member-per-record
+    * gzip under `path` (Hadoop FS, so file:/hdfs:/object stores all
+    * work), each row one record of `warcType` (default `conversion` —
+    * the WET shape curated text naturally exports as; a pipeline's
+    * final text goes back out in the same container format it came in
+    * from). `bodyCol` may be string or binary. Parallelism = input
+    * partitions, memory = one record — the same shape as the reader.
+    * Readable back by [[read]]/any ISO 28500 reader; [[WarcSpec]]
+    * pins the write→read roundtrip byte-for-byte.
+    */
+  def write(df: DataFrame, path: String, urlCol: String, dateCol: String,
+            bodyCol: String, warcType: String = "conversion",
+            contentType: String = "text/plain"): Unit = {
+    val cols = df.select(
+      col(urlCol).cast("string"), col(dateCol).cast("string"),
+      col(bodyCol))
+    val isBinary = cols.schema.fields(2).dataType == BinaryType
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs0 = dirPath.getFileSystem(conf.value)
+    fs0.mkdirs(dirPath)
+    cols.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.warc.gz")
+        val fs = file.getFileSystem(conf.value)
+        val out = fs.create(file, true)
+        try it.foreach { r =>
+          val body: Array[Byte] =
+            if (r.isNullAt(2)) Array.empty[Byte]
+            else if (isBinary) r.getAs[Array[Byte]](2)
+            else r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(gzipMember(recordBytes(warcType,
+            if (r.isNullAt(0)) null else r.getString(0),
+            if (r.isNullAt(1)) null else r.getString(1),
+            contentType, body)))
+        } finally out.close()
+      }
+    }
+  }
 }
