@@ -195,6 +195,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestSession with Matchers {
     } finally q.stop()
   }
 
+  test("container → corpus: WARC shards stream through the persisted line-dedup index end to end") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.sources.Warc
+    // the full continuous-ingest story: crawl container bytes land as
+    // .warc.gz shards → Warc.readStream parses per micro-batch →
+    // LineDupStream probes/dedups/appends against the durable LineIndex
+    val history = Seq((1L, "seen a\nseen b")).toDF("id", "text")
+    val ixPath = java.nio.file.Files.createTempDirectory("graft-warcline")
+      .toString + "/ix"
+    graft.sources.LineIndex.build(history, "text", ixPath)
+    val shardDir = java.nio.file.Files.createTempDirectory("graft-warcline-in").toString
+    def writeShard(name: String, recs: Seq[(Long, String)]): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach { case (id, text) =>
+        out.write(Warc.gzipMember(Warc.recordBytes("conversion",
+          s"http://example.com/doc/$id", "2026-03-01T00:00:00Z",
+          "text/plain", text.getBytes("UTF-8"))))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(shardDir, name), out.toByteArray)
+    }
+    writeShard("s1.warc.gz",
+      Seq(10L -> "seen a\nfresh one", 11L -> "fresh one\nfresh two"))
+    val docs = Warc.readStream(spark, shardDir + "/*.warc.gz")
+      .filter(col("_corrupt").isNull)
+      .select(regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("id"),
+        decode(col("body"), "UTF-8").as("text"))
+    val stream = new LineDupStream(spark, ixPath, "id", "text")
+    val got = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = stream.start(docs,
+      b => { got ++= b.orderBy("id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("text_dedup"))); () },
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-warcline-ck").toString)
+    try {
+      q.processAllAvailable()
+      // shard 2 arrives mid-stream: its "fresh one" was first kept in
+      // shard 1 and must now drop via the APPENDED index state
+      writeShard("s2.warc.gz", Seq(12L -> "fresh one\nseen b\nfresh three"))
+      q.processAllAvailable()
+      got.toSeq shouldBe Seq(
+        (10L, "fresh one"), (11L, "fresh two"), (12L, "fresh three"))
+    } finally q.stop()
+  }
+
   test("windowed avg is floor-based round-half-up — correct for NEGATIVE sums") {
     val spark0 = spark
     import spark0.implicits._
