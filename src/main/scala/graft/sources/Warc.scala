@@ -59,11 +59,17 @@ import java.util.zip.GZIPInputStream
   */
 object Warc {
 
-  /** One parsed record (or one quarantined parse failure). */
+  /** One parsed record (or one quarantined parse failure).
+    * `http_headers` carries the RESPONSE records' HTTP header map
+    * (lowercased names, last value wins) — the curation signals real
+    * pipelines filter on (x-robots-tag, content-language,
+    * last-modified) without re-parsing body bytes; empty for non-HTTP
+    * records.
+    */
   final case class WarcRow(
       url: String, warc_date: String, warc_type: String, record_id: String,
-      mime: String, status: Option[Int], body: Array[Byte], src: String,
-      _corrupt: String)
+      mime: String, status: Option[Int], http_headers: Map[String, String],
+      body: Array[Byte], src: String, _corrupt: String)
 
   /** The binaryFile source's fixed schema — needed explicitly by
     * [[readStream]] (file stream sources require one).
@@ -119,7 +125,7 @@ object Warc {
   }
 
   private def corruptRow(src: String, msg: String): WarcRow =
-    WarcRow(null, null, null, null, null, None, null, src, msg)
+    WarcRow(null, null, null, null, null, None, Map.empty, null, src, msg)
 
   private def records(src: String, in: InputStream): Iterator[WarcRow] =
     new scala.collection.AbstractIterator[WarcRow] {
@@ -204,11 +210,13 @@ object Warc {
           ready =
             if (wtype == "response"
                 && ctype.exists(_.toLowerCase.startsWith("application/http"))) {
-              val (status, mime, payload) = parseHttp(block)
-              WarcRow(url, date, wtype, rid, mime, status, payload, src, null)
+              val (status, mime, headers, payload) = parseHttp(block)
+              WarcRow(url, date, wtype, rid, mime, status, headers, payload,
+                src, null)
             } else
               WarcRow(url, date, wtype, rid,
-                ctype.map(_.split(';')(0).trim).orNull, None, block, src, null)
+                ctype.map(_.split(';')(0).trim).orNull, None, Map.empty,
+                block, src, null)
         } catch {
           // a torn gzip member (EOF mid-inflate) or any stream fault:
           // quarantine the tail, keep everything already emitted
@@ -254,24 +262,33 @@ object Warc {
     out.toByteArray
   }
 
-  /** Split a response record's HTTP message: (status, mime, payload).
-    * A block that doesn't start with `HTTP/` passes through whole with
-    * no status (defensive — some crawlers store raw payloads).
+  /** Split a response record's HTTP message: (status, mime, headers,
+    * payload). Headers come back as a lowercased-name map (last value
+    * wins — the curation-signal surface: x-robots-tag,
+    * content-language, last-modified). A block that doesn't start with
+    * `HTTP/` passes through whole with no status and no headers
+    * (defensive — some crawlers store raw payloads).
     */
-  private def parseHttp(block: Array[Byte]): (Option[Int], String, Array[Byte]) = {
+  private def parseHttp(block: Array[Byte])
+      : (Option[Int], String, Map[String, String], Array[Byte]) = {
     val headEnd = httpHeaderEnd(block)
-    if (headEnd < 0) return (None, null, block)
+    if (headEnd < 0) return (None, null, Map.empty, block)
     val head = new String(block, 0, headEnd,
       java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split("\r?\n")
-    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return (None, null, block)
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
+      return (None, null, Map.empty, block)
     val status = lines(0).split(" ").lift(1).flatMap(_.toIntOption)
-    val mime = lines.iterator.drop(1)
-      .find(_.toLowerCase.startsWith("content-type:"))
-      .map(l => l.substring(l.indexOf(':') + 1).split(';')(0).trim)
-      .orNull
+    val headers = lines.iterator.drop(1).flatMap { l =>
+      val i = l.indexOf(':')
+      if (i > 0) Some(l.substring(0, i).trim.toLowerCase ->
+        l.substring(i + 1).trim)
+      else None
+    }.toMap
+    val mime = headers.get("content-type").map(_.split(';')(0).trim).orNull
     val bodyStart = skipBlank(block, headEnd)
-    (status, mime, java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+    (status, mime, headers,
+      java.util.Arrays.copyOfRange(block, bodyStart, block.length))
   }
 
   /** Index of the first byte of the blank line ending the HTTP headers
