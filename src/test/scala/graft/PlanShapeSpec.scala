@@ -520,8 +520,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
       p should include("Window")
       p.contains("LeftSemi") shouldBe false
       // the gram keys the window shuffles on are the 8-byte hashes,
-      // never n-word strings
-      p should include("xxhash64")
+      // never n-word strings (r14: ONE rolling pass per doc)
+      p should include("gram_hashes")
     }
   }
 
@@ -532,7 +532,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
       // spanCoverage's window-over-gram dup detection, verbatim
       p should include("Window")
       p.contains("LeftSemi") shouldBe false
-      p should include("xxhash64")
+      p should include("gram_hashes")
       // interval merge + positional filter are higher-order functions
       // over per-doc arrays — no per-position explode anywhere
       p should include("aggregate(")
