@@ -353,7 +353,11 @@ object Warc {
     * from). `bodyCol` may be string or binary. Parallelism = input
     * partitions, memory = one record — the same shape as the reader.
     * Readable back by [[read]]/any ISO 28500 reader; [[WarcSpec]]
-    * pins the write→read roundtrip byte-for-byte.
+    * pins the write→read roundtrip byte-for-byte. Deterministic
+    * last-write-wins per file (create overwrite): a retried task
+    * rewrites its partition's file identically; disable speculative
+    * execution for this sink (file writes bypass Spark's commit
+    * protocol — the trade for the exact container layout).
     */
   def write(df: DataFrame, path: String, urlCol: String, dateCol: String,
             bodyCol: String, warcType: String = "conversion",
