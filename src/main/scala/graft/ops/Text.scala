@@ -61,7 +61,12 @@ object Text {
       col(idCol),
       nChars.as("n_chars"),
       nWords.as("n_words"),
-      round((nChars - nWords + 1) * lit(1.0) / nWords, 4).as("avg_word_len"),
+      // word characters / tokens — the same corrected mean-word-length
+      // gopherFacets uses (r14: the old (nChars−nWords+1)/nWords
+      // shortcut counted newlines and multi-space runs as word chars;
+      // one facet name, one definition)
+      round(length(replace(replace(t, lit("\n"), lit("")), lit(" "), lit("")))
+        * lit(1.0) / nWords, 4).as("avg_word_len"),
       round(stopR, 4).as("stop_ratio"),
       round(alnumR, 4).as("alnum_ratio"),
       qualityScore(t).as("quality"))

@@ -932,7 +932,7 @@ object Pipeline {
     * ×3, Greek, Arabic-script ×2, Devanagari, Han, kana, Hangul, Thai,
     * Hebrew, Bengali, Tamil) and
     * the router + within-script stopword argmax runs over the mix. The
-    * oracle replays the plant, the 9-class codepoint histogram (RE2
+    * oracle replays the plant, the scriptRanges-wide codepoint histogram (RE2
     * `\x{..}` classes generated from the SAME scriptRanges constant),
     * the first-max-wins script routing and every profile argmax.
     */
@@ -3154,6 +3154,26 @@ object Pipeline {
        |  coalesce(array_to_string(kept, ' '), '') AS text_scrubbed
        |FROM r""".stripMargin
 
+  /** The synthesized-page h CTE (over a d CTE of (doc_id, w)) — ONE
+    * spelling shared by the tx_web_pipeline, tx_web_curate /
+    * tx_warc_curate (webCurateOracle) and src_warc replays, so the
+    * fixture html cannot drift between them (each would fail its md5
+    * compare loudly, but one spelling means there is nothing to
+    * mis-mirror). Margin scheme: this fragment keeps `|` margins as
+    * DATA (its own stripMargin runs on '#') because the HOSTS
+    * stripMargin AFTER interpolation — a pre-stripped fragment whose
+    * SQL lines start with `||` would lose a pipe to the host's strip.
+    */
+  private val pageHtmlCte: String =
+    """h AS (SELECT doc_id,
+      #|  '<html><head><script type="text/javascript">var nav = 1 < 2;</script><title>D'
+      #|  || doc_id || '</title></head><body><h1>Doc ' || doc_id || '</h1>' ||
+      #|  array_to_string(['<p>' || array_to_string(list_slice(w, i, i + 6), ' ')
+      #|                   || '</p>' for i in range(1, len(w) + 1, 7)], '') ||
+      #|  '<div class="nav">Home | About | Contact</div>' ||
+      #|  '<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>' AS html
+      #|FROM d)""".stripMargin('#')
+
   /** tx_web_curate's full SQL replay, parameterized on the base-table
     * predicate: tx_warc_curate is the SAME chain over the docs that
     * survive the WARC container (parseable and status-200), so the two
@@ -3162,14 +3182,7 @@ object Pipeline {
   private def webCurateOracle(where: String): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
          |           WHERE $where),
-         |h AS (SELECT doc_id,
-         |  '<html><head><script type="text/javascript">var nav = 1 < 2;</script><title>D'
-         |  || doc_id || '</title></head><body><h1>Doc ' || doc_id || '</h1>' ||
-         |  array_to_string(['<p>' || array_to_string(list_slice(w, i, i + 6), ' ')
-         |                   || '</p>' for i in range(1, len(w) + 1, 7)], '') ||
-         |  '<div class="nav">Home | About | Contact</div>' ||
-         |  '<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>' AS html
-         |FROM d),
+         |$pageHtmlCte,
          |e AS (SELECT doc_id,
          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
          |    replace(replace(replace(replace(replace(replace(
@@ -3801,14 +3814,14 @@ object Pipeline {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "tx_quality" ->
       """WITH t AS (
-        |  SELECT doc_id, length(text) AS n_chars,
+        |  SELECT doc_id, text, length(text) AS n_chars,
         |    len(string_split(text, ' ')) AS n_words,
         |    len(list_filter(string_split(text, ' '), w -> list_contains(
         |      ['the','and','of','to','in','is','that','it','was','for','a','on'], w))) AS n_stop,
         |    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alnum
         |  FROM documents)
         |SELECT doc_id, n_chars, n_words,
-        | round((n_chars - n_words + 1) * 1.0 / n_words, 4) AS avg_word_len,
+        | round(length(replace(replace(text, chr(10), ''), ' ', '')) * 1.0 / n_words, 4) AS avg_word_len,
         | round(n_stop * 1.0 / n_words, 4) AS stop_ratio,
         | round(n_alnum * 1.0 / n_chars, 4) AS alnum_ratio,
         | round(least(n_words * 1.0 / 50.0, 1.0) * (n_alnum * 1.0 / n_chars), 4) AS quality
@@ -4399,16 +4412,9 @@ object Pipeline {
     // tags to newlines BEFORE the tag strip, per-line whitespace
     // normalization) → the boilerplate keep rules, all in one replay
     "tx_web_pipeline" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |           WHERE text IS NOT NULL),
-        |h AS (SELECT doc_id,
-        |  '<html><head><script type="text/javascript">var nav = 1 < 2;</script><title>D'
-        |  || doc_id || '</title></head><body><h1>Doc ' || doc_id || '</h1>' ||
-        |  array_to_string(['<p>' || array_to_string(list_slice(w, i, i + 6), ' ')
-        |                   || '</p>' for i in range(1, len(w) + 1, 7)], '') ||
-        |  '<div class="nav">Home | About | Contact</div>' ||
-        |  '<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>' AS html
-        |FROM d),
+        |$pageHtmlCte,
         |e AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    replace(replace(replace(replace(replace(replace(
@@ -4424,7 +4430,7 @@ object Pipeline {
         |    '[ \t]+', ' ', 'g'),
         |    ' ?\n ?', chr(10), 'g'),
         |    '\n{3,}', chr(10) || chr(10), 'g'),
-        |    '^[\n ]+|[\n ]+$', '', 'g') AS text
+        |    '^[\n ]+|[\n ]+$$', '', 'g') AS text
         |FROM h),
         |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM e),
         |k AS (SELECT doc_id, len(ls)::BIGINT AS n_lines,
@@ -4491,7 +4497,7 @@ object Pipeline {
         |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "tx_topdocs" ->
       """WITH t AS (
-        |  SELECT doc_id, length(text) AS n_chars,
+        |  SELECT doc_id, text, length(text) AS n_chars,
         |    len(string_split(text, ' ')) AS n_words,
         |    length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS n_alnum
         |  FROM documents),
@@ -4850,16 +4856,9 @@ object Pipeline {
     // 'malformed' per WARX-version plant, one 'torn' for the truncated
     // trailing gzip member on the g=5 shard
     "src_warc" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |           WHERE text IS NOT NULL),
-        |h AS (SELECT doc_id,
-        |  '<html><head><script type="text/javascript">var nav = 1 < 2;</script><title>D'
-        |  || doc_id || '</title></head><body><h1>Doc ' || doc_id || '</h1>' ||
-        |  array_to_string(['<p>' || array_to_string(list_slice(w, i, i + 6), ' ')
-        |                   || '</p>' for i in range(1, len(w) + 1, 7)], '') ||
-        |  '<div class="nav">Home | About | Contact</div>' ||
-        |  '<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>' AS html
-        |FROM d)
+        |$pageHtmlCte
         |SELECT doc_id,
         |  CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
         |  'text/html' AS mime, strlen(html)::BIGINT AS n_bytes,

@@ -279,7 +279,15 @@ object LineIndex {
       * NEXT probe release it (by which point the stream contract says
       * the previous result was consumed) — either way a long-lived
       * probe loop pins at most one maybes-bounded frame, not one per
-      * trigger (r13 ADVICE).
+      * trigger (r13 ADVICE). HARD consequence of that contract: a
+      * probe result from the dup-heavy path reads the pinned blocks
+      * and localCheckpoint truncates lineage, so materializing probe
+      * N's result AFTER issuing probe N+1 fails unrecoverably
+      * (checkpoint block not found — there is nothing to recompute
+      * from). Consume each probe's result before the next probe, as
+      * [[graft.streaming.LineDupStream]] does; fast-path probes
+      * (maybes ≤ maxCollect) pin nothing and are unaffected — which is
+      * why misuse only surfaces on dup-heavy batches at scale.
       */
     def probe(batch: DataFrame, idCol: String, textCol: String,
               delim: String = "\n", maxCollect: Int = 200000): DataFrame = {

@@ -235,13 +235,23 @@ object Warc {
 
   /** Read one CRLF/LF-terminated line as ISO-8859-1 (headers are
     * ASCII; byte-faithful so resync never mangles offsets). Null at
-    * EOF.
+    * EOF. The BUFFER is capped at 64 KiB while the stream still
+    * consumes to the newline: a malformed header in front of a large
+    * binary payload (no newline bytes for hundreds of MB) must not
+    * materialize the payload as one String — the per-task-memory
+    * contract holds on the quarantine path too, and the returned
+    * prefix is all resync's `startsWith("WARC/")` probe needs.
     */
+  private val MaxLineBytes = 1 << 16
+
   private def readLine(in: InputStream): String = {
     val buf = new java.io.ByteArrayOutputStream(128)
     var b = in.read()
     if (b < 0) return null
-    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    while (b >= 0 && b != '\n') {
+      if (buf.size() < MaxLineBytes) buf.write(b)
+      b = in.read()
+    }
     val arr = buf.toByteArray
     val n = if (arr.nonEmpty && arr(arr.length - 1) == '\r') arr.length - 1
             else arr.length
@@ -322,6 +332,13 @@ object Warc {
   def recordBytes(warcType: String, url: String, date: String,
                   contentType: String, block: Array[Byte],
                   versionLine: String = "WARC/1.0"): Array[Byte] = {
+    // CR/LF in a header VALUE would desync the record framing (header
+    // injection — Content-Length no longer frames the block and the
+    // written container mis-parses): fail fast, never corrupt egress
+    for ((n, v) <- Seq("warcType" -> warcType, "url" -> url,
+        "date" -> date, "contentType" -> contentType))
+      require(v == null || (!v.contains('\r') && !v.contains('\n')),
+        s"recordBytes: $n contains CR/LF — would corrupt record framing")
     val sb = new StringBuilder
     sb.append(versionLine).append("\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
