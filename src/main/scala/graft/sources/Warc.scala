@@ -39,15 +39,21 @@ import java.util.zip.GZIPInputStream
   *    (status, Content-Type mime, payload bytes) and passes other
   *    record types through with the WARC-level Content-Type.
   *
-  * Scale shape: `spark.read.format("binaryFile")` — one task per WARC
-  * file, the natural parallelism (a crawl segment is tens of
+  * Scale shape: `binaryFile` is used for FILE DISCOVERY ONLY — the
+  * reader projects just `path`, which the binaryFile format's column
+  * pruning turns into a listing (no content bytes ever cross the
+  * scan). Tasks then `FileSystem.open` each container and parse
+  * record-by-record off the decompressing stream — per-task memory
+  * is ONE record plus fixed 64 KiB buffers, never the file (neither
+  * compressed nor decompressed), so Common Crawl's ~1 GiB containers
+  * fit the same 4-8 GiB executor heap as KB fixtures, and
+  * binaryFile's 2 GiB content cap does not apply. Parallelism is one
+  * stream per file, the natural unit (a crawl segment is tens of
   * thousands of ~1 GB files; gzip members are not splittable without
-  * a side index, so per-file tasks are what every public WARC reader
-  * does). Parsing streams record-by-record off the decompressing
-  * InputStream — per-task memory is one compressed file buffer plus
-  * ONE record, never the decompressed file. The output is ordinary
-  * columns, so everything downstream (extraction, Gopher rules, line
-  * dedup) stays codegen'd scans over the parsed frame.
+  * a side index, so per-file streams are what every public WARC
+  * reader does). The output is ordinary columns, so everything
+  * downstream (extraction, Gopher rules, line dedup) stays codegen'd
+  * scans over the parsed frame.
   *
   * Body bytes are kept as an opaque BINARY column (the multimodal
   * discipline — the payload may be an image or gzip, not text);
@@ -91,7 +97,9 @@ object Warc {
   /** Streaming twin: new WARC shards landing in `path` flow through
     * per micro-batch with the same quarantine contract — the
     * continuous crawl-ingest front door ([[Jsonl.readStream]]'s
-    * shape). `maxFilesPerTrigger` is the rate knob.
+    * shape). `maxFilesPerTrigger` is the rate knob. binaryFile is the
+    * file-DISCOVERY source only (path column, content pruned); record
+    * bytes stream off `FileSystem.open` exactly like [[read]].
     */
   def readStream(s: SparkSession, path: String): DataFrame =
     parseFiles(s.readStream.format("binaryFile")
@@ -100,29 +108,59 @@ object Warc {
   private def parseFiles(files: DataFrame): DataFrame = {
     val s = files.sparkSession
     import s.implicits._
-    files.select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (p, bytes) => recordsOf(p, bytes) })
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    // path-only projection: binaryFile's column pruning never reads
+    // content bytes for it — discovery stays a listing, not an IO pass
+    files.select(col("path")).as[String]
+      .mapPartitions(_.flatMap(p => recordsAt(p, conf.value)))
       .toDF()
   }
 
-  /** Lazy record iterator over one container file — pure JVM, also the
-    * spec's unit-test surface.
+  /** Stream one container straight off the (Hadoop) filesystem —
+    * record-bounded memory at any file size. Quarantines an unopenable
+    * path the same way [[recordsOf]] quarantines unreadable bytes; the
+    * stream is closed at iterator exhaustion and, defensively, at task
+    * completion (an abandoned iterator must not leak a connection).
+    */
+  def recordsAt(src: String,
+                conf: org.apache.hadoop.conf.Configuration): Iterator[WarcRow] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(src)
+      val in = sniff(p.getFileSystem(conf).open(p))
+      val ctx = org.apache.spark.TaskContext.get()
+      if (ctx != null)
+        ctx.addTaskCompletionListener[Unit](_ => closeQuietly(in))
+      records(src, in)
+    } catch {
+      case e: java.io.IOException =>
+        Iterator.single(corruptRow(src, s"unreadable container: ${e.getMessage}"))
+    }
+
+  /** Lazy record iterator over one in-memory container — pure JVM, the
+    * spec's unit-test surface (fixtures are KB-sized; file-scale reads
+    * go through [[recordsAt]]).
     */
   def recordsOf(src: String, content: Array[Byte]): Iterator[WarcRow] =
-    try records(src, open(content))
+    try records(src, sniff(new ByteArrayInputStream(content)))
     catch {
       case e: java.io.IOException =>
         Iterator.single(corruptRow(src, s"unreadable container: ${e.getMessage}"))
     }
 
-  private def open(content: Array[Byte]): InputStream = {
-    val raw = new ByteArrayInputStream(content)
-    if (content.length >= 2 && (content(0) & 0xff) == 0x1f
-        && (content(1) & 0xff) == 0x8b)
-      new GZIPInputStream(raw, 1 << 16)
-    else new BufferedInputStream(raw, 1 << 16)
+  /** Buffer + gzip-magic sniff: a two-byte mark/reset probe picks the
+    * decompressing wrapper without materializing anything.
+    */
+  private def sniff(raw: InputStream): InputStream = {
+    val in = new BufferedInputStream(raw, 1 << 16)
+    in.mark(2)
+    val b0 = in.read(); val b1 = in.read()
+    in.reset()
+    if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(in, 1 << 16) else in
   }
+
+  private def closeQuietly(in: InputStream): Unit =
+    try in.close() catch { case _: java.io.IOException => () }
 
   private def corruptRow(src: String, msg: String): WarcRow =
     WarcRow(null, null, null, null, null, None, Map.empty, null, src, msg)
@@ -132,26 +170,42 @@ object Warc {
       private var pendingLine: String = null // resync lookahead
       private var done = false
       private var ready: WarcRow = null
+      private var tornMsg: String = null // stream fault hit during resync
+
+      private def finish(): Unit = { done = true; closeQuietly(in) }
 
       private def nextLine(): String =
         if (pendingLine != null) { val l = pendingLine; pendingLine = null; l }
         else readLine(in)
 
       /** Consume lines until the next `WARC/` version line (kept as
-        * lookahead) or EOF — recovery after a malformed record.
+        * lookahead) or EOF — recovery after a malformed record. A
+        * stream fault here (the malformed record sits directly before
+        * a torn gzip member) must NOT overwrite the malformed
+        * quarantine row the caller is about to emit: it is deferred to
+        * the next advance() so BOTH rows surface.
         */
-      private def resync(): Unit = {
-        var l = nextLine()
-        while (l != null && !l.startsWith("WARC/")) l = nextLine()
-        pendingLine = l
-      }
+      private def resync(): Unit =
+        try {
+          var l = nextLine()
+          while (l != null && !l.startsWith("WARC/")) l = nextLine()
+          pendingLine = l
+        } catch {
+          case e: java.io.IOException =>
+            tornMsg = s"torn gzip member: ${e.getMessage}"
+            pendingLine = null
+        }
 
       private def advance(): Unit = {
         if (done) { ready = null; return }
+        if (tornMsg != null) {
+          ready = corruptRow(src, tornMsg); tornMsg = null; finish()
+          return
+        }
         try {
           var line = nextLine()
           while (line != null && line.trim.isEmpty) line = nextLine()
-          if (line == null) { ready = null; done = true; return }
+          if (line == null) { ready = null; finish(); return }
           if (!line.startsWith("WARC/")) {
             val snippet = line.take(60)
             resync()
@@ -175,7 +229,7 @@ object Warc {
             h = nextLine()
           }
           if (h == null) {
-            ready = corruptRow(src, "truncated record header"); done = true
+            ready = corruptRow(src, "truncated record header"); finish()
             return
           }
           val lenOpt = hdrs.get("content-length")
@@ -199,7 +253,7 @@ object Warc {
           if (block.length < want) {
             ready = corruptRow(src,
               s"truncated record block (${block.length} of $want bytes)")
-            done = true
+            finish()
             return
           }
           val wtype = hdrs.getOrElse("warc-type", null)
@@ -222,7 +276,7 @@ object Warc {
           // quarantine the tail, keep everything already emitted
           case e: java.io.IOException =>
             ready = corruptRow(src, s"torn gzip member: ${e.getMessage}")
-            done = true
+            finish()
         }
       }
 
@@ -339,6 +393,12 @@ object Warc {
         "date" -> date, "contentType" -> contentType))
       require(v == null || (!v.contains('\r') && !v.contains('\n')),
         s"recordBytes: $n contains CR/LF — would corrupt record framing")
+    // url/date are the only legitimately optional headers; a null
+    // contentType would serialize the literal 'Content-Type: null' and
+    // a null block NPEs at block.length — fail fast, like the writer
+    // (which always supplies both) expects
+    require(contentType != null, "recordBytes: contentType is required")
+    require(block != null, "recordBytes: block is required (use Array.empty)")
     val sb = new StringBuilder
     sb.append(versionLine).append("\r\n")
     sb.append("WARC-Type: ").append(warcType).append("\r\n")
@@ -370,11 +430,19 @@ object Warc {
     * from). `bodyCol` may be string or binary. Parallelism = input
     * partitions, memory = one record — the same shape as the reader.
     * Readable back by [[read]]/any ISO 28500 reader; [[WarcSpec]]
-    * pins the write→read roundtrip byte-for-byte. Deterministic
-    * last-write-wins per file (create overwrite): a retried task
-    * rewrites its partition's file identically; disable speculative
-    * execution for this sink (file writes bypass Spark's commit
-    * protocol — the trade for the exact container layout).
+    * pins the write→read roundtrip byte-for-byte.
+    *
+    * Task-retry contract: each attempt writes its OWN temp file
+    * (`.part-NNNNN-attempt<id>.tmp`) and renames onto the final
+    * `part-NNNNN.warc.gz` when its iterator completes — a zombie or
+    * speculative duplicate attempt can never interleave bytes into a
+    * shard, and a killed attempt leaves only a temp file the rename of
+    * a healthy attempt ignores (its temp is deleted on failure). If
+    * the final file exists (the other attempt won), it is replaced —
+    * partition contents are deterministic, so both attempts' bytes are
+    * identical (GZIPOutputStream writes MTIME=0). This is the
+    * single-writer-per-shard subset of a commit protocol; it trades
+    * the job-level _SUCCESS marker for the exact container layout.
     */
   def write(df: DataFrame, path: String, urlCol: String, dateCol: String,
             bodyCol: String, warcType: String = "conversion",
@@ -390,20 +458,34 @@ object Warc {
     fs0.mkdirs(dirPath)
     cols.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.warc.gz")
-        val fs = file.getFileSystem(conf.value)
-        val out = fs.create(file, true)
-        try it.foreach { r =>
-          val body: Array[Byte] =
-            if (r.isNullAt(2)) Array.empty[Byte]
-            else if (isBinary) r.getAs[Array[Byte]](2)
-            else r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          out.write(gzipMember(recordBytes(warcType,
-            if (r.isNullAt(0)) null else r.getString(0),
-            if (r.isNullAt(1)) null else r.getString(1),
-            contentType, body)))
-        } finally out.close()
+        val ctx = org.apache.spark.TaskContext.get()
+        val pid = ctx.partitionId()
+        val fin = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.warc.gz")
+        val tmp = new org.apache.hadoop.fs.Path(path,
+          f".part-$pid%05d-attempt${ctx.taskAttemptId()}.tmp")
+        val fs = fin.getFileSystem(conf.value)
+        val out = fs.create(tmp, true)
+        var ok = false
+        try {
+          it.foreach { r =>
+            val body: Array[Byte] =
+              if (r.isNullAt(2)) Array.empty[Byte]
+              else if (isBinary) r.getAs[Array[Byte]](2)
+              else r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            out.write(gzipMember(recordBytes(warcType,
+              if (r.isNullAt(0)) null else r.getString(0),
+              if (r.isNullAt(1)) null else r.getString(1),
+              contentType, body)))
+          }
+          ok = true
+        } finally {
+          out.close()
+          if (ok) {
+            if (fs.exists(fin)) fs.delete(fin, false)
+            if (!fs.rename(tmp, fin))
+              throw new java.io.IOException(s"Warc.write: rename $tmp -> $fin failed")
+          } else fs.delete(tmp, false)
+        }
       }
     }
   }
