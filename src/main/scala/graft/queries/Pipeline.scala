@@ -936,14 +936,21 @@ object Pipeline {
     * `\x{..}` classes generated from the SAME scriptRanges constant),
     * the first-max-wins script routing and every profile argmax.
     */
-  def txLangid(s: SparkSession, dir: String): DataFrame = {
+  /** The multilingual plant shared by [[txLangid]] and
+    * [[txLangCurate]]: docs ≡ 1..14 (mod 17) replaced by the pinned
+    * non-Latin sentences — (doc_id, __t).
+    */
+  private def plantedLangDocs(s: SparkSession, dir: String): DataFrame = {
     val plant = langPlants.zipWithIndex.foldLeft(
       when(lit(false), lit(null).cast("string"))) {
       case (acc, ((_, sent), i)) =>
         acc.when(pmod(col("doc_id"), lit(17)) === (i + 1), lit(sent))
     }.otherwise(col("text"))
-    Tables.documents(s, dir)
-      .select(col("doc_id"), plant.as("__t"))
+    Tables.documents(s, dir).select(col("doc_id"), plant.as("__t"))
+  }
+
+  def txLangid(s: SparkSession, dir: String): DataFrame =
+    plantedLangDocs(s, dir)
       // bind the histogram ONCE — the routing CASE's conditions are
       // excluded from codegen subexpression elimination, so the inline
       // form re-runs the codepoint pass per branch probed (4.1 → 1.1 s
@@ -952,6 +959,32 @@ object Pipeline {
         graft.functions.FunctionDefs.call("script_counts", col("__t")))
       .select(col("doc_id"),
         Text.langIdScriptRouted(col("__t"), col("__sc")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  /** The language-keyed curation recipe (the FineWeb-2/CCNet shape the
+    * script-aware langid exists for), composed end to end over the
+    * multilingual plant: script-routed language ID
+    * ([[graft.ops.Text.langIdScript]]) → per-LANGUAGE adaptive quality
+    * threshold ([[graft.ops.Text.adaptiveQualityFilter]], 25th
+    * percentile within each language — a single global cutoff would
+    * zero out every non-Latin stratum, whose alnum-ratio scores sit
+    * far below English) → α=0.5 temperature mixture over languages
+    * ([[graft.ops.Text.sampleByMixture]], budget 300 — upsampling
+    * low-resource languages relative to their share). Output: the kept
+    * (doc_id, lang, score, cutoff). The oracle replays routing, the
+    * per-language histogram quantiles, and the exact-integer mixture
+    * draw in SQL.
+    */
+  def txLangCurate(s: SparkSession, dir: String): DataFrame = {
+    val labeled = plantedLangDocs(s, dir)
+      .withColumn("__sc",
+        graft.functions.FunctionDefs.call("script_counts", col("__t")))
+      .select(col("doc_id"), col("__t"),
+        Text.langIdScriptRouted(col("__t"), col("__sc")).as("lang"))
+    val kept = Text.adaptiveQualityFilter(labeled, "doc_id", "__t", "lang",
+      q = 0.25)
+    Text.sampleByMixture(kept, "lang", "doc_id", alpha = 0.5, budget = 300.0)
+      .select(col("doc_id"), col("lang"), col("score"), col("cutoff"))
       .orderBy("doc_id")
   }
 
@@ -2051,6 +2084,8 @@ object Pipeline {
     "tx_web_curate" -> txWebCurate _,
     "src_warc" -> srcWarc _,
     "tx_warc_curate" -> txWarcCurate _,
+    "tx_robots" -> txRobots _,
+    "tx_lang_curate" -> txLangCurate _,
     "tx_shard" -> txShard _,
     "mm_audio_dedup" -> mmAudioDedup _,
     "q_joinest" -> qJoinest _,
@@ -2483,7 +2518,20 @@ object Pipeline {
             }
             val status = if (id % 11 == 0) "404 Not Found" else "200 OK"
             val version = if (id % 7 == 3) "WARX/1.0" else "WARC/1.0"
-            val block = (s"HTTP/1.1 $status\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" + html)
+            // r15 header plants (the curation-signal surface tx_robots /
+            // the txWarcCurate robots drop replay): X-Robots-Tag noindex
+            // (id ≡ 5 mod 13, must DROP), noarchive (id ≡ 8 mod 13, must
+            // NOT drop), Content-Language en/de/fr (id ≡ 3/7/11 mod 19)
+            val robots = if (id % 13 == 5) "X-Robots-Tag: noindex\r\n"
+              else if (id % 13 == 8) "X-Robots-Tag: noarchive\r\n" else ""
+            val clang = (id % 19).toInt match {
+              case 3 => "Content-Language: en\r\n"
+              case 7 => "Content-Language: de\r\n"
+              case 11 => "Content-Language: fr\r\n"
+              case _ => ""
+            }
+            val block = (s"HTTP/1.1 $status\r\nContent-Type: text/html; charset=utf-8\r\n" +
+              robots + clang + "\r\n" + html)
               .getBytes("UTF-8")
             out.write(Warc.gzipMember(Warc.recordBytes("response",
               s"http://example.com/doc/$id", "2026-01-01T00:00:00Z",
@@ -2527,19 +2575,60 @@ object Pipeline {
     * [[txWebCurate]] chain ([[webCurateChain]] — extraction →
     * boilerplate → Gopher → bad-words → line dedup → shuffle-shard).
     * The oracle is tx_web_curate's replay restricted to the docs that
-    * survive the container: parseable (doc_id ≢ 3 mod 7) and status
-    * 200 (doc_id ≢ 0 mod 11) — so WARC parse, HTTP status plumbing and
-    * the whole curation chain certify together.
+    * survive the container: parseable (doc_id ≢ 3 mod 7), status 200
+    * (doc_id ≢ 0 mod 11), and not robots-denied
+    * ([[graft.sources.Warc.robotsDeny]] on the parsed HTTP header map —
+    * the X-Robots-Tag noindex plant, doc_id ≢ 5 mod 13; the noarchive
+    * plant must SURVIVE) — so WARC parse, HTTP status AND header-map
+    * plumbing, and the whole curation chain certify together.
     */
   def txWarcCurate(s: SparkSession, dir: String): DataFrame = {
     val path = warcFixture(s, dir)
     val pages = graft.sources.Warc.read(s, path)
       .filter(col("_corrupt").isNull && col("warc_type") === "response" &&
-        col("status") === 200)
+        col("status") === 200 &&
+        !graft.sources.Warc.robotsDeny(col("http_headers")))
       .select(
         regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
         decode(col("body"), "UTF-8").as("html"))
     webCurateChain(pages)
+  }
+
+  /** HTTP response-header consumption from the WARC front door
+    * (tx_robots): per response record, the robots verdict
+    * ([[graft.sources.Warc.robotsDeny]] on the X-Robots-Tag plant —
+    * noindex denies, noarchive does NOT), the declared
+    * Content-Language, and the declared ⇄ detected cross-check —
+    * [[graft.ops.Text.langIdScript]] over the block-extracted page text
+    * vs the header claim (the CCNet-style signal: a page declaring `de`
+    * that detects `en` is mislabeled or template noise). The oracle
+    * replays header plants from the id formulas and the FULL
+    * extraction + script-routing + profile-argmax detection in SQL.
+    */
+  def txRobots(s: SparkSession, dir: String): DataFrame = {
+    val path = warcFixture(s, dir)
+    graft.sources.Warc.read(s, path)
+      .filter(col("_corrupt").isNull && col("warc_type") === "response")
+      .select(
+        regexp_extract(col("url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        col("status"),
+        graft.sources.Warc.robotsDeny(col("http_headers")).cast("int")
+          .as("robots_deny"),
+        element_at(col("http_headers"), "content-language")
+          .as("content_language"),
+        graft.ops.Text.extractHtmlBlocks(decode(col("body"), "UTF-8"))
+          .as("__text"))
+      // bind the script histogram ONCE (the langIdScriptRouted contract)
+      .withColumn("__sc",
+        graft.functions.FunctionDefs.call("script_counts", col("__text")))
+      .select(col("doc_id"), col("status"), col("robots_deny"),
+        col("content_language"),
+        graft.ops.Text.langIdScriptRouted(col("__text"), col("__sc"))
+          .as("lang_guess"))
+      .withColumn("lang_match",
+        when(col("content_language").isNull, lit(null).cast("int"))
+          .otherwise((col("content_language") === col("lang_guess")).cast("int")))
+      .orderBy("doc_id")
   }
 
   /** Deterministic corpus shuffle-shard
@@ -2790,15 +2879,19 @@ object Pipeline {
     * (`Text.langProfiles` / cyrillic / arabic / devanagari families),
     * all-zero → und at both levels, CJK by block evidence.
     */
-  private val langIdOracle: String = {
+  /** The script-routing + profile-argmax detection factored as SQL
+    * fragments over a `b(doc_id, text)` CTE — shared by tx_langid,
+    * tx_robots (detection over extracted page text) and tx_lang_curate
+    * (the language-keyed recipe), so the replayed heuristic cannot
+    * drift between them: (the t/h/g CTE chain, the final CASE
+    * expression valid over `g`).
+    */
+  private lazy val (langIdCtes, langGuessCase): (String, String) = {
     import graft.ops.Text
     val scriptCls: Map[String, String] =
       graft.functions.GeomImpl.scriptRanges.map { case (name, rs) =>
         name -> rs.map { case (a, b) => f"\\x{$a%04X}-\\x{$b%04X}" }.mkString
       }.toMap
-    val plantCase = langPlants.zipWithIndex
-      .map { case ((_, sent), i) => s"WHEN doc_id % 17 = ${i + 1} THEN '$sent'" }
-      .mkString("\n          ")
     val countCols = graft.functions.GeomImpl.scriptRanges.map { case (name, _) =>
       s"len(regexp_extract_all(text, '[${scriptCls(name)}]')) AS c_$name"
     }.mkString(",\n        ")
@@ -2815,41 +2908,56 @@ object Pipeline {
         .map(l => s"WHEN h_${tag}_$l = $gr THEN '$l'").mkString(" ")
       s"CASE WHEN $gr = 0 THEN 'und' $cases ELSE '${profs.last._1}' END"
     }
-    s"""WITH b AS (SELECT doc_id,
-       |        CASE $plantCase
-       |          ELSE text END AS text
-       |      FROM documents),
-       |t AS (SELECT doc_id, text,
-       |        $countCols
-       |      FROM b),
-       |h AS (SELECT *,
-       |        c_han + c_hiragana + c_katakana + c_hangul AS c_cjk,
-       |        ${hitCols("lat", Text.langTokenClass, Text.langProfiles)},
-       |        ${hitCols("cyr", Text.cyrillicTokenClass, Text.cyrillicProfiles)},
-       |        ${hitCols("ar", Text.arabicTokenClass, Text.arabicProfiles)},
-       |        ${hitCols("dev", Text.devanagariTokenClass, Text.devanagariProfiles)}
-       |      FROM t),
-       |g AS (SELECT *,
-       |        greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_devanagari,
-       |                 c_thai, c_hebrew, c_bengali, c_tamil, c_cjk) AS g
-       |      FROM h)
-       |SELECT doc_id,
-       | CASE WHEN text IS NULL THEN NULL
-       |      WHEN g = 0 THEN 'und'
-       |      WHEN c_latin = g THEN ${argmax("lat", Text.langProfiles)}
-       |      WHEN c_cyrillic = g THEN ${argmax("cyr", Text.cyrillicProfiles)}
-       |      WHEN c_greek = g THEN 'el'
-       |      WHEN c_arabic = g THEN ${argmax("ar", Text.arabicProfiles)}
-       |      WHEN c_devanagari = g THEN ${argmax("dev", Text.devanagariProfiles)}
-       |      WHEN c_thai = g THEN 'th'
-       |      WHEN c_hebrew = g THEN 'he'
-       |      WHEN c_bengali = g THEN 'bn'
-       |      WHEN c_tamil = g THEN 'ta'
-       |      ELSE (CASE WHEN c_hiragana + c_katakana > 0 THEN 'ja'
-       |                 WHEN c_hangul >= c_han THEN 'ko'
-       |                 ELSE 'zh' END) END AS lang_guess
-       |FROM g ORDER BY doc_id""".stripMargin
+    val ctes =
+      s"""li_t AS (SELECT doc_id, text,
+         |        $countCols
+         |      FROM b),
+         |li_h AS (SELECT *,
+         |        c_han + c_hiragana + c_katakana + c_hangul AS c_cjk,
+         |        ${hitCols("lat", Text.langTokenClass, Text.langProfiles)},
+         |        ${hitCols("cyr", Text.cyrillicTokenClass, Text.cyrillicProfiles)},
+         |        ${hitCols("ar", Text.arabicTokenClass, Text.arabicProfiles)},
+         |        ${hitCols("dev", Text.devanagariTokenClass, Text.devanagariProfiles)}
+         |      FROM li_t),
+         |li_g AS (SELECT *,
+         |        greatest(c_latin, c_cyrillic, c_greek, c_arabic, c_devanagari,
+         |                 c_thai, c_hebrew, c_bengali, c_tamil, c_cjk) AS g
+         |      FROM li_h)""".stripMargin
+    val guess =
+      s"""CASE WHEN text IS NULL THEN NULL
+         |      WHEN g = 0 THEN 'und'
+         |      WHEN c_latin = g THEN ${argmax("lat", Text.langProfiles)}
+         |      WHEN c_cyrillic = g THEN ${argmax("cyr", Text.cyrillicProfiles)}
+         |      WHEN c_greek = g THEN 'el'
+         |      WHEN c_arabic = g THEN ${argmax("ar", Text.arabicProfiles)}
+         |      WHEN c_devanagari = g THEN ${argmax("dev", Text.devanagariProfiles)}
+         |      WHEN c_thai = g THEN 'th'
+         |      WHEN c_hebrew = g THEN 'he'
+         |      WHEN c_bengali = g THEN 'bn'
+         |      WHEN c_tamil = g THEN 'ta'
+         |      ELSE (CASE WHEN c_hiragana + c_katakana > 0 THEN 'ja'
+         |                 WHEN c_hangul >= c_han THEN 'ko'
+         |                 ELSE 'zh' END) END""".stripMargin
+    (ctes, guess)
   }
+
+  /** The txLangid plant as a SQL CASE fragment (docs ≡ 1..14 mod 17
+    * replaced by the pinned non-Latin sentences) — shared by the
+    * tx_langid and tx_lang_curate oracles.
+    */
+  private lazy val langPlantCase: String = {
+    val whens = langPlants.zipWithIndex
+      .map { case ((_, sent), i) => s"WHEN doc_id % 17 = ${i + 1} THEN '$sent'" }
+      .mkString("\n          ")
+    s"CASE $whens\n          ELSE text END"
+  }
+
+  private val langIdOracle: String =
+    s"""WITH b AS (SELECT doc_id, $langPlantCase AS text FROM documents),
+       |$langIdCtes
+       |SELECT doc_id,
+       | $langGuessCase AS lang_guess
+       |FROM li_g ORDER BY doc_id""".stripMargin
 
   /** Brute-force top-k ranking — also the oracle for the LSH/IVF entries
     * run in their provably-complete regimes (all-bucket multiprobe /
@@ -3179,27 +3287,34 @@ object Pipeline {
     * survive the WARC container (parseable and status-200), so the two
     * oracles cannot drift.
     */
+  /** The block-preserving HTML-extraction replay as one `e(doc_id,
+    * text)` CTE over `h(doc_id, html)` — shared by [[webCurateOracle]]
+    * and the tx_robots detection replay.
+    */
+  private val extractBlocksCte: String =
+    """e AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    replace(replace(replace(replace(replace(replace(
+      |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |        '(?s)<!--.*?-->', ' ', 'g'),
+      |        '(?i)<(?:br|hr)[^>]*>|</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>',
+      |        chr(10), 'g'),
+      |        '<[^>]*>', ' ', 'g'),
+      |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+      |    '[ \t]+', ' ', 'g'),
+      |    ' ?\n ?', chr(10), 'g'),
+      |    '\n{3,}', chr(10) || chr(10), 'g'),
+      |    '^[\n ]+|[\n ]+$', '', 'g') AS text
+      |FROM h)""".stripMargin
+
   private def webCurateOracle(where: String): String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
          |           WHERE $where),
          |$pageHtmlCte,
-         |e AS (SELECT doc_id,
-         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |    replace(replace(replace(replace(replace(replace(
-         |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-         |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-         |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-         |        '(?s)<!--.*?-->', ' ', 'g'),
-         |        '(?i)<(?:br|hr)[^>]*>|</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote)>',
-         |        chr(10), 'g'),
-         |        '<[^>]*>', ' ', 'g'),
-         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
-         |    '[ \t]+', ' ', 'g'),
-         |    ' ?\n ?', chr(10), 'g'),
-         |    '\n{3,}', chr(10) || chr(10), 'g'),
-         |    '^[\n ]+|[\n ]+$$', '', 'g') AS text
-         |FROM h),
+         |$extractBlocksCte,
          |x AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM e),
          |t1 AS (SELECT doc_id, array_to_string(
          |        [l for l in ls if trim(l) = '' OR
@@ -4460,7 +4575,61 @@ object Pipeline {
     // what survives the container — parseable (doc_id % 7 <> 3, the
     // malformed plant) and status 200 (doc_id % 11 <> 0)
     "tx_warc_curate" -> webCurateOracle(
-      "text IS NOT NULL AND doc_id % 7 <> 3 AND doc_id % 11 <> 0"),
+      "text IS NOT NULL AND doc_id % 7 <> 3 AND doc_id % 11 <> 0" +
+        " AND doc_id % 13 <> 5"),
+    // header-map consumption: robots verdict + declared language from
+    // the id plant formulas; detection = the SAME extraction and
+    // script-routing fragments the tx_web_curate / tx_langid oracles
+    // already prove, composed
+    "tx_robots" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |           WHERE text IS NOT NULL AND doc_id % 7 <> 3),
+         |$pageHtmlCte,
+         |$extractBlocksCte,
+         |b AS (SELECT doc_id, text FROM e),
+         |$langIdCtes,
+         |r AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS status,
+         |        (doc_id % 13 = 5)::INT AS robots_deny,
+         |        CASE WHEN doc_id % 19 = 3 THEN 'en'
+         |             WHEN doc_id % 19 = 7 THEN 'de'
+         |             WHEN doc_id % 19 = 11 THEN 'fr' END AS content_language,
+         |        $langGuessCase AS lang_guess
+         |      FROM li_g)
+         |SELECT doc_id, status, robots_deny, content_language, lang_guess,
+         |  CASE WHEN content_language IS NULL THEN NULL
+         |       ELSE (content_language = lang_guess)::INT END AS lang_match
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // the language-keyed recipe: routing, per-language histogram
+    // quantile and keep decision, then the exact-integer mixture draw
+    // over the survivors
+    "tx_lang_curate" ->
+      s"""WITH b AS (SELECT doc_id, $langPlantCase AS text FROM documents),
+         |$langIdCtes,
+         |lid AS (SELECT doc_id, text, $langGuessCase AS lang FROM li_g),
+         |s AS (SELECT doc_id, lang,
+         |        round(least(len(string_split(text, ' ')) * 1.0 / 50.0, 1.0) *
+         |              (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) * 1.0
+         |               / length(text)), 4) AS score
+         |      FROM lid),
+         |hist AS (SELECT lang, score, count(*) AS c FROM s
+         |         WHERE score IS NOT NULL GROUP BY 1, 2),
+         |cum AS (SELECT lang, score,
+         |        sum(c) OVER (PARTITION BY lang ORDER BY score) AS cum,
+         |        sum(c) OVER (PARTITION BY lang) AS n FROM hist),
+         |cut AS (SELECT lang, min(score) AS cutoff FROM cum
+         |        WHERE cum >= ceil(0.25 * n) GROUP BY 1),
+         |keep AS (SELECT s.doc_id, s.lang, s.score, c.cutoff
+         |         FROM s JOIN cut c USING (lang) WHERE s.score >= c.cutoff),
+         |cnt AS (SELECT lang, count(*)::DOUBLE AS n FROM keep GROUP BY lang),
+         |tp AS (SELECT sum(pow(n, 0.5)) AS tp FROM cnt),
+         |r AS (SELECT lang, least(1.0, 300.0 * pow(n, 0.5) / tp / n) AS rate
+         |      FROM cnt, tp)
+         |SELECT k.doc_id, k.lang, k.score, k.cutoff
+         |FROM keep k JOIN r USING (lang)
+         |WHERE (((k.doc_id % 1000000007) * 654435747 + 0) % 1000000007)::DOUBLE
+         |      < rate * 1000000007.0
+         |ORDER BY doc_id""".stripMargin,
     // md5(id ":" seed) permutation key, 32-bit-prefix shard, per-shard
     // rank — the full reproducible training order replays in SQL
     "tx_shard" ->

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -147,6 +147,20 @@ object Warc {
       case e: java.io.IOException =>
         Iterator.single(corruptRow(src, s"unreadable container: ${e.getMessage}"))
     }
+
+  /** Robots-directive drop predicate over the parsed `http_headers`
+    * map: true iff the `X-Robots-Tag` response header carries a
+    * `noindex` or `none` directive (the REP extension Google/Bing
+    * honor — `none` = noindex+nofollow). Token match on the
+    * comma/space-separated directive list, case-insensitive, so
+    * `noarchive` or `by-noindex-bot: ...` agent-scoped values never
+    * false-positive on a substring. Absent header (or a non-HTTP
+    * record's empty map) → false. Scan-side expression — composes into
+    * the curation chain's one-projection prefix.
+    */
+  def robotsDeny(httpHeaders: Column): Column =
+    lower(coalesce(element_at(httpHeaders, "x-robots-tag"), lit("")))
+      .rlike("(^|[,\\s])(noindex|none)($|[,\\s])")
 
   /** Buffer + gzip-magic sniff: a two-byte mark/reset probe picks the
     * decompressing wrapper without materializing anything.

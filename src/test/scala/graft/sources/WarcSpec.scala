@@ -146,6 +146,39 @@ class WarcSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("robotsDeny: directive-token match over the header map") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map_from_arrays, lit, array}
+    val df = Seq(
+      (1, Some("noindex")),            // plain directive
+      (2, Some("noarchive, noindex")), // multi-valued list
+      (3, Some("NONE")),               // case-insensitive none
+      (4, Some("noarchive")),          // non-deny directive
+      (5, Some("by-noindex-bot: x")),  // substring must NOT trigger
+      (6, None)                        // absent header
+    ).toDF("id", "tag")
+      .select(col("id"),
+        org.apache.spark.sql.functions.when(col("tag").isNotNull,
+          map_from_arrays(array(lit("x-robots-tag")), array(col("tag"))))
+          .otherwise(org.apache.spark.sql.functions.expr(
+            "map()")).as("http_headers"))
+    val got = df.select(col("id"),
+        Warc.robotsDeny(col("http_headers")).as("deny"))
+      .collect().map(r => r.getInt(0) -> r.getBoolean(1)).toMap
+    got shouldBe Map(1 -> true, 2 -> true, 3 -> true,
+      4 -> false, 5 -> false, 6 -> false)
+  }
+
+  test("repeated HTTP header: last value wins in the header map") {
+    val block = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "X-Robots-Tag: noarchive\r\nX-Robots-Tag: noindex\r\n\r\nbody")
+      .getBytes("UTF-8")
+    val rec = Warc.recordBytes("response", "http://x/", "2026-01-01T00:00:00Z",
+      "application/http; msgtype=response", block)
+    val rows = Warc.recordsOf("f.warc", rec).toSeq
+    rows.head.http_headers("x-robots-tag") shouldBe "noindex"
+  }
+
   test("missing content-length: quarantined and resynced; truncated block: quarantined") {
     val noLen = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://x/\r\n" +
       "Content-Type: application/http\r\n\r\njunk block no length\r\n\r\n")
