@@ -189,4 +189,35 @@ object FunctionRegistration {
         UserAgg(name, anySpec, returns, accepts, children),
       "scala_udf")
   }
+
+  /** Register a user-defined TABLE function (generator) — the
+    * reference core's GenericUDTF extensibility
+    * (core/HGenericUDTF.scala:1, HUDTF.scala:1), EXECUTABLE rather
+    * than idiom-only (the array-of-structs + explode composition the
+    * [[registerAggregate]] scaladoc documents remains the
+    * zero-machinery alternative): the user supplies the per-row
+    * expansion as a [[UserGeneratorSpec]] and the engine wraps it in
+    * its own [[org.apache.spark.sql.catalyst.expressions.Generator]],
+    * so it runs under GenerateExec — the streamed lateral-view
+    * operator `explode`/`inline` use — and is callable from SQL as
+    * `SELECT my_gen(col) FROM t` or
+    * `... LATERAL VIEW my_gen(col) g AS a, b`.
+    *
+    * `output` declares the generated columns (names + types); the
+    * spec returns each row as a Row / Product / Seq in that order
+    * (bare values for one-column schemas). Same registry contract as
+    * [[registerFunction]]/[[registerAggregate]]: built-in names
+    * protected, re-registration replaces, per-session temp function.
+    */
+  def registerGenerator(spark: org.apache.spark.sql.SparkSession, name: String,
+                        output: org.apache.spark.sql.types.StructType,
+                        accepts: Seq[DataType],
+                        spec: UserGeneratorSpec): Unit = {
+    require(!builtinNames.contains(name.toLowerCase),
+      s"registerGenerator: '$name' is a built-in graft function")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UserGenerator(name, spec, output, accepts, children),
+      "scala_udf")
+  }
 }

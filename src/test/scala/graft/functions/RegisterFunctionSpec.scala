@@ -63,7 +63,98 @@ object ToyAggs {
   }
 }
 
+/** The "10-line third-party table function" fixtures: plain
+  * [[UserGeneratorSpec]] subclasses — external Scala types, rows as
+  * tuples (or bare values for one-column schemas), no Catalyst code.
+  */
+object ToyGens {
+  // (gram, pos) per adjacent word pair — the classic UDTF shape
+  object Bigrams extends UserGeneratorSpec {
+    def eval(args: Seq[Any]): IterableOnce[Any] = args.head match {
+      case s: String =>
+        val w = s.split(" ").filter(_.nonEmpty)
+        (0 until math.max(0, w.length - 1)).map(i => (w(i) + " " + w(i + 1), i))
+      case _ => Nil
+    }
+  }
+  // single-column: bare values, no tuple wrapping
+  object Chars extends UserGeneratorSpec {
+    def eval(args: Seq[Any]): IterableOnce[Any] = args.head match {
+      case s: String => s.split("").toSeq
+      case _ => Nil
+    }
+  }
+  // terminate(): one trailing summary row per partition (Hive close())
+  class CountingGen extends UserGeneratorSpec {
+    private var n = 0L
+    def eval(args: Seq[Any]): IterableOnce[Any] = { n += 1; Seq(("row", n)) }
+    override def terminate(): IterableOnce[Any] = Seq(("partition_total", n))
+  }
+}
+
 class RegisterFunctionSpec extends AnyFunSuite with SparkTestSession with Matchers {
+
+  test("registerGenerator: LATERAL VIEW and generator-SELECT paths under GenerateExec (the HGenericUDTF twin)") {
+    FunctionRegistration.registerGenerator(spark, "my_bigrams",
+      StructType(Seq(StructField("gram", StringType), StructField("pos", IntegerType))),
+      Seq(StringType), ToyGens.Bigrams)
+    import spark.implicits._
+    Seq((1L, "a b c"), (2L, "x y"), (3L, "solo")).toDF("id", "txt")
+      .createOrReplaceTempView("gen_in")
+    // the LATERAL VIEW call path
+    val lv = spark.sql(
+      "SELECT id, g.gram, g.pos FROM gen_in LATERAL VIEW my_bigrams(txt) g AS gram, pos")
+    lv.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet shouldBe
+      Set((1L, "a b", 0), (1L, "b c", 1), (2L, "x y", 0))
+    // the generator-in-SELECT path
+    val sel = spark.sql("SELECT my_bigrams(txt) FROM gen_in WHERE id = 1")
+    sel.columns.toSeq shouldBe Seq("gram", "pos")
+    sel.collect().map(_.getString(0)).toSet shouldBe Set("a b", "b c")
+    // plan pin: runs as the streamed Generate operator, same as explode
+    val plan = lv.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should include("Generate my_bigrams")
+    // single-column schema takes bare values
+    FunctionRegistration.registerGenerator(spark, "my_chars",
+      StructType(Seq(StructField("ch", StringType))), Seq(StringType),
+      ToyGens.Chars)
+    spark.sql("SELECT my_chars('ab')").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("a", "b")
+  }
+
+  test("registerGenerator: terminate() emits per-partition trailing rows; protection + replace") {
+    FunctionRegistration.registerGenerator(spark, "my_counting",
+      StructType(Seq(StructField("tag", StringType), StructField("n", LongType))),
+      Seq(LongType), new ToyGens.CountingGen)
+    import spark.implicits._
+    (1L to 5L).toDF("x").coalesce(1).createOrReplaceTempView("term_in")
+    val got = spark.sql(
+      "SELECT tag, n FROM term_in LATERAL VIEW my_counting(x) g AS tag, n")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    got.count(_._1 == "row") shouldBe 5
+    got.filter(_._1 == "partition_total").map(_._2).toSeq shouldBe Seq(5L)
+    // built-in names protected
+    intercept[IllegalArgumentException] {
+      FunctionRegistration.registerGenerator(spark, "st_x",
+        StructType(Seq(StructField("a", LongType))), Seq(LongType),
+        ToyGens.Chars)
+    }
+    // re-registration replaces (idempotent notebook cells)
+    FunctionRegistration.registerGenerator(spark, "my_regen",
+      StructType(Seq(StructField("v", StringType))), Seq(StringType),
+      ToyGens.Chars)
+    FunctionRegistration.registerGenerator(spark, "my_regen",
+      StructType(Seq(StructField("v", StringType))), Seq(StringType),
+      new UserGeneratorSpec {
+        def eval(args: Seq[Any]): IterableOnce[Any] = Seq("replaced")
+      })
+    spark.sql("SELECT my_regen('zz')").collect().map(_.getString(0)).toSeq shouldBe
+      Seq("replaced")
+    // declared-arity mismatch fails analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT my_regen('a', 'b')").collect()
+    }
+  }
 
   test("registerFunction: a typed user function is SQL- and DSL-callable (the HUDF extensibility twin)") {
     FunctionRegistration.registerFunction(spark, "my_triple",
