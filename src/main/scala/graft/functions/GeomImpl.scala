@@ -1059,14 +1059,29 @@ object GeomImpl {
     * xxhash64(slice(ws, i+1, n)))`, which does O(n) slice+hash work
     * PER POSITION (O(len·n) per doc — at the Lee-et-al. n = 50 that is
     * 50× the hash work the content requires). Per-word FNV-1a hashes
-    * combine under a degree-(n−1) polynomial in the FNV prime over
-    * Z/2⁶⁴ (the base is odd so multiplication is invertible — sliding
-    * subtracts the outgoing word's term exactly); hashing whole tokens
-    * first makes concatenation unambiguous ("ab c" vs "a bc" cannot
-    * collide structurally). Same 2⁻⁶⁴-collision contract as the slice
-    * spelling it replaces: a collision can only merge two grams' doc
-    * sets, and the string-keyed oracles stay hash-green at every
-    * verify sf. Empty output for docs shorter than n.
+    * are avalanched through the splitmix64 finalizer (so algebraic
+    * relations between similar tokens' FNV values don't survive into
+    * the combiner), then combine under a degree-(n−1) polynomial in
+    * the FNV prime over Z/2⁶⁴ (the base is odd so multiplication is
+    * invertible — sliding subtracts the outgoing word's term exactly);
+    * each emitted gram hash gets a second finalizer pass for output
+    * dispersion. Hashing whole tokens first makes concatenation
+    * unambiguous ("ab c" vs "a bc" cannot collide structurally).
+    *
+    * Collision contract, honestly stated: this is a ROLLING-hash
+    * trade, not the iid-2⁻⁶⁴ contract of xxhash64 over the joined
+    * slice — a fixed-base polynomial mod 2⁶⁴ has structured collision
+    * classes (word sequences whose mixed-hash polynomial difference
+    * vanishes), and the output finalizer disperses bits without
+    * removing state collisions. The mixed per-word inputs make such
+    * classes data-blind (constructing one requires solving for the
+    * finalizer preimages), random collisions stay ~2⁻⁶⁴, and the
+    * blast radius of any collision is bounded: it can only over-merge
+    * two grams' doc sets — one spurious ≥ n span excised — never
+    * corrupt unrelated rows; the string-keyed oracles re-derive every
+    * span from gram STRINGS and stay hash-green at every verify sf.
+    * Callers needing the full iid contract at O(len·n) cost keep the
+    * xxhash64(slice) spelling. Empty output for docs shorter than n.
     */
   def wordGramHashes(words: ArrayData, n: Int): ArrayData = {
     val len = words.numElements()
@@ -1076,7 +1091,7 @@ object GeomImpl {
     var i = 0
     while (i < len) {
       val w = words.getUTF8String(i)
-      wh(i) = if (w == null) 0x9e3779b97f4a7c15L else fnv64(w)
+      wh(i) = if (w == null) 0x9e3779b97f4a7c15L else mix64(fnv64(w))
       i += 1
     }
     var bn = 1L
@@ -1086,14 +1101,24 @@ object GeomImpl {
     var h = 0L
     i = 0
     while (i < n) { h = h * B + wh(i); i += 1 }
-    out(0) = h
+    out(0) = mix64(h)
     i = 1
     while (i <= len - n) {
       h = (h - wh(i - 1) * bn) * B + wh(i + n - 1)
-      out(i) = h
+      out(i) = mix64(h)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** splitmix64's finalizer (Steele et al., public domain) — full
+    * avalanche in three multiply/xor-shift rounds.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
   private def fnv64(s: UTF8String): Long = {

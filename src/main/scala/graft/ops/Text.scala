@@ -890,10 +890,15 @@ object Text {
     * substrings (each < minLen, possibly with different partner docs)
     * whose extents overlap or touch merge into one chain and are
     * excised together when the union reaches minLen — a suffix-array
-    * implementation would keep both; on real corpora such tangent
-    * duplicates are themselves boilerplate and excision is the
-    * intended outcome. Duplicates shorter than n stay invisible — the
-    * detection floor is n, exactly.
+    * implementation would keep both. Measured (TextSpec's
+    * tangent-merge fixture, n ∈ {5, 12}, minLen = 30): 100% of
+    * tangent-pair positions excise (two adjacent 20-word runs with
+    * different partner docs → the merged 40-word chain goes), 0% once
+    * even ONE word separates the runs — the artifact requires exact
+    * adjacency, so on real corpora it tracks templated boilerplate,
+    * where excision is the intended outcome anyway. Duplicates
+    * shorter than n stay invisible — the detection floor is n,
+    * exactly.
     *
     * Output: (idCol, n_words, n_removed, removed_frac, text_scrubbed).
     */

@@ -647,6 +647,44 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
       Text.scrubSpans(df, "id", "text", n = 5, minLen = 3)
   }
 
+  test("scrubSpans minLen tangent-merge: rate of the documented over-approximation at n=5 and n=12") {
+    import spark.implicits._
+    // the chain gate's one over-approximation, measured: two DISTINCT
+    // sub-minLen shared substrings (different partner docs) that sit
+    // ADJACENT in the host doc merge into one >= minLen chain and are
+    // excised together; one intervening word breaks the chain and both
+    // survive. A suffix-array implementation would keep the tangent
+    // pair — this pins the rate: 100% of tangent-pair positions, 0%
+    // once separated, identical at both detection widths.
+    val X = (1 to 20).map(i => s"x$i").mkString(" ")
+    val Y = (1 to 20).map(i => s"y$i").mkString(" ")
+    val T = (1 to 35).map(i => s"t$i").mkString(" ")
+    for (n <- Seq(5, 12)) withClue(s"n=$n") {
+      val df = Seq(
+        (1L, s"h1 $X $Y h2"),     // tangent pair: X immediately before Y
+        (2L, s"p1 p2 $X p3"),     // partner sharing only X (20 < 30)
+        (3L, s"q1 q2 $Y q3"),     // partner sharing only Y (20 < 30)
+        (4L, s"g1 $X gap $Y g2"), // one-word gap: chains stay separate
+        (5L, s"r1 $T r2"),        // a TRUE 35-word duplicate
+        (6L, s"s1 s2 $T s3")
+      ).toDF("id", "text")
+      val got = Text.scrubSpans(df, "id", "text", n = n, minLen = 30)
+        .orderBy("id").collect()
+      val removed = got.map(r => r.getAs[Long]("n_removed"))
+      // host: both sub-minLen runs excised (40 = the merged tangent
+      // chain); partners + gapped host: fully kept; true dup: exact 35
+      removed.toSeq shouldBe Seq(40L, 0L, 0L, 0L, 35L, 35L)
+      got(0).getAs[String]("text_scrubbed") shouldBe "h1 h2"
+      got(3).getAs[String]("text_scrubbed") shouldBe s"g1 $X gap $Y g2"
+      // the corpus-level false-excision rate this fixture pins: only
+      // the tangent chain's 40 words are false (no single >= minLen
+      // duplicate covers them)
+      val falseExcised = removed(0)
+      val rate = falseExcised.toDouble / removed.sum
+      rate shouldBe (40.0 / 110.0) +- 1e-9
+    }
+  }
+
   test("blocklistFlag: exact + dot-anchored subdomain semantics, ports ignored, lookalikes pass") {
     import spark.implicits._
     val urls = Seq(
