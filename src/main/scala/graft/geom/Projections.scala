@@ -1736,6 +1736,15 @@ object Projections {
       val i = c - 6669
       Some(s"+proj=tmerc +lat_0=${JprcsLat0(i)} +lon_0=${JprcsLon0(i)} " +
         "+k=0.9999 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
+    // JGD2000 / Japan Plane Rectangular CS zones I–XIX (r15): the SAME
+    // statutory series as the JGD2011 twins above — JGD2000 (ITRF94)
+    // and JGD2011 (ITRF2008) differ only by the post-Tōhoku crustal
+    // adjustment, zero at this registry's parameter precision, so both
+    // are null ties on GRS80 (sp_jprcs pins the twin ranges equal)
+    case c if c >= 2443 && c <= 2461 =>
+      val i = c - 2443
+      Some(s"+proj=tmerc +lat_0=${JprcsLat0(i)} +lon_0=${JprcsLon0(i)} " +
+        "+k=0.9999 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
     // SIRGAS 2000 / UTM (r12): the South-American national series —
     // 31965–31976 are zones 11N–22N, 31977–31985 zones 17S–25S
     // (Brazil's workhorses 31982/31983 = 22S/23S); GRS80, ITRF-aligned

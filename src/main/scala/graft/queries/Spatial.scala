@@ -899,6 +899,99 @@ object Spatial {
           abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** The JPRCS zones spJprcs routes through, per latitude band:
+    * (zone index 0-based, central meridian lon₀, origin latitude lat₀)
+    * sorted by lon₀ — mainland zones I–X over the Honshū/Kyūshū band,
+    * the island zones XVI/XV/XVII/XVIII/XIV over the southern band.
+    * Values are the published Survey-Act table (the same constants the
+    * registry holds — the oracle recomputes from THIS copy, so a
+    * registry typo fails the hash compare rather than hiding).
+    */
+  private val jprcsMainland: Seq[(Int, Double, Double)] = Seq(
+    (0, 129.5, 33.0), (1, 131.0, 33.0), (2, 132.16666666666666, 36.0),
+    (3, 133.5, 33.0), (4, 134.33333333333334, 36.0), (5, 136.0, 36.0),
+    (6, 137.16666666666666, 36.0), (7, 138.5, 36.0),
+    (8, 139.8333333333333, 36.0), (9, 140.83333333333334, 40.0))
+  private val jprcsSouth: Seq[(Int, Double, Double)] = Seq(
+    (15, 124.0, 26.0), (14, 127.5, 26.0), (16, 131.0, 26.0),
+    (17, 136.0, 20.0), (13, 142.0, 26.0))
+
+  /** Nearest-central-meridian selection over a lon₀-sorted zone table:
+    * one midpoint CASE — the Spark Column form and the SQL spelling
+    * are generated from the SAME table, so the decision boundaries
+    * cannot drift between engine and oracle.
+    */
+  private def jprcsPick(lon: Column, zones: Seq[(Int, Double, Double)],
+                        f: ((Int, Double, Double)) => Column): Column = {
+    val mids = zones.sliding(2).map {
+      case Seq((_, a, _), (_, b, _)) => (a + b) / 2.0 }.toSeq
+    zones.init.zip(mids).foldRight(f(zones.last)) {
+      case (((z, mid)), acc) => when(lon < mid, f(z)).otherwise(acc)
+    }
+  }
+  private def jprcsPickSql(zones: Seq[(Int, Double, Double)],
+                           f: ((Int, Double, Double)) => String): String = {
+    def dl(x: Double) = x.toString + "e0"
+    val mids = zones.sliding(2).map {
+      case Seq((_, a, _), (_, b, _)) => (a + b) / 2.0 }.toSeq
+    val whens = zones.init.zip(mids).map { case (z, mid) =>
+      s"WHEN lon < ${dl(mid)} THEN ${f(z)}" }.mkString(" ")
+    s"CASE $whens ELSE ${f(zones.last)} END"
+  }
+
+  /** JGD2000 Japan Plane Rectangular CS zones resolved BY EPSG CODE
+    * (r14 verdict task 7 — the statutory cadastral family, 2443–2461
+    * in the registry): points in the mainland band (lat ≥ 30: zones
+    * I–X) and the southern island band (lat 20–30: zones XVI, XV,
+    * XVII, XVIII, XIV) each project through the zone whose central
+    * meridian is nearest — deterministic midpoint arithmetic the
+    * oracle replays from the same table (the STATUTORY assignment is
+    * administrative, by prefecture; nearest-meridian is the standard
+    * service-window proxy, max Δλ ≈ 0.85° mainland / 3° islands).
+    * Unlike every other TM family in the suite, JPRCS has nonzero
+    * per-zone origin latitudes (33/36/40/26/20) with ZERO false
+    * origin, so the M₀ subtraction is exercised at k₀ = 0.9999 across
+    * five different lat₀ values. The JGD2011 twin series (6669–6687)
+    * must land the SAME grid coordinates — both datums are
+    * ITRF-aligned null ties on GRS80 — so `jgd2011_same` pins the two
+    * registry ranges against each other. rt_ok pins the inverse at
+    * < 1e-7° ≈ 1 cm.
+    */
+  def spJprcs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      // a JAPAN-SCOPED lattice (the global customer lattice's lon/lat
+      // congruence coupling leaves the Japan windows structurally
+      // empty below sf0.1): customers ≢ 0 mod 3 land on the mainland
+      // band (zones I-X), ≡ 0 on the southern island band
+      .withColumn("lon",
+        when(col("c_custkey") % 3 =!= 0,
+          lit(128.85) + (col("c_custkey") * 7 % 124) / lit(10.0))
+          .otherwise(lit(122.55) + (col("c_custkey") * 7 % 210) / lit(10.0)))
+      .withColumn("lat",
+        when(col("c_custkey") % 3 =!= 0,
+          lit(30.05) + (col("c_custkey") * 11 % 160) / lit(10.0))
+          .otherwise(lit(20.05) + (col("c_custkey") * 11 % 100) / lit(10.0)))
+      .withColumn("geom", st.makePoint(col("lon"), col("lat")))
+      .withColumn("zidx",
+        when(col("lat") >= 30.0,
+          jprcsPick(col("lon"), jprcsMainland, z => lit(z._1)))
+          .otherwise(jprcsPick(col("lon"), jprcsSouth, z => lit(z._1))))
+      .withColumn("epsg", col("zidx") + 2443)
+      .withColumn("crs", concat(lit("EPSG:"), col("epsg")))
+      .withColumn("crs11", concat(lit("EPSG:"), col("zidx") + 6669))
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs")))
+      .withColumn("p11", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs11")))
+      .withColumn("back", st.geomReproject(col("p"), col("crs"), lit("EPSG:4326")))
+      .select(
+        col("c_custkey"), col("epsg"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("p11")) - st.x(col("p"))) < 1e-9 &&
+          abs(st.y(col("p11")) - st.y(col("p"))) < 1e-9, 1).otherwise(0).as("jgd2011_same"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+          abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** US State Plane zones resolved BY EPSG CODE (the r10 registry
     * growth — the most-asked-for family the r9 table lacked):
     * California zone 5 (EPSG:26945, LCC-2SP), Texas Central
@@ -1141,6 +1234,7 @@ object Spatial {
     "sp_albers" -> spAlbers _,
     "sp_epsg" -> spEpsg _,
     "sp_mga" -> spMga _,
+    "sp_jprcs" -> spJprcs _,
     "sp_stateplane" -> spStatePlane _,
     "sp_stateplane27" -> spStatePlane27 _,
     "sp_datum" -> spDatum _,
@@ -1489,6 +1583,67 @@ object Spatial {
        |    + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0)) + 10000000.0, 1) AS northing,
        |  1 AS gda94_same, 1 AS rt_ok
        |FROM ml ORDER BY c_custkey""".stripMargin
+  }
+
+  /** spJprcs's replay: the TM 6th-order series (spUtmOracle's
+    * spelling) at the REGISTRY's JPRCS constants — per-zone lon₀
+    * lookup (the nearest-meridian CASE), shared lat₀ = 36 (M₀
+    * subtracted from the arc), k₀ = 0.9999, zero false origin.
+    * jgd2011_same replays as the literal 1 the twin-range equality
+    * must produce.
+    */
+  private val spJprcsOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    val ep2 = dlit((f * (2.0 - f)) / (1.0 - f * (2.0 - f)))
+    def arcOf(phi: String) =
+      s"6378137.0 * ((1.0 - $e2 / 4.0 - 3.0 * $e2 * $e2 / 64.0 - 5.0 * $e2 * $e2 * $e2 / 256.0) * ($phi)" +
+        s" - (3.0 * $e2 / 8.0 + 3.0 * $e2 * $e2 / 32.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(2.0 * ($phi))" +
+        s" + (15.0 * $e2 * $e2 / 256.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(4.0 * ($phi))" +
+        s" - (35.0 * $e2 * $e2 * $e2 / 3072.0) * sin(6.0 * ($phi)))"
+    def dl(x: Double) = x.toString + "e0"
+    def band(f: ((Int, Double, Double)) => String): String =
+      s"CASE WHEN lat >= 30.0 THEN ${jprcsPickSql(jprcsMainland, f)} " +
+        s"ELSE ${jprcsPickSql(jprcsSouth, f)} END"
+    val zidxSql = band(z => z._1.toString)
+    val lon0Sql = band(z => dl(z._2))
+    val lat0Sql = band(z => dl(z._3))
+    s"""WITH b AS (SELECT c_custkey,
+       |        CASE WHEN c_custkey % 3 <> 0
+       |             THEN 128.85 + ((c_custkey * 7) % 124) / 10.0
+       |             ELSE 122.55 + ((c_custkey * 7) % 210) / 10.0 END AS lon,
+       |        CASE WHEN c_custkey % 3 <> 0
+       |             THEN 30.05 + ((c_custkey * 11) % 160) / 10.0
+       |             ELSE 20.05 + ((c_custkey * 11) % 100) / 10.0 END AS lat
+       |      FROM customer),
+       |jz AS (SELECT c_custkey, lon, lat,
+       |        $zidxSql AS zidx,
+       |        $lon0Sql AS lon0,
+       |        $lat0Sql AS lat0
+       |      FROM b),
+       |jg AS (SELECT *, radians(lat) AS phi, sin(radians(lat)) AS sphi,
+       |        cos(radians(lat)) AS cphi, tan(radians(lat)) AS tphi,
+       |        cos(radians(lat)) * (radians(lon) - radians(lon0)) AS aa
+       |      FROM jz),
+       |jh AS (SELECT *,
+       |        6378137.0 / sqrt(1.0 - $e2 * sphi * sphi) AS nn,
+       |        tphi * tphi AS tt, $ep2 * cphi * cphi AS cc, aa * aa AS a2 FROM jg),
+       |ji AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM jh),
+       |jj AS (SELECT *, a3 * aa AS a4 FROM ji),
+       |jk AS (SELECT *, a4 * aa AS a5 FROM jj),
+       |jl AS (SELECT *, a5 * aa AS a6,
+       |        ${arcOf("phi")} AS mm,
+       |        ${arcOf("radians(lat0)")} AS m0
+       |      FROM jk)
+       |SELECT c_custkey, zidx + 2443 AS epsg,
+       |  round(0.9999 * nn * (aa + (1.0 - tt + cc) * a3 / 6.0
+       |    + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2) * a5 / 120.0), 1) AS easting,
+       |  round(0.9999 * (mm - m0 + ntan * (a2 / 2.0
+       |    + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
+       |    + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0)), 1) AS northing,
+       |  1 AS jgd2011_same, 1 AS rt_ok
+       |FROM jl ORDER BY c_custkey""".stripMargin
   }
 
   /** Three US State Plane zones replayed with the REGISTRY's constants:
@@ -2517,6 +2672,7 @@ object Spatial {
     "sp_albers" -> spAlbersOracle,
     "sp_epsg" -> spEpsgOracle,
     "sp_mga" -> spMgaOracle,
+    "sp_jprcs" -> spJprcsOracle,
     "sp_stateplane" -> spStatePlaneOracle,
     "sp_stateplane27" -> spStatePlane27Oracle,
     "sp_datum" -> spDatumOracle,

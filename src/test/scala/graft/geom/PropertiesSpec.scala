@@ -160,6 +160,9 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       // r12b: Japan zones I/V/X/XV/XIX, Korea, SIRGAS UTM, SVY21, ISN93
       6669 -> (129.8, 33.2), 6673 -> (134.2, 35.5), 6678 -> (141.0, 40.5),
       6683 -> (127.7, 26.2), 6687 -> (154.1, 26.1),
+      // r15: the JGD2000 twins of the JGD2011 zones above
+      2443 -> (129.8, 33.2), 2447 -> (134.2, 35.5), 2452 -> (141.0, 40.5),
+      2457 -> (127.7, 26.2), 2461 -> (154.1, 26.1),
       5179 -> (127.0, 37.5), 5186 -> (127.2, 37.5), 5188 -> (130.9, 37.5),
       31965 -> (-117.0, 33.0), 31983 -> (-46.6, -23.5), 31985 -> (-33.5, -5.0),
       3414 -> (103.85, 1.3), 3057 -> (-19.0, 64.9))
@@ -222,6 +225,10 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     eIl27 shouldBe 500000.0 +- 1e-3 // NAD27 IL East FE in ftUS
     Projections.parseCrs("EPSG:32198").fromGeo(-70.0, 50.0) shouldBe
       Projections.parseCrs("EPSG:6622").fromGeo(-70.0, 50.0)
+    // JGD2000 zone IX must equal its JGD2011 twin exactly (both null
+    // ties on GRS80 — the sp_jprcs twin-range pin, spot-checked here)
+    Projections.parseCrs("EPSG:2451").fromGeo(139.7, 35.7) shouldBe
+      Projections.parseCrs("EPSG:6677").fromGeo(139.7, 35.7)
     val (eLaea, nLaea) = Projections.parseCrs("EPSG:3573").fromGeo(-100.0, 90.0)
     eLaea shouldBe 0.0 +- 1e-6 // Arctic LAEA Canada: the pole is the origin
     nLaea shouldBe 0.0 +- 1e-6
