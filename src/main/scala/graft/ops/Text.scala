@@ -1261,10 +1261,25 @@ object Text {
     * Returns the kept rows as (idCol, stratum, score, cutoff).
     */
   def adaptiveQualityFilter(df: DataFrame, idCol: String, textCol: String,
-                            strataCol: String, q: Double): DataFrame = {
+                            strataCol: String, q: Double): DataFrame =
+    adaptiveQualityFilterScored(
+      df.select(col(idCol), col(strataCol),
+        qualityScore(col(textCol)).as("score")),
+      idCol, strataCol, q)
+
+  /** [[adaptiveQualityFilter]] over an ALREADY-SCORED frame (idCol,
+    * strataCol, `score`) — the composed-recipe entry point: when the
+    * stratum label and the score are both expensive scans (language ID
+    * + the regex-heavy quality score in [[graft.queries.Pipeline.txLangCurate]]),
+    * the caller materializes the 3-column projection ONCE
+    * (localCheckpoint — corpus-sized but narrow) and the two passes
+    * here, plus any downstream mixture recomputation, read the
+    * materialized rows instead of re-running the scoring scan per pass
+    * (measured: the recompute spelling was 14.6 s vs 2.5 s at sf0.1).
+    */
+  def adaptiveQualityFilterScored(scored: DataFrame, idCol: String,
+                                  strataCol: String, q: Double): DataFrame = {
     require(q > 0.0 && q < 1.0, s"quantile q=$q must be in (0,1)")
-    val scored = df.select(col(idCol), col(strataCol),
-      qualityScore(col(textCol)).as("score"))
     // null scores (null text) are excluded from the histogram — Spark's
     // window default is NULLS FIRST, an external engine's is NULLS LAST,
     // so letting nulls into the cumulative counts would give the two
