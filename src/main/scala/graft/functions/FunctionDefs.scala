@@ -173,7 +173,8 @@ object FunctionDefs {
     "ivf_probes"        -> f("ivfProbes", ArrayType(I), ArrayType(D), ArrayType(ArrayType(D)), I),
     "bloom_contains"    -> f("bloomContains", B, Bin, L, I),
     "nfc_normalize"     -> f("nfcNormalize", S, S),
-    "nfkc_normalize"    -> f("nfkcNormalize", S, S)
+    "nfkc_normalize"    -> f("nfkcNormalize", S, S),
+    "fix_mojibake"      -> f("fixMojibake", S, S) // graft extension (ftfy-style encoding repair)
   )
 
   val byName: Map[String, Seq[FnSpec]] = defs.toMap

@@ -523,6 +523,144 @@ object GeomImpl {
     UTF8String.fromString(java.text.Normalizer.normalize(
       s.toString, java.text.Normalizer.Form.NFKC))
 
+  /** Mojibake repair (the ftfy `fix_encoding` core): reverses the
+    * classic crawl corruption where UTF-8 bytes were misdecoded as
+    * cp1252/latin-1 — "Ã©" → "é", "â€™" → "'", and the double-encoded
+    * "ÃƒÂ©" → "é" (iterated to a fixpoint, ≤ 3 passes). The repair is
+    * attempted PER WHITESPACE-DELIMITED TOKEN (ASCII separators ≤ 0x20
+    * cannot occur inside a UTF-8 multi-byte sequence), so a document
+    * that mixes singly- and doubly-corrupted fragments heals fragment
+    * by fragment — a whole-string pass would deadlock on the mixture,
+    * because the already-repaired half no longer survives a strict
+    * re-decode. A token is rewritten ONLY when the full reversal
+    * succeeds: every char re-encodes to one cp1252 byte (latin-1
+    * passthrough for the five bytes cp1252 leaves undefined) AND the
+    * byte string strict-decodes as valid UTF-8 (overlongs, lone leads,
+    * bare continuations, surrogates and > U+10FFFF all reject). Plain
+    * ASCII, genuine non-Latin text (unmappable chars) and lone
+    * cp1252-range chars ("Ã" by itself is not valid UTF-8) pass
+    * through untouched; like ftfy, a text that was MEANT to spell a
+    * valid-UTF-8 byte sequence such as "Ã©" is indistinguishable from
+    * corruption and repairs — the accepted false-positive class.
+    */
+  def fixMojibake(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: nothing above ASCII, nothing to repair
+    var hasHigh = false
+    var i = 0
+    while (i < str.length && !hasHigh) {
+      if (str.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return s
+    val out = new java.lang.StringBuilder(str.length)
+    i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c <= ' ') { out.append(c); i += 1 }
+      else {
+        var j = i
+        while (j < str.length && str.charAt(j) > ' ') j += 1
+        out.append(fixToken(str.substring(i, j)))
+        i = j
+      }
+    }
+    val fixed = out.toString
+    if (fixed == str) s else UTF8String.fromString(fixed)
+  }
+
+  private def fixToken(tok: String): String = {
+    var cur = tok
+    var pass = 0
+    while (pass < 3) {
+      val dec = mojibakeReverse(cur)
+      if (dec == null || dec == cur) return cur
+      cur = dec
+      pass += 1
+    }
+    cur
+  }
+
+  /** One reversal pass: cp1252-encode (null if any char unmappable or
+    * the token is pure ASCII) then strict UTF-8 decode (null if
+    * invalid). */
+  private def mojibakeReverse(tok: String): String = {
+    val n = tok.length
+    val bytes = new Array[Byte](n)
+    var high = false
+    var i = 0
+    while (i < n) {
+      val b = cp1252Byte(tok.charAt(i))
+      if (b < 0) return null
+      if (b >= 0x80) high = true
+      bytes(i) = b.toByte
+      i += 1
+    }
+    if (!high) return null
+    strictUtf8(bytes)
+  }
+
+  /** char → cp1252 byte, latin-1 passthrough for 0x81/8D/8F/90/9D
+    * (cp1252-undefined, decoded by lenient decoders as C1 controls);
+    * -1 = unmappable. */
+  private def cp1252Byte(c: Char): Int =
+    if (c <= 0xFF) c.toInt
+    else c match {
+      case '€' => 0x80; case '‚' => 0x82; case 'ƒ' => 0x83
+      case '„' => 0x84; case '…' => 0x85; case '†' => 0x86
+      case '‡' => 0x87; case 'ˆ' => 0x88; case '‰' => 0x89
+      case 'Š' => 0x8A; case '‹' => 0x8B; case 'Œ' => 0x8C
+      case 'Ž' => 0x8E; case '‘' => 0x91; case '’' => 0x92
+      case '“' => 0x93; case '”' => 0x94; case '•' => 0x95
+      case '–' => 0x96; case '—' => 0x97; case '˜' => 0x98
+      case '™' => 0x99; case 'š' => 0x9A; case '›' => 0x9B
+      case 'œ' => 0x9C; case 'ž' => 0x9E; case 'Ÿ' => 0x9F
+      case _ => -1
+    }
+
+  /** Strict UTF-8 decode: null on ANY malformation — lone lead, bare
+    * continuation, truncation, overlong encoding, surrogate code
+    * point, or > U+10FFFF. Strictness is the false-positive guard:
+    * only byte strings a real UTF-8 encoder could have produced are
+    * accepted as evidence of misdecoding. */
+  private def strictUtf8(b: Array[Byte]): String = {
+    val n = b.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val b0 = b(i) & 0xFF
+      if (b0 < 0x80) { sb.append(b0.toChar); i += 1 }
+      else if (b0 < 0xC2) return null // bare continuation or overlong lead C0/C1
+      else if (b0 < 0xE0) { // 2-byte
+        if (i + 1 >= n) return null
+        val b1 = b(i + 1) & 0xFF
+        if (b1 < 0x80 || b1 > 0xBF) return null
+        sb.append((((b0 & 0x1F) << 6) | (b1 & 0x3F)).toChar)
+        i += 2
+      } else if (b0 < 0xF0) { // 3-byte
+        if (i + 2 >= n) return null
+        val b1 = b(i + 1) & 0xFF; val b2 = b(i + 2) & 0xFF
+        if (b1 < 0x80 || b1 > 0xBF || b2 < 0x80 || b2 > 0xBF) return null
+        val cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+        if (cp < 0x800) return null // overlong
+        if (cp >= 0xD800 && cp <= 0xDFFF) return null // surrogate
+        sb.append(cp.toChar)
+        i += 3
+      } else if (b0 < 0xF5) { // 4-byte
+        if (i + 3 >= n) return null
+        val b1 = b(i + 1) & 0xFF; val b2 = b(i + 2) & 0xFF; val b3 = b(i + 3) & 0xFF
+        if (b1 < 0x80 || b1 > 0xBF || b2 < 0x80 || b2 > 0xBF ||
+            b3 < 0x80 || b3 > 0xBF) return null
+        val cp = ((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12) |
+          ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+        if (cp < 0x10000 || cp > 0x10FFFF) return null // overlong / out of range
+        sb.appendCodePoint(cp)
+        i += 4
+      } else return null // F5-FF: out of Unicode range
+    }
+    sb.toString
+  }
+
   /** Count of [A-Za-z0-9 ] characters — the codegen'd one-byte-pass twin
     * of `length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))`: the class is
     * pure ASCII so every matching character is exactly one UTF-8 byte,

@@ -1745,6 +1745,22 @@ object Projections {
       val i = c - 2443
       Some(s"+proj=tmerc +lat_0=${JprcsLat0(i)} +lon_0=${JprcsLon0(i)} " +
         "+k=0.9999 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
+    // CGCS2000 / Gauss-Krüger (r15): China's national TM series on the
+    // CGCS2000 ellipsoid (a = 6378137, 1/f = 298.257222101 — GRS80 at
+    // this registry's parameter precision; ITRF-aligned, so a null
+    // tie). Both families carry the ZONE-PREFIXED false easting
+    // zone·10⁶ + 500000 at k₀ = 1, lat₀ = 0 — the Gauss-Krüger
+    // signature that distinguishes them from UTM. 4491–4501 are the
+    // 6° zones 13–23 (CM 75°E…135°E = 6n−3); 4513–4533 the 3° zones
+    // 25–45 (CM 75°E…135°E = 3m).
+    case c if c >= 4491 && c <= 4501 =>
+      val n = c - 4491 + 13
+      Some(s"+proj=tmerc +lat_0=0 +lon_0=${6 * n - 3} +k=1 " +
+        s"+x_0=${n * 1000000 + 500000} +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
+    case c if c >= 4513 && c <= 4533 =>
+      val m = c - 4513 + 25
+      Some(s"+proj=tmerc +lat_0=0 +lon_0=${3 * m} +k=1 " +
+        s"+x_0=${m * 1000000 + 500000} +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
     // SIRGAS 2000 / UTM (r12): the South-American national series —
     // 31965–31976 are zones 11N–22N, 31977–31985 zones 17S–25S
     // (Brazil's workhorses 31982/31983 = 22S/23S); GRS80, ITRF-aligned
@@ -1787,6 +1803,7 @@ object Projections {
   private val EpsgSingles: Map[Int, String] = Map(
     // geographic CRSs on non-WGS84 datums
     4258 -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",  // ETRS89
+    4490 -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",  // CGCS2000
     4269 -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",  // NAD83
     4267 -> "+proj=longlat +ellps=clrk66 +towgs84=-8,160,176", // NAD27
     4277 -> ("+proj=longlat +ellps=airy " +
@@ -1942,7 +1959,8 @@ object Projections {
     ((25828 to 25838) ++ (26903 to 26923) ++ (26703 to 26722) ++
       (23028 to 23038) ++ (28349 to 28356) ++ (7846 to 7859) ++
       (31466 to 31469) ++ (32181 to 32197) ++ (6669 to 6687) ++
-      (31965 to 31985) ++ (5185 to 5188) ++ EpsgSingles.keys).sorted
+      (31965 to 31985) ++ (5185 to 5188) ++ (4491 to 4501) ++
+      (4513 to 4533) ++ (2443 to 2461) ++ EpsgSingles.keys).sorted
 
   // st_geomReproject evaluates per row but its CRS arguments are query
   // literals, so the handful of distinct strings per executor is memoized:
@@ -2009,7 +2027,7 @@ object Projections {
     case EpsgCodePattern(code) if epsgProj4(code.toInt).isDefined =>
       parseProj4(epsgProj4(code.toInt).get)
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:5514, EPSG:28992, EPSG:32601-32660, EPSG:32701-32760, a registry of common national-grid EPSG codes (UTM-based ETRS89/NAD83/NAD27/ED50/MGA series, OSGB/Irish/Polish/NZ/Japan TM grids, European/Canadian/Belgian LCC, polar LAEA/stere, EASE-Grid 2.0, World Mercator), and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sterea/krovak/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84 or an NTv2 +nadgrids=file.gsb)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:5514, EPSG:28992, EPSG:32601-32660, EPSG:32701-32760, a registry of common national-grid EPSG codes (UTM-based ETRS89/NAD83/NAD27/ED50/MGA series, OSGB/Irish/Polish/NZ/Japan TM grids, CGCS2000 Gauss-Krüger 6°/3° zones, European/Canadian/Belgian LCC, polar LAEA/stere, EASE-Grid 2.0, World Mercator), and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sterea/krovak/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84 or an NTv2 +nadgrids=file.gsb)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

@@ -1205,6 +1205,22 @@ object Text {
         round(-sum(log(col("__p"))), 4).as("nll"))
   }
 
+  // --------------------------------------------------- encoding repair
+
+  /** Mojibake repair (the ftfy `fix_encoding` core, run BEFORE any
+    * normalization or language ID): reverses UTF-8-misdecoded-as-
+    * cp1252/latin-1 corruption per whitespace-delimited token, iterated
+    * to a fixpoint so double-encoded fragments ("ÃƒÂ©") heal too. A
+    * token is rewritten only when the full reversal round-trips through
+    * a STRICT UTF-8 decode — plain ASCII, genuine non-Latin text and
+    * isolated cp1252-range characters pass through untouched. Pure
+    * codegen'd scan-side expression (native `fix_mojibake`,
+    * GeomImpl.fixMojibake): no shuffle, no UDF — at 100 TB this fuses
+    * into the ingest scan like [[scrubPii]].
+    */
+  def fixMojibake(text: Column): Column =
+    graft.functions.FunctionDefs.call("fix_mojibake", text)
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII patterns (public formats: simplified RFC-5322 email,
@@ -1428,23 +1444,25 @@ object Text {
       round(call("byte_entropy", t), 4).as("entropy_bits"))
   }
 
-  /** Deflate compression ratio (compressed/raw bytes) — the classic
-    * repetitive-content detector: boilerplate and templated spam
-    * compress far below prose. zlib output is deterministic for a fixed
-    * level but NOT SQL-replayable, so this signal is spec-verified
-    * (ordering + bounds), not oracle-verified; pure scan-side map.
+  /** Deflate compression ratio (compressed bytes / raw UTF-8 bytes) —
+    * the Gopher/RefinedWeb repetitive-content detector: boilerplate,
+    * template spam and repeated fragments compress far below prose
+    * (ratio → 0), while encrypted/binary junk doesn't compress at all
+    * (ratio → 1). One zlib pass per document on the scan side,
+    * composed from the native `st_deflate` codec (r15: the earlier
+    * Scala-UDF spelling replaced — native expressions stay inside
+    * whole-stage codegen and off the UDF serialization path); empty
+    * text → ratio 1.0, NULL → NULL. zlib output bytes are not
+    * SQL-replayable, so the `tx_compress` query is rows-only with the
+    * `tx_compress_check` invariants twin (roundtrip, worst-case bound,
+    * self-similarity) oracle-green; thresholding belongs to the caller
+    * (e.g. compose with [[adaptiveQualityFilter]]).
     */
   def compressionRatio(t: Column): Column = {
-    val f = udf { (s: String) =>
-      if (s == null) null.asInstanceOf[java.lang.Double]
-      else {
-        val raw = s.getBytes("UTF-8")
-        if (raw.isEmpty) java.lang.Double.valueOf(1.0)
-        else java.lang.Double.valueOf(
-          graft.geom.Deflate.compress(raw).length.toDouble / raw.length)
-      }
-    }
-    f(t)
+    val raw = octet_length(t)
+    val comp = octet_length(graft.functions.st.deflate(t.cast("binary")))
+    when(raw > 0, comp.cast("double") / raw.cast("double"))
+      .when(raw === 0, 1.0)
   }
 
   // ------------------------------------------- URL canonicalization

@@ -1175,6 +1175,98 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  // mojibake corruption tables — the Spark query plants the DIRTY forms
+  // and repairs them; the oracle plants the SAME dirty forms and the
+  // hand-derived CLEAN forms (the txNfkc pattern). Singles cycle through
+  // the latin-1 range (é ü ñ) AND the cp1252 0x80-0x9F punctuation range
+  // (“ ’ —, whose misdecodes contain € ™ œ — the reverse-map rows);
+  // doubles are the twice-misdecoded "ÃƒÂ©" class that needs fixpoint
+  // iteration.
+  private val mojiSingleDirty = Seq(
+    "Ã©", "Ã¼", "Ã±",             // Ã© Ã¼ Ã±
+    "â€œ", "â€™", "â€”") // â€œ â€™ â€”
+  private val mojiSingleClean = Seq(
+    "é", "ü", "ñ", "“", "’", "—") // é ü ñ “ ’ —
+  private val mojiDoubleDirty = Seq(
+    "ÃƒÂ©", "ÃƒÂ¼",
+    "ÃƒÂ±")                                 // ÃƒÂ© ÃƒÂ¼ ÃƒÂ±
+  private val mojiDoubleClean = Seq("é", "ü", "ñ")
+
+  /** Mojibake (encoding-corruption) repair over a deterministically
+    * corrupted corpus — the ftfy step real crawl curation runs before
+    * normalization or language ID: each ASCII doc gets TWO corrupted
+    * tokens appended — a SINGLE cp1252 misdecode (cycling by doc_id
+    * over the latin-1 letters AND the cp1252 punctuation range, so the
+    * 0x80-0x9F reverse map is exercised) and a DOUBLE misdecode (the
+    * "ÃƒÂ©" class, healed only by fixpoint iteration) — then the native
+    * `fix_mojibake` repairs both in one scan-side pass. DuckDB has no
+    * encoding repair, so the oracle rebuilds the EXPECTED healed text
+    * from the same planted formula with the original characters spelled
+    * literally (valid because ASCII corpus text is repair-invariant and
+    * the space boundary makes each corruption an independent token);
+    * md5 equality certifies the repair byte-for-byte on every row.
+    */
+  def txMojibake(s: SparkSession, dir: String): DataFrame = {
+    def sqlElt(n: Int, vals: Seq[String]): String =
+      s"elt(cast(doc_id % $n + 1 as int), " +
+        vals.map(v => s"'$v'").mkString(", ") + ")"
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+    val dirty = concat(col("text"), lit(" "),
+      expr(sqlElt(6, mojiSingleDirty)), lit(" "),
+      expr(sqlElt(3, mojiDoubleDirty)))
+    val fixed = Text.fixMojibake(dirty)
+    docs.select(col("doc_id"),
+        length(dirty).cast("int").as("len_raw"),
+        length(fixed).cast("int").as("len_fixed"),
+        md5(fixed.cast("binary")).as("fixed_md5"),
+        when(fixed =!= dirty, 1).otherwise(0).as("changed"))
+      .orderBy("doc_id")
+  }
+
+  /** Compression-ratio quality signal (Gopher/RefinedWeb): one zlib
+    * deflate pass per document on the scan side; low ratios flag
+    * template/boilerplate spam, ratios near 1 flag binary junk. zlib
+    * output bytes are not SQL-expressible, so this entry is rows-only;
+    * `tx_compress_check` is its hash-green value-check twin.
+    */
+  def txCompress(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("int").as("bytes_raw"),
+        octet_length(graft.functions.st.deflate(col("text").cast("binary")))
+          .cast("int").as("bytes_deflate"),
+        round(Text.compressionRatio(col("text")), 4).as("ratio"))
+      .orderBy("doc_id")
+
+  /** Value-check twin for `tx_compress`: per-row invariants of a
+    * CORRECT deflate that SQL can certify without a zlib — (1)
+    * roundtrip: inflate(deflate(text)) restores the exact bytes (md5
+    * compared inside the engine, emitted as a flag); (2) bound: a
+    * 2000-char prefix never inflates past raw + 64 bytes (zlib's
+    * stored-block worst case + wrapper); (3) self-similarity: deflating
+    * the prefix CONCATENATED WITH ITSELF costs < 64 bytes more than the
+    * prefix alone (the second copy is one back-reference — this is the
+    * property that makes the ratio a REPETITION signal); (4) a
+    * 100×-repeated phrase compresses below 200 bytes. Every flag must
+    * be the literal 1 the oracle emits.
+    */
+  def txCompressCheck(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.functions.st.deflate _
+    val x = substring(col("text"), 1, 2000)
+    val xb = x.cast("binary")
+    val dx = octet_length(d(xb))
+    val dxx = octet_length(d(concat(x, x).cast("binary")))
+    val rep = octet_length(d(lit("the quick brown fox " * 100).cast("binary")))
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(md5(graft.functions.st.inflate(d(col("text").cast("binary"))))
+          === md5(col("text").cast("binary")), 1).otherwise(0).as("rt_ok"),
+        when(dx <= octet_length(xb) + 64, 1).otherwise(0).as("bound_ok"),
+        when(dxx < dx + 64, 1).otherwise(0).as("double_ok"),
+        when(rep < 200, 1).otherwise(0).as("rep_ok"))
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy source-label canonicalization: delete one deterministic char
     * from every doc's source tag, then re-match it against the distinct
     * source dictionary by minimum edit distance (lexicographic
@@ -2025,6 +2117,9 @@ object Pipeline {
     "tx_decontam_vec" -> txDecontamVec _,
     "tx_nfc" -> txNfc _,
     "tx_nfkc" -> txNfkc _,
+    "tx_mojibake" -> txMojibake _,
+    "tx_compress" -> txCompress _,
+    "tx_compress_check" -> txCompressCheck _,
     "tx_fuzzy" -> txFuzzy _,
     "tx_dsir" -> txDsir _,
     "tx_perplexity" -> txPerplexity _,
@@ -4062,6 +4157,32 @@ object Pipeline {
         |  length(norm)::INT AS len_nfkc, md5(norm) AS nfkc_md5,
         |  1 AS changed
         |FROM t ORDER BY doc_id""".stripMargin,
+    // DuckDB has no encoding repair — the oracle plants the SAME dirty
+    // mojibake forms from the shared tables and rebuilds the EXPECTED
+    // healed text with the clean characters spelled literally (ASCII
+    // corpus text is repair-invariant; each corruption is its own
+    // space-delimited token); md5 certifies the repair per row
+    "tx_mojibake" -> {
+      def kase(n: Int, vals: Seq[String]): String =
+        s"CASE (doc_id % $n)::INT " + vals.zipWithIndex.map {
+          case (v, i) => s"WHEN $i THEN '$v'" }.mkString(" ") + " END"
+      s"""WITH t AS (SELECT doc_id,
+         |    text || ' ' || ${kase(6, mojiSingleDirty)}
+         |         || ' ' || ${kase(3, mojiDoubleDirty)} AS dirty,
+         |    text || ' ' || ${kase(6, mojiSingleClean)}
+         |         || ' ' || ${kase(3, mojiDoubleClean)} AS clean
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT doc_id, length(dirty)::INT AS len_raw,
+         |  length(clean)::INT AS len_fixed, md5(clean) AS fixed_md5,
+         |  CASE WHEN clean <> dirty THEN 1 ELSE 0 END AS changed
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+    // tx_compress is rows-only (zlib bytes aren't SQL-expressible);
+    // this twin's invariants must all be the literal 1
+    "tx_compress_check" ->
+      """SELECT doc_id, 1 AS rt_ok, 1 AS bound_ok, 1 AS double_ok,
+        |  1 AS rep_ok
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     // same textbook Levenshtein DP in both engines — integer distances;
     // argmin tie-break is (dist, entry) lexicographic on ASCII labels
     "tx_fuzzy" ->

@@ -992,6 +992,48 @@ object Spatial {
           abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** CGCS2000 Gauss-Krüger zones resolved BY EPSG CODE (r15 registry
+    * growth — China's national TM series, whose ZONE-PREFIXED false
+    * easting zone·10⁶ + 500000 at k₀ = 1 is the Gauss-Krüger signature
+    * UTM lacks): a China-scoped customer lattice projects through BOTH
+    * families — the 6° zones (4491–4501, n = ⌊lon/6⌋+1, CM 6n−3) and
+    * the 3° zones (4513–4533, m = ⌊lon/3 + ½⌋, CM 3m) — each BY CODE.
+    * Where a point's 3° central meridian coincides with its 6° one
+    * (m = 2n−1, every other 3° belt) the two grids are the SAME
+    * projection under different zone prefixes, so the northings must
+    * agree bit-for-bit and the eastings must differ by EXACTLY
+    * (m−n)·10⁶ — the cross-family pin `prefix_ok` (an affine-prefix
+    * error in either family's registry row fails it). rt_ok pins the
+    * 6°-grid inverse at < 1e-7° ≈ 1 cm.
+    */
+  def spCgcs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .withColumn("lon", lit(73.65) + (col("c_custkey") * 7 % 610) / lit(10.0))
+      .withColumn("lat", lit(18.25) + (col("c_custkey") * 11 % 350) / lit(10.0))
+      .withColumn("geom", st.makePoint(col("lon"), col("lat")))
+      .withColumn("n6", (floor(col("lon") / 6.0) + 1).cast("int"))
+      .withColumn("m3", floor(col("lon") / 3.0 + 0.5).cast("int"))
+      .withColumn("epsg6", col("n6") + 4478)
+      .withColumn("epsg3", col("m3") + 4488)
+      .withColumn("crs6", concat(lit("EPSG:"), col("epsg6")))
+      .withColumn("crs3", concat(lit("EPSG:"), col("epsg3")))
+      .withColumn("p6", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs6")))
+      .withColumn("p3", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs3")))
+      .withColumn("back", st.geomReproject(col("p6"), col("crs6"), lit("EPSG:4326")))
+      .withColumn("same_cm", when(col("m3") === col("n6") * 2 - 1, 1).otherwise(0))
+      .select(
+        col("c_custkey"), col("epsg6"), col("epsg3"), col("same_cm"),
+        round(st.x(col("p6")), 1).as("easting"),
+        round(st.y(col("p6")), 1).as("northing"),
+        when(col("same_cm") === 0 ||
+          (abs(st.x(col("p3")) - st.x(col("p6")) -
+            (col("m3") - col("n6")).cast("double") * 1e6) < 1e-6 &&
+           abs(st.y(col("p3")) - st.y(col("p6"))) < 1e-9), 1)
+          .otherwise(0).as("prefix_ok"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
+          abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** US State Plane zones resolved BY EPSG CODE (the r10 registry
     * growth — the most-asked-for family the r9 table lacked):
     * California zone 5 (EPSG:26945, LCC-2SP), Texas Central
@@ -1235,6 +1277,7 @@ object Spatial {
     "sp_epsg" -> spEpsg _,
     "sp_mga" -> spMga _,
     "sp_jprcs" -> spJprcs _,
+    "sp_cgcs" -> spCgcs _,
     "sp_stateplane" -> spStatePlane _,
     "sp_stateplane27" -> spStatePlane27 _,
     "sp_datum" -> spDatum _,
@@ -1644,6 +1687,53 @@ object Spatial {
        |    + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0)), 1) AS northing,
        |  1 AS jgd2011_same, 1 AS rt_ok
        |FROM jl ORDER BY c_custkey""".stripMargin
+  }
+
+  /** spCgcs's replay: the TM 6th-order series (spUtmOracle's spelling)
+    * at the registry's CGCS2000 Gauss-Krüger constants, with the zone
+    * arithmetic in SQL — n = ⌊lon/6⌋+1, lon₀ = 6n−3,
+    * FE = n·10⁶ + 500000 (the zone prefix), k₀ = 1, lat₀ = 0 (the M₀
+    * term vanishes). same_cm replays the m = 2n−1 parity; prefix_ok
+    * and rt_ok replay as the literal 1 the cross-family and roundtrip
+    * pins must produce.
+    */
+  private val spCgcsOracle: String = {
+    val f = 1.0 / 298.257223563
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val e2 = dlit(f * (2.0 - f))
+    val ep2 = dlit((f * (2.0 - f)) / (1.0 - f * (2.0 - f)))
+    def arcOf(phi: String) =
+      s"6378137.0 * ((1.0 - $e2 / 4.0 - 3.0 * $e2 * $e2 / 64.0 - 5.0 * $e2 * $e2 * $e2 / 256.0) * ($phi)" +
+        s" - (3.0 * $e2 / 8.0 + 3.0 * $e2 * $e2 / 32.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(2.0 * ($phi))" +
+        s" + (15.0 * $e2 * $e2 / 256.0 + 45.0 * $e2 * $e2 * $e2 / 1024.0) * sin(4.0 * ($phi))" +
+        s" - (35.0 * $e2 * $e2 * $e2 / 3072.0) * sin(6.0 * ($phi)))"
+    s"""WITH b AS (SELECT c_custkey,
+       |        73.65 + ((c_custkey * 7) % 610) / 10.0 AS lon,
+       |        18.25 + ((c_custkey * 11) % 350) / 10.0 AS lat
+       |      FROM customer),
+       |cz AS (SELECT c_custkey, lon, lat,
+       |        (floor(lon / 6.0))::INT + 1 AS n6,
+       |        (floor(lon / 3.0 + 0.5))::INT AS m3 FROM b),
+       |cg AS (SELECT *, radians(lat) AS phi, sin(radians(lat)) AS sphi,
+       |        cos(radians(lat)) AS cphi, tan(radians(lat)) AS tphi,
+       |        cos(radians(lat)) * (radians(lon) - radians(6.0 * n6 - 3.0)) AS aa
+       |      FROM cz),
+       |ch AS (SELECT *,
+       |        6378137.0 / sqrt(1.0 - $e2 * sphi * sphi) AS nn,
+       |        tphi * tphi AS tt, $ep2 * cphi * cphi AS cc, aa * aa AS a2 FROM cg),
+       |ci AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM ch),
+       |cj AS (SELECT *, a3 * aa AS a4 FROM ci),
+       |ck AS (SELECT *, a4 * aa AS a5 FROM cj),
+       |cl AS (SELECT *, a5 * aa AS a6, ${arcOf("phi")} AS mm FROM ck)
+       |SELECT c_custkey, n6 + 4478 AS epsg6, m3 + 4488 AS epsg3,
+       |  CASE WHEN m3 = 2 * n6 - 1 THEN 1 ELSE 0 END AS same_cm,
+       |  round(n6 * 1000000.0 + 500000.0 + nn * (aa + (1.0 - tt + cc) * a3 / 6.0
+       |    + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2) * a5 / 120.0), 1) AS easting,
+       |  round(mm + ntan * (a2 / 2.0
+       |    + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
+       |    + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0), 1) AS northing,
+       |  1 AS prefix_ok, 1 AS rt_ok
+       |FROM cl ORDER BY c_custkey""".stripMargin
   }
 
   /** Three US State Plane zones replayed with the REGISTRY's constants:
@@ -2673,6 +2763,7 @@ object Spatial {
     "sp_epsg" -> spEpsgOracle,
     "sp_mga" -> spMgaOracle,
     "sp_jprcs" -> spJprcsOracle,
+    "sp_cgcs" -> spCgcsOracle,
     "sp_stateplane" -> spStatePlaneOracle,
     "sp_stateplane27" -> spStatePlane27Oracle,
     "sp_datum" -> spDatumOracle,

@@ -682,6 +682,35 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
+  test("sp_cgcs: dual-family by-code reprojection is pure projection — zero exchanges beyond the sort") {
+    val p = planOf("sp_cgcs")
+    val fin = p.split("== Initial Plan ==")(0)
+    withClue(s"sp_cgcs plan:\n$p") {
+      p.contains("Join") shouldBe false
+      p.contains("HashAggregate") shouldBe false
+      fin.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("Reused")) should be <= 1
+    }
+  }
+
+  test("tx_mojibake / tx_compress: repair and zlib signals are scan-fused native expressions — no UDF, no shuffle but the sort") {
+    Seq("tx_mojibake", "tx_compress", "tx_compress_check").foreach { q =>
+      val p = planOf(q)
+      val fin = p.split("== Initial Plan ==")(0)
+      withClue(s"$q plan:\n$p") {
+        // the r14 compressionRatio spelling was a Scala UDF — pin the
+        // regression out: native StaticInvoke stays in codegen, UDFs
+        // don't
+        p.contains("UDF") shouldBe false
+        p.contains("Join") shouldBe false
+        p.contains("HashAggregate") shouldBe false
+        p should include("*(") // WholeStageCodegen
+        fin.linesIterator.count(l =>
+          l.contains("Exchange") && !l.contains("Reused")) should be <= 1
+      }
+    }
+  }
+
   test("tx_blocklist: suffix probes are broadcast HASH joins — no list literal, no nested loop") {
     val p = planOf("tx_blocklist")
     withClue(s"tx_blocklist plan:\n$p") {

@@ -26,7 +26,7 @@ class SparkEntrySpec extends AnyFunSuite with SparkTestSession with Matchers {
     // (\*_full / \*_exhaustive / \*_recall) IS oracle-checked
     val rowsOnly = qs -- os
     withClue(s"rows-only queries: $rowsOnly") {
-      rowsOnly.size should be <= 14 // r10: + dd_lsh_index (twin: dd_lsh_index_check)
+      rowsOnly.size should be <= 15 // r15: + tx_compress (twin: tx_compress_check)
     }
   }
 

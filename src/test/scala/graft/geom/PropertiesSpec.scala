@@ -165,7 +165,12 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       2457 -> (127.7, 26.2), 2461 -> (154.1, 26.1),
       5179 -> (127.0, 37.5), 5186 -> (127.2, 37.5), 5188 -> (130.9, 37.5),
       31965 -> (-117.0, 33.0), 31983 -> (-46.6, -23.5), 31985 -> (-33.5, -5.0),
-      3414 -> (103.85, 1.3), 3057 -> (-19.0, 64.9))
+      3414 -> (103.85, 1.3), 3057 -> (-19.0, 64.9),
+      // r15: CGCS2000 Gauss-Krüger — 6° zones 13/19/23, 3° zones
+      // 25/40/45, and the geographic CRS
+      4491 -> (75.5, 40.0), 4497 -> (111.5, 35.0), 4501 -> (133.0, 46.0),
+      4513 -> (75.3, 39.0), 4528 -> (120.3, 31.0), 4533 -> (134.5, 46.0),
+      4490 -> (110.0, 35.0))
     for (code <- Projections.registeredEpsgCodes) {
       val byCode = Projections.parseCrs(s"EPSG:$code")
       val bare = Projections.parseCrs(code.toString)
@@ -184,6 +189,16 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     val (e32, n32) = Projections.parseCrs("EPSG:25832").fromGeo(9.0, 0.0)
     e32 shouldBe 500000.0 +- 1e-4 // UTM 32N false easting at its meridian
     n32 shouldBe 0.0 +- 1e-4
+    // r15: CGCS2000 Gauss-Krüger — the ZONE-PREFIXED false easting is
+    // the family's signature, so pin it at the central meridian for
+    // one zone of each family (6° zone 20, CM 117; 3° zone 39, CM 117):
+    // a pure roundtrip is self-consistent under any prefix and could
+    // not catch a wrong one (the r12 Quebec lesson)
+    val (eGk6, nGk6) = Projections.parseCrs("EPSG:4498").fromGeo(117.0, 0.0)
+    eGk6 shouldBe 20500000.0 +- 1e-4 // zone 20 prefix + 500 km
+    nGk6 shouldBe 0.0 +- 1e-4
+    val (eGk3, _) = Projections.parseCrs("EPSG:4527").fromGeo(117.0, 0.0)
+    eGk3 shouldBe 39500000.0 +- 1e-4 // 3° zone 39 prefix + 500 km
     val (eNz, nNz) = Projections.parseCrs("EPSG:2193").fromGeo(173.0, 0.0)
     eNz shouldBe 1600000.0 +- 1e-4 // NZTM origin
     nNz shouldBe 10000000.0 +- 1e-4

@@ -370,6 +370,81 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .collect().head.getString(0) shouldBe "plain ascii"
   }
 
+  test("fix_mojibake: heals single and double cp1252 misdecodes, leaves sound text alone") {
+    val spark0 = spark
+    import spark0.implicits._
+    // the LENIENT cp1252 decode real-world mojibake goes through
+    // (ftfy's "sloppy windows-1252": the five undefined bytes decode
+    // to their C1 controls). Java's own windows-1252 charset maps them
+    // to U+FFFD, which destroys the byte and makes the corruption
+    // unrecoverable by construction — not the class this op reverses.
+    val cp1252Hi =
+      "€\u0081‚ƒ„…†‡ˆ‰Š‹Œ\u008DŽ\u008F" +
+      "\u0090‘’“”•–—˜™š›œ\u009DžŸ"
+    def lenient1252(bytes: Array[Byte]): String = bytes.map { b =>
+      val u = b & 0xFF
+      if (u >= 0x80 && u <= 0x9F) cp1252Hi.charAt(u - 0x80) else u.toChar
+    }.mkString
+    def moji(s: String, times: Int): String =
+      (1 to times).foldLeft(s)((t, _) => lenient1252(t.getBytes("UTF-8")))
+    def fix(in: String): String =
+      Seq(in).toDF("s")
+        .select(graft.functions.FunctionDefs.call("fix_mojibake", col("s")))
+        .collect().head.getString(0)
+
+    val clean = "café résumé — “naïve” ’quoted’ €5"
+    fix(moji(clean, 1)) shouldBe clean                   // classic Ã©-class
+    fix(moji(clean, 2)) shouldBe clean                   // double-encoded ÃƒÂ©-class
+    // mixed corruption depths in ONE string heal per token (a
+    // whole-string pass would reject the already-sound half)
+    fix(moji("déjà", 1) + " " + moji("vu…", 2)) shouldBe "déjà vu…"
+    // sound text is untouched: ASCII, genuine accents, non-Latin
+    // scripts (unmappable to cp1252), isolated cp1252-range chars
+    // (not valid UTF-8 bytes), and pre-healed output (idempotence)
+    Seq("plain ascii text", clean, "Ελλάδα 中文",
+        "Ã alone", "AéB").foreach { s =>
+      withClue(s)(fix(s) shouldBe s)
+    }
+    fix(fix(moji(clean, 2))) shouldBe clean
+    // the cp1252-undefined bytes (0x81/8D/8F/90/9D) take the latin-1
+    // C1-control fallback: U+009D encodes to 0x9D, so the misdecoded
+    // RIGHT DOUBLE QUOTATION MARK (E2 80 9D) still heals
+    fix("â€\u009D") shouldBe "”"
+    // ...while the TRUNCATED two-char prefix is not valid UTF-8 and
+    // must stay untouched
+    fix("â€") shouldBe "â€"
+    // resolves through the SQL registry
+    spark.sql("SELECT fix_mojibake('ascii') AS n")
+      .collect().head.getString(0) shouldBe "ascii"
+  }
+
+  test("compressionRatio: repetition compresses below prose, junk stays near 1, roundtrip is exact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val prose = "the quality of mercy is not strained it droppeth as the gentle rain " * 8
+    val spam = "buy now " * 64
+    val junk = { // seeded → deterministic; ~6.5 bits/char defeats zlib
+      val r = new scala.util.Random(42)
+      (0 until 512).map(_ => r.nextPrintableChar()).mkString
+    }
+    val df = Seq(("prose", prose), ("spam", spam), ("junk", junk)).toDF("k", "t")
+      .select(col("k"), Text.compressionRatio(col("t")).as("r"))
+    val r = df.collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r("spam") should be < r("prose")
+    r("prose") should be < r("junk")
+    r("junk") should be > 0.5
+    r("spam") should be < 0.1
+    // inflate(deflate(x)) restores the exact bytes
+    val rt = Seq(prose).toDF("t").select(
+      graft.functions.st.inflate(
+        graft.functions.st.deflate(col("t").cast("binary"))).cast("string"))
+      .collect().head.getString(0)
+    rt shouldBe prose
+    // NULL-safe + empty-text contract
+    Seq("").toDF("t").select(Text.compressionRatio(col("t")))
+      .collect().head.getDouble(0) shouldBe 1.0
+  }
+
   test("decontaminate: flags exactly the train docs sharing an n-gram with the eval set") {
     val evalSet = docs(100L -> "alpha beta gamma delta")
     val train = docs(
