@@ -53,4 +53,57 @@ object Graph {
     }
     ranks.select(col("__v").as("node"), col("__p").as("rank"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, the deterministic variant) — the third graph primitive of
+    * the curation battery: [[Dedup.connectedComponents]] answers
+    * reachability, [[pageRank]] answers authority, LPA answers
+    * COMMUNITY — link farms, mirror rings and template families show
+    * up as dense host clusters long before they merge into one
+    * component. Every node starts labeled with itself; each round,
+    * every node adopts the most frequent label among its neighbors
+    * (undirected view of the edge list, parallel edges vote with their
+    * multiplicity), breaking count ties by SMALLEST label — the total
+    * order that makes sync LPA deterministic and an external engine
+    * replay it bit-for-bit (classic async LPA is run-order dependent
+    * by construction). Fixed `iters` rounds, no convergence test: the
+    * caller picks the horizon, and k rounds bound community diameter
+    * by k hops — the right contract for a replayable pipeline stage.
+    *
+    * Scale shape per round: one |E|-keyed equi-join (labels onto edge
+    * targets), a partial-aggregated (node, label) count, and a
+    * min-struct argmax per node — state never exceeds |V| rows, work
+    * never exceeds |E| rows, nothing quadratic anywhere. Lineage is
+    * cut with localCheckpoint every `checkpointEvery` rounds (the
+    * [[pageRank]]/connectedComponents discipline).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int, checkpointEvery: Int = 10): DataFrame = {
+    require(iters >= 1, s"iters $iters must be >= 1")
+    val e0 = edges.select(col(srcCol).as("__s"), col(dstCol).as("__t"))
+    val und = e0.union(e0.select(col("__t").as("__s"), col("__s").as("__t")))
+    val nodes = und.select(col("__s").as("__v")).distinct()
+    var labels = nodes.select(col("__v"), col("__v").as("__l"))
+    for (i <- 1 to iters) {
+      val votes = und.join(labels, und("__t") === labels("__v"))
+        .groupBy(col("__s"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax(count desc, label asc) as ONE aggregate: min over
+      // (-count, label) struct — no window, so the per-node state is a
+      // single struct and the aggregation combines map-side
+      val winners = votes.groupBy(col("__s"))
+        .agg(min(struct((-col("__c")).as("nc"), col("__l").as("l"))).as("__w"))
+        .select(col("__s").as("__v"), col("__w").getField("l").as("__l"))
+      // every node of the undirected view has >= 1 neighbor, but keep
+      // the left join so externally-supplied isolated vertices (a
+      // nodes-with-no-edges frame unioned in by a caller) keep their
+      // own label instead of vanishing
+      labels = nodes.join(winners.withColumnRenamed("__v", "__wv"),
+          nodes("__v") === col("__wv"), "left")
+        .select(col("__v"), coalesce(col("__l"), col("__v")).as("__l"))
+      if (i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint(eager = true)
+    }
+    labels.select(col("__v").as("node"), col("__l").as("label"))
+  }
 }

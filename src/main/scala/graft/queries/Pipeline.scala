@@ -1782,6 +1782,25 @@ object Pipeline {
       .orderBy("node")
   }
 
+  /** Label-propagation communities over the same consecutive-doc host
+    * graph `gr_pagerank` ranks: three deterministic synchronous rounds
+    * (majority neighbor label, count ties to the SMALLEST label), every
+    * round replayed in SQL by the oracle as a count + row_number
+    * argmax — integer votes and a total tie order make the replay
+    * exact. Community detection is the curation lens PageRank lacks:
+    * authority says WHO to trust, communities say which hosts move
+    * together (link farms, mirror rings).
+    */
+  def grLpa(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source")
+    val edges = docs.as("a").join(docs.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 &&
+          col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("src"), col("b.source").as("dst"))
+    Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .orderBy("node")
+  }
+
   private val evolveReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Schema evolution: a v1 batch (doc_id, source) and a v2 batch that
@@ -2159,6 +2178,7 @@ object Pipeline {
     "src_merge" -> srcMerge _,
     "src_evolve" -> srcEvolve _,
     "gr_pagerank" -> grPagerank _,
+    "gr_lpa" -> grLpa _,
     "src_compact" -> srcCompact _,
     "tx_entropy" -> txEntropy _,
     "tx_probe" -> txProbe _,
@@ -5214,6 +5234,32 @@ object Pipeline {
         |        + 0.85 * coalesce(c3.c, 0) AS p
         |      FROM nodes LEFT JOIN c3 ON nodes.v = c3.v)
         |SELECT v AS node, round(p, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+    // three synchronous LPA rounds unrolled: per round, a (node, label)
+    // neighbor-vote count and a row_number argmax ordered
+    // (count DESC, label ASC) — the same total order the engine's
+    // min(struct(-count, label)) aggregate encodes
+    "gr_lpa" ->
+      """WITH e0 AS (SELECT a.source AS s, b.source AS t
+        |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |      WHERE a.source != b.source),
+        |e AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+        |lab0 AS (SELECT DISTINCT s AS v, s AS lbl FROM e),
+        |v1 AS (SELECT e.s AS v, l.lbl, count(*) AS c
+        |      FROM e JOIN lab0 l ON e.t = l.v GROUP BY 1, 2),
+        |lab1 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+        |      FROM v1) WHERE rn = 1),
+        |v2 AS (SELECT e.s AS v, l.lbl, count(*) AS c
+        |      FROM e JOIN lab1 l ON e.t = l.v GROUP BY 1, 2),
+        |lab2 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+        |      FROM v2) WHERE rn = 1),
+        |v3 AS (SELECT e.s AS v, l.lbl, count(*) AS c
+        |      FROM e JOIN lab2 l ON e.t = l.v GROUP BY 1, 2),
+        |lab3 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+        |      FROM v3) WHERE rn = 1)
+        |SELECT v AS node, lbl AS label FROM lab3 ORDER BY node""".stripMargin,
     // union-schema read: lang exists only for the v2 (odd doc_id) half
     "src_evolve" ->
       """SELECT source, count(*) AS n,

@@ -65,4 +65,60 @@ class GraphSpec extends AnyFunSuite with SparkTestSession with Matchers {
     got("hub") should be > got("s1")
     got("s1") should be > got("s2") // s1 gets the hub's mass back
   }
+
+  /** Reference LPA: dense local sync rounds, (count desc, label asc). */
+  private def localLpa(es: Seq[(String, String)], iters: Int): Map[String, String] = {
+    val und = es ++ es.map(_.swap)
+    val nodes = und.map(_._1).distinct.sorted
+    var lab = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lab = nodes.map { v =>
+        val votes = und.filter(_._1 == v).map(e => lab(e._2))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        if (votes.isEmpty) v -> lab(v)
+        else v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lab
+  }
+
+  test("labelPropagation: two dense clusters with a bridge converge to per-cluster labels") {
+    // triangle {a,b,c} — bridge c-d — triangle {d,e,f}: after a few
+    // sync rounds each triangle carries its own min label, and the
+    // result matches the dense replay exactly (determinism contract)
+    val es = Seq("a" -> "b", "b" -> "c", "c" -> "a",
+      "d" -> "e", "e" -> "f", "f" -> "d", "c" -> "d")
+    val got = Graph.labelPropagation(edges(es: _*), "s", "t", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    got shouldBe localLpa(es, 4)
+    // the two triangles never share a label: the bridge is not a merge
+    Set(got("a"), got("b")) should not contain got("e")
+    got("e") shouldBe got("f")
+  }
+
+  test("labelPropagation: count ties break to the smallest label, parallel edges vote with multiplicity") {
+    // v's neighbors split 1-1 between x and y → tie → min label x
+    val tie = Graph.labelPropagation(
+      edges("v" -> "x", "v" -> "y"), "s", "t", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    tie("v") shouldBe "x"
+    // doubling the y edge outvotes x despite the label order
+    val weighted = Graph.labelPropagation(
+      edges("v" -> "x", "v" -> "y", "v" -> "y"), "s", "t", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    weighted("v") shouldBe "y"
+  }
+
+  test("labelPropagation: deep iteration with checkpointing stays deterministic across partitionings") {
+    val es = Seq("a" -> "b", "b" -> "c", "c" -> "a", "d" -> "e",
+      "e" -> "f", "f" -> "d", "c" -> "d", "f" -> "g", "g" -> "h")
+    val one = Graph.labelPropagation(
+        edges(es: _*).repartition(1), "s", "t", iters = 12, checkpointEvery = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sorted
+    val many = Graph.labelPropagation(
+        edges(es: _*).repartition(7), "s", "t", iters = 12, checkpointEvery = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sorted
+    one shouldBe many
+    one shouldBe localLpa(es, 12).toSeq.sorted
+  }
 }
