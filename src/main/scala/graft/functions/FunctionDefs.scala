@@ -174,7 +174,8 @@ object FunctionDefs {
     "bloom_contains"    -> f("bloomContains", B, Bin, L, I),
     "nfc_normalize"     -> f("nfcNormalize", S, S),
     "nfkc_normalize"    -> f("nfkcNormalize", S, S),
-    "fix_mojibake"      -> f("fixMojibake", S, S) // graft extension (ftfy-style encoding repair)
+    "fix_mojibake"      -> f("fixMojibake", S, S), // graft extension (ftfy-style encoding repair)
+    "readability_counts" -> f("readabilityCounts", ArrayType(L), S) // graft extension (Flesch battery inputs, one byte pass)
   )
 
   val byName: Map[String, Seq[FnSpec]] = defs.toMap

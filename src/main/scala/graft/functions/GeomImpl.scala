@@ -661,6 +661,49 @@ object GeomImpl {
     sb.toString
   }
 
+  /** Readability counters in ONE byte pass — the inputs of the
+    * Flesch/Flesch-Kincaid battery, each with a deterministic,
+    * externally-replayable definition (no dictionary, no silent-e
+    * heuristics): returns [words, no_vowel_words, vowel_runs,
+    * sentence_enders] where words = runs of non-whitespace bytes
+    * (whitespace = space/tab/LF/CR), vowel_runs = maximal runs of
+    * ASCII [aeiouyAEIOUY] (the standard syllable proxy; a run cannot
+    * span whitespace, so the text-level count equals the sum of
+    * per-word counts), no_vowel_words = words containing no vowel byte
+    * (their syllable floor of 1 is added back by the caller:
+    * syllables = vowel_runs + no_vowel_words), and sentence_enders =
+    * occurrences of `.` `!` `?`. Bytes ≥ 0x80 (UTF-8 continuations and
+    * leads) are word bytes and never vowels — non-ASCII words take the
+    * one-syllable floor, keeping the definition total and replayable.
+    */
+  def readabilityCounts(t: UTF8String): ArrayData = {
+    val n = t.numBytes
+    var i = 0
+    var words = 0L; var noVowel = 0L; var runs = 0L; var enders = 0L
+    var inWord = false; var inVowel = false; var wordHasVowel = false
+    while (i < n) {
+      val b = t.getByte(i)
+      val ws = b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte || b == '\r'.toByte
+      if (ws) {
+        if (inWord && !wordHasVowel) noVowel += 1
+        inWord = false; inVowel = false; wordHasVowel = false
+      } else {
+        if (!inWord) { words += 1; inWord = true }
+        val lo = (b | 0x20).toByte // ASCII lowercase fold; bytes >= 0x80 unaffected for the vowel test below
+        val vowel = lo == 'a'.toByte || lo == 'e'.toByte || lo == 'i'.toByte ||
+          lo == 'o'.toByte || lo == 'u'.toByte || lo == 'y'.toByte
+        if (vowel) {
+          if (!inVowel) { runs += 1; inVowel = true }
+          wordHasVowel = true
+        } else inVowel = false
+        if (b == '.'.toByte || b == '!'.toByte || b == '?'.toByte) enders += 1
+      }
+      i += 1
+    }
+    if (inWord && !wordHasVowel) noVowel += 1
+    new GenericArrayData(Array(words, noVowel, runs, enders))
+  }
+
   /** Count of [A-Za-z0-9 ] characters — the codegen'd one-byte-pass twin
     * of `length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))`: the class is
     * pure ASCII so every matching character is exactly one UTF-8 byte,

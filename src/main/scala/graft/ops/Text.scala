@@ -1221,6 +1221,39 @@ object Text {
   def fixMojibake(text: Column): Column =
     graft.functions.FunctionDefs.call("fix_mojibake", text)
 
+  // --------------------------------------------------- readability
+
+  /** Flesch Reading Ease + Flesch-Kincaid grade with fully
+    * deterministic, dictionary-free inputs (the replayable variant of
+    * the classic battery — an educational-quality signal some curation
+    * stacks filter on): words = whitespace-delimited runs, sentences =
+    * max(1, count of `.` `!` `?`), syllables = ASCII vowel-group runs
+    * ([aeiouy]+, case-folded) with a floor of ONE per word (all-
+    * consonant tokens — numbers, initialisms, non-ASCII words — count
+    * one syllable). All four counters come from ONE native byte pass
+    * (`readability_counts`), bound ONCE in a projection before the
+    * formulas (conditional branches get no subexpression elimination).
+    * flesch = 206.835 − 1.015·(w/s) − 84.6·(syl/w);
+    * fk_grade = 0.39·(w/s) + 11.8·(syl/w) − 15.59. Empty/whitespace
+    * text reports zero words and NULL metrics.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = graft.functions.FunctionDefs.call("readability_counts", col(textCol))
+    df.select(col(idCol), c.as("__rc"))
+      .select(col(idCol),
+        col("__rc").getItem(0).as("n_words"),
+        greatest(col("__rc").getItem(3), lit(1L)).as("n_sentences"),
+        (col("__rc").getItem(2) + col("__rc").getItem(1)).as("n_syllables"))
+      .select(col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_words") > 0, round(
+          lit(206.835) - lit(1.015) * col("n_words") / col("n_sentences")
+            - lit(84.6) * col("n_syllables") / col("n_words"), 4)).as("flesch"),
+        when(col("n_words") > 0, round(
+          lit(0.39) * col("n_words") / col("n_sentences")
+            + lit(11.8) * col("n_syllables") / col("n_words") - lit(15.59), 4))
+          .as("fk_grade"))
+  }
+
   // ------------------------------------------------------ PII scrubbing
 
   /** PII patterns (public formats: simplified RFC-5322 email,

@@ -1267,6 +1267,19 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Readability battery (Flesch Reading Ease + Flesch-Kincaid grade)
+    * with the dictionary-free deterministic inputs both engines can
+    * count: whitespace-run words, `.!?` sentence enders (floor 1),
+    * vowel-group syllables with a one-per-word floor. The oracle
+    * recounts every input with regex/replace spellings and re-derives
+    * the formulas with e0-forced DOUBLE literals — identical integer
+    * counts, identical float op order, 4-dp round.
+    */
+  def txReadability(s: SparkSession, dir: String): DataFrame =
+    Text.readability(
+        Tables.documents(s, dir).filter(col("text").isNotNull), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Fuzzy source-label canonicalization: delete one deterministic char
     * from every doc's source tag, then re-match it against the distinct
     * source dictionary by minimum edit distance (lexicographic
@@ -2139,6 +2152,7 @@ object Pipeline {
     "tx_mojibake" -> txMojibake _,
     "tx_compress" -> txCompress _,
     "tx_compress_check" -> txCompressCheck _,
+    "tx_readability" -> txReadability _,
     "tx_fuzzy" -> txFuzzy _,
     "tx_dsir" -> txDsir _,
     "tx_perplexity" -> txPerplexity _,
@@ -4197,6 +4211,30 @@ object Pipeline {
          |  CASE WHEN clean <> dirty THEN 1 ELSE 0 END AS changed
          |FROM t ORDER BY doc_id""".stripMargin
     },
+    // every readability input recounted with regex/replace spellings;
+    // formulas re-derived with e0-forced DOUBLE literals in the same
+    // left-associative op order, so the 4-dp rounds agree
+    "tx_readability" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    [w for w in regexp_split_to_array(text, '[ \t\n\r]+') if w <> ''] AS toks,
+        |    len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS vr,
+        |    (length(text) - length(replace(text, '.', '')))
+        |      + (length(text) - length(replace(text, '!', '')))
+        |      + (length(text) - length(replace(text, '?', ''))) AS enders
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    greatest(enders, 1)::BIGINT AS n_sentences,
+        |    (vr + len([w for w in toks
+        |               if NOT regexp_matches(w, '[aeiouyAEIOUY]')]))::BIGINT AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN round(206.835e0
+        |    - 1.015e0 * n_words / n_sentences
+        |    - 84.6e0 * n_syllables / n_words, 4) END AS flesch,
+        |  CASE WHEN n_words > 0 THEN round(0.39e0 * n_words / n_sentences
+        |    + 11.8e0 * n_syllables / n_words - 15.59e0, 4) END AS fk_grade
+        |FROM u ORDER BY doc_id""".stripMargin,
     // tx_compress is rows-only (zlib bytes aren't SQL-expressible);
     // this twin's invariants must all be the literal 1
     "tx_compress_check" ->

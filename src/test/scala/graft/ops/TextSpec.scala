@@ -418,6 +418,34 @@ class TextSpec extends AnyFunSuite with SparkTestSession with Matchers {
       .collect().head.getString(0) shouldBe "ascii"
   }
 
+  test("readability: hand-counted Flesch inputs and formulas, floors, whitespace and non-ASCII words") {
+    val spark0 = spark
+    import spark0.implicits._
+    def run(s: String) = {
+      val r = Text.readability(Seq((1L, s)).toDF("id", "t"), "id", "t").collect().head
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    // "The cat sat." → 3 words, 1 sentence, syllables: the=1 cat=1 sat=1
+    val (w1, s1, sy1, f1) = run("The cat sat.")
+    (w1, s1, sy1) shouldBe ((3L, 1L, 3L))
+    f1.get shouldBe (206.835 - 1.015 * 3.0 - 84.6 * 1.0 +- 1e-9)
+    // vowel GROUPS not vowels: "beautiful queue" → eau-i-u = 3, ueue = 1
+    run("beautiful queue")._3 shouldBe 4L
+    // all-consonant tokens take the 1-syllable floor; enders floor to 1
+    run("xyz 123")._3 shouldBe 2L
+    run("xyz 123")._2 shouldBe 1L
+    // tabs/newlines/multi-space all delimit; enders count every .!?
+    val (w2, s2, _, _) = run("one\ttwo\nthree   four. Five! Six?")
+    (w2, s2) shouldBe ((6L, 3L))
+    // non-ASCII words are one-syllable-floor words, never vowels
+    run("中文 café")._1 shouldBe 2L
+    run("中文")._3 shouldBe 1L
+    // empty / whitespace-only → zero words, NULL metrics
+    run("   ")._1 shouldBe 0L
+    run("   ")._4 shouldBe None
+  }
+
   test("compressionRatio: repetition compresses below prose, junk stays near 1, roundtrip is exact") {
     val spark0 = spark
     import spark0.implicits._
