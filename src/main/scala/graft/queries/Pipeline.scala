@@ -1814,6 +1814,42 @@ object Pipeline {
       .orderBy("node")
   }
 
+  /** The host scorecard — the per-source curation battery composed
+    * into ONE frame, the shape a real crawl triage job materializes
+    * (Common Crawl publishes exactly this as host-level stats): volume
+    * (doc count), content quality (mean 4-dp contract quality score),
+    * AUTHORITY (3-round PageRank over the consecutive-doc host graph)
+    * and COMMUNITY (3-round deterministic LPA over the same graph).
+    * All three subsystems are independently oracle-verified
+    * (tx_quality / gr_pagerank / gr_lpa); this entry certifies their
+    * COMPOSITION — the oracle rebuilds every stage in one SQL
+    * statement, so a join-key slip or a rank/label drift between the
+    * pieces fails the hash. Hosts absent from the link graph (never
+    * adjacent to a different source) carry NULL authority/community by
+    * contract — the left joins are part of the replayed semantics.
+    * Scale shape: the quality aggregate is one corpus scan collapsing
+    * to |hosts| rows; the graph stages are |E|-bound (gr_lpa notes);
+    * the final joins are |hosts|-sized — broadcast by AQE.
+    */
+  def grScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val q = Text.quality(docs, "doc_id", "text").select(col("doc_id"), col("quality"))
+    val host = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 6).as("avg_quality"))
+    val edges = docs.as("a").join(docs.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1 &&
+          col("a.source") =!= col("b.source"))
+      .select(col("a.source").as("src"), col("b.source").as("dst"))
+    val pr = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("node").as("__prn"), round(col("rank"), 6).as("authority"))
+    val lpa = Graph.labelPropagation(edges, "src", "dst", iters = 3)
+      .select(col("node").as("__lpn"), col("label").as("community"))
+    host.join(pr, col("source") === col("__prn"), "left").drop("__prn")
+      .join(lpa, col("source") === col("__lpn"), "left").drop("__lpn")
+      .orderBy("source")
+  }
+
   private val evolveReady = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Schema evolution: a v1 batch (doc_id, source) and a v2 batch that
@@ -2193,6 +2229,7 @@ object Pipeline {
     "src_evolve" -> srcEvolve _,
     "gr_pagerank" -> grPagerank _,
     "gr_lpa" -> grLpa _,
+    "gr_scorecard" -> grScorecard _,
     "src_compact" -> srcCompact _,
     "tx_entropy" -> txEntropy _,
     "tx_probe" -> txProbe _,
@@ -5298,6 +5335,63 @@ object Pipeline {
         |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
         |      FROM v3) WHERE rn = 1)
         |SELECT v AS node, lbl AS label FROM lab3 ORDER BY node""".stripMargin,
+    // the full battery rebuilt in one statement: 4-dp quality rounded
+    // BEFORE the host average (identical float inputs both engines),
+    // the gr_pagerank and gr_lpa replays verbatim, and the same LEFT
+    // joins — linkless hosts carry NULL authority/community
+    "gr_scorecard" ->
+      """WITH tq AS (SELECT doc_id, source,
+        |    round(least(len(string_split(text, ' ')) * 1.0 / 50.0, 1.0)
+        |      * (length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))
+        |         * 1.0 / length(text)), 4) AS quality
+        |  FROM documents),
+        |host AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |      round(avg(quality), 6) AS avg_quality FROM tq GROUP BY source),
+        |e0 AS (SELECT a.source AS s, b.source AS t
+        |      FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |      WHERE a.source != b.source),
+        |nodes AS (SELECT DISTINCT v FROM
+        |      (SELECT s AS v FROM e0 UNION SELECT t AS v FROM e0)),
+        |nn AS (SELECT count(*)::DOUBLE AS cnt FROM nodes),
+        |deg AS (SELECT s, count(*) AS dg FROM e0 GROUP BY s),
+        |r0 AS (SELECT v, 1.0 / (SELECT cnt FROM nn) AS p FROM nodes),
+        |c1 AS (SELECT e0.t AS v, sum(r0.p / deg.dg) AS c
+        |      FROM e0 JOIN r0 ON e0.s = r0.v JOIN deg ON e0.s = deg.s GROUP BY e0.t),
+        |r1 AS (SELECT nodes.v, 0.15 / (SELECT cnt FROM nn)
+        |        + 0.85 * coalesce(c1.c, 0) AS p
+        |      FROM nodes LEFT JOIN c1 ON nodes.v = c1.v),
+        |c2 AS (SELECT e0.t AS v, sum(r1.p / deg.dg) AS c
+        |      FROM e0 JOIN r1 ON e0.s = r1.v JOIN deg ON e0.s = deg.s GROUP BY e0.t),
+        |r2 AS (SELECT nodes.v, 0.15 / (SELECT cnt FROM nn)
+        |        + 0.85 * coalesce(c2.c, 0) AS p
+        |      FROM nodes LEFT JOIN c2 ON nodes.v = c2.v),
+        |c3 AS (SELECT e0.t AS v, sum(r2.p / deg.dg) AS c
+        |      FROM e0 JOIN r2 ON e0.s = r2.v JOIN deg ON e0.s = deg.s GROUP BY e0.t),
+        |r3 AS (SELECT nodes.v, 0.15 / (SELECT cnt FROM nn)
+        |        + 0.85 * coalesce(c3.c, 0) AS p
+        |      FROM nodes LEFT JOIN c3 ON nodes.v = c3.v),
+        |le AS (SELECT s, t FROM e0 UNION ALL SELECT t AS s, s AS t FROM e0),
+        |lab0 AS (SELECT DISTINCT s AS v, s AS lbl FROM le),
+        |w1 AS (SELECT le.s AS v, l.lbl, count(*) AS c
+        |      FROM le JOIN lab0 l ON le.t = l.v GROUP BY 1, 2),
+        |lab1 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+        |      FROM w1) WHERE rn = 1),
+        |w2 AS (SELECT le.s AS v, l.lbl, count(*) AS c
+        |      FROM le JOIN lab1 l ON le.t = l.v GROUP BY 1, 2),
+        |lab2 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+        |      FROM w2) WHERE rn = 1),
+        |w3 AS (SELECT le.s AS v, l.lbl, count(*) AS c
+        |      FROM le JOIN lab2 l ON le.t = l.v GROUP BY 1, 2),
+        |lab3 AS (SELECT v, lbl FROM (SELECT v, lbl,
+        |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+        |      FROM w3) WHERE rn = 1)
+        |SELECT host.source, host.n_docs, host.avg_quality,
+        |  round(r3.p, 6) AS authority, lab3.lbl AS community
+        |FROM host LEFT JOIN r3 ON host.source = r3.v
+        |  LEFT JOIN lab3 ON host.source = lab3.v
+        |ORDER BY host.source""".stripMargin,
     // union-schema read: lang exists only for the v2 (odd doc_id) half
     "src_evolve" ->
       """SELECT source, count(*) AS n,
