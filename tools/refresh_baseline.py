@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""Refresh bench/bench_baseline.json: per-query min over the r15 final
+sweeps (a,b for the 225-query tree; c,d for the full 232-query tree —
+the 7 r15b additions exist only in c/d). Compact JSON per repo tooling
+convention."""
+import json, re, sys
+
+def load(p):
+    s = open(p).read()
+    m = re.search(r'\{"metric".*', s)
+    return json.loads(m.group(0))
+
+paths = sys.argv[1:]
+sweeps = [load(p) for p in paths]
+queries = {}
+for sw in sweeps:
+    for q, v in sw['queries'].items():
+        if q not in queries or v < queries[q]:
+            queries[q] = v
+total = round(sum(queries.values()), 3)
+out = {
+    "metric": "total", "value": total, "unit": "sec",
+    "queries": {q: queries[q] for q in sorted(queries)},
+    "n_queries": len(queries),
+    "sf": sweeps[-1]["sf"],
+    "note": "r15 committed baseline: per-query min over final sweeps " +
+            ", ".join(paths),
+}
+with open('bench/bench_baseline.json', 'w') as f:
+    f.write(json.dumps(out, separators=(',', ':')) + "\n")
+print("baseline:", total, "s over", len(queries), "queries")
