@@ -1,8 +1,7 @@
 #!/usr/bin/env python3
-"""Refresh bench/bench_baseline.json: per-query min over the r15 final
-sweeps (a,b for the 225-query tree; c,d for the full 232-query tree —
-the 7 r15b additions exist only in c/d). Compact JSON per repo tooling
-convention."""
+"""Refresh bench/bench_baseline.json: per-query min over the sweep
+JSONs given as arguments (queries present in only some sweeps take the
+min over those). Compact JSON per repo tooling convention."""
 import json, re, sys
 
 def load(p):
@@ -23,7 +22,7 @@ out = {
     "queries": {q: queries[q] for q in sorted(queries)},
     "n_queries": len(queries),
     "sf": sweeps[-1]["sf"],
-    "note": "r15 committed baseline: per-query min over final sweeps " +
+    "note": "committed baseline: per-query min over final sweeps " +
             ", ".join(paths),
 }
 with open('bench/bench_baseline.json', 'w') as f:
