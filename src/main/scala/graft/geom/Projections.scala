@@ -1761,6 +1761,29 @@ object Projections {
       val m = c - 4513 + 25
       Some(s"+proj=tmerc +lat_0=0 +lon_0=${3 * m} +k=1 " +
         s"+x_0=${m * 1000000 + 500000} +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
+    // ...and their "CM" (no-zone-prefix) twins — EPSG registers both
+    // spellings of every belt; the CM rows are the plain FE = 500 km
+    // grids GIS exports usually carry. 4502–4512 = 6° CM 75°E…135°E,
+    // 4534–4554 = 3° CM 75°E…135°E
+    case c if c >= 4502 && c <= 4512 =>
+      Some(s"+proj=tmerc +lat_0=0 +lon_0=${6 * (c - 4502 + 13) - 3} +k=1 " +
+        "+x_0=500000 +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
+    case c if c >= 4534 && c <= 4554 =>
+      Some(s"+proj=tmerc +lat_0=0 +lon_0=${3 * (c - 4534 + 25)} +k=1 " +
+        "+x_0=500000 +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
+    // Pulkovo 1942 / Gauss-Krüger zones 2–32 (r15b): the legacy
+    // Krassowsky-1940 national series the ex-USSR archives are keyed
+    // in — CM 6n−3, zone-prefixed FE n·10⁶ + 500000, k₀ = 1, with the
+    // published Russia-wide 7-parameter Helmert (EPSG transformation
+    // 1254: Pulkovo 1942 → WGS 84 (16)). Zones 31–32 have central
+    // meridians past 180° (183°/189°) — resolvable BY CODE like the
+    // rest, but service-area longitudes there sit across the
+    // antimeridian, so callers feed lon in the zone's own frame
+    case c if c >= 28402 && c <= 28432 =>
+      val n = c - 28400
+      Some(s"+proj=tmerc +lat_0=0 +lon_0=${6 * n - 3} +k=1 " +
+        s"+x_0=${n * 1000000 + 500000} +y_0=0 +ellps=krass " +
+        "+towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12")
     // SIRGAS 2000 / UTM (r12): the South-American national series —
     // 31965–31976 are zones 11N–22N, 31977–31985 zones 17S–25S
     // (Brazil's workhorses 31982/31983 = 22S/23S); GRS80, ITRF-aligned
@@ -1960,7 +1983,8 @@ object Projections {
       (23028 to 23038) ++ (28349 to 28356) ++ (7846 to 7859) ++
       (31466 to 31469) ++ (32181 to 32197) ++ (6669 to 6687) ++
       (31965 to 31985) ++ (5185 to 5188) ++ (4491 to 4501) ++
-      (4513 to 4533) ++ (2443 to 2461) ++ EpsgSingles.keys).sorted
+      (4513 to 4533) ++ (4502 to 4512) ++ (4534 to 4554) ++
+      (28402 to 28432) ++ (2443 to 2461) ++ EpsgSingles.keys).sorted
 
   // st_geomReproject evaluates per row but its CRS arguments are query
   // literals, so the handful of distinct strings per executor is memoized:
@@ -2027,7 +2051,7 @@ object Projections {
     case EpsgCodePattern(code) if epsgProj4(code.toInt).isDefined =>
       parseProj4(epsgProj4(code.toInt).get)
     case other => throw new IllegalArgumentException(
-      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:5514, EPSG:28992, EPSG:32601-32660, EPSG:32701-32760, a registry of common national-grid EPSG codes (UTM-based ETRS89/NAD83/NAD27/ED50/MGA series, OSGB/Irish/Polish/NZ/Japan TM grids, CGCS2000 Gauss-Krüger 6°/3° zones, European/Canadian/Belgian LCC, polar LAEA/stere, EASE-Grid 2.0, World Mercator), and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sterea/krovak/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84 or an NTv2 +nadgrids=file.gsb)")
+      s"Unsupported CRS '$other' (supported: EPSG:4326, EPSG:3857, EPSG:2154, EPSG:3031, EPSG:3035, EPSG:3413, EPSG:5070, EPSG:5514, EPSG:28992, EPSG:32601-32660, EPSG:32701-32760, a registry of common national-grid EPSG codes (UTM-based ETRS89/NAD83/NAD27/ED50/MGA series, OSGB/Irish/Polish/NZ/Japan TM grids, CGCS2000 + Pulkovo 1942 Gauss-Krüger zone/CM series, European/Canadian/Belgian LCC, polar LAEA/stere, EASE-Grid 2.0, World Mercator), and +proj= strings for longlat/merc/utm/tmerc/lcc/laea/aea/stere/sterea/krovak/omerc/sinu/moll, incl. legacy-datum grids via +ellps=clrk66/airy/intl/bessel/krass + 3- or 7-param +towgs84 or an NTv2 +nadgrids=file.gsb)")
   }
 
   /** Canonical EPSG name for a supported CRS string (st_crsFromText). */

@@ -170,7 +170,12 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
       // 25/40/45, and the geographic CRS
       4491 -> (75.5, 40.0), 4497 -> (111.5, 35.0), 4501 -> (133.0, 46.0),
       4513 -> (75.3, 39.0), 4528 -> (120.3, 31.0), 4533 -> (134.5, 46.0),
-      4490 -> (110.0, 35.0))
+      4490 -> (110.0, 35.0),
+      // r15b: CGCS2000 CM (no-prefix) twins; Pulkovo 1942 GK zones
+      // 7 (Moscow), 18 (Irkutsk), 30 (Chukotka — the last belt before
+      // the antimeridian wrap)
+      4507 -> (105.5, 35.0), 4544 -> (105.3, 35.0),
+      28407 -> (37.6, 55.75), 28418 -> (104.5, 52.3), 28430 -> (176.5, 64.0))
     for (code <- Projections.registeredEpsgCodes) {
       val byCode = Projections.parseCrs(s"EPSG:$code")
       val bare = Projections.parseCrs(code.toString)
@@ -199,6 +204,22 @@ class PropertiesSpec extends AnyFunSuite with Matchers {
     nGk6 shouldBe 0.0 +- 1e-4
     val (eGk3, _) = Projections.parseCrs("EPSG:4527").fromGeo(117.0, 0.0)
     eGk3 shouldBe 39500000.0 +- 1e-4 // 3° zone 39 prefix + 500 km
+    // r15b: the CM (no-prefix) twin of zone 18 is the same projection
+    // at FE 500 km — same point, eastings exactly 18·10⁶ apart
+    val (eCm, nCm) = Projections.parseCrs("EPSG:4507").fromGeo(105.0, 0.0)
+    eCm shouldBe 500000.0 +- 1e-4
+    nCm shouldBe 0.0 +- 1e-4
+    val (eZp, _) = Projections.parseCrs("EPSG:4496").fromGeo(105.0, 0.0)
+    eZp - eCm shouldBe 18000000.0 +- 1e-4
+    // Pulkovo 1942 GK zone 7: FE pinned on the identity-tie spelling
+    // (longitude survives a zero-translation ellipsoid swap; the real
+    // 7-param tie moves the meridian, so the registered code itself is
+    // pinned by roundtrip + the anchors above, not by FE)
+    val pk7 = Projections.parseCrs(
+      "+proj=tmerc +lat_0=0 +lon_0=39 +k=1 +x_0=7500000 +y_0=0 " +
+        "+ellps=krass +towgs84=0,0,0")
+    val (ePk, _) = pk7.fromGeo(39.0, 55.0)
+    ePk shouldBe 7500000.0 +- 1e-4
     val (eNz, nNz) = Projections.parseCrs("EPSG:2193").fromGeo(173.0, 0.0)
     eNz shouldBe 1600000.0 +- 1e-4 // NZTM origin
     nNz shouldBe 10000000.0 +- 1e-4
