@@ -1034,6 +1034,36 @@ object Spatial {
           abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
       .orderBy("c_custkey")
 
+  /** Pulkovo 1942 Gauss-Krüger zones resolved BY EPSG CODE (r15b — the
+    * ex-USSR archive family, and the suite's only 7-PARAM legacy chain
+    * routed per-row through a GENERATED zone family): a Russia-window
+    * lattice (zones 6–24, CM 33°E–141°E) projects through
+    * EPSG 28400+n where n = ⌊lon/6⌋+1. The oracle replays the ENTIRE
+    * chain — WGS84 geodetic → geocentric → inverse 7-param Helmert
+    * (EPSG 1254, full adjugate-inverse matrix: rotation AND scale are
+    * non-trivial) → Bowring ×3 on Krassowsky 1940 → the degrees→radians
+    * seam → TM 6th-order series at k₀ = 1 with the zone-prefixed false
+    * easting n·10⁶ + 500000 — so a registry parameter typo anywhere in
+    * the chain hash-mismatches. rt_ok at 1e-6° (the 2D-Helmert
+    * roundtrip contract, like sp_sterea/sp_krovak).
+    */
+  def spPulkovo(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .withColumn("lon", lit(30.15) + (col("c_custkey") * 7 % 1100) / lit(10.0))
+      .withColumn("lat", lit(42.05) + (col("c_custkey") * 11 % 280) / lit(10.0))
+      .withColumn("geom", st.makePoint(col("lon"), col("lat")))
+      .withColumn("n6", (floor(col("lon") / 6.0) + 1).cast("int"))
+      .withColumn("epsg", col("n6") + 28400)
+      .withColumn("crs", concat(lit("EPSG:"), col("epsg")))
+      .withColumn("p", st.geomReproject(col("geom"), lit("EPSG:4326"), col("crs")))
+      .withColumn("back", st.geomReproject(col("p"), col("crs"), lit("EPSG:4326")))
+      .select(col("c_custkey"), col("epsg"),
+        round(st.x(col("p")), 1).as("easting"),
+        round(st.y(col("p")), 1).as("northing"),
+        when(abs(st.x(col("back")) - col("lon")) < 1e-6 &&
+          abs(st.y(col("back")) - col("lat")) < 1e-6, 1).otherwise(0).as("rt_ok"))
+      .orderBy("c_custkey")
+
   /** US State Plane zones resolved BY EPSG CODE (the r10 registry
     * growth — the most-asked-for family the r9 table lacked):
     * California zone 5 (EPSG:26945, LCC-2SP), Texas Central
@@ -1278,6 +1308,7 @@ object Spatial {
     "sp_mga" -> spMga _,
     "sp_jprcs" -> spJprcs _,
     "sp_cgcs" -> spCgcs _,
+    "sp_pulkovo" -> spPulkovo _,
     "sp_stateplane" -> spStatePlane _,
     "sp_stateplane27" -> spStatePlane27 _,
     "sp_datum" -> spDatum _,
@@ -1734,6 +1765,118 @@ object Spatial {
        |    + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2) * a6 / 720.0), 1) AS northing,
        |  1 AS prefix_ok, 1 AS rt_ok
        |FROM cl ORDER BY c_custkey""".stripMargin
+  }
+
+  /** spPulkovo's replay: the full 7-param legacy chain in SQL — WGS84
+    * geodetic → geocentric → inverse Helmert with the EPSG-1254 matrix
+    * (adjugate inverse re-derived in Scala with the identical IEEE
+    * expressions, riding as shortest-roundtrip literals, exactly as
+    * the sp_sterea oracle does) → Bowring ×3 on Krassowsky (the
+    * sp_stateplane27 EXCLUDE-iteration pattern) → degrees→radians
+    * seam → TM series at k₀ = 1 with per-row zone arithmetic
+    * (n = ⌊lon/6⌋+1 on the WGS longitude, the same routing the query
+    * runs) and FE = n·10⁶ + 500000.
+    */
+  private val spPulkovoOracle: String = {
+    def dlit(x: Double): String = if (x.toString.exists(c => c == 'E' || c == 'e')) x.toString else x.toString + "e0"
+    val fw = 1.0 / 298.257223563
+    val e2w = dlit(fw * (2.0 - fw))
+    // Krassowsky 1940, same IEEE ops as Ellipsoid(a, f)
+    val akD = 6378245.0
+    val fk = 1.0 / 298.3
+    val e2kD = fk * (2.0 - fk)
+    val e2k = dlit(e2kD)
+    val ep2k = dlit(e2kD / (1.0 - e2kD))
+    val ak = dlit(akD)
+    val bk = dlit(akD * (1.0 - fk))
+    // 7-param Helmert (EPSG 1254 tie), inverse matrix exactly as
+    // Projections.Helmert computes it
+    val (dx, dy, dz) = (23.92, -141.27, -80.9)
+    val (rxS, ryS, rzS, dsP) = (0.0, 0.35, 0.82, -0.12)
+    val sH = 1.0 + dsP * 1e-6
+    val rx = math.toRadians(rxS / 3600.0)
+    val ry = math.toRadians(ryS / 3600.0)
+    val rz = math.toRadians(rzS / 3600.0)
+    val m11 = sH; val m12 = -sH * rz; val m13 = sH * ry
+    val m21 = sH * rz; val m22 = sH; val m23 = -sH * rx
+    val m31 = -sH * ry; val m32 = sH * rx; val m33 = sH
+    val det = m11 * (m22 * m33 - m23 * m32) -
+      m12 * (m21 * m33 - m23 * m31) + m13 * (m21 * m32 - m22 * m31)
+    val i11 = dlit((m22 * m33 - m23 * m32) / det)
+    val i12 = dlit((m13 * m32 - m12 * m33) / det)
+    val i13 = dlit((m12 * m23 - m13 * m22) / det)
+    val i21 = dlit((m23 * m31 - m21 * m33) / det)
+    val i22 = dlit((m11 * m33 - m13 * m31) / det)
+    val i23 = dlit((m13 * m21 - m11 * m23) / det)
+    val i31 = dlit((m21 * m32 - m22 * m31) / det)
+    val i32 = dlit((m12 * m31 - m11 * m32) / det)
+    val i33 = dlit((m11 * m22 - m12 * m21) / det)
+    val dxL = dlit(dx); val dyL = dlit(dy); val dzL = dlit(dz)
+    def arcK(phi: String) =
+      s"$ak * ((1.0 - $e2k / 4.0 - 3.0 * $e2k * $e2k / 64.0 - 5.0 * $e2k * $e2k * $e2k / 256.0) * ($phi)" +
+        s" - (3.0 * $e2k / 8.0 + 3.0 * $e2k * $e2k / 32.0 + 45.0 * $e2k * $e2k * $e2k / 1024.0) * sin(2.0 * ($phi))" +
+        s" + (15.0 * $e2k * $e2k / 256.0 + 45.0 * $e2k * $e2k * $e2k / 1024.0) * sin(4.0 * ($phi))" +
+        s" - (35.0 * $e2k * $e2k * $e2k / 3072.0) * sin(6.0 * ($phi)))"
+    s"""WITH b AS (SELECT c_custkey,
+       |        30.15 + ((c_custkey * 7) % 1100) / 10.0 AS lon,
+       |        42.05 + ((c_custkey * 11) % 280) / 10.0 AS lat
+       |      FROM customer),
+       |w AS (SELECT *, sin(radians(lat)) AS sp,
+       |        6378137.0 / sqrt(1.0 - $e2w * sin(radians(lat)) * sin(radians(lat))) AS nw
+       |      FROM b),
+       |g AS (SELECT *,
+       |        nw * cos(radians(lat)) * cos(radians(lon)) AS gx,
+       |        nw * cos(radians(lat)) * sin(radians(lon)) AS gy,
+       |        nw * (1.0 - $e2w) * sp AS gz
+       |      FROM w),
+       |h AS (SELECT *, gx - ($dxL) AS ux, gy - ($dyL) AS uy, gz - ($dzL) AS uz FROM g),
+       |hm AS (SELECT *,
+       |        $i11 * ux + $i12 * uy + $i13 * uz AS hx,
+       |        $i21 * ux + $i22 * uy + $i23 * uz AS hy,
+       |        $i31 * ux + $i32 * uy + $i33 * uz AS hz FROM h),
+       |p0 AS (SELECT *, atan2(hy, hx) AS lam, sqrt(hx * hx + hy * hy) AS pp FROM hm),
+       |u0 AS (SELECT *, atan2(hz * $ak, pp * $bk) AS u FROM p0),
+       |i1 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u0),
+       |f1 AS (SELECT *,
+       |        atan2(hz + $ep2k * $bk * su * su * su,
+       |              pp - $e2k * $ak * cu * cu * cu) AS phi
+       |      FROM i1),
+       |u1 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bk * sin(phi), $ak * cos(phi)) AS u FROM f1),
+       |i2 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u1),
+       |f2 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2k * $bk * su * su * su,
+       |              pp - $e2k * $ak * cu * cu * cu) AS phi
+       |      FROM i2),
+       |u2 AS (SELECT * EXCLUDE (u, su, cu),
+       |        atan2($bk * sin(phi), $ak * cos(phi)) AS u FROM f2),
+       |i3 AS (SELECT *, sin(u) AS su, cos(u) AS cu FROM u2),
+       |f3 AS (SELECT * EXCLUDE (phi),
+       |        atan2(hz + $ep2k * $bk * su * su * su,
+       |              pp - $e2k * $ak * cu * cu * cu) AS phi
+       |      FROM i3),
+       |dk AS (SELECT *, degrees(lam) AS lonk, degrees(phi) AS latk,
+       |        (floor(lon / 6.0))::INT + 1 AS n6 FROM f3),
+       |tg AS (SELECT c_custkey, n6,
+       |        radians(latk) AS phik, sin(radians(latk)) AS sphi,
+       |        cos(radians(latk)) AS cphi, tan(radians(latk)) AS tphi,
+       |        cos(radians(latk)) * (radians(lonk) - radians(6.0 * n6 - 3.0)) AS aa
+       |      FROM dk),
+       |th AS (SELECT *, $ak / sqrt(1.0 - $e2k * sphi * sphi) AS nn,
+       |        tphi * tphi AS tt, $ep2k * cphi * cphi AS cc, aa * aa AS a2 FROM tg),
+       |ti AS (SELECT *, a2 * aa AS a3, nn * tphi AS ntan FROM th),
+       |tj AS (SELECT *, a3 * aa AS a4 FROM ti),
+       |tk AS (SELECT *, a4 * aa AS a5 FROM tj),
+       |tl AS (SELECT *, a5 * aa AS a6, ${arcK("phik")} AS mm FROM tk)
+       |SELECT c_custkey, n6 + 28400 AS epsg,
+       |  round(nn * (aa + (1.0 - tt + cc) * a3 / 6.0
+       |    + (5.0 - 18.0 * tt + tt * tt + 72.0 * cc - 58.0 * $ep2k) * a5 / 120.0)
+       |    + (n6 * 1000000.0 + 500000.0), 1) AS easting,
+       |  round(mm + ntan * (a2 / 2.0
+       |    + (5.0 - tt + 9.0 * cc + 4.0 * cc * cc) * a4 / 24.0
+       |    + (61.0 - 58.0 * tt + tt * tt + 600.0 * cc - 330.0 * $ep2k) * a6 / 720.0), 1) AS northing,
+       |  1 AS rt_ok
+       |FROM tl ORDER BY c_custkey""".stripMargin
   }
 
   /** Three US State Plane zones replayed with the REGISTRY's constants:
@@ -2764,6 +2907,7 @@ object Spatial {
     "sp_mga" -> spMgaOracle,
     "sp_jprcs" -> spJprcsOracle,
     "sp_cgcs" -> spCgcsOracle,
+    "sp_pulkovo" -> spPulkovoOracle,
     "sp_stateplane" -> spStatePlaneOracle,
     "sp_stateplane27" -> spStatePlane27Oracle,
     "sp_datum" -> spDatumOracle,
