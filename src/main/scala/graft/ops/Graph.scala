@@ -91,16 +91,12 @@ object Graph {
       // argmax(count desc, label asc) as ONE aggregate: min over
       // (-count, label) struct — no window, so the per-node state is a
       // single struct and the aggregation combines map-side
-      val winners = votes.groupBy(col("__s"))
+      // every node of the undirected view has >= 1 neighbor (nodes is
+      // derived from the edge list), and labels always covers all
+      // nodes, so winners is total — no isolated-vertex fallback join
+      labels = votes.groupBy(col("__s"))
         .agg(min(struct((-col("__c")).as("nc"), col("__l").as("l"))).as("__w"))
         .select(col("__s").as("__v"), col("__w").getField("l").as("__l"))
-      // every node of the undirected view has >= 1 neighbor, but keep
-      // the left join so externally-supplied isolated vertices (a
-      // nodes-with-no-edges frame unioned in by a caller) keep their
-      // own label instead of vanishing
-      labels = nodes.join(winners.withColumnRenamed("__v", "__wv"),
-          nodes("__v") === col("__wv"), "left")
-        .select(col("__v"), coalesce(col("__l"), col("__v")).as("__l"))
       if (i % checkpointEvery == 0 && i < iters)
         labels = labels.localCheckpoint(eager = true)
     }

@@ -1778,19 +1778,25 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  /** Source-authority PageRank over the adjacency-derived source graph
-    * (doc i's source links to doc i+1's source when they differ — a
+  /** The consecutive-doc host graph all three gr_* queries share (doc
+    * i's source links to doc i+1's source when they differ — a
     * deterministic citation-graph stand-in; the corpus has no link
-    * column). 3 rounds, d=0.85, multigraph semantics; every round
-    * replayed in unrolled SQL CTEs.
+    * column). ONE definition on purpose: gr_scorecard certifies the
+    * composition of gr_pagerank and gr_lpa over the SAME graph, so the
+    * edge construction must not be able to drift between them.
     */
-  def grPagerank(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select("doc_id", "source")
-    val edges = docs.as("a").join(docs.as("b"),
+  private def hostEdges(docs: DataFrame): DataFrame =
+    docs.as("a").join(docs.as("b"),
         col("b.doc_id") === col("a.doc_id") + 1 &&
           col("a.source") =!= col("b.source"))
       .select(col("a.source").as("src"), col("b.source").as("dst"))
-    Graph.pageRank(edges, "src", "dst", iters = 3)
+
+  /** Source-authority PageRank over [[hostEdges]]. 3 rounds, d=0.85,
+    * multigraph semantics; every round replayed in unrolled SQL CTEs.
+    */
+  def grPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "source")
+    Graph.pageRank(hostEdges(docs), "src", "dst", iters = 3)
       .select(col("node"), round(col("rank"), 6).as("rank"))
       .orderBy("node")
   }
@@ -1806,11 +1812,7 @@ object Pipeline {
     */
   def grLpa(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "source")
-    val edges = docs.as("a").join(docs.as("b"),
-        col("b.doc_id") === col("a.doc_id") + 1 &&
-          col("a.source") =!= col("b.source"))
-      .select(col("a.source").as("src"), col("b.source").as("dst"))
-    Graph.labelPropagation(edges, "src", "dst", iters = 3)
+    Graph.labelPropagation(hostEdges(docs), "src", "dst", iters = 3)
       .orderBy("node")
   }
 
@@ -1837,14 +1839,22 @@ object Pipeline {
     val host = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 6).as("avg_quality"))
-    val edges = docs.as("a").join(docs.as("b"),
-        col("b.doc_id") === col("a.doc_id") + 1 &&
-          col("a.source") =!= col("b.source"))
-      .select(col("a.source").as("src"), col("b.source").as("dst"))
-    val pr = Graph.pageRank(edges, "src", "dst", iters = 3)
-      .select(col("node").as("__prn"), round(col("rank"), 6).as("authority"))
-    val lpa = Graph.labelPropagation(edges, "src", "dst", iters = 3)
-      .select(col("node").as("__lpn"), col("label").as("community"))
+    val edges = hostEdges(docs.select("doc_id", "source"))
+    // an edgeless graph (single-source corpus) is a legal input to the
+    // SCORECARD even though pageRank alone refuses it: the oracle — and
+    // the NULL-authority contract above — still emit one row per host,
+    // so the graph legs degrade to empty frames instead of throwing
+    val hasEdges = !edges.isEmpty
+    val pr =
+      if (hasEdges) Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node").as("__prn"), round(col("rank"), 6).as("authority"))
+      else docs.sparkSession.emptyDataFrame
+        .select(lit("").as("__prn"), lit(0.0).as("authority")).limit(0)
+    val lpa =
+      if (hasEdges) Graph.labelPropagation(edges, "src", "dst", iters = 3)
+        .select(col("node").as("__lpn"), col("label").as("community"))
+      else docs.sparkSession.emptyDataFrame
+        .select(lit("").as("__lpn"), lit("").as("community")).limit(0)
     host.join(pr, col("source") === col("__prn"), "left").drop("__prn")
       .join(lpa, col("source") === col("__lpn"), "left").drop("__lpn")
       .orderBy("source")

@@ -7,10 +7,17 @@ import json, re, sys
 def load(p):
     s = open(p).read()
     m = re.search(r'\{"metric".*', s)
+    if m is None:
+        sys.exit(f"{p}: no '{{\"metric\"...' payload line — not a sweep JSON")
     return json.loads(m.group(0))
 
 paths = sys.argv[1:]
+if not paths:
+    sys.exit("usage: refresh_baseline.py <sweep.json> [<sweep.json> ...]")
 sweeps = [load(p) for p in paths]
+sfs = {sw.get("sf") for sw in sweeps}
+if len(sfs) != 1:
+    sys.exit(f"refusing to min-merge sweeps from different scale factors: {sorted(sfs)}")
 queries = {}
 for sw in sweeps:
     for q, v in sw['queries'].items():
