@@ -1732,17 +1732,15 @@ object Projections {
     // zone origins are the published Survey-Act table — irregular by
     // design (islands get their own origins), so a lookup, not a
     // formula. JGD2011 is ITRF-aligned: +towgs84=0,0,0
-    case c if c >= 6669 && c <= 6687 =>
-      val i = c - 6669
-      Some(s"+proj=tmerc +lat_0=${JprcsLat0(i)} +lon_0=${JprcsLon0(i)} " +
-        "+k=0.9999 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
-    // JGD2000 / Japan Plane Rectangular CS zones I–XIX (r15): the SAME
-    // statutory series as the JGD2011 twins above — JGD2000 (ITRF94)
-    // and JGD2011 (ITRF2008) differ only by the post-Tōhoku crustal
-    // adjustment, zero at this registry's parameter precision, so both
-    // are null ties on GRS80 (sp_jprcs pins the twin ranges equal)
-    case c if c >= 2443 && c <= 2461 =>
-      val i = c - 2443
+    // JGD2000 / Japan Plane Rectangular CS zones I–XIX (r15,
+    // 2443–2461) share the SAME case: JGD2000 (ITRF94) and JGD2011
+    // (ITRF2008) differ only by the post-Tōhoku crustal adjustment,
+    // zero at this registry's parameter precision, so both are null
+    // ties on GRS80 — ONE proj string by construction (sp_jprcs pins
+    // the twin ranges equal; keeping a single spelling makes that
+    // equality structural instead of copy-maintained)
+    case c if (c >= 6669 && c <= 6687) || (c >= 2443 && c <= 2461) =>
+      val i = if (c >= 6669) c - 6669 else c - 2443
       Some(s"+proj=tmerc +lat_0=${JprcsLat0(i)} +lon_0=${JprcsLon0(i)} " +
         "+k=0.9999 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0")
     // CGCS2000 / Gauss-Krüger (r15): China's national TM series on the

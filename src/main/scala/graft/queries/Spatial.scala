@@ -1660,9 +1660,10 @@ object Spatial {
   }
 
   /** spJprcs's replay: the TM 6th-order series (spUtmOracle's
-    * spelling) at the REGISTRY's JPRCS constants — per-zone lon₀
-    * lookup (the nearest-meridian CASE), shared lat₀ = 36 (M₀
-    * subtracted from the arc), k₀ = 0.9999, zero false origin.
+    * spelling) at the REGISTRY's JPRCS constants — per-zone lon₀ AND
+    * lat₀ lookups (the nearest-meridian CASE selects both; lat₀ spans
+    * 20/26/33/36/40 across the routed zones, each M₀ subtracted from
+    * the arc), k₀ = 0.9999, zero false origin.
     * jgd2011_same replays as the literal 1 the twin-range equality
     * must produce.
     */

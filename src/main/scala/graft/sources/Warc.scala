@@ -133,9 +133,25 @@ object Warc {
         ctx.addTaskCompletionListener[Unit](_ => closeQuietly(in))
       records(src, in)
     } catch {
-      case e: java.io.IOException =>
+      case e: java.io.IOException if isDecodeCorruption(e) =>
         Iterator.single(corruptRow(src, s"unreadable container: ${e.getMessage}"))
     }
+
+  /** The quarantine/retry split for file-backed reads: gzip/deflate
+    * decode errors (ZipException, the inflater's mid-stream
+    * EOFException) are CONTENT corruption — quarantine the row and
+    * keep the job green. Every other IOException off a real
+    * filesystem (socket reset, S3/HDFS timeout, open failure) is a
+    * TRANSPORT fault: it must rethrow and fail the task so Spark
+    * retries it — quarantining it would silently drop every record
+    * after the fault and make reruns of identical input disagree.
+    * (The pre-r15 binaryFile path got this for free: content bytes
+    * were materialized by the scan, so stream faults failed the task
+    * before parsing ever started.)
+    */
+  private def isDecodeCorruption(e: java.io.IOException): Boolean =
+    e.isInstanceOf[java.util.zip.ZipException] ||
+      e.isInstanceOf[java.io.EOFException]
 
   /** Lazy record iterator over one in-memory container — pure JVM, the
     * spec's unit-test surface (fixtures are KB-sized; file-scale reads
@@ -144,6 +160,9 @@ object Warc {
   def recordsOf(src: String, content: Array[Byte]): Iterator[WarcRow] =
     try records(src, sniff(new ByteArrayInputStream(content)))
     catch {
+      // in-memory bytes have no transport leg, so (unlike recordsAt)
+      // EVERY IOException here is content corruption — keep the catch
+      // broad
       case e: java.io.IOException =>
         Iterator.single(corruptRow(src, s"unreadable container: ${e.getMessage}"))
     }
@@ -205,7 +224,7 @@ object Warc {
           while (l != null && !l.startsWith("WARC/")) l = nextLine()
           pendingLine = l
         } catch {
-          case e: java.io.IOException =>
+          case e: java.io.IOException if isDecodeCorruption(e) =>
             tornMsg = s"torn gzip member: ${e.getMessage}"
             pendingLine = null
         }
@@ -286,9 +305,11 @@ object Warc {
                 ctype.map(_.split(';')(0).trim).orNull, None, Map.empty,
                 block, src, null)
         } catch {
-          // a torn gzip member (EOF mid-inflate) or any stream fault:
-          // quarantine the tail, keep everything already emitted
-          case e: java.io.IOException =>
+          // a torn gzip member (EOF mid-inflate / corrupt deflate):
+          // quarantine the tail, keep everything already emitted.
+          // Transport faults fall through isDecodeCorruption and fail
+          // the task for retry instead (see the split's scaladoc).
+          case e: java.io.IOException if isDecodeCorruption(e) =>
             ready = corruptRow(src, s"torn gzip member: ${e.getMessage}")
             finish()
         }
@@ -341,8 +362,9 @@ object Warc {
   }
 
   /** Split a response record's HTTP message: (status, mime, headers,
-    * payload). Headers come back as a lowercased-name map (last value
-    * wins — the curation-signal surface: x-robots-tag,
+    * payload). Headers come back as a lowercased-name map; repeated
+    * names combine comma-joined in arrival order (RFC 9110 list
+    * semantics — the curation-signal surface: x-robots-tag,
     * content-language, last-modified). A block that doesn't start with
     * `HTTP/` passes through whole with no status and no headers
     * (defensive — some crawlers store raw payloads).
@@ -357,12 +379,18 @@ object Warc {
     if (lines.isEmpty || !lines(0).startsWith("HTTP/"))
       return (None, null, Map.empty, block)
     val status = lines(0).split(" ").lift(1).flatMap(_.toIntOption)
+    // repeated headers COMBINE comma-joined in first-seen order (RFC
+    // 9110 §5.3 list semantics — and the Robots Exclusion Protocol
+    // requires combining repeated X-Robots-Tag lines, where a
+    // last-wins map would let 'noindex' be shadowed by a later
+    // 'noarchive' and robotsDeny keep an explicitly-denied page)
     val headers = lines.iterator.drop(1).flatMap { l =>
       val i = l.indexOf(':')
       if (i > 0) Some(l.substring(0, i).trim.toLowerCase ->
         l.substring(i + 1).trim)
       else None
-    }.toMap
+    }.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).mkString(", ")).toMap
     val mime = headers.get("content-type").map(_.split(';')(0).trim).orNull
     val bodyStart = skipBlank(block, headEnd)
     (status, mime, headers,
@@ -470,6 +498,14 @@ object Warc {
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs0 = dirPath.getFileSystem(conf.value)
     fs0.mkdirs(dirPath)
+    // overwrite happens HERE, on the driver, before any task runs:
+    // task-side commit is rename-first (exactly one attempt wins), so
+    // a previous job's shards must be cleared up front — a task-side
+    // delete would reintroduce the zombie-attempt data-loss window
+    fs0.globStatus(new org.apache.hadoop.fs.Path(dirPath, "part-*.warc.gz"))
+      .foreach(st => fs0.delete(st.getPath, false))
+    fs0.globStatus(new org.apache.hadoop.fs.Path(dirPath, ".part-*.tmp"))
+      .foreach(st => fs0.delete(st.getPath, false))
     cols.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
         val ctx = org.apache.spark.TaskContext.get()
@@ -495,9 +531,19 @@ object Warc {
         } finally {
           out.close()
           if (ok) {
-            if (fs.exists(fin)) fs.delete(fin, false)
-            if (!fs.rename(tmp, fin))
-              throw new java.io.IOException(s"Warc.write: rename $tmp -> $fin failed")
+            // rename-FIRST commit: HDFS-semantics rename refuses an
+            // existing destination, so exactly one attempt wins. The
+            // old delete-then-rename order let a zombie attempt delete
+            // an already-committed shard and die before its rename —
+            // a permanent loss the job never notices. A failed rename
+            // with the destination present means another attempt
+            // committed first: drop our tmp and succeed.
+            if (!fs.rename(tmp, fin)) {
+              fs.delete(tmp, false)
+              if (!fs.exists(fin))
+                throw new java.io.IOException(
+                  s"Warc.write: rename $tmp -> $fin failed with no committed shard present")
+            }
           } else fs.delete(tmp, false)
         }
       }

@@ -169,14 +169,17 @@ class WarcSpec extends AnyFunSuite with SparkTestSession with Matchers {
       4 -> false, 5 -> false, 6 -> false)
   }
 
-  test("repeated HTTP header: last value wins in the header map") {
+  test("repeated HTTP header: values combine comma-joined in arrival order (RFC 9110)") {
+    // the REP requires COMBINING repeated X-Robots-Tag lines — a
+    // last-wins map would shadow 'noindex' behind 'noarchive' here and
+    // robotsDeny would keep an explicitly-denied page
     val block = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
-      "X-Robots-Tag: noarchive\r\nX-Robots-Tag: noindex\r\n\r\nbody")
+      "X-Robots-Tag: noindex\r\nX-Robots-Tag: noarchive\r\n\r\nbody")
       .getBytes("UTF-8")
     val rec = Warc.recordBytes("response", "http://x/", "2026-01-01T00:00:00Z",
       "application/http; msgtype=response", block)
     val rows = Warc.recordsOf("f.warc", rec).toSeq
-    rows.head.http_headers("x-robots-tag") shouldBe "noindex"
+    rows.head.http_headers("x-robots-tag") shouldBe "noindex, noarchive"
   }
 
   test("missing content-length: quarantined and resynced; truncated block: quarantined") {
