@@ -198,7 +198,7 @@ object Warc {
   private def corruptRow(src: String, msg: String): WarcRow =
     WarcRow(null, null, null, null, null, None, Map.empty, null, src, msg)
 
-  private def records(src: String, in: InputStream): Iterator[WarcRow] =
+  private[sources] def records(src: String, in: InputStream): Iterator[WarcRow] =
     new scala.collection.AbstractIterator[WarcRow] {
       private var pendingLine: String = null // resync lookahead
       private var done = false

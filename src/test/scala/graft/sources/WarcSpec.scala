@@ -262,4 +262,30 @@ class WarcSpec extends AnyFunSuite with SparkTestSession with Matchers {
     key(spark.table("warc_stream")) shouldBe key(Warc.read(spark, dir + "/*.warc.gz"))
     spark.table("warc_stream").count() shouldBe 3 // 2 parsed + 1 torn
   }
+
+  test("transport fault mid-stream RETHROWS for task retry; decode corruption still quarantines") {
+    // a stream that serves one clean record then dies like a socket
+    // reset — a plain IOException is a TRANSPORT fault and must
+    // propagate (Spark retries the task); quarantining it would
+    // silently drop every record after the fault
+    val clean = resp(1, "<p>one</p>")
+    class ResettingStream(bytes: Array[Byte]) extends java.io.InputStream {
+      private var i = 0
+      override def read(): Int =
+        if (i < bytes.length) { i += 1; bytes(i - 1) & 0xFF }
+        else throw new java.io.IOException("connection reset by peer")
+    }
+    val ex = intercept[java.io.IOException] {
+      Warc.records("f.warc",
+        new ResettingStream(concat(clean, resp(2, "x")))).toList
+    }
+    ex.getMessage should include("connection reset")
+    // ...while an inflater EOF (torn member) stays a quarantine row,
+    // as the streaming test above also pins
+    val torn = Warc.gzipMember(clean)
+    val rows = Warc.recordsOf("g.warc.gz",
+      concat(torn, torn.take(torn.length / 2))).toSeq
+    rows.count(_._corrupt == null) shouldBe 1
+    rows.count(r => r._corrupt != null && r._corrupt.contains("torn")) shouldBe 1
+  }
 }
