@@ -22,6 +22,26 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       // events.parquet carries TIMESTAMP(NANOS); read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // InferFiltersFromGenerate clones the generator child into a
+      // same-stage filter (`size(e)>0 AND isnotnull(e)`): for graft's
+      // expensive array producers (word_shingles, minhash signatures,
+      // line chunkers) that evaluates the array expression up to 3x per
+      // row — and since the filter sits in the SAME stage as the
+      // Generate, it prunes no I/O and no shuffle bytes at any scale.
+      // Non-trivial generator children are the norm in this engine, so
+      // the rule is excluded session-wide (scale-independent win; an
+      // empty/null array is dropped by the non-outer Generate anyway).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // AQE coalescing targets BYTES (1 MiB floor per partition), which
+      // serializes CPU-heavy post-shuffle stages over compact keys
+      // (hash/digest rows of a few bytes carrying levenshtein / cosine /
+      // shingle work). 64 KiB keeps tiny-byte/heavy-CPU stages parallel;
+      // at warehouse scale post-shuffle partitions are MBs-GBs, so the
+      // floor never binds there (it only governs the small-input end).
+      // Env-overridable for cluster profiles where bytes track CPU.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
       .config("spark.ui.enabled", "false")
 
   /** Register graft's UDT, SQL functions and optimizer rules on an

@@ -262,7 +262,10 @@ object Dedup {
     val bandKeys = dropOverCapBuckets(allBandKeys, Seq("__band", "__bkey"), cap)
     val a = bandKeys.select(col(idCol).as("id_a"), col("__band"), col("__bkey"))
     val b = bandKeys.select(col(idCol).as("id_b"), col("__band"), col("__bkey"))
-    val candidates = a.join(b, Seq("__band", "__bkey"))
+    // self-join: SHUFFLE_HASH makes the two Exchanges canonically equal
+    // so the second is a ReusedExchange — in the uncapped regime (no
+    // checkpoint) the MinHash signature scan runs ONCE, not per side
+    val candidates = a.hint("shuffle_hash").join(b, Seq("__band", "__bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val sh = withSig.select(col(idCol), col("__sh"))
@@ -303,7 +306,15 @@ object Dedup {
     val postings = dropOverCapBuckets(sized, Seq("__tok"), maxBucket)
     val a = postings.select(col(idCol).as("id_a"), col("__n").as("__na"), col("__tok"))
     val b = postings.select(col(idCol).as("id_b"), col("__n").as("__nb"), col("__tok"))
-    a.join(b, Seq("__tok"))
+    // SHUFFLE_HASH, not broadcast: the two sides are the SAME posting
+    // frame, so a shuffle join's two Exchanges canonicalize identically
+    // and the second becomes a ReusedExchange — the corpus is scanned
+    // and shingled ONCE, not once per side (a broadcast join keeps both
+    // subtrees alive: it re-shingles the corpus to build the hash
+    // relation AND to stream against it). At 100 TB a corpus-sized
+    // posting table could never broadcast anyway — this pins the plan
+    // the big regime uses, minus the driver collect.
+    a.hint("shuffle_hash").join(b, Seq("__tok"))
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("__na"), col("__nb")).cast("double") >=
         lit(threshold) * greatest(col("__na"), col("__nb")))
@@ -387,8 +398,18 @@ object Dedup {
     // gid-only postings: the signature shuffle carries 2 longs per row,
     // never the strings; ONE shuffle groups by signature and emits
     // within-bucket group pairs (a self-join would recompute the whole
-    // neighborhood expansion per side)
-    val posts = groups.select(col("__gid"),
+    // neighborhood expansion per side).
+    // The checkpointed `groups` frame is AQE-coalesced by BYTES, which
+    // on a small-byte corpus serializes the O(len²/2)-per-string
+    // neighborhood hashing on one core — fan it out when coalescing
+    // left fewer partitions than cores (the qProfile guard; the extra
+    // exchange moves distinct strings once, trivial next to the
+    // signature expansion it parallelizes, and a no-op at warehouse
+    // scale where the checkpoint is already wide).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val gSrc = if (groups.rdd.getNumPartitions < par)
+      groups.repartition(par) else groups
+    val posts = gSrc.select(col("__gid"),
       explode(array_distinct(graft.functions.FunctionDefs.call(
         "delete_variant_hashes", col("__s"), lit(maxDist)))).as("__sig"))
     val cap = if (maxBucket > 0) maxBucket else Int.MaxValue
@@ -611,8 +632,16 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val e = df.select(
       col(idCol), Vectors.toDouble(col(vecCol)).as("__v"))
-    val a = e.select(col(idCol).as("id_a"), col("__v").as("__va"))
-    val b = e.select(col(idCol).as("id_b"), col("__v").as("__vb"))
+    // the broadcast-nested-loop stream side inherits the SCAN's
+    // partitioning — a single-row-group input serializes the O(n²)
+    // cosine verify on one core. Fan it out when the scan yields fewer
+    // splits than cores (the qProfile guard: a no-op on real multi-file
+    // layouts, and the repartition cost is O(n) vectors vs O(n²) work).
+    val e0 = e.localCheckpoint(eager = false)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val eP = if (e0.rdd.getNumPartitions < par) e0.repartition(par) else e0
+    val a = eP.select(col(idCol).as("id_a"), col("__v").as("__va"))
+    val b = e0.select(col(idCol).as("id_b"), col("__v").as("__vb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .withColumn("cos", Vectors.cosine(col("__va"), col("__vb")))
@@ -650,7 +679,8 @@ object Dedup {
             col("__v"), lit(nBits), lit(seed + t * 7919))): _*)).as(Seq("__tbl", "__bucket")))
     val a = e.select(col("__id").as("id_a"), col("__v").as("__va"), col("__tbl"), col("__bucket"))
     val b = e.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__tbl"), col("__bucket"))
-    a.join(b, Seq("__tbl", "__bucket"))
+    // self-join: SHUFFLE_HASH + ReusedExchange — signatures computed once
+    a.hint("shuffle_hash").join(b, Seq("__tbl", "__bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "__va", "__vb").distinct()
       .withColumn("cos", Vectors.cosine(col("__va"), col("__vb")))
@@ -714,8 +744,17 @@ object Dedup {
         val cent = typedlit(Ann.kmeansCentroids(df, idCol, vecCol, nlist, iters, seed).toSeq)
         c.withColumn("__c", graft.functions.FunctionDefs.call("ivf_assign", col("__v"), cent))
       }
-    val a = assigned.select(col("__c"), col("id").as("id_a"), col("__v").as("__va"))
-    val b = assigned.select(col("__c"), col("id").as("id_b"), col("__v").as("__vb"))
+    // the within-cluster pair join broadcasts one side and streams the
+    // other with the SCAN's partitioning — a single-row-group input
+    // serializes the Σ|cluster|² cosine verify on one core (worst at
+    // the nlist=1 oracle regime). Fan the stream side out when the scan
+    // yields fewer splits than cores (the qProfile guard; repartition
+    // cost is O(n) vectors vs O(Σ|cluster|²) verify work).
+    val a0 = assigned.localCheckpoint(eager = false)
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val aP = if (a0.rdd.getNumPartitions < par) a0.repartition(par) else a0
+    val a = aP.select(col("__c"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = a0.select(col("__c"), col("id").as("id_b"), col("__v").as("__vb"))
     val pairs = a.join(b, Seq("__c"))
       .filter(col("id_a") < col("id_b"))
       .filter(Vectors.cosine(col("__va"), col("__vb")) >= threshold)
