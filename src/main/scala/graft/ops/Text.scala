@@ -794,6 +794,14 @@ object Text {
     val grams = words.select(col("__id"), col("__src"),
       posexplode(graft.functions.FunctionDefs.call(
         "gram_hashes", col("__ws"), lit(n))).as(Seq("__pos", "__g")))
+      // pin the gram window's parallelism: its per-row work (sort +
+      // min/max + interval collect) is CPU-heavy per BYTE, so AQE's
+      // byte-floor coalescing serializes it on small-byte corpora —
+      // an explicit-count repartition on the window key satisfies the
+      // window's required distribution (no second exchange) and is the
+      // cluster-configured width at any scale
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__g"))
     // "duplicated" = present in ≥ 2 DISTINCT docs ⟺ min(id) ≠ max(id)
     // over the gram's rows — as a WINDOW over __g, so dup detection and
     // dup-row routing ride ONE shuffle of the gram rows (r11: the
@@ -914,6 +922,11 @@ object Text {
     val grams = words.select(col("__id"),
       posexplode(graft.functions.FunctionDefs.call(
         "gram_hashes", col("__ws"), lit(n))).as(Seq("__pos", "__g")))
+      // explicit-count repartition on the window key — see spanCoverage:
+      // keeps the CPU-heavy gram window at the configured parallelism
+      // instead of AQE's byte floor, without adding an exchange
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("__g"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
     // cross-doc duplicated gram starts per doc (see spanCoverage for
     // the window-over-gram rationale and the heavy-hitter caveat)
@@ -927,7 +940,17 @@ object Text {
     // i iff no interval covers it. Both steps are whole-stage-codegen
     // higher-order functions over per-doc arrays — O(doc length ×
     // merged intervals), no extra exchange.
-    words.join(dupStarts, Seq("__id"), "left")
+    // The rebuild's per-row fold/filter work rides the words side of
+    // this join: on a single-split input that is one core — fan it out
+    // on the JOIN key when the scan yields fewer splits than cores
+    // (keyed, so the join needs no further exchange; a no-op on real
+    // multi-file layouts, where the broadcast/SMJ choice is AQE's).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val wordsJ = if (words.rdd.getNumPartitions < par)
+      words.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions, col("__id"))
+    else words
+    wordsJ.join(dupStarts, Seq("__id"), "left")
       .withColumn("__iv", expr(
         s"""CASE WHEN __ps IS NULL THEN CAST(array() AS array<struct<s:bigint,e:bigint>>)
            |ELSE aggregate(__ps,

@@ -2575,7 +2575,7 @@ object Pipeline {
         lit("<div class=\"nav\">Home | About | Contact</div>" +
           "<p>&copy; 2026 &amp; EXAMPLE CORP</p></body></html>"))
         .as("html"))
-    paged
+    fanOut(paged)
       .withColumn("__ls", split(
         graft.ops.Text.extractHtmlBlocks(col("html")), "\n"))
       .withColumn("__kept", filter(col("__ls"),
@@ -2640,13 +2640,34 @@ object Pipeline {
     * (pages parsed out of WARC container bytes), so the WARC front
     * door feeds the exact same certified stages.
     */
+  /** Fan a scan-partitioned frame out to the session parallelism when
+    * the input yields fewer splits than cores (single-row-group
+    * small-SF parquet; one unsplittable gzip member) — the qProfile
+    * guard. A no-op on real multi-file layouts, where splits >> cores;
+    * only apply to frames whose downstream per-row work dwarfs one
+    * extra exchange of the rows.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private def webCurateChain(pages: DataFrame): DataFrame = {
-    val cleaned = pages
+    // the lazy checkpoint is a MATERIALIZATION BARRIER, not a cache of
+    // convenience: without it the gopher/blocklist keep-filter pushes
+    // back down through the fan-out exchange and re-inlines the whole
+    // extraction chain into the serial scan-side stage (measured: the
+    // barrier-less fanOut made the query SLOWER — extraction ran both
+    // below the exchange, serially, for the filter AND above it for the
+    // projection). Extracted text is also what a real pipeline persists
+    // between stages (the tx_lang_curate lesson).
+    val cleaned = fanOut(pages)
       .withColumn("__ls", split(
         graft.ops.Text.extractHtmlBlocks(col("html")), "\n"))
       .select(col("doc_id"),
         array_join(filter(col("__ls"),
           l => graft.ops.Text.keepLine(l)), "\n").as("text"))
+      .localCheckpoint(eager = false)
     val survivors = cleaned
       .withColumn("__keep",
         graft.ops.Text.gopherPass(col("text"), minWords = 10) &&
