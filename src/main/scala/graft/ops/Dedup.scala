@@ -796,13 +796,33 @@ object Dedup {
 
   /** [[connectedComponents]] plus the number of large+small-star rounds
     * it ran — exposed so the O(log n) convergence contract is testable.
+    * `localCutoff` overrides [[LocalCcMaxEdges]] (0 disables the local
+    * fast path — the distributed-contract tests pin the alternating-star
+    * rounds through it).
     */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, idACol: String = "id_a", idBCol: String = "id_b",
-      maxIter: Int = 25): (DataFrame, Int) = {
-    val (labels, rounds, _) = ccInternal(pairs, idACol, idBCol, maxIter)
+      maxIter: Int = 25, localCutoff: Long = LocalCcMaxEdges): (DataFrame, Int) = {
+    val (labels, rounds, _) = ccInternal(pairs, idACol, idBCol, maxIter, localCutoff)
     (labels, rounds)
   }
+
+  /** Edge-count gate below which the CC fixpoint finishes as ONE driver
+    * union-find instead of O(log n) alternating-star rounds. Every
+    * distributed round costs 3-4 exchanges plus a job launch — pure
+    * driver latency once the edge set is small — while 200k edges are
+    * ~3 MB collected (the [[graft.sources.LineIndex]] maxCollect
+    * precedent: a bounded collect WITH a fully-distributed fallback).
+    * The gate reads the edge count the init-signature job already
+    * computes, so the big regime pays nothing; real corpora enter the
+    * distributed path the moment pairs outgrow the bound. This is the
+    * standard hybrid CC shape: iterate distributed until the graph fits
+    * on one node, then finish locally — here the graph either starts
+    * under the bound (label-level supernode merges, small-SF pair sets)
+    * or never crosses it downward mid-run (alternating-star never grows
+    * the edge count, so the gate is checked once, up front).
+    */
+  private[graft] val LocalCcMaxEdges: Long = 200000L
 
   /** [[connectedComponentsWithRounds]] plus the frames it
     * localCheckpoints that the RESULT still reads lazily (the pair
@@ -817,7 +837,7 @@ object Dedup {
     */
   private def ccInternal(
       pairs: DataFrame, idACol: String, idBCol: String,
-      maxIter: Int): (DataFrame, Int, Seq[DataFrame]) = {
+      maxIter: Int, localCutoff: Long = LocalCcMaxEdges): (DataFrame, Int, Seq[DataFrame]) = {
     // lazy-checkpoint the pair frame itself: `nodes` and the edge seed
     // both read it, and pair generation is typically the most expensive
     // upstream stage (a similarity join) — without this it would be
@@ -875,6 +895,46 @@ object Dedup {
     var edges = raw.filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = false)
     var prevSig = sig(edges)
+    // LOCAL FAST PATH (see LocalCcMaxEdges): the init-sig job above
+    // already materialized the distinct edge set and counted it — when
+    // it fits the bounded-collect gate, one driver union-find replaces
+    // every alternating-star round. Labels are identical by
+    // construction: union always roots at the SMALLER id, so find(x)
+    // is exactly the component's minimum member id (DedupSpec pins
+    // local == distributed on the same graphs).
+    if (prevSig._1 > 0L && prevSig._1 <= localCutoff) {
+      val arr = edges.collect()
+      val parent = new java.util.HashMap[Long, java.lang.Long](
+        math.min(arr.length * 4L, Int.MaxValue.toLong).toInt)
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val p = parent.get(r); p != null && p.longValue() != r }) r = parent.get(r)
+        var c = x
+        while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      arr.foreach { e =>
+        val ra = find(e.getLong(0)); val rb = find(e.getLong(1))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val sess = pairs.sparkSession
+      val mapping = sess.createDataFrame(
+        parent.keySet().asScala.toSeq.map { id =>
+          org.apache.spark.sql.Row(id.longValue(), find(id.longValue()))
+        }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("comp",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val labels = nodes
+        .join(broadcast(mapping), Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      return (labels, 0, Seq(raw, nodes, edges))
+    }
     var rounds = 0
     var converged = prevSig._1 == 0L
     while (rounds < maxIter && !converged) {

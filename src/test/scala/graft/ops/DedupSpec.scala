@@ -287,7 +287,10 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     // rounds; the alternating-star algorithm's contract is ~log2(n).
     val n = 10000L
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, "id_a", "id_b", maxIter = 25)
+    // localCutoff = 0 forces the DISTRIBUTED fixpoint — this test pins
+    // the alternating-star round contract, not the driver fast path
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, "id_a", "id_b",
+      maxIter = 25, localCutoff = 0L)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     got.length shouldBe n
     all(got.map(_._2)) shouldBe 0L
@@ -301,6 +304,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession with Matchers {
     cc2(600L) shouldBe 300L
     cc2(1100L) shouldBe 300L
     cc2(300L) shouldBe 300L
+  }
+
+  test("connectedComponents: driver union-find fast path == distributed fixpoint, bit for bit") {
+    import spark.implicits._
+    // chain + clique + bridge + self-loop + duplicate/reversed edges +
+    // a mid-chain minimum — the shapes that distinguish min-id labeling
+    // from mere connectivity
+    val edges = ((0L until 50L).map(i => (i + 100L, i + 101L)) ++
+      Seq((120L, 40L), (7L, 8L), (8L, 9L), (9L, 7L), (9L, 7L), (7L, 9L),
+        (5L, 5L), (300L, 301L))).toDF("id_a", "id_b")
+    val (local, r0) = Dedup.connectedComponentsWithRounds(edges, "id_a", "id_b",
+      maxIter = 25) // under the gate → driver union-find
+    val (dist, rD) = Dedup.connectedComponentsWithRounds(edges, "id_a", "id_b",
+      maxIter = 25, localCutoff = 0L)
+    r0 shouldBe 0
+    rD should be > 0
+    val lm = local.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val dm = dist.collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    lm should contain theSameElementsInOrderAs dm
+    // chain labels at the bridged minimum, clique at 7, self-loop at 5
+    val m = lm.toMap
+    m(150L) shouldBe 40L
+    m(9L) shouldBe 7L
+    m(5L) shouldBe 5L
   }
 
   test("mergeComponents == full rebuild on chain-bridging, comp-merging, new-id and self-loop edges") {
