@@ -678,6 +678,9 @@ object Pipeline {
         aggregate(col("__encs"), lit(0), (acc, t) => acc + size(t)).cast("int").as("n_tokens"),
         (transform(col("__encs"), t => array_join(t, "")) === col("__words"))
           .cast("int").as("roundtrip_ok"))
+      // barrier: orderBy's range sampler executes the child, which would
+      // run the 10-deep merge cascade a second time (see spPredicates)
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
   }
 

@@ -30,13 +30,25 @@ object Spatial {
   private val lonSql = "((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05"
   private val latSql = "((c_custkey * 11) % 1700) / 10.0 - 85.0 + 0.05"
 
-  /** customer → (c_custkey, lon, lat, geom point). */
-  def customerPoints(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir).select(
+  /** customer → (c_custkey, lon, lat, geom point).
+    *
+    * The key-derived coordinates are fanned out to the session
+    * parallelism when the scan yields fewer splits than cores (the
+    * qProfile guard): every spatial entry layers per-row geometry
+    * batteries on top of this 3-column frame, and a single-row-group
+    * small-SF input would otherwise serialize them all on one core.
+    * The conditional repartition moves (key, lon, lat) only — a no-op
+    * on real multi-file layouts.
+    */
+  def customerPoints(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
       col("c_custkey"),
       lonOf(col("c_custkey")).as("lon"),
       latOf(col("c_custkey")).as("lat"))
-      .withColumn("geom", st.makePoint(col("lon"), col("lat")))
+    val par = s.sparkContext.defaultParallelism
+    val wide = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    wide.withColumn("geom", st.makePoint(col("lon"), col("lat")))
+  }
 
   /** customer → degenerate-to-small boxes (w,h from key mod). */
   def customerBoxes(s: SparkSession, dir: String): DataFrame =
@@ -259,6 +271,14 @@ object Spatial {
     * st_equals / st_overlaps / st_touches / st_relate / st_relateBool
     * (reference spatial/src/main/scala/com/azavea/hiveless/spatial/ST_Covers.scala:1 et al).
     */
+  // `.localCheckpoint(eager = false)` BEFORE a final orderBy is a
+  // materialization barrier: orderBy's range partitioner samples its
+  // child by EXECUTING it, so a heavy scan-side projection under a bare
+  // orderBy is computed twice — once for the sample pass, once for the
+  // sort's map pass (measured: the two stages are near-equal cost on
+  // the geometry batteries). The lazy checkpoint materializes the rows
+  // once; sample and sort then read blocks. Only applied where the
+  // per-row compute dwarfs one block write of the output.
   def spPredicates(s: SparkSession, dir: String): DataFrame =
     customerBoxes(s, dir)
       .withColumn("boxB", st.translate(col("box"), col("w") / 2, lit(0.0)))
@@ -285,6 +305,7 @@ object Spatial {
         st.relate(col("box"), col("boxC")).as("rel_touch"),
         st.relate(col("box"), col("boxD")).as("rel_disjoint"),
         when(st.relateBool(col("box"), col("boxC"), lit("F***T****")), 1).otherwise(0).as("touch_pattern"))
+      .localCheckpoint(eager = false) // barrier: see sortedOnce
       .orderBy("c_custkey")
 
   /** Accessor tail, value-checked: boundary length = perimeter, dimension
@@ -323,6 +344,7 @@ object Spatial {
         st.numPoints(st.castToPolygon(col("box"))).as("cast_poly_np"),
         round(st.x(st.makePointM(col("lon"), col("lat"), lit(7.0))), 6).as("mpm_x"),
         org.apache.spark.sql.functions.length(st.byteArray(lit("graft"))).cast("int").as("ba_len"))
+      .localCheckpoint(eager = false) // barrier: see spPredicates note
       .orderBy("c_custkey")
 
   /** Processing tail, value-checked: Douglas-Peucker keeps all 5 box
@@ -364,6 +386,7 @@ object Spatial {
         round(st.lengthSphere(col("line2")), 1).as("lsph"),
         round(st.area(st.antimeridianSafeGeom(col("idlBox"))), 6).as("ams_area"),
         st.numGeometries(st.antimeridianSafeGeom(col("idlBox"))).as("ams_ng"))
+      .localCheckpoint(eager = false) // barrier: see spPredicates note
       .orderBy("c_custkey")
 
   /** EPSG:4326 → per-row UTM zone (EPSG:326zz/327zz) projection, plus an
@@ -812,6 +835,7 @@ object Spatial {
         round(st.y(col("p")), 1).as("northing"),
         when(abs(st.x(col("back")) - col("lon")) < 1e-7 &&
              abs(st.y(col("back")) - col("lat")) < 1e-7, 1).otherwise(0).as("rt_ok"))
+      .localCheckpoint(eager = false) // barrier: see spPredicates note
       .orderBy("c_custkey")
 
   /** Albers equal-area conic (EPSG:5070 Conus Albers) forward + inverse
