@@ -30,24 +30,26 @@ object Spatial {
   private val lonSql = "((c_custkey * 7) % 3600) / 10.0 - 180.0 + 0.05"
   private val latSql = "((c_custkey * 11) % 1700) / 10.0 - 85.0 + 0.05"
 
-  /** customer → (c_custkey, lon, lat, geom point).
-    *
-    * The key-derived coordinates are fanned out to the session
-    * parallelism when the scan yields fewer splits than cores (the
-    * qProfile guard): every spatial entry layers per-row geometry
-    * batteries on top of this 3-column frame, and a single-row-group
-    * small-SF input would otherwise serialize them all on one core.
-    * The conditional repartition moves (key, lon, lat) only — a no-op
-    * on real multi-file layouts.
-    */
-  def customerPoints(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.customer(s, dir).select(
+  /** customer → (c_custkey, lon, lat, geom point). */
+  def customerPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
       col("c_custkey"),
       lonOf(col("c_custkey")).as("lon"),
       latOf(col("c_custkey")).as("lat"))
-    val par = s.sparkContext.defaultParallelism
-    val wide = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    wide.withColumn("geom", st.makePoint(col("lon"), col("lat")))
+      .withColumn("geom", st.makePoint(col("lon"), col("lat")))
+
+  /** Fan a scan-partitioned frame out to the session parallelism when
+    * the scan yields fewer splits than cores (the qProfile guard) — a
+    * no-op on real multi-file layouts. Applied ONLY inside the heavy
+    * geometry batteries: a sweep with the fan-out in [[customerPoints]]
+    * itself sped the 3 heavy entries up but taxed the ~40 light spatial
+    * queries ~0.2 s each (one extra exchange + a 32-task stage that
+    * their per-row work never amortizes) — net +3 s on the family.
+    * Measured, reverted, kept surgical.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
   }
 
   /** customer → degenerate-to-small boxes (w,h from key mod). */
@@ -280,7 +282,7 @@ object Spatial {
   // once; sample and sort then read blocks. Only applied where the
   // per-row compute dwarfs one block write of the output.
   def spPredicates(s: SparkSession, dir: String): DataFrame =
-    customerBoxes(s, dir)
+    fanOut(customerBoxes(s, dir))
       .withColumn("boxB", st.translate(col("box"), col("w") / 2, lit(0.0)))
       .withColumn("boxC", st.translate(col("box"), col("w"), lit(0.0)))
       .withColumn("boxD", st.translate(col("box"), col("w") * 3, lit(10.0)))
@@ -315,7 +317,7 @@ object Spatial {
     * family, typed casts and st_makePointM / st_byteArray passthroughs.
     */
   def spAccessors(s: SparkSession, dir: String): DataFrame =
-    customerBoxes(s, dir)
+    fanOut(customerBoxes(s, dir))
       .withColumn("ring", st.exteriorRing(col("box")))
       .withColumn("line3", st.makeLine(array(
         col("geom"),
@@ -356,7 +358,7 @@ object Spatial {
     * 180°-crossing box into 2 parts preserving total area.
     */
   def spProcess(s: SparkSession, dir: String): DataFrame =
-    customerBoxes(s, dir)
+    fanOut(customerBoxes(s, dir))
       .withColumn("line3", st.makeLine(array(
         col("geom"),
         st.makePoint(col("lon") + 1.0, col("lat")),

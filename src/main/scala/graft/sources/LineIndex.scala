@@ -92,12 +92,24 @@ object LineIndex {
     */
   def build(history: DataFrame, textCol: String, path: String,
             delim: String = "\n", numBits: Long = 1L << 23,
-            numHashes: Int = 5, nFiles: Int = 64): Unit = {
+            numHashes: Int = 5, nFiles: Int = 0): Unit = {
     val s = history.sparkSession
     val lines = linesOf(history, textCol, delim).localCheckpoint()
-    StatsManifest.write(digestsOf(lines), s"$path/digests", "xx", nFiles)
+    // nFiles <= 0 derives the layout width from the data (guide-§6 file
+    // sizing): ~256k digest rows (~10 MB) per range file, floored at 8
+    // for pruning granularity, capped at 512 per build. A fixed 64 was
+    // tuned for neither end — tiny histories paid 64 file commits +
+    // 64-file probe listings, huge ones got under-split files.
+    val nf = if (nFiles > 0) nFiles
+      else math.max(8L, math.min(512L, lines.count() / 262144L + 1L)).toInt
+    StatsManifest.write(digestsOf(lines), s"$path/digests", "xx", nf)
     val bf = bloomOf(lines, numBits, numHashes)
-    val nLines = s.read.parquet(s"$path/digests").count()
+    // n_lines = Σ manifest n_rows — the stats pass already counted the
+    // distinct digests; re-reading the whole layout for a count was a
+    // second full scan of what was just written
+    val nLines = StatsManifest.manifest(s, s"$path/digests")
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("n"))
+      .head().getLong(0)
     writeBloom(s, path, bf)
     writeParams(s, path, numHashes, nLines)
     org.apache.spark.sql.GraftBridge.unpersistCheckpoint(lines)
@@ -150,16 +162,23 @@ object LineIndex {
       .select(xxhash64(col("__l")).as("xx"), md5(col("__l")).as("__hh"))
       .distinct()
       .localCheckpoint()
-    val nMaybes = maybesDf.count()
+    // ONE limit-collect replaces the former count()-then-collect() pair
+    // (two jobs per probe): <= maxCollect rows back means we hold the
+    // COMPLETE maybe set (limit returned everything there was) and the
+    // fast path proceeds with it; maxCollect+1 rows means over-cap —
+    // switch to the distributed path without ever collecting the rest.
+    // The collect job also materializes the checkpoint blocks the
+    // distributed path reads.
+    val sample = maybesDf.limit(maxCollect + 1).collect()
     val empty = s.read.parquet(s"$path/digests").filter(lit(false))
       .select(col("hh").as("__hh"))
     val (present, pinned) =
-      if (nMaybes == 0) {
+      if (sample.isEmpty) {
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint(maybesDf)
         (empty, None)
-      } else if (nMaybes <= maxCollect) {
+      } else if (sample.length <= maxCollect) {
         // fast path: driver-side file pruning, zero metadata jobs
-        val maybes = maybesDf.collect()
+        val maybes = sample
         org.apache.spark.sql.GraftBridge.unpersistCheckpoint(maybesDf)
         val files = StatsManifest.pruneLocal(mrows, maybes.map(_.getLong(0)))
         if (files.isEmpty) (empty, None)
