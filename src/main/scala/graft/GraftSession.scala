@@ -42,6 +42,20 @@ object GraftSession {
       // Env-overridable for cluster profiles where bytes track CPU.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
+      // Constraint propagation substitutes inferred predicates THROUGH
+      // aliases: a join filter on __na = size(word_shingles(...)) comes
+      // back as a scan-side `isnotnull(size(word_shingles(split(...))))`
+      // filter that re-evaluates the whole expensive expression per row
+      // while pruning nothing this engine's operators did not already
+      // prune (every graft op null-filters its keys at the source — the
+      // ccInternal/editDistance/linesOf pattern — so the inference is
+      // redundant here, unlike schemas with nullable join keys). A/B on
+      // the dedup/text subset: 13.9 s → 11.5 s (dd_editdist 2.6→1.3,
+      // dd_jaccard_join 1.05→0.68). Env-overridable for workloads with
+      // null-heavy keys and no explicit filters, where the inferred
+      // null-pruning before exchanges is worth the duplicated exprs.
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROPAGATION", "false"))
       .config("spark.ui.enabled", "false")
 
   /** Register graft's UDT, SQL functions and optimizer rules on an

@@ -1600,6 +1600,9 @@ object Pipeline {
         syntheticUrl,
         Seq("src3.example.com", "src7.example.com", "src1.example.com"))
       .select(col("doc_id"), col("host"), col("blocked"))
+      // barrier: the orderBy sampler would re-run the URL-synthesis +
+      // suffix-probe projection (see the spPredicates note)
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
 
   /** Trained quality classifier ([[graft.ops.Probe.logit2]]): logistic

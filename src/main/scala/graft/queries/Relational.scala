@@ -44,6 +44,19 @@ object Relational {
     * can never produce an exact tie.
     */
   private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Fan a scan-partitioned frame out to the session parallelism when
+    * the scan yields fewer splits than cores (the qProfile guard — see
+    * there): applied only inside entries whose per-row aggregate work
+    * (digest updates, percentile buffering, salted-join fan-out)
+    * dwarfs one exchange of the projected columns. No-op on real
+    * multi-file layouts. All wrapped aggregates are exact-integer or
+    * merge-order-insensitive, so partitioning cannot move results.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
   private val discPriceMicro: Column =
     (cents(col("l_extendedprice")) *
       (lit(10000L) - round(col("l_discount") * 10000).cast("long"))).cast("decimal(38,0)")
@@ -216,9 +229,9 @@ object Relational {
     * replicates ×8.
     */
   def qSalted(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    val li = fanOut(Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"), col("l_discount"))
+        col("l_extendedprice"), col("l_discount")))
     val ord = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     graft.ops.SkewJoin.saltedJoin(li, ord, "l_orderkey",
@@ -332,9 +345,9 @@ object Relational {
     */
   def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.FunctionDefs
-    val li = Tables.lineitem(s, dir)
+    val li = fanOut(Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
-        (col("l_extendedprice") * 100).cast("long").as("__cents"))
+        (col("l_extendedprice") * 100).cast("long").as("__cents")))
     // localCheckpoint: `sk` feeds BOTH the ranks probe and the final
     // join — without it the full-lineitem sketch aggregation runs twice
     // (three lineitem scans total); the frame is |groups| rows, so

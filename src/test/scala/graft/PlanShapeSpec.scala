@@ -620,10 +620,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     val p = planOf("tx_web_curate")
     val fin = p.split("== Initial Plan ==")(0) // AQE prints both plans
     withClue(s"tx_web_curate plan:\n$p") {
-      // one FileScan: both quality flags evaluate in the same projection
-      // over the cleaned text — the single-read claim of the composed
-      // pipeline (a per-flag-branch spelling would re-scan per flag)
-      fin.linesIterator.count(_.contains("FileScan")) shouldBe 1
+      // one data source: both quality flags evaluate over the SAME
+      // cleaned text — the single-read claim of the composed pipeline
+      // (a per-flag-branch spelling would re-scan per flag). Since r15
+      // the extraction prefix materializes once into a localCheckpoint
+      // barrier (so the keep-filter cannot push back below the fan-out
+      // and re-inline the chain serially — see webCurateChain), which
+      // the executed plan reads as ONE ExistingRDD scan; pre-barrier it
+      // was one FileScan. Either way: exactly one source, never two.
+      (fin.linesIterator.count(_.contains("FileScan")) +
+        fin.linesIterator.count(_.contains("Scan ExistingRDD"))) shouldBe 1
       p.contains("CartesianProduct") shouldBe false
       p.contains("BroadcastNestedLoopJoin") shouldBe false
       // bounded exchanges: dedup window + doc regroup + shard window +
