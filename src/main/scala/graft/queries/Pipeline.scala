@@ -1600,9 +1600,10 @@ object Pipeline {
         syntheticUrl,
         Seq("src3.example.com", "src7.example.com", "src1.example.com"))
       .select(col("doc_id"), col("host"), col("blocked"))
-      // barrier: the orderBy sampler would re-run the URL-synthesis +
-      // suffix-probe projection (see the spPredicates note)
-      .localCheckpoint(eager = false)
+      // NO sort barrier here (unlike spPredicates): a localCheckpoint
+      // would hide the suffix-probe BroadcastHashJoins behind an
+      // ExistingRDD scan and blind PlanShapeSpec's shape pin — the
+      // ~0.3 s sampler double-pay is the cheaper trade
       .orderBy("doc_id")
 
   /** Trained quality classifier ([[graft.ops.Probe.logit2]]): logistic
