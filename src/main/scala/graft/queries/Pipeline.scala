@@ -1982,9 +1982,22 @@ object Pipeline {
     * [[ddLshIndexCheck]] is the hash-green twin proving the probe
     * equals the full re-band AND misses none of the exact ground truth.
     */
+  // One Maintainer per (JVM, index path): params + both manifests read
+  // once and served from memory on every probe — the handle the probe
+  // loop is DOCUMENTED to use (MinhashIndex.Maintainer scaladoc; the
+  // LshIndexBench 50-doc row measures the floor it removes). The index
+  // FILES are still read per probe; only file-count-sized metadata is
+  // cached, exactly like the mhixReady build cache above it.
+  private val mhixMaintainers =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.MinhashIndex.Maintainer]()
+
+  private def mhixMaintainer(s: SparkSession, path: String): graft.sources.MinhashIndex.Maintainer =
+    mhixMaintainers.computeIfAbsent(path,
+      p => new graft.sources.MinhashIndex.Maintainer(s, p))
+
   def ddLshIndex(s: SparkSession, dir: String): DataFrame =
-    graft.sources.MinhashIndex.probe(s, minhashIndexPath(s, dir),
-        Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
+    mhixMaintainer(s, minhashIndexPath(s, dir))
+      .probe(Tables.documents(s, dir).filter(col("doc_id") % 4 === 0),
         "doc_id", "text", threshold = 0.8, maxBucket = -1)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -2001,8 +2014,8 @@ object Pipeline {
   def ddLshIndexCheck(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val touches = col("id_a") % 4 === 0 || col("id_b") % 4 === 0
-    val probed = graft.sources.MinhashIndex.probe(s, minhashIndexPath(s, dir),
-        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+    val probed = mhixMaintainer(s, minhashIndexPath(s, dir))
+      .probe(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
         threshold = 0.8, maxBucket = -1)
       .select("id_a", "id_b").localCheckpoint()
     val reband = Dedup.minhashLsh(docs, "doc_id", "text", k = 3,
@@ -2051,8 +2064,8 @@ object Pipeline {
   def ddLshIndexInc(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val touches = col("id_a") % 4 === 0 || col("id_b") % 4 === 0
-    val probed = graft.sources.MinhashIndex.probe(s, minhashIndexIncPath(s, dir),
-        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+    val probed = mhixMaintainer(s, minhashIndexIncPath(s, dir))
+      .probe(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
         threshold = 0.8, maxBucket = -1)
       .select("id_a", "id_b").localCheckpoint()
     val reband = Dedup.minhashLsh(docs, "doc_id", "text", k = 3,
@@ -2411,9 +2424,20 @@ object Pipeline {
     * factored onto disk — so the oracle is the identical string-keyed
     * replay, making the probe's pruning + semi-join path hash-checked.
     */
+  // Maintainer per (JVM, index path) — the mhixMaintainers rationale:
+  // cached file-count-sized metadata, per-probe file reads unchanged.
+  // Safe here because each bench/verify pass fully materializes its
+  // probe result before the next probe (the documented pin contract).
+  private val lineIxMaintainers =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.sources.LineIndex.Maintainer]()
+
+  private def lineIxMaintainer(s: SparkSession, path: String): graft.sources.LineIndex.Maintainer =
+    lineIxMaintainers.computeIfAbsent(path,
+      p => new graft.sources.LineIndex.Maintainer(s, p))
+
   def ddLineIndex(s: SparkSession, dir: String): DataFrame =
-    graft.sources.LineIndex.probe(s, lineIndexPath(s, dir),
-        linedDocs(s, dir).filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    lineIxMaintainer(s, lineIndexPath(s, dir))
+      .probe(linedDocs(s, dir).filter(col("doc_id") % 2 === 0), "doc_id", "text")
       .orderBy("doc_id")
 
   /** Full persisted lifecycle probe→append→probe: batch B1 (doc_id ≡ 0
@@ -2433,12 +2457,14 @@ object Pipeline {
       .toString + "/ix"
     graft.sources.LineIndex.build(
       lined.filter(col("doc_id") % 3 =!= 0), "text", p)
-    val r1 = graft.sources.LineIndex.probe(s, p,
-        lined.filter(col("doc_id") % 6 === 0), "doc_id", "text")
+    // one Maintainer for the probe→append→probe cycle (ITS documented
+    // purpose): params/bloom/manifest read once, the append extends the
+    // cached state instead of forcing the second probe to re-read it
+    val m = new graft.sources.LineIndex.Maintainer(s, p)
+    val r1 = m.probe(lined.filter(col("doc_id") % 6 === 0), "doc_id", "text")
       .localCheckpoint()
-    graft.sources.LineIndex.append(s, p, r1, "text_dedup")
-    val r2 = graft.sources.LineIndex.probe(s, p,
-      lined.filter(col("doc_id") % 6 === 3), "doc_id", "text")
+    m.append(r1, "text_dedup")
+    val r2 = m.probe(lined.filter(col("doc_id") % 6 === 3), "doc_id", "text")
     r1.unionByName(r2).orderBy("doc_id")
   }
 
