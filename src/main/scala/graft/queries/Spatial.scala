@@ -168,6 +168,7 @@ object Spatial {
       col("c_custkey"),
       round(st.area(st.intersection(col("box"), window)), 6).as("inter_area"),
       round(st.area(st.difference(col("box"), window)), 6).as("diff_area"))
+      .localCheckpoint(eager = false) // barrier: see the spPredicates note
       .orderBy("c_custkey")
   }
 
