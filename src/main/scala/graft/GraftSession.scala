@@ -33,13 +33,13 @@ object GraftSession {
       // empty/null array is dropped by the non-outer Generate anyway).
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      // AQE coalescing targets BYTES (1 MiB floor per partition), which
-      // serializes CPU-heavy post-shuffle stages over compact keys
-      // (hash/digest rows of a few bytes carrying levenshtein / cosine /
-      // shingle work). 64 KiB keeps tiny-byte/heavy-CPU stages parallel;
-      // at warehouse scale post-shuffle partitions are MBs-GBs, so the
-      // floor never binds there (it only governs the small-input end).
-      // Env-overridable for cluster profiles where bytes track CPU.
+      // AQE coalescing targets BYTES (1 MiB floor per partition). The
+      // 1 MiB default floor is KEPT: a global 64 KiB floor was measured
+      // as a net regression (tx_split 3.3→6.1 s — task-scheduling
+      // overhead on tiny partitions; OPTIMIZATION_r15 §1), so CPU-heavy
+      // stages over compact keys are instead fanned out surgically
+      // (the qProfile guard / graft.queries.fanOut). Env-overridable
+      // for cluster profiles where bytes genuinely track CPU.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
       // Constraint propagation substitutes inferred predicates THROUGH

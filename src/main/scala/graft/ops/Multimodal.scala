@@ -81,6 +81,18 @@ object Multimodal {
     * certify a REAL codec roundtrip.
     */
   def synthPng(id: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    try synthPngWith(id, writer) finally writer.dispose()
+  }
+
+  /** Encode one deterministic PNG through a CALLER-owned writer —
+    * resolve the ImageIO SPI once per partition, not per row (the
+    * [[synthGifWith]] / AudioSystem amortization: `ImageIO.write`'s
+    * convenience path re-runs the registry lookup and stream-cache
+    * plumbing per call, which serializes on JDK-wide registry state
+    * under 32 concurrent tasks).
+    */
+  private def synthPngWith(id: Long, writer: javax.imageio.ImageWriter): Array[Byte] = {
     // in-memory streams only: ImageIO's default disk-backed stream cache
     // costs a temp file per encode/decode call
     javax.imageio.ImageIO.setUseCache(false)
@@ -98,17 +110,28 @@ object Multimodal {
       yy += 1
     }
     val baos = new java.io.ByteArrayOutputStream(256)
-    javax.imageio.ImageIO.write(img, "png", baos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally {
+      writer.setOutput(null)
+      ios.close()
+    }
     baos.toByteArray
   }
 
   /** (id) → (id, media = encoded PNG bytes): the deterministic ingest
-    * side of the real-decode contract. Scan-side, no shuffle.
+    * side of the real-decode contract. Scan-side, no shuffle; one
+    * SPI-resolved writer per partition (see [[synthPngWith]]).
     */
   def synthesizePngs(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
-      .mapPartitions(_.grouped(BatchSize).flatMap(_.iterator.map(id => (id, synthPng(id)))))
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+        it.grouped(BatchSize).flatMap(_.iterator.map(id => (id, synthPngWith(id, writer))))
+      }
       .toDF(idCol, "media")
   }
 

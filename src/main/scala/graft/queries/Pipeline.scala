@@ -2673,17 +2673,9 @@ object Pipeline {
     * (pages parsed out of WARC container bytes), so the WARC front
     * door feeds the exact same certified stages.
     */
-  /** Fan a scan-partitioned frame out to the session parallelism when
-    * the input yields fewer splits than cores (single-row-group
-    * small-SF parquet; one unsplittable gzip member) — the qProfile
-    * guard. A no-op on real multi-file layouts, where splits >> cores;
-    * only apply to frames whose downstream per-row work dwarfs one
-    * extra exchange of the rows.
-    */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  // fanOut (graft.queries package object): only applied to frames
+  // whose downstream per-row work (HTML extraction, langid routing)
+  // dwarfs one extra exchange of the rows.
 
   private def webCurateChain(pages: DataFrame): DataFrame = {
     // the lazy checkpoint is a MATERIALIZATION BARRIER, not a cache of

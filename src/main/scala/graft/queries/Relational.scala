@@ -45,18 +45,11 @@ object Relational {
     */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
-  /** Fan a scan-partitioned frame out to the session parallelism when
-    * the scan yields fewer splits than cores (the qProfile guard — see
-    * there): applied only inside entries whose per-row aggregate work
-    * (digest updates, percentile buffering, salted-join fan-out)
-    * dwarfs one exchange of the projected columns. No-op on real
-    * multi-file layouts. All wrapped aggregates are exact-integer or
-    * merge-order-insensitive, so partitioning cannot move results.
-    */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  // fanOut (graft.queries package object): applied only inside entries
+  // whose per-row aggregate work (digest updates, percentile buffering,
+  // salted-join fan-out) dwarfs one exchange of the projected columns.
+  // All wrapped aggregates are exact-integer or merge-order-
+  // insensitive, so partitioning cannot move results.
   private val discPriceMicro: Column =
     (cents(col("l_extendedprice")) *
       (lit(10000L) - round(col("l_discount") * 10000).cast("long"))).cast("decimal(38,0)")

@@ -38,19 +38,12 @@ object Spatial {
       latOf(col("c_custkey")).as("lat"))
       .withColumn("geom", st.makePoint(col("lon"), col("lat")))
 
-  /** Fan a scan-partitioned frame out to the session parallelism when
-    * the scan yields fewer splits than cores (the qProfile guard) — a
-    * no-op on real multi-file layouts. Applied ONLY inside the heavy
-    * geometry batteries: a sweep with the fan-out in [[customerPoints]]
-    * itself sped the 3 heavy entries up but taxed the ~40 light spatial
-    * queries ~0.2 s each (one extra exchange + a 32-task stage that
-    * their per-row work never amortizes) — net +3 s on the family.
-    * Measured, reverted, kept surgical.
-    */
-  private def fanOut(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
+  // fanOut (graft.queries package object): applied ONLY inside the
+  // heavy geometry batteries — a sweep with the fan-out in
+  // [[customerPoints]] itself sped the 3 heavy entries up but taxed
+  // the ~40 light spatial queries ~0.2 s each (one extra exchange + a
+  // 32-task stage that their per-row work never amortizes) — net +3 s
+  // on the family. Measured, reverted, kept surgical.
 
   /** customer → degenerate-to-small boxes (w,h from key mod). */
   def customerBoxes(s: SparkSession, dir: String): DataFrame =

@@ -335,9 +335,33 @@ object HammingIndex {
     private val docRows = scala.collection.mutable.ArrayBuffer[Row](
       StatsManifest.manifest(s, s"$path/docs").collect().toIndexedSeq: _*)
 
+    private var probePins: Seq[DataFrame] = Nil
+
+    /** Cached-state probe — same output contract as the object-level
+      * [[HammingIndex.probe]]. Probe-internal checkpoint pins are held
+      * by this handle (the [[LineIndex.Maintainer]] discipline): call
+      * [[releaseProbe]] once the result has materialized, or let the
+      * NEXT probe release them — a long-lived probe loop pins at most
+      * one batch-sized frame, not one per trigger. Consequence: a
+      * probe result reads the pinned blocks lazily, so materialize it
+      * before the next probe/releaseProbe.
+      */
     def probe(batch: DataFrame, idCol: String, hashCol: String,
-              maxDist: Int, maxBucket: Int = 0): DataFrame =
-      probeReleasable(batch, idCol, hashCol, maxDist, maxBucket)._1
+              maxDist: Int, maxBucket: Int = 0): DataFrame = {
+      releaseProbe()
+      val (r, pins) =
+        probeReleasable(batch, idCol, hashCol, maxDist, maxBucket)
+      probePins = pins
+      r
+    }
+
+    /** Release the checkpoints pinned by the most recent [[probe]]
+      * (no-op after probeReleasable, whose caller owns its pins).
+      */
+    def releaseProbe(): Unit = {
+      probePins.foreach(org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+      probePins = Nil
+    }
 
     def probeReleasable(batch: DataFrame, idCol: String, hashCol: String,
                         maxDist: Int,

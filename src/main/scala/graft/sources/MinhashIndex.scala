@@ -379,9 +379,33 @@ object MinhashIndex {
     private val docRows = scala.collection.mutable.ArrayBuffer[Row](
       StatsManifest.manifest(s, s"$path/docs").collect().toIndexedSeq: _*)
 
+    private var probePins: Seq[DataFrame] = Nil
+
+    /** Cached-state probe — same output contract as the object-level
+      * [[MinhashIndex.probe]]. The batch-signature checkpoint pins are
+      * held by this handle (the [[LineIndex.Maintainer]] discipline):
+      * call [[releaseProbe]] once the result has materialized, or let
+      * the NEXT probe release them — a long-lived probe loop pins at
+      * most one batch-sized signature frame, not one per trigger.
+      * Consequence: a probe result reads the pinned blocks lazily, so
+      * materialize it before the next probe/releaseProbe.
+      */
     def probe(batch: DataFrame, idCol: String, textCol: String,
-              threshold: Double = 0.8, maxBucket: Int = 0): DataFrame =
-      probeReleasable(batch, idCol, textCol, threshold, maxBucket)._1
+              threshold: Double = 0.8, maxBucket: Int = 0): DataFrame = {
+      releaseProbe()
+      val (r, pins) =
+        probeReleasable(batch, idCol, textCol, threshold, maxBucket)
+      probePins = pins
+      r
+    }
+
+    /** Release the checkpoints pinned by the most recent [[probe]]
+      * (no-op after probeReleasable, whose caller owns its pins).
+      */
+    def releaseProbe(): Unit = {
+      probePins.foreach(org.apache.spark.sql.GraftBridge.unpersistCheckpoint)
+      probePins = Nil
+    }
 
     def probeReleasable(batch: DataFrame, idCol: String, textCol: String,
                         threshold: Double = 0.8,

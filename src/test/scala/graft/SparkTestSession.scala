@@ -14,13 +14,12 @@ trait SparkTestSession extends BeforeAndAfterAll { self: Suite =>
 
 object SparkTestSession {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+    // GraftSession.builder so specs (PlanShapeSpec above all) certify
+    // plan shapes under the SAME optimizer configs (excludedRules,
+    // constraintPropagation) the Bench/Verify sessions run with —
+    // only the core count, app name and extensions wiring differ.
+    val s = GraftSession.builder("4")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftSparkExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
