@@ -441,13 +441,35 @@ object Dedup {
     // wrap (postEst / 128000).toInt negative and silently fall back to
     // the session floor — the exact regime the sizing exists for
     val sigParts = math.min(4096L, math.max(floor.toLong, postEst / 128000L + 1)).toInt
-    val gidPairs = posts.repartition(sigParts, col("__sig")).groupBy("__sig")
-      .agg(collect_list(col("__gid")).as("__m"))
-      .filter(size(col("__m")) >= 2 && size(col("__m")) <= cap)
-      .select(explode(col("__m")).as("__ga"), col("__m"))
-      .select(col("__ga"), explode(col("__m")).as("__gb"))
-      .filter(col("__ga") < col("__gb"))
-      .select("__ga", "__gb").distinct()
+    val pp = posts.repartition(sigParts, col("__sig"))
+    val gidPairs = (if (cap == Int.MaxValue) {
+      // Uncapped pair generation as a signature SELF-JOIN, not a
+      // collect_list aggregate: nearly every signature group is a
+      // singleton, so the former groupBy allocated one list per
+      // posting row (~postEst tiny ArrayBuffers through an
+      // ObjectHashAggregate) just to throw most of them away —
+      // measured 148 s task time in ONE stage at 10× sf0.1.
+      // SHUFFLE_HASH on the shared repartition ([[jaccardJoin]]'s
+      // reasoning): the two sides canonicalize to the SAME exchange,
+      // so the neighborhood expansion runs once and the second side
+      // is a ReusedExchange; within-bucket pairs stream out of a
+      // per-partition hash build (≤ ~128k rows by sigParts, an
+      // explicit partition count AQE leaves alone) instead of
+      // materializing per-group lists. Emits exactly the old shape's
+      // rows: co-bucketed ordered pairs, deduped across signatures.
+      pp.select(col("__sig"), col("__gid").as("__ga")).hint("shuffle_hash")
+        .join(pp.select(col("__sig"), col("__gid").as("__gb")), Seq("__sig"))
+        .filter(col("__ga") < col("__gb"))
+    } else {
+      // Capped regime needs every bucket's SIZE before any pair is
+      // emitted — the aggregate stays (cap filtering is the point).
+      pp.groupBy("__sig")
+        .agg(collect_list(col("__gid")).as("__m"))
+        .filter(size(col("__m")) >= 2 && size(col("__m")) <= cap)
+        .select(explode(col("__m")).as("__ga"), col("__m"))
+        .select(col("__ga"), explode(col("__m")).as("__gb"))
+        .filter(col("__ga") < col("__gb"))
+    }).select("__ga", "__gb").distinct()
     // strings + member lists re-acquired only for surviving candidates
     val sides = groups.select(col("__gid"), col("__s"), col("__ids"))
     val cross = gidPairs

@@ -241,16 +241,46 @@ object HammingIndex {
       .filter(col("__bh").isNotNull)
       .localCheckpoint() // consumers: chunk keys, dist-0 path, id expansion
     val bh = b.select(col("__bh").as("__h")).distinct()
-    val bkeys = chunkKeys(bh, pieces)
+    val bkeysAll = chunkKeys(bh, pieces)
       .select(col("key"), col("__h").as("__bh"))
+
+    // POSITION SELECTION (pigeonhole minimality): a pair within
+    // maxDist differs in ≤ maxDist chunk positions, so among ANY
+    // maxDist+1 retained positions at least one chunk is equal —
+    // banding on maxDist+1 positions is complete, and the exact
+    // popcount verify below removes every extra candidate, so the
+    // output set is INDEPENDENT of which positions are retained.
+    // Retain the most selective ones: a position where few distinct
+    // chunk values cover the whole batch (a near-constant signature
+    // region — real phash/simhash populations have them too) is a
+    // near-cartesian bucket; its candidate volume scales as
+    // Σ_chunk hist_c·batch_c ≈ |hist|/|batch| · Σ_chunk batch_c², so
+    // rank positions by the batch-side Σ batch_c² (the batch samples
+    // the same signature population as history) and keep the
+    // maxDist+1 smallest. Pure driver arithmetic over the same
+    // batch-keys collect the manifest pruning already pays for.
+    val keyCnts = bkeysAll.groupBy("key").agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+    val nSel = math.min(pieces, maxDist + 1)
+    val selPos: Seq[Long] =
+      keyCnts.groupBy(_._1 >> 32).view
+        .mapValues(_.iterator.map(kc => kc._2 * kc._2).sum).toSeq
+        .sortBy { case (p, s2) => (s2, p) }
+        .take(nSel).map(_._1).sorted
+    val bkeys =
+      if (selPos.size == pieces || selPos.isEmpty) bkeysAll
+      else bkeysAll.filter(shiftright(col("key"), 32).isin(selPos: _*))
 
     // manifest pruning, driver-side: the batch's distinct chunk keys
     // are by contract broadcast-sized (they broadcast into the
     // candidate join below), so collecting them once and filtering the
     // cached manifest rows locally costs one batch-sized job + driver
-    // arithmetic — no manifest join job
-    val keyArr = bkeys.select("key").distinct().collect()
-      .map(_.getAs[Number](0).longValue())
+    // arithmetic — no manifest join job. Only retained positions'
+    // keys participate, so the posting read prunes to their files.
+    val keyArr = keyCnts.collect {
+      case (k, _) if selPos.contains(k >> 32) => k
+    }
     val files = StatsManifest.pruneLocal(postRows, keyArr)
     val posts =
       if (files.isEmpty) s.read.parquet(s"$path/postings").filter(lit(false))
