@@ -1846,7 +1846,12 @@ object Pipeline {
     val host = docs.select(col("doc_id"), col("source")).join(q, "doc_id")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 6).as("avg_quality"))
+    // the consecutive-doc self-join materializes ONCE (lazy barrier):
+    // its three consumers — the emptiness gate plus both graph legs —
+    // would otherwise each replay the corpus-sized join (and the legs'
+    // internal barriers then copy blocks instead of recomputing)
     val edges = hostEdges(docs.select("doc_id", "source"))
+      .localCheckpoint(eager = false)
     // an edgeless graph (single-source corpus) is a legal input to the
     // SCORECARD even though pageRank alone refuses it: the oracle — and
     // the NULL-authority contract above — still emit one row per host,
