@@ -167,4 +167,35 @@ class HammingIndexSpec extends AnyFunSuite with SparkTestSession with Matchers {
     unlimited should contain((8L, 101L, 2))
     capped.subsetOf(unlimited) shouldBe true
   }
+
+  test("selective-position banding stays exact when most chunk positions are constant") {
+    import spark.implicits._
+    // every hash shares FIVE constant chunk positions (bytes 3..7 all
+    // zero) — near-cartesian buckets the probe's position selection
+    // must rank out — while the true ≤2-dist structure lives in the
+    // low three bytes. Completeness must not depend on WHICH positions
+    // are retained: pairs differing in ≤ maxDist positions always
+    // share a chunk among any maxDist+1 retained positions.
+    def h(a: Long, b: Long, c: Long) = (a << 16) | (b << 8) | c
+    val hist2 = Seq(
+      (1L, h(1, 2, 3)), (2L, h(1, 2, 9)),   // dist ≤ 2 of batch probes
+      (3L, h(7, 7, 7)), (4L, h(1, 9, 3)),
+      (5L, h(40, 50, 60))).toDF("doc_id", "sig")
+    val p3 = java.nio.file.Files.createTempDirectory("graft-hmix-sel").toString + "/ix"
+    HammingIndex.build(hist2, "doc_id", "sig", p3,
+      pieces = 8, nPostingFiles = 4, nDocFiles = 2)
+    val batch3 = Seq((100L, h(1, 2, 3)), (101L, h(7, 7, 6))).toDF("doc_id", "sig")
+    val probed = pairSet(HammingIndex.probe(spark, p3, batch3,
+      "doc_id", "sig", maxDist = 2, maxBucket = -1))
+    val truth = pairSet(Dedup.hammingPairs(
+        hist2.unionByName(batch3), "doc_id", "sig",
+        maxDist = 2, pieces = 8, maxBucket = -1)
+      .filter(col("id_a") >= 100 || col("id_b") >= 100))
+    probed shouldBe truth
+    // the planted structure is actually found through varying positions
+    // (bit distances: 3^9 → 2 bits, 7^6 → 1 bit)
+    probed should contain((1L, 100L, 0))
+    probed should contain((2L, 100L, 2))
+    probed should contain((3L, 101L, 1))
+  }
 }
