@@ -1051,15 +1051,27 @@ object Pipeline {
     * are pure arithmetic in doc_id, which the oracle replays — certifying
     * an actual lossless codec roundtrip, not a stub.
     */
+  // The three REAL-codec entries barrier their decoded rows before the
+  // final orderBy (lazy localCheckpoint — the r15 sort-sampler rule): a
+  // bare orderBy executes its child TWICE (range-partitioner sample
+  // pass + sort map pass), and here the child is the full javax
+  // encode+decode roundtrip — measured 2 near-equal codec stages per
+  // run at 10× (mm_video 5.1 s run each). The decoded rows are a few
+  // ints per doc, so one block write is far cheaper than a second
+  // decode. PlanShapeSpec pins the decode pipelines' narrow scan-side
+  // shape on the OP composition directly (the barrier hides it behind
+  // an ExistingRDD in the entry plan — the tx_web_curate precedent).
   def mmDecode(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     Multimodal.decodeImages(s, Multimodal.synthesizePngs(s, docs, "doc_id"), "doc_id")
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
   }
 
   def mmAudio(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     Multimodal.decodeAudio(s, Multimodal.synthesizeWavs(s, docs, "doc_id"), "doc_id")
+      .localCheckpoint(eager = false)
       .orderBy("doc_id")
   }
 
@@ -1070,6 +1082,7 @@ object Pipeline {
   def mmVideo(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"))
     Multimodal.decodeFrames(s, Multimodal.synthesizeGifs(s, docs, "doc_id"), "doc_id", stride = 2)
+      .localCheckpoint(eager = false)
       .orderBy("doc_id", "frame_idx")
   }
 

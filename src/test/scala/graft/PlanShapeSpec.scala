@@ -95,12 +95,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
-  test("mm_decode: decode is a narrow map — no shuffle before the image stage") {
-    val p = planOf("mm_decode")
+  // The three real-codec entries barrier their decoded rows before the
+  // final orderBy (the sort-sampler rule), which hides the pipeline
+  // behind an ExistingRDD in the ENTRY plan — so these pins certify
+  // the decode pipelines on the op composition directly, a STRICTER
+  // assertion (zero exchanges, not "≤ the orderBy's"): the codec work
+  // is entirely scan-side, narrow, shuffle-free.
+  private def mmPipelinePlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("mm_decode: decode is a narrow map — no shuffle anywhere in the image pipeline") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id")
+    val p = mmPipelinePlan(graft.ops.Multimodal.decodeImages(
+      spark, graft.ops.Multimodal.synthesizePngs(spark, docs, "doc_id"), "doc_id"))
     withClue(s"plan:\n$p") {
       p.contains("CartesianProduct") shouldBe false
-      // only the final orderBy may exchange; the decode pipeline itself is scan-side
-      p.linesIterator.count(_.contains("Exchange")) should be <= 2
+      p.linesIterator.count(_.contains("Exchange")) shouldBe 0
     }
   }
 
@@ -117,20 +129,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestSession with Matchers {
     }
   }
 
-  test("mm_video: frame decode is a narrow flatMap — no shuffle before the frame stage") {
-    val p = planOf("mm_video")
+  test("mm_video: frame decode is a narrow flatMap — no shuffle anywhere in the frame pipeline") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id")
+    val p = mmPipelinePlan(graft.ops.Multimodal.decodeFrames(
+      spark, graft.ops.Multimodal.synthesizeGifs(spark, docs, "doc_id"), "doc_id", stride = 2))
     withClue(s"plan:\n$p") {
       p.contains("CartesianProduct") shouldBe false
       // frames fan out inside the scan-side flatMap, not via a Generate/explode
-      p.linesIterator.count(_.contains("Exchange")) should be <= 2
+      p.linesIterator.count(_.contains("Exchange")) shouldBe 0
     }
   }
 
-  test("mm_audio: decode is a narrow map — no shuffle before the audio stage") {
-    val p = planOf("mm_audio")
+  test("mm_audio: decode is a narrow map — no shuffle anywhere in the audio pipeline") {
+    val docs = graft.sources.Tables.documents(spark, sfDir).select("doc_id")
+    val p = mmPipelinePlan(graft.ops.Multimodal.decodeAudio(
+      spark, graft.ops.Multimodal.synthesizeWavs(spark, docs, "doc_id"), "doc_id"))
     withClue(s"plan:\n$p") {
       p.contains("CartesianProduct") shouldBe false
-      p.linesIterator.count(_.contains("Exchange")) should be <= 2
+      p.linesIterator.count(_.contains("Exchange")) shouldBe 0
     }
   }
 
